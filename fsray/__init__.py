@@ -1,0 +1,31 @@
+"""fsray — a Ray-Data-native inverted-index build + BM25 query engine.
+
+A from-scratch reimplementation of the *capabilities* of frankensearch's
+lexical tier (reference: joyshmitz/frankensearch, the "Quill" engine at
+crates/frankensearch-quill) expressed Ray-Data-first:
+
+- index build = ``map_batches`` tokenization over zero-copy Arrow batches,
+  per-partition posting partials, one ``groupby((shard, bucket))`` shuffle
+  for the posting-list merge (skew absorbed by per-(term, partition)
+  pre-aggregation + hash bucketing), per-shard Parquet term tables;
+- query = per-shard BM25 scoring kernels (exhaustive + block-max pruned)
+  with a packed-key (score desc, docid asc) top-k merge, global statistics
+  aggregated across shards exactly like the reference aggregates across
+  segments (reference: index.rs:847-860, quiver.rs:11872-11931).
+
+Nothing in this package calls ``ray.init``/``ray.shutdown`` — sessions are
+owned by the caller (driver, bench.py, or the pytest fixture).
+"""
+
+from fsray.contract import BM25_K1, BM25_B, FIELD_NORMS_TABLE, idf, compute_tf_cache
+from fsray.tokenizer import tokenize_scalar, tokenize_table
+
+__all__ = [
+    "BM25_K1",
+    "BM25_B",
+    "FIELD_NORMS_TABLE",
+    "idf",
+    "compute_tf_cache",
+    "tokenize_scalar",
+    "tokenize_table",
+]

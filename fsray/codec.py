@@ -1,0 +1,246 @@
+"""Posting-list codec: blocked delta + minimal-width bitpacking + block-max.
+
+Logical content mirrors the reference's POSTINGS/BLOCKMAX sections
+(reference: crates/frankensearch-quill/src/quiver.rs:394-458, 892-980;
+PLAN.md §10.4): blocks of 128 postings; per block an absolute
+``first_doc: u32`` plus delta-1 values bitpacked at the block's minimal
+width; term frequencies stored as tf-1 at their own minimal width (width 0
+== the reference's "all-one" stream); per block a conservative
+``(max_tf_code: u8, min_fieldnorm_id: u8)`` pair — codes 0..=254 exact,
+255 = unbounded sentinel (contract.rs:297-326).
+
+Container differences from the reference are deliberate and documented
+(SURVEY §2.4): no BITMAP/VINT specializations and the per-block slot for
+the first posting is packed as a zero instead of being elided — BM25
+scores depend only on the *logical* posting content (docids, tfs,
+per-block maxima), which is identical.
+
+Everything is flat-vectorized across ALL terms of a batch at once: the
+encoder takes one concatenated (docids, tfs, fieldnorms) array plus
+per-term lengths and emits Arrow binary columns sliced zero-copy out of a
+single payload buffer.  No Python-per-posting loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+BLOCK = 128  # postings per block (reference: quiver.rs:394-395)
+
+
+def _bit_width(maxv: np.ndarray) -> np.ndarray:
+    """Minimal bit width per block (0 for all-zero blocks)."""
+    w = np.zeros(len(maxv), dtype=np.uint8)
+    nz = maxv > 0
+    w[nz] = np.floor(np.log2(maxv[nz].astype(np.float64))).astype(np.uint8) + 1
+    return w
+
+
+def _pack(values: np.ndarray, widths: np.ndarray, block_of: np.ndarray,
+          idx_in_block: np.ndarray, term_of_block: np.ndarray,
+          blocks_per_term: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bitpack ``values`` (uint64, < 2**32) with per-block widths.
+
+    Each term's payload starts on a byte boundary so term payloads slice
+    independently.  Returns (payload uint8 buffer, per-term byte offsets
+    [n_terms+1], per-block bit starts relative to the term payload).
+    """
+    n_blocks = len(widths)
+    # bits consumed per block = n_in_block * width
+    n_in_block = np.bincount(block_of, minlength=n_blocks).astype(np.int64)
+    block_bits = n_in_block * widths.astype(np.int64)
+    # per-term total bits -> byte-aligned payload sizes
+    term_bits = np.zeros(len(blocks_per_term), dtype=np.int64)
+    np.add.at(term_bits, term_of_block, block_bits)
+    term_bytes = (term_bits + 7) >> 3
+    term_byte_start = np.zeros(len(blocks_per_term) + 1, dtype=np.int64)
+    np.cumsum(term_bytes, out=term_byte_start[1:])
+    # per-block bit start relative to its term's payload start
+    cum_block_bits = np.zeros(n_blocks + 1, dtype=np.int64)
+    np.cumsum(block_bits, out=cum_block_bits[1:])
+    term_first_block_cum = cum_block_bits[:-1][np.concatenate(([0], np.cumsum(blocks_per_term)[:-1]))] \
+        if n_blocks else np.zeros(0, dtype=np.int64)
+    block_bit_start = cum_block_bits[:-1] - np.repeat(term_first_block_cum, blocks_per_term)
+
+    total = int(term_byte_start[-1])
+    buf = np.zeros(total + 8, dtype=np.int64)  # int64 accumulators, folded to u8 at the end
+    if len(values):
+        bit_off = block_bit_start[block_of] + idx_in_block.astype(np.int64) * widths[block_of].astype(np.int64)
+        byte_idx = term_byte_start[term_of_block[block_of]] + (bit_off >> 3)
+        shift = (bit_off & 7).astype(np.uint64)
+        chunk = values.astype(np.uint64) << shift  # width<=32, shift<=7 -> fits 39 bits
+        for k in range(5):  # 39 bits span at most 5 bytes... (32+7)/8 -> 5
+            part = ((chunk >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.int64)
+            nz = part != 0
+            if nz.any():
+                buf[: len(buf)] += np.bincount(byte_idx[nz] + k, weights=part[nz],
+                                               minlength=len(buf)).astype(np.int64)
+    return buf[:total].astype(np.uint8), term_byte_start, block_bit_start
+
+
+def _unpack(payload: np.ndarray, widths: np.ndarray, n_in_block: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_pack` for ONE term's payload (flat across blocks)."""
+    n_blocks = len(widths)
+    total = int(n_in_block.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64)
+    block_bits = n_in_block.astype(np.int64) * widths.astype(np.int64)
+    block_bit_start = np.zeros(n_blocks, dtype=np.int64)
+    np.cumsum(block_bits[:-1], out=block_bit_start[1:])
+    block_of = np.repeat(np.arange(n_blocks), n_in_block)
+    idx_in_block = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_in_block)[:-1])), n_in_block)
+    w = widths[block_of].astype(np.int64)
+    bit_off = block_bit_start[block_of] + idx_in_block * w
+    byte_idx = bit_off >> 3
+    shift = (bit_off & 7).astype(np.uint64)
+    padded = np.zeros(len(payload) + 8, dtype=np.uint8)
+    padded[: len(payload)] = payload
+    word = np.zeros(total, dtype=np.uint64)
+    for k in range(5):
+        word |= padded[byte_idx + k].astype(np.uint64) << np.uint64(8 * k)
+    mask = (np.uint64(1) << w.astype(np.uint64)) - np.uint64(1)
+    out = (word >> shift) & mask
+    out[w == 0] = 0
+    return out
+
+
+@dataclass
+class EncodedBatch:
+    """Column arrays for a batch of encoded terms (one per-term row each)."""
+    df: pa.Array             # uint32 — postings count (doc_freq within this shard)
+    doc_payload: pa.Array    # binary — bitpacked delta-1 docids (slot 0 of each block = 0)
+    doc_widths: pa.Array     # binary — u8 per block
+    tf_payload: pa.Array     # binary — bitpacked tf-1
+    tf_widths: pa.Array      # binary — u8 per block
+    first_docs: pa.Array     # binary — u32 LE per block (absolute first docid)
+    last_docs: pa.Array      # binary — u32 LE per block (absolute last docid)
+    blockmax: pa.Array       # binary — (max_tf_code u8, min_fieldnorm_id u8) per block
+
+
+def _binary_from_offsets(buf: np.ndarray, byte_offsets: np.ndarray) -> pa.Array:
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(byte_offsets) - 1,
+        [None, pa.py_buffer(byte_offsets.astype(np.int64).tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
+def encode_many(lengths: np.ndarray, docids: np.ndarray, tfs: np.ndarray,
+                fns: np.ndarray) -> EncodedBatch:
+    """Encode many terms' posting lists in one flat vectorized pass.
+
+    ``lengths[i]`` = number of postings of term i; ``docids``/``tfs``/``fns``
+    are the concatenation over terms in order.  Docids must be strictly
+    ascending within each term (the merge=concat invariant guarantees this
+    when partial runs are concatenated in docid-base order — PLAN.md §7).
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n_terms = len(lengths)
+    total = int(lengths.sum())
+    assert len(docids) == total
+    docids = docids.astype(np.uint32, copy=False)
+    tfs = tfs.astype(np.uint32, copy=False)
+    fns = fns.astype(np.uint8, copy=False)
+
+    term_starts = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(lengths, out=term_starts[1:])
+    term_of = np.repeat(np.arange(n_terms), lengths)
+    idx_in_term = np.arange(total, dtype=np.int64) - term_starts[term_of]
+    blocks_per_term = (lengths + BLOCK - 1) // BLOCK
+    block_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(blocks_per_term, out=block_offsets[1:])
+    block_of = block_offsets[term_of] + (idx_in_term >> 7)
+    idx_in_block = (idx_in_term & (BLOCK - 1)).astype(np.int64)
+    n_blocks = int(block_offsets[-1])
+    term_of_block = np.repeat(np.arange(n_terms), blocks_per_term)
+    block_start_mask = idx_in_block == 0
+    block_starts = np.flatnonzero(block_start_mask)
+
+    # docid deltas (value = delta - 1; block-start slots packed as 0)
+    prev = np.empty(total, dtype=np.int64)
+    prev[1:] = docids[:-1]
+    prev[0] = 0
+    dvals = docids.astype(np.int64) - prev - 1
+    dvals[block_start_mask] = 0
+    if total and dvals.min() < 0:
+        raise ValueError("docids not strictly ascending within a term")
+    dvals = dvals.astype(np.uint64)
+    doc_maxv = np.maximum.reduceat(dvals, block_starts) if n_blocks else np.zeros(0, dtype=np.uint64)
+    doc_w = _bit_width(doc_maxv)
+    doc_payload, doc_off, _ = _pack(dvals, doc_w, block_of, idx_in_block, term_of_block, blocks_per_term)
+
+    # tf - 1 (width 0 == "all-one" stream)
+    tvals = (tfs.astype(np.int64) - 1)
+    if total and tvals.min() < 0:
+        raise ValueError("term frequency must be >= 1")
+    tvals = tvals.astype(np.uint64)
+    tf_maxv = np.maximum.reduceat(tvals, block_starts) if n_blocks else np.zeros(0, dtype=np.uint64)
+    tf_w = _bit_width(tf_maxv)
+    tf_payload, tf_off, _ = _pack(tvals, tf_w, block_of, idx_in_block, term_of_block, blocks_per_term)
+
+    # per-block sidecars, sliced per term
+    blk_off_bytes = block_offsets  # u8/block arrays: offsets == block offsets
+    max_tf = np.minimum(np.maximum.reduceat(tfs, block_starts), 255).astype(np.uint8) \
+        if n_blocks else np.zeros(0, dtype=np.uint8)
+    min_fn = np.minimum.reduceat(fns, block_starts) if n_blocks else np.zeros(0, dtype=np.uint8)
+    bm = np.empty(n_blocks * 2, dtype=np.uint8)
+    bm[0::2] = max_tf
+    bm[1::2] = min_fn
+    first_docs = docids[block_starts] if n_blocks else np.zeros(0, dtype=np.uint32)
+    block_ends = np.empty(n_blocks, dtype=np.int64)
+    block_ends[:-1] = block_starts[1:] - 1 if n_blocks else 0
+    if n_blocks:
+        block_ends[-1] = total - 1
+    last_docs = docids[block_ends] if n_blocks else np.zeros(0, dtype=np.uint32)
+
+    return EncodedBatch(
+        df=pa.array(lengths.astype(np.uint32), type=pa.uint32()),
+        doc_payload=_binary_from_offsets(doc_payload, doc_off),
+        doc_widths=_binary_from_offsets(doc_w, blk_off_bytes),
+        tf_payload=_binary_from_offsets(tf_payload, tf_off),
+        tf_widths=_binary_from_offsets(tf_w, blk_off_bytes),
+        first_docs=_binary_from_offsets(first_docs.astype("<u4").view(np.uint8), blk_off_bytes * 4),
+        last_docs=_binary_from_offsets(last_docs.astype("<u4").view(np.uint8), blk_off_bytes * 4),
+        blockmax=_binary_from_offsets(bm, blk_off_bytes * 2),
+    )
+
+
+@dataclass
+class DecodedTerm:
+    docids: np.ndarray  # uint32, strictly ascending
+    tfs: np.ndarray     # uint32, >= 1
+    max_tf_code: np.ndarray  # u8 per block
+    min_fieldnorm_id: np.ndarray  # u8 per block
+    first_docs: np.ndarray  # u32 per block
+    last_docs: np.ndarray   # u32 per block
+
+
+def decode_term(df: int, doc_payload: bytes, doc_widths: bytes, tf_payload: bytes,
+                tf_widths: bytes, first_docs: bytes, last_docs: bytes,
+                blockmax: bytes) -> DecodedTerm:
+    """Decode one term's full posting list (query-time path)."""
+    n_blocks = (df + BLOCK - 1) // BLOCK
+    n_in_block = np.full(n_blocks, BLOCK, dtype=np.int64)
+    if n_blocks:
+        n_in_block[-1] = df - BLOCK * (n_blocks - 1)
+    doc_w = np.frombuffer(doc_widths, dtype=np.uint8)
+    tf_w = np.frombuffer(tf_widths, dtype=np.uint8)
+    firsts = np.frombuffer(first_docs, dtype="<u4").astype(np.uint32)
+    lasts = np.frombuffer(last_docs, dtype="<u4").astype(np.uint32)
+    bm = np.frombuffer(blockmax, dtype=np.uint8)
+
+    dvals = _unpack(np.frombuffer(doc_payload, dtype=np.uint8), doc_w, n_in_block)
+    deltas = dvals.astype(np.int64) + 1
+    block_starts = np.concatenate(([0], np.cumsum(n_in_block)[:-1])) if n_blocks else np.zeros(0, np.int64)
+    deltas[block_starts] = 0  # slot 0 of each block carries the absolute first doc
+    run = np.cumsum(deltas)
+    base = firsts.astype(np.int64) - run[block_starts]
+    docids = (run + np.repeat(base, n_in_block)).astype(np.uint32)
+
+    tvals = _unpack(np.frombuffer(tf_payload, dtype=np.uint8), tf_w, n_in_block)
+    tfs = (tvals + 1).astype(np.uint32)
+    return DecodedTerm(docids=docids, tfs=tfs, max_tf_code=bm[0::2], min_fieldnorm_id=bm[1::2],
+                       first_docs=firsts, last_docs=lasts)

@@ -1,0 +1,184 @@
+"""BM25 scoring contract, pinned to Tantivy 0.26.1 semantics.
+
+The reference engine vendors these constants from its pinned Tantivy oracle
+(reference: crates/frankensearch-quill/src/contract.rs:9-12, 19-295,
+297-402).  Rank-exact conformance requires the same fieldnorm quantization
+table, the same f32 operation order, and the same conservative block-max
+encoding.  Everything here is pure (no Ray).
+
+Key facts (reference: contract.rs docstrings):
+
+- ``avgdl`` is the *raw* ``total_tokens / doc_count`` value, NOT an average
+  of decoded fieldnorm buckets.
+- per-document length is decoded through the 256-entry quantization table
+  (exact lengths 0..=40, then geometric buckets ending at 2,013,265,944).
+- block-max frequency codes 0..=254 are exact; 255 is an *unbounded*
+  sentinel decoding to u32::MAX (never under-estimates).
+- scoring op order: ``weight = idf(df, N) * (1 + k1) * boost``;
+  ``norm = k1 * (1 - b + b * decoded_len / avgdl)`` (a 256-entry cache per
+  field per snapshot); ``score = weight * tf / (tf + norm)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BM25_K1 = np.float32(1.2)
+BM25_B = np.float32(0.75)
+
+#: Maximum admitted token length in bytes (reference: grimoire.rs:22,
+#: scribe.rs:205-242 — longer tokens are dropped *after* analysis so
+#: surviving tokens keep their position gaps).
+MAX_TOKEN_BYTES = 65_530
+
+
+def _build_field_norms_table() -> np.ndarray:
+    """256-entry fieldnorm-id -> quantized document length table.
+
+    Generated from the geometric scheme the table follows (Tantivy 0.26.1
+    ``src/fieldnorm/code.rs``): ids 0..=40 decode to themselves; past 40,
+    each run of 8 ids doubles the step (run g steps by 2**g).  The pinned
+    landmarks from the reference's own unit test
+    (contract.rs: table_landmarks_and_checksum_are_pinned) are asserted in
+    tests/test_contract.py.
+    """
+    table = np.zeros(256, dtype=np.uint32)
+    table[:41] = np.arange(41)
+    value = 40
+    idx = 41
+    g = 1
+    while idx < 256:
+        step = 1 << g
+        for _ in range(8):
+            if idx >= 256:
+                break
+            value += step
+            table[idx] = value
+            idx += 1
+        g += 1
+    return table
+
+
+FIELD_NORMS_TABLE: np.ndarray = _build_field_norms_table()
+FIELD_NORMS_TABLE.setflags(write=False)
+
+
+def id_to_fieldnorm(fieldnorm_id: int | np.ndarray) -> np.uint32 | np.ndarray:
+    """Decode fieldnorm id(s) to quantized document length(s)."""
+    return FIELD_NORMS_TABLE[fieldnorm_id]
+
+
+def fieldnorm_to_id(fieldnorm: np.ndarray | int) -> np.ndarray | np.uint8:
+    """Encode document length(s), rounding DOWN to the bucket floor.
+
+    Vectorized equivalent of the reference's ``binary_search`` +
+    ``unwrap_or_else(|i| i - 1)`` (contract.rs:288-295).
+    """
+    ids = np.searchsorted(FIELD_NORMS_TABLE, np.asarray(fieldnorm, dtype=np.uint32), side="right") - 1
+    return ids.astype(np.uint8)
+
+
+def block_max_frequency_to_code(max_frequency: np.ndarray | int) -> np.ndarray | int:
+    """Encode a posting block's max term frequency into one byte.
+
+    Frequencies >= 255 saturate to the unbounded sentinel 255
+    (contract.rs:303-310).
+    """
+    return np.minimum(np.asarray(max_frequency, dtype=np.uint32), 255).astype(np.uint8)
+
+
+def block_max_frequency_from_code(code: np.ndarray | int) -> np.ndarray:
+    """Decode a block-max code; 255 decodes to u32::MAX (contract.rs:317-323)."""
+    code = np.asarray(code, dtype=np.uint32)
+    return np.where(code == 255, np.uint32(0xFFFFFFFF), code).astype(np.uint32)
+
+
+def idf(doc_freq: int, doc_count: int, dtype=np.float32):
+    """Tantivy-compatible BM25 idf: ``ln(1 + ((N - df) + 0.5) / (df + 0.5))``.
+
+    The integer subtraction happens before the float cast and the ``1 +``
+    happens before the ``ln`` — op order is contractual
+    (contract.rs:369-377).  ``dtype`` defaults to float32 (the conformance
+    lane); float64 is used for the DuckDB-oracle lane where the comparator
+    computes in doubles.
+    """
+    if doc_freq > doc_count:
+        raise ValueError(f"doc_freq {doc_freq} > doc_count {doc_count}")
+    half = dtype(0.5)
+    ratio = (dtype(doc_count - doc_freq) + half) / (dtype(doc_freq) + half)
+    return np.log(dtype(1.0) + ratio).astype(dtype)
+
+
+def cached_tf_component(fieldnorm, average_fieldnorm, dtype=np.float32):
+    """One tf-cache entry: ``k1 * (1 - b + b * fieldnorm / avgdl)``.
+
+    (contract.rs:385-390; cache built per (field, snapshot) at
+    argus.rs:1296-1321.)
+    """
+    k1, b = dtype(BM25_K1), dtype(BM25_B)
+    return (k1 * (dtype(1.0) - b + b * dtype(fieldnorm) / dtype(average_fieldnorm))).astype(dtype)
+
+
+def compute_tf_cache(average_fieldnorm: float, dtype=np.float32) -> np.ndarray:
+    """Precompute the 256 BM25 tf-cache entries for one field/snapshot
+    (contract.rs:394-402)."""
+    lens = FIELD_NORMS_TABLE.astype(dtype)
+    return cached_tf_component(lens, average_fieldnorm, dtype=dtype)
+
+
+def term_weight(doc_freq: int, doc_count: int, boost: float = 1.0, dtype=np.float32):
+    """``weight = idf(df, N) * (1 + k1) * boost`` (argus.rs:1521-1523)."""
+    w = idf(doc_freq, doc_count, dtype=dtype) * (dtype(1.0) + dtype(BM25_K1))
+    return (w * dtype(boost)).astype(dtype)
+
+
+def score_postings(tfs: np.ndarray, fieldnorm_ids: np.ndarray, tf_cache: np.ndarray,
+                   weight, dtype=np.float32) -> np.ndarray:
+    """Vectorized BM25 leaf scores for one term's postings.
+
+    ``score[i] = weight * tf[i] / (tf[i] + tf_cache[fieldnorm_id[i]])``
+    (argus.rs:1602-1626: frequency cast to f32, norm looked up, tf_factor,
+    then multiply by weight).
+    """
+    freq = tfs.astype(dtype)
+    norm = tf_cache[fieldnorm_ids]
+    tf_factor = freq / (freq + norm)
+    return (dtype(weight) * tf_factor).astype(dtype)
+
+
+def block_max_tf_factor(max_frequency_code: np.ndarray, min_fieldnorm_id: np.ndarray,
+                        live_avgdl: float, dtype=np.float32) -> np.ndarray:
+    """Conservative per-block tf-factor upper bound (contract.rs:328-346).
+
+    Uses the *live* avgdl from the snapshot — the stored pair is
+    (max_freq_code, min_fieldnorm_id), never a precomputed impact.  Code 0
+    cannot describe a real block; callers mask those out.
+    """
+    freq = block_max_frequency_from_code(max_frequency_code).astype(dtype)
+    norm = cached_tf_component(id_to_fieldnorm(min_fieldnorm_id), live_avgdl, dtype=dtype)
+    return (freq / (freq + norm)).astype(dtype)
+
+
+def pack_score_docid(scores: np.ndarray, docids: np.ndarray) -> np.ndarray:
+    """Pack (f32 score, u32 docid) into one u64 sort key.
+
+    High 32 bits = monotone-mapped score, low 32 bits = bitwise-NOT docid,
+    so a single DESCENDING u64 sort yields (score desc, docid asc) — the
+    reference's total order (argus.rs:5283-5330: packed u64 keys in its
+    TopDocsCollector).
+    """
+    bits = scores.astype(np.float32).view(np.uint32).astype(np.uint64)
+    # monotone f32 -> u32 map: flip sign bit for non-negatives, all bits for negatives
+    mapped = np.where(bits & 0x80000000, ~bits & 0xFFFFFFFF, bits | 0x80000000)
+    return (mapped.astype(np.uint64) << np.uint64(32)) | (
+        ~docids.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    )
+
+
+def unpack_score_docid(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`pack_score_docid`."""
+    mapped = (keys >> np.uint64(32)).astype(np.uint64)
+    docids = (~keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bits = np.where(mapped & 0x80000000, mapped & 0x7FFFFFFF, ~mapped & 0xFFFFFFFF)
+    scores = bits.astype(np.uint32).view(np.float32)
+    return scores, docids

@@ -1,0 +1,115 @@
+"""Default analyzer: split on non-alphanumeric scalars, lowercase per token.
+
+Reimplements the *semantics* of the reference's fused default analyzer
+(reference: crates/frankensearch-quill/src/scribe.rs:279-730 — Tantivy
+``SimpleTokenizer + LowerCaser`` fused: split on any Unicode scalar that is
+not alphanumeric, then lowercase each token; positions are 0,1,2,… per
+field).  Two implementations:
+
+- :func:`tokenize_scalar` — the scalar oracle (mirrors the reference's
+  ``analyze_default_scalar_reference``, scribe.rs:742-792).  Used only in
+  tests for parity against the vectorized path.
+- :func:`tokenize_table` — the vectorized hot path over a pyarrow column:
+  RE2 split on ``[^\\p{L}\\p{N}]+`` then ``utf8_lower`` on the flattened
+  token values.  Split-before-lower matters: lowercasing can produce
+  non-alphanumeric scalars (e.g. U+0130 'İ' -> 'i' + combining dot) that
+  must NOT re-split the token.
+
+Divergence note (documented, not silent): Rust ``char::is_alphanumeric`` is
+``Alphabetic ∪ Nd ∪ Nl ∪ No``; RE2's ``\\p{L}\\p{N}`` misses the small
+``Other_Alphabetic`` mark set.  Lowercasing is pinned to Arrow's *simple*
+case mapping (one scalar -> one scalar: 'İ' -> 'i', 'Σ' -> 'σ' everywhere),
+whereas Rust ``char::to_lowercase`` applies full multi-scalar expansions.
+ASCII — the conformance anchor — is exact in both dimensions; the non-ASCII
+edges fall under the reference's own accepted-divergence register
+(PLAN.md §15.6 classes).
+
+Token admission: tokens longer than ``MAX_TOKEN_BYTES`` (65,530) are
+dropped *after* analysis so surviving tokens keep their position gaps
+(scribe.rs:205-242).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fsray.contract import MAX_TOKEN_BYTES, fieldnorm_to_id
+
+#: RE2 class for "not alphanumeric" (letters + all numeric categories).
+_SPLIT_PATTERN = r"[^\p{L}\p{N}]+"
+
+
+def tokenize_scalar(text: str) -> list[str]:
+    """Scalar-oracle tokenizer: per-character classification, no regex.
+
+    Mirrors the reference scalar path: accumulate runs of alphanumeric
+    scalars, lowercase each completed token, drop oversized tokens after
+    analysis (position gap preserved — irrelevant here because v1 indexes
+    without positions; the 26-query reference set is phrase-free).
+    """
+    def lower(tok: str) -> str:
+        # The engine contract is Arrow's simple (1:1 scalar) case mapping;
+        # see the module docstring's divergence note.
+        return pc.utf8_lower(pa.scalar(tok)).as_py()
+
+    tokens: list[str] = []
+    start = None
+    for i, ch in enumerate(text):
+        if ch.isalnum():
+            if start is None:
+                start = i
+        else:
+            if start is not None:
+                tokens.append(lower(text[start:i]))
+                start = None
+    if start is not None:
+        tokens.append(lower(text[start:]))
+    return [t for t in tokens if len(t.encode("utf-8")) <= MAX_TOKEN_BYTES]
+
+
+def tokenize_column(column: pa.ChunkedArray | pa.Array) -> pa.ListArray:
+    """Vectorized tokenize of a string column -> list<string> of tokens.
+
+    Zero Python-per-row work: RE2 split + vectorized lowercase on the
+    flattened values buffer.
+    """
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    split = pc.split_pattern_regex(column, pattern=_SPLIT_PATTERN)
+    # Leading/trailing separators produce empty tokens; drop them (and any
+    # oversized tokens) on the flattened child array, then reassemble.
+    flat = split.flatten()
+    keep = pc.and_(
+        pc.greater(pc.binary_length(flat), 0),
+        pc.less_equal(pc.binary_length(flat), MAX_TOKEN_BYTES),
+    )
+    lowered = pc.utf8_lower(flat)
+
+    offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    # new offsets = exclusive scan of kept counts per row
+    kept_cum = np.zeros(len(keep_np) + 1, dtype=np.int64)
+    np.cumsum(keep_np, out=kept_cum[1:])
+    new_offsets = kept_cum[offsets]
+    new_values = lowered.filter(keep)
+    return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int32()), new_values)
+
+
+def tokenize_table(table: pa.Table, text_column: str = "content") -> pa.ListArray:
+    """Tokenize one text column of an Arrow table (hot-path entry point)."""
+    return tokenize_column(table[text_column])
+
+
+def token_stats(tokens: pa.ListArray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (token_count, fieldnorm_id) from a tokenized list column.
+
+    The fieldnorm id is the 1-byte quantized document length per
+    (field, doc) — DOCLEN section in the reference (segment.rs:44-66),
+    encoded via the pinned 256-bucket table (contract.rs:285-295).
+    """
+    counts = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+    counts = np.where(np.isnan(counts.astype(np.float64)), 0, counts).astype(np.uint32) \
+        if counts.dtype == object else counts.astype(np.uint32)
+    return counts, fieldnorm_to_id(counts)
