@@ -1,0 +1,435 @@
+"""Ray-Data index build pipeline: read → tokenize → shuffle-merge → shards.
+
+Pipeline shape (SURVEY §7.3; reference lifecycle at index.rs:4882-4896 →
+scribe.rs → keeper.rs, re-expressed Ray-Data-first):
+
+1. **Plan** — scan Parquet footers, split files into row-group partitions
+   (~``partition_rows`` docs each), assign each partition a dense, pinned
+   ``docid_base`` by exclusive scan (the Q1 docid-lease discipline,
+   PLAN.md §7: disjoint ordered docid ranges make merge=concat exact and
+   ranks parallelism-independent).  Shards are runs of consecutive
+   partitions (contiguous docid ranges, like reference segments).
+2. **Stage A (tokenize)** — one Ray task per partition: read its row
+   groups (column-pruned), tokenize every indexed field vectorized,
+   pre-aggregate postings to one row per (field, term) with packed
+   ``list<docid>/list<tf>/list<fieldnorm>`` payloads, and write per
+   partition: ``stage_postings/part-*.parquet`` (shuffle input),
+   ``idmap/part-*.parquet`` (docid → doc_id + sha256 witness + fieldnorm
+   bytes — the IDMAP/DOCLEN analogue), ``partstats/part-*.json``
+   (lineage + per-field token sums).  Each partition is independently
+   resumable: a matching completion marker skips the work entirely.
+3. **Stage B (posting merge — THE shuffle)** — ``groupby((shard, bucket))``
+   over the staged partials.  ``bucket = hash64(term) % num_buckets``
+   spreads the vocabulary so no single reducer owns a hot term's whole
+   posting set *plus* its neighbors; per-(term, partition) pre-aggregation
+   in stage A bounds each group to ``O(partitions)`` rows per term — the
+   designed answer to fn/impl/use skew (north_rule; SURVEY §7.5.4).
+   The reducer concatenates each term's partial runs in partition order
+   (already docid-sorted ⇒ merge=concat, no re-sort of postings) and
+   encodes blocks via :mod:`fsray.codec`.  Output: one Parquet term table
+   per (shard, bucket), written atomically.
+4. **Stage C (stats + manifest)** — tiny driver-side aggregate of the
+   per-partition stats (N, total_tokens per field — the STATS rollup,
+   quiver.rs:11872-11931) and atomic manifest publication.
+
+Scale notes: stage A is embarrassingly parallel and streams (never holds
+more than one partition); the only all-to-all is stage B, whose rows are
+pre-aggregated packed runs (~vocab × partitions rows, not one row per
+posting).  At 100 TB the staged-postings directory is the spill surface
+and shard/bucket counts scale with cluster size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from fsray import codec
+from fsray.manifest import atomic_write_json, atomic_write_parquet, publish_manifest, read_json
+from fsray.tokenizer import tokenize_column, token_stats
+
+FORMAT_VERSION = 1
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One indexed field: output name, source column, query-time boost."""
+    name: str
+    source: str
+    boost: float = 1.0
+    ord: int = 0
+
+
+@dataclass(frozen=True)
+class CorpusSpec:
+    """Maps an input table shape onto the engine's document model.
+
+    ``doc_id_expr``: either a single source column name, or a list of
+    column names joined as ``{c0}/{c1}@{c2}`` (the code-corpus id scheme
+    ``repo/path@commit`` — FIXTURES.md §1).
+    """
+    fields: tuple[FieldSpec, ...]
+    doc_id_columns: tuple[str, ...]
+
+    @property
+    def source_columns(self) -> list[str]:
+        cols: list[str] = list(dict.fromkeys(
+            list(self.doc_id_columns) + [f.source for f in self.fields]))
+        return cols
+
+    def doc_ids(self, table: pa.Table) -> pa.Array:
+        if len(self.doc_id_columns) == 1:
+            return pc.cast(table[self.doc_id_columns[0]], pa.string()).combine_chunks()
+        a, b, c = (pc.cast(table[col], pa.string()) for col in self.doc_id_columns)
+        joined = pc.binary_join_element_wise(pc.binary_join_element_wise(a, b, "/"), c, "@")
+        return joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+
+
+#: the code-corpus spec (input_hint shape): content ×1.0 + title:=path ×2.0
+#: (title boost pinned to the reference default, query.rs:26-27)
+CODE_CORPUS = CorpusSpec(
+    fields=(FieldSpec("content", "content", 1.0, 0), FieldSpec("title", "path", 2.0, 1)),
+    doc_id_columns=("repo", "path", "commit"),
+)
+
+#: the driver `documents` table: single content field (lexical-only lane)
+DOCUMENTS = CorpusSpec(
+    fields=(FieldSpec("content", "text", 1.0, 0),),
+    doc_id_columns=("doc_id",),
+)
+
+
+@dataclass
+class BuildConfig:
+    partition_rows: int = 65536       # docid-lease width per partition
+    num_shards: int = 8               # contiguous-docid query shards
+    num_buckets: int = 32             # term-hash buckets inside the shuffle key
+    positions: bool = False           # v1: reference query set is phrase-free
+
+
+def _hash_terms(terms: pa.Array) -> np.ndarray:
+    """Deterministic vectorized 64-bit term hash (bucket assignment)."""
+    import polars as pl
+    return pl.from_arrow(terms).hash(seed=0).to_numpy()
+
+
+def plan_partitions(paths: list[str], cfg: BuildConfig) -> list[dict]:
+    """Scan footers and produce partition descriptors with pinned docid bases.
+
+    Deterministic: files in sorted order, row groups in order, docid bases
+    by exclusive scan of partition row counts (dense — no gaps)."""
+    parts: list[dict] = []
+    for path in sorted(paths):
+        md = pq.read_metadata(path)
+        size = os.path.getsize(path)
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        cur: list[int] = []
+        cur_rows = 0
+        for i, n in enumerate(rg_rows):
+            cur.append(i)
+            cur_rows += n
+            if cur_rows >= cfg.partition_rows:
+                parts.append({"path": path, "row_groups": cur, "rows": cur_rows, "file_size": size})
+                cur, cur_rows = [], 0
+        if cur:
+            parts.append({"path": path, "row_groups": cur, "rows": cur_rows, "file_size": size})
+    base = 0
+    n = len(parts)
+    for idx, p in enumerate(parts):
+        p["pidx"] = idx
+        p["docid_base"] = base
+        p["shard"] = idx * cfg.num_shards // max(1, n)
+        p["fingerprint"] = hashlib.sha256(
+            json.dumps([p["path"], p["row_groups"], p["rows"], p["file_size"], base],
+                       sort_keys=True).encode()).hexdigest()
+        base += p["rows"]
+    return parts
+
+
+def _postings_schema() -> pa.Schema:
+    return pa.schema([
+        ("shard", pa.uint16()), ("bucket", pa.uint16()), ("field", pa.uint8()),
+        ("term", pa.string()), ("pidx", pa.uint32()),
+        ("docids", pa.large_list(pa.uint32())), ("tfs", pa.large_list(pa.uint32())),
+        ("fns", pa.large_list(pa.uint8())),
+    ])
+
+
+def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
+                      fn_ids: np.ndarray, shard: int, pidx: int,
+                      num_buckets: int) -> pa.Table:
+    """Per-partition posting partials: one row per term with packed runs.
+
+    This is the combiner half of the shuffle (SURVEY §2.4 "radix partition
+    by term" analogue): aggregate (term, doc) → tf inside the partition so
+    the groupby ships packed runs, not raw token occurrences.
+    """
+    n_rows = len(tokens)
+    counts = pc.list_value_length(tokens).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = tokens.flatten()
+    if len(flat) == 0:
+        return _postings_schema().empty_table()
+    doc_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+
+    # (term, doc) → tf via Arrow group_by (vectorized C++ hash aggregation)
+    occ = pa.table({"term": flat, "doc": pa.array(doc_of, type=pa.uint32())})
+    tf_tbl = occ.group_by(["term", "doc"]).aggregate([("doc", "count")])
+    tf_tbl = tf_tbl.sort_by([("term", "ascending"), ("doc", "ascending")])
+    terms = tf_tbl["term"].combine_chunks()
+    docs = tf_tbl["doc"].combine_chunks().to_numpy().astype(np.int64)
+    tfs = tf_tbl["doc_count"].combine_chunks().to_numpy().astype(np.uint32)
+
+    # term run boundaries (terms are sorted)
+    term_codes = terms.dictionary_encode()
+    code_np = term_codes.indices.to_numpy()
+    boundaries = np.flatnonzero(np.diff(code_np)) + 1
+    starts = np.concatenate(([0], boundaries))
+    lengths = np.diff(np.concatenate((starts, [len(code_np)])))
+    uniq_terms = term_codes.dictionary.take(pa.array(code_np[starts]))
+
+    docids = (docs + docid_base).astype(np.uint32)
+    fns = fn_ids[docs]
+
+    offsets = pa.array(np.concatenate((starts, [len(code_np)])), type=pa.int64())
+    mk = lambda vals, typ: pa.LargeListArray.from_arrays(offsets, pa.array(vals, type=typ))
+    n_terms = len(uniq_terms)
+    bucket = (_hash_terms(uniq_terms) % np.uint64(num_buckets)).astype(np.uint16)
+    return pa.table({
+        "shard": pa.array(np.full(n_terms, shard, dtype=np.uint16)),
+        "bucket": pa.array(bucket),
+        "field": pa.array(np.full(n_terms, field_ord, dtype=np.uint8)),
+        "term": uniq_terms,
+        "pidx": pa.array(np.full(n_terms, pidx, dtype=np.uint32)),
+        "docids": mk(docids, pa.uint32()),
+        "tfs": mk(tfs, pa.uint32()),
+        "fns": mk(fns, pa.uint8()),
+    }, schema=_postings_schema())
+
+
+def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str) -> dict:
+    """Stage A for one partition (runs inside a Ray task). Resumable."""
+    pidx = part["pidx"]
+    stats_path = os.path.join(index_dir, "partstats", f"part-{pidx:05d}.json")
+    done = read_json(stats_path)
+    if done is not None and done.get("fingerprint") == part["fingerprint"]:
+        done["skipped"] = True
+        return done
+
+    t0 = time.perf_counter()
+    pf = pq.ParquetFile(part["path"])
+    table = pf.read_row_groups(part["row_groups"], columns=spec.source_columns)
+    n_rows = table.num_rows
+    doc_ids = spec.doc_ids(table)
+    base = part["docid_base"]
+    docids = np.arange(base, base + n_rows, dtype=np.uint32)
+
+    # per-row content sha256 witness (input invariant; BASELINE.json input_hint)
+    content_col = table[spec.fields[0].source].combine_chunks()
+    sha = pa.array([hashlib.sha256(
+        (v if v is not None else "").encode("utf-8")).hexdigest()
+        for v in content_col.to_pylist()], type=pa.string())
+
+    idmap_cols: dict[str, pa.Array] = {
+        "docid": pa.array(docids, type=pa.uint32()),
+        "doc_id": doc_ids,
+        "content_sha256": sha,
+    }
+    postings_tables = []
+    field_stats = {}
+    n_postings = 0
+    for f in spec.fields:
+        toks = tokenize_column(table[f.source].combine_chunks().fill_null(""))
+        counts, fn_ids = token_stats(toks)
+        idmap_cols[f"fn_{f.name}"] = pa.array(fn_ids, type=pa.uint8())
+        pt = _partial_postings(f.ord, toks, base, fn_ids, part["shard"], pidx, cfg.num_buckets)
+        postings_tables.append(pt)
+        if pt.num_rows:
+            n_postings += int(pc.sum(pc.list_value_length(pt["docids"].combine_chunks())).as_py())
+        field_stats[f.name] = {"total_tokens": int(counts.sum()), "doc_count": n_rows}
+
+    staged = pa.concat_tables(postings_tables) if postings_tables else _postings_schema().empty_table()
+    atomic_write_parquet(os.path.join(index_dir, "stage_postings", f"part-{pidx:05d}.parquet"), staged)
+    atomic_write_parquet(os.path.join(index_dir, "idmap", f"part-{pidx:05d}.parquet"),
+                         pa.table(idmap_cols))
+
+    summary = {
+        "pidx": pidx, "fingerprint": part["fingerprint"], "rows": n_rows,
+        "docid_base": base, "shard": part["shard"], "path": part["path"],
+        "field_stats": field_stats, "postings_rows": staged.num_rows,
+        "postings_emitted": n_postings,
+        "wall_sec": round(time.perf_counter() - t0, 4), "skipped": False,
+    }
+    atomic_write_json(stats_path, summary)
+    return summary
+
+
+def merge_group(group: pa.Table, index_dir: str, build_id: str) -> pa.Table:
+    """Stage B reducer for one (shard, bucket) group (inside a Ray task).
+
+    Concatenates each term's partial runs in partition (== docid-base)
+    order — the merge=concat operator (reference: quiver.rs:792-890,
+    keeper.rs:4166-4218) — then block-encodes.  Returns a one-row summary.
+    """
+    def summary_table(s: dict) -> pa.Table:
+        return pa.table({
+            "shard": pa.array([s["shard"]], type=pa.int64()),
+            "bucket": pa.array([s["bucket"]], type=pa.int64()),
+            "terms": pa.array([s["terms"]], type=pa.int64()),
+            "postings": pa.array([s["postings"]], type=pa.int64()),
+            "bytes": pa.array([s["bytes"]], type=pa.int64()),
+            "skipped": pa.array([s["skipped"]], type=pa.bool_()),
+        })
+
+    shard = int(group["shard"][0].as_py())
+    bucket = int(group["bucket"][0].as_py())
+    out_path = os.path.join(index_dir, "termtable", f"shard={shard:04d}", f"bucket={bucket:04d}.parquet")
+    marker = out_path + ".done.json"
+    done = read_json(marker)
+    if done is not None and done.get("build_id") == build_id and os.path.exists(out_path):
+        done["skipped"] = True
+        return summary_table(done)
+
+    t0 = time.perf_counter()
+    group = group.sort_by([("field", "ascending"), ("term", "ascending"), ("pidx", "ascending")])
+    fields = group["field"].combine_chunks().to_numpy()
+    terms = group["term"].combine_chunks()
+    # run boundaries over (field, term)
+    tcodes = terms.dictionary_encode().indices.to_numpy().astype(np.int64)
+    keys = fields.astype(np.int64) * (tcodes.max() + 2 if len(tcodes) else 1) + tcodes
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(keys)) + 1)) if len(keys) else np.zeros(0, np.int64)
+
+    docids_l = group["docids"].combine_chunks()
+    tfs_l = group["tfs"].combine_chunks()
+    fns_l = group["fns"].combine_chunks()
+    run_lens = pc.list_value_length(docids_l).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_docids = docids_l.flatten().to_numpy().astype(np.uint32)
+    flat_tfs = tfs_l.flatten().to_numpy().astype(np.uint32)
+    flat_fns = fns_l.flatten().to_numpy().astype(np.uint8)
+    # rows are sorted by (field, term, pidx) and row payloads are already
+    # docid-sorted with disjoint ascending ranges per pidx ⇒ flat arrays are
+    # docid-sorted within each (field, term): concat IS the merge.
+    row_of_term = np.repeat(np.arange(len(starts)), np.diff(np.concatenate((starts, [len(keys)]))))
+    lengths = np.zeros(len(starts), dtype=np.int64)
+    np.add.at(lengths, row_of_term, run_lens)
+
+    enc = codec.encode_many(lengths, flat_docids, flat_tfs, flat_fns)
+    out = pa.table({
+        "field": pa.array(fields[starts], type=pa.uint8()),
+        "term": terms.take(pa.array(starts)),
+        "df": enc.df,
+        "doc_payload": enc.doc_payload, "doc_widths": enc.doc_widths,
+        "tf_payload": enc.tf_payload, "tf_widths": enc.tf_widths,
+        "first_docs": enc.first_docs, "last_docs": enc.last_docs,
+        "blockmax": enc.blockmax,
+    })
+    atomic_write_parquet(out_path, out)
+    summary = {
+        "shard": shard, "bucket": bucket, "build_id": build_id,
+        "terms": out.num_rows, "postings": int(lengths.sum()),
+        "bytes": sum(out[c].nbytes for c in out.column_names),
+        "wall_sec": round(time.perf_counter() - t0, 4), "skipped": False,
+    }
+    atomic_write_json(marker, summary)
+    return summary_table(summary)
+
+
+def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS,
+                cfg: BuildConfig | None = None, *, ray_concurrency: int | None = None) -> dict:
+    """Run the full build. Returns the published manifest.
+
+    Resumable: rerunning with the same inputs skips completed partitions
+    (stage A) and completed shard-buckets (stage B); the manifest is only
+    published after every stage completes.
+    """
+    import ray.data as rd
+
+    cfg = cfg or BuildConfig()
+    t_start = time.perf_counter()
+    parts = plan_partitions(paths, cfg)
+    n_parts = len(parts)
+    build_id = hashlib.sha256(json.dumps(
+        [p["fingerprint"] for p in parts] + [cfg.num_shards, cfg.num_buckets, FORMAT_VERSION],
+        sort_keys=True).encode()).hexdigest()[:16]
+
+    # ---- Stage A: per-partition tokenize (embarrassingly parallel) ----
+    def _stage_a(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = [run_partition(p, spec, cfg, index_dir) for p in rows]
+        return pa.table({
+            "pidx": [r["pidx"] for r in out],
+            "rows": [r["rows"] for r in out],
+            "postings_emitted": [r.get("postings_emitted", 0) for r in out],
+            "skipped": [r["skipped"] for r in out],
+        })
+
+    part_ds = rd.from_items(parts, override_num_blocks=max(1, n_parts))
+    summaries = part_ds.map_batches(_stage_a, batch_format="pyarrow", batch_size=1,
+                                    zero_copy_batch=True).take_all()
+    # partition stats live in partstats/*.json (written atomically per task)
+    part_stats = [read_json(os.path.join(index_dir, "partstats", f"part-{p['pidx']:05d}.json"))
+                  for p in parts]
+    assert all(s is not None and s["fingerprint"] == p["fingerprint"]
+               for s, p in zip(part_stats, parts)), "stage A incomplete"
+
+    # ---- Stage B: the posting-merge shuffle ----
+    # explicit file list: never pick up stale partials from an older plan
+    staged_files = [os.path.join(index_dir, "stage_postings", f"part-{p['pidx']:05d}.parquet")
+                    for p in parts]
+    staged = rd.read_parquet(staged_files)
+    merged = staged.groupby(["shard", "bucket"]).map_groups(
+        lambda g: merge_group(g, index_dir, build_id), batch_format="pyarrow")
+    merge_summaries = merged.take_all()
+
+    # ---- Stage C: stats rollup + manifest (tiny, driver-side) ----
+    field_names = [f.name for f in spec.fields]
+    field_stats = {name: {"doc_count": 0, "total_tokens": 0} for name in field_names}
+    total_rows = 0
+    for s in part_stats:
+        total_rows += s["rows"]
+        for name in field_names:
+            fs = s["field_stats"][name]
+            field_stats[name]["doc_count"] += fs["doc_count"]
+            field_stats[name]["total_tokens"] += fs["total_tokens"]
+    shards = {}
+    for p in parts:
+        sh = p["shard"]
+        lo, hi = p["docid_base"], p["docid_base"] + p["rows"]
+        if sh not in shards:
+            shards[sh] = {"docid_lo": lo, "docid_hi": hi, "partitions": []}
+        shards[sh]["docid_lo"] = min(shards[sh]["docid_lo"], lo)
+        shards[sh]["docid_hi"] = max(shards[sh]["docid_hi"], hi)
+        shards[sh]["partitions"].append(p["pidx"])
+
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "build_id": build_id,
+        "doc_count": total_rows,
+        "fields": [{"name": f.name, "ord": f.ord, "boost": f.boost, "source": f.source}
+                   for f in spec.fields],
+        "field_stats": field_stats,
+        "avgdl": {name: (field_stats[name]["total_tokens"] / max(1, field_stats[name]["doc_count"]))
+                  for name in field_names},
+        "num_shards": cfg.num_shards, "num_buckets": cfg.num_buckets,
+        "shards": {str(k): v for k, v in sorted(shards.items())},
+        "partitions": [{k: p[k] for k in ("pidx", "path", "row_groups", "rows",
+                                          "docid_base", "shard", "fingerprint")} for p in parts],
+        "metrics": {
+            "docs_tokenized": total_rows,
+            "postings_emitted": int(sum(s["postings_emitted"] for s in part_stats)),
+            "bytes_compressed": int(sum(m["bytes"] for m in merge_summaries)),
+            "terms_encoded": int(sum(m["terms"] for m in merge_summaries)),
+            "stage_a_skipped": int(sum(1 for s in summaries if s["skipped"])),
+            "stage_b_skipped": int(sum(1 for m in merge_summaries if m["skipped"])),
+            "build_wall_sec": round(time.perf_counter() - t_start, 4),
+        },
+    }
+    publish_manifest(index_dir, manifest)
+    return manifest

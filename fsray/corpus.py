@@ -1,0 +1,125 @@
+"""Deterministic synthetic source-code corpus (the ``input_hint`` shape).
+
+Produces a Parquet table with columns ``(repo: string, path: string,
+commit: string, lang: string, content: string)`` — exactly the shape the
+engine is specified against (BASELINE.json ``input_hint``).  Generation is
+fully determined by ``(n_docs, seed)`` so tests and benches synthesize the
+same corpus at any scale without external data.
+
+Content design (FIXTURES.md §1):
+- Zipf-distributed identifier vocabulary plus heavy common code tokens
+  (``fn impl use let def import return``) so the posting-merge shuffle sees
+  real term skew;
+- document lengths spread across fieldnorm buckets (short ~10 tokens up to
+  several thousand);
+- a small fraction of near-duplicate documents (for dedup operators) and
+  of unicode/edge documents (tokenizer edge classes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = ["rust", "python", "go", "js", "md", "toml", "json"]
+LANG_WEIGHTS = np.array([0.30, 0.25, 0.12, 0.12, 0.11, 0.05, 0.05])
+EXT = {"rust": "rs", "python": "py", "go": "go", "js": "js", "md": "md", "toml": "toml", "json": "json"}
+
+#: hot code tokens — deliberately skew-heavy (north_rule names fn/impl/use)
+HOT = ["fn", "impl", "use", "let", "def", "import", "return", "struct", "pub", "self"]
+
+_WORD_A = ["parse", "build", "read", "write", "merge", "split", "encode", "decode",
+           "hash", "index", "query", "score", "batch", "stream", "shard", "block"]
+_WORD_B = ["config", "buffer", "table", "segment", "posting", "token", "field",
+           "doc", "term", "manifest", "cursor", "heap", "cache", "store", "codec", "plan"]
+
+
+def _vocab(n: int) -> list[str]:
+    """Deterministic identifier vocabulary of size n (snake_case pairs)."""
+    out = []
+    i = 0
+    while len(out) < n:
+        a = _WORD_A[i % len(_WORD_A)]
+        b = _WORD_B[(i // len(_WORD_A)) % len(_WORD_B)]
+        suffix = i // (len(_WORD_A) * len(_WORD_B))
+        out.append(f"{a}_{b}{suffix if suffix else ''}")
+        i += 1
+    return out
+
+
+def generate_code_corpus(n_docs: int, seed: int = 42) -> pa.Table:
+    """Build the synthetic corpus table in memory (vectorized, deterministic)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_vocab(max(1000, n_docs // 10)))
+    nv = len(vocab)
+    # Zipf ranks over the identifier vocabulary
+    ranks = np.arange(1, nv + 1, dtype=np.float64)
+    zipf_p = (1.0 / ranks) / np.sum(1.0 / ranks)
+
+    repo = np.array([f"org{i % 7}/repo{i % 23}" for i in range(n_docs)])
+    lang_idx = rng.choice(len(LANGS), size=n_docs, p=LANG_WEIGHTS / LANG_WEIGHTS.sum())
+    lang = np.array(LANGS)[lang_idx]
+    path = np.array([f"src/mod{i % 97}/{_WORD_A[i % 16]}_{_WORD_B[(i // 16) % 16]}_{i}.{EXT[l]}"
+                     for i, l in enumerate(lang)])
+    commit = np.array(["%040x" % int(x) for x in rng.integers(0, 2**63, size=n_docs).astype(object)])
+
+    # token counts: log-uniform 8 .. 3000 (spread across fieldnorm buckets)
+    n_tokens = np.exp(rng.uniform(np.log(8), np.log(3000), size=n_docs)).astype(np.int64)
+
+    contents: list[str] = []
+    hot = np.array(HOT)
+    for i in range(n_docs):
+        nt = int(n_tokens[i])
+        n_hot = max(1, nt // 5)  # ~20% hot tokens -> heavy skew on fn/impl/use
+        words = np.empty(nt, dtype=object)
+        words[:n_hot] = rng.choice(hot, size=n_hot)
+        words[n_hot:] = vocab[rng.choice(nv, size=nt - n_hot, p=zipf_p)]
+        rng.shuffle(words)
+        # sprinkle code-ish punctuation so the analyzer's split matters
+        text = " ".join(words)
+        if i % 7 == 0:
+            text = text.replace(" ", "::", 1).replace(" ", "(", 2)
+        contents.append(text)
+
+    # ~2% near-duplicates of the previous doc (dedup operators need them)
+    for i in range(1, n_docs, 50):
+        contents[i] = contents[i - 1] + " trailing_edit"
+    # a few unicode/edge docs
+    if n_docs > 10:
+        contents[3] = "İstanbul ΣΊΣΥΦΟΣ crème brûlée 数据 处理 émigré"
+        contents[5] = "   "
+        contents[7] = ""
+
+    return pa.table({
+        "repo": pa.array(repo, type=pa.string()),
+        "path": pa.array(path, type=pa.string()),
+        "commit": pa.array(commit, type=pa.string()),
+        "lang": pa.array(lang, type=pa.string()),
+        "content": pa.array(contents, type=pa.large_string()),
+    })
+
+
+def write_code_corpus(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 4) -> list[str]:
+    """Write the corpus as ``n_files`` Parquet files (the multi-partition
+    input layout the build pipeline plans over).  Idempotent: returns the
+    existing files if they are already present and complete."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [os.path.join(out_dir, f"corpus-{i:04d}.parquet") for i in range(n_files)]
+    marker = os.path.join(out_dir, f".complete-{n_docs}-{seed}-{n_files}")
+    if os.path.exists(marker) and all(os.path.exists(p) for p in paths):
+        return paths
+    table = generate_code_corpus(n_docs, seed)
+    splits = np.array_split(np.arange(n_docs), n_files)
+    for p, idx in zip(paths, splits):
+        pq.write_table(table.take(pa.array(idx)), p)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def corpus_from_documents(sf_dir: str) -> list[str]:
+    """Adapter: the driver's ``documents`` table as an engine corpus input."""
+    return [os.path.join(sf_dir, "documents.parquet")]

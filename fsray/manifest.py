@@ -1,0 +1,62 @@
+"""Build manifest: atomic publication, per-partition lineage, resume.
+
+The Ray analogue of the reference's two-slot MANIFEST publication
+(reference: crates/frankensearch-quill/src/keeper.rs:60-80, PLAN.md §10.6):
+a single JSON document listing every live artifact with its docid interval,
+input fingerprint, and metrics, written last via atomic rename.  Crash
+windows leave only unreferenced partials; a rerun skips partitions whose
+completion marker matches the current fingerprint (the analogue of the
+reference's content-hash resume witness, lexical_pipeline.rs:563-599).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+MANIFEST_NAME = "manifest.json"
+
+
+def atomic_write_json(path: str, obj: Any) -> None:
+    """Write JSON via temp file + rename (atomic on POSIX)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def atomic_write_parquet(path: str, table) -> None:
+    """Write a Parquet file via temp + rename so partial files never count."""
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def read_json(path: str) -> Any | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_manifest(index_dir: str) -> dict | None:
+    return read_json(os.path.join(index_dir, MANIFEST_NAME))
+
+
+def publish_manifest(index_dir: str, manifest: dict) -> None:
+    atomic_write_json(os.path.join(index_dir, MANIFEST_NAME), manifest)

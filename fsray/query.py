@@ -1,0 +1,136 @@
+"""Lenient query parser → canonical clause groups.
+
+Reimplements the *behavioral contract* of the reference's
+``DefaultQueryParser::parse_lenient`` (reference:
+crates/frankensearch-quill/src/query.rs:753-835) for the surface the
+reference query set exercises, plus the common operators:
+
+- never errors (lenient): anything unparseable degrades to analyzed terms;
+- input truncated to 10,000 chars (query.rs lenient truncation);
+- whitespace-separated atoms; the default combinator for adjacency is
+  DISJUNCTION — ``a b c`` lowers to Should[a, b, c]
+  (query.rs:2202-2265 parse_or/combine_or);
+- each analyzed term expands over the default fields with their boosts
+  (content ×1.0, title ×2.0 — query.rs:26-27, 366-368); every field
+  branch is a separate scoring clause (duplicates retained);
+- ``-atom`` / ``NOT atom`` → MustNot (scoreless, deduped);
+  ``+atom`` → Must; quoted phrases → a Must group of their terms
+  (v1 scores phrases as conjunctions — positions are deferred; the
+  26-query reference set is phrase-free, SURVEY §7.5.5);
+- ``field:atom`` scopes one atom to a named field; unknown field names
+  degrade leniently to the atom itself;
+- atoms are analyzed by the default analyzer, so ``SearchIndex::new``
+  yields the two terms [searchindex, new].
+
+Canonicalization (query.rs:355-433): clauses grouped Must / Should /
+MustNot preserving construction order within each group (f32 summation
+order is contractual), MustNot deduped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from fsray.tokenizer import tokenize_scalar
+
+MAX_QUERY_CHARS = 10_000
+
+
+@dataclass(frozen=True)
+class Clause:
+    """One scoring leaf: a term scoped to one field with a boost."""
+    field: str
+    term: str
+    boost: float
+    group: str  # "should" | "must" | "must_not"
+
+
+@dataclass
+class ParsedQuery:
+    should: list[Clause]
+    must: list[Clause]
+    must_not: list[Clause]
+
+    @property
+    def is_empty(self) -> bool:
+        return not (self.should or self.must)
+
+    def scoring_clauses(self) -> list[Clause]:
+        """Canonical scoring order: Must group then Should group, each in
+        construction order (summation order contract, query.rs:355-433)."""
+        return list(self.must) + list(self.should)
+
+
+def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None,
+                known_fields: set[str] | None = None) -> ParsedQuery:
+    """Parse user input into canonical clause groups. Never raises."""
+    default_fields = default_fields or [("content", 1.0), ("title", 2.0)]
+    known_fields = known_fields if known_fields is not None else {f for f, _ in default_fields}
+    text = (text or "")[:MAX_QUERY_CHARS]
+
+    should: list[Clause] = []
+    must: list[Clause] = []
+    must_not: list[Clause] = []
+
+    def emit(atom: str, group: str, scoped_field: str | None = None) -> None:
+        terms = tokenize_scalar(atom)
+        targets = [(scoped_field, 1.0)] if scoped_field else default_fields
+        for term in terms:
+            for fname, boost in targets:
+                cl = Clause(fname, term, boost, group)
+                if group == "must_not":
+                    if not any(c.field == fname and c.term == term for c in must_not):
+                        must_not.append(cl)
+                elif group == "must":
+                    must.append(cl)
+                else:
+                    should.append(cl)
+
+    # split into atoms, keeping quoted phrases together
+    atoms: list[tuple[str, bool]] = []  # (text, is_phrase)
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch == '"':
+            j = text.find('"', i + 1)
+            if j == -1:
+                j = n
+            atoms.append((text[i + 1:j], True))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not text[j].isspace():
+                j += 1
+            atoms.append((text[i:j], False))
+            i = j
+
+    pending_not = False
+    for atom, is_phrase in atoms:
+        if not is_phrase:
+            if atom in ("AND", "OR"):
+                continue  # default disjunction; AND handled via '+' (lenient)
+            if atom == "NOT":
+                pending_not = True
+                continue
+        group = "should"
+        if pending_not:
+            group, pending_not = "must_not", False
+        elif not is_phrase and atom.startswith("-") and len(atom) > 1:
+            group, atom = "must_not", atom[1:]
+        elif not is_phrase and atom.startswith("+") and len(atom) > 1:
+            group, atom = "must", atom[1:]
+        if is_phrase:
+            # v1 phrase = conjunction of its terms (documented divergence)
+            emit(atom, "must" if group == "should" else group)
+            continue
+        scoped = None
+        if ":" in atom:
+            head, _, rest = atom.partition(":")
+            if head in known_fields and rest:
+                scoped, atom = head, rest
+        emit(atom, group, scoped)
+
+    return ParsedQuery(should=should, must=must, must_not=must_not)

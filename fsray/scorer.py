@@ -1,0 +1,198 @@
+"""Per-shard BM25 scoring kernels: exhaustive + block-max window pruning.
+
+The exhaustive kernel is the conformance anchor (reference: PLAN.md §9.2 —
+the reference's own exhaustive scorer is its contract implementation); the
+pruned kernel must be rank-identical (the reference's gauntlet enforces
+pruned ≡ exhaustive, PLAN.md §15.2) and is verified so in tests.
+
+Semantics pinned to the reference scorer (argus.rs:1417-1639, 5260-5506):
+
+- clause score = ``weight * tf / (tf + tf_cache[fieldnorm_id])`` with
+  ``weight = idf(global_df, N) * (1 + k1) * boost`` — df and N are
+  SNAPSHOT-GLOBAL (summed across shards), so scores are independent of
+  partition geometry (PLAN.md §7 Q1-OB3);
+- document score = sum of clause scores in canonical clause order
+  (f32 addition order is contractual);
+- Must clauses intersect, Should clauses union (when Must is non-empty,
+  Should only contributes score), MustNot excludes;
+- total order: (score desc, docid asc) via packed u64 keys
+  (argus.rs:5283-5330).
+
+Pruning (the Ray analogue of MaxScore's 4,096-doc windows,
+argus.rs:4464-4498, with per-block bounds from the durable
+(max_tf_code, min_fieldnorm_id) pairs + LIVE avgdl — Block-Max WAND's
+bound source, argus.rs:4474-4520, contract.rs:328-346): windows are
+processed in descending upper-bound order and scoring stops when a
+window's bound drops below the running k-th score.  Bounds are computed
+with the same f32 op order and monotone f32 arithmetic, so the bound
+dominates every exact score in its window and pruning is rank-neutral.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from fsray.contract import (
+    block_max_tf_factor,
+    pack_score_docid,
+    score_postings,
+    unpack_score_docid,
+)
+
+WINDOW = 4096  # docids per pruning window (argus.rs:27-31)
+#: cost floor below which pruning isn't attempted (argus.rs:4464-4498 uses
+#: 16,384 for its BMW lane; windows under this many postings score faster
+#: exhaustively than via bound bookkeeping)
+PRUNE_MIN_COST = 16_384
+
+
+@dataclass
+class ScoringClause:
+    """One decoded term posting list bound to its scoring parameters."""
+    docids: np.ndarray        # uint32, ascending, within [lo, hi)
+    tfs: np.ndarray           # uint32
+    weight: np.float32 | np.float64
+    tf_cache: np.ndarray      # 256-entry cache for this clause's field
+    fn_ids: np.ndarray        # uint8 fieldnorm id per POSTING (pre-gathered)
+    group: str                # "should" | "must"
+    # block-max sidecars (None when the clause was decoded without them)
+    max_tf_code: np.ndarray | None = None
+    min_fieldnorm_id: np.ndarray | None = None
+    first_docs: np.ndarray | None = None
+    last_docs: np.ndarray | None = None
+    avgdl: float = 0.0        # live avgdl for this clause's field
+
+
+@dataclass
+class TopK:
+    docids: np.ndarray
+    scores: np.ndarray
+
+    def as_keys(self) -> np.ndarray:
+        return pack_score_docid(self.scores.astype(np.float32), self.docids)
+
+
+def _finalize(scores: np.ndarray, candidates: np.ndarray, lo: int, k: int,
+              dtype) -> TopK:
+    """Select top-k (score desc, docid asc) from candidate local indices."""
+    if len(candidates) == 0:
+        return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype))
+    cand_scores = scores[candidates]
+    docids = (candidates + lo).astype(np.uint32)
+    if dtype == np.float64:
+        # float64 oracle lane: full-precision (score desc, docid asc) order
+        order = np.lexsort((docids, -cand_scores))[:k]
+    else:
+        keys = pack_score_docid(cand_scores.astype(np.float32), docids)
+        if len(keys) > k:
+            part = np.argpartition(keys, len(keys) - k)[len(keys) - k:]
+            order = part[np.argsort(keys[part])[::-1]]
+        else:
+            order = np.argsort(keys)[::-1]
+    return TopK(docids[order], cand_scores[order].astype(dtype))
+
+
+def topk_exhaustive(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
+                    lo: int, size: int, k: int, dtype=np.float32) -> TopK:
+    """Reference kernel: score every matching document, then select top-k."""
+    scores = np.zeros(size, dtype=dtype)
+    matched = np.zeros(size, dtype=bool)
+    n_must = sum(1 for c in clauses if c.group == "must")
+    must_hits = np.zeros(size, dtype=np.uint16) if n_must else None
+
+    for c in clauses:  # canonical order — f32 summation order contract
+        idx = c.docids.astype(np.int64) - lo
+        s = score_postings(c.tfs, c.fn_ids, c.tf_cache, c.weight, dtype=dtype)
+        scores[idx] += s
+        matched[idx] = True
+        if must_hits is not None and c.group == "must":
+            must_hits[idx] += 1
+
+    if must_hits is not None:
+        matched &= must_hits == n_must
+    for mn in must_not_docids:
+        matched[mn.astype(np.int64) - lo] = False
+    return _finalize(scores, np.flatnonzero(matched), lo, k, dtype)
+
+
+def _window_bounds(clauses: list[ScoringClause], lo: int, size: int,
+                   dtype=np.float32) -> np.ndarray:
+    """Σ over clauses of (per-window max of block upper bounds), f32-monotone."""
+    n_win = (size + WINDOW - 1) // WINDOW
+    total = np.zeros(n_win, dtype=dtype)
+    for c in clauses:
+        if c.first_docs is None or len(c.first_docs) == 0:
+            # no block metadata ⇒ unbounded clause: disable pruning upstream
+            raise ValueError("clause without block-max metadata")
+        ub = (dtype(c.weight) * block_max_tf_factor(
+            c.max_tf_code, c.min_fieldnorm_id, c.avgdl, dtype=dtype)).astype(dtype)
+        wf = (c.first_docs.astype(np.int64) - lo) // WINDOW
+        wl = (c.last_docs.astype(np.int64) - lo) // WINDOW
+        span = wl - wf + 1
+        block_of = np.repeat(np.arange(len(ub)), span)
+        offs = np.arange(len(block_of)) - np.repeat(np.cumsum(span) - span, span)
+        win_idx = wf[block_of] + offs
+        cw = np.zeros(n_win, dtype=dtype)
+        np.maximum.at(cw, win_idx, ub[block_of])
+        total += cw  # clause-order f32 adds: same order as exact scoring
+    return total
+
+
+def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
+                lo: int, size: int, k: int, dtype=np.float32) -> TopK:
+    """Block-max window pruning; rank-identical to :func:`topk_exhaustive`.
+
+    Sound because every arithmetic step is monotone in f32: block bound ≥
+    any posting's exact clause score in the block (max_tf ≥ tf, min_norm ≤
+    norm, IEEE ops monotone), window bound = same-order clause sum of
+    per-window maxima ≥ any document's exact score in the window.
+    """
+    n_must = sum(1 for c in clauses if c.group == "must")
+    win_ub = _window_bounds(clauses, lo, size, dtype=dtype)
+    order = np.argsort(win_ub)[::-1]  # descending upper bound
+
+    best_keys = np.zeros(0, dtype=np.uint64)  # running top-k packed keys
+    kth = -np.inf
+    for w in order:
+        if win_ub[w] < kth:
+            break  # every remaining window is bounded below the k-th score
+        w_lo = lo + int(w) * WINDOW
+        w_hi = min(w_lo + WINDOW, lo + size)
+        wsize = w_hi - w_lo
+        scores = np.zeros(wsize, dtype=dtype)
+        matched = np.zeros(wsize, dtype=bool)
+        must_hits = np.zeros(wsize, dtype=np.uint16) if n_must else None
+        for c in clauses:
+            a = np.searchsorted(c.docids, np.uint32(w_lo))
+            b = np.searchsorted(c.docids, np.uint32(w_hi))
+            if a == b:
+                continue
+            idx = c.docids[a:b].astype(np.int64) - w_lo
+            s = score_postings(c.tfs[a:b], c.fn_ids[a:b], c.tf_cache, c.weight, dtype=dtype)
+            scores[idx] += s
+            matched[idx] = True
+            if must_hits is not None and c.group == "must":
+                must_hits[idx] += 1
+        if must_hits is not None:
+            matched &= must_hits == n_must
+        for mn in must_not_docids:
+            a = np.searchsorted(mn, np.uint32(w_lo))
+            b = np.searchsorted(mn, np.uint32(w_hi))
+            if a != b:
+                matched[mn[a:b].astype(np.int64) - w_lo] = False
+        cand = np.flatnonzero(matched)
+        if len(cand) == 0:
+            continue
+        keys = pack_score_docid(scores[cand].astype(np.float32),
+                                (cand + w_lo).astype(np.uint32))
+        best_keys = np.concatenate((best_keys, keys))
+        if len(best_keys) > k:
+            part = np.argpartition(best_keys, len(best_keys) - k)[len(best_keys) - k:]
+            best_keys = best_keys[part]
+        if len(best_keys) >= k:
+            kth = float(unpack_score_docid(np.array([best_keys.min()], dtype=np.uint64))[0][0])
+    order_final = np.argsort(best_keys)[::-1]
+    scores_f, docids_f = unpack_score_docid(best_keys[order_final])
+    return TopK(docids_f, scores_f.astype(dtype))

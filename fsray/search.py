@@ -1,0 +1,305 @@
+"""Query execution: shard readers, actor pool, global top-k merge.
+
+Mirrors the reference search lifecycle (reference: index.rs:7249-7511):
+parse once on the driver, aggregate SNAPSHOT-GLOBAL statistics (N, avgdl
+from the manifest; df per query term summed across shards exactly like the
+reference sums per-segment TERMDICT doc_freqs, index.rs:847-860), compute
+clause weights once, fan scoring out per shard, and merge per-shard top-k
+with the associative (score desc, docid asc) packed-key order
+(argus.rs:5390-5426 collector merge).
+
+Two execution surfaces over the same ShardData/kernel code:
+
+- :class:`LocalIndex` — all shards in-process (tests, the DuckDB-oracle
+  lane, small corpora);
+- :class:`RayIndex` — one ``ShardSearcher`` Ray actor per shard, state
+  loaded once in ``__init__`` (the actor-pool pattern for stateful
+  stages); the driver performs the two light RPC rounds (df gather,
+  top-k gather) that the reference performs as in-process segment visits.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fsray import codec
+from fsray.contract import compute_tf_cache, pack_score_docid, term_weight, unpack_score_docid
+from fsray.manifest import load_manifest
+from fsray.query import ParsedQuery, parse_query
+from fsray.scorer import PRUNE_MIN_COST, ScoringClause, TopK, topk_exhaustive, topk_pruned
+
+
+@dataclass
+class Hit:
+    doc_id: str
+    docid: int
+    score: float
+
+
+class ShardData:
+    """One shard's term table + fieldnorms + idmap, loaded once.
+
+    The in-memory analogue of an mmap'd segment (reference:
+    index.rs:2183+): a term dictionary keyed by (field_ord, term), packed
+    posting payloads, per-field fieldnorm byte arrays dense over the
+    shard's contiguous docid range, and the docid → doc_id materialization
+    arrays."""
+
+    def __init__(self, index_dir: str, shard_id: int, manifest: dict):
+        self.shard_id = shard_id
+        info = manifest["shards"][str(shard_id)]
+        self.lo = int(info["docid_lo"])
+        self.hi = int(info["docid_hi"])
+        self.fields = {f["name"]: f["ord"] for f in manifest["fields"]}
+
+        shard_dir = os.path.join(index_dir, "termtable", f"shard={shard_id:04d}")
+        files = sorted(
+            os.path.join(shard_dir, f) for f in os.listdir(shard_dir) if f.endswith(".parquet")
+        ) if os.path.isdir(shard_dir) else []
+        if files:
+            tt = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        else:
+            tt = None
+        self.term_table = tt
+        self.lookup: dict[tuple[int, str], int] = {}
+        if tt is not None:
+            f_np = tt["field"].to_numpy()
+            t_list = tt["term"].to_pylist()
+            self.lookup = {(int(f), t): i for i, (f, t) in enumerate(zip(f_np, t_list))}
+
+        # idmap + fieldnorms for the shard's partitions (dense over [lo, hi))
+        idmap_files = [os.path.join(index_dir, "idmap", f"part-{pidx:05d}.parquet")
+                       for pidx in info["partitions"]]
+        im = pa.concat_tables([pq.read_table(f) for f in idmap_files])
+        im = im.sort_by([("docid", "ascending")])
+        self.doc_ids = im["doc_id"].combine_chunks()
+        self.sha256 = im["content_sha256"].combine_chunks()
+        self.fn: dict[int, np.ndarray] = {}
+        for name, ordn in self.fields.items():
+            col = f"fn_{name}"
+            if col in im.column_names:
+                self.fn[ordn] = im[col].to_numpy().astype(np.uint8)
+
+    @property
+    def size(self) -> int:
+        return self.hi - self.lo
+
+    def dfs(self, keys: list[tuple[int, str]]) -> np.ndarray:
+        """Per-(field_ord, term) doc_freq within this shard."""
+        out = np.zeros(len(keys), dtype=np.int64)
+        if self.term_table is None:
+            return out
+        df_col = self.term_table["df"].to_numpy()
+        for i, key in enumerate(keys):
+            row = self.lookup.get(key)
+            if row is not None:
+                out[i] = int(df_col[row])
+        return out
+
+    def decode(self, key: tuple[int, str]) -> codec.DecodedTerm | None:
+        row = self.lookup.get(key)
+        if row is None:
+            return None
+        t = self.term_table
+        return codec.decode_term(
+            int(t["df"][row].as_py()), t["doc_payload"][row].as_py(),
+            t["doc_widths"][row].as_py(), t["tf_payload"][row].as_py(),
+            t["tf_widths"][row].as_py(), t["first_docs"][row].as_py(),
+            t["last_docs"][row].as_py(), t["blockmax"][row].as_py(),
+        )
+
+    def topk(self, clause_specs: list[dict], k: int, dtype=np.float32,
+             mode: str = "auto") -> TopK:
+        """Score this shard. ``clause_specs``: [{field_ord, term, weight,
+        avgdl, group}] in canonical order, plus must_not term keys."""
+        clauses: list[ScoringClause] = []
+        must_not: list[np.ndarray] = []
+        for cs in clause_specs:
+            dec = self.decode((cs["field_ord"], cs["term"]))
+            if dec is None:
+                if cs["group"] == "must":
+                    return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype))  # Must term absent
+                continue
+            if cs["group"] == "must_not":
+                must_not.append(dec.docids)
+                continue
+            fn_arr = self.fn[cs["field_ord"]]
+            clauses.append(ScoringClause(
+                docids=dec.docids, tfs=dec.tfs, weight=dtype(cs["weight"]),
+                tf_cache=compute_tf_cache(np.float32(cs["avgdl"]), dtype=dtype),
+                fn_ids=fn_arr[dec.docids.astype(np.int64) - self.lo],
+                group=cs["group"], max_tf_code=dec.max_tf_code,
+                min_fieldnorm_id=dec.min_fieldnorm_id, first_docs=dec.first_docs,
+                last_docs=dec.last_docs, avgdl=cs["avgdl"],
+            ))
+        if not clauses:
+            return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype))
+        cost = int(sum(len(c.docids) for c in clauses))
+        use_pruned = (mode == "pruned") or (
+            mode == "auto" and dtype == np.float32 and len(clauses) >= 2
+            and cost >= PRUNE_MIN_COST)
+        kern = topk_pruned if use_pruned else topk_exhaustive
+        return kern(clauses, must_not, self.lo, self.size, k, dtype=dtype)
+
+    def materialize(self, docids: np.ndarray) -> list[str]:
+        idx = pa.array(docids.astype(np.int64) - self.lo)
+        return self.doc_ids.take(idx).to_pylist()
+
+    def witness(self, docids: np.ndarray) -> list[str]:
+        idx = pa.array(docids.astype(np.int64) - self.lo)
+        return self.sha256.take(idx).to_pylist()
+
+
+def _clause_specs(parsed: ParsedQuery, manifest: dict, global_dfs: dict,
+                  dtype=np.float32) -> list[dict]:
+    """Bind parsed clauses to snapshot-global weights (argus.rs:1445-1550)."""
+    field_ord = {f["name"]: f["ord"] for f in manifest["fields"]}
+    stats = manifest["field_stats"]
+    # live avgdl computed f32 total/f32 N like the reference snapshot rollup
+    # (quiver.rs:11904-11931)
+    avgdl = {}
+    for f in manifest["fields"]:
+        fs = stats[f["name"]]
+        avgdl[f["name"]] = float(np.float32(fs["total_tokens"]) / np.float32(max(1, fs["doc_count"])))
+    specs = []
+    for cl in parsed.scoring_clauses() + parsed.must_not:
+        ordn = field_ord.get(cl.field)
+        if ordn is None:
+            continue
+        n = stats[cl.field]["doc_count"]
+        df = int(global_dfs.get((ordn, cl.term), 0))
+        spec = {"field_ord": ordn, "term": cl.term, "group": cl.group,
+                "avgdl": avgdl[cl.field], "weight": 0.0}
+        if cl.group != "must_not" and df > 0:
+            spec["weight"] = float(term_weight(df, n, cl.boost, dtype=dtype))
+        specs.append(spec)
+    return specs
+
+
+def _merge_topk(per_shard: list[TopK], k: int, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
+    """Associative, order-independent top-k merge (argus.rs:5390-5426)."""
+    if not per_shard:
+        return np.zeros(0, np.uint32), np.zeros(0, dtype)
+    docids = np.concatenate([t.docids for t in per_shard]).astype(np.uint32)
+    scores = np.concatenate([t.scores.astype(dtype) for t in per_shard])
+    if dtype == np.float64:
+        order = np.lexsort((docids, -scores))[:k]
+    else:
+        keys = pack_score_docid(scores.astype(np.float32), docids)
+        order = np.argsort(keys)[::-1][:k]
+    return docids[order], scores[order]
+
+
+class LocalIndex:
+    """All shards loaded in-process. The oracle/test execution surface."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        if self.manifest is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        self.shards = [ShardData(index_dir, int(s), self.manifest)
+                       for s in sorted(self.manifest["shards"], key=int)]
+        self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]]
+
+    def search(self, text: str, k: int = 10, dtype=np.float32, mode: str = "auto") -> list[Hit]:
+        parsed = parse_query(text, default_fields=self.default_fields)
+        if parsed.is_empty:
+            return []
+        keys = sorted({(self._ord(c.field), c.term)
+                       for c in parsed.scoring_clauses() if self._ord(c.field) is not None})
+        df_sum: dict = {}
+        for sh in self.shards:
+            for key, df in zip(keys, sh.dfs(keys)):
+                df_sum[key] = df_sum.get(key, 0) + int(df)
+        specs = _clause_specs(parsed, self.manifest, df_sum, dtype=dtype)
+        per_shard = [sh.topk(specs, k, dtype=dtype, mode=mode) for sh in self.shards]
+        docids, scores = _merge_topk(per_shard, k, dtype=dtype)
+        ids = self._materialize(docids)
+        return [Hit(i, int(d), float(s)) for i, d, s in zip(ids, docids, scores)]
+
+    def _ord(self, field: str) -> int | None:
+        for f in self.manifest["fields"]:
+            if f["name"] == field:
+                return f["ord"]
+        return None
+
+    def _materialize(self, docids: np.ndarray) -> list[str]:
+        out = [""] * len(docids)
+        for sh in self.shards:
+            mask = (docids >= sh.lo) & (docids < sh.hi)
+            if mask.any():
+                for pos, val in zip(np.flatnonzero(mask), sh.materialize(docids[mask])):
+                    out[pos] = val
+        return out
+
+
+class ShardSearcherActor:
+    """Ray actor wrapper: ShardData loaded ONCE per actor in __init__."""
+
+    def __init__(self, index_dir: str, shard_id: int):
+        manifest = load_manifest(index_dir)
+        self.shard = ShardData(index_dir, shard_id, manifest)
+
+    def dfs(self, keys: list[tuple[int, str]]) -> np.ndarray:
+        return self.shard.dfs(keys)
+
+    def topk(self, specs: list[dict], k: int, mode: str = "auto") -> tuple[np.ndarray, np.ndarray]:
+        t = self.shard.topk(specs, k, dtype=np.float32, mode=mode)
+        return t.docids, t.scores
+
+    def materialize(self, docids: np.ndarray) -> list[str]:
+        return self.shard.materialize(docids)
+
+
+class RayIndex:
+    """Actor-pool execution surface: one ShardSearcher actor per shard."""
+
+    def __init__(self, index_dir: str, num_cpus_per_actor: float = 1.0):
+        import ray
+        self.manifest = load_manifest(index_dir)
+        self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]]
+        remote_cls = ray.remote(num_cpus=num_cpus_per_actor)(ShardSearcherActor)
+        self.actors = {int(s): remote_cls.remote(index_dir, int(s))
+                       for s in sorted(self.manifest["shards"], key=int)}
+        self._ray = ray
+
+    def search(self, text: str, k: int = 10, mode: str = "auto") -> list[Hit]:
+        ray = self._ray
+        parsed = parse_query(text, default_fields=self.default_fields)
+        if parsed.is_empty:
+            return []
+        field_ord = {f["name"]: f["ord"] for f in self.manifest["fields"]}
+        keys = sorted({(field_ord[c.field], c.term) for c in parsed.scoring_clauses()
+                       if c.field in field_ord})
+        df_lists = ray.get([a.dfs.remote(keys) for a in self.actors.values()])
+        df_sum: dict = {}
+        for dfl in df_lists:
+            for key, df in zip(keys, dfl):
+                df_sum[key] = df_sum.get(key, 0) + int(df)
+        specs = _clause_specs(parsed, self.manifest, df_sum, dtype=np.float32)
+        results = ray.get([a.topk.remote(specs, k, mode) for a in self.actors.values()])
+        per_shard = [TopK(d, s) for d, s in results]
+        docids, scores = _merge_topk(per_shard, k, dtype=np.float32)
+        # materialize winners via their owning shards (IDMAP lookup after
+        # selection — the reference's two-phase materialization, PLAN.md §10.3)
+        shard_ids = sorted(self.actors)
+        bounds = {sid: (self.manifest["shards"][str(sid)]["docid_lo"],
+                        self.manifest["shards"][str(sid)]["docid_hi"]) for sid in shard_ids}
+        ids = [""] * len(docids)
+        futs = []
+        for sid in shard_ids:
+            lo, hi = bounds[sid]
+            mask = (docids >= lo) & (docids < hi)
+            if mask.any():
+                futs.append((np.flatnonzero(mask),
+                             self.actors[sid].materialize.remote(docids[mask])))
+        for pos, fut in futs:
+            for p, val in zip(pos, ray.get(fut)):
+                ids[p] = val
+        return [Hit(i, int(d), float(s)) for i, d, s in zip(ids, docids, scores)]
