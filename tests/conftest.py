@@ -1,0 +1,39 @@
+"""Session-scoped Ray fixture (driver contract: init ONCE per pytest session)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    import ray
+
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True)
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus(tmp_path_factory):
+    """A small deterministic code corpus + built index, shared by tests."""
+    from fsray.build import CODE_CORPUS, BuildConfig, build_index
+    from fsray.corpus import write_code_corpus
+
+    root = tmp_path_factory.mktemp("corpus")
+    paths = write_code_corpus(str(root / "in"), 600, seed=42, n_files=3)
+    cfg = BuildConfig(partition_rows=128, num_shards=3, num_buckets=4)
+    index_dir = str(root / "idx")
+    manifest = build_index(paths, index_dir, CODE_CORPUS, cfg)
+    return {"paths": paths, "index_dir": index_dir, "manifest": manifest, "cfg": cfg}
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"

@@ -1,0 +1,192 @@
+"""End-to-end conformance: build → search vs a brute-force BM25 oracle.
+
+The oracle scores every document directly from tokenized text with the
+pinned contract (global df/N/avgdl, fieldnorm quantization, f32 op order) —
+an independent implementation of the same semantics the reference pins via
+its Tantivy gauntlet (SURVEY §5.2).  Also: partition-count invariance (the
+Ray analogue of the reference's segment-boundary shuffle invariance),
+pruned ≡ exhaustive, and resume-skip behavior.
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from fsray.build import CODE_CORPUS, BuildConfig, build_index
+from fsray.contract import compute_tf_cache, fieldnorm_to_id, term_weight
+from fsray.corpus import write_code_corpus
+from fsray.query import parse_query
+from fsray.search import LocalIndex, RayIndex
+from fsray.tokenizer import tokenize_scalar
+
+QUERIES = [
+    "fn impl use",
+    "parse_config",
+    "read_buffer merge block",
+    "encode decode hash index query",
+    "fn",
+    "zzz_does_not_exist",
+    "+merge +split",
+    "merge -fn",
+    'title:parse',
+    "let struct pub self def import return score",  # 8-term union
+]
+
+
+def brute_force(paths, query_text, k=10):
+    """Independent BM25 oracle: python dicts + the pinned f32 contract."""
+    tables = [pq.read_table(p) for p in sorted(paths)]
+    docs = []  # (doc_id, {field: tokens})
+    for t in tables:
+        for row in t.to_pylist():
+            doc_id = f"{row['repo']}/{row['path']}@{row['commit']}"
+            docs.append((doc_id, {
+                "content": tokenize_scalar(row["content"] or ""),
+                "title": tokenize_scalar(row["path"] or ""),
+            }))
+    n = len(docs)
+    field_stats = {}
+    for field in ("content", "title"):
+        total = sum(len(d[1][field]) for d in docs)
+        field_stats[field] = (total, n)
+
+    parsed = parse_query(query_text, default_fields=[("content", 1.0), ("title", 2.0)])
+    if parsed.is_empty:
+        return []
+    clauses = parsed.scoring_clauses()
+    # global df per (field, term)
+    df = {}
+    for _, fields in docs:
+        for field, toks in fields.items():
+            for term in set(toks):
+                df[(field, term)] = df.get((field, term), 0) + 1
+
+    scores = np.zeros(n, dtype=np.float32)
+    matched = np.zeros(n, dtype=bool)
+    must_mask = np.ones(n, dtype=bool)
+    for cl in clauses:
+        key = (cl.field, cl.term)
+        d = df.get(key, 0)
+        if d == 0:
+            if cl.group == "must":
+                return []
+            continue
+        total, nn = field_stats[cl.field]
+        avgdl = float(np.float32(total) / np.float32(nn))
+        w = term_weight(d, nn, cl.boost, dtype=np.float32)
+        cache = compute_tf_cache(np.float32(avgdl), dtype=np.float32)
+        hit = np.zeros(n, dtype=bool)
+        for i, (_, fields) in enumerate(docs):
+            toks = fields[cl.field]
+            tf = toks.count(cl.term)
+            if tf:
+                fn_id = fieldnorm_to_id(len(toks))
+                s = np.float32(w) * np.float32(tf) / (np.float32(tf) + cache[fn_id])
+                scores[i] += s
+                matched[i] = True
+                hit[i] = True
+        if cl.group == "must":
+            must_mask &= hit
+    matched &= must_mask
+    for cl in parsed.must_not:
+        for i, (_, fields) in enumerate(docs):
+            if cl.term in fields[cl.field]:
+                matched[i] = False
+    cand = np.flatnonzero(matched)
+    order = sorted(cand, key=lambda i: (-scores[i], i))[:k]
+    return [(docs[i][0], float(scores[i])) for i in order]
+
+
+@pytest.fixture(scope="module")
+def built(small_corpus):
+    return small_corpus
+
+
+def test_manifest_shape(built):
+    m = built["manifest"]
+    assert m["doc_count"] == 600
+    assert m["metrics"]["docs_tokenized"] == 600
+    assert m["metrics"]["postings_emitted"] > 0
+    assert set(m["avgdl"]) == {"content", "title"}
+    # shard docid ranges are disjoint and cover [0, doc_count)
+    spans = sorted((v["docid_lo"], v["docid_hi"]) for v in m["shards"].values())
+    assert spans[0][0] == 0 and spans[-1][1] == 600
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b == c
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identical_vs_brute_force(built, query):
+    idx = LocalIndex(built["index_dir"])
+    hits = idx.search(query, k=10)
+    oracle = brute_force(built["paths"], query, k=10)
+    assert [h.doc_id for h in hits] == [d for d, _ in oracle], query
+    got = np.array([h.score for h in hits], dtype=np.float32)
+    want = np.array([s for _, s in oracle], dtype=np.float32)
+    assert np.allclose(got, want, rtol=1e-4), (got, want)
+
+
+def test_pruned_equals_exhaustive(built):
+    idx = LocalIndex(built["index_dir"])
+    for query in QUERIES:
+        a = idx.search(query, k=10, mode="exhaustive")
+        b = idx.search(query, k=10, mode="pruned")
+        assert [(h.doc_id, h.score) for h in a] == [(h.doc_id, h.score) for h in b], query
+
+
+def test_partition_count_invariance(built, tmp_path):
+    """2 vs 7 partitions/shards ⇒ identical ranked output (Q1 discipline)."""
+    variants = []
+    for tag, (prow, nshard, nbuck) in {
+        "a": (100, 2, 2), "b": (64, 7, 16),
+    }.items():
+        d = str(tmp_path / f"idx_{tag}")
+        build_index(built["paths"], d, CODE_CORPUS,
+                    BuildConfig(partition_rows=prow, num_shards=nshard, num_buckets=nbuck))
+        variants.append(LocalIndex(d))
+    base = LocalIndex(built["index_dir"])
+    for query in QUERIES:
+        want = [(h.doc_id, h.score) for h in base.search(query, k=10)]
+        for v in variants:
+            got = [(h.doc_id, h.score) for h in v.search(query, k=10)]
+            assert got == want, query
+
+
+def test_index_twice_identical(built, tmp_path):
+    d = str(tmp_path / "idx2")
+    build_index(built["paths"], d, CODE_CORPUS, built["cfg"])
+    a, b = LocalIndex(built["index_dir"]), LocalIndex(d)
+    for query in QUERIES[:4]:
+        assert [(h.doc_id, h.score) for h in a.search(query)] == \
+               [(h.doc_id, h.score) for h in b.search(query)]
+
+
+def test_resume_skips_completed(built):
+    m2 = build_index(built["paths"], built["index_dir"], CODE_CORPUS, built["cfg"])
+    assert m2["metrics"]["stage_a_skipped"] == len(m2["partitions"])
+    assert m2["metrics"]["stage_b_skipped"] > 0
+    # resumed build publishes the same logical manifest
+    assert m2["doc_count"] == built["manifest"]["doc_count"]
+    assert m2["build_id"] == built["manifest"]["build_id"]
+
+
+def test_ray_index_matches_local(built):
+    local = LocalIndex(built["index_dir"])
+    remote = RayIndex(built["index_dir"])
+    for query in QUERIES[:5]:
+        a = [(h.doc_id, h.docid, h.score) for h in local.search(query, k=10)]
+        b = [(h.doc_id, h.docid, h.score) for h in remote.search(query, k=10)]
+        assert a == b, query
+
+
+def test_sha256_witness(built):
+    """Per-row invariant: sha256(content) carried input → idmap (input_hint)."""
+    import hashlib
+    idmap = pq.read_table(os.path.join(built["index_dir"], "idmap", "part-00000.parquet"))
+    src = pq.read_table(sorted(built["paths"])[0])
+    n = min(20, idmap.num_rows)
+    for i in range(n):
+        want = hashlib.sha256((src["content"][i].as_py() or "").encode()).hexdigest()
+        assert idmap["content_sha256"][i].as_py() == want

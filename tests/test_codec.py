@@ -1,0 +1,105 @@
+"""Posting codec roundtrip + block-max sidecar properties."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fsray import codec
+
+
+def _roundtrip(lengths, docids, tfs, fns):
+    enc = codec.encode_many(np.asarray(lengths, dtype=np.int64),
+                            np.asarray(docids, dtype=np.uint32),
+                            np.asarray(tfs, dtype=np.uint32),
+                            np.asarray(fns, dtype=np.uint8))
+    out = []
+    start = 0
+    for i, ln in enumerate(lengths):
+        dec = codec.decode_term(
+            int(ln), enc.doc_payload[i].as_py(), enc.doc_widths[i].as_py(),
+            enc.tf_payload[i].as_py(), enc.tf_widths[i].as_py(),
+            enc.first_docs[i].as_py(), enc.last_docs[i].as_py(),
+            enc.blockmax[i].as_py())
+        out.append(dec)
+        start += ln
+    return enc, out
+
+
+def test_single_term_roundtrip():
+    docids = np.array([5, 9, 10, 1000, 2**31], dtype=np.uint32)
+    tfs = np.array([1, 2, 1, 255, 300], dtype=np.uint32)
+    fns = np.array([3, 7, 0, 200, 9], dtype=np.uint8)
+    _, [dec] = _roundtrip([5], docids, tfs, fns)
+    assert np.array_equal(dec.docids, docids)
+    assert np.array_equal(dec.tfs, tfs)
+    assert dec.max_tf_code[0] == 255  # 300 saturates
+    assert dec.min_fieldnorm_id[0] == 0
+
+
+def test_multi_block_roundtrip():
+    n = 1000  # 8 blocks
+    rng = np.random.default_rng(3)
+    docids = np.cumsum(rng.integers(1, 50, size=n)).astype(np.uint32)
+    tfs = rng.integers(1, 10, size=n).astype(np.uint32)
+    fns = rng.integers(0, 256, size=n).astype(np.uint8)
+    _, [dec] = _roundtrip([n], docids, tfs, fns)
+    assert np.array_equal(dec.docids, docids)
+    assert np.array_equal(dec.tfs, tfs)
+    n_blocks = (n + codec.BLOCK - 1) // codec.BLOCK
+    assert len(dec.first_docs) == n_blocks
+    # block-max pairs are conservative per block
+    for b in range(n_blocks):
+        sl = slice(b * codec.BLOCK, min((b + 1) * codec.BLOCK, n))
+        assert dec.first_docs[b] == docids[sl][0]
+        assert dec.last_docs[b] == docids[sl][-1]
+        assert dec.max_tf_code[b] >= min(int(tfs[sl].max()), 255)
+        assert dec.min_fieldnorm_id[b] == fns[sl].min()
+
+
+def test_many_terms_flat_encode():
+    # three terms with different lengths in one flat batch
+    lengths = [3, 1, 130]
+    d0 = np.array([1, 5, 6], dtype=np.uint32)
+    d1 = np.array([42], dtype=np.uint32)
+    d2 = np.cumsum(np.full(130, 7)).astype(np.uint32)
+    docids = np.concatenate([d0, d1, d2])
+    tfs = np.ones(len(docids), dtype=np.uint32)
+    tfs[3] = 9
+    fns = np.full(len(docids), 5, dtype=np.uint8)
+    _, decs = _roundtrip(lengths, docids, tfs, fns)
+    assert np.array_equal(decs[0].docids, d0)
+    assert np.array_equal(decs[1].docids, d1)
+    assert decs[1].tfs[0] == 9
+    assert np.array_equal(decs[2].docids, d2)
+    # all-one tf stream encodes at width 0 (empty-ish payload)
+    assert len(decs[2].tfs) == 130 and decs[2].tfs.max() == 1
+
+
+def test_non_ascending_docids_rejected():
+    try:
+        codec.encode_many(np.array([2]), np.array([5, 5], dtype=np.uint32),
+                          np.array([1, 1], dtype=np.uint32), np.zeros(2, dtype=np.uint8))
+        raise AssertionError("should have raised")
+    except ValueError:
+        pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.tuples(st.integers(1, 60), st.integers(1, 400),
+                                   st.integers(0, 255)), min_size=1, max_size=300),
+                min_size=1, max_size=8))
+def test_roundtrip_property(terms):
+    lengths, all_d, all_t, all_f = [], [], [], []
+    for postings in terms:
+        gaps = [p[0] for p in postings]
+        docids = np.cumsum(gaps).astype(np.uint32) - 1
+        lengths.append(len(postings))
+        all_d.append(docids)
+        all_t.append(np.array([p[1] for p in postings], dtype=np.uint32))
+        all_f.append(np.array([p[2] for p in postings], dtype=np.uint8))
+    _, decs = _roundtrip(lengths, np.concatenate(all_d), np.concatenate(all_t),
+                         np.concatenate(all_f))
+    for dec, d, t in zip(decs, all_d, all_t):
+        assert np.array_equal(dec.docids, d)
+        assert np.array_equal(dec.tfs, t)

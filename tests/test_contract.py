@@ -1,0 +1,108 @@
+"""Pinned-table and f32 contract tests (mirrors contract.rs:408-508 tests)."""
+
+import numpy as np
+
+from fsray.contract import (
+    BM25_B,
+    BM25_K1,
+    FIELD_NORMS_TABLE,
+    block_max_frequency_from_code,
+    block_max_frequency_to_code,
+    block_max_tf_factor,
+    cached_tf_component,
+    compute_tf_cache,
+    fieldnorm_to_id,
+    id_to_fieldnorm,
+    idf,
+    pack_score_docid,
+    score_postings,
+    term_weight,
+    unpack_score_docid,
+)
+
+
+def test_fieldnorm_table_landmarks():
+    # landmarks from Tantivy 0.26.1's fieldnorm code table (reference:
+    # contract.rs pinned-table unit test): exact through 40, geometric after
+    assert FIELD_NORMS_TABLE[0] == 0
+    assert FIELD_NORMS_TABLE[40] == 40
+    assert FIELD_NORMS_TABLE[41] == 42
+    assert FIELD_NORMS_TABLE[48] == 56
+    assert FIELD_NORMS_TABLE[49] == 60
+    assert FIELD_NORMS_TABLE[255] == 2_013_265_944
+    assert len(FIELD_NORMS_TABLE) == 256
+    assert np.all(np.diff(FIELD_NORMS_TABLE.astype(np.int64)) > 0)
+
+
+def test_fieldnorm_roundtrip_floor():
+    # encode rounds DOWN to the bucket floor; decode(encode(x)) <= x
+    lens = np.array([0, 1, 40, 41, 42, 43, 55, 56, 57, 100, 1000, 10**6], dtype=np.uint32)
+    ids = fieldnorm_to_id(lens)
+    dec = id_to_fieldnorm(ids)
+    assert np.all(dec <= lens)
+    # and the next bucket is strictly greater than x
+    nxt = FIELD_NORMS_TABLE[np.minimum(ids.astype(np.int64) + 1, 255)]
+    bumped = ids.astype(np.int64) < 255
+    assert np.all(nxt[bumped] > lens[bumped])
+    # exact range: every value 0..=40 encodes to itself
+    small = np.arange(41, dtype=np.uint32)
+    assert np.array_equal(id_to_fieldnorm(fieldnorm_to_id(small)), small)
+
+
+def test_blockmax_code_saturation():
+    codes = block_max_frequency_to_code(np.array([0, 1, 254, 255, 256, 10_000]))
+    assert list(codes) == [0, 1, 254, 255, 255, 255]
+    dec = block_max_frequency_from_code(np.array([0, 254, 255], dtype=np.uint8))
+    assert dec[1] == 254
+    assert dec[2] == 0xFFFFFFFF  # unbounded sentinel — never under-estimates
+
+
+def test_idf_formula():
+    # ln(1 + (N - df + 0.5)/(df + 0.5))
+    v = idf(1, 2, dtype=np.float64)
+    assert np.isclose(v, np.log(1 + 1.5 / 1.5))
+    v32 = idf(5, 100, dtype=np.float32)
+    expect = np.float32(np.log(np.float32(1.0) + np.float32(95.5) / np.float32(5.5)))
+    assert v32 == expect
+
+
+def test_tf_cache_and_score():
+    cache = compute_tf_cache(10.0, dtype=np.float32)
+    assert cache.shape == (256,)
+    # entry for fieldnorm 10 (id 10): k1*(1 - b + b*10/10) = k1
+    assert np.isclose(cache[10], float(BM25_K1))
+    w = term_weight(5, 100, 1.0, dtype=np.float32)
+    s = score_postings(np.array([3], dtype=np.uint32), np.array([10], dtype=np.uint8), cache, w)
+    expect = w * (np.float32(3.0) / (np.float32(3.0) + cache[10]))
+    assert s[0] == expect
+
+
+def test_blockmax_bound_dominates_exact():
+    # the per-block bound must be >= every exact posting score in the block
+    rng = np.random.default_rng(7)
+    tfs = rng.integers(1, 300, size=128).astype(np.uint32)
+    fns = rng.integers(0, 255, size=128).astype(np.uint8)
+    avgdl = 37.5
+    cache = compute_tf_cache(np.float32(avgdl))
+    w = term_weight(50, 10_000)
+    exact = score_postings(tfs, fns, cache, w)
+    bound = np.float32(w) * block_max_tf_factor(
+        block_max_frequency_to_code(int(tfs.max())), int(fns.min()), avgdl)
+    assert np.all(bound >= exact)
+
+
+def test_pack_score_docid_total_order():
+    scores = np.array([1.5, 1.5, 2.0, 0.0, 0.5], dtype=np.float32)
+    docids = np.array([7, 3, 9, 1, 2], dtype=np.uint32)
+    keys = pack_score_docid(scores, docids)
+    order = np.argsort(keys)[::-1]
+    # expect (score desc, docid asc): 2.0/9, 1.5/3, 1.5/7, 0.5/2, 0.0/1
+    assert list(docids[order]) == [9, 3, 7, 2, 1]
+    s2, d2 = unpack_score_docid(keys)
+    assert np.array_equal(d2, docids)
+    assert np.array_equal(s2, scores)
+
+
+def test_constants():
+    assert float(BM25_K1) == np.float32(1.2)
+    assert float(BM25_B) == 0.75

@@ -1,0 +1,56 @@
+"""Tokenizer parity: vectorized path ≡ scalar oracle (SURVEY §5.2)."""
+
+import numpy as np
+import pyarrow as pa
+
+from fsray.contract import MAX_TOKEN_BYTES
+from fsray.tokenizer import token_stats, tokenize_column, tokenize_scalar
+
+EDGE_DOCS = [
+    "fn main() { println!(\"hello\"); }",
+    "std::vec::Vec<String> path/to/file.rs",
+    "snake_case camelCase SCREAMING UPPER123 mixed9kinds",
+    "",
+    "   ",
+    "...!!!,,,",
+    "a",
+    "İstanbul ΣΊΣΥΦΟΣ crème brûlée 数据 处理 émigré",
+    "tab\tsep\nnewline\r\nret",
+    "x" * 100,
+    "unicode➊circled ⅷroman ４fullwidth ʰsuperscript",
+    "end-of-line-hyphen and_under_score",
+    "１２３ ½ ¾ ² ᛮ",  # numeric categories Nd/No/Nl
+]
+
+
+def test_vectorized_matches_scalar():
+    col = pa.array(EDGE_DOCS, type=pa.string())
+    vec = tokenize_column(col).to_pylist()
+    for doc, got in zip(EDGE_DOCS, vec):
+        assert got == tokenize_scalar(doc), f"mismatch on {doc!r}"
+
+
+def test_ascii_semantics():
+    assert tokenize_scalar("fn main() { x }") == ["fn", "main", "x"]
+    assert tokenize_scalar("SearchIndex::new") == ["searchindex", "new"]
+    assert tokenize_scalar("std::vec::Vec") == ["std", "vec", "vec"]
+    assert tokenize_scalar("path/to/file.rs") == ["path", "to", "file", "rs"]
+    assert tokenize_scalar("") == []
+    assert tokenize_scalar("   ") == []
+
+
+def test_oversized_token_dropped():
+    big = "a" * (MAX_TOKEN_BYTES + 1)
+    assert tokenize_scalar(f"keep {big} keep2") == ["keep", "keep2"]
+    col = pa.array([f"keep {big} keep2"])
+    assert tokenize_column(col).to_pylist() == [["keep", "keep2"]]
+
+
+def test_token_stats():
+    col = pa.array(["a b c", "", "x y"])
+    toks = tokenize_column(col)
+    counts, fn_ids = token_stats(toks)
+    assert list(counts) == [3, 0, 2]
+    assert list(fn_ids) == [3, 0, 2]  # exact range of the fieldnorm table
+    assert counts.dtype == np.uint32
+    assert fn_ids.dtype == np.uint8
