@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the fsray library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship pipeline at sf0.001: build the inverted index
+  over the ``documents`` table and run the hybrid (BM25 + cosine, RRF-
+  fused) search end-to-end.
+- ``queries()`` — one entry per implemented operator (SURVEY.md §2 plus
+  the training-data operator families: dedup, similarity search, text
+  analysis, multimodal plumbing).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+  entry.  The BM25 oracles reproduce the engine's pinned float64 scoring
+  contract bit-exactly (fieldnorm table inlined, f32-rounded avgdl,
+  pinned op order).  Approximate/hash-specific ops (LSH, simhash,
+  fingerprints) are intentionally omitted → rows-only checks.
 """
 
 from __future__ import annotations
@@ -21,24 +24,15 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from fsray.pipelines import hybrid_rrf
+    return hybrid_rrf("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from fsray.pipelines import make_queries
+    return make_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fsray.pipelines import make_oracle_sql
+    return make_oracle_sql()

@@ -1,0 +1,107 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`bruteforce_topk` — the exact baseline: per-batch numpy matmul of
+  corpus blocks against a broadcast query matrix (``ray.put`` once, read
+  zero-copy in every task), per-batch top-k partials merged on the driver
+  (k × n_queries rows — tiny).  This is the SURVEY §2.13 vector-tier
+  brute-force search (crates/frankensearch-index/src/search.rs) rebuilt as
+  a streaming Ray Data aggregation.
+- :class:`LshIndex` — the scale path: random-hyperplane sign buckets with
+  multi-probe; candidate buckets only are scanned.  Recall is validated
+  against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fsray.dedup import normalize_rows
+
+
+def topk_partial(ids_block: np.ndarray, block: np.ndarray, qnorm: np.ndarray,
+                 k: int, exclude_self: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch exact top-k: (query_idx, corpus_id, cosine) partials."""
+    sims = qnorm @ normalize_rows(block.astype(np.float64)).T  # (nq, nb)
+    if exclude_self is not None:
+        for qi, sid in enumerate(exclude_self):
+            hit = np.flatnonzero(ids_block == sid)
+            if len(hit):
+                sims[qi, hit] = -np.inf
+    nb = sims.shape[1]
+    kk = min(k, nb)
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    qidx = np.repeat(np.arange(sims.shape[0]), kk)
+    cidx = part.reshape(-1)
+    return qidx, ids_block[cidx], sims[qidx, cidx]
+
+
+def merge_topk_partials(parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+                        n_queries: int, k: int) -> pa.Table:
+    """Driver merge of per-batch partials → (query_id row per neighbor),
+    ordered (query asc, cosine desc, id asc)."""
+    q = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+    i = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int64)
+    s = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.float64)
+    out_q, out_i, out_s = [], [], []
+    for qi in range(n_queries):
+        m = q == qi
+        ii, ss = i[m], s[m]
+        order = np.lexsort((ii, -ss))[:k]
+        out_q.extend([qi] * len(order))
+        out_i.extend(ii[order].tolist())
+        out_s.extend(ss[order].tolist())
+    return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                     "neighbor_id": pa.array(out_i, type=pa.int64()),
+                     "cosine": pa.array(out_s, type=pa.float64())})
+
+
+class LshIndex:
+    """Random-hyperplane LSH over normalized embeddings (the ANN scale path).
+
+    ``n_bits`` sign bits per vector → bucket id; queries probe their own
+    bucket plus all buckets at Hamming distance ≤ ``probe_hamming``.  State
+    (projection matrix + bucket table) is built once — in Ray serving this
+    object lives inside a ``map_batches`` actor's ``__init__``.
+    """
+
+    def __init__(self, ids: np.ndarray, vecs: np.ndarray, n_bits: int = 12,
+                 seed: int = 42):
+        self.n_bits = n_bits
+        rng = np.random.default_rng(seed)
+        dim = vecs.shape[1]
+        self.planes = rng.standard_normal((dim, n_bits))
+        self.norm = normalize_rows(vecs.astype(np.float64))
+        self.ids = ids.astype(np.int64)
+        codes = (self.norm @ self.planes > 0).astype(np.uint32)
+        self.codes = (codes * (1 << np.arange(n_bits, dtype=np.uint32))).sum(axis=1)
+        order = np.argsort(self.codes, kind="stable")
+        self.sorted_codes = self.codes[order]
+        self.order = order
+
+    def _bucket_members(self, code: int) -> np.ndarray:
+        lo = np.searchsorted(self.sorted_codes, code, side="left")
+        hi = np.searchsorted(self.sorted_codes, code, side="right")
+        return self.order[lo:hi]
+
+    def query(self, qvec: np.ndarray, k: int, probe_hamming: int = 1,
+              exclude_id: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        qn = qvec.astype(np.float64)
+        qn = qn / (np.linalg.norm(qn) or 1.0)
+        qcode = int(((qn @ self.planes > 0).astype(np.uint32)
+                     * (1 << np.arange(self.n_bits, dtype=np.uint32))).sum())
+        probes = [qcode]
+        if probe_hamming >= 1:
+            probes += [qcode ^ (1 << b) for b in range(self.n_bits)]
+        if probe_hamming >= 2:
+            probes += [qcode ^ (1 << b1) ^ (1 << b2)
+                       for b1 in range(self.n_bits) for b2 in range(b1 + 1, self.n_bits)]
+        members = np.unique(np.concatenate([self._bucket_members(c) for c in probes])) \
+            if probes else np.zeros(0, np.int64)
+        if exclude_id is not None:
+            members = members[self.ids[members] != exclude_id]
+        if len(members) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        sims = self.norm[members] @ qn
+        order = np.lexsort((self.ids[members], -sims))[:k]
+        return self.ids[members][order], sims[order]

@@ -106,6 +106,11 @@ def idf(doc_freq: int, doc_count: int, dtype=np.float32):
         raise ValueError(f"doc_freq {doc_freq} > doc_count {doc_count}")
     half = dtype(0.5)
     ratio = (dtype(doc_count - doc_freq) + half) / (dtype(doc_freq) + half)
+    if dtype == np.float64:
+        # libm log (np.log's SIMD path drifts 1 ulp from libm on ~27% of
+        # inputs; the float64 oracle lane must match DuckDB's libm ln)
+        import math
+        return np.float64(math.log(float(dtype(1.0) + ratio)))
     return np.log(dtype(1.0) + ratio).astype(dtype)
 
 

@@ -1,0 +1,302 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Ray-Data-first shapes (all stream; nothing materializes the corpus on the
+driver):
+
+- **exact**: sha256(text) per batch → ``groupby(sha)`` keep min doc_id —
+  the distributed form of the reference's content-hash dedup
+  (crates/frankensearch-storage/src/content_hash.rs:14-30,
+  lexical_pipeline.rs:585-599).
+- **n-gram Jaccard**: per-batch shingle rows → ``groupby(shingle)`` emits
+  co-occurrence pairs → ``groupby(pair)`` counts intersections → joined
+  against per-doc shingle counts → exact Jaccard filter.  At web scale the
+  shingle groupby is the wide step; hot shingles are capped (a shingle in
+  > ``max_shingle_df`` docs generates O(df²) pairs and is dropped exactly
+  like stop-shingles in published near-dup pipelines).
+- **MinHash+LSH**: vectorized 64-perm signatures per batch → band-bucket
+  ``groupby`` → candidate pairs → exact-Jaccard verification (so output
+  quality is exact; LSH only bounds the candidate set).
+- **SimHash**: 64-bit signed-projection signature per batch; near-dup =
+  Hamming distance ≤ ``max_hamming`` via banded exact match on 16-bit
+  chunks (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks equal).
+- **embedding cosine**: normalized-matrix blocks; per-batch candidate
+  pairs against a broadcast of the (normalized) corpus — brute-force at
+  test scale, bucketed by LSH sign-bands at cluster scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fsray.textops import _doc_segments, _hash_tokens
+from fsray.tokenizer import tokenize_column
+
+SHINGLE_K = 3
+NUM_PERMS = 64
+#: 32 bands × 2 rows: candidate P(hit) ≈ 1-(1-j²)³² — ≥ 0.9999 at j = 0.5,
+#: so LSH-then-verify matches the exact-Jaccard oracle with overwhelming
+#: probability while still pruning the low-similarity mass.
+NUM_BANDS = 32
+
+# splitmix64-derived affine constants for the 64 minhash permutations
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _perm_constants(num_perms: int = NUM_PERMS) -> tuple[np.ndarray, np.ndarray]:
+    i = np.arange(1, num_perms + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        a = (i * _MIX) | np.uint64(1)  # odd multipliers
+        b = (i * np.uint64(0xBF58476D1CE4E5B9)) ^ (i << np.uint64(7))
+    return a, b
+
+
+PERM_A, PERM_B = _perm_constants()
+
+
+def sha256_column(text: pa.Array) -> pa.Array:
+    """Per-row sha256 hex of a string column (the content-hash witness)."""
+    return pa.array([hashlib.sha256((v or "").encode("utf-8")).hexdigest()
+                     for v in text.to_pylist()], type=pa.string())
+
+
+def exact_key_batch(batch: pa.Table, text_column: str = "text",
+                    id_column: str = "doc_id") -> pa.Table:
+    """(doc_id, sha256) rows — feed ``groupby('content_sha256')`` + min."""
+    text = batch[text_column].combine_chunks().cast(pa.string()).fill_null("")
+    return pa.table({id_column: batch[id_column],
+                     "content_sha256": sha256_column(text)})
+
+
+def shingle_hashes(toks: pa.ListArray, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT k-token-shingle 64-bit hashes.
+
+    Returns (flat sorted-unique-per-doc hashes, per-doc counts).  The
+    shingle hash combines the k token hashes positionally (order matters).
+    """
+    counts, starts = _doc_segments(toks)
+    flat = toks.flatten()
+    h = _hash_tokens(flat)
+    n = len(counts)
+    sh_counts = np.maximum(counts - (k - 1), 0)
+    if sh_counts.sum() == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(n, dtype=np.int64)
+    # combine k consecutive token hashes: rolling positional mix
+    with np.errstate(over="ignore"):
+        comb = np.zeros(len(h), dtype=np.uint64)
+        for j in range(k):
+            comb[: len(h) - j if j else len(h)] = (
+                comb[: len(h) - j if j else len(h)] * np.uint64(1099511628211)
+                + (h[j:] if j else h))
+    # valid shingle start positions per doc
+    doc_of = np.repeat(np.arange(n), counts)
+    pos = np.arange(len(h), dtype=np.int64) - np.repeat(starts[:-1], counts)
+    valid = pos < np.repeat(sh_counts, counts)
+    sh = comb[valid]
+    sh_doc = doc_of[valid]
+    # dedupe per doc: sort (doc, hash), keep run starts
+    order = np.lexsort((sh, sh_doc))
+    sd, sv = sh_doc[order], sh[order]
+    keep = np.ones(len(sv), dtype=bool)
+    if len(sv) > 1:
+        keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+    sd, sv = sd[keep], sv[keep]
+    out_counts = np.zeros(n, dtype=np.int64)
+    np.add.at(out_counts, sd, 1)
+    return sv, out_counts
+
+
+def shingle_batch(batch: pa.Table, text_column: str = "text",
+                  id_column: str = "doc_id", k: int = SHINGLE_K) -> pa.Table:
+    """(shingle_hash, doc_id, doc_n_shingles) rows for the shingle groupby."""
+    toks = tokenize_column(batch[text_column].combine_chunks().cast(pa.string()).fill_null(""))
+    sv, cnts = shingle_hashes(toks, k)
+    ids = batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
+    doc_rep = np.repeat(ids, cnts)
+    size_rep = np.repeat(cnts, cnts)
+    return pa.table({
+        "shingle": pa.array(sv.astype(np.int64), type=pa.int64()),
+        "doc_id": pa.array(doc_rep, type=pa.int64()),
+        "n_shingles": pa.array(size_rep, type=pa.int64()),
+    })
+
+
+def jaccard_pairs_from_shingles(sh_table: pa.Table, tau: float,
+                                max_shingle_df: int = 256) -> pa.Table:
+    """Exact Jaccard ≥ tau pairs from (shingle, doc_id, n_shingles) rows.
+
+    Intersections via shingle co-occurrence counting (sort-based,
+    vectorized).  Hot shingles with df > ``max_shingle_df`` are dropped —
+    at tau ≥ 0.5 a pair sharing ONLY ultra-common shingles cannot pass the
+    final exact filter computed on the kept sets, and the quadratic
+    pair blow-up is bounded.  Used both as the reducer after a Ray
+    ``groupby`` and directly at test scale.
+    """
+    if sh_table.num_rows == 0:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    sh = sh_table["shingle"].to_numpy()
+    doc = sh_table["doc_id"].to_numpy()
+    size_of: dict[int, int] = {}
+    for d, s in zip(doc.tolist(), sh_table["n_shingles"].to_numpy().tolist()):
+        size_of[d] = s
+    order = np.lexsort((doc, sh))
+    sh_s, doc_s = sh[order], doc[order]
+    # group bounds per shingle
+    bounds = np.concatenate(([0], np.flatnonzero(sh_s[1:] != sh_s[:-1]) + 1, [len(sh_s)]))
+    from collections import Counter
+    inter: Counter = Counter()
+    for g in range(len(bounds) - 1):
+        lo, hi = bounds[g], bounds[g + 1]
+        df = hi - lo
+        if df < 2 or df > max_shingle_df:
+            continue
+        docs = doc_s[lo:hi]
+        for i in range(df):
+            for j in range(i + 1, df):
+                inter[(int(docs[i]), int(docs[j]))] += 1
+    rows_a, rows_b, rows_j = [], [], []
+    for (a, b), c in inter.items():
+        union = size_of[a] + size_of[b] - c
+        j = c / union if union else 0.0
+        if j >= tau:
+            rows_a.append(a)
+            rows_b.append(b)
+            rows_j.append(j)
+    order2 = sorted(range(len(rows_a)), key=lambda i: (rows_a[i], rows_b[i]))
+    return pa.table({"a": pa.array([rows_a[i] for i in order2], type=pa.int64()),
+                     "b": pa.array([rows_b[i] for i in order2], type=pa.int64()),
+                     "jaccard": pa.array([rows_j[i] for i in order2], type=pa.float64())})
+
+
+def minhash_batch(batch: pa.Table, text_column: str = "text",
+                  id_column: str = "doc_id") -> pa.Table:
+    """Per-doc 64-perm MinHash signature + 16 band keys (4 rows/band).
+
+    Output rows: (doc_id, band, band_key) — feed ``groupby((band,
+    band_key))`` for LSH candidate generation (shingle→minhash→band→bucket
+    groupby, the classic web-dedup shape).
+    """
+    toks = tokenize_column(batch[text_column].combine_chunks().cast(pa.string()).fill_null(""))
+    sv, cnts = shingle_hashes(toks)
+    n = len(cnts)
+    ids = batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
+    sig = np.full((n, NUM_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sv):
+        with np.errstate(over="ignore"):
+            m = sv[:, None] * PERM_A[None, :] + PERM_B[None, :]  # (n_shingles, 64)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cnts, out=starts[1:])
+        nz = cnts > 0
+        red = np.minimum.reduceat(m, starts[:-1][nz], axis=0)
+        sig[nz] = red
+    rows_per_band = NUM_PERMS // NUM_BANDS
+    band_keys = np.empty((n, NUM_BANDS), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for b in range(NUM_BANDS):
+            chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+            acc = np.zeros(n, dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc = acc * np.uint64(1099511628211) + chunk[:, r]
+            band_keys[:, b] = acc.astype(np.int64)
+    empty = cnts == 0  # docs with no shingles never bucket
+    out_doc = np.repeat(ids[~empty], NUM_BANDS)
+    out_band = np.tile(np.arange(NUM_BANDS, dtype=np.int64), int((~empty).sum()))
+    out_key = band_keys[~empty].reshape(-1)
+    return pa.table({id_column: pa.array(out_doc, type=pa.int64()),
+                     "band": pa.array(out_band, type=pa.int64()),
+                     "band_key": pa.array(out_key, type=pa.int64())})
+
+
+def candidate_pairs_from_buckets(tbl: pa.Table) -> set[tuple[int, int]]:
+    """Distinct (a<b) pairs sharing any LSH bucket."""
+    band = tbl["band"].to_numpy()
+    key = tbl["band_key"].to_numpy()
+    doc = tbl["doc_id"].to_numpy()
+    order = np.lexsort((doc, key, band))
+    b_s, k_s, d_s = band[order], key[order], doc[order]
+    bounds = np.concatenate((
+        [0], np.flatnonzero((b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])) + 1, [len(d_s)]))
+    pairs: set[tuple[int, int]] = set()
+    for g in range(len(bounds) - 1):
+        lo, hi = bounds[g], bounds[g + 1]
+        if hi - lo < 2:
+            continue
+        docs = d_s[lo:hi]
+        for i in range(hi - lo):
+            for j in range(i + 1, hi - lo):
+                a, b = int(docs[i]), int(docs[j])
+                if a != b:
+                    pairs.add((min(a, b), max(a, b)))
+    return pairs
+
+
+def simhash_batch(batch: pa.Table, text_column: str = "text",
+                  id_column: str = "doc_id") -> pa.Table:
+    """64-bit SimHash per doc (tf-weighted signed bit votes on token hashes)."""
+    toks = tokenize_column(batch[text_column].combine_chunks().cast(pa.string()).fill_null(""))
+    counts, starts = _doc_segments(toks)
+    flat = toks.flatten()
+    n = len(counts)
+    h = _hash_tokens(flat)
+    votes = np.zeros((n, 64), dtype=np.int64)
+    if len(h):
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        signed = bits.astype(np.int64) * 2 - 1  # (n_tokens, 64) in ±1
+        doc_of = np.repeat(np.arange(n), counts)
+        np.add.at(votes, doc_of, signed)
+    sig_bits = (votes > 0).astype(np.uint8)
+    sig = np.packbits(sig_bits, axis=1, bitorder="little").copy().view(np.uint64).reshape(n)
+    return pa.table({id_column: batch[id_column],
+                     "simhash": pa.array(sig.astype(np.int64), type=pa.int64())})
+
+
+def simhash_near_pairs(ids: np.ndarray, sigs: np.ndarray, max_hamming: int = 3) -> list[tuple[int, int, int]]:
+    """(a, b, distance) pairs with Hamming ≤ max_hamming via 16-bit banding."""
+    sigs = sigs.astype(np.uint64)
+    cand: set[tuple[int, int]] = set()
+    for b in range(4):
+        chunk = (sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        order = np.argsort(chunk, kind="stable")
+        cs, os_ = chunk[order], order
+        bounds = np.concatenate(([0], np.flatnonzero(cs[1:] != cs[:-1]) + 1, [len(cs)]))
+        for g in range(len(bounds) - 1):
+            lo, hi = bounds[g], bounds[g + 1]
+            for i in range(lo, hi):
+                for j in range(i + 1, hi):
+                    x, y = int(os_[i]), int(os_[j])
+                    cand.add((min(x, y), max(x, y)))
+    out = []
+    for i, j in sorted(cand):
+        d = int(bin(int(sigs[i]) ^ int(sigs[j])).count("1"))
+        if d <= max_hamming:
+            out.append((int(ids[i]), int(ids[j]), d))
+    out.sort()
+    return out
+
+
+def normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def cosine_pairs_block(ids_block: np.ndarray, block: np.ndarray,
+                       all_ids: np.ndarray, all_norm: np.ndarray,
+                       tau: float) -> pa.Table:
+    """Near-dup pairs (a<b, cos ≥ tau) between a batch block and the full
+    (broadcast) normalized corpus — the per-batch half of the brute-force
+    embedding near-dup; at cluster scale the broadcast side is bucketed."""
+    sims = normalize_rows(block.astype(np.float64)) @ all_norm.T
+    ii, jj = np.nonzero(sims >= tau)
+    a = ids_block[ii]
+    b = all_ids[jj]
+    keep = a < b
+    order = np.lexsort((b[keep], a[keep]))
+    return pa.table({"a": pa.array(a[keep][order], type=pa.int64()),
+                     "b": pa.array(b[keep][order], type=pa.int64())})

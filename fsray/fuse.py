@@ -1,0 +1,33 @@
+"""Reciprocal Rank Fusion — the stubbed downstream stage (north_rule).
+
+Signature-compatible with the reference's RRF semantics (reference:
+crates/frankensearch-fusion/src/rrf.rs:22,111-117,223-500):
+
+    fused(doc) = Σ_arms weight_arm / (K + rank_arm(doc) + 1),   K = 60
+
+ranks are 0-based positions in each arm's (score desc, id asc) order; a
+document absent from an arm contributes nothing from that arm.  Tie-break
+of fused scores is (fused desc, doc_id asc) — the reference uses an
+FNV-1a neutral tiebreak (rrf.rs:66-74); the deterministic id tiebreak is a
+documented divergence acceptable for the stub (divergence class
+"cosmetic", PLAN.md §9.5).
+"""
+
+from __future__ import annotations
+
+RRF_K = 60
+
+
+def rrf_fuse(arms: list[list], weights: list[float] | None = None,
+             k: int = RRF_K, limit: int | None = None) -> list[tuple]:
+    """Fuse ranked arms of (doc_id, score) into [(doc_id, fused_score)].
+
+    Arms are assumed already ordered; arm order and clause order are
+    preserved in the summation (deterministic float addition order).
+    """
+    weights = weights or [1.0] * len(arms)
+    fused: dict = {}
+    for arm, w in zip(arms, weights):
+        for rank, (doc_id, _score) in enumerate(arm):
+            fused[doc_id] = fused.get(doc_id, 0.0) + w / (k + rank + 1)
+    return sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: opaque binary payloads + actor-pool stages.
+
+Images / audio / video are carried as opaque ``binary`` columns with typed
+metadata; decode / feature-extract / resize / frame-sample run as
+actor-pool ``map_batches`` stages (stateful setup once per actor in
+``__init__``).  The image/audio codec libraries are NOT available in this
+environment, so the decode kernels are STUBBED: with ``fake=True`` (the
+default, used by tests and the driver lane) they derive deterministic
+pseudo-metadata from the payload bytes; with ``fake=False`` they raise
+``NotImplementedError`` unless a real codec library is importable.  The
+Ray-side plumbing — schema, batch sizing, actor signature, output layout —
+is real and tested.
+
+Batch-size note for 100 TB: payload rows are MBs each, so these stages run
+with small ``batch_size`` (tens of rows) and ``concurrency`` sized to the
+actor pool; the schema keeps payloads in ``large_binary`` so a single
+Arrow buffer never exceeds 2 GiB of offsets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),     # "image" | "audio" | "video"
+    ("payload", pa.large_binary()),  # opaque encoded bytes
+    ("source", pa.string()),
+])
+
+
+def _try_import_codec():
+    try:
+        import PIL.Image  # noqa: F401
+        return "PIL"
+    except ImportError:
+        return None
+
+
+class DecodeMedia:
+    """Actor-pool decode stage: ``map_batches(DecodeMedia, concurrency=N,
+    batch_size=small)``.  Codec state initialised once per actor."""
+
+    def __init__(self, fake: bool = True):
+        self.codec = _try_import_codec()
+        self.fake = fake
+        if not fake and self.codec is None:
+            raise NotImplementedError(
+                "real media decode requires an image/audio codec library "
+                "(none available in this environment); use fake=True")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        n_bytes = np.array([len(payloads[i].as_py() or b"") for i in range(len(payloads))],
+                           dtype=np.int64)
+        if not self.fake:
+            raise NotImplementedError("real decode path not available")
+        # deterministic pseudo-dimensions from payload size (stub contract)
+        width = 64 + n_bytes % 577
+        height = 64 + (n_bytes * 31) % 419
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_bytes": pa.array(n_bytes, type=pa.int64()),
+            "width": pa.array(width, type=pa.int64()),
+            "height": pa.array(height, type=pa.int64()),
+            "n_channels": pa.array(np.full(len(n_bytes), 3), type=pa.int64()),
+        })
+
+
+class ExtractFeatures:
+    """Actor-pool feature extraction: deterministic 16-dim embedding stub
+    (sha256 of payload bytes → unit-scaled floats).  A real model would be
+    loaded once here in ``__init__`` (the classic model-inference actor)."""
+
+    def __init__(self, dim: int = 16, fake: bool = True):
+        if not fake:
+            raise NotImplementedError("no model runtime in this environment")
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        feats = []
+        for i in range(len(payloads)):
+            digest = hashlib.sha256(payloads[i].as_py() or b"").digest()
+            vec = np.frombuffer(digest[: self.dim], dtype=np.uint8).astype(np.float32) / 255.0
+            feats.append(vec)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "features": pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32())),
+        })
+
+
+class SampleFrames:
+    """Video frame-sampling stub: emits ``n_frames`` pseudo-frame offsets
+    per payload (uniform over the payload length) — the flat_map-shaped
+    stage (one input row → many frame rows)."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        if not fake:
+            raise NotImplementedError("no video codec in this environment")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        ids = batch["media_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_id, out_frame, out_off = [], [], []
+        for i in range(len(payloads)):
+            nb = len(payloads[i].as_py() or b"")
+            for f in range(self.n_frames):
+                out_id.append(int(ids[i]))
+                out_frame.append(f)
+                out_off.append(nb * f // self.n_frames)
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame": pa.array(out_frame, type=pa.int64()),
+            "byte_offset": pa.array(out_off, type=pa.int64()),
+        })
+
+
+def text_as_media_batch(batch: pa.Table, text_column: str = "text",
+                        id_column: str = "doc_id") -> pa.Table:
+    """Adapter for tests/driver lane: utf-8 bytes of a text column as an
+    opaque payload (the testdata has no true binary media columns)."""
+    text = batch[text_column].combine_chunks().cast(pa.string()).fill_null("")
+    payload = text.cast(pa.large_binary())
+    return pa.table({
+        "media_id": batch[id_column].combine_chunks().cast(pa.int64()),
+        "media_type": pa.array(["image"] * batch.num_rows, type=pa.string()),
+        "payload": payload,
+        "source": pa.array(["text-adapter"] * batch.num_rows, type=pa.string()),
+    }, schema=MEDIA_SCHEMA)

@@ -1,0 +1,657 @@
+"""Driver-facing pipelines: every operator as a ``queries()`` entry plus a
+DuckDB oracle (``oracle_sql()``) where the semantics are SQL-expressible.
+
+The BM25 lane runs the engine in its float64 conformance mode and the
+generated SQL reproduces the *pinned scoring contract* — fieldnorm
+quantization table inlined as a VALUES list, float32-rounded avgdl,
+f64 op order — so engine and oracle agree bit-exactly (validated in
+tests/test_pipelines.py).  Non-SQL-expressible ops (LSH internals,
+fingerprints, simhash) are exported without an oracle → the driver records
+a rows-only check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fsray.build import DOCUMENTS, BuildConfig, build_index
+from fsray.contract import FIELD_NORMS_TABLE
+from fsray.query import parse_query
+from fsray.search import LocalIndex
+
+# ---------------------------------------------------------------------------
+# shared plumbing
+
+_INDEX_CACHE: dict[str, LocalIndex] = {}
+
+#: float64 value of float32(1.2) — the contract k1 promoted exactly
+K1_F64 = float(np.float64(np.float32(1.2)))
+B_F64 = 0.75
+
+SPLIT_SQL = r"[^\p{L}\p{N}]+"
+
+EN_STOP_SQL = "('a','the','of','and','to','in','is','it','for','on','with','as','by','at','or','an','be','this','that','are')"
+LANG_SETS_SQL = {
+    "en": "('a','the','of','and','to','in','is','it','for','on')",
+    "es": "('el','la','de','que','y','en','los','del','se','por')",
+    "fr": "('le','les','des','du','et','une','est','pour','dans','au')",
+    "de": "('der','die','das','und','ist','von','mit','den','im','ein')",
+}
+
+
+def documents_index(sf_dir: str) -> LocalIndex:
+    """Build (once, cached, resumable) the inverted index over the
+    ``documents`` table of one sf dir."""
+    if sf_dir not in _INDEX_CACHE:
+        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        index_dir = os.path.join("/tmp", "fsray_index_cache", tag)
+        build_index([os.path.join(sf_dir, "documents.parquet")], index_dir, DOCUMENTS,
+                    BuildConfig(partition_rows=1024, num_shards=4, num_buckets=16))
+        _INDEX_CACHE[sf_dir] = LocalIndex(index_dir)
+    return _INDEX_CACHE[sf_dir]
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // len(ids)
+    return ids, flat.astype(np.float64).reshape(len(ids), dim)
+
+
+# ---------------------------------------------------------------------------
+# BM25 search lane
+
+def bm25_search(sf_dir: str, text: str, k: int = 10) -> pa.Table:
+    idx = documents_index(sf_dir)
+    hits = idx.search(text, k=k, dtype=np.float64)
+    return pa.table({
+        "doc_id": pa.array([int(h.doc_id) for h in hits], type=pa.int64()),
+        "score": pa.array([h.score for h in hits], type=pa.float64()),
+    })
+
+
+def bm25_oracle_sql(text: str, k: int = 10) -> str:
+    """Generate the DuckDB oracle for one engine query over ``documents``.
+
+    Reproduces the engine's float64 lane exactly: same tokenization, the
+    256-bucket fieldnorm floor (inlined VALUES), avgdl = f32(total)/f32(N)
+    promoted to double, idf/weight/score in the pinned op order, matched =
+    should-union ∧ must-intersect ∧ ¬must_not, order (score DESC, doc_id
+    ASC) LIMIT k.
+    """
+    parsed = parse_query(text, default_fields=[("content", 1.0)])
+    scoring = parsed.scoring_clauses()
+    terms = sorted({c.term for c in scoring} | {c.term for c in parsed.must_not})
+    fnt_values = ",".join(f"({int(v)})" for v in FIELD_NORMS_TABLE)
+    in_list = ",".join(f"'{t}'" for t in terms)
+
+    def exists(t: str) -> str:
+        return f"EXISTS(SELECT 1 FROM tf WHERE tf.doc_id = dl.doc_id AND tf.tok = '{t}')"
+
+    must_terms = [c.term for c in parsed.must]
+    should_terms = [c.term for c in parsed.should]
+    not_terms = [c.term for c in parsed.must_not]
+    conds = []
+    if must_terms:
+        conds.append(" AND ".join(exists(t) for t in must_terms))
+    elif should_terms:
+        conds.append("(" + " OR ".join(exists(t) for t in should_terms) + ")")
+    for t in not_terms:
+        conds.append(f"NOT {exists(t)}")
+    matched = " AND ".join(conds) if conds else "TRUE"
+
+    score_terms = " + ".join(
+        f"COALESCE((SELECT w.weight * (tf.tf / (tf.tf + dl.norm)) FROM tf, w "
+        f"WHERE tf.doc_id = dl.doc_id AND tf.tok = '{c.term}' AND w.tok = '{c.term}'), 0.0)"
+        for c in scoring) or "0.0"
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{SPLIT_SQL}')) AS tok
+  FROM documents
+), toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+dl0 AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+dlx AS (SELECT d.doc_id, COALESCE(dl0.dl, 0) AS dl FROM documents d LEFT JOIN dl0 USING (doc_id)),
+fnt(v) AS (VALUES {fnt_values}),
+dl AS (SELECT doc_id, dl,
+         {K1_F64!r} * (1.0 - {B_F64!r} + {B_F64!r} * CAST((SELECT max(v) FROM fnt WHERE v <= dl) AS DOUBLE)
+                   / (SELECT CAST(CAST(sum(dl) AS REAL) / CAST(count(*) AS REAL) AS DOUBLE) FROM dlx)) AS norm
+       FROM dlx),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks2
+       WHERE tok IN ({in_list}) GROUP BY doc_id, tok),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n),
+w AS (SELECT tok, ln(1.0 + ((CAST((SELECT n FROM stats) - count(*) AS DOUBLE)) + 0.5)
+                     / (CAST(count(*) AS DOUBLE) + 0.5)) * (1.0 + {K1_F64!r}) AS weight
+      FROM tf GROUP BY tok),
+scores AS (
+  SELECT dl.doc_id, {score_terms} AS score, {matched} AS matched
+  FROM dl)
+SELECT doc_id, score FROM scores WHERE matched ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+BM25_QUERIES = {
+    "bm25_topk_union": ("spark table query", 10),
+    "bm25_topk_single": ("window", 10),
+    "bm25_topk_must": ("+spark +window", 10),
+    "bm25_topk_must_not": ("spark table -window", 10),
+    "bm25_topk_wide": ("spark table query window batch stream filter merge", 10),
+}
+
+
+# ---------------------------------------------------------------------------
+# text analysis lane
+
+def doc_token_counts(sf_dir: str) -> pa.Table:
+    from fsray.textops import token_count_batch
+    ds = _docs_ds(sf_dir).map_batches(token_count_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def text_quality(sf_dir: str) -> pa.Table:
+    from fsray.textops import quality_batch
+    ds = _docs_ds(sf_dir).map_batches(quality_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    from fsray.textops import lang_id_batch
+    ds = _docs_ds(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def doc_fingerprints(sf_dir: str) -> pa.Table:
+    from fsray.textops import fingerprint_batch
+    ds = _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+TERM_DF_TERMS = ("spark", "window", "customer", "vector", "table")
+
+
+def term_doc_freq(sf_dir: str) -> pa.Table:
+    """Global df per probe term: per-batch partials → groupby(term) sum."""
+    from ray.data.aggregate import Sum
+
+    from fsray.textops import term_stats_partial
+    ds = _docs_ds(sf_dir).map_batches(term_stats_partial, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    agg = ds.groupby("term").aggregate(Sum("df"), Sum("tf")).to_pandas()
+    agg = agg[agg["term"].isin(TERM_DF_TERMS)].sort_values("term")
+    return pa.table({"term": pa.array(agg["term"], type=pa.string()),
+                     "df": pa.array(agg["sum(df)"].astype("int64"), type=pa.int64()),
+                     "tf": pa.array(agg["sum(tf)"].astype("int64"), type=pa.int64())})
+
+
+def top_terms(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k terms by total tf (tf desc, term asc).  At 100 TB the final
+    sort runs over the (vocab-sized) aggregate, not the corpus."""
+    from ray.data.aggregate import Sum
+
+    from fsray.textops import term_stats_partial
+    ds = _docs_ds(sf_dir).map_batches(term_stats_partial, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    agg = ds.groupby("term").aggregate(Sum("tf"), Sum("df")).to_pandas()
+    agg = agg.sort_values(["sum(tf)", "term"], ascending=[False, True]).head(k)
+    return pa.table({"term": pa.array(agg["term"], type=pa.string()),
+                     "tf": pa.array(agg["sum(tf)"].astype("int64"), type=pa.int64()),
+                     "df": pa.array(agg["sum(df)"].astype("int64"), type=pa.int64())})
+
+
+def collection_stats(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from fsray.textops import term_stats_partial, token_count_batch
+    docs = _docs_ds(sf_dir)
+    n_docs = docs.count()
+    tok = docs.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+    total = tok.aggregate(Sum("n_tokens"))["sum(n_tokens)"]
+    terms = docs.map_batches(term_stats_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    n_unique = terms.groupby("term").aggregate(Sum("df")).count()
+    return pa.table({"n_docs": pa.array([n_docs], type=pa.int64()),
+                     "total_tokens": pa.array([int(total)], type=pa.int64()),
+                     "n_unique_terms": pa.array([n_unique], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# dedup lane
+
+JACCARD_TAU = 0.5
+
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup: hash-partition on content hash, keep min doc_id."""
+    from ray.data.aggregate import Count, Min
+
+    from fsray.dedup import exact_key_batch
+    ds = _docs_ds(sf_dir).map_batches(exact_key_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    agg = ds.groupby("content_sha256").aggregate(Min("doc_id"), Count()).to_pandas()
+    agg = agg.sort_values("min(doc_id)")
+    return pa.table({"doc_id": pa.array(agg["min(doc_id)"].astype("int64"), type=pa.int64()),
+                     "n_copies": pa.array(agg["count()"].astype("int64"), type=pa.int64())})
+
+
+def _jaccard_pairs_distributed(sf_dir: str, tau: float) -> pa.Table:
+    """shingle rows → groupby(shingle) pair emit → groupby(pair) count →
+    exact Jaccard filter.  (The wide step is the shingle groupby; hot
+    shingles capped — see fsray.dedup.jaccard_pairs_from_shingles.)"""
+    from ray.data.aggregate import Count, Max
+
+    from fsray.dedup import shingle_batch
+    sh = _docs_ds(sf_dir).map_batches(shingle_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        docs = g["doc_id"].to_numpy()
+        sizes = g["n_shingles"].to_numpy()
+        order = np.argsort(docs, kind="stable")
+        docs, sizes = docs[order], sizes[order]
+        a_out, b_out, na, nb = [], [], [], []
+        n = len(docs)
+        if 2 <= n <= 256:
+            for i in range(n):
+                for j in range(i + 1, n):
+                    a_out.append(int(docs[i])); b_out.append(int(docs[j]))
+                    na.append(int(sizes[i])); nb.append(int(sizes[j]))
+        return pa.table({"a": pa.array(a_out, type=pa.int64()),
+                         "b": pa.array(b_out, type=pa.int64()),
+                         "na": pa.array(na, type=pa.int64()),
+                         "nb": pa.array(nb, type=pa.int64())})
+
+    pairs = sh.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
+    agg = pairs.groupby(["a", "b"]).aggregate(Count(), Max("na"), Max("nb")).to_pandas()
+    if len(agg) == 0:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    inter = agg["count()"].to_numpy().astype(np.int64)
+    union = agg["max(na)"].to_numpy() + agg["max(nb)"].to_numpy() - inter
+    jac = inter / union
+    keep = jac >= tau
+    out = agg[keep].assign(jaccard=jac[keep]).sort_values(["a", "b"])
+    return pa.table({"a": pa.array(out["a"].astype("int64"), type=pa.int64()),
+                     "b": pa.array(out["b"].astype("int64"), type=pa.int64()),
+                     "jaccard": pa.array(out["jaccard"], type=pa.float64())})
+
+
+def dedup_ngram_jaccard(sf_dir: str) -> pa.Table:
+    return _jaccard_pairs_distributed(sf_dir, JACCARD_TAU)
+
+
+def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
+    """MinHash→band→bucket groupby → candidates → exact-Jaccard verify.
+
+    Verification makes the output exact on the candidate set; with 32×2
+    banding the candidate set misses a τ=0.5 pair with P < 1e-4, so this
+    matches the exact-Jaccard oracle."""
+    from fsray.dedup import (candidate_pairs_from_buckets, minhash_batch,
+                             shingle_batch)
+    b_ds = _docs_ds(sf_dir).map_batches(minhash_batch, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        pairs = candidate_pairs_from_buckets(g)
+        a = [p[0] for p in sorted(pairs)]
+        b = [p[1] for p in sorted(pairs)]
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(b, type=pa.int64())})
+
+    cand = b_ds.groupby(["band", "band_key"]).map_groups(bucket_pairs,
+                                                         batch_format="pyarrow")
+    cand_pd = cand.to_pandas().drop_duplicates()
+    cand_set = set(zip(cand_pd["a"].astype(int), cand_pd["b"].astype(int)))
+    if not cand_set:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    # exact verification: shingle sets of candidate docs only (broadcast of
+    # a small candidate set — a broadcast join at scale)
+    cand_docs = {d for p in cand_set for d in p}
+    sh = _docs_ds(sf_dir).map_batches(shingle_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    sh_pd = sh.to_pandas()
+    sh_pd = sh_pd[sh_pd["doc_id"].isin(cand_docs)]
+    sets: dict[int, set] = {}
+    for d, s in zip(sh_pd["doc_id"].astype(int), sh_pd["shingle"].astype(int)):
+        sets.setdefault(d, set()).add(s)
+    rows = []
+    for a, b in sorted(cand_set):
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        jac = inter / union
+        if jac >= JACCARD_TAU:
+            rows.append((a, b, jac))
+    return pa.table({"a": pa.array([r[0] for r in rows], type=pa.int64()),
+                     "b": pa.array([r[1] for r in rows], type=pa.int64()),
+                     "jaccard": pa.array([r[2] for r in rows], type=pa.float64())})
+
+
+def dedup_simhash(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs (Hamming ≤ 3) — approximate, rows-only check."""
+    from fsray.dedup import simhash_batch, simhash_near_pairs
+    ds = _docs_ds(sf_dir).map_batches(simhash_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    pd_ = ds.to_pandas().sort_values("doc_id")
+    pairs = simhash_near_pairs(pd_["doc_id"].to_numpy(),
+                               pd_["simhash"].to_numpy().astype(np.uint64))
+    return pa.table({"a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                     "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                     "hamming": pa.array([p[2] for p in pairs], type=pa.int64())})
+
+
+COSINE_TAU = 0.45
+
+
+def dedup_embedding_cosine(sf_dir: str) -> pa.Table:
+    """Embedding near-dup pairs (cosine ≥ τ): broadcast normalized corpus
+    (ray.put once), per-batch matmul blocks."""
+    import ray
+    import ray.data as rd
+
+    from fsray.dedup import cosine_pairs_block, normalize_rows
+    ids, vecs = _embeddings(sf_dir)
+    ref = ray.put((ids, normalize_rows(vecs)))
+
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids, all_norm = ray.get(ref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.astype(np.float64).reshape(len(bids), -1)
+        return cosine_pairs_block(bids, mat, all_ids, all_norm, COSINE_TAU)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = out.sort_values(["a", "b"])
+    return pa.table({"a": pa.array(out["a"].astype("int64"), type=pa.int64()),
+                     "b": pa.array(out["b"].astype("int64"), type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# similarity search lane
+
+ANN_QUERY_IDS = (0, 1, 2, 3, 4)
+ANN_K = 5
+
+
+def ann_bruteforce(sf_dir: str) -> pa.Table:
+    """Exact top-k cosine neighbors for probe vectors: broadcast query
+    matrix, per-batch matmul partials, tiny driver merge."""
+    import ray
+    import ray.data as rd
+
+    from fsray.ann import merge_topk_partials, topk_partial
+    from fsray.dedup import normalize_rows
+    ids, vecs = _embeddings(sf_dir)
+    qsel = np.isin(ids, ANN_QUERY_IDS)
+    order = np.argsort(ids[qsel])
+    qids = ids[qsel][order]
+    qnorm = normalize_rows(vecs[qsel][order])
+    ref = ray.put((qids, qnorm))
+
+    def block(batch: pa.Table) -> pa.Table:
+        q_ids, q_norm = ray.get(ref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.astype(np.float64).reshape(len(bids), -1)
+        qi, ni, si = topk_partial(bids, mat, q_norm, ANN_K, exclude_self=q_ids)
+        return pa.table({"qi": pa.array(qi, type=pa.int64()),
+                         "nid": pa.array(ni, type=pa.int64()),
+                         "cos": pa.array(si, type=pa.float64())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    parts = ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    merged = merge_topk_partials(
+        [(parts["qi"].to_numpy(), parts["nid"].to_numpy(), parts["cos"].to_numpy())],
+        len(ANN_QUERY_IDS), ANN_K)
+    qid_map = pa.array([int(ANN_QUERY_IDS[q]) for q in merged["query_id"].to_numpy()],
+                       type=pa.int64())
+    return pa.table({"query_id": qid_map, "neighbor_id": merged["neighbor_id"]})
+
+
+def ann_lsh(sf_dir: str) -> pa.Table:
+    """LSH-bucketed ANN (the scale path) — approximate, rows-only check;
+    recall vs brute force is asserted in tests."""
+    from fsray.ann import LshIndex
+    ids, vecs = _embeddings(sf_dir)
+    # bucket width scales with corpus size: ~2^bits buckets, ≥8 vectors per
+    # bucket expected so multi-probe reaches real neighbors
+    n_bits = int(np.clip(np.log2(max(len(ids), 2)) - 3, 2, 16))
+    index = LshIndex(ids, vecs, n_bits=n_bits)
+    rows_q, rows_n = [], []
+    for q in ANN_QUERY_IDS:
+        qi = int(np.flatnonzero(ids == q)[0])
+        nids, _ = index.query(vecs[qi], ANN_K, probe_hamming=2, exclude_id=int(q))
+        rows_q.extend([int(q)] * len(nids))
+        rows_n.extend(nids.tolist())
+    return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
+                     "neighbor_id": pa.array(rows_n, type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF lane (the stubbed fusion hook, end-to-end)
+
+HYBRID_QUERY = "spark table query"
+HYBRID_ARM_K = 20
+
+
+def hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Two-tier first pass: lexical BM25 arm + semantic cosine arm fused by
+    RRF (K=60) — the reference's progressive search shape with the vector
+    arm served by the brute-force tier (docs and vectors share ids)."""
+    from fsray.dedup import normalize_rows
+    from fsray.fuse import rrf_fuse
+    lex_tbl = bm25_search(sf_dir, HYBRID_QUERY, k=HYBRID_ARM_K)
+    lex = list(zip(lex_tbl["doc_id"].to_pylist(), lex_tbl["score"].to_pylist()))
+
+    ids, vecs = _embeddings(sf_dir)
+    qi = int(np.flatnonzero(ids == 0)[0])
+    norm = normalize_rows(vecs)
+    sims = norm @ norm[qi]
+    order = np.lexsort((ids, -sims))[:HYBRID_ARM_K]
+    sem = [(int(ids[i]), float(sims[i])) for i in order]
+
+    fused = rrf_fuse([lex, sem])
+    return pa.table({"doc_id": pa.array([d for d, _ in fused], type=pa.int64()),
+                     "rrf_score": pa.array([s for _, s in fused], type=pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# multimodal lane
+
+def multimodal_meta(sf_dir: str) -> pa.Table:
+    """Binary-payload plumbing end-to-end: text bytes as opaque payloads →
+    actor-pool decode stub → typed metadata.  Actor pool via callable class
+    + ``concurrency`` (setup once per actor)."""
+    from fsray.multimodal import DecodeMedia, text_as_media_batch
+    ds = (_docs_ds(sf_dir)
+          .map_batches(text_as_media_batch, batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(DecodeMedia, batch_format="pyarrow", batch_size=64,
+                       concurrency=2))
+    out = ds.to_pandas().sort_values("media_id")
+    return pa.table({"doc_id": pa.array(out["media_id"].astype("int64"), type=pa.int64()),
+                     "n_bytes": pa.array(out["n_bytes"].astype("int64"), type=pa.int64()),
+                     "width": pa.array(out["width"].astype("int64"), type=pa.int64()),
+                     "height": pa.array(out["height"].astype("int64"), type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+def make_queries() -> dict:
+    q = {}
+    for name, (text, k) in BM25_QUERIES.items():
+        q[name] = (lambda sf_dir, _t=text, _k=k: bm25_search(sf_dir, _t, _k))
+    q.update({
+        "doc_token_counts": doc_token_counts,
+        "text_quality": text_quality,
+        "lang_id": lang_id,
+        "doc_fingerprints": doc_fingerprints,
+        "term_doc_freq": term_doc_freq,
+        "top_terms": top_terms,
+        "collection_stats": collection_stats,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "ann_bruteforce": ann_bruteforce,
+        "ann_lsh": ann_lsh,
+        "hybrid_rrf": hybrid_rrf,
+        "multimodal_meta": multimodal_meta,
+    })
+    return q
+
+
+def _toks2_sql() -> str:
+    return (f"toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+            f"'{SPLIT_SQL}')) AS tok FROM documents), "
+            f"toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> '')")
+
+
+def _shingle_sql() -> str:
+    """DISTINCT 3-token shingles per doc as space-joined strings (list ops
+    keep token order exact — no window-function ordering ambiguity)."""
+    return f"""docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '{SPLIT_SQL}'), x -> x <> '') AS arr
+  FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(arr) - 1),
+                               i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+       FROM docs_arr WHERE len(arr) >= 3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
+
+
+def make_oracle_sql() -> dict:
+    o = {}
+    for name, (text, k) in BM25_QUERIES.items():
+        o[name] = bm25_oracle_sql(text, k)
+
+    o["doc_token_counts"] = f"""
+WITH {_toks2_sql()},
+c AS (SELECT doc_id, count(*) AS n FROM toks2 GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(c.n, 0) AS n_tokens FROM documents d LEFT JOIN c USING (doc_id)
+ORDER BY doc_id"""
+
+    o["text_quality"] = f"""
+WITH {_toks2_sql()},
+c AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_unique,
+             count(*) FILTER (WHERE tok IN {EN_STOP_SQL}) AS n_stop
+      FROM toks2 GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(c.n_tokens, 0) AS n_tokens, length(d.text) AS n_chars,
+       COALESCE(c.n_unique, 0) AS n_unique_tokens,
+       COALESCE(c.n_stop, 0) AS n_stopword_tokens,
+       CASE WHEN COALESCE(c.n_tokens, 0) > 0
+            THEN CAST(c.n_stop AS DOUBLE) / CAST(c.n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+FROM documents d LEFT JOIN c USING (doc_id) ORDER BY doc_id"""
+
+    o["lang_id"] = f"""
+WITH {_toks2_sql()},
+c AS (SELECT doc_id,
+        count(*) FILTER (WHERE tok IN {LANG_SETS_SQL['en']}) AS en_c,
+        count(*) FILTER (WHERE tok IN {LANG_SETS_SQL['es']}) AS es_c,
+        count(*) FILTER (WHERE tok IN {LANG_SETS_SQL['fr']}) AS fr_c,
+        count(*) FILTER (WHERE tok IN {LANG_SETS_SQL['de']}) AS de_c
+      FROM toks2 GROUP BY doc_id),
+h AS (SELECT doc_id, length(text) - length(regexp_replace(text, '\\p{{Han}}', '', 'g')) AS han
+      FROM documents)
+SELECT d.doc_id,
+  CASE WHEN h.han > 0 THEN 'zh'
+       WHEN greatest(COALESCE(en_c,0), COALESCE(es_c,0), COALESCE(fr_c,0), COALESCE(de_c,0)) = 0 THEN 'und'
+       WHEN COALESCE(en_c,0) >= COALESCE(es_c,0) AND COALESCE(en_c,0) >= COALESCE(fr_c,0) AND COALESCE(en_c,0) >= COALESCE(de_c,0) THEN 'en'
+       WHEN COALESCE(es_c,0) >= COALESCE(fr_c,0) AND COALESCE(es_c,0) >= COALESCE(de_c,0) THEN 'es'
+       WHEN COALESCE(fr_c,0) >= COALESCE(de_c,0) THEN 'fr'
+       ELSE 'de' END AS lang_pred
+FROM documents d LEFT JOIN c USING (doc_id) JOIN h USING (doc_id) ORDER BY doc_id"""
+
+    in_list = ",".join(f"'{t}'" for t in TERM_DF_TERMS)
+    o["term_doc_freq"] = f"""
+WITH {_toks2_sql()}
+SELECT tok AS term, count(DISTINCT doc_id) AS df, count(*) AS tf
+FROM toks2 WHERE tok IN ({in_list}) GROUP BY tok ORDER BY term"""
+
+    o["top_terms"] = f"""
+WITH {_toks2_sql()}
+SELECT tok AS term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM toks2 GROUP BY tok ORDER BY tf DESC, term ASC LIMIT 20"""
+
+    o["collection_stats"] = f"""
+WITH {_toks2_sql()}
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       count(*) AS total_tokens, count(DISTINCT tok) AS n_unique_terms FROM toks2"""
+
+    o["dedup_exact"] = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id"""
+
+    jaccard_sql = f"""
+WITH {_shingle_sql()},
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT p.a, p.b, CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS jaccard
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= {JACCARD_TAU}
+ORDER BY p.a, p.b"""
+    o["dedup_ngram_jaccard"] = jaccard_sql
+    o["dedup_minhash_lsh"] = jaccard_sql  # LSH-then-verify ≡ exact at τ=0.5
+
+    o["dedup_embedding_cosine"] = f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_TAU}
+ORDER BY a, b"""
+
+    ann_ids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    o["ann_bruteforce"] = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN ({ann_ids})),
+sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_cosine_similarity(q.embedding, c.embedding) AS cos
+         FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM sims)
+SELECT query_id, neighbor_id FROM ranked WHERE rn <= {ANN_K} ORDER BY query_id, neighbor_id"""
+
+    lex_sql = bm25_oracle_sql(HYBRID_QUERY, HYBRID_ARM_K).strip().removeprefix("WITH")
+    o["hybrid_rrf"] = f"""
+WITH lex_raw AS ( WITH {lex_sql} ),
+lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM lex_raw),
+sem_sims AS (SELECT e.vec_id AS doc_id, list_cosine_similarity(e.embedding, q.embedding) AS cos
+             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+sem AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rn
+        FROM sem_sims QUALIFY rn <= {HYBRID_ARM_K}),
+ids AS (SELECT doc_id FROM lex UNION SELECT doc_id FROM sem)
+SELECT i.doc_id,
+       COALESCE(1.0 / (60 + l.rn), 0.0) + COALESCE(1.0 / (60 + s.rn), 0.0) AS rrf_score
+FROM ids i LEFT JOIN lex l ON l.doc_id = i.doc_id LEFT JOIN sem s ON s.doc_id = i.doc_id
+ORDER BY rrf_score DESC, i.doc_id ASC"""
+
+    o["multimodal_meta"] = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       64 + octet_length(encode(text)) % 577 AS width,
+       64 + (octet_length(encode(text)) * 31) % 419 AS height
+FROM documents ORDER BY doc_id"""
+    return o

@@ -1,0 +1,183 @@
+"""Text-analysis operators over a document table (Ray-Data-first).
+
+Large-scale training-data pipeline stages: token counting, collection
+statistics, quality scoring, language identification, and document
+fingerprinting.  Every stage is a ``map_batches`` transform over zero-copy
+Arrow batches with vectorized kernels; wide steps (distinct terms, global
+df) pre-aggregate per batch before a small ``groupby`` shuffle — the same
+partial-aggregation discipline as the index build (SURVEY §7.4).
+
+Reference anchors: token admission + analyzer semantics are shared with the
+index path (crates/frankensearch-quill/src/scribe.rs:279-730); quality/
+language scoring are new engine capabilities (no reference counterpart —
+the reference's file classification at
+crates/frankensearch-fsfs/src/file_classification.rs is the nearest
+analogue).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fsray.tokenizer import tokenize_column
+
+#: English stopwords used by quality scoring (pinned; oracle SQL inlines it)
+EN_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it", "for", "on",
+                "with", "as", "by", "at", "or", "an", "be", "this", "that", "are")
+
+#: language marker token sets, in deterministic priority order
+LANG_MARKERS = (
+    ("en", ("a", "the", "of", "and", "to", "in", "is", "it", "for", "on")),
+    ("es", ("el", "la", "de", "que", "y", "en", "los", "del", "se", "por")),
+    ("fr", ("le", "les", "des", "du", "et", "une", "est", "pour", "dans", "au")),
+    ("de", ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein")),
+)
+
+FINGERPRINT_MULT = np.uint64(31)
+
+
+def _hash_tokens(tokens: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit token hashes (vectorized via polars xxhash)."""
+    import polars as pl
+    if len(tokens) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    return pl.from_arrow(tokens).hash(seed=0).to_numpy().astype(np.uint64)
+
+
+def _doc_segments(tokens: pa.ListArray) -> tuple[np.ndarray, np.ndarray]:
+    """(counts per doc, exclusive-scan starts) for a tokenized list column."""
+    counts = pc.list_value_length(tokens).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return counts, starts
+
+
+def token_count_batch(batch: pa.Table, text_column: str = "text",
+                      id_column: str = "doc_id") -> pa.Table:
+    """(doc_id, n_tokens) per row — the chunk-count analogue of the
+    reference's ``tokenize_lexical`` token counting (lexical_pipeline.rs:212-330)."""
+    toks = tokenize_column(batch[text_column].combine_chunks().cast(pa.string()).fill_null(""))
+    counts, _ = _doc_segments(toks)
+    return pa.table({id_column: batch[id_column],
+                     "n_tokens": pa.array(counts, type=pa.int64())})
+
+
+def quality_batch(batch: pa.Table, text_column: str = "text",
+                  id_column: str = "doc_id") -> pa.Table:
+    """Per-doc quality metrics, all exactly reproducible in SQL:
+
+    n_tokens, n_chars, n_unique_tokens, n_stopword_tokens,
+    stopword_ratio (double; 0.0 for empty docs).
+    """
+    text = batch[text_column].combine_chunks().cast(pa.string()).fill_null("")
+    toks = tokenize_column(text)
+    counts, starts = _doc_segments(toks)
+    flat = toks.flatten()
+    n = len(counts)
+
+    # unique tokens per doc: sort (doc, token-hash) pairs, count run starts
+    h = _hash_tokens(flat)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((h, doc_of))
+    ds_, hs_ = doc_of[order], h[order]
+    new_run = np.ones(len(hs_), dtype=bool)
+    if len(hs_) > 1:
+        new_run[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+    uniq = np.zeros(n, dtype=np.int64)
+    np.add.at(uniq, ds_[new_run], 1) if len(hs_) else None
+
+    stop = pc.is_in(flat, value_set=pa.array(EN_STOPWORDS)).to_numpy(zero_copy_only=False)
+    n_stop = np.zeros(n, dtype=np.int64)
+    np.add.at(n_stop, doc_of[stop], 1) if len(flat) else None
+
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    ratio = np.where(counts > 0, n_stop / np.maximum(counts, 1), 0.0)
+    return pa.table({
+        id_column: batch[id_column],
+        "n_tokens": pa.array(counts, type=pa.int64()),
+        "n_chars": pa.array(n_chars, type=pa.int64()),
+        "n_unique_tokens": pa.array(uniq, type=pa.int64()),
+        "n_stopword_tokens": pa.array(n_stop, type=pa.int64()),
+        "stopword_ratio": pa.array(ratio, type=pa.float64()),
+    })
+
+
+def lang_id_batch(batch: pa.Table, text_column: str = "text",
+                  id_column: str = "doc_id") -> pa.Table:
+    """Deterministic language-ID heuristic (n-gram/marker based):
+
+    - any Han character ⇒ ``zh``;
+    - else argmax of marker-token counts over (en, es, fr, de) with ties
+      broken by priority order;
+    - all-zero ⇒ ``und``.
+    """
+    text = batch[text_column].combine_chunks().cast(pa.string()).fill_null("")
+    toks = tokenize_column(text)
+    counts, _ = _doc_segments(toks)
+    flat = toks.flatten()
+    n = len(counts)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    han = pc.count_substring_regex(text, pattern=r"\p{Han}").to_numpy(zero_copy_only=False)
+    scores = np.zeros((len(LANG_MARKERS), n), dtype=np.int64)
+    for li, (_, markers) in enumerate(LANG_MARKERS):
+        hit = pc.is_in(flat, value_set=pa.array(markers)).to_numpy(zero_copy_only=False)
+        if len(flat):
+            np.add.at(scores[li], doc_of[hit], 1)
+    best = np.argmax(scores, axis=0)  # first max wins = priority order
+    best_count = scores[best, np.arange(n)]
+    langs = np.array([name for name, _ in LANG_MARKERS])
+    pred = np.where(han > 0, "zh", np.where(best_count > 0, langs[best], "und"))
+    return pa.table({id_column: batch[id_column],
+                     "lang_pred": pa.array(pred.tolist(), type=pa.string())})
+
+
+def fingerprint_batch(batch: pa.Table, text_column: str = "text",
+                      id_column: str = "doc_id") -> pa.Table:
+    """64-bit order-sensitive document fingerprint (polynomial rolling hash):
+
+    ``fp(doc) = Σ_i hash64(tok_i) * 31^i  (mod 2^64)``
+
+    Vectorized: token hashes via xxhash, per-position powers by wraparound
+    cumprod, per-doc segment sums.  Order-sensitive (unlike a bag hash) so
+    it distinguishes permuted near-duplicates.
+    """
+    toks = tokenize_column(batch[text_column].combine_chunks().cast(pa.string()).fill_null(""))
+    counts, starts = _doc_segments(toks)
+    flat = toks.flatten()
+    n = len(counts)
+    h = _hash_tokens(flat)
+    pos = np.arange(len(h), dtype=np.int64) - np.repeat(starts[:-1], counts)
+    max_len = int(counts.max()) if n else 0
+    with np.errstate(over="ignore"):
+        powers = np.ones(max(max_len, 1), dtype=np.uint64)
+        np.cumprod(np.full(max_len, FINGERPRINT_MULT, dtype=np.uint64)[:-1],
+                   out=powers[1:]) if max_len > 1 else None
+        weighted = h * powers[pos] if len(h) else h
+    fp = np.zeros(n, dtype=np.uint64)
+    if len(weighted):
+        np.add.at(fp, np.repeat(np.arange(n), counts), weighted)
+    return pa.table({id_column: batch[id_column],
+                     "fingerprint": pa.array(fp.astype(np.int64), type=pa.int64())})
+
+
+def term_stats_partial(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Per-batch (term, tf_partial, df_partial) — combiner before the tiny
+    ``groupby(term)`` shuffle (the STATS/doc_freq rollup discipline,
+    quiver.rs:11520-11536)."""
+    toks = tokenize_column(batch[text_column].combine_chunks().cast(pa.string()).fill_null(""))
+    counts, _ = _doc_segments(toks)
+    flat = toks.flatten()
+    if len(flat) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "tf": pa.array([], type=pa.int64()),
+                         "df": pa.array([], type=pa.int64())})
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    occ = pa.table({"term": flat, "doc": pa.array(doc_of)})
+    per_doc = occ.group_by(["term", "doc"]).aggregate([("doc", "count")])
+    agg = per_doc.group_by("term").aggregate([("doc_count", "sum"), ("doc", "count")])
+    return pa.table({"term": agg["term"],
+                     "tf": agg["doc_count_sum"].cast(pa.int64()),
+                     "df": agg["doc_count"].cast(pa.int64())})

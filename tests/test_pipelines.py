@@ -1,0 +1,102 @@
+"""Driver-contract conformance: every queries() entry vs its oracle_sql().
+
+Replicates the driver's own comparison (row count + schema + order-
+insensitive values) at sf0.001/sf0.01 so mismatches surface here first.
+"""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _to_table(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    return res.to_arrow()  # ray Dataset
+
+
+def _canon(tbl: pa.Table) -> pd.DataFrame:
+    df = tbl.to_pandas()
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name):
+    got = _canon(_to_table(QUERIES[name](SF_DIR)))
+    con = _duck(SF_DIR)
+    want = _canon(pa.Table.from_pandas(con.execute(ORACLES[name]).df(),
+                                       preserve_index=False))
+    assert list(got.columns) == list(want.columns), (name, got.columns, want.columns)
+    assert len(got) == len(want), (name, len(got), len(want))
+    for col in got.columns:
+        g, w = got[col].to_numpy(), want[col].to_numpy()
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            assert np.array_equal(g.astype(np.float64), w.astype(np.float64)), \
+                (name, col, g[:5], w[:5])
+        else:
+            assert list(g) == list(w), (name, col, g[:5], w[:5])
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name):
+    tbl = _to_table(QUERIES[name](SF_DIR))
+    assert tbl.num_rows >= 0
+    assert tbl.num_columns >= 1
+
+
+def test_entry_runs():
+    tbl = _to_table(entrymod.entry())
+    assert tbl.num_rows > 0
+    assert "doc_id" in tbl.column_names and "rrf_score" in tbl.column_names
+
+
+def test_ann_lsh_recall_vs_bruteforce():
+    """LSH ANN must reach ≥ 0.6 recall@5 vs the exact baseline here."""
+    from fsray.pipelines import ann_bruteforce, ann_lsh
+    bf = _to_table(ann_bruteforce(SF_DIR)).to_pandas()
+    ls = _to_table(ann_lsh(SF_DIR)).to_pandas()
+    recalls = []
+    for q in bf["query_id"].unique():
+        want = set(bf[bf["query_id"] == q]["neighbor_id"])
+        got = set(ls[ls["query_id"] == q]["neighbor_id"])
+        recalls.append(len(want & got) / max(1, len(want)))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_minhash_equals_exact_jaccard():
+    from fsray.pipelines import dedup_minhash_lsh, dedup_ngram_jaccard
+    exact = _canon(_to_table(dedup_ngram_jaccard(SF_DIR)))
+    lsh = _canon(_to_table(dedup_minhash_lsh(SF_DIR)))
+    assert list(exact["a"]) == list(lsh["a"])
+    assert list(exact["b"]) == list(lsh["b"])
+    assert np.allclose(exact["jaccard"], lsh["jaccard"])
