@@ -59,6 +59,18 @@ from fsray.tokenizer import tokenize_column, token_stats
 FORMAT_VERSION = 1
 
 
+def _cap_worker_threads() -> None:
+    """Pin intra-task thread pools to 1 inside Ray workers.
+
+    Parallelism comes from Ray tasks; per-worker Arrow/polars pools (each
+    defaulting to all cores) oversubscribe the node and invert scaling
+    (measured: 32-cpu build 2.5× SLOWER than 8-cpu before this cap)."""
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+
+
 @dataclass(frozen=True)
 class FieldSpec:
     """One indexed field: output name, source column, query-time boost."""
@@ -179,26 +191,27 @@ def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
         return _postings_schema().empty_table()
     doc_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
 
-    # (term, doc) → tf via Arrow group_by (vectorized C++ hash aggregation)
-    occ = pa.table({"term": flat, "doc": pa.array(doc_of, type=pa.uint32())})
-    tf_tbl = occ.group_by(["term", "doc"]).aggregate([("doc", "count")])
-    tf_tbl = tf_tbl.sort_by([("term", "ascending"), ("doc", "ascending")])
-    terms = tf_tbl["term"].combine_chunks()
-    docs = tf_tbl["doc"].combine_chunks().to_numpy().astype(np.int64)
-    tfs = tf_tbl["doc_count"].combine_chunks().to_numpy().astype(np.uint32)
+    # (term, doc) → tf: one dictionary-encode hash pass (C++) + a packed
+    # int64 np.unique (sorts (term_code, doc) and counts in one kernel) —
+    # the numpy analogue of the reference's radix flush (scribe.rs:3375+)
+    dict_arr = flat.dictionary_encode()
+    code_np = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    key = code_np * n_rows + doc_of
+    uniq, tfs64 = np.unique(key, return_counts=True)
+    code_u = uniq // n_rows
+    docs = uniq % n_rows
+    tfs = tfs64.astype(np.uint32)
 
-    # term run boundaries (terms are sorted)
-    term_codes = terms.dictionary_encode()
-    code_np = term_codes.indices.to_numpy()
-    boundaries = np.flatnonzero(np.diff(code_np)) + 1
+    # term run boundaries (code_u is sorted)
+    boundaries = np.flatnonzero(np.diff(code_u)) + 1
     starts = np.concatenate(([0], boundaries))
-    lengths = np.diff(np.concatenate((starts, [len(code_np)])))
-    uniq_terms = term_codes.dictionary.take(pa.array(code_np[starts]))
+    lengths = np.diff(np.concatenate((starts, [len(code_u)])))
+    uniq_terms = dict_arr.dictionary.take(pa.array(code_u[starts])).cast(pa.string())
 
     docids = (docs + docid_base).astype(np.uint32)
     fns = fn_ids[docs]
 
-    offsets = pa.array(np.concatenate((starts, [len(code_np)])), type=pa.int64())
+    offsets = pa.array(np.concatenate((starts, [len(code_u)])), type=pa.int64())
     mk = lambda vals, typ: pa.LargeListArray.from_arrays(offsets, pa.array(vals, type=typ))
     n_terms = len(uniq_terms)
     bucket = (_hash_terms(uniq_terms) % np.uint64(num_buckets)).astype(np.uint16)
@@ -216,6 +229,7 @@ def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
 
 def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str) -> dict:
     """Stage A for one partition (runs inside a Ray task). Resumable."""
+    _cap_worker_threads()
     pidx = part["pidx"]
     stats_path = os.path.join(index_dir, "partstats", f"part-{pidx:05d}.json")
     done = read_json(stats_path)
@@ -231,11 +245,17 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
     base = part["docid_base"]
     docids = np.arange(base, base + n_rows, dtype=np.uint32)
 
-    # per-row content sha256 witness (input invariant; BASELINE.json input_hint)
-    content_col = table[spec.fields[0].source].combine_chunks()
-    sha = pa.array([hashlib.sha256(
-        (v if v is not None else "").encode("utf-8")).hexdigest()
-        for v in content_col.to_pylist()], type=pa.string())
+    # per-row content sha256 witness (input invariant; BASELINE.json
+    # input_hint) — hashed straight off the Arrow utf-8 value buffer
+    # (zero-copy memoryview slices; no per-row Python string decode)
+    content_col = table[spec.fields[0].source].combine_chunks().cast(pa.large_string())
+    if content_col.null_count:
+        content_col = pc.fill_null(content_col, "")
+    _offs = np.frombuffer(content_col.buffers()[1], dtype=np.int64)[
+        content_col.offset: content_col.offset + n_rows + 1]
+    _data = memoryview(content_col.buffers()[2])
+    sha = pa.array([hashlib.sha256(_data[_offs[i]:_offs[i + 1]]).hexdigest()
+                    for i in range(n_rows)], type=pa.string())
 
     idmap_cols: dict[str, pa.Array] = {
         "docid": pa.array(docids, type=pa.uint32()),
@@ -256,7 +276,25 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
         field_stats[f.name] = {"total_tokens": int(counts.sum()), "doc_count": n_rows}
 
     staged = pa.concat_tables(postings_tables) if postings_tables else _postings_schema().empty_table()
-    atomic_write_parquet(os.path.join(index_dir, "stage_postings", f"part-{pidx:05d}.parquet"), staged)
+    # map-side hash shuffle: write this partition's partials pre-split by
+    # bucket, so each stage-B reducer reads exactly its own files (an
+    # explicit hash-partition exchange — no sort-based all-to-all operator;
+    # on a cluster these files live in the shared store / object store)
+    staged = staged.sort_by([("bucket", "ascending")])
+    bucket_np = staged["bucket"].to_numpy()
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(bucket_np)) + 1, [len(bucket_np)])) \
+        if len(bucket_np) else np.array([0, 0])
+    written_buckets = []
+    for gi in range(len(bounds) - 1):
+        lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+        if hi == lo:
+            continue
+        b = int(bucket_np[lo])
+        atomic_write_parquet(
+            os.path.join(index_dir, "stage_postings", f"bucket={b:04d}",
+                         f"part-{pidx:05d}.parquet"),
+            staged.slice(lo, hi - lo))
+        written_buckets.append(b)
     atomic_write_parquet(os.path.join(index_dir, "idmap", f"part-{pidx:05d}.parquet"),
                          pa.table(idmap_cols))
 
@@ -264,40 +302,40 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
         "pidx": pidx, "fingerprint": part["fingerprint"], "rows": n_rows,
         "docid_base": base, "shard": part["shard"], "path": part["path"],
         "field_stats": field_stats, "postings_rows": staged.num_rows,
-        "postings_emitted": n_postings,
+        "postings_emitted": n_postings, "buckets": written_buckets,
         "wall_sec": round(time.perf_counter() - t0, 4), "skipped": False,
     }
     atomic_write_json(stats_path, summary)
     return summary
 
 
-def merge_group(group: pa.Table, index_dir: str, build_id: str) -> pa.Table:
-    """Stage B reducer for one (shard, bucket) group (inside a Ray task).
+def merge_reducer(task: dict, index_dir: str, build_id: str) -> dict:
+    """Stage B reducer for one (shard, bucket) key (inside a Ray task).
 
-    Concatenates each term's partial runs in partition (== docid-base)
-    order — the merge=concat operator (reference: quiver.rs:792-890,
-    keeper.rs:4166-4218) — then block-encodes.  Returns a one-row summary.
+    Reads exactly its own pre-bucketed partial files (the reduce-side
+    fetch of the explicit hash shuffle), concatenates each term's partial
+    runs in partition (== docid-base) order — the merge=concat operator
+    (reference: quiver.rs:792-890, keeper.rs:4166-4218) — and
+    block-encodes.  Returns a summary dict.
     """
-    def summary_table(s: dict) -> pa.Table:
-        return pa.table({
-            "shard": pa.array([s["shard"]], type=pa.int64()),
-            "bucket": pa.array([s["bucket"]], type=pa.int64()),
-            "terms": pa.array([s["terms"]], type=pa.int64()),
-            "postings": pa.array([s["postings"]], type=pa.int64()),
-            "bytes": pa.array([s["bytes"]], type=pa.int64()),
-            "skipped": pa.array([s["skipped"]], type=pa.bool_()),
-        })
-
-    shard = int(group["shard"][0].as_py())
-    bucket = int(group["bucket"][0].as_py())
+    _cap_worker_threads()
+    shard, bucket = int(task["shard"]), int(task["bucket"])
     out_path = os.path.join(index_dir, "termtable", f"shard={shard:04d}", f"bucket={bucket:04d}.parquet")
     marker = out_path + ".done.json"
     done = read_json(marker)
     if done is not None and done.get("build_id") == build_id and os.path.exists(out_path):
         done["skipped"] = True
-        return summary_table(done)
+        return done
 
     t0 = time.perf_counter()
+    files = [f for f in task["files"] if os.path.exists(f)]
+    if not files:
+        summary = {"shard": shard, "bucket": bucket, "build_id": build_id,
+                   "terms": 0, "postings": 0, "bytes": 0, "wall_sec": 0.0,
+                   "skipped": False}
+        atomic_write_json(marker, summary)
+        return summary
+    group = pa.concat_tables([pq.read_table(f) for f in files])
     group = group.sort_by([("field", "ascending"), ("term", "ascending"), ("pidx", "ascending")])
     fields = group["field"].combine_chunks().to_numpy()
     terms = group["term"].combine_chunks()
@@ -338,7 +376,7 @@ def merge_group(group: pa.Table, index_dir: str, build_id: str) -> pa.Table:
         "wall_sec": round(time.perf_counter() - t0, 4), "skipped": False,
     }
     atomic_write_json(marker, summary)
-    return summary_table(summary)
+    return summary
 
 
 def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS,
@@ -370,23 +408,52 @@ def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS
             "skipped": [r["skipped"] for r in out],
         })
 
+    t_plan_done = time.perf_counter()
     part_ds = rd.from_items(parts, override_num_blocks=max(1, n_parts))
     summaries = part_ds.map_batches(_stage_a, batch_format="pyarrow", batch_size=1,
                                     zero_copy_batch=True).take_all()
+    t_a_done = time.perf_counter()
     # partition stats live in partstats/*.json (written atomically per task)
     part_stats = [read_json(os.path.join(index_dir, "partstats", f"part-{p['pidx']:05d}.json"))
                   for p in parts]
     assert all(s is not None and s["fingerprint"] == p["fingerprint"]
                for s, p in zip(part_stats, parts)), "stage A incomplete"
 
-    # ---- Stage B: the posting-merge shuffle ----
-    # explicit file list: never pick up stale partials from an older plan
-    staged_files = [os.path.join(index_dir, "stage_postings", f"part-{p['pidx']:05d}.parquet")
-                    for p in parts]
-    staged = rd.read_parquet(staged_files)
-    merged = staged.groupby(["shard", "bucket"]).map_groups(
-        lambda g: merge_group(g, index_dir, build_id), batch_format="pyarrow")
-    merge_summaries = merged.take_all()
+    # ---- Stage B: the posting-merge shuffle (explicit hash exchange) ----
+    # stage A already wrote partials pre-split by bucket; each reducer key
+    # (shard, bucket) reads exactly the bucket files of its shard's
+    # partitions — explicit file lists so stale partials from an older
+    # plan are never picked up
+    parts_by_shard: dict[int, list[int]] = {}
+    for p in parts:
+        parts_by_shard.setdefault(p["shard"], []).append(p["pidx"])
+    reduce_tasks = []
+    for sh in sorted(parts_by_shard):
+        for b in range(cfg.num_buckets):
+            reduce_tasks.append({
+                "shard": sh, "bucket": b,
+                "files": [os.path.join(index_dir, "stage_postings", f"bucket={b:04d}",
+                                       f"part-{pidx:05d}.parquet")
+                          for pidx in parts_by_shard[sh]],
+            })
+
+    def _stage_b(batch: pa.Table) -> pa.Table:
+        out = [merge_reducer(t, index_dir, build_id) for t in batch.to_pylist()]
+        return pa.table({
+            "shard": pa.array([s["shard"] for s in out], type=pa.int64()),
+            "bucket": pa.array([s["bucket"] for s in out], type=pa.int64()),
+            "terms": pa.array([s["terms"] for s in out], type=pa.int64()),
+            "postings": pa.array([s["postings"] for s in out], type=pa.int64()),
+            "bytes": pa.array([s["bytes"] for s in out], type=pa.int64()),
+            "skipped": pa.array([s["skipped"] for s in out], type=pa.bool_()),
+            "wall_sec": pa.array([s.get("wall_sec", 0.0) for s in out], type=pa.float64()),
+        })
+
+    n_red = len(reduce_tasks)
+    red_ds = rd.from_items(reduce_tasks, override_num_blocks=max(1, n_red))
+    merge_summaries = red_ds.map_batches(_stage_b, batch_format="pyarrow",
+                                         batch_size=4).take_all()
+    t_b_done = time.perf_counter()
 
     # ---- Stage C: stats rollup + manifest (tiny, driver-side) ----
     field_names = [f.name for f in spec.fields]
@@ -428,6 +495,11 @@ def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS
             "terms_encoded": int(sum(m["terms"] for m in merge_summaries)),
             "stage_a_skipped": int(sum(1 for s in summaries if s["skipped"])),
             "stage_b_skipped": int(sum(1 for m in merge_summaries if m["skipped"])),
+            "plan_wall_sec": round(t_plan_done - t_start, 4),
+            "stage_a_wall_sec": round(t_a_done - t_plan_done, 4),
+            "stage_a_task_sec": round(sum(s.get("wall_sec", 0) for s in part_stats), 4),
+            "stage_b_wall_sec": round(t_b_done - t_a_done, 4),
+            "stage_b_task_sec": round(sum(m.get("wall_sec", 0) for m in merge_summaries), 4),
             "build_wall_sec": round(time.perf_counter() - t_start, 4),
         },
     }

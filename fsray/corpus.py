@@ -111,10 +111,18 @@ def write_code_corpus(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 
     marker = os.path.join(out_dir, f".complete-{n_docs}-{seed}-{n_files}")
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths):
         return paths
+    # regenerating under a different config: drop stale markers so an old
+    # one can never claim the new files (observed: a 60k regeneration left
+    # a stale 120k marker and later runs silently used the wrong corpus)
+    for f in os.listdir(out_dir):
+        if f.startswith(".complete-"):
+            os.unlink(os.path.join(out_dir, f))
     table = generate_code_corpus(n_docs, seed)
     splits = np.array_split(np.arange(n_docs), n_files)
     for p, idx in zip(paths, splits):
-        pq.write_table(table.take(pa.array(idx)), p)
+        # small row groups so the build planner can split files into
+        # row-group partitions (one giant row group = no parallelism)
+        pq.write_table(table.take(pa.array(idx)), p, row_group_size=1024)
     with open(marker, "w") as f:
         f.write("ok")
     return paths

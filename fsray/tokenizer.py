@@ -31,6 +31,12 @@ dropped *after* analysis so surviving tokens keep their position gaps
 
 from __future__ import annotations
 
+import os
+
+# cap per-process thread pools BEFORE polars import: inside Ray workers an
+# uncapped pool per worker (32 workers × 32 threads) destroys scaling
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -39,6 +45,8 @@ from fsray.contract import MAX_TOKEN_BYTES, fieldnorm_to_id
 
 #: RE2 class for "not alphanumeric" (letters + all numeric categories).
 _SPLIT_PATTERN = r"[^\p{L}\p{N}]+"
+#: positive token class (polars extract_all — the fast vectorized kernel)
+_TOKEN_PATTERN = r"[\p{L}\p{N}]+"
 
 
 def tokenize_scalar(text: str) -> list[str]:
@@ -69,32 +77,32 @@ def tokenize_scalar(text: str) -> list[str]:
     return [t for t in tokens if len(t.encode("utf-8")) <= MAX_TOKEN_BYTES]
 
 
-def tokenize_column(column: pa.ChunkedArray | pa.Array) -> pa.ListArray:
-    """Vectorized tokenize of a string column -> list<string> of tokens.
+def tokenize_column(column: pa.ChunkedArray | pa.Array) -> pa.LargeListArray:
+    """Vectorized tokenize of a string column -> large_list<string> of tokens.
 
-    Zero Python-per-row work: RE2 split + vectorized lowercase on the
-    flattened values buffer.
+    Hot path: polars ``extract_all`` of the positive token class (Rust
+    regex — ~2.3× Arrow's RE2 split) then Arrow ``utf8_lower`` on the
+    flattened values (split-before-lower semantics preserved).  Oversized
+    tokens (> 65,530 bytes) are dropped on a slow path that almost never
+    triggers.
     """
+    import polars as pl
     if isinstance(column, pa.ChunkedArray):
         column = column.combine_chunks()
-    split = pc.split_pattern_regex(column, pattern=_SPLIT_PATTERN)
-    # Leading/trailing separators produce empty tokens; drop them (and any
-    # oversized tokens) on the flattened child array, then reassemble.
-    flat = split.flatten()
-    keep = pc.and_(
-        pc.greater(pc.binary_length(flat), 0),
-        pc.less_equal(pc.binary_length(flat), MAX_TOKEN_BYTES),
-    )
+    toks = pl.from_arrow(column).str.extract_all(_TOKEN_PATTERN).to_arrow()
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
     lowered = pc.utf8_lower(flat)
-
-    offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    keep_np = keep.to_numpy(zero_copy_only=False)
-    # new offsets = exclusive scan of kept counts per row
-    kept_cum = np.zeros(len(keep_np) + 1, dtype=np.int64)
-    np.cumsum(keep_np, out=kept_cum[1:])
-    new_offsets = kept_cum[offsets]
-    new_values = lowered.filter(keep)
-    return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int32()), new_values)
+    if len(flat) and int(pc.max(pc.binary_length(flat)).as_py() or 0) > MAX_TOKEN_BYTES:
+        keep = pc.less_equal(pc.binary_length(flat), MAX_TOKEN_BYTES)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        kept_cum = np.zeros(len(keep_np) + 1, dtype=np.int64)
+        np.cumsum(keep_np, out=kept_cum[1:])
+        return pa.LargeListArray.from_arrays(
+            pa.array(kept_cum[offsets], type=pa.int64()), lowered.filter(keep))
+    return pa.LargeListArray.from_arrays(toks.offsets, lowered)
 
 
 def tokenize_table(table: pa.Table, text_column: str = "content") -> pa.ListArray:
