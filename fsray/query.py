@@ -38,11 +38,21 @@ MAX_QUERY_CHARS = 10_000
 
 @dataclass(frozen=True)
 class Clause:
-    """One scoring leaf: a term scoped to one field with a boost."""
+    """One scoring leaf: a term scoped to one field with a boost.
+
+    ``glob=True`` marks a wildcard pattern (``*``/``?``) to be expanded
+    against the term dictionary into a bounded disjunction at execution
+    time (reference: query.rs:3415-3468, limit 16,384 at config.rs:33)."""
     field: str
     term: str
     boost: float
     group: str  # "should" | "must" | "must_not"
+    glob: bool = False
+    #: atom group id: a Must ATOM expands over the default fields as a
+    #: DISJUNCTION of field branches (query.rs:366-368) — a doc satisfies
+    #: the atom if ANY branch matches; all branches still score.  Clauses
+    #: sharing ``atom`` belong to one such required group.
+    atom: int = -1
 
 
 @dataclass
@@ -71,13 +81,27 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
     should: list[Clause] = []
     must: list[Clause] = []
     must_not: list[Clause] = []
+    atom_counter = [0]
 
     def emit(atom: str, group: str, scoped_field: str | None = None) -> None:
-        terms = tokenize_scalar(atom)
         targets = [(scoped_field, 1.0)] if scoped_field else default_fields
-        for term in terms:
+        if ("*" in atom or "?" in atom) and any(ch.isalnum() for ch in atom):
+            # wildcard atom: keep the pattern whole (lowercased), defer
+            # dictionary expansion to the executor
+            pat = atom.lower()
+            aid = atom_counter[0]
+            atom_counter[0] += 1
             for fname, boost in targets:
-                cl = Clause(fname, term, boost, group)
+                cl = Clause(fname, pat, boost, group, glob=True, atom=aid)
+                (must_not if group == "must_not" else
+                 must if group == "must" else should).append(cl)
+            return
+        terms = tokenize_scalar(atom)
+        for term in terms:
+            aid = atom_counter[0]
+            atom_counter[0] += 1
+            for fname, boost in targets:
+                cl = Clause(fname, term, boost, group, atom=aid)
                 if group == "must_not":
                     if not any(c.field == fname and c.term == term for c in must_not):
                         must_not.append(cl)

@@ -57,6 +57,7 @@ class ScoringClause:
     tf_cache: np.ndarray      # 256-entry cache for this clause's field
     fn_ids: np.ndarray        # uint8 fieldnorm id per POSTING (pre-gathered)
     group: str                # "should" | "must"
+    atom: int = -1            # must-atom group id (any branch satisfies)
     # block-max sidecars (None when the clause was decoded without them)
     max_tf_code: np.ndarray | None = None
     min_fieldnorm_id: np.ndarray | None = None
@@ -69,6 +70,9 @@ class ScoringClause:
 class TopK:
     docids: np.ndarray
     scores: np.ndarray
+    #: exact count of live matches in this shard (argus.rs:5342-5351
+    #: with_exact_count lane); -1 when the kernel pruned and cannot count
+    count: int = -1
 
     def as_keys(self) -> np.ndarray:
         return pack_score_docid(self.scores.astype(np.float32), self.docids)
@@ -96,25 +100,32 @@ def _finalize(scores: np.ndarray, candidates: np.ndarray, lo: int, k: int,
 
 def topk_exhaustive(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
                     lo: int, size: int, k: int, dtype=np.float32) -> TopK:
-    """Reference kernel: score every matching document, then select top-k."""
+    """Reference kernel: score every matching document, then select top-k.
+
+    A Must ATOM (clauses sharing ``atom``) is satisfied by ANY of its field
+    branches; a doc must satisfy EVERY must atom (query.rs:366-368 field
+    expansion under canonical Must grouping)."""
     scores = np.zeros(size, dtype=dtype)
     matched = np.zeros(size, dtype=bool)
-    n_must = sum(1 for c in clauses if c.group == "must")
-    must_hits = np.zeros(size, dtype=np.uint16) if n_must else None
+    must_atoms = sorted({c.atom for c in clauses if c.group == "must"})
+    atom_hits = {a: np.zeros(size, dtype=bool) for a in must_atoms}
 
     for c in clauses:  # canonical order — f32 summation order contract
         idx = c.docids.astype(np.int64) - lo
         s = score_postings(c.tfs, c.fn_ids, c.tf_cache, c.weight, dtype=dtype)
         scores[idx] += s
         matched[idx] = True
-        if must_hits is not None and c.group == "must":
-            must_hits[idx] += 1
+        if c.group == "must":
+            atom_hits[c.atom][idx] = True
 
-    if must_hits is not None:
-        matched &= must_hits == n_must
+    for a in must_atoms:
+        matched &= atom_hits[a]
     for mn in must_not_docids:
         matched[mn.astype(np.int64) - lo] = False
-    return _finalize(scores, np.flatnonzero(matched), lo, k, dtype)
+    cand = np.flatnonzero(matched)
+    out = _finalize(scores, cand, lo, k, dtype)
+    out.count = int(len(cand))
+    return out
 
 
 def _window_bounds(clauses: list[ScoringClause], lo: int, size: int,
@@ -149,7 +160,7 @@ def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
     norm, IEEE ops monotone), window bound = same-order clause sum of
     per-window maxima ≥ any document's exact score in the window.
     """
-    n_must = sum(1 for c in clauses if c.group == "must")
+    must_atoms = sorted({c.atom for c in clauses if c.group == "must"})
     win_ub = _window_bounds(clauses, lo, size, dtype=dtype)
     order = np.argsort(win_ub)[::-1]  # descending upper bound
 
@@ -163,7 +174,7 @@ def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
         wsize = w_hi - w_lo
         scores = np.zeros(wsize, dtype=dtype)
         matched = np.zeros(wsize, dtype=bool)
-        must_hits = np.zeros(wsize, dtype=np.uint16) if n_must else None
+        atom_hits = {a: np.zeros(wsize, dtype=bool) for a in must_atoms}
         for c in clauses:
             a = np.searchsorted(c.docids, np.uint32(w_lo))
             b = np.searchsorted(c.docids, np.uint32(w_hi))
@@ -173,10 +184,10 @@ def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
             s = score_postings(c.tfs[a:b], c.fn_ids[a:b], c.tf_cache, c.weight, dtype=dtype)
             scores[idx] += s
             matched[idx] = True
-            if must_hits is not None and c.group == "must":
-                must_hits[idx] += 1
-        if must_hits is not None:
-            matched &= must_hits == n_must
+            if c.group == "must":
+                atom_hits[c.atom][idx] = True
+        for aa in must_atoms:
+            matched &= atom_hits[aa]
         for mn in must_not_docids:
             a = np.searchsorted(mn, np.uint32(w_lo))
             b = np.searchsorted(mn, np.uint32(w_hi))

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from fsray import codec
@@ -89,6 +90,20 @@ class ShardData:
     def size(self) -> int:
         return self.hi - self.lo
 
+    def glob_terms(self, field_ord: int, pattern: str, limit: int = 16_384) -> list[str]:
+        """Terms in this shard matching a glob pattern (dictionary prefix/
+        wildcard scan — reference: query.rs:3415-3468; cap config.rs:33)."""
+        if self.term_table is None:
+            return []
+        # glob -> SQL LIKE (full-match): * -> %, ? -> _ (escape %/_ first)
+        like = (pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+                .replace("*", "%").replace("?", "_"))
+        t = self.term_table
+        mask = pc.and_(pc.equal(t["field"], field_ord),
+                       pc.match_like(t["term"], like))
+        out = t["term"].filter(mask).to_pylist()
+        return sorted(out)[:limit]
+
     def dfs(self, keys: list[tuple[int, str]]) -> np.ndarray:
         """Per-(field_ord, term) doc_freq within this shard."""
         out = np.zeros(len(keys), dtype=np.int64)
@@ -119,26 +134,32 @@ class ShardData:
         avgdl, group}] in canonical order, plus must_not term keys."""
         clauses: list[ScoringClause] = []
         must_not: list[np.ndarray] = []
+        must_atom_ok: dict[int, bool] = {}
+        for cs in clause_specs:
+            if cs["group"] == "must":
+                must_atom_ok.setdefault(cs.get("atom", -1), False)
         for cs in clause_specs:
             dec = self.decode((cs["field_ord"], cs["term"]))
             if dec is None:
-                if cs["group"] == "must":
-                    return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype))  # Must term absent
                 continue
+            if cs["group"] == "must":
+                must_atom_ok[cs.get("atom", -1)] = True
             if cs["group"] == "must_not":
                 must_not.append(dec.docids)
                 continue
+            pass
             fn_arr = self.fn[cs["field_ord"]]
             clauses.append(ScoringClause(
                 docids=dec.docids, tfs=dec.tfs, weight=dtype(cs["weight"]),
                 tf_cache=compute_tf_cache(np.float32(cs["avgdl"]), dtype=dtype),
                 fn_ids=fn_arr[dec.docids.astype(np.int64) - self.lo],
-                group=cs["group"], max_tf_code=dec.max_tf_code,
+                group=cs["group"], atom=cs.get("atom", -1), max_tf_code=dec.max_tf_code,
                 min_fieldnorm_id=dec.min_fieldnorm_id, first_docs=dec.first_docs,
                 last_docs=dec.last_docs, avgdl=cs["avgdl"],
             ))
-        if not clauses:
-            return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype))
+        if not clauses or not all(must_atom_ok.values()):
+            # some required atom has no posting list in this shard at all
+            return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype), count=0)
         cost = int(sum(len(c.docids) for c in clauses))
         use_pruned = (mode == "pruned") or (
             mode == "auto" and dtype == np.float32 and len(clauses) >= 2
@@ -174,7 +195,7 @@ def _clause_specs(parsed: ParsedQuery, manifest: dict, global_dfs: dict,
         n = stats[cl.field]["doc_count"]
         df = int(global_dfs.get((ordn, cl.term), 0))
         spec = {"field_ord": ordn, "term": cl.term, "group": cl.group,
-                "avgdl": avgdl[cl.field], "weight": 0.0}
+                "avgdl": avgdl[cl.field], "weight": 0.0, "atom": cl.atom}
         if cl.group != "must_not" and df > 0:
             spec["weight"] = float(term_weight(df, n, cl.boost, dtype=dtype))
         specs.append(spec)
@@ -198,6 +219,10 @@ def _merge_topk(per_shard: list[TopK], k: int, dtype=np.float32) -> tuple[np.nda
 class LocalIndex:
     """All shards loaded in-process. The oracle/test execution surface."""
 
+    #: ranked-query cache capacity (reference: 64-set/4-way per-epoch
+    #: cache, index.rs:278-280,7405-7441 — flat FIFO of the same size)
+    CACHE_SLOTS = 256
+
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
@@ -206,22 +231,78 @@ class LocalIndex:
         self.shards = [ShardData(index_dir, int(s), self.manifest)
                        for s in sorted(self.manifest["shards"], key=int)]
         self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]]
+        self._cache: dict = {}
+
+    def _expand_globs(self, parsed: ParsedQuery) -> ParsedQuery:
+        """Lower glob clauses to bounded term disjunctions against the
+        merged term dictionary (reference: query.rs:3415-3468; glob under
+        Must degrades to a Should-disjunction — documented divergence)."""
+        if not any(c.glob for c in parsed.should + parsed.must + parsed.must_not):
+            return parsed
+        from fsray.query import Clause
+        out = {"should": [], "must": [], "must_not": []}
+        for group, lst in (("must", parsed.must), ("should", parsed.should),
+                           ("must_not", parsed.must_not)):
+            for cl in lst:
+                if not cl.glob:
+                    out[group].append(cl)
+                    continue
+                ordn = self._ord(cl.field)
+                if ordn is None:
+                    continue
+                terms: set[str] = set()
+                for sh in self.shards:
+                    terms.update(sh.glob_terms(ordn, cl.term))
+                tgt = "must_not" if group == "must_not" else "should"
+                for t in sorted(terms)[:16_384]:
+                    out[tgt].append(Clause(cl.field, t, cl.boost, tgt))
+        return ParsedQuery(should=out["should"], must=out["must"],
+                           must_not=out["must_not"])
 
     def search(self, text: str, k: int = 10, dtype=np.float32, mode: str = "auto") -> list[Hit]:
+        hits, _ = self.search_paginated(text, limit=k, offset=0, dtype=dtype, mode=mode)
+        return hits
+
+    def search_paginated(self, text: str, limit: int = 10, offset: int = 0,
+                         exact_count: bool = False, dtype=np.float32,
+                         mode: str = "auto") -> tuple[list[Hit], int | None]:
+        """Paginated search (reference: index.rs:7249-7511): each shard
+        keeps limit+offset candidates, the global merge applies the offset
+        last (argus.rs:5353-5360).  ``exact_count=True`` forces the
+        exhaustive kernel so per-shard match counts are exact
+        (argus.rs:5342-5351)."""
+        key = (text, limit, offset, exact_count, mode, np.dtype(dtype).name)
+        cached = self._cache.get(key)
+        if cached is not None:
+            return cached
         parsed = parse_query(text, default_fields=self.default_fields)
+        parsed = self._expand_globs(parsed)
         if parsed.is_empty:
-            return []
+            result: tuple[list[Hit], int | None] = ([], 0 if exact_count else None)
+            self._put_cache(key, result)
+            return result
         keys = sorted({(self._ord(c.field), c.term)
                        for c in parsed.scoring_clauses() if self._ord(c.field) is not None})
         df_sum: dict = {}
         for sh in self.shards:
-            for key, df in zip(keys, sh.dfs(keys)):
-                df_sum[key] = df_sum.get(key, 0) + int(df)
+            for tk, df in zip(keys, sh.dfs(keys)):
+                df_sum[tk] = df_sum.get(tk, 0) + int(df)
         specs = _clause_specs(parsed, self.manifest, df_sum, dtype=dtype)
-        per_shard = [sh.topk(specs, k, dtype=dtype, mode=mode) for sh in self.shards]
+        k = limit + offset
+        eff_mode = "exhaustive" if exact_count else mode
+        per_shard = [sh.topk(specs, k, dtype=dtype, mode=eff_mode) for sh in self.shards]
         docids, scores = _merge_topk(per_shard, k, dtype=dtype)
+        docids, scores = docids[offset:], scores[offset:]
+        total = sum(t.count for t in per_shard) if exact_count else None
         ids = self._materialize(docids)
-        return [Hit(i, int(d), float(s)) for i, d, s in zip(ids, docids, scores)]
+        result = ([Hit(i, int(d), float(s)) for i, d, s in zip(ids, docids, scores)], total)
+        self._put_cache(key, result)
+        return result
+
+    def _put_cache(self, key, value) -> None:
+        if len(self._cache) >= self.CACHE_SLOTS:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = value
 
     def _ord(self, field: str) -> int | None:
         for f in self.manifest["fields"]:
@@ -246,12 +327,15 @@ class ShardSearcherActor:
         manifest = load_manifest(index_dir)
         self.shard = ShardData(index_dir, shard_id, manifest)
 
+    def glob_terms(self, field_ord: int, pattern: str, limit: int = 16_384) -> list[str]:
+        return self.shard.glob_terms(field_ord, pattern, limit)
+
     def dfs(self, keys: list[tuple[int, str]]) -> np.ndarray:
         return self.shard.dfs(keys)
 
-    def topk(self, specs: list[dict], k: int, mode: str = "auto") -> tuple[np.ndarray, np.ndarray]:
+    def topk(self, specs: list[dict], k: int, mode: str = "auto") -> tuple[np.ndarray, np.ndarray, int]:
         t = self.shard.topk(specs, k, dtype=np.float32, mode=mode)
-        return t.docids, t.scores
+        return t.docids, t.scores, t.count
 
     def materialize(self, docids: np.ndarray) -> list[str]:
         return self.shard.materialize(docids)
@@ -270,10 +354,48 @@ class RayIndex:
         self._ray = ray
 
     def search(self, text: str, k: int = 10, mode: str = "auto") -> list[Hit]:
+        hits, _ = self.search_paginated(text, limit=k, offset=0, mode=mode)
+        return hits
+
+    def _expand_globs(self, parsed: ParsedQuery) -> ParsedQuery:
+        """Distributed glob lowering: gather matching terms from every
+        shard actor in one RPC round, union, cap at 16,384."""
+        globs = [c for c in parsed.should + parsed.must + parsed.must_not if c.glob]
+        if not globs:
+            return parsed
+        ray = self._ray
+        from fsray.query import Clause
+        field_ord = {f["name"]: f["ord"] for f in self.manifest["fields"]}
+        futs = {i: [a.glob_terms.remote(field_ord[cl.field], cl.term)
+                    for a in self.actors.values()]
+                for i, cl in enumerate(globs) if cl.field in field_ord}
+        expanded: dict[int, list[str]] = {
+            i: sorted(set().union(*map(set, ray.get(f))))[:16_384]
+            for i, f in futs.items()}
+        out = {"should": [], "must": [], "must_not": []}
+        gi = 0
+        for group, lst in (("must", parsed.must), ("should", parsed.should),
+                           ("must_not", parsed.must_not)):
+            for cl in lst:
+                if not cl.glob:
+                    out[group].append(cl)
+                    continue
+                idx = globs.index(cl)
+                tgt = "must_not" if group == "must_not" else "should"
+                for t in expanded.get(idx, []):
+                    out[tgt].append(Clause(cl.field, t, cl.boost, tgt))
+                gi += 1
+        return ParsedQuery(should=out["should"], must=out["must"],
+                           must_not=out["must_not"])
+
+    def search_paginated(self, text: str, limit: int = 10, offset: int = 0,
+                         exact_count: bool = False,
+                         mode: str = "auto") -> tuple[list[Hit], int | None]:
         ray = self._ray
         parsed = parse_query(text, default_fields=self.default_fields)
+        parsed = self._expand_globs(parsed)
         if parsed.is_empty:
-            return []
+            return [], (0 if exact_count else None)
         field_ord = {f["name"]: f["ord"] for f in self.manifest["fields"]}
         keys = sorted({(field_ord[c.field], c.term) for c in parsed.scoring_clauses()
                        if c.field in field_ord})
@@ -283,9 +405,13 @@ class RayIndex:
             for key, df in zip(keys, dfl):
                 df_sum[key] = df_sum.get(key, 0) + int(df)
         specs = _clause_specs(parsed, self.manifest, df_sum, dtype=np.float32)
-        results = ray.get([a.topk.remote(specs, k, mode) for a in self.actors.values()])
-        per_shard = [TopK(d, s) for d, s in results]
+        k = limit + offset
+        eff_mode = "exhaustive" if exact_count else mode
+        results = ray.get([a.topk.remote(specs, k, eff_mode) for a in self.actors.values()])
+        per_shard = [TopK(d, s, count=c) for d, s, c in results]
+        total = sum(t.count for t in per_shard) if exact_count else None
         docids, scores = _merge_topk(per_shard, k, dtype=np.float32)
+        docids, scores = docids[offset:], scores[offset:]
         # materialize winners via their owning shards (IDMAP lookup after
         # selection — the reference's two-phase materialization, PLAN.md §10.3)
         shard_ids = sorted(self.actors)
@@ -302,4 +428,4 @@ class RayIndex:
         for pos, fut in futs:
             for p, val in zip(pos, ray.get(fut)):
                 ids[p] = val
-        return [Hit(i, int(d), float(s)) for i, d, s in zip(ids, docids, scores)]
+        return [Hit(i, int(d), float(s)) for i, d, s in zip(ids, docids, scores)], total

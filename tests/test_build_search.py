@@ -65,19 +65,18 @@ def brute_force(paths, query_text, k=10):
 
     scores = np.zeros(n, dtype=np.float32)
     matched = np.zeros(n, dtype=bool)
-    must_mask = np.ones(n, dtype=bool)
+    atom_hits: dict = {}
+    for cl in parsed.must:
+        atom_hits.setdefault(cl.atom, np.zeros(n, dtype=bool))
     for cl in clauses:
         key = (cl.field, cl.term)
         d = df.get(key, 0)
         if d == 0:
-            if cl.group == "must":
-                return []
             continue
         total, nn = field_stats[cl.field]
         avgdl = float(np.float32(total) / np.float32(nn))
         w = term_weight(d, nn, cl.boost, dtype=np.float32)
         cache = compute_tf_cache(np.float32(avgdl), dtype=np.float32)
-        hit = np.zeros(n, dtype=bool)
         for i, (_, fields) in enumerate(docs):
             toks = fields[cl.field]
             tf = toks.count(cl.term)
@@ -86,10 +85,10 @@ def brute_force(paths, query_text, k=10):
                 s = np.float32(w) * np.float32(tf) / (np.float32(tf) + cache[fn_id])
                 scores[i] += s
                 matched[i] = True
-                hit[i] = True
-        if cl.group == "must":
-            must_mask &= hit
-    matched &= must_mask
+                if cl.group == "must":
+                    atom_hits[cl.atom][i] = True
+    for hit in atom_hits.values():
+        matched &= hit
     for cl in parsed.must_not:
         for i, (_, fields) in enumerate(docs):
             if cl.term in fields[cl.field]:

@@ -64,26 +64,26 @@ def _brute_force(corpus, query_text, k=10):
     field_stats = {f: sum(len(d[1][f]) for d in docs) for f in ("content", "title")}
     scores = np.zeros(n, dtype=np.float32)
     matched = np.zeros(n, dtype=bool)
-    must_mask = np.ones(n, dtype=bool)
+    atom_hits: dict = {}
+    for cl in parsed.must:
+        atom_hits.setdefault(cl.atom, np.zeros(n, dtype=bool))
     for cl in parsed.scoring_clauses():
         d = df.get((cl.field, cl.term), 0)
         if d == 0:
-            if cl.group == "must":
-                return []
             continue
         avgdl = float(np.float32(field_stats[cl.field]) / np.float32(n))
         w = term_weight(d, n, cl.boost, dtype=np.float32)
         cache = compute_tf_cache(np.float32(avgdl), dtype=np.float32)
-        hit = np.zeros(n, dtype=bool)
         for i, (_, fields) in enumerate(docs):
             tf = fields[cl.field].count(cl.term)
             if tf:
                 fn_id = fieldnorm_to_id(len(fields[cl.field]))
                 scores[i] += np.float32(w) * np.float32(tf) / (np.float32(tf) + cache[fn_id])
-                matched[i] = hit[i] = True
-        if cl.group == "must":
-            must_mask &= hit
-    matched &= must_mask
+                matched[i] = True
+                if cl.group == "must":
+                    atom_hits[cl.atom][i] = True
+    for hit in atom_hits.values():
+        matched &= hit
     cand = np.flatnonzero(matched)
     order = sorted(cand, key=lambda i: (-scores[i], i))[:k]
     return [(docs[i][0], float(scores[i])) for i in order]

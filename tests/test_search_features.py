@@ -1,0 +1,98 @@
+"""Pagination, exact count, glob expansion, ranked-query cache."""
+
+import fnmatch
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from fsray.search import LocalIndex
+from fsray.tokenizer import tokenize_scalar
+
+
+def _corpus_docs(paths):
+    docs = []
+    for p in sorted(paths):
+        for row in pq.read_table(p).to_pylist():
+            docs.append((f"{row['repo']}/{row['path']}@{row['commit']}",
+                         tokenize_scalar(row["content"] or ""),
+                         tokenize_scalar(row["path"] or "")))
+    return docs
+
+
+def test_pagination_consistency(small_corpus):
+    idx = LocalIndex(small_corpus["index_dir"])
+    full, total = idx.search_paginated("merge split encode", limit=30, offset=0,
+                                       exact_count=True)
+    pages = []
+    for off in (0, 10, 20):
+        page, _ = idx.search_paginated("merge split encode", limit=10, offset=off)
+        pages.extend(page)
+    assert [h.doc_id for h in full] == [h.doc_id for h in pages]
+    assert total is not None and total >= len(full)
+
+
+def test_exact_count_matches_brute_force(small_corpus):
+    idx = LocalIndex(small_corpus["index_dir"])
+    docs = _corpus_docs(small_corpus["paths"])
+    for q in ("merge", "fn impl", "+encode +decode"):
+        _, total = idx.search_paginated(q, limit=5, exact_count=True)
+        terms = [t for t in q.replace("+", "").split()]
+        if q.startswith("+"):
+            want = sum(1 for _, c, t in docs
+                       if all(term in c or term in t for term in terms))
+        else:
+            want = sum(1 for _, c, t in docs
+                       if any(term in c or term in t for term in terms))
+        assert total == want, q
+
+
+def test_exact_count_independent_of_pruning(small_corpus):
+    idx = LocalIndex(small_corpus["index_dir"])
+    a, ta = idx.search_paginated("fn impl use let", limit=10, exact_count=True)
+    b, _ = idx.search_paginated("fn impl use let", limit=10, mode="pruned")
+    assert [h.doc_id for h in a] == [h.doc_id for h in b]
+
+
+def test_glob_matches_manual_expansion(small_corpus):
+    idx = LocalIndex(small_corpus["index_dir"])
+    docs = _corpus_docs(small_corpus["paths"])
+    vocab = sorted({t for _, c, ti in docs for t in c} |
+                   {t for _, c, ti in docs for t in ti})
+    for pat in ("par*", "enc*", "?ncode", "dec?de"):
+        expanded = " ".join(t for t in vocab if fnmatch.fnmatchcase(t, pat))
+        got = idx.search(pat, k=10)
+        want = idx.search(expanded, k=10) if expanded else []
+        assert [(h.doc_id, h.score) for h in got] == \
+               [(h.doc_id, h.score) for h in want], pat
+
+
+def test_glob_no_match_and_must_not_glob(small_corpus):
+    idx = LocalIndex(small_corpus["index_dir"])
+    assert idx.search("zzzz*", k=5) == []
+    pos = idx.search("merge", k=50)
+    neg = idx.search("merge -spl*", k=50)
+    # every excluded doc contains a token matching spl*
+    docs = dict((d, c + t) for d, c, t in _corpus_docs(small_corpus["paths"]))
+    excluded = {h.doc_id for h in pos} - {h.doc_id for h in neg}
+    for d in excluded:
+        assert any(tok.startswith("spl") for tok in docs[d]), d
+
+
+def test_query_cache_hit(small_corpus):
+    idx = LocalIndex(small_corpus["index_dir"])
+    idx._cache.clear()
+    r1 = idx.search_paginated("merge buffer", limit=10)
+    assert len(idx._cache) == 1
+    r2 = idx.search_paginated("merge buffer", limit=10)
+    assert r1 is r2  # identity: served from cache
+
+
+def test_ray_index_pagination_and_glob_parity(small_corpus):
+    from fsray.search import RayIndex
+    local = LocalIndex(small_corpus["index_dir"])
+    remote = RayIndex(small_corpus["index_dir"])
+    for q in ("merge buffer", "par*", "+encode +decode", "merge -spl*"):
+        lh, lt = local.search_paginated(q, limit=8, offset=3, exact_count=True)
+        rh, rt = remote.search_paginated(q, limit=8, offset=3, exact_count=True)
+        assert [(h.doc_id, h.score) for h in lh] == [(h.doc_id, h.score) for h in rh], q
+        assert lt == rt, q
