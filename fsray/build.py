@@ -172,12 +172,15 @@ def _postings_schema() -> pa.Schema:
         ("term", pa.string()), ("pidx", pa.uint32()),
         ("docids", pa.large_list(pa.uint32())), ("tfs", pa.large_list(pa.uint32())),
         ("fns", pa.large_list(pa.uint8())),
+        # token positions, concatenated doc-major within each term (POSITIONS
+        # section analogue, segment.rs:44-66); empty lists when positions off
+        ("poss", pa.large_list(pa.uint32())),
     ])
 
 
 def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
                       fn_ids: np.ndarray, shard: int, pidx: int,
-                      num_buckets: int) -> pa.Table:
+                      num_buckets: int, positions: bool = False) -> pa.Table:
     """Per-partition posting partials: one row per term with packed runs.
 
     This is the combiner half of the shuffle (SURVEY §2.4 "radix partition
@@ -201,6 +204,17 @@ def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
     code_u = uniq // n_rows
     docs = uniq % n_rows
     tfs = tfs64.astype(np.uint32)
+    pos_flat = np.zeros(0, dtype=np.uint32)
+    if positions:
+        # per-token position within its doc, grouped by (term_code, doc) in
+        # the SAME (sorted) order np.unique produced, ascending inside each
+        # pair — the POSITIONS stream, doc-major per term
+        starts_np = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts_np[1:])
+        pos_in_doc = (np.arange(len(code_np), dtype=np.int64)
+                      - starts_np[:-1][doc_of]).astype(np.uint32)
+        order = np.lexsort((pos_in_doc, key))
+        pos_flat = pos_in_doc[order]
 
     # term run boundaries (code_u is sorted)
     boundaries = np.flatnonzero(np.diff(code_u)) + 1
@@ -214,6 +228,13 @@ def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
     offsets = pa.array(np.concatenate((starts, [len(code_u)])), type=pa.int64())
     mk = lambda vals, typ: pa.LargeListArray.from_arrays(offsets, pa.array(vals, type=typ))
     n_terms = len(uniq_terms)
+    # per-term position-list offsets = cumsum of tfs at term boundaries
+    tf_cum = np.zeros(len(code_u) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=tf_cum[1:])
+    pos_offsets = pa.array(
+        tf_cum[np.concatenate((starts, [len(code_u)]))] if len(pos_flat)
+        else np.zeros(n_terms + 1, dtype=np.int64), type=pa.int64())
+    poss = pa.LargeListArray.from_arrays(pos_offsets, pa.array(pos_flat, type=pa.uint32()))
     bucket = (_hash_terms(uniq_terms) % np.uint64(num_buckets)).astype(np.uint16)
     return pa.table({
         "shard": pa.array(np.full(n_terms, shard, dtype=np.uint16)),
@@ -224,6 +245,7 @@ def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
         "docids": mk(docids, pa.uint32()),
         "tfs": mk(tfs, pa.uint32()),
         "fns": mk(fns, pa.uint8()),
+        "poss": poss,
     }, schema=_postings_schema())
 
 
@@ -269,7 +291,8 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
         toks = tokenize_column(table[f.source].combine_chunks().fill_null(""))
         counts, fn_ids = token_stats(toks)
         idmap_cols[f"fn_{f.name}"] = pa.array(fn_ids, type=pa.uint8())
-        pt = _partial_postings(f.ord, toks, base, fn_ids, part["shard"], pidx, cfg.num_buckets)
+        pt = _partial_postings(f.ord, toks, base, fn_ids, part["shard"], pidx,
+                               cfg.num_buckets, positions=cfg.positions)
         postings_tables.append(pt)
         if pt.num_rows:
             n_postings += int(pc.sum(pc.list_value_length(pt["docids"].combine_chunks())).as_py())
@@ -347,6 +370,7 @@ def merge_reducer(task: dict, index_dir: str, build_id: str) -> dict:
     docids_l = group["docids"].combine_chunks()
     tfs_l = group["tfs"].combine_chunks()
     fns_l = group["fns"].combine_chunks()
+    poss_l = group["poss"].combine_chunks() if "poss" in group.column_names else None
     run_lens = pc.list_value_length(docids_l).to_numpy(zero_copy_only=False).astype(np.int64)
     flat_docids = docids_l.flatten().to_numpy().astype(np.uint32)
     flat_tfs = tfs_l.flatten().to_numpy().astype(np.uint32)
@@ -359,7 +383,7 @@ def merge_reducer(task: dict, index_dir: str, build_id: str) -> dict:
     np.add.at(lengths, row_of_term, run_lens)
 
     enc = codec.encode_many(lengths, flat_docids, flat_tfs, flat_fns)
-    out = pa.table({
+    cols = {
         "field": pa.array(fields[starts], type=pa.uint8()),
         "term": terms.take(pa.array(starts)),
         "df": enc.df,
@@ -367,7 +391,19 @@ def merge_reducer(task: dict, index_dir: str, build_id: str) -> dict:
         "tf_payload": enc.tf_payload, "tf_widths": enc.tf_widths,
         "first_docs": enc.first_docs, "last_docs": enc.last_docs,
         "blockmax": enc.blockmax,
-    })
+    }
+    if poss_l is not None and len(poss_l.flatten()) > 0:
+        # positions concat in the same run order as docids (doc-major per
+        # term; doc-local values — merge=concat needs no rebase)
+        flat_poss = poss_l.flatten().to_numpy().astype(np.uint32)
+        pos_run_lens = pc.list_value_length(poss_l).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_lengths = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(pos_lengths, row_of_term, pos_run_lens)
+        pos_off = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(pos_lengths, out=pos_off[1:])
+        cols["positions"] = pa.LargeListArray.from_arrays(
+            pa.array(pos_off, type=pa.int64()), pa.array(flat_poss, type=pa.uint32()))
+    out = pa.table(cols)
     atomic_write_parquet(out_path, out)
     summary = {
         "shard": shard, "bucket": bucket, "build_id": build_id,

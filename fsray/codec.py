@@ -216,6 +216,9 @@ class DecodedTerm:
     min_fieldnorm_id: np.ndarray  # u8 per block
     first_docs: np.ndarray  # u32 per block
     last_docs: np.ndarray   # u32 per block
+    #: flat doc-major token positions (sum(tfs) values) — None when the
+    #: index was built without positions (POSITIONS section analogue)
+    positions: np.ndarray | None = None
 
 
 def decode_term(df: int, doc_payload: bytes, doc_widths: bytes, tf_payload: bytes,

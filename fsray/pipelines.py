@@ -56,6 +56,66 @@ def documents_index(sf_dir: str) -> LocalIndex:
     return _INDEX_CACHE[sf_dir]
 
 
+_INDEX_POS_CACHE: dict[str, LocalIndex] = {}
+
+
+def documents_index_pos(sf_dir: str) -> LocalIndex:
+    """Positions-enabled index over ``documents`` (phrase query lane)."""
+    if sf_dir not in _INDEX_POS_CACHE:
+        tag = hashlib.sha256((sf_dir + ":pos").encode()).hexdigest()[:12]
+        index_dir = os.path.join("/tmp", "fsray_index_cache", tag)
+        build_index([os.path.join(sf_dir, "documents.parquet")], index_dir, DOCUMENTS,
+                    BuildConfig(partition_rows=1024, num_shards=4, num_buckets=16,
+                                positions=True))
+        _INDEX_POS_CACHE[sf_dir] = LocalIndex(index_dir)
+    return _INDEX_POS_CACHE[sf_dir]
+
+
+PHRASE_TERMS = ("part", "filter")
+
+
+def bm25_phrase(sf_dir: str, k: int = 10) -> pa.Table:
+    """Exact-adjacency phrase query (positions index, float64 lane)."""
+    idx = documents_index_pos(sf_dir)
+    hits = idx.search(f'"{PHRASE_TERMS[0]} {PHRASE_TERMS[1]}"', k=k, dtype=np.float64)
+    return pa.table({
+        "doc_id": pa.array([int(h.doc_id) for h in hits], type=pa.int64()),
+        "score": pa.array([h.score for h in hits], type=pa.float64()),
+    })
+
+
+def bm25_phrase_oracle_sql(terms: tuple[str, str], k: int = 10) -> str:
+    """Phrase oracle: adjacency freq via list ops, PhraseWeight = (Σ idf)
+    × (1+k1), same f64 op order / fieldnorm floor / f32 avgdl as the term
+    oracle."""
+    t1, t2 = terms
+    fnt_values = ",".join(f"({int(v)})" for v in FIELD_NORMS_TABLE)
+    return f"""
+WITH docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '{SPLIT_SQL}'), x -> x <> '') AS arr
+  FROM documents),
+dlx AS (SELECT doc_id, len(arr) AS dl FROM docs_arr),
+fnt(v) AS (VALUES {fnt_values}),
+dl AS (SELECT doc_id, dl,
+         {K1_F64!r} * (1.0 - {B_F64!r} + {B_F64!r} * CAST((SELECT max(v) FROM fnt WHERE v <= dl) AS DOUBLE)
+                   / (SELECT CAST(CAST(sum(dl) AS REAL) / CAST(count(*) AS REAL) AS DOUBLE) FROM dlx)) AS norm
+       FROM dlx),
+m AS (SELECT doc_id,
+        CAST(len(list_filter(range(1, len(arr)), i -> arr[i] = '{t1}' AND arr[i+1] = '{t2}')) AS DOUBLE) AS freq
+      FROM docs_arr),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n),
+dfs AS (SELECT
+  (SELECT count(*) FROM docs_arr WHERE list_contains(arr, '{t1}')) AS df1,
+  (SELECT count(*) FROM docs_arr WHERE list_contains(arr, '{t2}')) AS df2),
+w AS (SELECT (ln(1.0 + ((CAST((SELECT n FROM stats) - df1 AS DOUBLE)) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+            + ln(1.0 + ((CAST((SELECT n FROM stats) - df2 AS DOUBLE)) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)))
+            * (1.0 + {K1_F64!r}) AS weight FROM dfs)
+SELECT m.doc_id, (SELECT weight FROM w) * (m.freq / (m.freq + dl.norm)) AS score
+FROM m JOIN dl USING (doc_id) WHERE m.freq > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _docs_ds(sf_dir: str):
     import ray.data as rd
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -506,6 +566,7 @@ def make_queries() -> dict:
     for name, (text, k) in BM25_QUERIES.items():
         q[name] = (lambda sf_dir, _t=text, _k=k: bm25_search(sf_dir, _t, _k))
     q.update({
+        "bm25_phrase": bm25_phrase,
         "doc_token_counts": doc_token_counts,
         "text_quality": text_quality,
         "lang_id": lang_id,
@@ -549,6 +610,8 @@ def make_oracle_sql() -> dict:
     o = {}
     for name, (text, k) in BM25_QUERIES.items():
         o[name] = bm25_oracle_sql(text, k)
+
+    o["bm25_phrase"] = bm25_phrase_oracle_sql(PHRASE_TERMS)
 
     o["doc_token_counts"] = f"""
 WITH {_toks2_sql()},

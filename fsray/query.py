@@ -55,20 +55,42 @@ class Clause:
     atom: int = -1
 
 
+@dataclass(frozen=True)
+class PhraseClause:
+    """A quoted phrase scoped to one field (reference: query.rs quoted
+    phrases; scorer semantics PLAN.md §8.3 pinned to Tantivy 0.26.1
+    PhraseWeight: combined weight = Σ_term idf(df_t, N) × (1+k1) × boost,
+    tf = exact-adjacency phrase frequency, slop 0 in v1)."""
+    field: str
+    terms: tuple[str, ...]
+    boost: float
+    group: str  # "should" | "must" | "must_not"
+    atom: int = -1
+
+
 @dataclass
 class ParsedQuery:
     should: list[Clause]
     must: list[Clause]
     must_not: list[Clause]
+    phrases: list[PhraseClause] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.phrases is None:
+            self.phrases = []
 
     @property
     def is_empty(self) -> bool:
-        return not (self.should or self.must)
+        return not (self.should or self.must or
+                    any(p.group != "must_not" for p in self.phrases))
 
     def scoring_clauses(self) -> list[Clause]:
         """Canonical scoring order: Must group then Should group, each in
         construction order (summation order contract, query.rs:355-433)."""
         return list(self.must) + list(self.should)
+
+    def scoring_phrases(self) -> list[PhraseClause]:
+        return [p for p in self.phrases if p.group != "must_not"]
 
 
 def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None,
@@ -82,6 +104,8 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
     must: list[Clause] = []
     must_not: list[Clause] = []
     atom_counter = [0]
+    phrase_counter = [1_000_000]  # phrase atom ids: disjoint from term atoms
+    phrases: list[PhraseClause] = []
 
     def emit(atom: str, group: str, scoped_field: str | None = None) -> None:
         targets = [(scoped_field, 1.0)] if scoped_field else default_fields
@@ -110,29 +134,35 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                 else:
                     should.append(cl)
 
-    # split into atoms, keeping quoted phrases together
-    atoms: list[tuple[str, bool]] = []  # (text, is_phrase)
+    # split into atoms, keeping quoted phrases together; a +/- immediately
+    # before an opening quote applies to the whole phrase (-"a b")
+    atoms: list[tuple[str, bool, str]] = []  # (text, is_phrase, prefix)
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
         if ch.isspace():
             i += 1
             continue
+        prefix = ""
+        if ch in "+-" and i + 1 < n and text[i + 1] == '"':
+            prefix = ch
+            i += 1
+            ch = '"'
         if ch == '"':
             j = text.find('"', i + 1)
             if j == -1:
                 j = n
-            atoms.append((text[i + 1:j], True))
+            atoms.append((text[i + 1:j], True, prefix))
             i = j + 1
         else:
             j = i
             while j < n and not text[j].isspace():
                 j += 1
-            atoms.append((text[i:j], False))
+            atoms.append((text[i:j], False, ""))
             i = j
 
     pending_not = False
-    for atom, is_phrase in atoms:
+    for atom, is_phrase, prefix in atoms:
         if not is_phrase:
             if atom in ("AND", "OR"):
                 continue  # default disjunction; AND handled via '+' (lenient)
@@ -142,13 +172,24 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
         group = "should"
         if pending_not:
             group, pending_not = "must_not", False
+        elif is_phrase and prefix == "-":
+            group = "must_not"
+        elif is_phrase and prefix == "+":
+            group = "must"
         elif not is_phrase and atom.startswith("-") and len(atom) > 1:
             group, atom = "must_not", atom[1:]
         elif not is_phrase and atom.startswith("+") and len(atom) > 1:
             group, atom = "must", atom[1:]
         if is_phrase:
-            # v1 phrase = conjunction of its terms (documented divergence)
-            emit(atom, "must" if group == "should" else group)
+            terms = tuple(tokenize_scalar(atom))
+            if len(terms) == 1:
+                emit(atom, group)
+                continue
+            if terms:
+                aid = phrase_counter[0]
+                phrase_counter[0] += 1
+                for fname, boost in default_fields:
+                    phrases.append(PhraseClause(fname, terms, boost, group, atom=aid))
             continue
         scoped = None
         if ":" in atom:
@@ -157,4 +198,4 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                 scoped, atom = head, rest
         emit(atom, group, scoped)
 
-    return ParsedQuery(should=should, must=must, must_not=must_not)
+    return ParsedQuery(should=should, must=must, must_not=must_not, phrases=phrases)

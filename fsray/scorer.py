@@ -207,3 +207,28 @@ def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
     order_final = np.argsort(best_keys)[::-1]
     scores_f, docids_f = unpack_score_docid(best_keys[order_final])
     return TopK(docids_f, scores_f.astype(dtype))
+
+
+def phrase_matches(decs: list, n_terms_hint: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-adjacency phrase matching over decoded terms WITH positions.
+
+    Fully vectorized: each term's occurrences become packed
+    ``(docid << 32) | (pos - i)`` keys; the running ``np.intersect1d``
+    keeps only positions where term_i appears exactly i tokens after a
+    phrase start (slop 0 — PLAN.md §8.3 exact-position adjacency).
+    Returns (docids, phrase_freqs) for docs with freq ≥ 1.
+    """
+    keys = None
+    for i, dec in enumerate(decs):
+        if dec is None or dec.positions is None:
+            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+        docrep = np.repeat(dec.docids.astype(np.uint64), dec.tfs.astype(np.int64))
+        pos = dec.positions.astype(np.uint64)
+        valid = pos >= i
+        k = (docrep[valid] << np.uint64(32)) | (pos[valid] - np.uint64(i))
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if len(keys) == 0:
+            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+    match_docids = (keys >> np.uint64(32)).astype(np.uint32)
+    uniq, freq = np.unique(match_docids, return_counts=True)
+    return uniq.astype(np.uint32), freq.astype(np.uint32)

@@ -121,12 +121,16 @@ class ShardData:
         if row is None:
             return None
         t = self.term_table
-        return codec.decode_term(
+        dec = codec.decode_term(
             int(t["df"][row].as_py()), t["doc_payload"][row].as_py(),
             t["doc_widths"][row].as_py(), t["tf_payload"][row].as_py(),
             t["tf_widths"][row].as_py(), t["first_docs"][row].as_py(),
             t["last_docs"][row].as_py(), t["blockmax"][row].as_py(),
         )
+        if "positions" in t.column_names:
+            p = t["positions"][row].values
+            dec.positions = p.to_numpy(zero_copy_only=False).astype(np.uint32)
+        return dec
 
     def topk(self, clause_specs: list[dict], k: int, dtype=np.float32,
              mode: str = "auto") -> TopK:
@@ -138,7 +142,30 @@ class ShardData:
         for cs in clause_specs:
             if cs["group"] == "must":
                 must_atom_ok.setdefault(cs.get("atom", -1), False)
+        from fsray.scorer import phrase_matches
+        has_phrase = False
         for cs in clause_specs:
+            if cs.get("kind") == "phrase":
+                decs = [self.decode((cs["field_ord"], t)) for t in cs["terms"]]
+                if any(d is None for d in decs) or not cs.get("matchable", True):
+                    continue
+                ph_docids, ph_freqs = phrase_matches(decs)
+                if len(ph_docids) == 0:
+                    continue
+                if cs["group"] == "must_not":
+                    must_not.append(ph_docids)
+                    continue
+                if cs["group"] == "must":
+                    must_atom_ok[cs.get("atom", -1)] = True
+                has_phrase = True
+                fn_arr = self.fn[cs["field_ord"]]
+                clauses.append(ScoringClause(
+                    docids=ph_docids, tfs=ph_freqs, weight=dtype(cs["weight"]),
+                    tf_cache=compute_tf_cache(np.float32(cs["avgdl"]), dtype=dtype),
+                    fn_ids=fn_arr[ph_docids.astype(np.int64) - self.lo],
+                    group=cs["group"], atom=cs.get("atom", -1), avgdl=cs["avgdl"],
+                ))
+                continue
             dec = self.decode((cs["field_ord"], cs["term"]))
             if dec is None:
                 continue
@@ -147,7 +174,6 @@ class ShardData:
             if cs["group"] == "must_not":
                 must_not.append(dec.docids)
                 continue
-            pass
             fn_arr = self.fn[cs["field_ord"]]
             clauses.append(ScoringClause(
                 docids=dec.docids, tfs=dec.tfs, weight=dtype(cs["weight"]),
@@ -161,9 +187,10 @@ class ShardData:
             # some required atom has no posting list in this shard at all
             return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype), count=0)
         cost = int(sum(len(c.docids) for c in clauses))
-        use_pruned = (mode == "pruned") or (
+        # phrase clauses carry no block-max metadata ⇒ exhaustive only
+        use_pruned = (not has_phrase) and ((mode == "pruned") or (
             mode == "auto" and dtype == np.float32 and len(clauses) >= 2
-            and cost >= PRUNE_MIN_COST)
+            and cost >= PRUNE_MIN_COST))
         kern = topk_pruned if use_pruned else topk_exhaustive
         return kern(clauses, must_not, self.lo, self.size, k, dtype=dtype)
 
@@ -199,6 +226,29 @@ def _clause_specs(parsed: ParsedQuery, manifest: dict, global_dfs: dict,
         if cl.group != "must_not" and df > 0:
             spec["weight"] = float(term_weight(df, n, cl.boost, dtype=dtype))
         specs.append(spec)
+    for ph in parsed.phrases:
+        ordn = field_ord.get(ph.field)
+        if ordn is None:
+            continue
+        n = stats[ph.field]["doc_count"]
+        # PhraseWeight: Σ per-term idf × (1+k1) × boost (Tantivy 0.26.1
+        # Bm25Weight::for_terms; PLAN.md §8.3)
+        from fsray.contract import BM25_K1, idf as _idf
+        w = dtype(0.0)
+        ok = True
+        for t in ph.terms:
+            df = int(global_dfs.get((ordn, t), 0))
+            if df == 0:
+                ok = False
+                break
+            w = w + _idf(df, n, dtype=dtype)
+        if not ok and ph.group != "must_not":
+            # a constituent term is absent everywhere: phrase cannot match
+            w = dtype(0.0)
+        weight = float((w * (dtype(1.0) + dtype(BM25_K1))) * dtype(ph.boost)) if ok else 0.0
+        specs.append({"kind": "phrase", "field_ord": ordn, "terms": list(ph.terms),
+                      "group": ph.group, "avgdl": avgdl[ph.field],
+                      "weight": weight, "atom": ph.atom, "matchable": ok})
     return specs
 
 
@@ -282,7 +332,9 @@ class LocalIndex:
             self._put_cache(key, result)
             return result
         keys = sorted({(self._ord(c.field), c.term)
-                       for c in parsed.scoring_clauses() if self._ord(c.field) is not None})
+                       for c in parsed.scoring_clauses() if self._ord(c.field) is not None} |
+                      {(self._ord(p.field), t) for p in parsed.phrases
+                       for t in p.terms if self._ord(p.field) is not None})
         df_sum: dict = {}
         for sh in self.shards:
             for tk, df in zip(keys, sh.dfs(keys)):
@@ -398,7 +450,9 @@ class RayIndex:
             return [], (0 if exact_count else None)
         field_ord = {f["name"]: f["ord"] for f in self.manifest["fields"]}
         keys = sorted({(field_ord[c.field], c.term) for c in parsed.scoring_clauses()
-                       if c.field in field_ord})
+                       if c.field in field_ord} |
+                      {(field_ord[p.field], t) for p in parsed.phrases
+                       for t in p.terms if p.field in field_ord})
         df_lists = ray.get([a.dfs.remote(keys) for a in self.actors.values()])
         df_sum: dict = {}
         for dfl in df_lists:

@@ -1,0 +1,148 @@
+"""Phrase queries over a positions-enabled index vs a brute-force oracle.
+
+Scoring semantics pinned per PLAN.md §8.3 / Tantivy 0.26.1 PhraseWeight:
+weight = (Σ_term idf(df_t, N)) × (1+k1) × boost, tf = exact-adjacency
+phrase frequency, fieldnorm of the containing field.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from fsray.build import CODE_CORPUS, BuildConfig, build_index
+from fsray.contract import BM25_K1, compute_tf_cache, fieldnorm_to_id, idf
+from fsray.corpus import write_code_corpus
+from fsray.search import LocalIndex, RayIndex
+from fsray.tokenizer import tokenize_scalar
+
+
+@pytest.fixture(scope="module")
+def pos_index(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pos")
+    paths = write_code_corpus(str(root / "in"), 500, seed=42, n_files=2)
+    index_dir = str(root / "idx")
+    build_index(paths, index_dir, CODE_CORPUS,
+                BuildConfig(partition_rows=128, num_shards=3, num_buckets=4,
+                            positions=True))
+    return {"paths": paths, "index_dir": index_dir}
+
+
+def phrase_brute_force(paths, phrase_terms, k=10):
+    """Oracle: doc-by-doc adjacency scan + pinned phrase scoring."""
+    docs = []
+    for p in sorted(paths):
+        for row in pq.read_table(p).to_pylist():
+            doc_id = f"{row['repo']}/{row['path']}@{row['commit']}"
+            docs.append((doc_id, {"content": tokenize_scalar(row["content"] or ""),
+                                  "title": tokenize_scalar(row["path"] or "")}))
+    n = len(docs)
+    field_stats = {f: sum(len(d[1][f]) for d in docs) for f in ("content", "title")}
+    df = {}
+    for _, fields in docs:
+        for field, toks in fields.items():
+            for term in set(toks):
+                df[(field, term)] = df.get((field, term), 0) + 1
+
+    scores = np.zeros(n, dtype=np.float32)
+    matched = np.zeros(n, dtype=bool)
+    for field, boost in (("content", 1.0), ("title", 2.0)):
+        dfs = [df.get((field, t), 0) for t in phrase_terms]
+        if any(d == 0 for d in dfs):
+            continue
+        w = np.float32(0.0)
+        for d in dfs:
+            w = w + idf(d, n, dtype=np.float32)
+        w = (w * (np.float32(1.0) + np.float32(BM25_K1))) * np.float32(boost)
+        avgdl = float(np.float32(field_stats[field]) / np.float32(n))
+        cache = compute_tf_cache(np.float32(avgdl), dtype=np.float32)
+        for i, (_, fields) in enumerate(docs):
+            toks = fields[field]
+            freq = sum(1 for j in range(len(toks) - len(phrase_terms) + 1)
+                       if all(toks[j + m] == phrase_terms[m]
+                              for m in range(len(phrase_terms))))
+            if freq:
+                fn_id = fieldnorm_to_id(len(toks))
+                scores[i] += np.float32(w) * (np.float32(freq) /
+                                              (np.float32(freq) + cache[fn_id]))
+                matched[i] = True
+    cand = np.flatnonzero(matched)
+    order = sorted(cand, key=lambda i: (-scores[i], i))[:k]
+    return [(docs[i][0], float(scores[i])) for i in order]
+
+
+def _first_bigram(paths):
+    """A bigram that actually occurs in the corpus."""
+    t = pq.read_table(sorted(paths)[0])
+    for row in t.to_pylist()[:50]:
+        toks = tokenize_scalar(row["content"] or "")
+        if len(toks) >= 2:
+            return toks[5], toks[6]
+    raise AssertionError("no bigram")
+
+
+def test_phrase_rank_identical_vs_oracle(pos_index):
+    idx = LocalIndex(pos_index["index_dir"])
+    a, b = _first_bigram(pos_index["paths"])
+    hits = idx.search(f'"{a} {b}"', k=10)
+    oracle = phrase_brute_force(pos_index["paths"], (a, b), k=10)
+    assert [h.doc_id for h in hits] == [d for d, _ in oracle]
+    got = np.array([h.score for h in hits], dtype=np.float32)
+    want = np.array([s for _, s in oracle], dtype=np.float32)
+    if len(got):
+        assert np.allclose(got, want, rtol=1e-4)
+    assert len(hits) > 0  # the bigram exists, so the phrase must hit
+
+
+def test_phrase_mixed_with_terms(pos_index):
+    """Mixed query scores = phrase contribution + term contribution."""
+    idx = LocalIndex(pos_index["index_dir"])
+    a, b = _first_bigram(pos_index["paths"])
+    mixed = {h.doc_id: h.score for h in idx.search(f'"{a} {b}" merge', k=500)}
+    phrase = {h.doc_id: h.score for h in idx.search(f'"{a} {b}"', k=500)}
+    term = {h.doc_id: h.score for h in idx.search("merge", k=500)}
+    assert phrase and term
+    for d, s in phrase.items():
+        want = np.float32(s) + np.float32(term.get(d, 0.0))
+        assert abs(mixed[d] - float(want)) <= 1e-4 * max(1.0, float(want)), d
+
+
+def test_phrase_no_match(pos_index):
+    idx = LocalIndex(pos_index["index_dir"])
+    assert idx.search('"zzz qqq"', k=10) == []
+
+
+def test_must_not_phrase(pos_index):
+    idx = LocalIndex(pos_index["index_dir"])
+    a, b = _first_bigram(pos_index["paths"])
+    pos = {h.doc_id for h in idx.search("merge", k=10_000)}
+    neg = {h.doc_id for h in idx.search(f'merge -"{a} {b}"', k=10_000)}
+    phrase_docs = {d for d, _ in phrase_brute_force(pos_index["paths"], (a, b), k=1000)}
+    assert neg == pos - phrase_docs
+
+
+def test_phrase_on_positionless_index_degrades(small_corpus):
+    """Index built without positions: phrase finds nothing (lenient)."""
+    idx = LocalIndex(small_corpus["index_dir"])
+    assert idx.search('"merge buffer"', k=5) == []
+
+
+def test_phrase_ray_parity(pos_index):
+    a, b = _first_bigram(pos_index["paths"])
+    local = LocalIndex(pos_index["index_dir"])
+    remote = RayIndex(pos_index["index_dir"])
+    q = f'"{a} {b}" split'
+    lh = [(h.doc_id, h.score) for h in local.search(q, k=10)]
+    rh = [(h.doc_id, h.score) for h in remote.search(q, k=10)]
+    assert lh == rh
+
+
+def test_phrase_partition_invariance(pos_index, tmp_path):
+    d2 = str(tmp_path / "idx2")
+    build_index(pos_index["paths"], d2, CODE_CORPUS,
+                BuildConfig(partition_rows=64, num_shards=5, num_buckets=7,
+                            positions=True))
+    a, b = _first_bigram(pos_index["paths"])
+    q = f'"{a} {b}"'
+    x = LocalIndex(pos_index["index_dir"]).search(q, k=10)
+    y = LocalIndex(d2).search(q, k=10)
+    assert [(h.doc_id, h.score) for h in x] == [(h.doc_id, h.score) for h in y]
