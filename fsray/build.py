@@ -56,7 +56,7 @@ from fsray import codec
 from fsray.manifest import atomic_write_json, atomic_write_parquet, publish_manifest, read_json
 from fsray.tokenizer import tokenize_column, token_stats
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def _cap_worker_threads() -> None:
@@ -90,11 +90,19 @@ class CorpusSpec:
     """
     fields: tuple[FieldSpec, ...]
     doc_id_columns: tuple[str, ...]
+    #: numeric fast fields: (name, source column) — stored per docid in the
+    #: idmap (NUMERIC section analogue, segment.rs:44-66) for range/set
+    #: filter queries
+    numeric_fields: tuple[tuple[str, str], ...] = ()
+    #: source columns stored verbatim per docid (STOREDMETA analogue) —
+    #: snippet generation and metadata hydration read these
+    stored_columns: tuple[str, ...] = ()
 
     @property
     def source_columns(self) -> list[str]:
         cols: list[str] = list(dict.fromkeys(
-            list(self.doc_id_columns) + [f.source for f in self.fields]))
+            list(self.doc_id_columns) + [f.source for f in self.fields]
+            + [s for _, s in self.numeric_fields] + list(self.stored_columns)))
         return cols
 
     def doc_ids(self, table: pa.Table) -> pa.Array:
@@ -112,10 +120,13 @@ CODE_CORPUS = CorpusSpec(
     doc_id_columns=("repo", "path", "commit"),
 )
 
-#: the driver `documents` table: single content field (lexical-only lane)
+#: the driver `documents` table: single content field (lexical-only lane),
+#: n_chars as a NUMERIC fast field, text stored for snippets/hydration
 DOCUMENTS = CorpusSpec(
     fields=(FieldSpec("content", "text", 1.0, 0),),
     doc_id_columns=("doc_id",),
+    numeric_fields=(("n_chars", "n_chars"),),
+    stored_columns=("text",),
 )
 
 
@@ -284,6 +295,10 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
         "doc_id": doc_ids,
         "content_sha256": sha,
     }
+    for nname, nsource in spec.numeric_fields:
+        idmap_cols[f"num_{nname}"] = table[nsource].combine_chunks().cast(pa.int64())
+    for scol in spec.stored_columns:
+        idmap_cols[f"stored_{scol}"] = table[scol].combine_chunks().cast(pa.string())
     postings_tables = []
     field_stats = {}
     n_postings = 0
@@ -428,6 +443,18 @@ def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS
     cfg = cfg or BuildConfig()
     t_start = time.perf_counter()
     parts = plan_partitions(paths, cfg)
+    # partition fingerprints must incorporate everything that changes a
+    # partition's OUTPUT (spec fields/numeric/stored, positions, format) —
+    # otherwise a resumed build with a changed spec would wrongly skip
+    spec_fp = hashlib.sha256(json.dumps({
+        "fields": [(f.name, f.source, f.boost, f.ord) for f in spec.fields],
+        "numeric": list(spec.numeric_fields), "stored": list(spec.stored_columns),
+        "doc_id": list(spec.doc_id_columns), "positions": cfg.positions,
+        "format": FORMAT_VERSION,
+    }, sort_keys=True).encode()).hexdigest()[:16]
+    for p in parts:
+        p["fingerprint"] = hashlib.sha256(
+            (p["fingerprint"] + spec_fp).encode()).hexdigest()
     n_parts = len(parts)
     build_id = hashlib.sha256(json.dumps(
         [p["fingerprint"] for p in parts] + [cfg.num_shards, cfg.num_buckets, FORMAT_VERSION],
@@ -517,6 +544,8 @@ def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS
         "doc_count": total_rows,
         "fields": [{"name": f.name, "ord": f.ord, "boost": f.boost, "source": f.source}
                    for f in spec.fields],
+        "numeric_fields": [{"name": n, "source": s} for n, s in spec.numeric_fields],
+        "stored_columns": list(spec.stored_columns),
         "field_stats": field_stats,
         "avgdl": {name: (field_stats[name]["total_tokens"] / max(1, field_stats[name]["doc_count"]))
                   for name in field_names},

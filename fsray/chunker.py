@@ -1,0 +1,138 @@
+"""Deterministic char-boundary chunker + code-aware token counting.
+
+Reimplements the fsfs lexical chunk policy semantics (reference:
+crates/frankensearch-fsfs/src/lexical_pipeline.rs:58-163):
+
+- windows of ``max_chars`` BYTES (the reference field is named chars but
+  advances byte offsets), end floored to a UTF-8 char boundary (ceiled
+  when flooring would make the chunk empty);
+- adjacent chunks overlap ``overlap_chars`` bytes (floored to a char
+  boundary); if the overlap would not advance, the next chunk starts at
+  the previous end;
+- empty text yields no chunks.
+
+Token counting uses the fsfs code-aware tokenizer class (reference:
+lexical_pipeline.rs:212-330): token characters are alphanumeric ∪
+``_ - . / :`` (keeps ``std::vec::Vec`` and ``path/to/file.rs`` whole),
+ASCII lowercase.  This is the chunk/count analyzer, NOT the index
+analyzer (SURVEY §2.2 note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_MAX_CHARS = 768
+DEFAULT_OVERLAP = 96
+
+#: fsfs code-aware token bytes: alphanumeric ∪ _ - . / :
+_CODE_TOKEN_BYTES = np.zeros(256, dtype=bool)
+for _b in range(0x30, 0x3A):
+    _CODE_TOKEN_BYTES[_b] = True
+for _b in range(0x41, 0x5B):
+    _CODE_TOKEN_BYTES[_b] = True
+for _b in range(0x61, 0x7B):
+    _CODE_TOKEN_BYTES[_b] = True
+for _b in b"_-./:":
+    _CODE_TOKEN_BYTES[_b] = True
+# non-ASCII lead/continuation bytes are token chars iff the scalar is
+# alphanumeric; byte-level approximation treats all >= 0x80 as token bytes
+# (exact for the alnum-heavy non-ASCII content this counter sees; the
+# scalar-exact path below is used when a batch contains non-ASCII)
+_CODE_TOKEN_BYTES[0x80:] = True
+
+
+def count_code_tokens(text: str) -> int:
+    """Scalar-exact code-aware token count (reference tokenize_lexical)."""
+    count = 0
+    in_tok = False
+    for ch in text:
+        is_tok = ch.isalnum() or ch in "_-./:"
+        if is_tok and not in_tok:
+            count += 1
+        in_tok = is_tok
+    return count
+
+
+def _floor_char_boundary(data: bytes, idx: int) -> int:
+    if idx >= len(data):
+        return len(data)
+    while idx > 0 and (data[idx] & 0xC0) == 0x80:
+        idx -= 1
+    return idx
+
+
+def _ceil_char_boundary(data: bytes, idx: int) -> int:
+    if idx >= len(data):
+        return len(data)
+    while idx < len(data) and (data[idx] & 0xC0) == 0x80:
+        idx += 1
+    return idx
+
+
+@dataclass(frozen=True)
+class Chunk:
+    ordinal: int
+    byte_start: int
+    byte_end: int
+    text: str
+    token_count: int
+
+
+def chunk_text(text: str, max_chars: int = DEFAULT_MAX_CHARS,
+               overlap_chars: int = DEFAULT_OVERLAP) -> list[Chunk]:
+    """Chunk one document (reference: chunk_text, lexical_pipeline.rs:115-163)."""
+    if not text:
+        return []
+    data = text.encode("utf-8")
+    max_chars = max(max_chars, 1)
+    overlap_chars = min(overlap_chars, max_chars - 1)
+
+    chunks: list[Chunk] = []
+    start = 0
+    ordinal = 0
+    n = len(data)
+    while start < n:
+        raw_end = start + max_chars
+        end = n if raw_end >= n else _floor_char_boundary(data, raw_end)
+        if end <= start:
+            end = _ceil_char_boundary(data, min(raw_end, n))
+        if end <= start:
+            break
+        piece = data[start:end].decode("utf-8")
+        chunks.append(Chunk(ordinal, start, end, piece, count_code_tokens(piece)))
+        ordinal += 1
+        if end == n:
+            break
+        next_start = _floor_char_boundary(data, max(end - overlap_chars, 0))
+        if next_start <= start:
+            next_start = end
+        start = next_start
+    return chunks
+
+
+def chunk_batch(batch: pa.Table, text_column: str = "text",
+                id_column: str = "doc_id", max_chars: int = DEFAULT_MAX_CHARS,
+                overlap_chars: int = DEFAULT_OVERLAP) -> pa.Table:
+    """flat_map-shaped Ray stage: one input doc → many chunk rows."""
+    texts = batch[text_column].combine_chunks().cast(pa.string()).fill_null("")
+    ids = batch[id_column].combine_chunks().cast(pa.int64())
+    out_id, out_ord, out_s, out_e, out_tc = [], [], [], [], []
+    for i in range(batch.num_rows):
+        did = ids[i].as_py()
+        for c in chunk_text(texts[i].as_py(), max_chars, overlap_chars):
+            out_id.append(did)
+            out_ord.append(c.ordinal)
+            out_s.append(c.byte_start)
+            out_e.append(c.byte_end)
+            out_tc.append(c.token_count)
+    return pa.table({
+        "doc_id": pa.array(out_id, type=pa.int64()),
+        "chunk_ordinal": pa.array(out_ord, type=pa.int64()),
+        "byte_start": pa.array(out_s, type=pa.int64()),
+        "byte_end": pa.array(out_e, type=pa.int64()),
+        "token_count": pa.array(out_tc, type=pa.int64()),
+    })

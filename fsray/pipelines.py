@@ -212,6 +212,54 @@ BM25_QUERIES = {
 }
 
 
+
+
+RANGE_QUERY = ("spark table", "n_chars", 200, 400)
+SET_VALUES = (157, 406, 246, 300, 350)
+
+
+def bm25_range_filter(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 query + numeric range filter on the n_chars fast field."""
+    text, field, lo, hi = RANGE_QUERY
+    idx = documents_index(sf_dir)
+    hits = idx.search(f"{text} {field}:[{lo} TO {hi}]", k=k, dtype=np.float64)
+    return pa.table({
+        "doc_id": pa.array([int(h.doc_id) for h in hits], type=pa.int64()),
+        "score": pa.array([h.score for h in hits], type=pa.float64()),
+    })
+
+
+def bm25_set_filter(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 query + numeric set filter (IN) on the n_chars fast field."""
+    idx = documents_index(sf_dir)
+    vals = ",".join(str(v) for v in SET_VALUES)
+    hits = idx.search(f"spark n_chars:IN({vals})", k=k, dtype=np.float64)
+    return pa.table({
+        "doc_id": pa.array([int(h.doc_id) for h in hits], type=pa.int64()),
+        "score": pa.array([h.score for h in hits], type=pa.float64()),
+    })
+
+
+def chunk_documents(sf_dir: str) -> pa.Table:
+    """Char-boundary chunker over documents (flat_map stage; reference:
+    lexical_pipeline.rs chunk_text 768/96 byte windows)."""
+    from fsray.chunker import chunk_batch
+    ds = _docs_ds(sf_dir).map_batches(chunk_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = ds.to_pandas().sort_values(["doc_id", "chunk_ordinal"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def search_snippets(sf_dir: str, k: int = 10) -> pa.Table:
+    """Search + highlighted snippets from the stored text column."""
+    idx = documents_index(sf_dir)
+    out = idx.search_with_snippets("spark window customer", k=k, dtype=np.float64)
+    return pa.table({
+        "doc_id": pa.array([int(h.doc_id) for h, _ in out], type=pa.int64()),
+        "snippet": pa.array([s or "" for _, s in out], type=pa.string()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # text analysis lane
 
@@ -567,6 +615,10 @@ def make_queries() -> dict:
         q[name] = (lambda sf_dir, _t=text, _k=k: bm25_search(sf_dir, _t, _k))
     q.update({
         "bm25_phrase": bm25_phrase,
+        "bm25_range_filter": bm25_range_filter,
+        "bm25_set_filter": bm25_set_filter,
+        "chunk_documents": chunk_documents,
+        "search_snippets": search_snippets,
         "doc_token_counts": doc_token_counts,
         "text_quality": text_quality,
         "lang_id": lang_id,
@@ -612,6 +664,15 @@ def make_oracle_sql() -> dict:
         o[name] = bm25_oracle_sql(text, k)
 
     o["bm25_phrase"] = bm25_phrase_oracle_sql(PHRASE_TERMS)
+
+    text, fieldn, lo, hi = RANGE_QUERY
+    base = bm25_oracle_sql(text, 10)
+    o["bm25_range_filter"] = base.replace(
+        "WHERE matched", f"WHERE matched AND doc_id IN (SELECT doc_id FROM documents WHERE {fieldn} BETWEEN {lo} AND {hi})")
+    vals = ",".join(str(v) for v in SET_VALUES)
+    base2 = bm25_oracle_sql("spark", 10)
+    o["bm25_set_filter"] = base2.replace(
+        "WHERE matched", f"WHERE matched AND doc_id IN (SELECT doc_id FROM documents WHERE n_chars IN ({vals}))")
 
     o["doc_token_counts"] = f"""
 WITH {_toks2_sql()},

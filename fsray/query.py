@@ -56,6 +56,24 @@ class Clause:
 
 
 @dataclass(frozen=True)
+class RangeClause:
+    """Numeric range filter ``field:[lo TO hi]`` (reference: query.rs ranges
+    + NUMERIC columns; scoreless filter semantics like MustNot's lane)."""
+    field: str
+    lo: int | None
+    hi: int | None
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class SetClause:
+    """Numeric set filter ``field:IN(v1,v2,...)`` (query.rs sets)."""
+    field: str
+    values: tuple[int, ...]
+    negate: bool = False
+
+
+@dataclass(frozen=True)
 class PhraseClause:
     """A quoted phrase scoped to one field (reference: query.rs quoted
     phrases; scorer semantics PLAN.md §8.3 pinned to Tantivy 0.26.1
@@ -74,10 +92,13 @@ class ParsedQuery:
     must: list[Clause]
     must_not: list[Clause]
     phrases: list[PhraseClause] = None  # type: ignore[assignment]
+    ranges: list = None  # type: ignore[assignment]  # RangeClause | SetClause
 
     def __post_init__(self):
         if self.phrases is None:
             self.phrases = []
+        if self.ranges is None:
+            self.ranges = []
 
     @property
     def is_empty(self) -> bool:
@@ -106,6 +127,7 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
     atom_counter = [0]
     phrase_counter = [1_000_000]  # phrase atom ids: disjoint from term atoms
     phrases: list[PhraseClause] = []
+    ranges: list = []
 
     def emit(atom: str, group: str, scoped_field: str | None = None) -> None:
         targets = [(scoped_field, 1.0)] if scoped_field else default_fields
@@ -158,7 +180,14 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
             j = i
             while j < n and not text[j].isspace():
                 j += 1
-            atoms.append((text[i:j], False, ""))
+            atom = text[i:j]
+            # a range atom "field:[a TO b]" spans whitespace — extend to ']'
+            if "[" in atom and "]" not in atom and ":" in atom.split("[")[0]:
+                close = text.find("]", j)
+                if close != -1:
+                    atom = text[i:close + 1]
+                    j = close + 1
+            atoms.append((atom, False, ""))
             i = j
 
     pending_not = False
@@ -191,6 +220,29 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                 for fname, boost in default_fields:
                     phrases.append(PhraseClause(fname, terms, boost, group, atom=aid))
             continue
+        if ":" in atom:
+            head, _, rest = atom.partition(":")
+            negate = group == "must_not"
+            if rest.startswith("[") and rest.endswith("]"):
+                parts = rest[1:-1].split()
+                if len(parts) == 3 and parts[1].upper() == "TO":
+                    def _bound(s):
+                        if s == "*":
+                            return None
+                        try:
+                            return int(s)
+                        except ValueError:
+                            return None
+                    ranges.append(RangeClause(head, _bound(parts[0]), _bound(parts[2]),
+                                              negate=negate))
+                    continue
+            if rest.upper().startswith("IN(") and rest.endswith(")"):
+                try:
+                    vals = tuple(int(v) for v in rest[3:-1].split(",") if v.strip())
+                    ranges.append(SetClause(head, vals, negate=negate))
+                    continue
+                except ValueError:
+                    pass
         scoped = None
         if ":" in atom:
             head, _, rest = atom.partition(":")
@@ -198,4 +250,5 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                 scoped, atom = head, rest
         emit(atom, group, scoped)
 
-    return ParsedQuery(should=should, must=must, must_not=must_not, phrases=phrases)
+    return ParsedQuery(should=should, must=must, must_not=must_not,
+                       phrases=phrases, ranges=ranges)

@@ -99,7 +99,8 @@ def _finalize(scores: np.ndarray, candidates: np.ndarray, lo: int, k: int,
 
 
 def topk_exhaustive(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
-                    lo: int, size: int, k: int, dtype=np.float32) -> TopK:
+                    lo: int, size: int, k: int, dtype=np.float32,
+                    filter_mask: np.ndarray | None = None) -> TopK:
     """Reference kernel: score every matching document, then select top-k.
 
     A Must ATOM (clauses sharing ``atom``) is satisfied by ANY of its field
@@ -122,6 +123,8 @@ def topk_exhaustive(clauses: list[ScoringClause], must_not_docids: list[np.ndarr
         matched &= atom_hits[a]
     for mn in must_not_docids:
         matched[mn.astype(np.int64) - lo] = False
+    if filter_mask is not None:
+        matched &= filter_mask
     cand = np.flatnonzero(matched)
     out = _finalize(scores, cand, lo, k, dtype)
     out.count = int(len(cand))
@@ -152,7 +155,8 @@ def _window_bounds(clauses: list[ScoringClause], lo: int, size: int,
 
 
 def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
-                lo: int, size: int, k: int, dtype=np.float32) -> TopK:
+                lo: int, size: int, k: int, dtype=np.float32,
+                filter_mask: np.ndarray | None = None) -> TopK:
     """Block-max window pruning; rank-identical to :func:`topk_exhaustive`.
 
     Sound because every arithmetic step is monotone in f32: block bound ≥
@@ -188,6 +192,8 @@ def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
                 atom_hits[c.atom][idx] = True
         for aa in must_atoms:
             matched &= atom_hits[aa]
+        if filter_mask is not None:
+            matched &= filter_mask[w_lo - lo:w_hi - lo]
         for mn in must_not_docids:
             a = np.searchsorted(mn, np.uint32(w_lo))
             b = np.searchsorted(mn, np.uint32(w_hi))

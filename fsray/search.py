@@ -85,6 +85,17 @@ class ShardData:
             col = f"fn_{name}"
             if col in im.column_names:
                 self.fn[ordn] = im[col].to_numpy().astype(np.uint8)
+        # NUMERIC fast fields + STOREDMETA columns (dense over [lo, hi))
+        self.num: dict[str, np.ndarray] = {}
+        for nf in manifest.get("numeric_fields", []):
+            col = f"num_{nf['name']}"
+            if col in im.column_names:
+                self.num[nf["name"]] = im[col].to_numpy().astype(np.int64)
+        self.stored: dict[str, pa.Array] = {}
+        for scol in manifest.get("stored_columns", []):
+            col = f"stored_{scol}"
+            if col in im.column_names:
+                self.stored[scol] = im[col].combine_chunks()
 
     @property
     def size(self) -> int:
@@ -132,8 +143,38 @@ class ShardData:
             dec.positions = p.to_numpy(zero_copy_only=False).astype(np.uint32)
         return dec
 
+    def filter_mask(self, range_specs: list[dict]) -> np.ndarray | None:
+        """Dense bool mask over this shard's docid range from numeric
+        range/set filters (NUMERIC column scan → doc filter, PLAN.md §9.4)."""
+        if not range_specs:
+            return None
+        mask = np.ones(self.size, dtype=bool)
+        for rs in range_specs:
+            vals = self.num.get(rs["field"])
+            if vals is None:
+                if not rs.get("negate"):
+                    mask[:] = False  # unknown field can never match
+                continue
+            if rs["kind"] == "range":
+                m = np.ones(self.size, dtype=bool)
+                if rs["lo"] is not None:
+                    m &= vals >= rs["lo"]
+                if rs["hi"] is not None:
+                    m &= vals <= rs["hi"]
+            else:
+                m = np.isin(vals, np.asarray(rs["values"], dtype=np.int64))
+            mask &= ~m if rs.get("negate") else m
+        return mask
+
+    def stored_values(self, docids: np.ndarray, column: str) -> list[str]:
+        arr = self.stored.get(column)
+        if arr is None:
+            return [""] * len(docids)
+        idx = pa.array(docids.astype(np.int64) - self.lo)
+        return arr.take(idx).to_pylist()
+
     def topk(self, clause_specs: list[dict], k: int, dtype=np.float32,
-             mode: str = "auto") -> TopK:
+             mode: str = "auto", range_specs: list[dict] | None = None) -> TopK:
         """Score this shard. ``clause_specs``: [{field_ord, term, weight,
         avgdl, group}] in canonical order, plus must_not term keys."""
         clauses: list[ScoringClause] = []
@@ -192,7 +233,8 @@ class ShardData:
             mode == "auto" and dtype == np.float32 and len(clauses) >= 2
             and cost >= PRUNE_MIN_COST))
         kern = topk_pruned if use_pruned else topk_exhaustive
-        return kern(clauses, must_not, self.lo, self.size, k, dtype=dtype)
+        return kern(clauses, must_not, self.lo, self.size, k, dtype=dtype,
+                    filter_mask=self.filter_mask(range_specs or []))
 
     def materialize(self, docids: np.ndarray) -> list[str]:
         idx = pa.array(docids.astype(np.int64) - self.lo)
@@ -250,6 +292,19 @@ def _clause_specs(parsed: ParsedQuery, manifest: dict, global_dfs: dict,
                       "group": ph.group, "avgdl": avgdl[ph.field],
                       "weight": weight, "atom": ph.atom, "matchable": ok})
     return specs
+
+
+def _range_specs(parsed: ParsedQuery) -> list[dict]:
+    from fsray.query import RangeClause
+    out = []
+    for r in parsed.ranges:
+        if isinstance(r, RangeClause):
+            out.append({"kind": "range", "field": r.field, "lo": r.lo,
+                        "hi": r.hi, "negate": r.negate})
+        else:
+            out.append({"kind": "set", "field": r.field,
+                        "values": list(r.values), "negate": r.negate})
+    return out
 
 
 def _merge_topk(per_shard: list[TopK], k: int, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
@@ -340,9 +395,11 @@ class LocalIndex:
             for tk, df in zip(keys, sh.dfs(keys)):
                 df_sum[tk] = df_sum.get(tk, 0) + int(df)
         specs = _clause_specs(parsed, self.manifest, df_sum, dtype=dtype)
+        range_specs = _range_specs(parsed)
         k = limit + offset
         eff_mode = "exhaustive" if exact_count else mode
-        per_shard = [sh.topk(specs, k, dtype=dtype, mode=eff_mode) for sh in self.shards]
+        per_shard = [sh.topk(specs, k, dtype=dtype, mode=eff_mode,
+                             range_specs=range_specs) for sh in self.shards]
         docids, scores = _merge_topk(per_shard, k, dtype=dtype)
         docids, scores = docids[offset:], scores[offset:]
         total = sum(t.count for t in per_shard) if exact_count else None
@@ -350,6 +407,40 @@ class LocalIndex:
         result = ([Hit(i, int(d), float(s)) for i, d, s in zip(ids, docids, scores)], total)
         self._put_cache(key, result)
         return result
+
+    def search_with_snippets(self, text: str, k: int = 10,
+                             source_column: str | None = None,
+                             dtype=np.float32) -> list[tuple[Hit, str | None]]:
+        """Search + highlighted snippet per hit from the stored source
+        column (reference: search_with_snippets over STOREDMETA;
+        snippet.rs:22-44 fragment semantics)."""
+        from fsray.snippet import SnippetGenerator
+        hits = self.search(text, k=k, dtype=dtype)
+        stored_cols = self.manifest.get("stored_columns", [])
+        if source_column is None:
+            source_column = stored_cols[0] if stored_cols else None
+        parsed = parse_query(text, default_fields=self.default_fields)
+        parsed = self._expand_globs(parsed)
+        keys = sorted({(self._ord(c.field), c.term)
+                       for c in parsed.scoring_clauses() if self._ord(c.field) is not None})
+        df_sum: dict = {}
+        for sh in self.shards:
+            for tk, df in zip(keys, sh.dfs(keys)):
+                df_sum[tk] = df_sum.get(tk, 0) + int(df)
+        terms = [(t, df_sum.get((o, t), 0)) for (o, t) in keys]
+        gen = SnippetGenerator(terms)
+        out: list[tuple[Hit, str | None]] = []
+        for h in hits:
+            snip = None
+            if source_column is not None:
+                for sh in self.shards:
+                    if sh.lo <= h.docid < sh.hi:
+                        src_text = sh.stored_values(
+                            np.array([h.docid], dtype=np.uint32), source_column)[0]
+                        snip = gen.snippet(src_text or "")
+                        break
+            out.append((h, snip))
+        return out
 
     def _put_cache(self, key, value) -> None:
         if len(self._cache) >= self.CACHE_SLOTS:
@@ -385,8 +476,10 @@ class ShardSearcherActor:
     def dfs(self, keys: list[tuple[int, str]]) -> np.ndarray:
         return self.shard.dfs(keys)
 
-    def topk(self, specs: list[dict], k: int, mode: str = "auto") -> tuple[np.ndarray, np.ndarray, int]:
-        t = self.shard.topk(specs, k, dtype=np.float32, mode=mode)
+    def topk(self, specs: list[dict], k: int, mode: str = "auto",
+             range_specs: list[dict] | None = None) -> tuple[np.ndarray, np.ndarray, int]:
+        t = self.shard.topk(specs, k, dtype=np.float32, mode=mode,
+                            range_specs=range_specs)
         return t.docids, t.scores, t.count
 
     def materialize(self, docids: np.ndarray) -> list[str]:
@@ -461,7 +554,9 @@ class RayIndex:
         specs = _clause_specs(parsed, self.manifest, df_sum, dtype=np.float32)
         k = limit + offset
         eff_mode = "exhaustive" if exact_count else mode
-        results = ray.get([a.topk.remote(specs, k, eff_mode) for a in self.actors.values()])
+        range_specs = _range_specs(parsed)
+        results = ray.get([a.topk.remote(specs, k, eff_mode, range_specs)
+                           for a in self.actors.values()])
         per_shard = [TopK(d, s, count=c) for d, s, c in results]
         total = sum(t.count for t in per_shard) if exact_count else None
         docids, scores = _merge_topk(per_shard, k, dtype=np.float32)

@@ -1,0 +1,152 @@
+"""Snippet generation: best fragment ≤ max_chars bytes by term coverage.
+
+Reimplements the reference kernel semantics (reference:
+crates/frankensearch-quill/src/snippet.rs:22-330, itself pinned to Tantivy
+0.26.1 snippet behavior):
+
+- term weight = ``1 / (1 + document_frequency)`` (f32); empty / df==0
+  terms ignored; duplicate term text keeps its greatest weight;
+- single greedy pass over analyzer tokens (byte offsets): a fragment
+  closes when the next token would stretch it past ``max_chars`` BYTES
+  (fragment boundaries never split a token — one long token may exceed
+  the limit);
+- best fragment by (score desc, earliest start, shortest stop); zero-score
+  fragments never win; no match ⇒ None (or escaped prefix fallback);
+- rendering HTML-escapes source text and wraps collapsed highlight ranges
+  in trusted prefix/postfix tags.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fsray.contract import MAX_TOKEN_BYTES
+
+DEFAULT_SNIPPET_MAX_CHARS = 200
+
+_ESCAPES = {'"': "&quot;", "&": "&amp;", "'": "&#x27;", "<": "&lt;", ">": "&gt;"}
+
+
+def _escape_html(text: str) -> str:
+    return "".join(_ESCAPES.get(c, c) for c in text)
+
+
+def tokenize_scalar_offsets(text: str) -> list[tuple[str, int, int]]:
+    """Default-analyzer tokens with BYTE offsets (scribe.rs token offsets)."""
+    out: list[tuple[str, int, int]] = []
+    byte_pos = 0
+    tok_chars: list[str] = []
+    tok_start = 0
+    for ch in text:
+        blen = len(ch.encode("utf-8"))
+        if ch.isalnum():
+            if not tok_chars:
+                tok_start = byte_pos
+            tok_chars.append(ch)
+        elif tok_chars:
+            out.append(("".join(tok_chars).lower(), tok_start, byte_pos))
+            tok_chars = []
+        byte_pos += blen
+    if tok_chars:
+        out.append(("".join(tok_chars).lower(), tok_start, byte_pos))
+    return out
+
+
+@dataclass
+class _Fragment:
+    start: int
+    stop: int
+    score: np.float32 = np.float32(0.0)
+    highlighted: list[tuple[int, int]] = field(default_factory=list)
+
+
+def _better(a: _Fragment, b: _Fragment) -> bool:
+    """compare_candidates: score desc, then earlier start, then shorter."""
+    if a.score != b.score:
+        return a.score > b.score
+    if a.start != b.start:
+        return a.start < b.start
+    return a.stop < b.stop
+
+
+class SnippetGenerator:
+    """Compiled once per query; renders every winning document.
+
+    ``terms``: [(analyzed_term_text, snapshot document_frequency)].
+    """
+
+    def __init__(self, terms: list[tuple[str, int]],
+                 max_chars: int = DEFAULT_SNIPPET_MAX_CHARS,
+                 highlight_prefix: str = "<b>", highlight_postfix: str = "</b>"):
+        self.max_chars = max_chars
+        self.prefix = highlight_prefix
+        self.postfix = highlight_postfix
+        self.term_weights: dict[str, np.float32] = {}
+        for text, df in terms:
+            if not text or df == 0:
+                continue
+            w = np.float32(1.0) / (np.float32(1.0) + np.float32(df))
+            prev = self.term_weights.get(text)
+            self.term_weights[text] = w if prev is None else max(prev, w)
+
+    def snippet(self, source: str, fallback_prefix: bool = False) -> str | None:
+        source = source.strip()
+        if not source:
+            return None
+        data = source.encode("utf-8")
+        best: _Fragment | None = None
+        current = _Fragment(0, 0)
+        fallback_stop = 0
+        for text, off_from, off_to in tokenize_scalar_offsets(source):
+            if off_to <= self.max_chars:
+                fallback_stop = off_to
+            if off_to - current.start > self.max_chars:
+                completed, current = current, _Fragment(off_from, off_from)
+                if completed.score > 0 and (best is None or _better(completed, best)):
+                    best = completed
+            current.stop = off_to
+            if len(text.encode("utf-8")) <= MAX_TOKEN_BYTES:
+                w = self.term_weights.get(text)
+                if w is not None:
+                    current.score = current.score + w
+                    current.highlighted.append((off_from, off_to))
+        if current.score > 0 and (best is None or _better(current, best)):
+            best = current
+
+        if best is not None:
+            return self._render(data, best)
+        if not fallback_prefix:
+            return None
+        if len(data) <= self.max_chars:
+            stop = len(data)
+        elif fallback_stop == 0:
+            stop = self.max_chars
+            while stop > 0 and (data[stop] & 0xC0) == 0x80:
+                stop -= 1
+        else:
+            stop = fallback_stop
+        if stop == 0:
+            return None
+        return _escape_html(data[:stop].decode("utf-8"))
+
+    def _render(self, data: bytes, frag: _Fragment) -> str:
+        text = data[frag.start:frag.stop]
+        rel = sorted({(s - frag.start, e - frag.start) for s, e in frag.highlighted})
+        collapsed: list[list[int]] = []
+        for s, e in rel:
+            if collapsed and collapsed[-1][1] > s:
+                collapsed[-1][1] = max(collapsed[-1][1], e)
+            else:
+                collapsed.append([s, e])
+        out: list[str] = []
+        cursor = 0
+        for s, e in collapsed:
+            out.append(_escape_html(text[cursor:s].decode("utf-8")))
+            out.append(self.prefix)
+            out.append(_escape_html(text[s:e].decode("utf-8")))
+            out.append(self.postfix)
+            cursor = e
+        out.append(_escape_html(text[cursor:].decode("utf-8")))
+        return "".join(out)

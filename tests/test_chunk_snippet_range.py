@@ -1,0 +1,131 @@
+"""Chunker, snippet generator, and numeric range/set filter tests."""
+
+import numpy as np
+
+from fsray.chunker import chunk_text, count_code_tokens
+from fsray.search import LocalIndex
+from fsray.snippet import SnippetGenerator, tokenize_scalar_offsets
+
+
+# ---------------------------------------------------------------- chunker
+
+def test_chunk_empty():
+    assert chunk_text("") == []
+
+
+def test_chunk_single():
+    c = chunk_text("hello world")
+    assert len(c) == 1
+    assert (c[0].byte_start, c[0].byte_end) == (0, 11)
+    assert c[0].token_count == 2
+
+
+def test_chunk_windows_and_overlap():
+    text = "a" * 2000
+    chunks = chunk_text(text, max_chars=768, overlap_chars=96)
+    assert chunks[0].byte_start == 0 and chunks[0].byte_end == 768
+    # next starts 96 bytes before the previous end
+    assert chunks[1].byte_start == 768 - 96
+    assert chunks[-1].byte_end == 2000
+    # full coverage, ordinals dense
+    assert [c.ordinal for c in chunks] == list(range(len(chunks)))
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.byte_start < a.byte_end  # overlap
+        assert b.byte_start > a.byte_start  # progress
+
+
+def test_chunk_char_boundary_floor():
+    # multi-byte chars at the window edge: boundary must not split a char
+    text = "é" * 500  # 2 bytes each, 1000 bytes
+    chunks = chunk_text(text, max_chars=768, overlap_chars=96)
+    for c in chunks:
+        assert c.byte_start % 2 == 0 and c.byte_end % 2 == 0
+        # decodable
+        assert c.text
+
+
+def test_code_token_count():
+    assert count_code_tokens("std::vec::Vec path/to/file.rs") == 2
+    assert count_code_tokens("foo bar-baz_qux") == 2
+    assert count_code_tokens("") == 0
+    assert count_code_tokens("...") == 1  # dots are token chars (code class)
+
+
+# ---------------------------------------------------------------- snippet
+
+def test_tokenize_offsets_bytes():
+    toks = tokenize_scalar_offsets("Hello, wörld!")
+    assert toks[0] == ("hello", 0, 5)
+    # 'wörld' starts at byte 7, ö is 2 bytes → ends at 13
+    assert toks[1] == ("wörld", 7, 13)
+
+
+def test_snippet_basic_highlight():
+    gen = SnippetGenerator([("merge", 3), ("split", 10)])
+    s = gen.snippet("we merge things and split them")
+    assert s == "we <b>merge</b> things and <b>split</b> them"
+
+
+def test_snippet_prefers_denser_fragment():
+    gen = SnippetGenerator([("x", 1)], max_chars=20)
+    text = "x " + "pad " * 20 + "x x x end"
+    s = gen.snippet(text)
+    assert s.count("<b>x</b>") == 3  # the dense trailing fragment wins
+
+
+def test_snippet_none_when_no_match():
+    gen = SnippetGenerator([("zzz", 5)])
+    assert gen.snippet("nothing relevant here") is None
+    assert gen.snippet("") is None
+
+
+def test_snippet_df_zero_ignored_and_escape():
+    gen = SnippetGenerator([("b", 0), ("script", 2)])
+    s = gen.snippet("<script>alert()</script>")
+    assert "<b>script</b>" in s
+    assert "&lt;" in s and "&gt;" in s
+
+
+def test_snippet_fallback_prefix():
+    gen = SnippetGenerator([("zzz", 5)])
+    s = gen.snippet("just some plain text", fallback_prefix=True)
+    assert s == "just some plain text"
+
+
+# ------------------------------------------------------- range/set filters
+
+def test_search_with_snippets_end_to_end(sf_dir):
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    out = idx.search_with_snippets("spark window", k=5, dtype=np.float64)
+    assert out
+    assert any(s and "<b>" in s for _, s in out)
+
+
+def test_range_filter_end_to_end(sf_dir):
+    import duckdb
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    hits, total = idx.search_paginated("spark n_chars:[150 TO 300]", limit=100,
+                                       exact_count=True)
+    want = duckdb.sql(f"""
+        SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE n_chars BETWEEN 150 AND 300
+          AND len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                              x -> x = 'spark')) > 0""").fetchone()[0]
+    assert total == want
+    # negated range excludes exactly the complement
+    neg, neg_total = idx.search_paginated("spark -n_chars:[150 TO 300]",
+                                          limit=100, exact_count=True)
+    all_, all_total = idx.search_paginated("spark", limit=100, exact_count=True)
+    assert total + neg_total == all_total
+
+
+def test_set_filter_end_to_end(sf_dir):
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    hits, total = idx.search_paginated("spark n_chars:IN(157,246)", limit=100,
+                                       exact_count=True)
+    broad, broad_total = idx.search_paginated("spark n_chars:[1 TO 100000]",
+                                              limit=100, exact_count=True)
+    assert total <= broad_total
