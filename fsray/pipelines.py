@@ -261,6 +261,25 @@ def search_snippets(sf_dir: str, k: int = 10) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# windowed / temporal lane (custom operators: windowed aggregate,
+# sessionization, as-of join — fsray.windows)
+
+def events_tumbling_window(sf_dir: str) -> pa.Table:
+    from fsray.windows import tumbling_window_agg
+    return tumbling_window_agg(sf_dir)
+
+
+def events_sessionize(sf_dir: str) -> pa.Table:
+    from fsray.windows import sessionize
+    return sessionize(sf_dir)
+
+
+def events_asof_orders(sf_dir: str) -> pa.Table:
+    from fsray.windows import asof_join_orders
+    return asof_join_orders(sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # text analysis lane
 
 def doc_token_counts(sf_dir: str) -> pa.Table:
@@ -626,6 +645,9 @@ def make_queries() -> dict:
         "term_doc_freq": term_doc_freq,
         "top_terms": top_terms,
         "collection_stats": collection_stats,
+        "events_tumbling_window": events_tumbling_window,
+        "events_sessionize": events_sessionize,
+        "events_asof_orders": events_asof_orders,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -726,6 +748,30 @@ FROM toks2 GROUP BY tok ORDER BY tf DESC, term ASC LIMIT 20"""
 WITH {_toks2_sql()}
 SELECT (SELECT count(*) FROM documents) AS n_docs,
        count(*) AS total_tokens, count(DISTINCT tok) AS n_unique_terms FROM toks2"""
+
+    o["events_tumbling_window"] = """
+SELECT event_type, (epoch_us(ts) // CAST(3600000000 AS BIGINT)) * 3600 AS window_start_s,
+       sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    o["events_sessionize"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+s AS (SELECT user_id, tus,
+        CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > CAST(1800000000 AS BIGINT)
+             THEN 1 ELSE 0 END AS brk
+      FROM e),
+s2 AS (SELECT user_id, tus,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS session
+       FROM s)
+SELECT user_id, session, min(tus) // 1000000 AS start_s, max(tus) // 1000000 AS end_s,
+       count(*) AS n_events
+FROM s2 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    o["events_asof_orders"] = """
+SELECT e.event_id, COALESCE(epoch_us(o.o_orderdate) // 1000000, -1) AS asof_order_date_s
+FROM events e ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY event_id"""
 
     o["dedup_exact"] = """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id"""

@@ -1,0 +1,146 @@
+"""Windowed / temporal operators the Dataset API lacks as primitives.
+
+Custom operators per the engine brief (as-of join, windowed aggregate,
+sessionization), expressed as compositions of ``map_batches`` partials +
+``groupby`` (SURVEY §2 custom-operator rule (a)) with the partitioning
+assumptions documented per operator:
+
+- **tumbling window aggregate** — per-batch partial aggregation on
+  (event_type, window) then a small ``groupby`` merge.  Value sums are
+  carried as integer micro-units so the merge is order-independent and
+  bit-stable (float sums depend on reduction order).
+- **sessionization** — ``groupby(user_id).map_groups``: each group sorts
+  its events by time and splits sessions at gaps > ``gap``.  Partitioning
+  assumption: one user's events fit one group (true by construction of a
+  keyed groupby; skewed users bound by per-user event counts).
+- **as-of join** — the small side (orders) is broadcast sorted by
+  (custkey, date) via ``ray.put`` once; each event batch binary-searches
+  a packed (key, time) array — O(log n) per row, no shuffle of the big
+  side.  Assumption: the build side fits worker memory (else bucket both
+  sides by key range first).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US_PER_SEC = 1_000_000
+
+
+def _events_ds(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def tumbling_partial(batch: pa.Table, width_sec: int = 3600) -> pa.Table:
+    """Per-batch partial: (event_type, window_start_s) → count, Σ micros."""
+    ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()  # µs epoch
+    win = (ts // (width_sec * US_PER_SEC)) * width_sec
+    val = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+    micros = np.floor(val * 1e6).astype(np.int64)  # floor matches SQL floor() exactly
+    t = pa.table({
+        "event_type": batch["event_type"],
+        "window_start_s": pa.array(win, type=pa.int64()),
+        "micros": pa.array(micros, type=pa.int64()),
+    })
+    agg = t.group_by(["event_type", "window_start_s"]).aggregate(
+        [("micros", "sum"), ("micros", "count")])
+    return pa.table({
+        "event_type": agg["event_type"],
+        "window_start_s": agg["window_start_s"],
+        "sum_value_micros": agg["micros_sum"].cast(pa.int64()),
+        "n_events": agg["micros_count"].cast(pa.int64()),
+    })
+
+
+def tumbling_window_agg(sf_dir: str, width_sec: int = 3600) -> pa.Table:
+    """Tumbling-window aggregate over events (partial → groupby merge)."""
+    from ray.data.aggregate import Sum
+    ds = _events_ds(sf_dir).map_batches(
+        lambda b: tumbling_partial(b, width_sec), batch_format="pyarrow",
+        zero_copy_batch=True)
+    out = (ds.groupby(["event_type", "window_start_s"])
+             .aggregate(Sum("sum_value_micros"), Sum("n_events")).to_pandas())
+    out = out.sort_values(["event_type", "window_start_s"])
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "window_start_s": pa.array(out["window_start_s"].astype("int64"), type=pa.int64()),
+        "sum_value_micros": pa.array(out["sum(sum_value_micros)"].astype("int64"), type=pa.int64()),
+        "n_events": pa.array(out["sum(n_events)"].astype("int64"), type=pa.int64()),
+    })
+
+
+def sessionize(sf_dir: str, gap_sec: int = 1800) -> pa.Table:
+    """Sessions per user: gap > ``gap_sec`` starts a new session.
+
+    ``groupby(user_id).map_groups`` — the stateful-per-key stage the
+    Dataset API expresses as a keyed group transform."""
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].combine_chunks().cast(pa.int64()).to_numpy())
+        uid = int(g["user_id"][0].as_py())
+        gaps = np.diff(ts) > gap_sec * US_PER_SEC
+        sess_of = np.concatenate(([0], np.cumsum(gaps)))
+        n_sessions = int(sess_of[-1]) + 1 if len(ts) else 0
+        starts = np.zeros(n_sessions, dtype=np.int64)
+        ends = np.zeros(n_sessions, dtype=np.int64)
+        counts = np.zeros(n_sessions, dtype=np.int64)
+        starts[:] = ts[np.concatenate(([0], np.flatnonzero(gaps) + 1))] if len(ts) else starts
+        ends[:] = ts[np.concatenate((np.flatnonzero(gaps), [len(ts) - 1]))] if len(ts) else ends
+        np.add.at(counts, sess_of, 1)
+        return pa.table({
+            "user_id": pa.array(np.full(n_sessions, uid), type=pa.int64()),
+            "session": pa.array(np.arange(n_sessions), type=pa.int64()),
+            "start_s": pa.array(starts // US_PER_SEC, type=pa.int64()),
+            "end_s": pa.array(ends // US_PER_SEC, type=pa.int64()),
+            "n_events": pa.array(counts, type=pa.int64()),
+        })
+
+    ds = _events_ds(sf_dir).groupby("user_id").map_groups(per_user,
+                                                          batch_format="pyarrow")
+    out = ds.to_pandas().sort_values(["user_id", "session"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def asof_join_orders(sf_dir: str) -> pa.Table:
+    """For each event: the user's latest order at-or-before the event time.
+
+    Broadcast-small-side as-of join: orders sorted by (custkey, date) in a
+    packed int array, shipped once with ``ray.put``; event batches binary
+    search it (no shuffle of the event stream)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = orders["o_custkey"].to_numpy().astype(np.int64)
+    date_us = orders["o_orderdate"].cast(pa.int64()).to_numpy()
+    # packed sort key: (custkey, date) — date fits < 2^62 / MAXC
+    order_key = cust * np.int64(1 << 48) + (date_us // US_PER_SEC)
+    order_sorted = np.argsort(order_key, kind="stable")
+    ref = ray.put((order_key[order_sorted], (date_us // US_PER_SEC)[order_sorted],
+                   cust[order_sorted]))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        keys, odates, custs = ray.get(ref)
+        ev_user = batch["user_id"].combine_chunks().cast(pa.int64()).to_numpy()
+        ev_ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy() // US_PER_SEC
+        probe = ev_user * np.int64(1 << 48) + ev_ts
+        idx = np.searchsorted(keys, probe, side="right") - 1
+        ok = (idx >= 0)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        ok &= custs[idx_c] == ev_user
+        joined = np.where(ok, odates[idx_c], -1)
+        return pa.table({
+            "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
+            "asof_order_date_s": pa.array(joined, type=pa.int64()),
+        })
+
+    ds = _events_ds(sf_dir).map_batches(join_batch, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    out = ds.to_pandas().sort_values("event_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
