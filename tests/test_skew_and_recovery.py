@@ -1,0 +1,122 @@
+"""Term-skew stress + crash-window recovery (north_rule obligations).
+
+Skew: the posting-merge shuffle must stay correct and bounded when one
+term dominates the corpus (the fn/impl/use case the north rule names).
+Stage A's per-(term, partition) pre-aggregation bounds every reducer
+group to O(partitions) rows regardless of term frequency — verified on a
+corpus where ~half of all tokens are one hot term.
+
+Recovery: deleting any intermediate artifact and re-running the build must
+repair exactly the damaged pieces (idempotent partition outputs + marker
+protocol, the two-slot-manifest analogue).
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fsray.build import CODE_CORPUS, BuildConfig, build_index
+from fsray.search import LocalIndex
+
+
+@pytest.fixture(scope="module")
+def skew_corpus(tmp_path_factory):
+    """1,500 docs, ~50% of all tokens are the single hot term 'fn'."""
+    root = tmp_path_factory.mktemp("skew")
+    rng = np.random.default_rng(99)
+    rows = []
+    vocab = [f"ident{i}" for i in range(200)]
+    for i in range(1500):
+        n = int(rng.integers(20, 120))
+        toks = ["fn" if rng.random() < 0.5 else vocab[int(rng.integers(200))]
+                for _ in range(n)]
+        rows.append({
+            "repo": f"org{i % 3}/r{i % 5}", "path": f"src/f{i}.rs",
+            "commit": f"{i:040x}", "lang": "rust", "content": " ".join(toks),
+        })
+    paths = []
+    for f in range(3):
+        p = str(root / f"part-{f}.parquet")
+        pq.write_table(pa.Table.from_pylist(rows[f * 500:(f + 1) * 500]),
+                       p, row_group_size=128)
+        paths.append(p)
+    return {"paths": paths, "rows": rows, "root": root}
+
+
+def test_skewed_build_correct_and_bounded(skew_corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    cfg = BuildConfig(partition_rows=128, num_shards=4, num_buckets=8)
+    m = build_index(skew_corpus["paths"], d, CODE_CORPUS, cfg)
+    assert m["doc_count"] == 1500
+
+    # the hot term's df must equal the number of docs containing 'fn'
+    idx = LocalIndex(d)
+    want_df = sum(1 for r in skew_corpus["rows"] if "fn" in r["content"].split())
+    total_df = 0
+    for sh in idx.shards:
+        total_df += int(sh.dfs([(0, "fn")])[0])
+    assert total_df == want_df
+
+    # reducer-group row bound: every staged partial has ≤ 1 row per
+    # (field, term) per partition ⇒ any reducer sees ≤ n_partitions rows
+    # per term no matter how hot the term is
+    n_parts = len(m["partitions"])
+    for f in glob.glob(os.path.join(d, "stage_postings", "bucket=*", "*.parquet")):
+        t = pq.read_table(f, columns=["field", "term"])
+        keys = list(zip(t["field"].to_pylist(), t["term"].to_pylist()))
+        assert len(keys) == len(set(keys)), f  # ≤1 row per term per partition
+
+    # exact count of the hot term matches, and ranking works under skew
+    hits, total = idx.search_paginated("fn", limit=10, exact_count=True)
+    assert total == want_df
+    assert len(hits) == 10
+
+
+def test_recovery_repairs_damage(skew_corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    cfg = BuildConfig(partition_rows=128, num_shards=4, num_buckets=8)
+    m1 = build_index(skew_corpus["paths"], d, CODE_CORPUS, cfg)
+    base = LocalIndex(d)
+    want = [(h.doc_id, h.score) for h in base.search("fn ident3", k=10)]
+
+    # damage 1: delete a termtable output → only that reducer re-runs
+    victim = sorted(glob.glob(os.path.join(d, "termtable", "shard=0001", "*.parquet")))[0]
+    os.unlink(victim)
+    m2 = build_index(skew_corpus["paths"], d, CODE_CORPUS, cfg)
+    assert os.path.exists(victim)
+    assert m2["metrics"]["stage_a_skipped"] == len(m2["partitions"])
+    n_reducers = cfg.num_shards * cfg.num_buckets
+    assert m2["metrics"]["stage_b_skipped"] == n_reducers - 1
+
+    # damage 2: delete a partition's idmap + stats → that partition re-runs
+    os.unlink(os.path.join(d, "idmap", "part-00003.parquet"))
+    os.unlink(os.path.join(d, "partstats", "part-00003.json"))
+    m3 = build_index(skew_corpus["paths"], d, CODE_CORPUS, cfg)
+    assert m3["metrics"]["stage_a_skipped"] == len(m3["partitions"]) - 1
+    assert os.path.exists(os.path.join(d, "idmap", "part-00003.parquet"))
+
+    # results identical after both repairs
+    got = [(h.doc_id, h.score) for h in LocalIndex(d).search("fn ident3", k=10)]
+    assert got == want
+
+
+def test_stale_manifest_not_trusted_across_spec_change(skew_corpus, tmp_path):
+    """Rebuilding with positions flipped must NOT reuse old partials."""
+    d = str(tmp_path / "idx")
+    cfg_a = BuildConfig(partition_rows=128, num_shards=2, num_buckets=4)
+    m1 = build_index(skew_corpus["paths"], d, CODE_CORPUS, cfg_a)
+    cfg_b = BuildConfig(partition_rows=128, num_shards=2, num_buckets=4,
+                        positions=True)
+    m2 = build_index(skew_corpus["paths"], d, CODE_CORPUS, cfg_b)
+    assert m2["metrics"]["stage_a_skipped"] == 0  # fingerprints changed
+    assert m2["build_id"] != m1["build_id"]
+    # phrase search works on the rebuilt index
+    idx = LocalIndex(d)
+    row0 = skew_corpus["rows"][0]["content"].split()
+    hits = idx.search(f'"{row0[0]} {row0[1]}"', k=5)
+    assert isinstance(hits, list)
