@@ -58,6 +58,22 @@ def _perm_constants(num_perms: int = NUM_PERMS) -> tuple[np.ndarray, np.ndarray]
 PERM_A, PERM_B = _perm_constants()
 
 
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer.  A bare affine ``x*A+B mod 2^64`` is NOT a
+    usable minhash permutation family: its min-collision structure is
+    correlated across perms (measured: a Jaccard-0.99 pair agreed on only
+    32/64 perms, patterned so 0/32 bands matched).  Full avalanche fixes
+    the family."""
+    with np.errstate(over="ignore"):
+        z = z.astype(np.uint64, copy=True)
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
 def sha256_column(text: pa.Array) -> pa.Array:
     """Per-row sha256 hex of a string column (the content-hash witness)."""
     return pa.array([hashlib.sha256((v or "").encode("utf-8")).hexdigest()
@@ -189,7 +205,7 @@ def minhash_batch(batch: pa.Table, text_column: str = "text",
     sig = np.full((n, NUM_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(sv):
         with np.errstate(over="ignore"):
-            m = sv[:, None] * PERM_A[None, :] + PERM_B[None, :]  # (n_shingles, 64)
+            m = _mix64(sv[:, None] * PERM_A[None, :] + PERM_B[None, :])  # (n_shingles, 64)
         starts = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(cnts, out=starts[1:])
         nz = cnts > 0

@@ -564,9 +564,10 @@ def ann_lsh(sf_dir: str) -> pa.Table:
     recall vs brute force is asserted in tests."""
     from fsray.ann import LshIndex
     ids, vecs = _embeddings(sf_dir)
-    # bucket width scales with corpus size: ~2^bits buckets, ≥8 vectors per
-    # bucket expected so multi-probe reaches real neighbors
-    n_bits = int(np.clip(np.log2(max(len(ids), 2)) - 3, 2, 16))
+    # bucket width scales with corpus size: ~2^bits buckets, ~32 vectors
+    # per bucket so 2-probe multi-probing scans ~25% of the corpus — enough
+    # for solid recall even on cluster-free uniform embeddings (worst case)
+    n_bits = int(np.clip(np.log2(max(len(ids), 2)) - 5, 2, 16))
     index = LshIndex(ids, vecs, n_bits=n_bits)
     rows_q, rows_n = [], []
     for q in ANN_QUERY_IDS:
