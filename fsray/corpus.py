@@ -50,8 +50,13 @@ def _vocab(n: int) -> list[str]:
     return out
 
 
-def generate_code_corpus(n_docs: int, seed: int = 42) -> pa.Table:
-    """Build the synthetic corpus table in memory (vectorized, deterministic)."""
+def generate_code_corpus(n_docs: int, seed: int = 42,
+                         max_tokens: int = 3000) -> pa.Table:
+    """Build the synthetic corpus table in memory (vectorized, deterministic).
+
+    Token draws are fully vectorized (one flat Zipf draw + one hot-token
+    draw for the whole corpus) so million-doc corpora generate in seconds;
+    ``max_tokens`` caps per-doc length for large stress corpora."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab(max(1000, n_docs // 10)))
     nv = len(vocab)
@@ -66,23 +71,27 @@ def generate_code_corpus(n_docs: int, seed: int = 42) -> pa.Table:
                      for i, l in enumerate(lang)])
     commit = np.array(["%040x" % int(x) for x in rng.integers(0, 2**63, size=n_docs).astype(object)])
 
-    # token counts: log-uniform 8 .. 3000 (spread across fieldnorm buckets)
-    n_tokens = np.exp(rng.uniform(np.log(8), np.log(3000), size=n_docs)).astype(np.int64)
+    # token counts: log-uniform 8 .. max_tokens (spread across fieldnorm buckets)
+    n_tokens = np.exp(rng.uniform(np.log(8), np.log(max_tokens), size=n_docs)).astype(np.int64)
+    total = int(n_tokens.sum())
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_tokens, out=starts[1:])
 
-    contents: list[str] = []
+    # ~20% hot tokens -> heavy skew on fn/impl/use; rest Zipf identifiers
     hot = np.array(HOT)
-    for i in range(n_docs):
-        nt = int(n_tokens[i])
-        n_hot = max(1, nt // 5)  # ~20% hot tokens -> heavy skew on fn/impl/use
-        words = np.empty(nt, dtype=object)
-        words[:n_hot] = rng.choice(hot, size=n_hot)
-        words[n_hot:] = vocab[rng.choice(nv, size=nt - n_hot, p=zipf_p)]
-        rng.shuffle(words)
+    hot_mask = rng.random(total) < 0.2
+    words = np.empty(total, dtype=object)
+    n_hot = int(hot_mask.sum())
+    words[hot_mask] = hot[rng.integers(0, len(hot), size=n_hot)]
+    words[~hot_mask] = vocab[rng.choice(nv, size=total - n_hot, p=zipf_p)]
+    # guarantee ≥1 hot token per doc (skew invariant the tests rely on)
+    words[starts[:-1]] = hot[rng.integers(0, len(hot), size=n_docs)]
+
+    joined = words.astype(str)
+    contents = [" ".join(joined[starts[i]:starts[i + 1]]) for i in range(n_docs)]
+    for i in range(0, n_docs, 7):
         # sprinkle code-ish punctuation so the analyzer's split matters
-        text = " ".join(words)
-        if i % 7 == 0:
-            text = text.replace(" ", "::", 1).replace(" ", "(", 2)
-        contents.append(text)
+        contents[i] = contents[i].replace(" ", "::", 1).replace(" ", "(", 2)
 
     # ~2% near-duplicates of the previous doc (dedup operators need them)
     for i in range(1, n_docs, 50):
@@ -102,13 +111,14 @@ def generate_code_corpus(n_docs: int, seed: int = 42) -> pa.Table:
     })
 
 
-def write_code_corpus(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 4) -> list[str]:
+def write_code_corpus(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 4,
+                      max_tokens: int = 3000) -> list[str]:
     """Write the corpus as ``n_files`` Parquet files (the multi-partition
     input layout the build pipeline plans over).  Idempotent: returns the
     existing files if they are already present and complete."""
     os.makedirs(out_dir, exist_ok=True)
     paths = [os.path.join(out_dir, f"corpus-{i:04d}.parquet") for i in range(n_files)]
-    marker = os.path.join(out_dir, f".complete-{n_docs}-{seed}-{n_files}")
+    marker = os.path.join(out_dir, f".complete-{n_docs}-{seed}-{n_files}-{max_tokens}")
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths):
         return paths
     # regenerating under a different config: drop stale markers so an old
@@ -117,7 +127,7 @@ def write_code_corpus(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 
     for f in os.listdir(out_dir):
         if f.startswith(".complete-"):
             os.unlink(os.path.join(out_dir, f))
-    table = generate_code_corpus(n_docs, seed)
+    table = generate_code_corpus(n_docs, seed, max_tokens=max_tokens)
     splits = np.array_split(np.arange(n_docs), n_files)
     for p, idx in zip(paths, splits):
         # small row groups so the build planner can split files into

@@ -218,21 +218,67 @@ def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
 def phrase_matches(decs: list, n_terms_hint: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Exact-adjacency phrase matching over decoded terms WITH positions.
 
-    Fully vectorized: each term's occurrences become packed
-    ``(docid << 32) | (pos - i)`` keys; the running ``np.intersect1d``
-    keeps only positions where term_i appears exactly i tokens after a
-    phrase start (slop 0 — PLAN.md §8.3 exact-position adjacency).
-    Returns (docids, phrase_freqs) for docs with freq ≥ 1.
+    Two stages, mirroring the reference's galloping pre-filter + positions
+    verification (PLAN.md §8.3):
+
+    1. intersect the terms' DOCID lists (searchsorted over sorted arrays —
+       docids are tiny next to position streams);
+    2. for surviving docs only, gather each term's position runs and
+       intersect packed ``(docid << 32) | (pos - i)`` keys (already sorted
+       — no re-sort).  Returns (docids, phrase_freqs) where freq ≥ 1.
     """
+    for dec in decs:
+        if dec is None or dec.positions is None or len(dec.docids) == 0:
+            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+
+    # stage 1: docid intersection across all terms
+    common = decs[0].docids
+    for dec in decs[1:]:
+        if len(common) == 0:
+            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+        idx = np.searchsorted(dec.docids, common)
+        idx_c = np.minimum(idx, len(dec.docids) - 1)
+        common = common[dec.docids[idx_c] == common]
+    if len(common) == 0:
+        return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+
+    # stage 2: position verification.  The gather-by-intersection path wins
+    # when the phrase is selective; when nearly every doc survives stage 1
+    # (worst case: hot terms co-occurring everywhere) the segment gather is
+    # pure overhead — stream each term's full positions directly instead.
+    min_df = min(len(dec.docids) for dec in decs)
+    selective = len(common) < (min_df >> 1)
     keys = None
     for i, dec in enumerate(decs):
-        if dec is None or dec.positions is None:
-            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
-        docrep = np.repeat(dec.docids.astype(np.uint64), dec.tfs.astype(np.int64))
-        pos = dec.positions.astype(np.uint64)
+        if selective:
+            rows = np.searchsorted(dec.docids, common)
+            tfs = dec.tfs.astype(np.int64)
+            offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=offs[1:])
+            lens = tfs[rows]
+            total = int(lens.sum())
+            # gather the selected docs' position runs (variable-length
+            # segments)
+            seg_starts = offs[rows]
+            out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=out_off[1:])
+            gather = np.repeat(seg_starts, lens) + (np.arange(total, dtype=np.int64)
+                                                    - np.repeat(out_off[:-1], lens))
+            pos = dec.positions[gather].astype(np.uint64)
+            docrep = np.repeat(common.astype(np.uint64), lens)
+        else:
+            pos = dec.positions.astype(np.uint64)
+            docrep = np.repeat(dec.docids.astype(np.uint64), dec.tfs.astype(np.int64))
         valid = pos >= i
         k = (docrep[valid] << np.uint64(32)) | (pos[valid] - np.uint64(i))
-        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if keys is None:
+            keys = k
+        elif len(k) == 0:
+            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+        else:
+            idx = np.searchsorted(k, keys)
+            idx_c = np.minimum(idx, len(k) - 1)
+            keys = keys[k[idx_c] == keys]
         if len(keys) == 0:
             return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
     match_docids = (keys >> np.uint64(32)).astype(np.uint32)

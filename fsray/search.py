@@ -102,6 +102,18 @@ class ShardData:
     def size(self) -> int:
         return self.hi - self.lo
 
+    def warm(self, top_terms: int = 32) -> None:
+        """Pre-decode the highest-df terms (the postings an OS page cache
+        would keep hot for the reference's mmap'd sections)."""
+        if self.term_table is None or top_terms <= 0:
+            return
+        t = self.term_table
+        df = t["df"].to_numpy()
+        order = np.argsort(df)[::-1][:top_terms]
+        f_np = t["field"].to_numpy()
+        for row in order:
+            self.decode((int(f_np[row]), t["term"][int(row)].as_py()))
+
     def glob_terms(self, field_ord: int, pattern: str, limit: int = 16_384) -> list[str]:
         """Terms in this shard matching a glob pattern (dictionary prefix/
         wildcard scan — reference: query.rs:3415-3468; cap config.rs:33)."""
@@ -344,13 +356,15 @@ class LocalIndex:
     #: cache, index.rs:278-280,7405-7441 — flat FIFO of the same size)
     CACHE_SLOTS = 256
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, warm_top_terms: int = 32):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         self.shards = [ShardData(index_dir, int(s), self.manifest)
                        for s in sorted(self.manifest["shards"], key=int)]
+        for sh in self.shards:
+            sh.warm(warm_top_terms)
         self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]]
         self._cache: dict = {}
 
@@ -482,9 +496,10 @@ class LocalIndex:
 class ShardSearcherActor:
     """Ray actor wrapper: ShardData loaded ONCE per actor in __init__."""
 
-    def __init__(self, index_dir: str, shard_id: int):
+    def __init__(self, index_dir: str, shard_id: int, warm_top_terms: int = 64):
         manifest = load_manifest(index_dir)
         self.shard = ShardData(index_dir, shard_id, manifest)
+        self.shard.warm(warm_top_terms)
 
     def glob_terms(self, field_ord: int, pattern: str, limit: int = 16_384) -> list[str]:
         return self.shard.glob_terms(field_ord, pattern, limit)
