@@ -478,8 +478,12 @@ def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS
 
     t_plan_done = time.perf_counter()
     part_ds = rd.from_items(parts, override_num_blocks=max(1, n_parts))
-    summaries = part_ds.map_batches(_stage_a, batch_format="pyarrow", batch_size=1,
-                                    zero_copy_batch=True).take_all()
+    stage_a_ds = part_ds.map_batches(_stage_a, batch_format="pyarrow", batch_size=1,
+                                     zero_copy_batch=True).materialize()
+    summaries = stage_a_ds.take_all()
+    if os.environ.get("FSRAY_STATS"):
+        atomic_write_json(os.path.join(index_dir, "raystats_stage_a.json"),
+                          {"stats": stage_a_ds.stats()})
     t_a_done = time.perf_counter()
     # partition stats live in partstats/*.json (written atomically per task)
     part_stats = [read_json(os.path.join(index_dir, "partstats", f"part-{p['pidx']:05d}.json"))
@@ -519,8 +523,12 @@ def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS
 
     n_red = len(reduce_tasks)
     red_ds = rd.from_items(reduce_tasks, override_num_blocks=max(1, n_red))
-    merge_summaries = red_ds.map_batches(_stage_b, batch_format="pyarrow",
-                                         batch_size=4).take_all()
+    stage_b_ds = red_ds.map_batches(_stage_b, batch_format="pyarrow",
+                                    batch_size=4).materialize()
+    merge_summaries = stage_b_ds.take_all()
+    if os.environ.get("FSRAY_STATS"):
+        atomic_write_json(os.path.join(index_dir, "raystats_stage_b.json"),
+                          {"stats": stage_b_ds.stats()})
     t_b_done = time.perf_counter()
 
     # ---- Stage C: stats rollup + manifest (tiny, driver-side) ----
