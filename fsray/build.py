@@ -56,7 +56,7 @@ from fsray import codec
 from fsray.manifest import atomic_write_json, atomic_write_parquet, publish_manifest, read_json
 from fsray.tokenizer import tokenize_column, token_stats
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def _cap_worker_threads() -> None:
@@ -310,6 +310,9 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
         toks = tokenize_column(table[f.source].combine_chunks().fill_null(""))
         counts, fn_ids = token_stats(toks)
         idmap_cols[f"fn_{f.name}"] = pa.array(fn_ids, type=pa.uint8())
+        # exact token counts per doc — compaction needs them to rewrite
+        # the at-seal stats exactly (STATS recompute on segment rewrite)
+        idmap_cols[f"tc_{f.name}"] = pa.array(counts, type=pa.uint32())
         pt = _partial_postings(f.ord, toks, base, fn_ids, part["shard"], pidx,
                                cfg.num_buckets, positions=cfg.positions)
         postings_tables.append(pt)

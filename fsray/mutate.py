@@ -1,0 +1,371 @@
+"""Index mutation lane: tombstone deletes, segment appends, compaction,
+tier merge — the reference's Keeper semantics on the Ray build layout.
+
+Pinned behaviors (reference: PLAN.md §10.5, §7 Allocation; keeper.rs):
+
+- **Deletes are manifest tombstones, never file mutations.**  Until
+  compaction, ``doc_freq`` still counts tombstoned docs and N/avgdl keep
+  their at-seal values — scores of surviving docs DO NOT change on delete
+  (argus.rs:1434-1437 lifecycle note; SURVEY §7.5.7); tombstoned docs are
+  excluded at collection time only.
+- **Appends are new shards** (the segment model): new docs take docid
+  leases past the high-watermark; nothing existing is rewritten; snapshot
+  statistics are the rollup over all live shards (Q1-OB3 keeps scores
+  partition-geometry independent).
+- **Upsert = tombstone(old) + append(new)** with a fresh docid
+  (PLAN.md §7 Allocation).
+- **Compaction** rewrites a shard's term tables dropping tombstoned
+  postings; docids are preserved (gaps fine), per-field stats recomputed
+  exactly from stored per-doc token counts, tombstones cleared.
+- **Tier merge** concatenates two bound-consecutive shards' term tables
+  per bucket in docid order (merge=concat over disjoint ordered ranges —
+  the theorem that makes the distributed build exact, PLAN.md §7).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from fsray import codec
+from fsray.manifest import atomic_write_parquet, load_manifest, publish_manifest
+
+
+def _idmap_files(index_dir: str, manifest: dict, shard: str) -> list[str]:
+    return [os.path.join(index_dir, "idmap", f"part-{pidx:05d}.parquet")
+            for pidx in manifest["shards"][shard]["partitions"]]
+
+
+def delete_docs(index_dir: str, doc_ids: list[str]) -> dict:
+    """Tombstone documents by external id (manifest-only mutation).
+
+    Returns the republished manifest.  Unknown ids are ignored (lenient,
+    like the reference's delete of a missing DocId)."""
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    wanted = pa.array(sorted(set(doc_ids)), type=pa.string())
+    tombs: dict[str, list[int]] = {k: list(v) for k, v in
+                                   manifest.get("tombstones", {}).items()}
+    for shard in manifest["shards"]:
+        hit_docids: list[int] = []
+        for f in _idmap_files(index_dir, manifest, shard):
+            t = pq.read_table(f, columns=["docid", "doc_id"])
+            mask = pc.is_in(t["doc_id"], value_set=wanted)
+            hits = t["docid"].filter(mask)
+            hit_docids.extend(int(x) for x in hits.to_pylist())
+        if hit_docids:
+            cur = set(tombs.get(shard, []))
+            cur.update(hit_docids)
+            tombs[shard] = sorted(cur)
+    manifest["tombstones"] = tombs
+    manifest["generation"] = int(manifest.get("generation", 0)) + 1
+    publish_manifest(index_dir, manifest)
+    return manifest
+
+
+def append_docs(index_dir: str, paths: list[str], spec, cfg) -> dict:
+    """Append new documents as NEW shards past the docid high-watermark.
+
+    Existing shards/termtables are untouched; the manifest is republished
+    with the union of shards and the exact stats rollup."""
+    from fsray.build import FORMAT_VERSION, build_index
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    if cfg.num_buckets != manifest["num_buckets"]:
+        raise ValueError("append must keep the index's bucket count "
+                         f"({manifest['num_buckets']})")
+
+    # build the new docs into a staging index, docids offset past watermark
+    watermark = max(int(v["docid_hi"]) for v in manifest["shards"].values())
+    shard_base = max(int(k) for k in manifest["shards"]) + 1
+    stage_dir = os.path.join(index_dir, f"append-{manifest.get('generation', 0)}-{watermark}")
+    sub = build_index(paths, stage_dir, spec, cfg)
+
+    # graft the staged shards into the live layout with offset ids
+    for old_shard, info in sub["shards"].items():
+        new_shard = str(shard_base + int(old_shard))
+        src_dir = os.path.join(stage_dir, "termtable", f"shard={int(old_shard):04d}")
+        dst_dir = os.path.join(index_dir, "termtable", f"shard={int(new_shard):04d}")
+        os.makedirs(dst_dir, exist_ok=True)
+        new_parts = []
+        for f in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+            t = pq.read_table(f)
+            # rebase every docid payload by the watermark: decode → shift →
+            # re-encode (append-time only; queries never pay this)
+            rebased = _rebase_termtable(t, watermark)
+            atomic_write_parquet(os.path.join(dst_dir, os.path.basename(f)), rebased)
+        for pidx in info["partitions"]:
+            old_idmap = os.path.join(stage_dir, "idmap", f"part-{pidx:05d}.parquet")
+            new_pidx = 100000 + watermark // max(1, cfg.partition_rows) + pidx
+            im = pq.read_table(old_idmap)
+            im = im.set_column(im.schema.get_field_index("docid"), "docid",
+                               pc.add(im["docid"], watermark).combine_chunks().cast(pa.uint32()))
+            atomic_write_parquet(os.path.join(index_dir, "idmap",
+                                              f"part-{new_pidx:05d}.parquet"), im)
+            new_parts.append(new_pidx)
+        manifest["shards"][new_shard] = {
+            "docid_lo": int(info["docid_lo"]) + watermark,
+            "docid_hi": int(info["docid_hi"]) + watermark,
+            "partitions": new_parts,
+        }
+
+    # stats rollup: snapshot-global (Q1-OB3)
+    for fname, fs in sub["field_stats"].items():
+        tgt = manifest["field_stats"].setdefault(fname, {"doc_count": 0, "total_tokens": 0})
+        tgt["doc_count"] += fs["doc_count"]
+        tgt["total_tokens"] += fs["total_tokens"]
+    manifest["doc_count"] += sub["doc_count"]
+    manifest["avgdl"] = {
+        name: manifest["field_stats"][name]["total_tokens"]
+        / max(1, manifest["field_stats"][name]["doc_count"])
+        for name in manifest["field_stats"]}
+    manifest["generation"] = int(manifest.get("generation", 0)) + 1
+    publish_manifest(index_dir, manifest)
+    return manifest
+
+
+def _rebase_termtable(t: pa.Table, offset: int) -> pa.Table:
+    """Shift every docid in an encoded term table by ``offset``."""
+    rows = []
+    n = t.num_rows
+    dfs = t["df"].to_numpy()
+    cols = {name: [] for name in ("doc_payload", "doc_widths", "tf_payload",
+                                  "tf_widths", "first_docs", "last_docs", "blockmax")}
+    lengths = dfs.astype(np.int64)
+    all_docids, all_tfs = [], []
+    for i in range(n):
+        dec = codec.decode_term(
+            int(dfs[i]), t["doc_payload"][i].as_py(), t["doc_widths"][i].as_py(),
+            t["tf_payload"][i].as_py(), t["tf_widths"][i].as_py(),
+            t["first_docs"][i].as_py(), t["last_docs"][i].as_py(),
+            t["blockmax"][i].as_py())
+        all_docids.append(dec.docids.astype(np.int64) + offset)
+        all_tfs.append(dec.tfs)
+    flat_docids = np.concatenate(all_docids).astype(np.uint32) if n else np.zeros(0, np.uint32)
+    flat_tfs = np.concatenate(all_tfs).astype(np.uint32) if n else np.zeros(0, np.uint32)
+    # recover fieldnorm ids per posting from blockmax? encode_many needs fns
+    # only for per-block min_fieldnorm — reuse the stored per-block values is
+    # lossy across re-blocking; since rebasing preserves block boundaries
+    # (same lengths), re-encode with a dummy fns then overwrite blockmax.
+    enc = codec.encode_many(lengths, flat_docids, flat_tfs,
+                            np.zeros(len(flat_docids), dtype=np.uint8))
+    out = {
+        "field": t["field"], "term": t["term"], "df": enc.df,
+        "doc_payload": enc.doc_payload, "doc_widths": enc.doc_widths,
+        "tf_payload": enc.tf_payload, "tf_widths": enc.tf_widths,
+        "first_docs": enc.first_docs, "last_docs": enc.last_docs,
+        "blockmax": t["blockmax"],  # per-block pairs unchanged by rebase
+    }
+    if "positions" in t.column_names:
+        out["positions"] = t["positions"]  # doc-local, no rebase needed
+    return pa.table(out)
+
+
+def compact(index_dir: str) -> dict:
+    """Drop tombstoned docs from term tables; recompute exact stats.
+
+    Docids preserved (gaps allowed) — ranks over survivors are identical
+    to a fresh build except for the df/N changes compaction implies
+    (reference: keeper.rs:4219+; after compaction df counts live docs
+    only)."""
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    tombs = manifest.get("tombstones", {})
+    if not any(tombs.values()):
+        return manifest
+
+    field_names = [f["name"] for f in manifest["fields"]]
+    for shard, dead in tombs.items():
+        if not dead:
+            continue
+        dead_np = np.asarray(sorted(dead), dtype=np.uint32)
+        shard_dir = os.path.join(index_dir, "termtable", f"shard={int(shard):04d}")
+        for f in sorted(glob.glob(os.path.join(shard_dir, "*.parquet"))):
+            t = pq.read_table(f)
+            atomic_write_parquet(f, _filter_termtable(t, dead_np))
+        # exact stats delta from stored per-doc token counts
+        for imf in _idmap_files(index_dir, manifest, shard):
+            im = pq.read_table(imf)
+            mask = pc.is_in(im["docid"], value_set=pa.array(dead_np, type=pa.uint32()))
+            sel = im.filter(mask)
+            if sel.num_rows == 0:
+                continue
+            for fname in field_names:
+                col = f"tc_{fname}"
+                if col in sel.column_names:
+                    fs = manifest["field_stats"][fname]
+                    fs["total_tokens"] -= int(pc.sum(sel[col]).as_py() or 0)
+                    fs["doc_count"] -= sel.num_rows
+    total_dead = sum(len(v) for v in tombs.values())
+    manifest["doc_count"] -= total_dead
+    manifest["avgdl"] = {
+        name: manifest["field_stats"][name]["total_tokens"]
+        / max(1, manifest["field_stats"][name]["doc_count"])
+        for name in field_names}
+    manifest["tombstones"] = {}
+    manifest["generation"] = int(manifest.get("generation", 0)) + 1
+    publish_manifest(index_dir, manifest)
+    return manifest
+
+
+def _filter_termtable(t: pa.Table, dead: np.ndarray) -> pa.Table:
+    """Re-encode a term table with tombstoned docids removed."""
+    n = t.num_rows
+    dfs = t["df"].to_numpy()
+    keep_lengths = np.zeros(n, dtype=np.int64)
+    out_docids, out_tfs, out_fns, out_poss = [], [], [], []
+    has_pos = "positions" in t.column_names
+    for i in range(n):
+        dec = codec.decode_term(
+            int(dfs[i]), t["doc_payload"][i].as_py(), t["doc_widths"][i].as_py(),
+            t["tf_payload"][i].as_py(), t["tf_widths"][i].as_py(),
+            t["first_docs"][i].as_py(), t["last_docs"][i].as_py(),
+            t["blockmax"][i].as_py())
+        # per-posting min-fieldnorm recovery is impossible from blockmax;
+        # carry block minima forward approximately by re-deriving from the
+        # original blocks each posting belonged to
+        block_of = np.arange(len(dec.docids)) >> 7
+        fns_approx = dec.min_fieldnorm_id[block_of]
+        keep = ~np.isin(dec.docids, dead, assume_unique=True)
+        keep_lengths[i] = int(keep.sum())
+        out_docids.append(dec.docids[keep])
+        out_tfs.append(dec.tfs[keep])
+        out_fns.append(fns_approx[keep])
+        if has_pos:
+            pos = t["positions"][i].values.to_numpy(zero_copy_only=False).astype(np.uint32)
+            tf64 = dec.tfs.astype(np.int64)
+            offs = np.zeros(len(tf64) + 1, dtype=np.int64)
+            np.cumsum(tf64, out=offs[1:])
+            pos_keep = np.repeat(keep, tf64)
+            out_poss.append(pos[pos_keep])
+    flat_docids = np.concatenate(out_docids).astype(np.uint32) if n else np.zeros(0, np.uint32)
+    flat_tfs = np.concatenate(out_tfs).astype(np.uint32) if n else np.zeros(0, np.uint32)
+    flat_fns = np.concatenate(out_fns).astype(np.uint8) if n else np.zeros(0, np.uint8)
+    enc = codec.encode_many(keep_lengths, flat_docids, flat_tfs, flat_fns)
+    # drop empty terms
+    nonzero = keep_lengths > 0
+    cols = {
+        "field": t["field"].combine_chunks().filter(pa.array(nonzero)),
+        "term": t["term"].combine_chunks().filter(pa.array(nonzero)),
+        "df": enc.df.filter(pa.array(nonzero)),
+        "doc_payload": enc.doc_payload.filter(pa.array(nonzero)),
+        "doc_widths": enc.doc_widths.filter(pa.array(nonzero)),
+        "tf_payload": enc.tf_payload.filter(pa.array(nonzero)),
+        "tf_widths": enc.tf_widths.filter(pa.array(nonzero)),
+        "first_docs": enc.first_docs.filter(pa.array(nonzero)),
+        "last_docs": enc.last_docs.filter(pa.array(nonzero)),
+        "blockmax": enc.blockmax.filter(pa.array(nonzero)),
+    }
+    if has_pos:
+        pos_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in out_poss], out=pos_off[1:])
+        flat_pos = np.concatenate(out_poss).astype(np.uint32) if out_poss else np.zeros(0, np.uint32)
+        poss = pa.LargeListArray.from_arrays(pa.array(pos_off, type=pa.int64()),
+                                             pa.array(flat_pos, type=pa.uint32()))
+        cols["positions"] = poss.filter(pa.array(nonzero))
+    return pa.table(cols)
+
+
+def merge_shards(index_dir: str, shard_a: str, shard_b: str) -> dict:
+    """Tier merge: concatenate two bound-consecutive shards (merge=concat).
+
+    Requires ``shard_a.docid_hi <= shard_b.docid_lo`` (disjoint ordered
+    ranges) and identical bucket counts.  Posting lists concatenate in
+    docid order per (field, term); stats/manifests roll up."""
+    manifest = load_manifest(index_dir)
+    a, b = manifest["shards"][shard_a], manifest["shards"][shard_b]
+    if int(a["docid_hi"]) > int(b["docid_lo"]):
+        raise ValueError("shards are not bound-consecutive")
+    tomb = manifest.get("tombstones", {})
+    if tomb.get(shard_a) or tomb.get(shard_b):
+        raise ValueError("compact before merging tombstoned shards")
+    dir_a = os.path.join(index_dir, "termtable", f"shard={int(shard_a):04d}")
+    dir_b = os.path.join(index_dir, "termtable", f"shard={int(shard_b):04d}")
+    for fb in sorted(glob.glob(os.path.join(dir_b, "*.parquet"))):
+        fa = os.path.join(dir_a, os.path.basename(fb))
+        ta = pq.read_table(fa) if os.path.exists(fa) else None
+        tb = pq.read_table(fb)
+        atomic_write_parquet(fa, _concat_termtables(ta, tb))
+        os.unlink(fb)
+        marker = fb + ".done.json"
+        if os.path.exists(marker):
+            os.unlink(marker)
+    a["docid_hi"] = b["docid_hi"]
+    a["partitions"] = list(a["partitions"]) + list(b["partitions"])
+    del manifest["shards"][shard_b]
+    manifest["generation"] = int(manifest.get("generation", 0)) + 1
+    publish_manifest(index_dir, manifest)
+    return manifest
+
+
+def _concat_termtables(ta: pa.Table | None, tb: pa.Table) -> pa.Table:
+    """merge=concat of two term tables with disjoint ordered docid ranges."""
+    if ta is None or ta.num_rows == 0:
+        return tb
+    has_pos = "positions" in ta.column_names and "positions" in tb.column_names
+
+    def rows(t):
+        out = {}
+        f_np = t["field"].to_numpy()
+        terms = t["term"].to_pylist()
+        for i, key in enumerate(zip(f_np, terms)):
+            out[(int(key[0]), key[1])] = i
+        return out
+
+    ia, ib = rows(ta), rows(tb)
+    keys = sorted(set(ia) | set(ib))
+    lengths, all_d, all_t, all_f, all_p = [], [], [], [], []
+    fields, terms = [], []
+    for key in keys:
+        parts = []
+        for t, idx in ((ta, ia.get(key)), (tb, ib.get(key))):
+            if idx is None:
+                continue
+            dec = codec.decode_term(
+                int(t["df"][idx].as_py()), t["doc_payload"][idx].as_py(),
+                t["doc_widths"][idx].as_py(), t["tf_payload"][idx].as_py(),
+                t["tf_widths"][idx].as_py(), t["first_docs"][idx].as_py(),
+                t["last_docs"][idx].as_py(), t["blockmax"][idx].as_py())
+            block_of = np.arange(len(dec.docids)) >> 7
+            fns = dec.min_fieldnorm_id[block_of]
+            pos = (t["positions"][idx].values.to_numpy(zero_copy_only=False).astype(np.uint32)
+                   if has_pos else None)
+            parts.append((dec.docids, dec.tfs, fns, pos))
+        d = np.concatenate([p[0] for p in parts])
+        lengths.append(len(d))
+        all_d.append(d)
+        all_t.append(np.concatenate([p[1] for p in parts]))
+        all_f.append(np.concatenate([p[2] for p in parts]))
+        if has_pos:
+            all_p.append(np.concatenate([p[3] for p in parts]))
+        fields.append(key[0])
+        terms.append(key[1])
+    enc = codec.encode_many(np.asarray(lengths, dtype=np.int64),
+                            np.concatenate(all_d).astype(np.uint32),
+                            np.concatenate(all_t).astype(np.uint32),
+                            np.concatenate(all_f).astype(np.uint8))
+    cols = {
+        "field": pa.array(fields, type=pa.uint8()),
+        "term": pa.array(terms, type=pa.string()),
+        "df": enc.df, "doc_payload": enc.doc_payload, "doc_widths": enc.doc_widths,
+        "tf_payload": enc.tf_payload, "tf_widths": enc.tf_widths,
+        "first_docs": enc.first_docs, "last_docs": enc.last_docs,
+        "blockmax": enc.blockmax,
+    }
+    if has_pos:
+        pos_off = np.zeros(len(keys) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in all_p], out=pos_off[1:])
+        cols["positions"] = pa.LargeListArray.from_arrays(
+            pa.array(pos_off, type=pa.int64()),
+            pa.array(np.concatenate(all_p) if all_p else np.zeros(0, np.uint32),
+                     type=pa.uint32()))
+    return pa.table(cols)

@@ -97,6 +97,9 @@ class ShardData:
             col = f"stored_{scol}"
             if col in im.column_names:
                 self.stored[scol] = im[col].combine_chunks()
+        # manifest tombstones (deletes are never file mutations — PLAN §10.5)
+        dead = manifest.get("tombstones", {}).get(str(shard_id), [])
+        self.tombstones = np.asarray(sorted(dead), dtype=np.uint32)
 
     @property
     def size(self) -> int:
@@ -169,10 +172,14 @@ class ShardData:
 
     def filter_mask(self, range_specs: list[dict]) -> np.ndarray | None:
         """Dense bool mask over this shard's docid range from numeric
-        range/set filters (NUMERIC column scan → doc filter, PLAN.md §9.4)."""
-        if not range_specs:
+        range/set filters (NUMERIC column scan → doc filter, PLAN.md §9.4)
+        and manifest tombstones (excluded at collection, not at scoring —
+        df/N keep at-seal values until compaction)."""
+        if not range_specs and len(self.tombstones) == 0:
             return None
         mask = np.ones(self.size, dtype=bool)
+        if len(self.tombstones):
+            mask[self.tombstones.astype(np.int64) - self.lo] = False
         for rs in range_specs:
             vals = self.num.get(rs["field"])
             if vals is None:

@@ -1,0 +1,176 @@
+"""Delete/append/compact/merge lane (reference Keeper semantics).
+
+Pinned behaviors under test:
+- delete = manifest tombstone; surviving docs' SCORES UNCHANGED (df/N keep
+  at-seal values until compaction — argus.rs:1434-1437 lifecycle);
+- deleted docs excluded from results and exact counts;
+- compaction recomputes stats exactly → scores equal a FRESH build of the
+  surviving corpus (up to blockmax bounds, which stay conservative);
+- append adds new shards; combined search ≡ fresh build of the union
+  (same docid order);
+- upsert = delete + append;
+- tier merge of bound-consecutive shards is rank-and-score neutral.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fsray.build import CODE_CORPUS, BuildConfig, build_index
+from fsray.corpus import generate_code_corpus
+from fsray.mutate import append_docs, compact, delete_docs, merge_shards
+from fsray.search import LocalIndex
+
+CFG = BuildConfig(partition_rows=128, num_shards=3, num_buckets=4)
+
+QUERIES = ["fn impl", "merge buffer", "parse config block", "fn -impl"]
+
+
+@pytest.fixture()
+def mut_index(tmp_path):
+    table = generate_code_corpus(600, seed=7)
+    src = str(tmp_path / "corpus.parquet")
+    pq.write_table(table, src, row_group_size=128)
+    d = str(tmp_path / "idx")
+    build_index([src], d, CODE_CORPUS, CFG)
+    idx = LocalIndex(d)
+    return {"dir": d, "table": table, "src": src, "idx": idx, "tmp": tmp_path}
+
+
+def _ids(hits):
+    return [(h.doc_id, round(h.score, 6)) for h in hits]
+
+
+def test_delete_excludes_but_preserves_scores(mut_index):
+    d = mut_index["dir"]
+    idx = mut_index["idx"]
+    before = {q: idx.search(q, k=50) for q in QUERIES}
+    victims = {h.doc_id for h in before["fn impl"][:5]}
+    delete_docs(d, sorted(victims))
+    idx2 = LocalIndex(d)
+    for q in QUERIES:
+        after = idx2.search(q, k=50)
+        assert not ({h.doc_id for h in after} & victims), q
+        # survivors keep EXACTLY their pre-delete scores (at-seal stats)
+        before_scores = {h.doc_id: h.score for h in before[q]}
+        for h in after:
+            if h.doc_id in before_scores:
+                assert h.score == before_scores[h.doc_id], (q, h.doc_id)
+    # exact count shrinks by the number of deleted matching docs
+    _, t_before = idx.search_paginated("fn", limit=5, exact_count=True)
+    _, t_after = idx2.search_paginated("fn", limit=5, exact_count=True)
+    matched_victims = len(victims & {h.doc_id for h in idx.search("fn", k=10_000)})
+    assert t_before - t_after == matched_victims
+
+
+def test_compact_equals_fresh_build_of_survivors(mut_index, tmp_path):
+    d = mut_index["dir"]
+    idx = mut_index["idx"]
+    victims = {h.doc_id for h in idx.search("merge", k=8)}
+    delete_docs(d, sorted(victims))
+    m = compact(d)
+    assert m["tombstones"] == {}
+    idx2 = LocalIndex(d)
+
+    # fresh build over the surviving rows only (same relative order)
+    table = mut_index["table"]
+    keep_ids = []
+    for row in table.to_pylist():
+        did = f"{row['repo']}/{row['path']}@{row['commit']}"
+        keep_ids.append(did not in victims)
+    survivors = table.filter(pa.array(keep_ids))
+    src2 = str(tmp_path / "survivors.parquet")
+    pq.write_table(survivors, src2, row_group_size=128)
+    d2 = str(tmp_path / "idx_fresh")
+    build_index([src2], d2, CODE_CORPUS, CFG)
+    fresh = LocalIndex(d2)
+
+    # N / stats must agree exactly
+    assert idx2.manifest["doc_count"] == fresh.manifest["doc_count"]
+    for fname in ("content", "title"):
+        assert idx2.manifest["field_stats"][fname] == fresh.manifest["field_stats"][fname]
+    # ranked ids and scores agree (docids differ — compacted keeps gaps)
+    for q in QUERIES:
+        a = [(h.doc_id, round(h.score, 5)) for h in idx2.search(q, k=20)]
+        b = [(h.doc_id, round(h.score, 5)) for h in fresh.search(q, k=20)]
+        assert a == b, q
+
+
+def test_append_equals_fresh_union_build(mut_index, tmp_path):
+    d = mut_index["dir"]
+    extra = generate_code_corpus(300, seed=99)
+    src2 = str(tmp_path / "extra.parquet")
+    pq.write_table(extra, src2, row_group_size=128)
+    append_docs(d, [src2], CODE_CORPUS, CFG)
+    idx2 = LocalIndex(d)
+    assert idx2.manifest["doc_count"] == 900
+
+    # fresh union build (original files then extra → same docid order)
+    d3 = str(tmp_path / "idx_union")
+    build_index([mut_index["src"], src2], d3, CODE_CORPUS,
+                BuildConfig(partition_rows=128, num_shards=6, num_buckets=4))
+    union = LocalIndex(d3)
+    for q in QUERIES:
+        a = [(h.doc_id, round(h.score, 5)) for h in idx2.search(q, k=20)]
+        b = [(h.doc_id, round(h.score, 5)) for h in union.search(q, k=20)]
+        assert a == b, q
+
+
+def test_upsert_delete_plus_append(mut_index, tmp_path):
+    d = mut_index["dir"]
+    idx = mut_index["idx"]
+    victim = idx.search("fn", k=1)[0].doc_id
+    # "new revision" of the victim doc: same repo/path, new commit
+    repo, rest = victim.split("/", 1)
+    path, commit = rest.rsplit("@", 1)
+    new_row = pa.table({
+        "repo": pa.array([repo]), "path": pa.array([path]),
+        "commit": pa.array(["f" * 40]), "lang": pa.array(["rust"]),
+        "content": pa.array(["fn upsertedmarkerzz fn fn"], type=pa.large_string()),
+    })
+    src2 = str(tmp_path / "upsert.parquet")
+    pq.write_table(new_row, src2)
+    delete_docs(d, [victim])
+    append_docs(d, [src2], CODE_CORPUS, CFG)
+    idx2 = LocalIndex(d)
+    hits = idx2.search("upsertedmarkerzz", k=5)
+    assert len(hits) == 1
+    assert hits[0].doc_id == f"{repo}/{path}@{'f' * 40}"
+    assert victim not in {h.doc_id for h in idx2.search("fn", k=10_000)}
+
+
+def test_tier_merge_rank_neutral(mut_index):
+    d = mut_index["dir"]
+    idx = mut_index["idx"]
+    before = {q: _ids(idx.search(q, k=30)) for q in QUERIES}
+    shards = sorted(idx.manifest["shards"], key=int)
+    merge_shards(d, shards[0], shards[1])
+    idx2 = LocalIndex(d)
+    assert len(idx2.manifest["shards"]) == len(shards) - 1
+    for q in QUERIES:
+        assert _ids(idx2.search(q, k=30)) == before[q], q
+    # merge again down to a single shard
+    shards2 = sorted(idx2.manifest["shards"], key=int)
+    if len(shards2) > 1:
+        merge_shards(d, shards2[0], shards2[1])
+        idx3 = LocalIndex(d)
+        for q in QUERIES:
+            assert _ids(idx3.search(q, k=30)) == before[q], q
+
+
+def test_merge_refuses_tombstoned_shards(mut_index):
+    d = mut_index["dir"]
+    idx = mut_index["idx"]
+    hit = idx.search("fn", k=1)[0]
+    delete_docs(d, [hit.doc_id])
+    m = LocalIndex(d).manifest
+    # find the victim's shard and a bound-consecutive neighbor
+    owner = next(s for s, v in m["shards"].items()
+                 if v["docid_lo"] <= hit.docid < v["docid_hi"])
+    shards = sorted(m["shards"], key=lambda s: m["shards"][s]["docid_lo"])
+    pos = shards.index(owner)
+    pair = (shards[pos], shards[pos + 1]) if pos + 1 < len(shards) \
+        else (shards[pos - 1], shards[pos])
+    with pytest.raises(ValueError):
+        merge_shards(d, *pair)
