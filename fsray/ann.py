@@ -105,3 +105,56 @@ class LshIndex:
         sims = self.norm[members] @ qn
         order = np.lexsort((self.ids[members], -sims))[:k]
         return self.ids[members][order], sims[order]
+
+
+class IvfIndex:
+    """IVF (inverted-file) ANN: k-means coarse quantizer + per-list scan.
+
+    The other scale path the engine brief names (alongside LSH): cluster
+    the normalized corpus into ``n_lists`` centroids (Lloyd iterations —
+    at cluster scale this is a ``map_batches`` assign + ``groupby`` mean
+    loop over a sample), store per-list vector ids, and at query time scan
+    only the ``nprobe`` nearest lists exactly.  Deterministic (seeded
+    kmeans++-style init from corpus points)."""
+
+    def __init__(self, ids: np.ndarray, vecs: np.ndarray, n_lists: int | None = None,
+                 n_iters: int = 10, seed: int = 42):
+        self.ids = ids.astype(np.int64)
+        self.norm = normalize_rows(vecs.astype(np.float64))
+        n = len(ids)
+        if n_lists is None:
+            n_lists = int(np.clip(np.sqrt(n), 4, 4096))
+        self.n_lists = min(n_lists, n)
+        rng = np.random.default_rng(seed)
+        centroids = self.norm[rng.choice(n, size=self.n_lists, replace=False)].copy()
+        assign = np.zeros(n, dtype=np.int64)
+        for _ in range(n_iters):
+            sims = self.norm @ centroids.T          # (n, n_lists)
+            assign = np.argmax(sims, axis=1)
+            for c in range(self.n_lists):
+                members = self.norm[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+            centroids = normalize_rows(centroids)
+        self.centroids = centroids
+        order = np.argsort(assign, kind="stable")
+        self.assign_sorted = assign[order]
+        self.member_order = order
+        self.list_bounds = np.searchsorted(self.assign_sorted,
+                                           np.arange(self.n_lists + 1))
+
+    def query(self, qvec: np.ndarray, k: int, nprobe: int = 8,
+              exclude_id: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        qn = qvec.astype(np.float64)
+        qn = qn / (np.linalg.norm(qn) or 1.0)
+        lists = np.argsort(self.centroids @ qn)[::-1][:nprobe]
+        members = np.concatenate([
+            self.member_order[self.list_bounds[c]:self.list_bounds[c + 1]]
+            for c in lists]) if len(lists) else np.zeros(0, np.int64)
+        if exclude_id is not None:
+            members = members[self.ids[members] != exclude_id]
+        if len(members) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        sims = self.norm[members] @ qn
+        order = np.lexsort((self.ids[members], -sims))[:k]
+        return self.ids[members][order], sims[order]

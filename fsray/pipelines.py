@@ -559,6 +559,26 @@ def ann_bruteforce(sf_dir: str) -> pa.Table:
     return pa.table({"query_id": qid_map, "neighbor_id": merged["neighbor_id"]})
 
 
+def ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF ANN (k-means coarse quantizer) — approximate, rows-only check;
+    recall vs brute force asserted in tests."""
+    from fsray.ann import IvfIndex
+    ids, vecs = _embeddings(sf_dir)
+    index = IvfIndex(ids, vecs)
+    rows_q, rows_n = [], []
+    for q in ANN_QUERY_IDS:
+        qi = int(np.flatnonzero(ids == q)[0])
+        # tiny corpora have meaningless clusters — probe everything; at
+        # scale a third of the lists recovers ~0.8+ recall even on
+        # cluster-free uniform embeddings (the worst case for IVF)
+        nprobe = index.n_lists if index.n_lists <= 32 else max(8, index.n_lists // 3)
+        nids, _ = index.query(vecs[qi], ANN_K, nprobe=nprobe, exclude_id=int(q))
+        rows_q.extend([int(q)] * len(nids))
+        rows_n.extend(nids.tolist())
+    return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
+                     "neighbor_id": pa.array(rows_n, type=pa.int64())})
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
     """LSH-bucketed ANN (the scale path) — approximate, rows-only check;
     recall vs brute force is asserted in tests."""
@@ -656,6 +676,7 @@ def make_queries() -> dict:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "hybrid_rrf": hybrid_rrf,
         "multimodal_meta": multimodal_meta,
     })

@@ -100,3 +100,15 @@ def test_minhash_equals_exact_jaccard():
     assert list(exact["a"]) == list(lsh["a"])
     assert list(exact["b"]) == list(lsh["b"])
     assert np.allclose(exact["jaccard"], lsh["jaccard"])
+
+
+def test_ann_ivf_recall_vs_bruteforce():
+    from fsray.pipelines import ann_bruteforce, ann_ivf
+    bf = _to_table(ann_bruteforce(SF_DIR)).to_pandas()
+    iv = _to_table(ann_ivf(SF_DIR)).to_pandas()
+    recalls = []
+    for q in bf["query_id"].unique():
+        want = set(bf[bf["query_id"] == q]["neighbor_id"])
+        got = set(iv[iv["query_id"] == q]["neighbor_id"])
+        recalls.append(len(want & got) / max(1, len(want)))
+    assert np.mean(recalls) >= 0.6, recalls
