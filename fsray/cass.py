@@ -1,0 +1,140 @@
+"""CASS analyzer family: hyphen-join tokens, CJK bigrams, edge n-grams.
+
+Reimplements the reference's CASS pipelines (reference:
+crates/frankensearch-quill/src/scribe.rs:794-1070):
+
+- ``cass_analyze(text, hyphen=True)`` ≙ CassHyphenNormalize
+  (CassTokenizer → HyphenDecompose → CjkBigramDecompose →
+  NormalizeAndLimit); ``hyphen=False`` ≙ CassPrefixNormalize (no hyphen
+  decomposition).
+- ASCII tokens run over ``[0-9A-Za-z]`` plus single ``-`` joins BETWEEN
+  alphanumerics (``wi-fi`` is one token); in hyphen mode the whole token
+  AND each non-empty ``-`` part emit at the SAME position.
+- CJK runs (exact scalar ranges, scribe.rs:817-837 — widening them would
+  change durable term bytes) emit consecutive BIGRAMS at one position;
+  single-scalar runs emit the scalar.
+- Tokens longer than 256 bytes are dropped (CASS_MAX_TOKEN_BYTES);
+  lowercase is ASCII-only (``make_ascii_lowercase`` — multi-byte scalars
+  untouched).
+- ``cass_generate_edge_ngrams``: per alphanumeric word, prefixes of 2..=20
+  Unicode scalars, case preserved, space-joined (scribe.rs:1003-1046).
+- ``cass_build_preview``: scalar-bounded preview + ``…`` when truncated.
+"""
+
+from __future__ import annotations
+
+CASS_MAX_TOKEN_BYTES = 256
+CASS_MAX_EDGE_NGRAM_CHARS = 20
+
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x3040, 0x309F), (0x30A0, 0x30FF),
+    (0xAC00, 0xD7AF), (0x3100, 0x312F), (0x3300, 0x33FF), (0xF900, 0xFAFF),
+    (0x20000, 0x2A6DF),
+)
+
+
+def is_cass_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def _ascii_lower(s: str) -> str:
+    """ASCII-only lowercase (make_ascii_lowercase parity: bytes 0x41-0x5A)."""
+    return "".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in s)
+
+
+def _is_ascii_alnum(ch: str) -> bool:
+    return ("0" <= ch <= "9") or ("a" <= ch <= "z") or ("A" <= ch <= "Z")
+
+
+def cass_analyze(text: str, hyphen: bool = True) -> list[tuple[str, int]]:
+    """Tokenize per the CASS pipeline; returns [(token_text, position)].
+
+    Position advances once per SOURCE token; hyphen parts and CJK bigrams
+    share their source token's position (scribe.rs emit_* position
+    plumbing)."""
+    out: list[tuple[str, int]] = []
+    n = len(text)
+    i = 0
+    position = 0
+
+    def emit_normalized(source: str, pos: int) -> None:
+        if len(source.encode("utf-8")) > CASS_MAX_TOKEN_BYTES:
+            return
+        out.append((_ascii_lower(source), pos))
+
+    while i < n:
+        ch = text[i]
+        if _is_ascii_alnum(ch):
+            # ASCII token: alnum runs joined by single '-' between alnums
+            j = i
+            end = i
+            last_alnum = False
+            while j < n:
+                c = text[j]
+                if _is_ascii_alnum(c):
+                    j += 1
+                    end = j
+                    last_alnum = True
+                    continue
+                if (c == "-" and last_alnum and j + 1 < n
+                        and _is_ascii_alnum(text[j + 1])):
+                    j += 1
+                    end = j
+                    last_alnum = False
+                    continue
+                break
+            source = text[i:end]
+            emit_normalized(source, position)
+            if hyphen and "-" in source:
+                for part in source.split("-"):
+                    if part:
+                        emit_normalized(part, position)
+            position += 1
+            i = end
+        elif is_cass_cjk(ch):
+            j = i + 1
+            while j < n and is_cass_cjk(text[j]):
+                j += 1
+            run = text[i:j]
+            if len(run) == 1:
+                emit_normalized(run, position)
+            else:
+                for a, b in zip(run, run[1:]):
+                    out.append((a + b, position))
+            position += 1
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def cass_generate_edge_ngrams(text: str) -> str:
+    """Edge-prefix field value: per alnum word, prefixes of 2..=20 scalars
+    in word and length order, space-joined, case preserved."""
+    parts: list[str] = []
+    word: list[str] = []
+
+    def flush() -> None:
+        if not word:
+            return
+        w = "".join(word)
+        upper = min(len(w), CASS_MAX_EDGE_NGRAM_CHARS)
+        for end in range(2, upper + 1):
+            parts.append(w[:end])
+        word.clear()
+
+    for ch in text:
+        if ch.isalnum():
+            word.append(ch)
+        else:
+            flush()
+    flush()
+    return " ".join(parts)
+
+
+def cass_build_preview(content: str, max_chars: int) -> str:
+    """First ``max_chars`` scalars, ``…`` appended exactly when truncated."""
+    if len(content) <= max_chars:
+        return content
+    return content[:max_chars] + "…"

@@ -1,0 +1,74 @@
+"""CASS analyzer family parity (reference: scribe.rs:794-1070)."""
+
+from fsray.cass import (CASS_MAX_TOKEN_BYTES, cass_analyze, cass_build_preview,
+                        cass_generate_edge_ngrams, is_cass_cjk)
+
+
+def toks(text, hyphen=True):
+    return [t for t, _ in cass_analyze(text, hyphen=hyphen)]
+
+
+def test_hyphen_join_and_decompose():
+    # 'wi-fi' is ONE source token; hyphen mode also emits the parts
+    assert toks("Wi-Fi router") == ["wi-fi", "wi", "fi", "router"]
+    # prefix mode keeps the joined token only
+    assert toks("Wi-Fi router", hyphen=False) == ["wi-fi", "router"]
+
+
+def test_hyphen_edge_rules():
+    # trailing '-' is not part of the token; '--' breaks the join
+    assert toks("state- of--the art") == ["state", "of", "the", "art"]
+    assert toks("a-b-c") == ["a-b-c", "a", "b", "c"]
+    assert toks("-abc") == ["abc"]
+
+
+def test_positions_shared_within_source_token():
+    got = cass_analyze("wi-fi x")
+    # wi-fi + parts share position 0; x is position 1
+    assert got == [("wi-fi", 0), ("wi", 0), ("fi", 0), ("x", 1)]
+
+
+def test_cjk_bigrams():
+    assert toks("数据处理") == ["数据", "据处", "处理"]
+    # single CJK scalar emits itself
+    assert toks("数 x") == ["数", "x"]
+    # mixed ascii + cjk runs tokenize separately with advancing positions
+    got = cass_analyze("abc数据")
+    assert got == [("abc", 0), ("数据", 1)]
+
+
+def test_cjk_ranges_pinned():
+    assert is_cass_cjk("数") and is_cass_cjk("カ") and is_cass_cjk("한")
+    assert not is_cass_cjk("a") and not is_cass_cjk("я") and not is_cass_cjk("é")
+
+
+def test_token_byte_cap():
+    big = "a" * (CASS_MAX_TOKEN_BYTES + 1)
+    assert toks(f"keep {big} keep2") == ["keep", "keep2"]
+
+
+def test_ascii_only_lowercase():
+    # non-ASCII scalars are not token chars in CASS (É splits the run)
+    assert toks("ABCÉdef") == ["abc", "def"]
+    got = toks("ABC def")
+    assert got == ["abc", "def"]
+
+
+def test_edge_ngrams_ascii():
+    assert cass_generate_edge_ngrams("search") == "se sea sear searc search"
+    # one-char words contribute nothing; case preserved
+    assert cass_generate_edge_ngrams("a Rust") == "Ru Rus Rust"
+
+
+def test_edge_ngrams_unicode_and_cap():
+    # scalar-counted prefixes for non-ascii words
+    assert cass_generate_edge_ngrams("héllo") == "hé hél héll héllo"
+    long = "x" * 30
+    grams = cass_generate_edge_ngrams(long).split()
+    assert len(grams) == 19 and grams[-1] == "x" * 20  # 2..=20
+
+
+def test_preview():
+    assert cass_build_preview("hello", 10) == "hello"
+    assert cass_build_preview("hello world", 5) == "hello…"
+    assert cass_build_preview("数据处理数据", 2) == "数据…"
