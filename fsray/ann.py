@@ -45,7 +45,7 @@ def merge_topk_partials(parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     s = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.float64)
     out_q, out_i, out_s = [], [], []
     for qi in range(n_queries):
-        m = q == qi
+        m = (q == qi) & np.isfinite(s)  # drop excluded-self -inf markers
         ii, ss = i[m], s[m]
         order = np.lexsort((ii, -ss))[:k]
         out_q.extend([qi] * len(order))

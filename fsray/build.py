@@ -191,7 +191,8 @@ def _postings_schema() -> pa.Schema:
 
 def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
                       fn_ids: np.ndarray, shard: int, pidx: int,
-                      num_buckets: int, positions: bool = False) -> pa.Table:
+                      num_buckets: int, positions: bool = False,
+                      orig_positions: np.ndarray | None = None) -> pa.Table:
     """Per-partition posting partials: one row per term with packed runs.
 
     This is the combiner half of the shuffle (SURVEY §2.4 "radix partition
@@ -224,10 +225,15 @@ def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
     if positions:
         # per-token position within its doc, sorted by (key, pos) — the
         # POSITIONS stream, doc-major per term, ascending inside each pair
-        starts_np = np.zeros(n_rows + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts_np[1:])
-        pos_in_doc = (np.arange(len(code_np), dtype=np.int64)
-                      - starts_np[:-1][doc_of]).astype(np.uint32)
+        if orig_positions is not None:
+            # oversized tokens were dropped AFTER analysis: survivors keep
+            # their original position gaps (scribe.rs:205-242)
+            pos_in_doc = orig_positions.astype(np.uint32)
+        else:
+            starts_np = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts_np[1:])
+            pos_in_doc = (np.arange(len(code_np), dtype=np.int64)
+                          - starts_np[:-1][doc_of]).astype(np.uint32)
         order = np.lexsort((pos_in_doc, key))
         pos_flat = pos_in_doc[order]
 
@@ -307,14 +313,17 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
     field_stats = {}
     n_postings = 0
     for f in spec.fields:
-        toks = tokenize_column(table[f.source].combine_chunks().fill_null(""))
+        from fsray.tokenizer import tokenize_column_with_positions
+        toks, orig_pos = tokenize_column_with_positions(
+            table[f.source].combine_chunks().fill_null(""))
         counts, fn_ids = token_stats(toks)
         idmap_cols[f"fn_{f.name}"] = pa.array(fn_ids, type=pa.uint8())
         # exact token counts per doc — compaction needs them to rewrite
         # the at-seal stats exactly (STATS recompute on segment rewrite)
         idmap_cols[f"tc_{f.name}"] = pa.array(counts, type=pa.uint32())
         pt = _partial_postings(f.ord, toks, base, fn_ids, part["shard"], pidx,
-                               cfg.num_buckets, positions=cfg.positions)
+                               cfg.num_buckets, positions=cfg.positions,
+                               orig_positions=orig_pos)
         postings_tables.append(pt)
         if pt.num_rows:
             n_postings += int(pc.sum(pc.list_value_length(pt["docids"].combine_chunks())).as_py())

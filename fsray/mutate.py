@@ -102,9 +102,14 @@ def append_docs(index_dir: str, paths: list[str], spec, cfg) -> dict:
             # re-encode (append-time only; queries never pay this)
             rebased = _rebase_termtable(t, watermark)
             atomic_write_parquet(os.path.join(dst_dir, os.path.basename(f)), rebased)
+        # fresh pidx block past every live partition id (collision-free
+        # across ANY number of successive appends)
+        next_pidx = 1 + max((int(p) for v in manifest["shards"].values()
+                             for p in v["partitions"]), default=-1)
         for pidx in info["partitions"]:
             old_idmap = os.path.join(stage_dir, "idmap", f"part-{pidx:05d}.parquet")
-            new_pidx = 100000 + watermark // max(1, cfg.partition_rows) + pidx
+            new_pidx = next_pidx
+            next_pidx += 1
             im = pq.read_table(old_idmap)
             im = im.set_column(im.schema.get_field_index("docid"), "docid",
                                pc.add(im["docid"], watermark).combine_chunks().cast(pa.uint32()))
@@ -134,11 +139,8 @@ def append_docs(index_dir: str, paths: list[str], spec, cfg) -> dict:
 
 def _rebase_termtable(t: pa.Table, offset: int) -> pa.Table:
     """Shift every docid in an encoded term table by ``offset``."""
-    rows = []
     n = t.num_rows
     dfs = t["df"].to_numpy()
-    cols = {name: [] for name in ("doc_payload", "doc_widths", "tf_payload",
-                                  "tf_widths", "first_docs", "last_docs", "blockmax")}
     lengths = dfs.astype(np.int64)
     all_docids, all_tfs = [], []
     for i in range(n):
@@ -283,7 +285,9 @@ def merge_shards(index_dir: str, shard_a: str, shard_b: str) -> dict:
     docid order per (field, term); stats/manifests roll up."""
     manifest = load_manifest(index_dir)
     a, b = manifest["shards"][shard_a], manifest["shards"][shard_b]
-    if int(a["docid_hi"]) > int(b["docid_lo"]):
+    if int(a["docid_hi"]) != int(b["docid_lo"]):
+        # anything but exact adjacency would make the merged [lo, hi) span
+        # rows of other shards (ShardData indexes idmap rows as docid - lo)
         raise ValueError("shards are not bound-consecutive")
     tomb = manifest.get("tombstones", {})
     if tomb.get(shard_a) or tomb.get(shard_b):

@@ -394,7 +394,11 @@ def _jaccard_pairs_distributed(sf_dir: str, tau: float) -> pa.Table:
         docs, sizes = docs[order], sizes[order]
         a_out, b_out, na, nb = [], [], [], []
         n = len(docs)
-        if 2 <= n <= 256:
+        # NO hot-shingle cap here: this lane is compared against a capless
+        # SQL oracle, so intersection counts must be exact.  (A df cap is
+        # the documented scale lever — fsray.dedup.jaccard_pairs_from_shingles
+        # — and intentionally diverges from exact Jaccard when used.)
+        if n >= 2:
             for i in range(n):
                 for j in range(i + 1, n):
                     a_out.append(int(docs[i])); b_out.append(int(docs[j]))

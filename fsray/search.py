@@ -399,7 +399,8 @@ class LocalIndex:
                 for t in sorted(terms)[:16_384]:
                     out[tgt].append(Clause(cl.field, t, cl.boost, tgt))
         return ParsedQuery(should=out["should"], must=out["must"],
-                           must_not=out["must_not"])
+                           must_not=out["must_not"], phrases=parsed.phrases,
+                           ranges=parsed.ranges)
 
     def search(self, text: str, k: int = 10, dtype=np.float32, mode: str = "auto") -> list[Hit]:
         hits, _ = self.search_paginated(text, limit=k, offset=0, dtype=dtype, mode=mode)
@@ -530,6 +531,8 @@ class RayIndex:
     def __init__(self, index_dir: str, num_cpus_per_actor: float = 1.0):
         import ray
         self.manifest = load_manifest(index_dir)
+        if self.manifest is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
         self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]]
         remote_cls = ray.remote(num_cpus=num_cpus_per_actor)(ShardSearcherActor)
         self.actors = {int(s): remote_cls.remote(index_dir, int(s))
@@ -569,7 +572,8 @@ class RayIndex:
                     out[tgt].append(Clause(cl.field, t, cl.boost, tgt))
                 gi += 1
         return ParsedQuery(should=out["should"], must=out["must"],
-                           must_not=out["must_not"])
+                           must_not=out["must_not"], phrases=parsed.phrases,
+                           ranges=parsed.ranges)
 
     def search_paginated(self, text: str, limit: int = 10, offset: int = 0,
                          exact_count: bool = False,

@@ -89,6 +89,23 @@ def tokenize_column(column: pa.ChunkedArray | pa.Array) -> pa.LargeListArray:
     import polars as pl
     if isinstance(column, pa.ChunkedArray):
         column = column.combine_chunks()
+    toks, _ = tokenize_column_with_positions(column)
+    return toks
+
+
+def tokenize_column_with_positions(
+        column: pa.ChunkedArray | pa.Array) -> tuple[pa.LargeListArray, np.ndarray | None]:
+    """Tokenize + the ORIGINAL per-token positions when any token was
+    dropped for being oversized.
+
+    Returns ``(tokens, orig_positions | None)``: None on the fast path
+    (positions == enumeration order); a flat int64 array (aligned with the
+    flattened token values) when oversized tokens were dropped — survivors
+    keep their pre-drop position gaps (scribe.rs:205-242 admission
+    contract)."""
+    import polars as pl
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
     toks = pl.from_arrow(column).str.extract_all(_TOKEN_PATTERN).to_arrow()
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -98,11 +115,15 @@ def tokenize_column(column: pa.ChunkedArray | pa.Array) -> pa.LargeListArray:
         keep = pc.less_equal(pc.binary_length(flat), MAX_TOKEN_BYTES)
         keep_np = keep.to_numpy(zero_copy_only=False)
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        orig_pos = (np.arange(len(keep_np), dtype=np.int64)
+                    - np.repeat(offsets[:-1], counts))
         kept_cum = np.zeros(len(keep_np) + 1, dtype=np.int64)
         np.cumsum(keep_np, out=kept_cum[1:])
-        return pa.LargeListArray.from_arrays(
+        out = pa.LargeListArray.from_arrays(
             pa.array(kept_cum[offsets], type=pa.int64()), lowered.filter(keep))
-    return pa.LargeListArray.from_arrays(toks.offsets, lowered)
+        return out, orig_pos[keep_np]
+    return pa.LargeListArray.from_arrays(toks.offsets, lowered), None
 
 
 def tokenize_table(table: pa.Table, text_column: str = "content") -> pa.ListArray:

@@ -1,0 +1,117 @@
+"""Regression tests for code-review findings (round 1 review pass)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fsray.build import CODE_CORPUS, BuildConfig, build_index
+from fsray.corpus import generate_code_corpus
+from fsray.mutate import append_docs, merge_shards
+from fsray.search import LocalIndex, RayIndex
+
+
+def test_glob_does_not_drop_ranges_or_phrases(sf_dir):
+    """Glob expansion must preserve phrase and numeric-range clauses."""
+    from fsray.pipelines import documents_index, documents_index_pos
+    idx = documents_index(sf_dir)
+    # range alone vs glob+range: the range must still constrain results
+    plain, t_plain = idx.search_paginated("spark", limit=1000, exact_count=True)
+    ranged, t_ranged = idx.search_paginated("spark n_chars:[150 TO 300]",
+                                            limit=1000, exact_count=True)
+    globbed, t_glob = idx.search_paginated("spar* n_chars:[150 TO 300]",
+                                           limit=1000, exact_count=True)
+    assert t_ranged < t_plain
+    assert t_glob <= t_ranged  # glob expands spark* ⊇ spark, same range filter
+    # every globbed hit satisfies the range
+    import duckdb
+    ok_ids = set(r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE n_chars BETWEEN 150 AND 300").fetchall())
+    assert all(int(h.doc_id) in ok_ids for h in globbed)
+
+    # glob + phrase: phrase constraint must survive expansion
+    pidx = documents_index_pos(sf_dir)
+    ph = pidx.search('"part filter"', k=1000)
+    both = pidx.search('zzznomatch* "part filter"', k=1000)
+    assert {h.doc_id for h in both} == {h.doc_id for h in ph}
+
+
+def test_double_append_no_pidx_collision(tmp_path):
+    cfg = BuildConfig(partition_rows=64, num_shards=2, num_buckets=4)
+    base = generate_code_corpus(200, seed=1)
+    src = str(tmp_path / "base.parquet")
+    pq.write_table(base, src, row_group_size=64)
+    d = str(tmp_path / "idx")
+    build_index([src], d, CODE_CORPUS, cfg)
+    for i, seed in enumerate((11, 22)):
+        extra = generate_code_corpus(100, seed=seed)
+        p = str(tmp_path / f"extra{i}.parquet")
+        pq.write_table(extra, p, row_group_size=64)
+        append_docs(d, [p], CODE_CORPUS, cfg)
+    idx = LocalIndex(d)
+    assert idx.manifest["doc_count"] == 400
+    # all partitions distinct; every shard materializes correct doc_ids
+    all_parts = [p for v in idx.manifest["shards"].values() for p in v["partitions"]]
+    assert len(all_parts) == len(set(all_parts))
+    hits = idx.search("fn", k=400)
+    assert len({h.doc_id for h in hits}) == len(hits)
+    # doc_ids from both appends resolvable
+    docids = np.array([h.docid for h in hits])
+    assert docids.max() >= 300  # second append's range reached
+
+
+def test_merge_requires_exact_adjacency(tmp_path):
+    cfg = BuildConfig(partition_rows=64, num_shards=3, num_buckets=4)
+    t = generate_code_corpus(300, seed=5)
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src, row_group_size=64)
+    d = str(tmp_path / "idx")
+    build_index([src], d, CODE_CORPUS, cfg)
+    m = LocalIndex(d).manifest
+    shards = sorted(m["shards"], key=lambda s: m["shards"][s]["docid_lo"])
+    assert len(shards) >= 3
+    with pytest.raises(ValueError):
+        merge_shards(d, shards[0], shards[2])  # skips shard 1
+
+
+def test_oversized_token_preserves_position_gap(tmp_path):
+    """'alpha <huge> beta': beta keeps position 2 ⇒ phrase must NOT match."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    huge = "x" * (MAX_TOKEN_BYTES + 10)
+    rows = pa.table({
+        "repo": pa.array(["o/r", "o/r"]), "path": pa.array(["a.rs", "b.rs"]),
+        "commit": pa.array(["1" * 40, "2" * 40]), "lang": pa.array(["rust"] * 2),
+        "content": pa.array([f"alpha {huge} beta", "alpha beta"],
+                            type=pa.large_string()),
+    })
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(rows, src)
+    d = str(tmp_path / "idx")
+    build_index([src], d, CODE_CORPUS,
+                BuildConfig(partition_rows=8, num_shards=1, num_buckets=2,
+                            positions=True))
+    idx = LocalIndex(d)
+    hits = idx.search('"alpha beta"', k=10)
+    # only doc b (true adjacency) matches; doc a has the position gap
+    assert [h.doc_id for h in hits] == [f"o/r/b.rs@{'2' * 40}"]
+    # both docs still match the plain union
+    assert len(idx.search("alpha beta", k=10)) == 2
+
+
+def test_ann_excluded_self_never_surfaces():
+    """Fewer real neighbors than k: the -inf self marker must not appear."""
+    from fsray.ann import merge_topk_partials, topk_partial
+    from fsray.dedup import normalize_rows
+    ids = np.arange(3, dtype=np.int64)
+    vecs = np.eye(3)[:3]
+    qnorm = normalize_rows(vecs[:1].astype(np.float64))
+    qi, ni, si = topk_partial(ids, vecs, qnorm, k=5, exclude_self=np.array([0]))
+    out = merge_topk_partials([(qi, ni, si)], 1, 5).to_pandas()
+    assert 0 not in set(out["neighbor_id"])
+    assert np.isfinite(out["cosine"]).all()
+
+
+def test_ray_index_missing_dir_raises_filenotfound():
+    with pytest.raises(FileNotFoundError):
+        RayIndex("/tmp/definitely_not_an_index_dir")
