@@ -457,14 +457,17 @@ class LocalIndex:
         stored_cols = self.manifest.get("stored_columns", [])
         if source_column is None:
             source_column = stored_cols[0] if stored_cols else None
-        parsed = parse_query(text, default_fields=self.default_fields)
-        parsed = self._expand_globs(parsed)
+        # term dfs for snippet weights: served from the per-shard decode
+        # cache the search above just warmed (no second dictionary scan)
+        parsed = self._expand_globs(parse_query(text, default_fields=self.default_fields))
         keys = sorted({(self._ord(c.field), c.term)
                        for c in parsed.scoring_clauses() if self._ord(c.field) is not None})
         df_sum: dict = {}
         for sh in self.shards:
-            for tk, df in zip(keys, sh.dfs(keys)):
-                df_sum[tk] = df_sum.get(tk, 0) + int(df)
+            for tk in keys:
+                dec = sh._decode_cache.get(tk)
+                df_sum[tk] = df_sum.get(tk, 0) + (len(dec.docids) if dec is not None
+                                                 else int(sh.dfs([tk])[0]))
         terms = [(t, df_sum.get((o, t), 0)) for (o, t) in keys]
         gen = SnippetGenerator(terms)
         out: list[tuple[Hit, str | None]] = []
