@@ -158,3 +158,94 @@ class IvfIndex:
         sims = self.norm[members] @ qn
         order = np.lexsort((self.ids[members], -sims))[:k]
         return self.ids[members][order], sims[order]
+
+
+class HnswIndex:
+    """Compact HNSW (hierarchical navigable small world) graph ANN.
+
+    The reference vector tier's ANN structure (SURVEY §2.13,
+    crates/frankensearch-index/src/{hnsw,native_hnsw}.rs) rebuilt small:
+    geometric layer assignment, greedy descent from the top layer, beam
+    search (ef) with M-bounded neighbor lists at layer 0 (2M elsewhere is
+    simplified to M).  Deterministic (seeded level draws, insertion in id
+    order).  Construction is O(n · ef · log n) — at cluster scale the graph
+    shards per docid range exactly like posting shards.
+    """
+
+    def __init__(self, ids: np.ndarray, vecs: np.ndarray, m: int = 16,
+                 ef_construction: int = 64, seed: int = 42):
+        self.ids = ids.astype(np.int64)
+        self.norm = normalize_rows(vecs.astype(np.float64))
+        n = len(ids)
+        self.m = m
+        rng = np.random.default_rng(seed)
+        ml = 1.0 / np.log(m)
+        self.levels = np.minimum((-np.log(rng.random(n)) * ml).astype(np.int64), 8)
+        self.max_level = int(self.levels.max()) if n else 0
+        # neighbors[level][node] = list of node indices
+        self.neighbors: list[list[list[int]]] = [
+            [[] for _ in range(n)] for _ in range(self.max_level + 1)]
+        self.entry = 0
+        for node in range(1, n):
+            self._insert(node, ef_construction)
+
+    def _search_layer(self, q: np.ndarray, entry: int, level: int, ef: int) -> list[int]:
+        visited = {entry}
+        cand = [(float(self.norm[entry] @ q), entry)]
+        best = list(cand)
+        while cand:
+            cand.sort(reverse=True)
+            sim, node = cand.pop(0)
+            worst = min(best)[0] if len(best) >= ef else -2.0
+            if sim < worst:
+                break
+            for nb in self.neighbors[level][node]:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(self.norm[nb] @ q)
+                if len(best) < ef or s > min(best)[0]:
+                    cand.append((s, nb))
+                    best.append((s, nb))
+                    if len(best) > ef:
+                        best.remove(min(best))
+        return [node for _, node in sorted(best, reverse=True)]
+
+    def _insert(self, node: int, ef: int) -> None:
+        q = self.norm[node]
+        lvl = int(self.levels[node])
+        cur = self.entry
+        for level in range(self.max_level, lvl, -1):
+            cur = self._search_layer(q, cur, level, 1)[0]
+        for level in range(min(lvl, self.max_level), -1, -1):
+            found = self._search_layer(q, cur, level, ef)
+            links = found[: self.m]
+            self.neighbors[level][node] = list(links)
+            for nb in links:
+                lst = self.neighbors[level][nb]
+                lst.append(node)
+                if len(lst) > self.m:
+                    # keep the M most similar neighbors (simple pruning)
+                    sims = self.norm[lst] @ self.norm[nb]
+                    keep = np.argsort(sims)[::-1][: self.m]
+                    self.neighbors[level][nb] = [lst[i] for i in keep]
+            cur = found[0]
+        if lvl > int(self.levels[self.entry]):
+            self.entry = node
+
+    def query(self, qvec: np.ndarray, k: int, ef: int = 64,
+              exclude_id: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        qn = qvec.astype(np.float64)
+        qn = qn / (np.linalg.norm(qn) or 1.0)
+        cur = self.entry
+        for level in range(self.max_level, 0, -1):
+            cur = self._search_layer(qn, cur, level, 1)[0]
+        found = self._search_layer(qn, cur, 0, max(ef, k))
+        members = np.array([f for f in found
+                            if exclude_id is None or self.ids[f] != exclude_id],
+                           dtype=np.int64)
+        if len(members) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        sims = self.norm[members] @ qn
+        order = np.lexsort((self.ids[members], -sims))[:k]
+        return self.ids[members][order], sims[order]

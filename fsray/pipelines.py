@@ -583,6 +583,27 @@ def ann_ivf(sf_dir: str) -> pa.Table:
                      "neighbor_id": pa.array(rows_n, type=pa.int64())})
 
 
+_HNSW_CACHE: dict[str, object] = {}
+
+
+def ann_hnsw(sf_dir: str) -> pa.Table:
+    """HNSW graph ANN — approximate, rows-only check; recall vs brute
+    force asserted in tests."""
+    from fsray.ann import HnswIndex
+    ids, vecs = _embeddings(sf_dir)
+    if sf_dir not in _HNSW_CACHE:
+        _HNSW_CACHE[sf_dir] = HnswIndex(ids, vecs)
+    index = _HNSW_CACHE[sf_dir]
+    rows_q, rows_n = [], []
+    for q in ANN_QUERY_IDS:
+        qi = int(np.flatnonzero(ids == q)[0])
+        nids, _ = index.query(vecs[qi], ANN_K, ef=96, exclude_id=int(q))
+        rows_q.extend([int(q)] * len(nids))
+        rows_n.extend(nids.tolist())
+    return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
+                     "neighbor_id": pa.array(rows_n, type=pa.int64())})
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
     """LSH-bucketed ANN (the scale path) — approximate, rows-only check;
     recall vs brute force is asserted in tests."""
@@ -681,6 +702,7 @@ def make_queries() -> dict:
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_hnsw": ann_hnsw,
         "hybrid_rrf": hybrid_rrf,
         "multimodal_meta": multimodal_meta,
     })

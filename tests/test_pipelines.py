@@ -112,3 +112,15 @@ def test_ann_ivf_recall_vs_bruteforce():
         got = set(iv[iv["query_id"] == q]["neighbor_id"])
         recalls.append(len(want & got) / max(1, len(want)))
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_ann_hnsw_recall_vs_bruteforce():
+    from fsray.pipelines import ann_bruteforce, ann_hnsw
+    bf = _to_table(ann_bruteforce(SF_DIR)).to_pandas()
+    hn = _to_table(ann_hnsw(SF_DIR)).to_pandas()
+    recalls = []
+    for q in bf["query_id"].unique():
+        want = set(bf[bf["query_id"] == q]["neighbor_id"])
+        got = set(hn[hn["query_id"] == q]["neighbor_id"])
+        recalls.append(len(want & got) / max(1, len(want)))
+    assert np.mean(recalls) >= 0.8, recalls
