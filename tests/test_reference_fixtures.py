@@ -154,3 +154,36 @@ def test_relevance_overlap_sanity(ref_index):
     # assert it stays in that band (a collapse to ~0 would mean the
     # analyzer/scorer broke)
     assert overlaps and float(np.mean(overlaps)) >= 0.25, overlaps
+
+
+def test_search_quality_metrics(ref_index):
+    """nDCG@10 / MRR / Recall@10 over relevance.json (the reference's
+    search-quality harness metrics, PLAN.md §15.4) — lexical-only floors.
+
+    The expected lists encode the HYBRID system; the lexical tier alone
+    must still clear conservative floors (a collapse means the scorer or
+    analyzer broke, the harness's purpose)."""
+    rel = json.load(open(os.path.join(FIXTURES, "relevance.json")))["queries"]
+    idx = LocalIndex(ref_index["index_dir"])
+    ndcgs, mrrs, recalls = [], [], []
+    for case in rel:
+        expected = case.get("expected_top_10") or []
+        if not expected:
+            continue
+        got = [h.doc_id for h in idx.search(case["query"], k=10)]
+        rel_set = set(expected)
+        # binary-gain nDCG@10 against the expected set
+        dcg = sum(1.0 / np.log2(i + 2) for i, d in enumerate(got) if d in rel_set)
+        ideal = sum(1.0 / np.log2(i + 2) for i in range(min(10, len(rel_set))))
+        ndcgs.append(dcg / ideal if ideal else 0.0)
+        rr = 0.0
+        for i, d in enumerate(got):
+            if d in rel_set:
+                rr = 1.0 / (i + 1)
+                break
+        mrrs.append(rr)
+        recalls.append(len(set(got) & rel_set) / min(10, len(rel_set)))
+    assert len(ndcgs) >= 10
+    assert float(np.mean(ndcgs)) >= 0.25, np.mean(ndcgs)
+    assert float(np.mean(mrrs)) >= 0.4, np.mean(mrrs)
+    assert float(np.mean(recalls)) >= 0.25, np.mean(recalls)
