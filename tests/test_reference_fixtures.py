@@ -187,3 +187,20 @@ def test_search_quality_metrics(ref_index):
     assert float(np.mean(ndcgs)) >= 0.25, np.mean(ndcgs)
     assert float(np.mean(mrrs)) >= 0.4, np.mean(mrrs)
     assert float(np.mean(recalls)) >= 0.25, np.mean(recalls)
+
+
+def test_edge_cases_fixture_lenient(ref_index):
+    """Every edge_cases.json input must parse and search without error
+    (the lenient-parser contract); empty/whitespace inputs return no hits."""
+    cases = json.load(open(os.path.join(FIXTURES, "edge_cases.json")))["cases"]
+    assert len(cases) >= 5
+    idx = LocalIndex(ref_index["index_dir"])
+    for case in cases:
+        text = case["text"]
+        hits = idx.search(text, k=10)  # must never raise
+        assert isinstance(hits, list), case["id"]
+        if not text.strip():
+            assert hits == [], case["id"]
+        # pagination + exact count also survive every edge input
+        _, total = idx.search_paginated(text, limit=3, exact_count=True)
+        assert total is not None and total >= len(hits[:3]) - 3, case["id"]
