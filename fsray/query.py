@@ -78,12 +78,57 @@ class PhraseClause:
     """A quoted phrase scoped to one field (reference: query.rs quoted
     phrases; scorer semantics PLAN.md §8.3 pinned to Tantivy 0.26.1
     PhraseWeight: combined weight = Σ_term idf(df_t, N) × (1+k1) × boost,
-    tf = exact-adjacency phrase frequency, slop 0 in v1)."""
+    tf = exact-adjacency phrase frequency).
+
+    ``slop``/``prefix`` come from the ``"..."~n`` / ``"..."*`` suffixes
+    (reference: query.rs parse_phrase_suffix:2023-2086).  The reference's
+    execution engine REJECTS slop != 0 and prefix phrases with
+    UnsupportedQuery (index.rs:10637-10641) — we mirror that contract:
+    parse into the tree, reject at execution."""
     field: str
     terms: tuple[str, ...]
     boost: float
     group: str  # "should" | "must" | "must_not"
     atom: int = -1
+    slop: int = 0
+    prefix: bool = False
+
+
+class UnsupportedQueryError(ValueError):
+    """A parsed query node the execution engine does not support
+    (reference: QuillIndexError::UnsupportedQuery, index.rs:10637-10641)."""
+
+
+def parse_phrase_suffix(suffix: str) -> tuple[int, bool, float, int]:
+    """Parse the modifier run after a closing quote: ``*`` (phrase-prefix)
+    OR ``~<digits>`` (slop), then optional ``^<number>`` (boost).
+
+    Returns (slop, prefix, boost_multiplier, consumed_chars); invalid
+    modifiers consume nothing and the caller re-lexes the rest as an
+    ordinary atom (reference: query.rs:2023-2086 relex_suffix)."""
+    slop, prefix, consumed = 0, False, 0
+    if suffix.startswith("*"):
+        prefix, consumed = True, 1
+    elif suffix.startswith("~"):
+        digits = 0
+        while 1 + digits < len(suffix) and suffix[1 + digits].isdigit():
+            digits += 1
+        if digits == 0:
+            return 0, False, 1.0, 0  # bare '~': relex as ordinary text
+        slop, consumed = int(suffix[1:1 + digits]), 1 + digits
+    boost = 1.0
+    rest = suffix[consumed:]
+    if rest.startswith("^"):
+        num = 0
+        while 1 + num < len(rest) and (rest[1 + num].isdigit() or rest[1 + num] == "."):
+            num += 1
+        if num:
+            try:
+                boost = float(rest[1:1 + num])
+                consumed += 1 + num
+            except ValueError:
+                pass
+    return slop, prefix, boost, consumed
 
 
 @dataclass
@@ -129,8 +174,11 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
     phrases: list[PhraseClause] = []
     ranges: list = []
 
-    def emit(atom: str, group: str, scoped_field: str | None = None) -> None:
+    def emit(atom: str, group: str, scoped_field: str | None = None,
+             mult: float = 1.0) -> None:
         targets = [(scoped_field, 1.0)] if scoped_field else default_fields
+        if mult != 1.0:
+            targets = [(f, b * mult) for f, b in targets]
         if ("*" in atom or "?" in atom) and any(ch.isalnum() for ch in atom):
             # wildcard atom: keep the pattern whole (lowercased), defer
             # dictionary expansion to the executor
@@ -158,7 +206,8 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
 
     # split into atoms, keeping quoted phrases together; a +/- immediately
     # before an opening quote applies to the whole phrase (-"a b")
-    atoms: list[tuple[str, bool, str]] = []  # (text, is_phrase, prefix)
+    # (text, is_phrase, prefix, slop, phrase_prefix, boost)
+    atoms: list[tuple[str, bool, str, int, bool, float]] = []
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
@@ -174,8 +223,9 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
             j = text.find('"', i + 1)
             if j == -1:
                 j = n
-            atoms.append((text[i + 1:j], True, prefix))
-            i = j + 1
+            slop, pprefix, boost, consumed = parse_phrase_suffix(text[j + 1:])
+            atoms.append((text[i + 1:j], True, prefix, slop, pprefix, boost))
+            i = j + 1 + consumed
         else:
             j = i
             while j < n and not text[j].isspace():
@@ -187,11 +237,21 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                 if close != -1:
                     atom = text[i:close + 1]
                     j = close + 1
-            atoms.append((atom, False, ""))
+            # trailing ^<number> boosts the leaf (contract: "`^` boosts a
+            # leaf or group"; group boosts need parens we don't parse)
+            boost = 1.0
+            if "^" in atom[1:]:
+                head, _, tail = atom.rpartition("^")
+                try:
+                    boost = float(tail)
+                    atom = head
+                except ValueError:
+                    pass
+            atoms.append((atom, False, "", 0, False, boost))
             i = j
 
     pending_not = False
-    for atom, is_phrase, prefix in atoms:
+    for atom, is_phrase, prefix, slop, pprefix, boost in atoms:
         if not is_phrase:
             if atom in ("AND", "OR"):
                 continue  # default disjunction; AND handled via '+' (lenient)
@@ -212,13 +272,16 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
         if is_phrase:
             terms = tuple(tokenize_scalar(atom))
             if len(terms) == 1:
-                emit(atom, group)
+                # token-count rule: a quoted one-token fragment is a Term
+                # (contract line 135); slop/prefix are meaningless on it
+                emit(atom, group, mult=boost)
                 continue
             if terms:
                 aid = phrase_counter[0]
                 phrase_counter[0] += 1
-                for fname, boost in default_fields:
-                    phrases.append(PhraseClause(fname, terms, boost, group, atom=aid))
+                for fname, fboost in default_fields:
+                    phrases.append(PhraseClause(fname, terms, fboost * boost, group,
+                                                atom=aid, slop=slop, prefix=pprefix))
             continue
         if ":" in atom:
             head, _, rest = atom.partition(":")
@@ -248,7 +311,7 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
             head, _, rest = atom.partition(":")
             if head in known_fields and rest:
                 scoped, atom = head, rest
-        emit(atom, group, scoped)
+        emit(atom, group, scoped, mult=boost)
 
     return ParsedQuery(should=should, must=must, must_not=must_not,
                        phrases=phrases, ranges=ranges)

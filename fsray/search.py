@@ -304,6 +304,13 @@ def _clause_specs(parsed: ParsedQuery, manifest: dict, global_dfs: dict,
             spec["weight"] = float(term_weight(df, n, cl.boost, dtype=dtype))
         specs.append(spec)
     for ph in parsed.phrases:
+        if ph.slop != 0 or ph.prefix:
+            # reference parity: the execution engine rejects sloppy and
+            # phrase-prefix queries (index.rs:10637-10641 UnsupportedQuery);
+            # the parser still produces the node so error text names it
+            from fsray.query import UnsupportedQueryError
+            raise UnsupportedQueryError(
+                f"phrase slop={ph.slop} prefix={str(ph.prefix).lower()}")
         ordn = field_ord.get(ph.field)
         if ordn is None:
             continue

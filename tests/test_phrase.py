@@ -146,3 +146,63 @@ def test_phrase_partition_invariance(pos_index, tmp_path):
     x = LocalIndex(pos_index["index_dir"]).search(q, k=10)
     y = LocalIndex(d2).search(q, k=10)
     assert [(h.doc_id, h.score) for h in x] == [(h.doc_id, h.score) for h in y]
+
+
+# -- phrase suffix modifiers: "..."~n (slop), "..."* (prefix), ^boost ------
+# parse into the tree like the reference's parse_phrase_suffix
+# (query.rs:2023-2086); execution rejects slop!=0 / prefix like
+# QuillIndexError::UnsupportedQuery (index.rs:10637-10641).
+
+def test_parse_phrase_slop_suffix():
+    from fsray.query import parse_query
+    p = parse_query('"error handling"~2')
+    assert p.phrases and all(ph.slop == 2 and not ph.prefix for ph in p.phrases)
+    # the suffix must NOT leak a spurious "2" term atom
+    assert not p.should and not p.must
+
+
+def test_parse_phrase_prefix_suffix_and_boost():
+    from fsray.query import parse_query
+    p = parse_query('"error handling"*')
+    assert p.phrases and all(ph.prefix and ph.slop == 0 for ph in p.phrases)
+    p2 = parse_query('"error handling"~3^2.5')
+    assert p2.phrases
+    by_field = {ph.field: ph for ph in p2.phrases}
+    assert by_field["content"].slop == 3
+    assert by_field["content"].boost == pytest.approx(2.5)
+    assert by_field["title"].boost == pytest.approx(5.0)  # 2.0 field boost × 2.5
+
+
+def test_parse_bare_tilde_relexes():
+    from fsray.query import parse_query
+    # '~' with no digits is not a modifier: phrase stays slop-0 and the
+    # remaining text re-lexes as ordinary atoms (reference relex_suffix)
+    p = parse_query('"error handling"~ rust')
+    assert all(ph.slop == 0 for ph in p.phrases)
+    assert {c.term for c in p.should} == {"rust"}
+
+
+def test_parse_quoted_single_token_with_suffix_is_term():
+    from fsray.query import parse_query
+    p = parse_query('"rust"~2^3')
+    assert not p.phrases  # token-count rule: one token → Term
+    assert {c.term for c in p.should} == {"rust"}
+    assert {c.boost for c in p.should} == {3.0, 6.0}  # 1.0/2.0 field boosts × 3
+
+
+def test_parse_leaf_term_boost():
+    from fsray.query import parse_query
+    p = parse_query("rust^2")
+    assert {c.term for c in p.should} == {"rust"}
+    assert sorted(c.boost for c in p.should) == [2.0, 4.0]
+
+
+def test_slop_and_prefix_rejected_at_execution(pos_index):
+    from fsray.query import UnsupportedQueryError
+    idx = LocalIndex(pos_index["index_dir"])
+    base = idx.search('"spark context"', k=5)  # slop-0 path still works
+    assert isinstance(base, list)
+    with pytest.raises(UnsupportedQueryError, match="slop=2"):
+        idx.search('"spark context"~2', k=5)
+    with pytest.raises(UnsupportedQueryError, match="prefix=true"):
+        idx.search('"spark context"*', k=5)
