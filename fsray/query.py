@@ -29,11 +29,15 @@ order is contractual), MustNot deduped.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from fsray.tokenizer import tokenize_scalar
 
 MAX_QUERY_CHARS = 10_000
+
+#: group opener: optional +/- sign, optional field scope, then '('
+_GROUP_OPEN = re.compile(r"([+-]?)((?:[A-Za-z_][A-Za-z0-9_]*):)?\(")
 
 
 @dataclass(frozen=True)
@@ -138,6 +142,13 @@ class ParsedQuery:
     must_not: list[Clause]
     phrases: list[PhraseClause] = None  # type: ignore[assignment]
     ranges: list = None  # type: ignore[assignment]  # RangeClause | SetClause
+    #: explicit boolean tree over atom ids, present only when the input used
+    #: AND / OR / parentheses (reference: Tantivy 0.26.1 grammar inherited by
+    #: the default parser — AND binds tighter than OR, contract line 126).
+    #: Nodes: ("atom", aid) | ("and"|"or", [children]) | ("not", child).
+    #: When set, every leaf clause lives in ``should`` and NOT semantics are
+    #: positional in the tree; ranges/sets stay global filters (divergence).
+    tree: tuple | None = None
 
     def __post_init__(self):
         if self.phrases is None:
@@ -175,25 +186,28 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
     ranges: list = []
 
     def emit(atom: str, group: str, scoped_field: str | None = None,
-             mult: float = 1.0) -> None:
+             mult: float = 1.0) -> list[int]:
         targets = [(scoped_field, 1.0)] if scoped_field else default_fields
         if mult != 1.0:
             targets = [(f, b * mult) for f, b in targets]
+        created: list[int] = []
         if ("*" in atom or "?" in atom) and any(ch.isalnum() for ch in atom):
             # wildcard atom: keep the pattern whole (lowercased), defer
             # dictionary expansion to the executor
             pat = atom.lower()
             aid = atom_counter[0]
             atom_counter[0] += 1
+            created.append(aid)
             for fname, boost in targets:
                 cl = Clause(fname, pat, boost, group, glob=True, atom=aid)
                 (must_not if group == "must_not" else
                  must if group == "must" else should).append(cl)
-            return
+            return created
         terms = tokenize_scalar(atom)
         for term in terms:
             aid = atom_counter[0]
             atom_counter[0] += 1
+            created.append(aid)
             for fname, boost in targets:
                 cl = Clause(fname, term, boost, group, atom=aid)
                 if group == "must_not":
@@ -203,12 +217,65 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                     must.append(cl)
                 else:
                     should.append(cl)
+        return created
 
-    # split into atoms, keeping quoted phrases together; a +/- immediately
-    # before an opening quote applies to the whole phrase (-"a b")
-    # (text, is_phrase, prefix, slop, phrase_prefix, boost)
-    atoms: list[tuple[str, bool, str, int, bool, float]] = []
+    def emit_phrase(atom: str, group: str, slop: int, pprefix: bool,
+                    mult: float, scoped_field: str | None = None) -> list[int]:
+        """Quoted fragment → Phrase (≥2 tokens) or Term (token-count rule,
+        contract line 135: a quoted one-token fragment is still a Term)."""
+        terms = tuple(tokenize_scalar(atom))
+        if len(terms) <= 1:
+            return emit(atom, group, scoped_field, mult=mult) if terms else []
+        aid = phrase_counter[0]
+        phrase_counter[0] += 1
+        targets = [(scoped_field, 1.0)] if scoped_field else default_fields
+        for fname, fboost in targets:
+            phrases.append(PhraseClause(fname, terms, fboost * mult, group,
+                                        atom=aid, slop=slop, prefix=pprefix))
+        return [aid]
+
+    def try_range(atom: str, negate: bool) -> bool:
+        """Detect field:[a TO b] / field:IN(...) filters; append and
+        return True when the atom was consumed as a filter."""
+        if ":" not in atom:
+            return False
+        head, _, rest = atom.partition(":")
+        if rest.startswith("[") and rest.endswith("]"):
+            parts = rest[1:-1].split()
+            if len(parts) == 3 and parts[1].upper() == "TO":
+                def _bound(s):
+                    if s == "*":
+                        return None
+                    try:
+                        return int(s)
+                    except ValueError:
+                        return None
+                ranges.append(RangeClause(head, _bound(parts[0]), _bound(parts[2]),
+                                          negate=negate))
+                return True
+        if rest.upper().startswith("IN(") and rest.endswith(")"):
+            try:
+                vals = tuple(int(v) for v in rest[3:-1].split(",") if v.strip())
+                ranges.append(SetClause(head, vals, negate=negate))
+                return True
+            except ValueError:
+                pass
+        return False
+
+    def field_scope(atom: str) -> tuple[str | None, str]:
+        if ":" in atom:
+            head, _, rest = atom.partition(":")
+            if head in known_fields and rest:
+                return head, rest
+        return None, atom
+
+    # ---- lexing: atoms, quoted phrases, operators, parens ----------------
+    # token kinds: ("atom", text, is_phrase, prefix, slop, pprefix, boost)
+    #              ("lparen", scope|None, negated) | ("rparen", mult)
+    #              ("op", "AND"|"OR"|"NOT")
+    toks: list[tuple] = []
     i, n = 0, len(text)
+    depth = 0
     while i < n:
         ch = text[i]
         if ch.isspace():
@@ -224,40 +291,87 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
             if j == -1:
                 j = n
             slop, pprefix, boost, consumed = parse_phrase_suffix(text[j + 1:])
-            atoms.append((text[i + 1:j], True, prefix, slop, pprefix, boost))
+            toks.append(("atom", text[i + 1:j], True, prefix, slop, pprefix, boost))
             i = j + 1 + consumed
-        else:
-            j = i
-            while j < n and not text[j].isspace():
-                j += 1
-            atom = text[i:j]
-            # a range atom "field:[a TO b]" spans whitespace — extend to ']'
-            if "[" in atom and "]" not in atom and ":" in atom.split("[")[0]:
-                close = text.find("]", j)
-                if close != -1:
-                    atom = text[i:close + 1]
-                    j = close + 1
-            # trailing ^<number> boosts the leaf (contract: "`^` boosts a
-            # leaf or group"; group boosts need parens we don't parse)
-            boost = 1.0
-            if "^" in atom[1:]:
-                head, _, tail = atom.rpartition("^")
-                try:
-                    boost = float(tail)
-                    atom = head
-                except ValueError:
-                    pass
-            atoms.append((atom, False, "", 0, False, boost))
+            continue
+        gm = _GROUP_OPEN.match(text, i)
+        if gm:
+            scope = gm.group(2)[:-1] if gm.group(2) else None
+            if scope is not None and scope not in known_fields:
+                scope = None  # unknown field scope degrades to default fields
+            toks.append(("lparen", scope, gm.group(1) == "-"))
+            depth += 1
+            i = gm.end()
+            continue
+        if depth and ch == ")":
+            mult, j = 1.0, i + 1
+            if j < n and text[j] == "^":
+                num = 0
+                while j + 1 + num < n and (text[j + 1 + num].isdigit()
+                                           or text[j + 1 + num] == "."):
+                    num += 1
+                if num:
+                    try:
+                        mult = float(text[j + 1:j + 1 + num])
+                        j += 1 + num
+                    except ValueError:
+                        pass
+            toks.append(("rparen", mult))
+            depth -= 1
             i = j
+            continue
+        # bare atom: scan to whitespace; inside a group a bare ')' ends the
+        # atom UNLESS it closes a '(' opened within the atom (the IN( case)
+        j, inner = i, 0
+        while j < n and not text[j].isspace():
+            cj = text[j]
+            if cj == "(":
+                inner += 1
+            elif cj == ")":
+                if inner == 0 and depth:
+                    break
+                if inner:
+                    inner -= 1
+            j += 1
+        atom = text[i:j]
+        # a range atom "field:[a TO b]" spans whitespace — extend to ']'
+        if "[" in atom and "]" not in atom and ":" in atom.split("[")[0]:
+            close = text.find("]", j)
+            if close != -1:
+                atom = text[i:close + 1]
+                j = close + 1
+        # trailing ^<number> boosts the leaf (contract line 126: "`^`
+        # boosts a leaf or group")
+        boost = 1.0
+        if "^" in atom[1:]:
+            head, _, tail = atom.rpartition("^")
+            try:
+                boost = float(tail)
+                atom = head
+            except ValueError:
+                pass
+        if atom in ("AND", "OR", "NOT"):
+            toks.append(("op", atom))
+        else:
+            toks.append(("atom", atom, False, "", 0, False, boost))
+        i = j
 
+    explicit = any(t[0] == "lparen" or (t[0] == "op" and t[1] in ("AND", "OR"))
+                   for t in toks)
+    if explicit:
+        tree = _parse_boolean_tree(toks, emit, emit_phrase, try_range, field_scope)
+        return ParsedQuery(should=should, must=must, must_not=must_not,
+                           phrases=phrases, ranges=ranges, tree=tree)
+
+    # ---- flat lenient path (no explicit operators) -----------------------
     pending_not = False
-    for atom, is_phrase, prefix, slop, pprefix, boost in atoms:
-        if not is_phrase:
-            if atom in ("AND", "OR"):
-                continue  # default disjunction; AND handled via '+' (lenient)
-            if atom == "NOT":
-                pending_not = True
-                continue
+    for tok in toks:
+        if tok[0] == "rparen":
+            continue  # unbalanced ')' outside any group: lenient no-op
+        if tok[0] == "op":  # only NOT reaches here
+            pending_not = True
+            continue
+        _, atom, is_phrase, prefix, slop, pprefix, boost = tok
         group = "should"
         if pending_not:
             group, pending_not = "must_not", False
@@ -270,48 +384,133 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
         elif not is_phrase and atom.startswith("+") and len(atom) > 1:
             group, atom = "must", atom[1:]
         if is_phrase:
-            terms = tuple(tokenize_scalar(atom))
-            if len(terms) == 1:
-                # token-count rule: a quoted one-token fragment is a Term
-                # (contract line 135); slop/prefix are meaningless on it
-                emit(atom, group, mult=boost)
-                continue
-            if terms:
-                aid = phrase_counter[0]
-                phrase_counter[0] += 1
-                for fname, fboost in default_fields:
-                    phrases.append(PhraseClause(fname, terms, fboost * boost, group,
-                                                atom=aid, slop=slop, prefix=pprefix))
+            emit_phrase(atom, group, slop, pprefix, boost)
             continue
-        if ":" in atom:
-            head, _, rest = atom.partition(":")
-            negate = group == "must_not"
-            if rest.startswith("[") and rest.endswith("]"):
-                parts = rest[1:-1].split()
-                if len(parts) == 3 and parts[1].upper() == "TO":
-                    def _bound(s):
-                        if s == "*":
-                            return None
-                        try:
-                            return int(s)
-                        except ValueError:
-                            return None
-                    ranges.append(RangeClause(head, _bound(parts[0]), _bound(parts[2]),
-                                              negate=negate))
-                    continue
-            if rest.upper().startswith("IN(") and rest.endswith(")"):
-                try:
-                    vals = tuple(int(v) for v in rest[3:-1].split(",") if v.strip())
-                    ranges.append(SetClause(head, vals, negate=negate))
-                    continue
-                except ValueError:
-                    pass
-        scoped = None
-        if ":" in atom:
-            head, _, rest = atom.partition(":")
-            if head in known_fields and rest:
-                scoped, atom = head, rest
+        if try_range(atom, negate=group == "must_not"):
+            continue
+        scoped, atom = field_scope(atom)
         emit(atom, group, scoped, mult=boost)
 
     return ParsedQuery(should=should, must=must, must_not=must_not,
                        phrases=phrases, ranges=ranges)
+
+
+def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
+                        field_scope) -> tuple | None:
+    """Recursive-descent over the token stream for explicit boolean inputs.
+
+    Default-parser grammar (contract line 126 + fixture
+    query-default-and-precedes-or): ``AND`` binds tighter than ``OR``;
+    adjacent operands without an operator are a disjunction (conjunction
+    default false); parentheses group, ``(...)^x`` boosts the group,
+    ``field:(...)`` scopes it.  Leaves are emitted as Should clauses; NOT
+    is positional in the tree.  Ranges/sets inside a tree remain global
+    filters (documented divergence — the reference nests typed leaves)."""
+    pos = [0]
+    scopes: list[str | None] = [None]
+    mults: list[float] = [1.0]
+
+    def group_mult(open_idx: int) -> float:
+        d = 0
+        for t in toks[open_idx:]:
+            if t[0] == "lparen":
+                d += 1
+            elif t[0] == "rparen":
+                d -= 1
+                if d == 0:
+                    return t[1]
+        return 1.0
+
+    def atom_node(tok: tuple) -> tuple | None:
+        _, atom, is_phrase, prefix, slop, pprefix, boost = tok
+        negated = False
+        if not is_phrase and atom.startswith("-") and len(atom) > 1:
+            negated, atom = True, atom[1:]
+        elif not is_phrase and atom.startswith("+") and len(atom) > 1:
+            atom = atom[1:]
+        elif is_phrase and prefix == "-":
+            negated = True
+        mult = boost * mults[-1]
+        if is_phrase:
+            ids = emit_phrase(atom, "should", slop, pprefix, mult, scopes[-1])
+        else:
+            if try_range(atom, negate=negated):
+                return None
+            scoped, atom = field_scope(atom)
+            ids = emit(atom, "should", scoped or scopes[-1], mult=mult)
+        if not ids:
+            return None
+        node = (("atom", ids[0]) if len(ids) == 1
+                else ("or", [("atom", a) for a in ids]))
+        return ("not", node) if negated else node
+
+    def parse_primary() -> tuple | None:
+        if pos[0] >= len(toks):
+            return None
+        t = toks[pos[0]]
+        if t[0] == "lparen":
+            open_idx = pos[0]
+            pos[0] += 1
+            scopes.append(t[1] if t[1] is not None else scopes[-1])
+            mults.append(mults[-1] * group_mult(open_idx))
+            node = parse_or()
+            scopes.pop()
+            mults.pop()
+            if pos[0] < len(toks) and toks[pos[0]][0] == "rparen":
+                pos[0] += 1
+            if node is not None and t[2]:  # '-(...)'
+                node = ("not", node)
+            return node
+        if t[0] == "atom":
+            pos[0] += 1
+            return atom_node(t)
+        if t[0] == "op":  # dangling AND/OR/NOT: lenient skip
+            pos[0] += 1
+            return None
+        return None  # rparen: caller's job
+
+    def parse_unary() -> tuple | None:
+        if pos[0] < len(toks) and toks[pos[0]] == ("op", "NOT"):
+            pos[0] += 1
+            child = parse_unary()
+            # NOT NOT x is idempotent to x (fixture
+            # query-boolean-repeated-not-is-idempotent)
+            if child is None:
+                return None
+            return child[1] if child[0] == "not" else ("not", child)
+        return parse_primary()
+
+    def parse_and() -> tuple | None:
+        children = []
+        node = parse_unary()
+        if node is not None:
+            children.append(node)
+        while pos[0] < len(toks) and toks[pos[0]] == ("op", "AND"):
+            pos[0] += 1
+            node = parse_unary()
+            if node is not None:
+                children.append(node)
+        if not children:
+            return None
+        return children[0] if len(children) == 1 else ("and", children)
+
+    def parse_or() -> tuple | None:
+        children = []
+        while pos[0] < len(toks):
+            t = toks[pos[0]]
+            if t[0] == "rparen":
+                break
+            if t == ("op", "OR"):
+                pos[0] += 1
+                continue
+            before = pos[0]
+            node = parse_and()
+            if node is not None:
+                children.append(node)
+            if pos[0] == before:
+                pos[0] += 1  # no progress: skip token (lenient)
+        if not children:
+            return None
+        return children[0] if len(children) == 1 else ("or", children)
+
+    return parse_or()

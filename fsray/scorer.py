@@ -131,6 +131,83 @@ def topk_exhaustive(clauses: list[ScoringClause], must_not_docids: list[np.ndarr
     return out
 
 
+def topk_boolean(clauses: list[ScoringClause], tree: tuple,
+                 must_not_docids: list[np.ndarray], lo: int, size: int, k: int,
+                 dtype=np.float32, filter_mask: np.ndarray | None = None) -> TopK:
+    """Explicit boolean tree kernel (Tantivy 0.26.1 BooleanWeight semantics
+    inherited by the reference grammar, contract line 126).
+
+    Per-atom (mask, score) arrays are combined recursively: AND intersects,
+    OR unions, NOT complements and contributes no score; a composite node's
+    score is zeroed where the node does not match, so an enclosing OR never
+    inherits a partial AND's term scores.  Exhaustive only — boolean trees
+    carry no block-max bound."""
+    scores_by_atom: dict[int, np.ndarray] = {}
+    mask_by_atom: dict[int, np.ndarray] = {}
+    for c in clauses:  # canonical order — f32 summation order contract
+        idx = c.docids.astype(np.int64) - lo
+        s = score_postings(c.tfs, c.fn_ids, c.tf_cache, c.weight, dtype=dtype)
+        sa = scores_by_atom.get(c.atom)
+        if sa is None:
+            sa = scores_by_atom[c.atom] = np.zeros(size, dtype=dtype)
+            mask_by_atom[c.atom] = np.zeros(size, dtype=bool)
+        sa[idx] += s
+        mask_by_atom[c.atom][idx] = True
+
+    def ev(node: tuple) -> tuple[np.ndarray, np.ndarray | None]:
+        kind = node[0]
+        if kind == "atom":
+            m = mask_by_atom.get(node[1])
+            if m is None:  # atom absent in this shard: matches nothing
+                return np.zeros(size, dtype=bool), None
+            return m, scores_by_atom[node[1]]
+        if kind == "not":
+            child_mask, _ = ev(node[1])
+            return ~child_mask, None
+        mask: np.ndarray | None = None
+        score: np.ndarray | None = None
+        owns_mask = owns_score = False
+        for ch in node[1]:
+            m, s = ev(ch)
+            if mask is None:
+                mask = m
+            elif kind == "and":
+                if not owns_mask:
+                    mask, owns_mask = mask.copy(), True
+                mask &= m
+            else:
+                if not owns_mask:
+                    mask, owns_mask = mask.copy(), True
+                mask |= m
+            if s is not None:
+                if score is None:
+                    score = s
+                else:
+                    if not owns_score:
+                        score, owns_score = score.copy(), True
+                    score += s
+        if mask is None:
+            mask = np.zeros(size, dtype=bool)
+        if score is not None:
+            if not owns_score:
+                score = score.copy()
+            score[~mask] = 0
+        return mask, score
+
+    matched, scores = ev(tree)
+    matched = matched.copy()  # may alias a per-atom mask (single-leaf root)
+    if scores is None:
+        scores = np.zeros(size, dtype=dtype)
+    for mn in must_not_docids:
+        matched[mn.astype(np.int64) - lo] = False
+    if filter_mask is not None:
+        matched &= filter_mask
+    cand = np.flatnonzero(matched)
+    out = _finalize(scores, cand, lo, k, dtype)
+    out.count = int(len(cand))
+    return out
+
+
 def _window_bounds(clauses: list[ScoringClause], lo: int, size: int,
                    dtype=np.float32) -> np.ndarray:
     """Σ over clauses of (per-window max of block upper bounds), f32-monotone."""

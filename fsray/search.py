@@ -205,7 +205,8 @@ class ShardData:
         return arr.take(idx).to_pylist()
 
     def topk(self, clause_specs: list[dict], k: int, dtype=np.float32,
-             mode: str = "auto", range_specs: list[dict] | None = None) -> TopK:
+             mode: str = "auto", range_specs: list[dict] | None = None,
+             tree: tuple | None = None) -> TopK:
         """Score this shard. ``clause_specs``: [{field_ord, term, weight,
         avgdl, group}] in canonical order, plus must_not term keys."""
         clauses: list[ScoringClause] = []
@@ -255,6 +256,16 @@ class ShardData:
                 min_fieldnorm_id=dec.min_fieldnorm_id, first_docs=dec.first_docs,
                 last_docs=dec.last_docs, avgdl=cs["avgdl"],
             ))
+        if tree is not None:
+            # explicit boolean tree: leaves all live in "should"; NOT is
+            # positional so must_not/must gates don't apply.  Exhaustive
+            # only (no block-max bound across a boolean tree).
+            if not clauses:
+                return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype), count=0)
+            from fsray.scorer import topk_boolean
+            return topk_boolean(clauses, tree, must_not, self.lo, self.size, k,
+                                dtype=dtype,
+                                filter_mask=self.filter_mask(range_specs or []))
         if not clauses or not all(must_atom_ok.values()):
             # some required atom has no posting list in this shard at all
             return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype), count=0)
@@ -403,11 +414,13 @@ class LocalIndex:
                 for sh in self.shards:
                     terms.update(sh.glob_terms(ordn, cl.term))
                 tgt = "must_not" if group == "must_not" else "should"
+                # atom id preserved: in a boolean tree the expanded terms
+                # stay one leaf (their union IS the glob's match set)
                 for t in sorted(terms)[:16_384]:
-                    out[tgt].append(Clause(cl.field, t, cl.boost, tgt))
+                    out[tgt].append(Clause(cl.field, t, cl.boost, tgt, atom=cl.atom))
         return ParsedQuery(should=out["should"], must=out["must"],
                            must_not=out["must_not"], phrases=parsed.phrases,
-                           ranges=parsed.ranges)
+                           ranges=parsed.ranges, tree=parsed.tree)
 
     def search(self, text: str, k: int = 10, dtype=np.float32, mode: str = "auto") -> list[Hit]:
         hits, _ = self.search_paginated(text, limit=k, offset=0, dtype=dtype, mode=mode)
@@ -444,7 +457,8 @@ class LocalIndex:
         k = limit + offset
         eff_mode = "exhaustive" if exact_count else mode
         per_shard = [sh.topk(specs, k, dtype=dtype, mode=eff_mode,
-                             range_specs=range_specs) for sh in self.shards]
+                             range_specs=range_specs, tree=parsed.tree)
+                     for sh in self.shards]
         docids, scores = _merge_topk(per_shard, k, dtype=dtype)
         docids, scores = docids[offset:], scores[offset:]
         total = sum(t.count for t in per_shard) if exact_count else None
@@ -526,9 +540,10 @@ class ShardSearcherActor:
         return self.shard.dfs(keys)
 
     def topk(self, specs: list[dict], k: int, mode: str = "auto",
-             range_specs: list[dict] | None = None) -> tuple[np.ndarray, np.ndarray, int]:
+             range_specs: list[dict] | None = None,
+             tree: tuple | None = None) -> tuple[np.ndarray, np.ndarray, int]:
         t = self.shard.topk(specs, k, dtype=np.float32, mode=mode,
-                            range_specs=range_specs)
+                            range_specs=range_specs, tree=tree)
         return t.docids, t.scores, t.count
 
     def materialize(self, docids: np.ndarray) -> list[str]:
@@ -607,7 +622,8 @@ class RayIndex:
         k = limit + offset
         eff_mode = "exhaustive" if exact_count else mode
         range_specs = _range_specs(parsed)
-        results = ray.get([a.topk.remote(specs, k, eff_mode, range_specs)
+        results = ray.get([a.topk.remote(specs, k, eff_mode, range_specs,
+                                         parsed.tree)
                            for a in self.actors.values()])
         per_shard = [TopK(d, s, count=c) for d, s, c in results]
         total = sum(t.count for t in per_shard) if exact_count else None

@@ -1,0 +1,181 @@
+"""Explicit boolean queries: AND / OR / NOT, parentheses, group boost,
+field-scoped groups.
+
+Grammar parity targets the reference's default parser (pinned Tantivy
+0.26.1 grammar per the quill language contract line 126 and the
+parse_tree_cases fixtures): explicit ``AND`` binds tighter than ``OR``,
+adjacent operands stay a disjunction (conjunction default false),
+``NOT NOT x ≡ x``, ``(...)^b`` boosts the group, ``field:(...)`` scopes
+it.  Execution semantics follow Tantivy's BooleanWeight: AND intersects,
+OR unions, NOT complements and never scores, a non-matching AND subtree
+contributes no score to an enclosing OR.
+"""
+
+import numpy as np
+import pytest
+
+from fsray.build import CODE_CORPUS, BuildConfig, build_index
+from fsray.corpus import write_code_corpus
+from fsray.query import parse_query
+from fsray.search import LocalIndex, RayIndex
+
+
+@pytest.fixture(scope="module")
+def bool_index(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bool")
+    paths = write_code_corpus(str(root / "in"), 500, seed=42, n_files=2)
+    index_dir = str(root / "idx")
+    build_index(paths, index_dir, CODE_CORPUS,
+                BuildConfig(partition_rows=128, num_shards=3, num_buckets=4,
+                            positions=True))
+    return {"paths": paths, "index_dir": index_dir, "doc_count": 500}
+
+
+# ---- parse-tree shapes (mirror quill_language_contract parse_tree_cases) --
+
+def test_and_precedes_or():
+    # fixture query-default-and-precedes-or
+    p = parse_query("rust OR ownership AND borrowing")
+    assert p.tree == ("or", [("atom", 0), ("and", [("atom", 1), ("atom", 2)])])
+    assert not p.must and not p.must_not  # tree mode: all leaves in should
+
+
+def test_group_boost_multiplies_leaf_boosts():
+    # fixture query-default-group-boost
+    p = parse_query("(rust OR ownership)^2")
+    assert p.tree == ("or", [("atom", 0), ("atom", 1)])
+    assert sorted(c.boost for c in p.should) == [2.0, 2.0, 4.0, 4.0]
+
+
+def test_field_scoped_group():
+    # fixture query-default-field-scoped-group
+    p = parse_query('title:(rust OR "error handling")')
+    assert p.tree == ("or", [("atom", 0), ("atom", 1_000_000)])
+    assert [(c.field, c.term) for c in p.should] == [("title", "rust")]
+    assert [(ph.field, ph.terms) for ph in p.phrases] == \
+        [("title", ("error", "handling"))]
+
+
+def test_explicit_field_overrides_group_scope():
+    # fixture query-default-field-scope-explicit-override (id is not an
+    # indexed text field here, so use the two known text fields)
+    p = parse_query("title:(rust AND content:cache)")
+    assert [(c.field, c.term) for c in p.should] == \
+        [("title", "rust"), ("content", "cache")]
+
+
+def test_not_not_is_idempotent():
+    # fixture query-boolean-repeated-not-is-idempotent
+    p = parse_query("auth AND NOT NOT deprecated")
+    assert p.tree == ("and", [("atom", 0), ("atom", 1)])
+
+
+def test_and_not():
+    p = parse_query("auth AND NOT deprecated")
+    assert p.tree == ("and", [("atom", 0), ("not", ("atom", 1))])
+
+
+def test_in_set_survives_inside_tree():
+    p = parse_query("id:IN(1,2) AND rust")
+    assert p.tree == ("atom", 0)  # set became a global filter, rust the leaf
+    assert len(p.ranges) == 1
+
+
+def test_code_punctuation_stays_lenient():
+    # '(' in code-ish input opens a group; the parse must survive and the
+    # flat no-operator path must stay flat
+    p = parse_query("if (x) { return; }")
+    assert p.tree is not None
+    p2 = parse_query("plain flat query -bad")
+    assert p2.tree is None and p2.must_not
+
+
+# ---- execution semantics vs set algebra over single-term match sets ------
+
+def _ids(idx, q, k=100_000):
+    hits, total = idx.search_paginated(q, limit=k, exact_count=True)
+    return {h.docid: h.score for h in hits}, total
+
+
+@pytest.fixture(scope="module")
+def abc(bool_index):
+    idx = LocalIndex(bool_index["index_dir"])
+    a, ta = _ids(idx, "parse")
+    b, tb = _ids(idx, "merge")
+    c, tc = _ids(idx, "hash")
+    # the corpus must give real, partially-overlapping match sets
+    assert ta and tb and tc and (set(a) - set(b)) and (set(b) - set(a))
+    return idx, a, b, c
+
+
+def test_and_is_intersection_and_sums_scores(abc):
+    idx, a, b, _ = abc
+    ab, tab = _ids(idx, "parse AND merge")
+    assert set(ab) == set(a) & set(b)
+    assert tab == len(set(a) & set(b))
+    for d in list(ab)[:25]:
+        assert abs(ab[d] - (a[d] + b[d])) < 1e-4
+
+
+def test_or_is_union_and_equals_flat_disjunction(abc):
+    idx, a, b, _ = abc
+    union, _ = _ids(idx, "parse OR merge")
+    assert set(union) == set(a) | set(b)
+    flat, _ = _ids(idx, "parse merge")
+    assert set(flat) == set(union)
+    assert all(abs(flat[d] - union[d]) < 1e-6 for d in flat)
+
+
+def test_and_binds_tighter_than_or_at_execution(abc):
+    idx, a, b, c = abc
+    prec, _ = _ids(idx, "parse OR merge AND hash")
+    assert set(prec) == set(a) | (set(b) & set(c))
+
+
+def test_not_subtracts(abc):
+    idx, a, b, _ = abc
+    nt, _ = _ids(idx, "parse AND NOT merge")
+    assert set(nt) == set(a) - set(b)
+
+
+def test_parens_group(abc):
+    idx, a, b, c = abc
+    par, _ = _ids(idx, "parse AND (merge OR hash)")
+    assert set(par) == set(a) & (set(b) | set(c))
+
+
+def test_group_boost_scales_scores(abc):
+    idx, a, _, _ = abc
+    gb, _ = _ids(idx, "(parse)^2")
+    assert set(gb) == set(a)
+    for d in list(gb)[:25]:
+        assert abs(gb[d] - 2 * a[d]) < 1e-4
+
+
+def test_partial_and_contributes_no_score_to_or(abc):
+    idx, a, b, c = abc
+    mix, _ = _ids(idx, "(merge AND hash) OR parse")
+    only_a = set(a) - set(b) - set(c)
+    assert only_a
+    for d in list(only_a)[:10]:
+        assert abs(mix[d] - a[d]) < 1e-6
+
+
+def test_or_with_not_operand_is_universe(bool_index, abc):
+    # fixture query-boolean-negative-or-operand-universe: a NOT operand
+    # under OR admits the complement, so x OR NOT x matches every live doc
+    idx, _, _, _ = abc
+    _, total = _ids(idx, "parse OR NOT parse")
+    assert total == bool_index["doc_count"]
+
+
+def test_ray_index_boolean_parity(bool_index, abc):
+    _, a, b, c = abc
+    ridx = RayIndex(bool_index["index_dir"])
+    local = LocalIndex(bool_index["index_dir"])
+    for q in ("parse AND merge", "parse OR merge AND hash",
+              "parse AND (merge OR hash)", "parse AND NOT merge"):
+        lh = local.search(q, k=20)
+        rh = ridx.search(q, k=20)
+        assert [(h.docid, round(h.score, 4)) for h in lh] == \
+            [(h.docid, round(h.score, 4)) for h in rh], q
