@@ -143,7 +143,8 @@ def bm25_search(sf_dir: str, text: str, k: int = 10) -> pa.Table:
     })
 
 
-def bm25_oracle_sql(text: str, k: int = 10) -> str:
+def bm25_oracle_sql(text: str, k: int = 10, matched_override: str | None = None,
+                    score_override: str | None = None) -> str:
     """Generate the DuckDB oracle for one engine query over ``documents``.
 
     Reproduces the engine's float64 lane exactly: same tokenization, the
@@ -151,6 +152,11 @@ def bm25_oracle_sql(text: str, k: int = 10) -> str:
     promoted to double, idf/weight/score in the pinned op order, matched =
     should-union ∧ must-intersect ∧ ¬must_not, order (score DESC, doc_id
     ASC) LIMIT k.
+
+    ``matched_override`` / ``score_override`` inject an explicit boolean
+    match predicate and an explicitly-parenthesized score expression (used
+    by the boolean-tree oracle, whose f64 summation must associate the way
+    the tree kernel does: per-node partial sums, not left-to-right).
     """
     parsed = parse_query(text, default_fields=[("content", 1.0)])
     scoring = parsed.scoring_clauses()
@@ -177,6 +183,10 @@ def bm25_oracle_sql(text: str, k: int = 10) -> str:
         f"COALESCE((SELECT w.weight * (tf.tf / (tf.tf + dl.norm)) FROM tf, w "
         f"WHERE tf.doc_id = dl.doc_id AND tf.tok = '{c.term}' AND w.tok = '{c.term}'), 0.0)"
         for c in scoring) or "0.0"
+    if matched_override is not None:
+        matched = matched_override
+    if score_override is not None:
+        score_terms = score_override
 
     return f"""
 WITH toks AS (
@@ -210,6 +220,31 @@ BM25_QUERIES = {
     "bm25_topk_must_not": ("spark table -window", 10),
     "bm25_topk_wide": ("spark table query window batch stream filter merge", 10),
 }
+
+#: explicit boolean tree on the f64 lane: AND / OR / parens through
+#: `_parse_boolean_tree` + `topk_boolean` (Tantivy BooleanWeight semantics)
+BOOLEAN_QUERY = "spark AND (table OR window)"
+
+
+def bm25_boolean(sf_dir: str, k: int = 10) -> pa.Table:
+    return bm25_search(sf_dir, BOOLEAN_QUERY, k=k)
+
+
+def bm25_boolean_oracle_sql(k: int = 10) -> str:
+    """Oracle for ``spark AND (table OR window)``: matched is the boolean
+    predicate; the score sum is parenthesized the way the tree kernel
+    associates it — per-node partial sums, spark + (table + window)."""
+    def exists(t: str) -> str:
+        return f"EXISTS(SELECT 1 FROM tf WHERE tf.doc_id = dl.doc_id AND tf.tok = '{t}')"
+
+    def leaf(t: str) -> str:
+        return (f"COALESCE((SELECT w.weight * (tf.tf / (tf.tf + dl.norm)) FROM tf, w "
+                f"WHERE tf.doc_id = dl.doc_id AND tf.tok = '{t}' AND w.tok = '{t}'), 0.0)")
+
+    matched = f"({exists('spark')} AND ({exists('table')} OR {exists('window')}))"
+    score = f"({leaf('spark')} + ({leaf('table')} + {leaf('window')}))"
+    return bm25_oracle_sql(BOOLEAN_QUERY, k=k, matched_override=matched,
+                           score_override=score)
 
 
 
@@ -679,6 +714,7 @@ def make_queries() -> dict:
     for name, (text, k) in BM25_QUERIES.items():
         q[name] = (lambda sf_dir, _t=text, _k=k: bm25_search(sf_dir, _t, _k))
     q.update({
+        "bm25_boolean": bm25_boolean,
         "bm25_phrase": bm25_phrase,
         "bm25_range_filter": bm25_range_filter,
         "bm25_set_filter": bm25_set_filter,
@@ -733,6 +769,7 @@ def make_oracle_sql() -> dict:
     for name, (text, k) in BM25_QUERIES.items():
         o[name] = bm25_oracle_sql(text, k)
 
+    o["bm25_boolean"] = bm25_boolean_oracle_sql()
     o["bm25_phrase"] = bm25_phrase_oracle_sql(PHRASE_TERMS)
 
     text, fieldn, lo, hi = RANGE_QUERY
