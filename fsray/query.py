@@ -204,6 +204,17 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                  must if group == "must" else should).append(cl)
             return created
         terms = tokenize_scalar(atom)
+        if len(terms) >= 2:
+            # token-count rule (contract line 135): a literal FRAGMENT that
+            # analyzes to two or more tokens becomes a slop-zero Phrase even
+            # when unquoted — `src/main.rs` is Phrase[src, main, rs], not
+            # three independent terms (fixture query-identifier-*)
+            aid = phrase_counter[0]
+            phrase_counter[0] += 1
+            for fname, boost in targets:
+                phrases.append(PhraseClause(fname, tuple(terms), boost, group,
+                                            atom=aid))
+            return [aid]
         for term in terms:
             aid = atom_counter[0]
             atom_counter[0] += 1

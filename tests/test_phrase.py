@@ -206,3 +206,30 @@ def test_slop_and_prefix_rejected_at_execution(pos_index):
         idx.search('"spark context"~2', k=5)
     with pytest.raises(UnsupportedQueryError, match="prefix=true"):
         idx.search('"spark context"*', k=5)
+
+
+def test_multi_token_fragment_is_phrase():
+    """Token-count rule (contract line 135): an unquoted literal fragment
+    analyzing to >=2 tokens becomes a slop-0 Phrase; quoting controls
+    grammar grouping, not the token-count-to-query-node rule."""
+    from fsray.query import parse_query
+    p = parse_query("src/main.rs")
+    assert not p.should
+    assert [(ph.field, ph.terms, ph.slop) for ph in p.phrases] == \
+        [("content", ("src", "main", "rs"), 0), ("title", ("src", "main", "rs"), 0)]
+    # field-qualified fragment: phrase scoped to that field only
+    p2 = parse_query("title:src/main.rs")
+    assert [(ph.field, ph.terms) for ph in p2.phrases] == \
+        [("title", ("src", "main", "rs"))]
+    # negated fragment: MustNot phrase
+    p3 = parse_query("-src/main.rs rust")
+    assert all(ph.group == "must_not" for ph in p3.phrases)
+    assert {c.term for c in p3.should} == {"rust"}
+
+
+def test_fragment_phrase_matches_quoted_phrase(pos_index):
+    idx = LocalIndex(pos_index["index_dir"])
+    quoted = idx.search('"parse merge"', k=10)
+    hits = idx.search("parse/merge", k=10)  # '/' splits -> same phrase
+    assert [(h.docid, h.score) for h in hits] == \
+        [(h.docid, h.score) for h in quoted]

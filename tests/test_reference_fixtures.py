@@ -109,10 +109,13 @@ def test_fixture_contracts(ref_index):
     assert idx.search("flurbnozzlezyphraxicqvktmps", k=10) == []
     # single char 'x': lenient — must not error
     idx.search("x", k=10)
-    # identifier query splits on '::' → terms [searchindex, new]; in this
-    # prose corpus df(searchindex)=0 and df(new)=1, so exactly one hit
-    # (lexically correct — the fixture's relevant_ids are hybrid-tier)
-    hits = idx.search("SearchIndex::new", k=10)
+    # identifier fragment: 'SearchIndex::new' analyzes to two tokens so the
+    # token-count rule (contract line 135) makes it a slop-0 Phrase
+    # [searchindex, new]; df(searchindex)=0 in this prose corpus, so the
+    # phrase cannot match — zero hits is the Tantivy-parity answer
+    assert idx.search("SearchIndex::new", k=10) == []
+    # the constituent that does exist is still reachable as a plain term
+    hits = idx.search("searchindex OR new", k=10)
     assert [h.doc_id for h in hits] == ["test-ml-016"]
 
 
