@@ -138,3 +138,54 @@ def cass_build_preview(content: str, max_chars: int) -> str:
     if len(content) <= max_chars:
         return content
     return content[:max_chars] + "…"
+
+
+# ---------------------------------------------------------------------------
+# query-side analysis (CassQueryParser literal lowering, query.rs:3469-3479
+# cass_sanitize_query + :3787-3858 lower_term/lower_term_part/lower_phrase)
+
+def cass_sanitize_query(raw: str) -> str:
+    """Shipping hyphen-normalize boundary: alphanumeric scalars, wildcards,
+    quotes, and hyphens survive; every other scalar becomes a space
+    (query.rs:3469-3479).  Hyphenated compounds therefore stay WHOLE at
+    query time — they match the compound token the index-side hyphen-join
+    analyzer emitted."""
+    return "".join(ch if (ch.isalnum() or ch in '*"-') else " " for ch in raw)
+
+
+def cass_cjk_terms(term: str) -> list[str]:
+    """CJK run(s) of a mixed part as bigram terms (unigram for a length-1
+    run); non-CJK scalars are DISCARDED (fixture
+    query-cjk-mixed-script-keeps-cjk-only: 'abc搜索def' keeps only 搜索)."""
+    out: list[str] = []
+    i, n = 0, len(term)
+    while i < n:
+        if not is_cass_cjk(term[i]):
+            i += 1
+            continue
+        j = i
+        while j < n and is_cass_cjk(term[j]):
+            j += 1
+        run = term[i:j]
+        if len(run) == 1:
+            out.append(run)
+        else:
+            out.extend(run[k:k + 2] for k in range(len(run) - 1))
+        i = j
+    return out
+
+
+def cass_query_analyze(fragment: str) -> list[str]:
+    """Query-side CASS literal analysis (lower_term, query.rs:3787-3826):
+    sanitize-split into parts; a CJK-bearing part lowers to its bigram
+    terms, any other part is one lowercased term (hyphens intact)."""
+    out: list[str] = []
+    for part in cass_sanitize_query(fragment).split():
+        part = part.strip("*")  # wildcard handling happens upstream (glob)
+        if not part:
+            continue
+        if any(is_cass_cjk(ch) for ch in part):
+            out.extend(cass_cjk_terms(part))
+        else:
+            out.append(part.lower())
+    return out

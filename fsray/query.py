@@ -171,10 +171,26 @@ class ParsedQuery:
 
 
 def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None,
-                known_fields: set[str] | None = None) -> ParsedQuery:
-    """Parse user input into canonical clause groups. Never raises."""
+                known_fields: set[str] | None = None,
+                analyzer=None, phrase_fields: list[tuple[str, float]] | None = None,
+                precedence: str = "and_tight",
+                implicit_conjunction: bool = False,
+                fragment_rule: str = "phrase",
+                phrase_fallback=None) -> ParsedQuery:
+    """Parse user input into canonical clause groups. Never raises.
+
+    The default parameterization is the reference's *default* parser
+    (contract line 126: AND binds tighter than OR, adjacency is a
+    disjunction).  The CASS parser (see :func:`parse_cass_query`) flips
+    both: ``precedence="or_tight"`` (fixture
+    query-boolean-or-tighter-than-and) and ``implicit_conjunction=True``
+    (fixture query-cass-explicit-and-equivalent — adjacency is an AND),
+    analyzes with the CASS analyzer, expands terms over the prefix fields
+    but phrases over the base fields only."""
     default_fields = default_fields or [("content", 1.0), ("title", 2.0)]
     known_fields = known_fields if known_fields is not None else {f for f, _ in default_fields}
+    analyze = analyzer if analyzer is not None else tokenize_scalar
+    phrase_fields = phrase_fields or default_fields
     text = (text or "")[:MAX_QUERY_CHARS]
 
     should: list[Clause] = []
@@ -203,15 +219,19 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                 (must_not if group == "must_not" else
                  must if group == "must" else should).append(cl)
             return created
-        terms = tokenize_scalar(atom)
-        if len(terms) >= 2:
+        terms = analyze(atom)
+        if len(terms) >= 2 and fragment_rule == "phrase":
             # token-count rule (contract line 135): a literal FRAGMENT that
             # analyzes to two or more tokens becomes a slop-zero Phrase even
             # when unquoted — `src/main.rs` is Phrase[src, main, rs], not
-            # three independent terms (fixture query-identifier-*)
+            # three independent terms (fixture query-identifier-*).
+            # fragment_rule="conjunction" (CASS) instead lowers each part to
+            # its own required term (lower_compound, query.rs:3795-3801)
             aid = phrase_counter[0]
             phrase_counter[0] += 1
-            for fname, boost in targets:
+            ph_targets = ([(scoped_field, 1.0)] if scoped_field
+                          else [(f, b * mult) for f, b in phrase_fields])
+            for fname, boost in ph_targets:
                 phrases.append(PhraseClause(fname, tuple(terms), boost, group,
                                             atom=aid))
             return [aid]
@@ -234,12 +254,20 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                     mult: float, scoped_field: str | None = None) -> list[int]:
         """Quoted fragment → Phrase (≥2 tokens) or Term (token-count rule,
         contract line 135: a quoted one-token fragment is still a Term)."""
-        terms = tuple(tokenize_scalar(atom))
+        terms = tuple(analyze(atom))
         if len(terms) <= 1:
             return emit(atom, group, scoped_field, mult=mult) if terms else []
+        if phrase_fallback is not None and phrase_fallback(terms):
+            # CASS CJK phrase falls back to the compound bigram conjunction
+            # used by shipping (contract line 171; lower_phrase,
+            # query.rs:3836-3843) — each term becomes its own required atom
+            ids: list[int] = []
+            for t in terms:
+                ids.extend(emit(t, group, scoped_field, mult=mult))
+            return ids
         aid = phrase_counter[0]
         phrase_counter[0] += 1
-        targets = [(scoped_field, 1.0)] if scoped_field else default_fields
+        targets = [(scoped_field, 1.0)] if scoped_field else phrase_fields
         for fname, fboost in targets:
             phrases.append(PhraseClause(fname, terms, fboost * mult, group,
                                         atom=aid, slop=slop, prefix=pprefix))
@@ -370,7 +398,8 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
     explicit = any(t[0] == "lparen" or (t[0] == "op" and t[1] in ("AND", "OR"))
                    for t in toks)
     if explicit:
-        tree = _parse_boolean_tree(toks, emit, emit_phrase, try_range, field_scope)
+        tree = _parse_boolean_tree(toks, emit, emit_phrase, try_range,
+                                   field_scope, precedence=precedence)
         return ParsedQuery(should=should, must=must, must_not=must_not,
                            phrases=phrases, ranges=ranges, tree=tree)
 
@@ -383,7 +412,7 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
             pending_not = True
             continue
         _, atom, is_phrase, prefix, slop, pprefix, boost = tok
-        group = "should"
+        group = "must" if implicit_conjunction else "should"
         if pending_not:
             group, pending_not = "must_not", False
         elif is_phrase and prefix == "-":
@@ -407,7 +436,7 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
 
 
 def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
-                        field_scope) -> tuple | None:
+                        field_scope, precedence: str = "and_tight") -> tuple | None:
     """Recursive-descent over the token stream for explicit boolean inputs.
 
     Default-parser grammar (contract line 126 + fixture
@@ -420,6 +449,16 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
     pos = [0]
     scopes: list[str | None] = [None]
     mults: list[float] = [1.0]
+
+    # precedence: the TIGHT keyword binds adjacent operands; the LOOSE
+    # level also absorbs bare adjacency (default parser: adjacency is a
+    # disjunction; CASS: adjacency is a conjunction — both are the loose
+    # operator of their grammar).  A multi-atom fragment joins with the
+    # adjacency (loose) kind for the same reason.
+    if precedence == "or_tight":
+        tight_kw, tight_kind, loose_kw, loose_kind = "OR", "or", "AND", "and"
+    else:
+        tight_kw, tight_kind, loose_kw, loose_kind = "AND", "and", "OR", "or"
 
     def group_mult(open_idx: int) -> float:
         d = 0
@@ -452,7 +491,7 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
         if not ids:
             return None
         node = (("atom", ids[0]) if len(ids) == 1
-                else ("or", [("atom", a) for a in ids]))
+                else (loose_kind, [("atom", a) for a in ids]))
         return ("not", node) if negated else node
 
     def parse_primary() -> tuple | None:
@@ -464,7 +503,7 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
             pos[0] += 1
             scopes.append(t[1] if t[1] is not None else scopes[-1])
             mults.append(mults[-1] * group_mult(open_idx))
-            node = parse_or()
+            node = parse_loose()
             scopes.pop()
             mults.pop()
             if pos[0] < len(toks) and toks[pos[0]][0] == "rparen":
@@ -491,37 +530,80 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
             return child[1] if child[0] == "not" else ("not", child)
         return parse_primary()
 
-    def parse_and() -> tuple | None:
+    def parse_tight() -> tuple | None:
         children = []
         node = parse_unary()
         if node is not None:
             children.append(node)
-        while pos[0] < len(toks) and toks[pos[0]] == ("op", "AND"):
+        while pos[0] < len(toks) and toks[pos[0]] == ("op", tight_kw):
             pos[0] += 1
             node = parse_unary()
             if node is not None:
                 children.append(node)
         if not children:
             return None
-        return children[0] if len(children) == 1 else ("and", children)
+        return children[0] if len(children) == 1 else (tight_kind, children)
 
-    def parse_or() -> tuple | None:
+    def parse_loose() -> tuple | None:
         children = []
         while pos[0] < len(toks):
             t = toks[pos[0]]
             if t[0] == "rparen":
                 break
-            if t == ("op", "OR"):
+            if t == ("op", loose_kw):
                 pos[0] += 1
                 continue
             before = pos[0]
-            node = parse_and()
+            node = parse_tight()
             if node is not None:
                 children.append(node)
             if pos[0] == before:
                 pos[0] += 1  # no progress: skip token (lenient)
         if not children:
             return None
-        return children[0] if len(children) == 1 else ("or", children)
+        return children[0] if len(children) == 1 else (loose_kind, children)
 
-    return parse_or()
+    return parse_loose()
+
+
+#: CASS query fields (fixture parse_tree_cases, parser "cass"): terms
+#: expand over the base fields AND the edge-ngram prefix fields, all at
+#: boost 1.0; phrases stay on the base fields only.
+CASS_TERM_FIELDS = [("title", 1.0), ("content", 1.0),
+                    ("title_prefix", 1.0), ("content_prefix", 1.0)]
+CASS_PHRASE_FIELDS = [("title", 1.0), ("content", 1.0)]
+
+
+def parse_cass_query(text: str) -> ParsedQuery:
+    """The CASS parser variant (CassQueryParser, query.rs:3649-3858;
+    parse_tree_cases with parser="cass"):
+
+    - adjacency is a CONJUNCTION (query-cass-implicit-and /
+      query-cass-explicit-and-equivalent);
+    - ``OR`` binds tighter than ``AND`` (query-boolean-or-tighter-than-and,
+      query-cass-right-or-precedence) — the mirror of the default grammar;
+    - terms expand over base + edge-ngram prefix fields at boost 1.0,
+      phrases over the base fields only (query-cass-phrase-*);
+    - literals lower via the query-side sanitize boundary (hyphenated
+      compounds stay whole, punctuation splits into required parts, CJK
+      parts become bigram conjunctions with non-CJK scalars discarded);
+    - a multi-part fragment is a conjunction of required terms, never a
+      phrase (lower_compound, query.rs:3795-3801);
+    - a quoted CJK phrase falls back to the compound bigram conjunction
+      used by shipping (contract line 171; lower_phrase query.rs:3836-3843).
+
+    Standalone negation (``-deprecated``) stays a negative-only query that
+    matches nothing — the same known_shipping_gap the fixture records for
+    cass_compat.  Indexes without the prefix fields simply skip those
+    clauses at execution (field_ord lookup misses — lenient)."""
+    from fsray.cass import cass_query_analyze, is_cass_cjk
+
+    def has_cjk(terms: tuple[str, ...]) -> bool:
+        return any(is_cass_cjk(ch) for t in terms for ch in t)
+
+    return parse_query(text, default_fields=CASS_TERM_FIELDS,
+                       known_fields={f for f, _ in CASS_TERM_FIELDS},
+                       analyzer=cass_query_analyze,
+                       phrase_fields=CASS_PHRASE_FIELDS,
+                       precedence="or_tight", implicit_conjunction=True,
+                       fragment_rule="conjunction", phrase_fallback=has_cjk)

@@ -422,23 +422,32 @@ class LocalIndex:
                            must_not=out["must_not"], phrases=parsed.phrases,
                            ranges=parsed.ranges, tree=parsed.tree)
 
-    def search(self, text: str, k: int = 10, dtype=np.float32, mode: str = "auto") -> list[Hit]:
-        hits, _ = self.search_paginated(text, limit=k, offset=0, dtype=dtype, mode=mode)
+    def search(self, text: str, k: int = 10, dtype=np.float32, mode: str = "auto",
+               parser: str = "default") -> list[Hit]:
+        hits, _ = self.search_paginated(text, limit=k, offset=0, dtype=dtype,
+                                        mode=mode, parser=parser)
         return hits
 
     def search_paginated(self, text: str, limit: int = 10, offset: int = 0,
                          exact_count: bool = False, dtype=np.float32,
-                         mode: str = "auto") -> tuple[list[Hit], int | None]:
+                         mode: str = "auto",
+                         parser: str = "default") -> tuple[list[Hit], int | None]:
         """Paginated search (reference: index.rs:7249-7511): each shard
         keeps limit+offset candidates, the global merge applies the offset
         last (argus.rs:5353-5360).  ``exact_count=True`` forces the
         exhaustive kernel so per-shard match counts are exact
-        (argus.rs:5342-5351)."""
-        key = (text, limit, offset, exact_count, mode, np.dtype(dtype).name)
+        (argus.rs:5342-5351).  ``parser="cass"`` routes through the CASS
+        grammar (or-tighter precedence, implicit conjunction, prefix-field
+        expansion); fields the index lacks are skipped leniently."""
+        key = (text, limit, offset, exact_count, mode, np.dtype(dtype).name, parser)
         cached = self._cache.get(key)
         if cached is not None:
             return cached
-        parsed = parse_query(text, default_fields=self.default_fields)
+        if parser == "cass":
+            from fsray.query import parse_cass_query
+            parsed = parse_cass_query(text)
+        else:
+            parsed = parse_query(text, default_fields=self.default_fields)
         parsed = self._expand_globs(parsed)
         if parsed.is_empty:
             result: tuple[list[Hit], int | None] = ([], 0 if exact_count else None)

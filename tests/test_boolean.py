@@ -179,3 +179,19 @@ def test_ray_index_boolean_parity(bool_index, abc):
         rh = ridx.search(q, k=20)
         assert [(h.docid, round(h.score, 4)) for h in lh] == \
             [(h.docid, round(h.score, 4)) for h in rh], q
+
+
+def test_cass_parser_execution(bool_index, abc):
+    """CASS grammar end-to-end on a standard index: implicit conjunction
+    intersects; or-tighter precedence groups the OR first; prefix fields
+    absent from this index are skipped leniently."""
+    idx, a, b, c = abc
+    cass_and = {h.docid for h in idx.search("parse merge", k=100_000, parser="cass")}
+    assert cass_and == set(a) & set(b)
+    # default grammar: same text is a DISJUNCTION
+    default = {h.docid for h in idx.search("parse merge", k=100_000)}
+    assert default == set(a) | set(b)
+    # or-tighter: (parse OR merge) AND hash
+    prec = {h.docid for h in idx.search("parse OR merge AND hash",
+                                        k=100_000, parser="cass")}
+    assert prec == (set(a) | set(b)) & set(c)

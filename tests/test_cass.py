@@ -72,3 +72,89 @@ def test_preview():
     assert cass_build_preview("hello", 10) == "hello"
     assert cass_build_preview("hello world", 5) == "hello…"
     assert cass_build_preview("数据处理数据", 2) == "数据…"
+
+
+# ---------------------------------------------------------------------------
+# CASS query parser (CassQueryParser, query.rs:3649-3858; parse_tree_cases
+# with parser="cass")
+
+from fsray.cass import cass_cjk_terms, cass_query_analyze, cass_sanitize_query
+from fsray.query import parse_cass_query
+
+
+def test_cass_sanitize_boundary():
+    # alphanumeric, '*', '"', '-' survive; everything else becomes a space
+    assert cass_sanitize_query("error.handling") == "error handling"
+    assert cass_sanitize_query("a-b c*d \"e\"") == 'a-b c*d "e"'
+    assert cass_sanitize_query("x:y;z") == "x y z"
+
+
+def test_cass_query_analyze_rules():
+    assert cass_query_analyze("error-handling") == ["error-handling"]
+    assert cass_query_analyze("error.handling") == ["error", "handling"]
+    assert cass_query_analyze("搜索引擎") == ["搜索", "索引", "引擎"]
+    assert cass_query_analyze("abc搜索def") == ["搜索"]  # mixed keeps CJK only
+    assert cass_query_analyze("搜") == ["搜"]  # unigram for a length-1 run
+    assert cass_cjk_terms("搜索x引擎") == ["搜索", "引擎"]
+
+
+def test_cass_or_binds_tighter_than_and():
+    # fixtures query-boolean-or-tighter-than-and / query-cass-right-or-precedence
+    c1 = parse_cass_query("auth OR token AND cache")
+    assert c1.tree == ("and", [("or", [("atom", 0), ("atom", 1)]), ("atom", 2)])
+    c2 = parse_cass_query("auth AND token OR cache")
+    assert c2.tree == ("and", [("atom", 0), ("or", [("atom", 1), ("atom", 2)])])
+
+
+def test_cass_implicit_and_over_four_fields():
+    # fixtures query-cass-implicit-and / query-cass-explicit-and-equivalent
+    c = parse_cass_query("auth token")
+    assert c.tree is None
+    assert len({cl.atom for cl in c.must}) == 2
+    assert sorted({cl.field for cl in c.must}) == \
+        ["content", "content_prefix", "title", "title_prefix"]
+    assert all(cl.boost == 1.0 for cl in c.must)
+
+
+def test_cass_hyphen_compound_stays_whole():
+    c = parse_cass_query("error-handling")
+    assert not c.phrases
+    assert {cl.term for cl in c.must} == {"error-handling"}
+
+
+def test_cass_multipart_fragment_is_conjunction_not_phrase():
+    # lower_compound (query.rs:3795-3801): required terms, never a Phrase
+    c = parse_cass_query("error.handling")
+    assert not c.phrases
+    assert {cl.term for cl in c.must} == {"error", "handling"}
+    assert len({cl.atom for cl in c.must}) == 2
+
+
+def test_cass_cjk_bigram_conjunction():
+    # fixture query-cjk-all-bigrams; quoted form falls back to the same
+    # compound (query-cass-cjk-quoted-phrase-bigrams, contract line 171)
+    for q in ("搜索引擎", '"搜索引擎"'):
+        c = parse_cass_query(q)
+        assert {cl.term for cl in c.must} == {"搜索", "索引", "引擎"}, q
+        assert not c.phrases
+
+
+def test_cass_mixed_script_keeps_cjk_only():
+    # fixture query-cjk-mixed-script-keeps-cjk-only
+    c = parse_cass_query("abc搜索def")
+    assert {cl.term for cl in c.must} == {"搜索"}
+
+
+def test_cass_quoted_ascii_phrase_on_base_fields_only():
+    c = parse_cass_query('"error handling" cache')
+    assert sorted({ph.field for ph in c.phrases}) == ["content", "title"]
+    assert all(ph.group == "must" for ph in c.phrases)
+    assert {cl.field for cl in c.must if cl.term == "cache"} == \
+        {"title", "content", "title_prefix", "content_prefix"}
+
+
+def test_cass_negation():
+    # fixture query-cass-hyphen-negative-with-positive
+    c = parse_cass_query("auth -deprecated")
+    assert {cl.term for cl in c.must} == {"auth"}
+    assert {cl.term for cl in c.must_not} == {"deprecated"}
