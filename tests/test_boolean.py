@@ -195,3 +195,25 @@ def test_cass_parser_execution(bool_index, abc):
     prec = {h.docid for h in idx.search("parse OR merge AND hash",
                                         k=100_000, parser="cass")}
     assert prec == (set(a) | set(b)) & set(c)
+
+
+def test_parser_fuzz_never_raises():
+    """The lenient parser must survive arbitrary input (hypothesis-style
+    sweep over operator/paren/quote/punctuation soup); execution may only
+    raise UnsupportedQueryError (slop/prefix — reference parity)."""
+    import itertools
+    import random
+
+    from fsray.query import parse_cass_query
+    rng = random.Random(7)
+    pieces = ['(', ')', '"', 'AND', 'OR', 'NOT', '+', '-', '~2', '^2', '*',
+              'a', 'bb', 'title:', 'n:[1 TO 2]', 'id:IN(1,2)', '搜索', 'a-b',
+              'a/b', ':', '^', '~', '((', '))', '"x y"']
+    for _ in range(400):
+        q = " ".join(rng.choice(pieces) for _ in range(rng.randint(1, 8)))
+        parse_query(q)       # must never raise
+        parse_cass_query(q)  # must never raise
+    # and every ordered pair of pieces glued without spaces
+    for a, b in itertools.product(pieces, repeat=2):
+        parse_query(a + b)
+        parse_cass_query(a + b)
