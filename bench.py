@@ -94,6 +94,15 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     timings["query_p50"] = round(statistics.median(lat), 5)
     timings["query_p95"] = round(sorted(lat)[max(0, int(len(lat) * 0.95) - 1)], 5)
 
+    # 2b. explicit boolean queries (tree kernel) — p50 over a mixed set
+    bool_lat = []
+    for q in ("machine AND learning", "search OR index AND engine",
+              "(data OR model) AND NOT test", "rust AND (memory OR safety)"):
+        t0 = time.perf_counter()
+        idx.search(q, k=10)
+        bool_lat.append(time.perf_counter() - t0)
+    timings["boolean_query_p50"] = round(statistics.median(bool_lat), 5)
+
     # 3. headline training-data pipelines
     from fsray import pipelines as P
     for name, fn in [
