@@ -836,7 +836,7 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 
     o["events_tumbling_window"] = """
 SELECT event_type, (epoch_us(ts) // CAST(3600000000 AS BIGINT)) * 3600 AS window_start_s,
-       sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
        count(*) AS n_events
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
@@ -847,7 +847,7 @@ s AS (SELECT user_id, tus,
              THEN 1 ELSE 0 END AS brk
       FROM e),
 s2 AS (SELECT user_id, tus,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS session
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
        FROM s)
 SELECT user_id, session, min(tus) // 1000000 AS start_s, max(tus) // 1000000 AS end_s,
        count(*) AS n_events

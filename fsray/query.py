@@ -149,6 +149,10 @@ class ParsedQuery:
     #: When set, every leaf clause lives in ``should`` and NOT semantics are
     #: positional in the tree; ranges/sets stay global filters (divergence).
     tree: tuple | None = None
+    #: CASS empty/blank input lowers to All — match every live document at
+    #: constant score (fixture query-empty-cass-all; query.rs:3716
+    #: ``parsed.map_or(Query::All, ...)``)
+    match_all: bool = False
 
     def __post_init__(self):
         if self.phrases is None:
@@ -158,8 +162,14 @@ class ParsedQuery:
 
     @property
     def is_empty(self) -> bool:
-        return not (self.should or self.must or
-                    any(p.group != "must_not" for p in self.phrases))
+        """True when the query can match nothing: no scoring clause, no
+        match-all, and no non-negated range/set filter (a pure filter query
+        executes as a constant-score scan — fixture
+        score-cass-fast-range-constant, Tantivy FastFieldRangeWeight
+        ConstScorer at matched_score 1.0)."""
+        return not (self.should or self.must or self.match_all or
+                    any(p.group != "must_not" for p in self.phrases) or
+                    any(not getattr(r, "negate", False) for r in self.ranges))
 
     def scoring_clauses(self) -> list[Clause]:
         """Canonical scoring order: Must group then Should group, each in
@@ -176,7 +186,8 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                 precedence: str = "and_tight",
                 implicit_conjunction: bool = False,
                 fragment_rule: str = "phrase",
-                phrase_fallback=None) -> ParsedQuery:
+                phrase_fallback=None,
+                grammar_ws: str | None = None) -> ParsedQuery:
     """Parse user input into canonical clause groups. Never raises.
 
     The default parameterization is the reference's *default* parser
@@ -312,12 +323,18 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
     # token kinds: ("atom", text, is_phrase, prefix, slop, pprefix, boost)
     #              ("lparen", scope|None, negated) | ("rparen", mult)
     #              ("op", "AND"|"OR"|"NOT")
+    # grammar_ws restricts what splits tokens: the CASS grammar treats only
+    # space/tab/newline as whitespace, so a CR-joined fragment stays whole
+    # and lowers via the sanitize boundary (fixture
+    # query-cass-carriage-return-is-not-grammar-whitespace)
+    is_ws = (str.isspace if grammar_ws is None
+             else (lambda c, _ws=grammar_ws: c in _ws))
     toks: list[tuple] = []
     i, n = 0, len(text)
     depth = 0
     while i < n:
         ch = text[i]
-        if ch.isspace():
+        if is_ws(ch):
             i += 1
             continue
         prefix = ""
@@ -362,7 +379,7 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
         # bare atom: scan to whitespace; inside a group a bare ')' ends the
         # atom UNLESS it closes a '(' opened within the atom (the IN( case)
         j, inner = i, 0
-        while j < n and not text[j].isspace():
+        while j < n and not is_ws(text[j]):
             cj = text[j]
             if cj == "(":
                 inner += 1
@@ -523,11 +540,12 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
         if pos[0] < len(toks) and toks[pos[0]] == ("op", "NOT"):
             pos[0] += 1
             child = parse_unary()
-            # NOT NOT x is idempotent to x (fixture
-            # query-boolean-repeated-not-is-idempotent)
+            # stacked NOT collapses to a SINGLE negation — NOT NOT x ≡ NOT x
+            # (fixture query-boolean-repeated-not-is-idempotent,
+            # double_negation: false; query.rs:3582)
             if child is None:
                 return None
-            return child[1] if child[0] == "not" else ("not", child)
+            return child if child[0] == "not" else ("not", child)
         return parse_primary()
 
     def parse_tight() -> tuple | None:
@@ -601,9 +619,19 @@ def parse_cass_query(text: str) -> ParsedQuery:
     def has_cjk(terms: tuple[str, ...]) -> bool:
         return any(is_cass_cjk(ch) for t in terms for ch in t)
 
-    return parse_query(text, default_fields=CASS_TERM_FIELDS,
-                       known_fields={f for f, _ in CASS_TERM_FIELDS},
-                       analyzer=cass_query_analyze,
-                       phrase_fields=CASS_PHRASE_FIELDS,
-                       precedence="or_tight", implicit_conjunction=True,
-                       fragment_rule="conjunction", phrase_fallback=has_cjk)
+    parsed = parse_query(text, default_fields=CASS_TERM_FIELDS,
+                         known_fields={f for f, _ in CASS_TERM_FIELDS},
+                         analyzer=cass_query_analyze,
+                         phrase_fields=CASS_PHRASE_FIELDS,
+                         precedence="or_tight", implicit_conjunction=True,
+                         fragment_rule="conjunction", phrase_fallback=has_cjk,
+                         grammar_ws=" \t\n")
+    # a CASS parse that produced NOTHING (empty/blank/punctuation-only
+    # input) lowers to All (query.rs:3716 parsed.map_or(Query::All, ...);
+    # fixture query-empty-cass-all).  Standalone negation stays a
+    # negative-only query (must_not non-empty ⇒ not All).
+    if (not parsed.should and not parsed.must and not parsed.must_not
+            and not parsed.phrases and not parsed.ranges
+            and parsed.tree is None):
+        parsed.match_all = True
+    return parsed

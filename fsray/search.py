@@ -206,7 +206,7 @@ class ShardData:
 
     def topk(self, clause_specs: list[dict], k: int, dtype=np.float32,
              mode: str = "auto", range_specs: list[dict] | None = None,
-             tree: tuple | None = None) -> TopK:
+             tree: tuple | None = None, match_all: bool = False) -> TopK:
         """Score this shard. ``clause_specs``: [{field_ord, term, weight,
         avgdl, group}] in canonical order, plus must_not term keys."""
         clauses: list[ScoringClause] = []
@@ -266,6 +266,21 @@ class ShardData:
             return topk_boolean(clauses, tree, must_not, self.lo, self.size, k,
                                 dtype=dtype,
                                 filter_mask=self.filter_mask(range_specs or []))
+        if not clauses and all(must_atom_ok.values()) and (
+                match_all or any(not rs.get("negate")
+                                 for rs in (range_specs or []))):
+            # scoreless query: match-all (CASS empty ⇒ Query::All) or a pure
+            # non-negated range/set filter — constant-score scan at 1.0
+            # (Tantivy FastFieldRangeWeight ConstScorer; fixture
+            # score-cass-fast-range-constant), tombstones excluded
+            mask = self.filter_mask(range_specs or [])
+            if mask is None:
+                mask = np.ones(self.size, dtype=bool)
+            for mn in must_not:
+                mask[mn.astype(np.int64) - self.lo] = False
+            matched = np.flatnonzero(mask)
+            top = (matched[:k] + self.lo).astype(np.uint32)
+            return TopK(top, np.ones(len(top), dtype=dtype), count=len(matched))
         if not clauses or not all(must_atom_ok.values()):
             # some required atom has no posting list in this shard at all
             return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype), count=0)
@@ -466,7 +481,8 @@ class LocalIndex:
         k = limit + offset
         eff_mode = "exhaustive" if exact_count else mode
         per_shard = [sh.topk(specs, k, dtype=dtype, mode=eff_mode,
-                             range_specs=range_specs, tree=parsed.tree)
+                             range_specs=range_specs, tree=parsed.tree,
+                             match_all=parsed.match_all)
                      for sh in self.shards]
         docids, scores = _merge_topk(per_shard, k, dtype=dtype)
         docids, scores = docids[offset:], scores[offset:]
@@ -550,9 +566,11 @@ class ShardSearcherActor:
 
     def topk(self, specs: list[dict], k: int, mode: str = "auto",
              range_specs: list[dict] | None = None,
-             tree: tuple | None = None) -> tuple[np.ndarray, np.ndarray, int]:
+             tree: tuple | None = None,
+             match_all: bool = False) -> tuple[np.ndarray, np.ndarray, int]:
         t = self.shard.topk(specs, k, dtype=np.float32, mode=mode,
-                            range_specs=range_specs, tree=tree)
+                            range_specs=range_specs, tree=tree,
+                            match_all=match_all)
         return t.docids, t.scores, t.count
 
     def materialize(self, docids: np.ndarray) -> list[str]:
@@ -573,8 +591,10 @@ class RayIndex:
                        for s in sorted(self.manifest["shards"], key=int)}
         self._ray = ray
 
-    def search(self, text: str, k: int = 10, mode: str = "auto") -> list[Hit]:
-        hits, _ = self.search_paginated(text, limit=k, offset=0, mode=mode)
+    def search(self, text: str, k: int = 10, mode: str = "auto",
+               parser: str = "default") -> list[Hit]:
+        hits, _ = self.search_paginated(text, limit=k, offset=0, mode=mode,
+                                        parser=parser)
         return hits
 
     def _expand_globs(self, parsed: ParsedQuery) -> ParsedQuery:
@@ -593,7 +613,6 @@ class RayIndex:
             i: sorted(set().union(*map(set, ray.get(f))))[:16_384]
             for i, f in futs.items()}
         out = {"should": [], "must": [], "must_not": []}
-        gi = 0
         for group, lst in (("must", parsed.must), ("should", parsed.should),
                            ("must_not", parsed.must_not)):
             for cl in lst:
@@ -602,18 +621,24 @@ class RayIndex:
                     continue
                 idx = globs.index(cl)
                 tgt = "must_not" if group == "must_not" else "should"
+                # atom id preserved: in a boolean tree the expanded terms
+                # stay one leaf (mirrors LocalIndex._expand_globs)
                 for t in expanded.get(idx, []):
-                    out[tgt].append(Clause(cl.field, t, cl.boost, tgt))
-                gi += 1
+                    out[tgt].append(Clause(cl.field, t, cl.boost, tgt,
+                                           atom=cl.atom))
         return ParsedQuery(should=out["should"], must=out["must"],
                            must_not=out["must_not"], phrases=parsed.phrases,
-                           ranges=parsed.ranges)
+                           ranges=parsed.ranges, tree=parsed.tree)
 
     def search_paginated(self, text: str, limit: int = 10, offset: int = 0,
-                         exact_count: bool = False,
-                         mode: str = "auto") -> tuple[list[Hit], int | None]:
+                         exact_count: bool = False, mode: str = "auto",
+                         parser: str = "default") -> tuple[list[Hit], int | None]:
         ray = self._ray
-        parsed = parse_query(text, default_fields=self.default_fields)
+        if parser == "cass":
+            from fsray.query import parse_cass_query
+            parsed = parse_cass_query(text)
+        else:
+            parsed = parse_query(text, default_fields=self.default_fields)
         parsed = self._expand_globs(parsed)
         if parsed.is_empty:
             return [], (0 if exact_count else None)
@@ -632,7 +657,7 @@ class RayIndex:
         eff_mode = "exhaustive" if exact_count else mode
         range_specs = _range_specs(parsed)
         results = ray.get([a.topk.remote(specs, k, eff_mode, range_specs,
-                                         parsed.tree)
+                                         parsed.tree, parsed.match_all)
                            for a in self.actors.values()])
         per_shard = [TopK(d, s, count=c) for d, s, c in results]
         total = sum(t.count for t in per_shard) if exact_count else None

@@ -65,9 +65,12 @@ def test_explicit_field_overrides_group_scope():
 
 
 def test_not_not_is_idempotent():
-    # fixture query-boolean-repeated-not-is-idempotent
+    # fixture query-boolean-repeated-not-is-idempotent (double_negation:
+    # false — repeated NOT collapses to ONE negation, not a cancellation)
     p = parse_query("auth AND NOT NOT deprecated")
-    assert p.tree == ("and", [("atom", 0), ("atom", 1)])
+    assert p.tree == ("and", [("atom", 0), ("not", ("atom", 1))])
+    p3 = parse_query("auth AND NOT NOT NOT deprecated")
+    assert p3.tree == ("and", [("atom", 0), ("not", ("atom", 1))])
 
 
 def test_and_not():

@@ -115,3 +115,84 @@ def test_ann_excluded_self_never_surfaces():
 def test_ray_index_missing_dir_raises_filenotfound():
     with pytest.raises(FileNotFoundError):
         RayIndex("/tmp/definitely_not_an_index_dir")
+
+
+# ---- round-2 advisor fixes (ADVICE.md) -----------------------------------
+
+def test_repeated_not_collapses_not_cancels():
+    """NOT NOT x ≡ NOT x (fixture query-boolean-repeated-not-is-idempotent,
+    double_negation: false) — exclusion must never invert to a requirement."""
+    from fsray.query import parse_cass_query, parse_query
+    p = parse_query("auth AND NOT NOT deprecated")
+    assert p.tree == ("and", [("atom", 0), ("not", ("atom", 1))])
+    pc_ = parse_cass_query("auth AND NOT NOT deprecated")
+    assert pc_.tree[0] == "and"
+    assert pc_.tree[1][1][0] == "not"
+
+
+def test_ray_index_glob_inside_boolean_matches_local(small_corpus):
+    """RayIndex._expand_globs must preserve tree + atom ids: a glob inside
+    an explicit boolean (and a +glob) answers identically on both surfaces."""
+    local = LocalIndex(small_corpus["index_dir"])
+    ridx = RayIndex(small_corpus["index_dir"])
+    for q in ("pars* AND NOT merge", "pars* AND merge", "+pars* merge"):
+        lh = local.search(q, k=50)
+        rh = ridx.search(q, k=50)
+        assert [(h.docid, round(h.score, 4)) for h in lh] == \
+            [(h.docid, round(h.score, 4)) for h in rh], q
+
+
+def test_pure_range_query_is_constant_score_scan(sf_dir):
+    """A range filter with no scoring term executes as match-all-in-range at
+    constant score 1.0 (fixture score-cass-fast-range-constant)."""
+    import duckdb
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    hits, total = idx.search_paginated("n_chars:[150 TO 300]", limit=100_000,
+                                       exact_count=True)
+    expect = set(r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE n_chars BETWEEN 150 AND 300").fetchall())
+    assert expect, "test range must be non-empty"
+    assert {int(h.doc_id) for h in hits} == expect
+    assert total == len(expect)
+    assert all(h.score == 1.0 for h in hits)
+    # docid ascending within the constant-score tie
+    docids = [h.docid for h in hits]
+    assert docids == sorted(docids)
+
+
+def test_cass_carriage_return_is_not_grammar_whitespace():
+    """'auth\\rOR\\rcache' (CASS) lowers to three required literal terms —
+    CR is not grammar whitespace, so 'OR' is a literal (fixture
+    query-cass-carriage-return-is-not-grammar-whitespace)."""
+    from fsray.query import parse_cass_query, parse_query
+    p = parse_cass_query("auth\rOR\rcache")
+    assert p.tree is None
+    terms = sorted({c.term for c in p.must})
+    assert terms == ["auth", "cache", "or"]
+    assert not p.should and not p.must_not
+    # default grammar unchanged: CR is whitespace there → explicit OR tree
+    d = parse_query("auth\rOR\rcache", default_fields=[("content", 1.0)])
+    assert d.tree is not None
+
+
+def test_empty_cass_query_is_match_all(sf_dir):
+    """Empty/blank/punctuation-only CASS input ≡ Query::All: every live doc
+    at constant score (fixture query-empty-cass-all); standalone negation
+    stays negative-only (known_shipping_gap)."""
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    n_docs = idx.manifest["doc_count"]
+    for q in ("", "   ", "###"):
+        hits, total = idx.search_paginated(q, limit=100_000, exact_count=True,
+                                           parser="cass")
+        assert total == n_docs, q
+        assert all(h.score == 1.0 for h in hits)
+    # default parser: empty stays empty
+    hits, total = idx.search_paginated("", limit=10, exact_count=True)
+    assert hits == [] and total == 0
+    # standalone negation is NOT match-all
+    hits, total = idx.search_paginated("-spark", limit=10, exact_count=True,
+                                       parser="cass")
+    assert hits == [] and total == 0
