@@ -289,16 +289,9 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
     docids = np.arange(base, base + n_rows, dtype=np.uint32)
 
     # per-row content sha256 witness (input invariant; BASELINE.json
-    # input_hint) — hashed straight off the Arrow utf-8 value buffer
-    # (zero-copy memoryview slices; no per-row Python string decode)
-    content_col = table[spec.fields[0].source].combine_chunks().cast(pa.large_string())
-    if content_col.null_count:
-        content_col = pc.fill_null(content_col, "")
-    _offs = np.frombuffer(content_col.buffers()[1], dtype=np.int64)[
-        content_col.offset: content_col.offset + n_rows + 1]
-    _data = memoryview(content_col.buffers()[2])
-    sha = pa.array([hashlib.sha256(_data[_offs[i]:_offs[i + 1]]).hexdigest()
-                    for i in range(n_rows)], type=pa.string())
+    # input_hint) — zero-copy buffer hashing shared with the dedup lane
+    from fsray.dedup import sha256_column
+    sha = sha256_column(table[spec.fields[0].source])
 
     idmap_cols: dict[str, pa.Array] = {
         "docid": pa.array(docids, type=pa.uint32()),

@@ -74,18 +74,30 @@ def _mix64(z: np.ndarray) -> np.ndarray:
     return z
 
 
-def sha256_column(text: pa.Array) -> pa.Array:
-    """Per-row sha256 hex of a string column (the content-hash witness)."""
-    return pa.array([hashlib.sha256((v or "").encode("utf-8")).hexdigest()
-                     for v in text.to_pylist()], type=pa.string())
+def sha256_column(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Per-row sha256 hex of a string column (the content-hash witness).
+
+    Hashes straight off the Arrow utf-8 value buffer (zero-copy memoryview
+    slices — no per-row Python string decode); the only per-row work is the
+    C-backed digest itself.  Shared by the build witness (build.py) and the
+    dedup lane."""
+    col = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    col = col.cast(pa.large_string())
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    n = len(col)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[col.offset: col.offset + n + 1]
+    buf = col.buffers()[2]
+    data = memoryview(buf) if buf is not None else memoryview(b"")
+    return pa.array([hashlib.sha256(data[offs[i]:offs[i + 1]]).hexdigest()
+                     for i in range(n)], type=pa.string())
 
 
 def exact_key_batch(batch: pa.Table, text_column: str = "text",
                     id_column: str = "doc_id") -> pa.Table:
     """(doc_id, sha256) rows — feed ``groupby('content_sha256')`` + min."""
-    text = batch[text_column].combine_chunks().cast(pa.string()).fill_null("")
     return pa.table({id_column: batch[id_column],
-                     "content_sha256": sha256_column(text)})
+                     "content_sha256": sha256_column(batch[text_column])})
 
 
 def shingle_hashes(toks: pa.ListArray, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
@@ -158,36 +170,39 @@ def jaccard_pairs_from_shingles(sh_table: pa.Table, tau: float,
                          "jaccard": pa.array([], type=pa.float64())})
     sh = sh_table["shingle"].to_numpy()
     doc = sh_table["doc_id"].to_numpy()
-    size_of: dict[int, int] = {}
-    for d, s in zip(doc.tolist(), sh_table["n_shingles"].to_numpy().tolist()):
-        size_of[d] = s
-    order = np.lexsort((doc, sh))
-    sh_s, doc_s = sh[order], doc[order]
+    # dense-code remap so pair keys pack into one int64 regardless of raw
+    # doc-id magnitude; codes are ascending in doc_id so packed order is
+    # (a, b) order directly
+    uniq_docs, doc_code = np.unique(doc, return_inverse=True)
+    sizes_by_code = np.zeros(len(uniq_docs), dtype=np.int64)
+    sizes_by_code[doc_code] = sh_table["n_shingles"].to_numpy()
+    order = np.lexsort((doc_code, sh))
+    sh_s, code_s = sh[order], doc_code[order]
     # group bounds per shingle
     bounds = np.concatenate(([0], np.flatnonzero(sh_s[1:] != sh_s[:-1]) + 1, [len(sh_s)]))
-    from collections import Counter
-    inter: Counter = Counter()
+    pair_chunks: list[np.ndarray] = []
     for g in range(len(bounds) - 1):
         lo, hi = bounds[g], bounds[g + 1]
         df = hi - lo
         if df < 2 or df > max_shingle_df:
             continue
-        docs = doc_s[lo:hi]
-        for i in range(df):
-            for j in range(i + 1, df):
-                inter[(int(docs[i]), int(docs[j]))] += 1
-    rows_a, rows_b, rows_j = [], [], []
-    for (a, b), c in inter.items():
-        union = size_of[a] + size_of[b] - c
-        j = c / union if union else 0.0
-        if j >= tau:
-            rows_a.append(a)
-            rows_b.append(b)
-            rows_j.append(j)
-    order2 = sorted(range(len(rows_a)), key=lambda i: (rows_a[i], rows_b[i]))
-    return pa.table({"a": pa.array([rows_a[i] for i in order2], type=pa.int64()),
-                     "b": pa.array([rows_b[i] for i in order2], type=pa.int64()),
-                     "jaccard": pa.array([rows_j[i] for i in order2], type=pa.float64())})
+        codes = code_s[lo:hi]
+        iu, ju = np.triu_indices(df, k=1)
+        pair_chunks.append(codes[iu].astype(np.int64) << np.int64(32) | codes[ju])
+    if not pair_chunks:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    keys, counts = np.unique(np.concatenate(pair_chunks), return_counts=True)
+    ca = (keys >> np.int64(32)).astype(np.int64)
+    cb = (keys & np.int64(0xFFFFFFFF)).astype(np.int64)
+    union = sizes_by_code[ca] + sizes_by_code[cb] - counts
+    jac = np.where(union > 0, counts / np.maximum(union, 1), 0.0)
+    keep = jac >= tau
+    ca, cb, jac = ca[keep], cb[keep], jac[keep]
+    return pa.table({"a": pa.array(uniq_docs[ca], type=pa.int64()),
+                     "b": pa.array(uniq_docs[cb], type=pa.int64()),
+                     "jaccard": pa.array(jac, type=pa.float64())})
 
 
 def minhash_batch(batch: pa.Table, text_column: str = "text",
@@ -229,27 +244,36 @@ def minhash_batch(batch: pa.Table, text_column: str = "text",
                      "band_key": pa.array(out_key, type=pa.int64())})
 
 
-def candidate_pairs_from_buckets(tbl: pa.Table) -> set[tuple[int, int]]:
-    """Distinct (a<b) pairs sharing any LSH bucket."""
+def candidate_pairs_from_buckets(tbl: pa.Table) -> pa.Table:
+    """Distinct (a<b) pairs sharing any LSH bucket — vectorized triu emit
+    per bucket group, packed-key unique.  Returns an (a, b) table (sorted),
+    usable directly as a ``groupby((band, band_key)).map_groups`` body."""
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
     band = tbl["band"].to_numpy()
     key = tbl["band_key"].to_numpy()
     doc = tbl["doc_id"].to_numpy()
-    order = np.lexsort((doc, key, band))
-    b_s, k_s, d_s = band[order], key[order], doc[order]
+    uniq_docs, code = np.unique(doc, return_inverse=True)
+    order = np.lexsort((code, key, band))
+    b_s, k_s, c_s = band[order], key[order], code[order]
     bounds = np.concatenate((
-        [0], np.flatnonzero((b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])) + 1, [len(d_s)]))
-    pairs: set[tuple[int, int]] = set()
+        [0], np.flatnonzero((b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])) + 1, [len(c_s)]))
+    chunks: list[np.ndarray] = []
     for g in range(len(bounds) - 1):
         lo, hi = bounds[g], bounds[g + 1]
-        if hi - lo < 2:
+        df = hi - lo
+        if df < 2:
             continue
-        docs = d_s[lo:hi]
-        for i in range(hi - lo):
-            for j in range(i + 1, hi - lo):
-                a, b = int(docs[i]), int(docs[j])
-                if a != b:
-                    pairs.add((min(a, b), max(a, b)))
-    return pairs
+        codes = c_s[lo:hi]  # sorted ascending, distinct within one bucket
+        iu, ju = np.triu_indices(df, k=1)
+        chunks.append(codes[iu].astype(np.int64) << np.int64(32) | codes[ju])
+    if not chunks:
+        return empty
+    keys = np.unique(np.concatenate(chunks))
+    ca = (keys >> np.int64(32)).astype(np.int64)
+    cb = (keys & np.int64(0xFFFFFFFF)).astype(np.int64)
+    return pa.table({"a": pa.array(uniq_docs[ca], type=pa.int64()),
+                     "b": pa.array(uniq_docs[cb], type=pa.int64())})
 
 
 def simhash_batch(batch: pa.Table, text_column: str = "text",
@@ -270,6 +294,61 @@ def simhash_batch(batch: pa.Table, text_column: str = "text",
     sig = np.packbits(sig_bits, axis=1, bitorder="little").copy().view(np.uint64).reshape(n)
     return pa.table({id_column: batch[id_column],
                      "simhash": pa.array(sig.astype(np.int64), type=pa.int64())})
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (np.bitwise_count when available)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def simhash_chunk_batch(batch: pa.Table) -> pa.Table:
+    """(chunk, chunk_val, doc_id, simhash) rows — 4 per doc (16-bit bands).
+
+    Pigeonhole: Hamming ≤ 3 over 64 bits ⇒ at least one of the 4 chunks is
+    EQUAL, so ``groupby(('chunk', 'chunk_val'))`` buckets every near-dup
+    pair at least once — the distributed form of the banded simhash join
+    (the wide step is this groupby; no driver materialization)."""
+    doc = batch["doc_id"].to_numpy()
+    sig = batch["simhash"].to_numpy().astype(np.int64)
+    n = len(doc)
+    chunk = np.tile(np.arange(4, dtype=np.int64), n)
+    sig_rep = np.repeat(sig, 4)
+    val = (sig_rep.astype(np.uint64) >> (np.uint64(16) * chunk.astype(np.uint64))
+           ) & np.uint64(0xFFFF)
+    return pa.table({"chunk": pa.array(chunk, type=pa.int64()),
+                     "chunk_val": pa.array(val.astype(np.int64), type=pa.int64()),
+                     "doc_id": pa.array(np.repeat(doc, 4), type=pa.int64()),
+                     "simhash": pa.array(sig_rep, type=pa.int64())})
+
+
+def simhash_group_pairs(g: pa.Table, max_hamming: int = 3) -> pa.Table:
+    """One chunk bucket → (a, b, hamming) pairs with distance ≤ max_hamming
+    (vectorized xor-popcount over the triangular index).  Pairs sharing
+    several equal chunks are emitted by several groups — dedupe downstream
+    (the pair set is output-sized, not corpus-sized)."""
+    doc = g["doc_id"].to_numpy()
+    sig = g["simhash"].to_numpy().astype(np.uint64)
+    n = len(doc)
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "hamming": pa.array([], type=pa.int64())})
+    if n < 2:
+        return empty
+    iu, ju = np.triu_indices(n, k=1)
+    ham = _popcount64(sig[iu] ^ sig[ju])
+    keep = ham <= max_hamming
+    if not keep.any():
+        return empty
+    a, b = doc[iu][keep], doc[ju][keep]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    ne = lo != hi
+    order = np.lexsort((hi[ne], lo[ne]))
+    return pa.table({"a": pa.array(lo[ne][order], type=pa.int64()),
+                     "b": pa.array(hi[ne][order], type=pa.int64()),
+                     "hamming": pa.array(ham[keep][ne][order], type=pa.int64())})
 
 
 def simhash_near_pairs(ids: np.ndarray, sigs: np.ndarray, max_hamming: int = 3) -> list[tuple[int, int, int]]:

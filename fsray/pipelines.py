@@ -427,21 +427,21 @@ def _jaccard_pairs_distributed(sf_dir: str, tau: float) -> pa.Table:
         sizes = g["n_shingles"].to_numpy()
         order = np.argsort(docs, kind="stable")
         docs, sizes = docs[order], sizes[order]
-        a_out, b_out, na, nb = [], [], [], []
         n = len(docs)
         # NO hot-shingle cap here: this lane is compared against a capless
         # SQL oracle, so intersection counts must be exact.  (A df cap is
         # the documented scale lever — fsray.dedup.jaccard_pairs_from_shingles
         # — and intentionally diverges from exact Jaccard when used.)
-        if n >= 2:
-            for i in range(n):
-                for j in range(i + 1, n):
-                    a_out.append(int(docs[i])); b_out.append(int(docs[j]))
-                    na.append(int(sizes[i])); nb.append(int(sizes[j]))
-        return pa.table({"a": pa.array(a_out, type=pa.int64()),
-                         "b": pa.array(b_out, type=pa.int64()),
-                         "na": pa.array(na, type=pa.int64()),
-                         "nb": pa.array(nb, type=pa.int64())})
+        if n < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "na": pa.array([], type=pa.int64()),
+                             "nb": pa.array([], type=pa.int64())})
+        iu, ju = np.triu_indices(n, k=1)
+        return pa.table({"a": pa.array(docs[iu], type=pa.int64()),
+                         "b": pa.array(docs[ju], type=pa.int64()),
+                         "na": pa.array(sizes[iu], type=pa.int64()),
+                         "nb": pa.array(sizes[ju], type=pa.int64())})
 
     pairs = sh.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
     agg = pairs.groupby(["a", "b"]).aggregate(Count(), Max("na"), Max("nb")).to_pandas()
@@ -468,39 +468,43 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
 
     Verification makes the output exact on the candidate set; with 32×2
     banding the candidate set misses a τ=0.5 pair with P < 1e-4, so this
-    matches the exact-Jaccard oracle."""
+    matches the exact-Jaccard oracle.  The verify stage filters shingles to
+    the (small) candidate-doc set INSIDE Ray via a broadcast membership
+    test, so only candidate shingles ever reach the driver."""
+    import ray
+
     from fsray.dedup import (candidate_pairs_from_buckets, minhash_batch,
                              shingle_batch)
     b_ds = _docs_ds(sf_dir).map_batches(minhash_batch, batch_format="pyarrow",
                                         zero_copy_batch=True)
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        pairs = candidate_pairs_from_buckets(g)
-        a = [p[0] for p in sorted(pairs)]
-        b = [p[1] for p in sorted(pairs)]
-        return pa.table({"a": pa.array(a, type=pa.int64()),
-                         "b": pa.array(b, type=pa.int64())})
-
-    cand = b_ds.groupby(["band", "band_key"]).map_groups(bucket_pairs,
-                                                         batch_format="pyarrow")
+    cand = b_ds.groupby(["band", "band_key"]).map_groups(
+        candidate_pairs_from_buckets, batch_format="pyarrow")
     cand_pd = cand.to_pandas().drop_duplicates()
-    cand_set = set(zip(cand_pd["a"].astype(int), cand_pd["b"].astype(int)))
+    cand_set = sorted(zip(cand_pd["a"].astype(int), cand_pd["b"].astype(int)))
     if not cand_set:
         return pa.table({"a": pa.array([], type=pa.int64()),
                          "b": pa.array([], type=pa.int64()),
                          "jaccard": pa.array([], type=pa.float64())})
-    # exact verification: shingle sets of candidate docs only (broadcast of
-    # a small candidate set — a broadcast join at scale)
-    cand_docs = {d for p in cand_set for d in p}
-    sh = _docs_ds(sf_dir).map_batches(shingle_batch, batch_format="pyarrow",
-                                      zero_copy_batch=True)
+    # exact verification: broadcast the candidate-doc ids (ray.put once),
+    # filter shingle rows to candidates inside each task, collect only the
+    # candidate shingles (candidate-set-sized, not corpus-sized)
+    cand_docs_ref = ray.put(np.asarray(
+        sorted({d for p in cand_set for d in p}), dtype=np.int64))
+
+    def filter_to_candidates(b: pa.Table) -> pa.Table:
+        keep = np.isin(b["doc_id"].to_numpy(), ray.get(cand_docs_ref))
+        return b.filter(pa.array(keep))
+
+    sh = (_docs_ds(sf_dir)
+          .map_batches(shingle_batch, batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(filter_to_candidates, batch_format="pyarrow"))
     sh_pd = sh.to_pandas()
-    sh_pd = sh_pd[sh_pd["doc_id"].isin(cand_docs)]
     sets: dict[int, set] = {}
     for d, s in zip(sh_pd["doc_id"].astype(int), sh_pd["shingle"].astype(int)):
         sets.setdefault(d, set()).add(s)
     rows = []
-    for a, b in sorted(cand_set):
+    for a, b in cand_set:
         sa, sb = sets.get(a, set()), sets.get(b, set())
         if not sa or not sb:
             continue
@@ -515,16 +519,22 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
 
 
 def dedup_simhash(sf_dir: str) -> pa.Table:
-    """SimHash near-dup pairs (Hamming ≤ 3) — approximate, rows-only check."""
-    from fsray.dedup import simhash_batch, simhash_near_pairs
-    ds = _docs_ds(sf_dir).map_batches(simhash_batch, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-    pd_ = ds.to_pandas().sort_values("doc_id")
-    pairs = simhash_near_pairs(pd_["doc_id"].to_numpy(),
-                               pd_["simhash"].to_numpy().astype(np.uint64))
-    return pa.table({"a": pa.array([p[0] for p in pairs], type=pa.int64()),
-                     "b": pa.array([p[1] for p in pairs], type=pa.int64()),
-                     "hamming": pa.array([p[2] for p in pairs], type=pa.int64())})
+    """SimHash near-dup pairs (Hamming ≤ 3) — approximate, rows-only check.
+
+    Fully distributed banded join: signatures → 4×16-bit chunk rows →
+    ``groupby((chunk, chunk_val))`` pair emit (pigeonhole guarantees every
+    ≤3-distance pair shares a chunk) → output-sized dedupe.  No driver
+    materialization of the signature table."""
+    from fsray.dedup import simhash_batch, simhash_chunk_batch, simhash_group_pairs
+    pairs = (_docs_ds(sf_dir)
+             .map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+             .map_batches(simhash_chunk_batch, batch_format="pyarrow")
+             .groupby(["chunk", "chunk_val"])
+             .map_groups(simhash_group_pairs, batch_format="pyarrow"))
+    out = pairs.to_pandas().drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
+    return pa.table({"a": pa.array(out["a"].astype("int64"), type=pa.int64()),
+                     "b": pa.array(out["b"].astype("int64"), type=pa.int64()),
+                     "hamming": pa.array(out["hamming"].astype("int64"), type=pa.int64())})
 
 
 COSINE_TAU = 0.45
@@ -669,18 +679,44 @@ HYBRID_ARM_K = 20
 def hybrid_rrf(sf_dir: str) -> pa.Table:
     """Two-tier first pass: lexical BM25 arm + semantic cosine arm fused by
     RRF (K=60) — the reference's progressive search shape with the vector
-    arm served by the brute-force tier (docs and vectors share ids)."""
+    arm served by the brute-force tier (docs and vectors share ids).
+
+    The semantic arm is the ann-style distributed scan: the query vector is
+    read with row-group predicate pushdown, broadcast once (``ray.put``),
+    and each batch emits a top-k partial; the driver merges k×n_blocks rows
+    — never the embedding matrix."""
+    import ray
+    import ray.data as rd
+
     from fsray.dedup import normalize_rows
     from fsray.fuse import rrf_fuse
     lex_tbl = bm25_search(sf_dir, HYBRID_QUERY, k=HYBRID_ARM_K)
     lex = list(zip(lex_tbl["doc_id"].to_pylist(), lex_tbl["score"].to_pylist()))
 
-    ids, vecs = _embeddings(sf_dir)
-    qi = int(np.flatnonzero(ids == 0)[0])
-    norm = normalize_rows(vecs)
-    sims = norm @ norm[qi]
-    order = np.lexsort((ids, -sims))[:HYBRID_ARM_K]
-    sem = [(int(ids[i]), float(sims[i])) for i in order]
+    import pyarrow.parquet as pq
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", [0])])
+    qvec = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+    qref = ray.put(qvec / (np.linalg.norm(qvec) or 1.0))
+
+    def sem_partial(batch: pa.Table) -> pa.Table:
+        qn = ray.get(qref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.astype(np.float64).reshape(len(bids), -1)
+        sims = normalize_rows(mat) @ qn
+        order = np.lexsort((bids, -sims))[:HYBRID_ARM_K]
+        return pa.table({"doc_id": pa.array(bids[order], type=pa.int64()),
+                         "cos": pa.array(sims[order], type=pa.float64())})
+
+    parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(sem_partial, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())
+    pids = parts["doc_id"].to_numpy()
+    psims = parts["cos"].to_numpy()
+    order = np.lexsort((pids, -psims))[:HYBRID_ARM_K]
+    sem = [(int(pids[i]), float(psims[i])) for i in order]
 
     fused = rrf_fuse([lex, sem])
     return pa.table({"doc_id": pa.array([d for d, _ in fused], type=pa.int64()),
