@@ -73,11 +73,24 @@ def _cap_worker_threads() -> None:
 
 @dataclass(frozen=True)
 class FieldSpec:
-    """One indexed field: output name, source column, query-time boost."""
+    """One indexed field: output name, source column, query-time boost.
+
+    ``analyzer`` selects the index-side analysis pipeline (the reference's
+    per-field tokenizer binding, schema.rs:379-497):
+
+    - ``"default"`` — split on non-alphanumeric + lowercase (the fused
+      Tantivy SimpleTokenizer+LowerCaser, scribe.rs:279-730);
+    - ``"cass"`` — CassHyphenNormalize (hyphen-join compounds + parts,
+      CJK bigrams, 256-byte cap, scribe.rs:794-1070);
+    - ``"cass_prefix"`` — edge n-grams (2..=20 scalars per word,
+      scribe.rs:1003-1046) through CassPrefixNormalize — the
+      ``*_prefix`` fields the CASS query parser expands terms over.
+    """
     name: str
     source: str
     boost: float = 1.0
     ord: int = 0
+    analyzer: str = "default"
 
 
 @dataclass(frozen=True)
@@ -127,6 +140,30 @@ DOCUMENTS = CorpusSpec(
     doc_id_columns=("doc_id",),
     numeric_fields=(("n_chars", "n_chars"),),
     stored_columns=("text",),
+)
+
+#: CASS semantic schema over the driver `documents` table — the 4-field
+#: core of the reference's CASS_SEMANTIC_SCHEMA (schema.rs:379-497): base
+#: fields under CassHyphenNormalize plus edge-ngram prefix fields, all at
+#: boost 1.0 (the CASS query parser expands terms over all four,
+#: query.rs:3649+).  ``source`` plays the title role.
+CASS_DOCUMENTS = CorpusSpec(
+    fields=(FieldSpec("title", "source", 1.0, 0, analyzer="cass"),
+            FieldSpec("content", "text", 1.0, 1, analyzer="cass"),
+            FieldSpec("title_prefix", "source", 1.0, 2, analyzer="cass_prefix"),
+            FieldSpec("content_prefix", "text", 1.0, 3, analyzer="cass_prefix")),
+    doc_id_columns=("doc_id",),
+    numeric_fields=(("n_chars", "n_chars"),),
+    stored_columns=("text",),
+)
+
+#: CASS schema over the code corpus: path as title (input_hint shape)
+CASS_CODE_CORPUS = CorpusSpec(
+    fields=(FieldSpec("title", "path", 1.0, 0, analyzer="cass"),
+            FieldSpec("content", "content", 1.0, 1, analyzer="cass"),
+            FieldSpec("title_prefix", "path", 1.0, 2, analyzer="cass_prefix"),
+            FieldSpec("content_prefix", "content", 1.0, 3, analyzer="cass_prefix")),
+    doc_id_columns=("repo", "path", "commit"),
 )
 
 
@@ -306,9 +343,15 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
     field_stats = {}
     n_postings = 0
     for f in spec.fields:
-        from fsray.tokenizer import tokenize_column_with_positions
-        toks, orig_pos = tokenize_column_with_positions(
-            table[f.source].combine_chunks().fill_null(""))
+        analyzer = getattr(f, "analyzer", "default")
+        src_col = table[f.source].combine_chunks().fill_null("")
+        if analyzer == "default":
+            from fsray.tokenizer import tokenize_column_with_positions
+            toks, orig_pos = tokenize_column_with_positions(src_col)
+        else:
+            from fsray.cass import cass_tokenize_column
+            toks, orig_pos = cass_tokenize_column(
+                src_col, mode="prefix" if analyzer == "cass_prefix" else "hyphen")
         counts, fn_ids = token_stats(toks)
         idmap_cols[f"fn_{f.name}"] = pa.array(fn_ids, type=pa.uint8())
         # exact token counts per doc — compaction needs them to rewrite
@@ -457,7 +500,8 @@ def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS
     # partition's OUTPUT (spec fields/numeric/stored, positions, format) —
     # otherwise a resumed build with a changed spec would wrongly skip
     spec_fp = hashlib.sha256(json.dumps({
-        "fields": [(f.name, f.source, f.boost, f.ord) for f in spec.fields],
+        "fields": [(f.name, f.source, f.boost, f.ord,
+                    getattr(f, "analyzer", "default")) for f in spec.fields],
         "numeric": list(spec.numeric_fields), "stored": list(spec.stored_columns),
         "doc_id": list(spec.doc_id_columns), "positions": cfg.positions,
         "format": FORMAT_VERSION,
@@ -560,7 +604,8 @@ def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS
         "format_version": FORMAT_VERSION,
         "build_id": build_id,
         "doc_count": total_rows,
-        "fields": [{"name": f.name, "ord": f.ord, "boost": f.boost, "source": f.source}
+        "fields": [{"name": f.name, "ord": f.ord, "boost": f.boost, "source": f.source,
+                    "analyzer": getattr(f, "analyzer", "default")}
                    for f in spec.fields],
         "numeric_fields": [{"name": n, "source": s} for n, s in spec.numeric_fields],
         "stored_columns": list(spec.stored_columns),

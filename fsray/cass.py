@@ -133,6 +133,45 @@ def cass_generate_edge_ngrams(text: str) -> str:
     return " ".join(parts)
 
 
+def cass_tokenize_column(column, mode: str = "hyphen"):
+    """Index-side CASS analysis of a string column → (tokens, positions).
+
+    - ``mode="hyphen"`` ≙ CassHyphenNormalize (the base ``title`` /
+      ``content`` fields of the CASS schema, scribe.rs:794-1070).
+    - ``mode="prefix"`` ≙ edge-ngram generation (scribe.rs:1003-1046) fed
+      through CassPrefixNormalize (no hyphen decomposition) — the
+      ``title_prefix`` / ``content_prefix`` fields (schema.rs:379-497).
+
+    Returns ``(large_list<string> tokens per row, flat int64 positions
+    aligned with the flattened token values)``.  The analyzer is scalar
+    per row BY CONTRACT (position sharing across hyphen parts / CJK
+    bigrams is stateful); parallelism comes from Ray partitions — each
+    build task analyzes only its own partition.
+    """
+    import numpy as np
+    import pyarrow as pa
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    texts = column.to_pylist()
+    all_toks: list[str] = []
+    positions: list[int] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        if mode == "prefix":
+            pairs = cass_analyze(cass_generate_edge_ngrams(t), hyphen=False)
+        else:
+            pairs = cass_analyze(t, hyphen=True)
+        for tok, pos in pairs:
+            all_toks.append(tok)
+            positions.append(pos)
+        offsets[i + 1] = len(all_toks)
+    toks = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()),
+        pa.array(all_toks, type=pa.string()))
+    return toks, np.asarray(positions, dtype=np.int64)
+
+
 def cass_build_preview(content: str, max_chars: int) -> str:
     """First ``max_chars`` scalars, ``…`` appended exactly when truncated."""
     if len(content) <= max_chars:

@@ -71,6 +71,41 @@ def documents_index_pos(sf_dir: str) -> LocalIndex:
     return _INDEX_POS_CACHE[sf_dir]
 
 
+_INDEX_CASS_CACHE: dict[str, LocalIndex] = {}
+
+
+def documents_index_cass(sf_dir: str) -> LocalIndex:
+    """CASS-schema index over ``documents``: base fields under
+    CassHyphenNormalize + edge-ngram prefix fields (CASS_DOCUMENTS)."""
+    from fsray.build import CASS_DOCUMENTS
+    if sf_dir not in _INDEX_CASS_CACHE:
+        tag = hashlib.sha256((sf_dir + ":cass").encode()).hexdigest()[:12]
+        index_dir = os.path.join("/tmp", "fsray_index_cache", tag)
+        build_index([os.path.join(sf_dir, "documents.parquet")], index_dir,
+                    CASS_DOCUMENTS,
+                    BuildConfig(partition_rows=1024, num_shards=4, num_buckets=16))
+        _INDEX_CASS_CACHE[sf_dir] = LocalIndex(index_dir)
+    return _INDEX_CASS_CACHE[sf_dir]
+
+
+#: CASS conjunction of two prefixes: 'src1' hits title (exact) AND
+#: title_prefix (src10..src19); 'wind' hits content/content_prefix
+#: (window...).  Implicit CASS conjunction intersects the two atoms.
+CASS_PREFIX_QUERY = "src1 wind"
+
+
+def cass_prefix_search(sf_dir: str) -> pa.Table:
+    """CASS prefix-field search: match set of a two-atom CASS conjunction
+    over the 4-field CASS index (title/content exact + edge-ngram prefix
+    fields).  Output is the sorted matched doc_id set — match semantics
+    are oracle-checked exactly; scores are engine-internal."""
+    idx = documents_index_cass(sf_dir)
+    hits, _ = idx.search_paginated(CASS_PREFIX_QUERY, limit=1_000_000,
+                                   exact_count=True, parser="cass")
+    ids = sorted(int(h.doc_id) for h in hits)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 PHRASE_TERMS = ("part", "filter")
 
 
@@ -754,6 +789,7 @@ def make_queries() -> dict:
         "bm25_phrase": bm25_phrase,
         "bm25_range_filter": bm25_range_filter,
         "bm25_set_filter": bm25_set_filter,
+        "cass_prefix_search": cass_prefix_search,
         "chunk_documents": chunk_documents,
         "search_snippets": search_snippets,
         "doc_token_counts": doc_token_counts,
@@ -816,6 +852,19 @@ def make_oracle_sql() -> dict:
     base2 = bm25_oracle_sql("spark", 10)
     o["bm25_set_filter"] = base2.replace(
         "WHERE matched", f"WHERE matched AND doc_id IN (SELECT doc_id FROM documents WHERE n_chars IN ({vals}))")
+
+    # CASS prefix semantics: an atom of length 2..=20 matches a doc iff any
+    # word starts with it (edge-ngram prefix field ∪ exact base term ≡
+    # word-start match); the implicit CASS conjunction intersects atoms.
+    # 'src1'/'wind' are ASCII + hyphen-free, so the word-start regexp is
+    # exact vs the CASS analyzer (hyphen parts split on '-' = non-alnum).
+    o["cass_prefix_search"] = """
+SELECT doc_id FROM documents
+WHERE (regexp_matches(lower(source), '(^|[^0-9a-z])src1')
+       OR regexp_matches(lower(text), '(^|[^0-9a-z])src1'))
+  AND (regexp_matches(lower(source), '(^|[^0-9a-z])wind')
+       OR regexp_matches(lower(text), '(^|[^0-9a-z])wind'))
+ORDER BY doc_id"""
 
     o["doc_token_counts"] = f"""
 WITH {_toks2_sql()},

@@ -1,0 +1,129 @@
+"""Index-side CASS schema: per-field analyzers + edge-ngram prefix fields.
+
+The round-1 gap (VERDICT §missing #1): ``FieldSpec`` had no analyzer slot,
+so ``parser="cass"`` queries ran against a default-analyzed index where
+``title_prefix``/``content_prefix`` clauses silently missed.  These tests
+pin the CASS build lane (reference: schema.rs:379-497 CASS_SEMANTIC_SCHEMA,
+scribe.rs:794-1070 analyzers) end-to-end.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fsray.build import CASS_DOCUMENTS, BuildConfig, build_index
+from fsray.search import LocalIndex
+
+
+@pytest.fixture(scope="module")
+def cass_index(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cassidx")
+    rows = pa.table({
+        "doc_id": pa.array(list(range(8)), type=pa.int64()),
+        "text": pa.array([
+            "the window slides over the stream",      # 0: wind* in content
+            "wi-fi setup guide for the gateway",      # 1: hyphen compound
+            "windmill energy report",                 # 2: wind* in content
+            "plain words only here",                  # 3: no match
+            "搜索引擎 quick start",                    # 4: CJK bigrams
+            "WINDOW shouting upper case",             # 5: ascii lower
+            "sparse matrix windows driver",           # 6: wind* in content
+            "short",                                  # 7: no match
+        ]),
+        "source": pa.array(["alpha", "beta", "alphabet", "gamma",
+                            "alpha", "delta", "beta", "alphanumeric"]),
+        "n_chars": pa.array([33, 30, 22, 21, 16, 27, 28, 5], type=pa.int64()),
+    })
+    src = str(root / "docs.parquet")
+    pq.write_table(rows, src, row_group_size=3)
+    index_dir = str(root / "idx")
+    build_index([src], index_dir, CASS_DOCUMENTS,
+                BuildConfig(partition_rows=3, num_shards=2, num_buckets=4))
+    return LocalIndex(index_dir)
+
+
+def _match(idx, q):
+    hits, total = idx.search_paginated(q, limit=10_000, exact_count=True,
+                                       parser="cass")
+    return {int(h.doc_id) for h in hits}, total
+
+
+def test_manifest_records_analyzers(cass_index):
+    by_name = {f["name"]: f for f in cass_index.manifest["fields"]}
+    assert by_name["title"]["analyzer"] == "cass"
+    assert by_name["content_prefix"]["analyzer"] == "cass_prefix"
+    assert set(by_name) == {"title", "content", "title_prefix", "content_prefix"}
+
+
+def test_content_prefix_field_matches_word_prefixes(cass_index):
+    # 'wind' is a 4-scalar edge ngram of window/windmill/windows — no doc
+    # contains the exact term 'wind', so every hit comes from the prefix
+    # field (the round-1 silent-miss case)
+    ids, total = _match(cass_index, "wind")
+    assert ids == {0, 2, 5, 6}
+    assert total == 4
+
+
+def test_title_prefix_field_matches(cass_index):
+    # 'alpha' exact-matches title of 0/4 and edge-ngram-matches
+    # alphabet (2) and alphanumeric (7) — prefix hits beyond the exact term
+    ids, _ = _match(cass_index, "alpha")
+    assert ids == {0, 2, 4, 7}
+    # 'alphab' (6 scalars) only lives in the prefix field of 'alphabet'
+    ids6, _ = _match(cass_index, "alphab")
+    assert ids6 == {2}
+    # 'alphan' only in the prefix field of 'alphanumeric'
+    ids7, _ = _match(cass_index, "alphan")
+    assert ids7 == {7}
+
+
+def test_cass_conjunction_intersects_across_fields(cass_index):
+    # implicit CASS conjunction: title-ish atom AND content-ish atom
+    ids, _ = _match(cass_index, "beta wind")
+    assert ids == {6}  # beta sources: 1, 6; wind*: 0, 2, 5, 6
+
+
+def test_hyphen_compound_and_parts_indexed(cass_index):
+    # CassHyphenNormalize emits the compound AND each part at one position
+    for q, expect in (("wi-fi", {1}), ("fi", {1})):
+        ids, _ = _match(cass_index, q)
+        assert ids == expect, q
+    # prefix lane: edge ngrams split the hyphenated word ('ga' of gateway
+    # — and 'gamma' source of doc 3)
+    ids, _ = _match(cass_index, "gatew")
+    assert ids == {1}
+
+
+def test_cjk_bigrams_round_trip(cass_index):
+    # index side emits CJK bigrams; query side lowers a CJK literal to its
+    # bigram conjunction — 搜索 is one bigram of doc 4
+    ids, _ = _match(cass_index, "搜索")
+    assert ids == {4}
+    ids2, _ = _match(cass_index, "搜索引擎")
+    assert ids2 == {4}
+
+
+def test_ascii_lowercase_parity(cass_index):
+    ids, _ = _match(cass_index, "window")
+    assert 5 in ids  # 'WINDOW' lowered at index time
+
+
+def test_cass_empty_matches_all_live(cass_index):
+    _, total = _match(cass_index, "")
+    assert total == 8
+
+
+def test_driver_cass_prefix_lane_matches_oracle(sf_dir):
+    """The driver query at sf0.001 vs its DuckDB oracle (word-start regexp
+    ≡ exact-term ∪ edge-ngram-prefix match for 2..=20-scalar atoms)."""
+    import duckdb
+
+    from fsray.pipelines import cass_prefix_search, make_oracle_sql
+    mine = cass_prefix_search(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.sql(make_oracle_sql()["cass_prefix_search"]).df()
+    assert list(mine["doc_id"]) == list(orc["doc_id"])
+    assert len(mine) > 0
