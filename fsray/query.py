@@ -305,7 +305,10 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                 return True
         if rest.upper().startswith("IN(") and rest.endswith(")"):
             try:
-                vals = tuple(int(v) for v in rest[3:-1].split(",") if v.strip())
+                # stable duplicate removal (fixture
+                # query-default-string-set-stable-dedup)
+                vals = tuple(dict.fromkeys(
+                    int(v) for v in rest[3:-1].split(",") if v.strip()))
                 ranges.append(SetClause(head, vals, negate=negate))
                 return True
             except ValueError:
@@ -412,22 +415,46 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
             toks.append(("atom", atom, False, "", 0, False, boost))
         i = j
 
+    # sibling-duplicate state rollback: the pinned grammar stably removes
+    # exact raw duplicates among the children of one boolean level BEFORE
+    # field analysis (fixture query-default-recursive-dedup "rust rust";
+    # rewrite_parser_syntax, query.rs:3154-3211) — emitted clauses of a
+    # dropped duplicate are rolled back by truncating the output lists
+    def snapshot() -> tuple:
+        return (len(should), len(must), len(must_not), len(phrases), len(ranges))
+
+    def rollback(s: tuple) -> None:
+        del should[s[0]:]
+        del must[s[1]:]
+        del must_not[s[2]:]
+        del phrases[s[3]:]
+        del ranges[s[4]:]
+
     explicit = any(t[0] == "lparen" or (t[0] == "op" and t[1] in ("AND", "OR"))
                    for t in toks)
     if explicit:
         tree = _parse_boolean_tree(toks, emit, emit_phrase, try_range,
-                                   field_scope, precedence=precedence)
+                                   field_scope, precedence=precedence,
+                                   snapshot=snapshot, rollback=rollback)
         return ParsedQuery(should=should, must=must, must_not=must_not,
                            phrases=phrases, ranges=ranges, tree=tree)
 
     # ---- flat lenient path (no explicit operators) -----------------------
     pending_not = False
+    seen_raw: set = set()
     for tok in toks:
         if tok[0] == "rparen":
             continue  # unbalanced ')' outside any group: lenient no-op
         if tok[0] == "op":  # only NOT reaches here
             pending_not = True
             continue
+        # stable raw-sibling dedup (the occur syntax — NOT prefix — is part
+        # of the key, like the reference's (Option<Occur>, SyntaxKey) pair)
+        raw_key = (pending_not, tok)
+        if raw_key in seen_raw:
+            pending_not = False
+            continue
+        seen_raw.add(raw_key)
         _, atom, is_phrase, prefix, slop, pprefix, boost = tok
         group = "must" if implicit_conjunction else "should"
         if pending_not:
@@ -453,7 +480,8 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
 
 
 def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
-                        field_scope, precedence: str = "and_tight") -> tuple | None:
+                        field_scope, precedence: str = "and_tight",
+                        snapshot=None, rollback=None) -> tuple | None:
     """Recursive-descent over the token stream for explicit boolean inputs.
 
     Default-parser grammar (contract line 126 + fixture
@@ -548,38 +576,92 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
             return child if child[0] == "not" else ("not", child)
         return parse_primary()
 
+    # Sibling dedup (rewrite_parser_syntax, query.rs:3154-3211): at each
+    # boolean level the FIRST exact raw duplicate child survives and later
+    # ones are dropped (clauses rolled back).  The raw-syntax key of a
+    # child is the token slice it consumed — pre-analysis, so "In" vs "in"
+    # stay distinct like the reference's SyntaxKey { raw }.  Explicit
+    # loose-operator runs nest one level below adjacency operands
+    # (flush_or_run, query.rs:2267-2283 — dedup never crosses that
+    # boundary: 'a OR b a' retains the trailing a).
     def parse_tight() -> tuple | None:
-        children = []
-        node = parse_unary()
-        if node is not None:
+        children, keys = [], []
+
+        def attempt() -> None:
+            before = pos[0]
+            snap = snapshot()
+            node = parse_unary()
+            if node is None:
+                return
+            key = tuple(toks[before:pos[0]])
+            if key in keys:
+                rollback(snap)
+                return
+            keys.append(key)
             children.append(node)
+
+        attempt()
         while pos[0] < len(toks) and toks[pos[0]] == ("op", tight_kw):
             pos[0] += 1
-            node = parse_unary()
-            if node is not None:
-                children.append(node)
+            attempt()
         if not children:
             return None
         return children[0] if len(children) == 1 else (tight_kind, children)
 
     def parse_loose() -> tuple | None:
-        children = []
+        top_children: list = []
+        top_keys: list = []
+        run_children: list = []
+        run_keys: list = []
+        run_snap: list = [None]
+
+        def flush_run() -> None:
+            if run_children:
+                key = (run_keys[0] if len(run_keys) == 1
+                       else ("run", tuple(run_keys)))
+                node = (run_children[0] if len(run_children) == 1
+                        else (loose_kind, list(run_children)))
+                if key in top_keys:
+                    rollback(run_snap[0])
+                else:
+                    top_keys.append(key)
+                    top_children.append(node)
+            run_children.clear()
+            run_keys.clear()
+            run_snap[0] = None
+
+        pending_join = False
         while pos[0] < len(toks):
             t = toks[pos[0]]
             if t[0] == "rparen":
                 break
             if t == ("op", loose_kw):
                 pos[0] += 1
+                pending_join = True  # next operand joins the current run
                 continue
+            if not pending_join:
+                flush_run()  # adjacency boundary: close the explicit run
+            pending_join = False
             before = pos[0]
+            snap = snapshot()
+            if run_snap[0] is None:
+                run_snap[0] = snap
             node = parse_tight()
-            if node is not None:
-                children.append(node)
+            key = tuple(toks[before:pos[0]])
             if pos[0] == before:
                 pos[0] += 1  # no progress: skip token (lenient)
-        if not children:
+                continue
+            if node is None:
+                continue
+            if key in run_keys:
+                rollback(snap)
+                continue
+            run_keys.append(key)
+            run_children.append(node)
+        flush_run()
+        if not top_children:
             return None
-        return children[0] if len(children) == 1 else (loose_kind, children)
+        return top_children[0] if len(top_children) == 1 else (loose_kind, top_children)
 
     return parse_loose()
 
