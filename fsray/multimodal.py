@@ -53,9 +53,10 @@ class DecodeMedia:
                 "(none available in this environment); use fake=True")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         payloads = batch["payload"].combine_chunks()
-        n_bytes = np.array([len(payloads[i].as_py() or b"") for i in range(len(payloads))],
-                           dtype=np.int64)
+        n_bytes = pc.binary_length(payloads).cast(pa.int64()) \
+            .fill_null(0).to_numpy(zero_copy_only=False)
         if not self.fake:
             raise NotImplementedError("real decode path not available")
         # deterministic pseudo-dimensions from payload size (stub contract)

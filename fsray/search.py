@@ -63,16 +63,26 @@ class ShardData:
             os.path.join(shard_dir, f) for f in os.listdir(shard_dir) if f.endswith(".parquet")
         ) if os.path.isdir(shard_dir) else []
         if files:
-            tt = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+            tt = pa.concat_tables([pq.read_table(f) for f in files])
+            # term dictionary = binary search over the (field, term)-sorted
+            # columns (the reference's sorted, binary-searchable dictionary
+            # design, grimoire.rs 4-KiB blocks) — no per-term Python dict
+            # (round-1 finding: ~100+ B/term of actor heap + seconds of
+            # startup at code-corpus vocab sizes)
+            tt = tt.sort_by([("field", "ascending"), ("term", "ascending")]) \
+                   .combine_chunks()
         else:
             tt = None
         self.term_table = tt
         self._decode_cache: dict[tuple[int, str], codec.DecodedTerm] = {}
-        self.lookup: dict[tuple[int, str], int] = {}
         if tt is not None:
-            f_np = tt["field"].to_numpy()
-            t_list = tt["term"].to_pylist()
-            self.lookup = {(int(f), t): i for i, (f, t) in enumerate(zip(f_np, t_list))}
+            self._tt_field = tt["field"].to_numpy()
+            self._tt_terms = tt["term"].combine_chunks()
+            # per-field run bounds: terms are sorted within each field run
+            self._field_bounds = {
+                int(f): (int(np.searchsorted(self._tt_field, f, side="left")),
+                         int(np.searchsorted(self._tt_field, f, side="right")))
+                for f in np.unique(self._tt_field)}
 
         # idmap + fieldnorms for the shard's partitions (dense over [lo, hi))
         idmap_files = [os.path.join(index_dir, "idmap", f"part-{pidx:05d}.parquet")
@@ -100,6 +110,26 @@ class ShardData:
         # manifest tombstones (deletes are never file mutations — PLAN §10.5)
         dead = manifest.get("tombstones", {}).get(str(shard_id), [])
         self.tombstones = np.asarray(sorted(dead), dtype=np.uint32)
+
+    def row_of(self, key: tuple[int, str]) -> int | None:
+        """Dictionary probe: binary search the sorted (field, term) view."""
+        if self.term_table is None:
+            return None
+        bounds = self._field_bounds.get(int(key[0]))
+        if bounds is None:
+            return None
+        lo, hi = bounds
+        term = key[1]
+        t = self._tt_terms
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if t[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < bounds[1] and t[lo].as_py() == term:
+            return lo
+        return None
 
     @property
     def size(self) -> int:
@@ -138,7 +168,7 @@ class ShardData:
             return out
         df_col = self.term_table["df"].to_numpy()
         for i, key in enumerate(keys):
-            row = self.lookup.get(key)
+            row = self.row_of(key)
             if row is not None:
                 out[i] = int(df_col[row])
         return out
@@ -152,7 +182,7 @@ class ShardData:
         cached = self._decode_cache.get(key)
         if cached is not None:
             return cached
-        row = self.lookup.get(key)
+        row = self.row_of(key)
         if row is None:
             return None
         t = self.term_table
@@ -401,12 +431,52 @@ class LocalIndex:
         self.manifest = load_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
+        self._warm_top_terms = warm_top_terms
         self.shards = [ShardData(index_dir, int(s), self.manifest)
                        for s in sorted(self.manifest["shards"], key=int)]
         for sh in self.shards:
             sh.warm(warm_top_terms)
         self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]]
         self._cache: dict = {}
+        self._mstat = self._manifest_stat()
+
+    def _manifest_stat(self) -> tuple:
+        from fsray.manifest import MANIFEST_NAME
+        st = os.stat(os.path.join(self.index_dir, MANIFEST_NAME))
+        return (st.st_mtime_ns, st.st_size)
+
+    def _refresh_if_stale(self) -> None:
+        """Epoch check (reference: per-epoch ranked-query cache,
+        index.rs:278-280,7405-7441): a republished manifest invalidates
+        cached answers.  A tombstone-only republish (delete) keeps the
+        immutable termtables — just swap tombstone arrays; anything else
+        (append / compact / merge) reloads the shard set."""
+        try:
+            cur = self._manifest_stat()
+        except FileNotFoundError:
+            return
+        if cur == self._mstat:
+            return
+        self._mstat = cur
+        new_manifest = load_manifest(self.index_dir)
+        if new_manifest is None:
+            return
+        strip = lambda m: {k: v for k, v in m.items()
+                           if k not in ("tombstones", "generation")}
+        tombstone_only = strip(new_manifest) == strip(self.manifest)
+        self.manifest = new_manifest
+        if tombstone_only:
+            for sh in self.shards:
+                dead = new_manifest.get("tombstones", {}).get(str(sh.shard_id), [])
+                sh.tombstones = np.asarray(sorted(dead), dtype=np.uint32)
+        else:
+            self.shards = [ShardData(self.index_dir, int(s), new_manifest)
+                           for s in sorted(new_manifest["shards"], key=int)]
+            for sh in self.shards:
+                sh.warm(self._warm_top_terms)
+            self.default_fields = [(f["name"], f["boost"])
+                                   for f in new_manifest["fields"]]
+        self._cache.clear()
 
     def _expand_globs(self, parsed: ParsedQuery) -> ParsedQuery:
         """Lower glob clauses to bounded term disjunctions against the
@@ -454,6 +524,7 @@ class LocalIndex:
         (argus.rs:5342-5351).  ``parser="cass"`` routes through the CASS
         grammar (or-tighter precedence, implicit conjunction, prefix-field
         expansion); fields the index lacks are skipped leniently."""
+        self._refresh_if_stale()
         key = (text, limit, offset, exact_count, mode, np.dtype(dtype).name, parser)
         cached = self._cache.get(key)
         if cached is not None:

@@ -174,3 +174,37 @@ def test_merge_refuses_tombstoned_shards(mut_index):
         else (shards[pos - 1], shards[pos])
     with pytest.raises(ValueError):
         merge_shards(d, *pair)
+
+
+def test_cache_epoch_invalidation_on_delete(tmp_path):
+    """search → delete → search on the SAME LocalIndex returns the
+    post-delete answer (epoch check: a republished manifest invalidates
+    the ranked-query cache; reference index.rs:278-280,7405-7441)."""
+    import pyarrow.parquet as pq
+
+    from fsray.build import CODE_CORPUS, BuildConfig, build_index
+    from fsray.corpus import generate_code_corpus
+    from fsray.mutate import delete_docs
+    from fsray.search import LocalIndex
+    rows = generate_code_corpus(120, seed=5)
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(rows, src, row_group_size=32)
+    d = str(tmp_path / "idx")
+    build_index([src], d, CODE_CORPUS,
+                BuildConfig(partition_rows=32, num_shards=2, num_buckets=4))
+    idx = LocalIndex(d)
+    before = idx.search("fn", k=50)
+    assert before
+    victim = before[0].doc_id
+    # cached answer in place; delete through the mutate lane
+    again = idx.search("fn", k=50)
+    assert [h.doc_id for h in again] == [h.doc_id for h in before]
+    delete_docs(d, [victim])
+    after = idx.search("fn", k=50)
+    assert victim not in {h.doc_id for h in after}
+    # scores of surviving docs unchanged (tombstones exclude at collection,
+    # stats keep at-seal values)
+    before_scores = {h.doc_id: h.score for h in before}
+    for h in after:
+        if h.doc_id in before_scores:  # docs newly surfaced into top-k skip
+            assert abs(before_scores[h.doc_id] - h.score) < 1e-7
