@@ -284,6 +284,37 @@ def bm25_boolean_oracle_sql(k: int = 10) -> str:
 
 
 
+#: typed-leaf lane: a range INSIDE a boolean tree — (term AND range) OR term
+#: (the reference nests ranges as positional tree leaves, query.rs:849-850;
+#: matched range leaf scores the ConstScorer 1.0)
+BOOLEAN_RANGE_QUERY = "(spark AND n_chars:[200 TO 400]) OR window"
+
+
+def bm25_boolean_range(sf_dir: str, k: int = 10) -> pa.Table:
+    return bm25_search(sf_dir, BOOLEAN_RANGE_QUERY, k=k)
+
+
+def bm25_boolean_range_oracle_sql(k: int = 10) -> str:
+    """Oracle for ``(spark AND n_chars:[200 TO 400]) OR window``: the AND
+    node matches (spark ∧ in-range) and scores spark + 1.0 (ConstScorer);
+    the OR unions with window; per-node partial sums zeroed where the node
+    does not match — exactly the tree kernel's association."""
+    def exists(t: str) -> str:
+        return f"EXISTS(SELECT 1 FROM tf WHERE tf.doc_id = dl.doc_id AND tf.tok = '{t}')"
+
+    def leaf(t: str) -> str:
+        return (f"COALESCE((SELECT w.weight * (tf.tf / (tf.tf + dl.norm)) FROM tf, w "
+                f"WHERE tf.doc_id = dl.doc_id AND tf.tok = '{t}' AND w.tok = '{t}'), 0.0)")
+
+    inr = ("dl.doc_id IN (SELECT doc_id FROM documents "
+           "WHERE n_chars BETWEEN 200 AND 400)")
+    matched = f"(({exists('spark')} AND {inr}) OR {exists('window')})"
+    score = (f"((CASE WHEN {exists('spark')} AND {inr} "
+             f"THEN {leaf('spark')} + 1.0 ELSE 0.0 END) + {leaf('window')})")
+    return bm25_oracle_sql(BOOLEAN_RANGE_QUERY, k=k, matched_override=matched,
+                           score_override=score)
+
+
 RANGE_QUERY = ("spark table", "n_chars", 200, 400)
 SET_VALUES = (157, 406, 246, 300, 350)
 
@@ -786,6 +817,7 @@ def make_queries() -> dict:
         q[name] = (lambda sf_dir, _t=text, _k=k: bm25_search(sf_dir, _t, _k))
     q.update({
         "bm25_boolean": bm25_boolean,
+        "bm25_boolean_range": bm25_boolean_range,
         "bm25_phrase": bm25_phrase,
         "bm25_range_filter": bm25_range_filter,
         "bm25_set_filter": bm25_set_filter,
@@ -842,6 +874,7 @@ def make_oracle_sql() -> dict:
         o[name] = bm25_oracle_sql(text, k)
 
     o["bm25_boolean"] = bm25_boolean_oracle_sql()
+    o["bm25_boolean_range"] = bm25_boolean_range_oracle_sql()
     o["bm25_phrase"] = bm25_phrase_oracle_sql(PHRASE_TERMS)
 
     text, fieldn, lo, hi = RANGE_QUERY

@@ -61,20 +61,30 @@ class Clause:
 
 @dataclass(frozen=True)
 class RangeClause:
-    """Numeric range filter ``field:[lo TO hi]`` (reference: query.rs ranges
-    + NUMERIC columns; scoreless filter semantics like MustNot's lane)."""
+    """Numeric range ``field:[lo TO hi]`` (reference: query.rs ranges +
+    NUMERIC columns).
+
+    ``positional=False`` (flat query): a global scoreless filter ANDed
+    into the match set (documented divergence — the useful data-engine
+    semantics, pinned by the driver oracle).  ``positional=True``: the
+    range is a typed LEAF of the boolean tree (fixture
+    query-default-field-scoped-typed-leaves; query.rs:849-850,1223) —
+    matched docs score the Tantivy ConstScorer constant 1.0."""
     field: str
     lo: int | None
     hi: int | None
     negate: bool = False
+    positional: bool = False
 
 
 @dataclass(frozen=True)
 class SetClause:
-    """Numeric set filter ``field:IN(v1,v2,...)`` (query.rs sets)."""
+    """Numeric set ``field:IN(v1,v2,...)`` (query.rs sets).  Same
+    positional/global duality as :class:`RangeClause`."""
     field: str
     values: tuple[int, ...]
     negate: bool = False
+    positional: bool = False
 
 
 @dataclass(frozen=True)
@@ -145,9 +155,11 @@ class ParsedQuery:
     #: explicit boolean tree over atom ids, present only when the input used
     #: AND / OR / parentheses (reference: Tantivy 0.26.1 grammar inherited by
     #: the default parser — AND binds tighter than OR, contract line 126).
-    #: Nodes: ("atom", aid) | ("and"|"or", [children]) | ("not", child).
-    #: When set, every leaf clause lives in ``should`` and NOT semantics are
-    #: positional in the tree; ranges/sets stay global filters (divergence).
+    #: Nodes: ("atom", aid) | ("filter", ridx — index into ``ranges``)
+    #: | ("and"|"or", [children]) | ("not", child).
+    #: When set, every leaf clause lives in ``should``; NOT is positional;
+    #: range/set atoms are typed ("filter", ridx) leaves scoring the
+    #: ConstScorer 1.0 (query.rs:849-850,1223).
     tree: tuple | None = None
     #: CASS empty/blank input lowers to All — match every live document at
     #: constant score (fixture query-empty-cass-all; query.rs:3716
@@ -284,11 +296,11 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                                         atom=aid, slop=slop, prefix=pprefix))
         return [aid]
 
-    def try_range(atom: str, negate: bool) -> bool:
-        """Detect field:[a TO b] / field:IN(...) filters; append and
-        return True when the atom was consumed as a filter."""
+    def try_range(atom: str, negate: bool, positional: bool = False) -> int | None:
+        """Detect field:[a TO b] / field:IN(...) filters; append and return
+        the clause's index in ``ranges`` when the atom was consumed."""
         if ":" not in atom:
-            return False
+            return None
         head, _, rest = atom.partition(":")
         if rest.startswith("[") and rest.endswith("]"):
             parts = rest[1:-1].split()
@@ -301,19 +313,20 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                     except ValueError:
                         return None
                 ranges.append(RangeClause(head, _bound(parts[0]), _bound(parts[2]),
-                                          negate=negate))
-                return True
+                                          negate=negate, positional=positional))
+                return len(ranges) - 1
         if rest.upper().startswith("IN(") and rest.endswith(")"):
             try:
                 # stable duplicate removal (fixture
                 # query-default-string-set-stable-dedup)
                 vals = tuple(dict.fromkeys(
                     int(v) for v in rest[3:-1].split(",") if v.strip()))
-                ranges.append(SetClause(head, vals, negate=negate))
-                return True
+                ranges.append(SetClause(head, vals, negate=negate,
+                                        positional=positional))
+                return len(ranges) - 1
             except ValueError:
                 pass
-        return False
+        return None
 
     def field_scope(atom: str) -> tuple[str | None, str]:
         if ":" in atom:
@@ -470,7 +483,7 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
         if is_phrase:
             emit_phrase(atom, group, slop, pprefix, boost)
             continue
-        if try_range(atom, negate=group == "must_not"):
+        if try_range(atom, negate=group == "must_not") is not None:
             continue
         scoped, atom = field_scope(atom)
         emit(atom, group, scoped, mult=boost)
@@ -489,8 +502,8 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
     adjacent operands without an operator are a disjunction (conjunction
     default false); parentheses group, ``(...)^x`` boosts the group,
     ``field:(...)`` scopes it.  Leaves are emitted as Should clauses; NOT
-    is positional in the tree.  Ranges/sets inside a tree remain global
-    filters (documented divergence — the reference nests typed leaves)."""
+    is positional in the tree.  Range/set atoms lower to positional
+    ("filter", ridx) leaves (typed leaves, query.rs:849-850,1223)."""
     pos = [0]
     scopes: list[str | None] = [None]
     mults: list[float] = [1.0]
@@ -529,8 +542,14 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
         if is_phrase:
             ids = emit_phrase(atom, "should", slop, pprefix, mult, scopes[-1])
         else:
-            if try_range(atom, negate=negated):
-                return None
+            ridx = try_range(atom, negate=False, positional=True)
+            if ridx is not None:
+                # typed leaf: the range/set is a positional tree node
+                # (query.rs:849-850,1223; fixture
+                # query-default-field-scoped-typed-leaves) — ConstScorer
+                # 1.0 when matched; NOT is positional
+                node = ("filter", ridx)
+                return ("not", node) if negated else node
             scoped, atom = field_scope(atom)
             ids = emit(atom, "should", scoped or scopes[-1], mult=mult)
         if not ids:

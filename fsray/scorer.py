@@ -133,7 +133,8 @@ def topk_exhaustive(clauses: list[ScoringClause], must_not_docids: list[np.ndarr
 
 def topk_boolean(clauses: list[ScoringClause], tree: tuple,
                  must_not_docids: list[np.ndarray], lo: int, size: int, k: int,
-                 dtype=np.float32, filter_mask: np.ndarray | None = None) -> TopK:
+                 dtype=np.float32, filter_mask: np.ndarray | None = None,
+                 filter_leaves: dict[int, np.ndarray] | None = None) -> TopK:
     """Explicit boolean tree kernel (Tantivy 0.26.1 BooleanWeight semantics
     inherited by the reference grammar, contract line 126).
 
@@ -161,6 +162,15 @@ def topk_boolean(clauses: list[ScoringClause], tree: tuple,
             if m is None:  # atom absent in this shard: matches nothing
                 return np.zeros(size, dtype=bool), None
             return m, scores_by_atom[node[1]]
+        if kind == "filter":
+            # typed range/set leaf: Tantivy FastFieldRangeWeight ConstScorer
+            # — matched docs contribute the constant 1.0 at default boost
+            m = (filter_leaves or {}).get(node[1])
+            if m is None:
+                return np.zeros(size, dtype=bool), None
+            s = np.zeros(size, dtype=dtype)
+            s[m] = dtype(1.0)
+            return m, s
         if kind == "not":
             child_mask, _ = ev(node[1])
             return ~child_mask, None

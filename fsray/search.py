@@ -211,21 +211,24 @@ class ShardData:
         if len(self.tombstones):
             mask[self.tombstones.astype(np.int64) - self.lo] = False
         for rs in range_specs:
-            vals = self.num.get(rs["field"])
-            if vals is None:
-                if not rs.get("negate"):
-                    mask[:] = False  # unknown field can never match
-                continue
-            if rs["kind"] == "range":
-                m = np.ones(self.size, dtype=bool)
-                if rs["lo"] is not None:
-                    m &= vals >= rs["lo"]
-                if rs["hi"] is not None:
-                    m &= vals <= rs["hi"]
-            else:
-                m = np.isin(vals, np.asarray(rs["values"], dtype=np.int64))
+            m = self.spec_mask(rs)
             mask &= ~m if rs.get("negate") else m
         return mask
+
+    def spec_mask(self, rs: dict) -> np.ndarray:
+        """Membership mask of ONE range/set spec over this shard's docid
+        range (negation not applied; unknown field matches nothing)."""
+        vals = self.num.get(rs["field"])
+        if vals is None:
+            return np.zeros(self.size, dtype=bool)
+        if rs["kind"] == "range":
+            m = np.ones(self.size, dtype=bool)
+            if rs["lo"] is not None:
+                m &= vals >= rs["lo"]
+            if rs["hi"] is not None:
+                m &= vals <= rs["hi"]
+            return m
+        return np.isin(vals, np.asarray(rs["values"], dtype=np.int64))
 
     def stored_values(self, docids: np.ndarray, column: str) -> list[str]:
         arr = self.stored.get(column)
@@ -236,7 +239,8 @@ class ShardData:
 
     def topk(self, clause_specs: list[dict], k: int, dtype=np.float32,
              mode: str = "auto", range_specs: list[dict] | None = None,
-             tree: tuple | None = None, match_all: bool = False) -> TopK:
+             tree: tuple | None = None, match_all: bool = False,
+             filter_leaf_specs: dict[int, dict] | None = None) -> TopK:
         """Score this shard. ``clause_specs``: [{field_ord, term, weight,
         avgdl, group}] in canonical order, plus must_not term keys."""
         clauses: list[ScoringClause] = []
@@ -289,13 +293,18 @@ class ShardData:
         if tree is not None:
             # explicit boolean tree: leaves all live in "should"; NOT is
             # positional so must_not/must gates don't apply.  Exhaustive
-            # only (no block-max bound across a boolean tree).
-            if not clauses:
+            # only (no block-max bound across a boolean tree).  Typed
+            # range/set leaves evaluate as ("filter", ridx) nodes with
+            # ConstScorer 1.0 (query.rs:849-850,1223).
+            leaf_masks = {ridx: self.spec_mask(rs)
+                          for ridx, rs in (filter_leaf_specs or {}).items()}
+            if not clauses and not leaf_masks:
                 return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype), count=0)
             from fsray.scorer import topk_boolean
             return topk_boolean(clauses, tree, must_not, self.lo, self.size, k,
                                 dtype=dtype,
-                                filter_mask=self.filter_mask(range_specs or []))
+                                filter_mask=self.filter_mask(range_specs or []),
+                                filter_leaves=leaf_masks)
         if not clauses and all(must_atom_ok.values()) and (
                 match_all or any(not rs.get("negate")
                                  for rs in (range_specs or []))):
@@ -392,17 +401,27 @@ def _clause_specs(parsed: ParsedQuery, manifest: dict, global_dfs: dict,
     return specs
 
 
-def _range_specs(parsed: ParsedQuery) -> list[dict]:
+def _range_spec(r) -> dict:
     from fsray.query import RangeClause
-    out = []
-    for r in parsed.ranges:
-        if isinstance(r, RangeClause):
-            out.append({"kind": "range", "field": r.field, "lo": r.lo,
-                        "hi": r.hi, "negate": r.negate})
-        else:
-            out.append({"kind": "set", "field": r.field,
-                        "values": list(r.values), "negate": r.negate})
-    return out
+    if isinstance(r, RangeClause):
+        return {"kind": "range", "field": r.field, "lo": r.lo,
+                "hi": r.hi, "negate": r.negate}
+    return {"kind": "set", "field": r.field,
+            "values": list(r.values), "negate": r.negate}
+
+
+def _range_specs(parsed: ParsedQuery) -> list[dict]:
+    """GLOBAL scoreless filters (flat-path ranges). Positional tree leaves
+    are excluded — they evaluate inside the boolean kernel."""
+    return [_range_spec(r) for r in parsed.ranges
+            if not getattr(r, "positional", False)]
+
+
+def _leaf_specs(parsed: ParsedQuery) -> dict[int, dict]:
+    """Positional typed leaves, keyed by their index in ``parsed.ranges``
+    (the ("filter", ridx) tree nodes reference these)."""
+    return {i: _range_spec(r) for i, r in enumerate(parsed.ranges)
+            if getattr(r, "positional", False)}
 
 
 def _merge_topk(per_shard: list[TopK], k: int, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
@@ -549,11 +568,13 @@ class LocalIndex:
                 df_sum[tk] = df_sum.get(tk, 0) + int(df)
         specs = _clause_specs(parsed, self.manifest, df_sum, dtype=dtype)
         range_specs = _range_specs(parsed)
+        leaf_specs = _leaf_specs(parsed)
         k = limit + offset
         eff_mode = "exhaustive" if exact_count else mode
         per_shard = [sh.topk(specs, k, dtype=dtype, mode=eff_mode,
                              range_specs=range_specs, tree=parsed.tree,
-                             match_all=parsed.match_all)
+                             match_all=parsed.match_all,
+                             filter_leaf_specs=leaf_specs)
                      for sh in self.shards]
         docids, scores = _merge_topk(per_shard, k, dtype=dtype)
         docids, scores = docids[offset:], scores[offset:]
@@ -637,11 +658,13 @@ class ShardSearcherActor:
 
     def topk(self, specs: list[dict], k: int, mode: str = "auto",
              range_specs: list[dict] | None = None,
-             tree: tuple | None = None,
-             match_all: bool = False) -> tuple[np.ndarray, np.ndarray, int]:
+             tree: tuple | None = None, match_all: bool = False,
+             filter_leaf_specs: dict[int, dict] | None = None,
+             ) -> tuple[np.ndarray, np.ndarray, int]:
         t = self.shard.topk(specs, k, dtype=np.float32, mode=mode,
                             range_specs=range_specs, tree=tree,
-                            match_all=match_all)
+                            match_all=match_all,
+                            filter_leaf_specs=filter_leaf_specs)
         return t.docids, t.scores, t.count
 
     def materialize(self, docids: np.ndarray) -> list[str]:
@@ -728,7 +751,8 @@ class RayIndex:
         eff_mode = "exhaustive" if exact_count else mode
         range_specs = _range_specs(parsed)
         results = ray.get([a.topk.remote(specs, k, eff_mode, range_specs,
-                                         parsed.tree, parsed.match_all)
+                                         parsed.tree, parsed.match_all,
+                                         _leaf_specs(parsed))
                            for a in self.actors.values()])
         per_shard = [TopK(d, s, count=c) for d, s, c in results]
         total = sum(t.count for t in per_shard) if exact_count else None

@@ -78,10 +78,12 @@ def test_and_not():
     assert p.tree == ("and", [("atom", 0), ("not", ("atom", 1))])
 
 
-def test_in_set_survives_inside_tree():
+def test_in_set_is_typed_leaf_inside_tree():
+    # typed leaves: the set is a positional ("filter", ridx) tree node
+    # (fixture query-default-field-scoped-typed-leaves)
     p = parse_query("id:IN(1,2) AND rust")
-    assert p.tree == ("atom", 0)  # set became a global filter, rust the leaf
-    assert len(p.ranges) == 1
+    assert p.tree == ("and", [("filter", 0), ("atom", 0)])
+    assert len(p.ranges) == 1 and p.ranges[0].positional
 
 
 def test_code_punctuation_stays_lenient():
@@ -177,7 +179,10 @@ def test_ray_index_boolean_parity(bool_index, abc):
     ridx = RayIndex(bool_index["index_dir"])
     local = LocalIndex(bool_index["index_dir"])
     for q in ("parse AND merge", "parse OR merge AND hash",
-              "parse AND (merge OR hash)", "parse AND NOT merge"):
+              "parse AND (merge OR hash)", "parse AND NOT merge",
+              # typed leaf on the actor surface (unknown numeric field
+              # matches nothing — the leaf plumbing must still agree)
+              "(parse AND n:[0 TO 9]) OR merge"):
         lh = local.search(q, k=20)
         rh = ridx.search(q, k=20)
         assert [(h.docid, round(h.score, 4)) for h in lh] == \
@@ -220,3 +225,73 @@ def test_parser_fuzz_never_raises():
     for a, b in itertools.product(pieces, repeat=2):
         parse_query(a + b)
         parse_cass_query(a + b)
+
+
+def test_typed_leaf_execution_set_algebra(bool_index, abc):
+    """(term AND range) OR term: the range is a positional tree leaf —
+    set algebra over match sets, ConstScorer 1.0 on the range leaf."""
+    import duckdb
+
+    idx, a, b, _ = abc
+    # n_chars-equivalent numeric field on the code corpus: none — use the
+    # documents sf lane instead
+    from fsray.pipelines import documents_index
+    didx = documents_index("/root/testdata/sf0.001")
+    sp = {h.docid: h.score for h in didx.search("spark", k=10**6, mode="exhaustive")}
+    wi = {h.docid: h.score for h in didx.search("window", k=10**6, mode="exhaustive")}
+    hits, total = didx.search_paginated("(spark AND n_chars:[150 TO 300]) OR window",
+                                        limit=10**6, exact_count=True)
+    con = duckdb.connect()
+    rng = set(r[0] for r in con.sql(
+        "SELECT doc_id FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE n_chars BETWEEN 150 AND 300").fetchall())
+    # match set: (spark ∧ range) ∪ window — by docid-materialized ids
+    got_ids = {int(h.doc_id) for h in hits}
+    id_of = {h.docid: int(h.doc_id) for h in hits}
+    sp_ids = {int(h.doc_id) for h in didx.search("spark", k=10**6)}
+    wi_ids = {int(h.doc_id) for h in didx.search("window", k=10**6)}
+    assert got_ids == (sp_ids & rng) | wi_ids
+    assert total == len(got_ids)
+    # scoring: spark-and-range docs outside window score spark + 1.0
+    sp_by_id = {int(h.doc_id): h.score for h in didx.search("spark", k=10**6)}
+    wi_by_id = {int(h.doc_id): h.score for h in didx.search("window", k=10**6)}
+    for h in hits:
+        ext = int(h.doc_id)
+        want = 0.0
+        if ext in sp_ids and ext in rng:
+            want += sp_by_id[ext] + 1.0
+        if ext in wi_ids:
+            want += wi_by_id[ext]
+        assert abs(h.score - want) < 1e-4, ext
+
+
+def test_negated_typed_leaf_in_tree(abc):
+    """NOT on a range leaf is positional: a AND NOT n:[..] keeps docs
+    outside the range."""
+    import duckdb
+
+    from fsray.pipelines import documents_index
+    didx = documents_index("/root/testdata/sf0.001")
+    sp_ids = {int(h.doc_id) for h in didx.search("spark", k=10**6)}
+    hits, _ = didx.search_paginated("spark AND NOT n_chars:[150 TO 300]",
+                                    limit=10**6, exact_count=True)
+    con = duckdb.connect()
+    rng = set(r[0] for r in con.sql(
+        "SELECT doc_id FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE n_chars BETWEEN 150 AND 300").fetchall())
+    assert {int(h.doc_id) for h in hits} == sp_ids - rng
+
+
+def test_pure_filter_tree():
+    """A tree of only typed leaves executes (constant scores)."""
+    from fsray.pipelines import documents_index
+    didx = documents_index("/root/testdata/sf0.001")
+    hits, total = didx.search_paginated("n_chars:[150 TO 200] OR n_chars:IN(300)",
+                                        limit=10**6, exact_count=True)
+    import duckdb
+    con = duckdb.connect()
+    want = set(r[0] for r in con.sql(
+        "SELECT doc_id FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE n_chars BETWEEN 150 AND 200 OR n_chars = 300").fetchall())
+    assert {int(h.doc_id) for h in hits} == want
+    assert total == len(want)
