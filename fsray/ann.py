@@ -56,6 +56,76 @@ def merge_topk_partials(parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
                      "cosine": pa.array(out_s, type=pa.float64())})
 
 
+class AnnShardWorker:
+    """One ANN shard: builds its index over a contiguous row range of the
+    embeddings file INSIDE the actor (reference two-tier analogue,
+    crates/frankensearch-index/src/hnsw.rs — graphs shard per docid range
+    exactly like posting shards).  Construction is distributed: the driver
+    never loads the embedding matrix; each actor reads only its own rows
+    (at cluster scale the ranges align with row groups / files, so reads
+    are pruned at the storage layer)."""
+
+    def __init__(self, path: str, row_lo: int, row_hi: int, kind: str,
+                 seed: int = 42):
+        import pyarrow.parquet as pq
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        t = t.slice(row_lo, row_hi - row_lo)
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        vecs = flat.astype(np.float64).reshape(len(ids), -1)
+        self.kind = kind
+        if kind == "hnsw":
+            self.index = HnswIndex(ids, vecs, seed=seed)
+        elif kind == "ivf":
+            self.index = IvfIndex(ids, vecs, seed=seed)
+        elif kind == "lsh":
+            n_bits = int(np.clip(np.log2(max(len(ids), 2)) - 5, 2, 16))
+            self.index = LshIndex(ids, vecs, n_bits=n_bits, seed=seed)
+        else:
+            raise ValueError(f"unknown ANN kind {kind!r}")
+
+    def query(self, qvec: np.ndarray, k: int,
+              exclude_id: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        if self.kind == "hnsw":
+            return self.index.query(qvec, k, ef=96, exclude_id=exclude_id)
+        if self.kind == "ivf":
+            nl = self.index.n_lists
+            nprobe = nl if nl <= 32 else max(8, nl // 3)
+            return self.index.query(qvec, k, nprobe=nprobe, exclude_id=exclude_id)
+        return self.index.query(qvec, k, probe_hamming=2, exclude_id=exclude_id)
+
+
+class ShardedAnnIndex:
+    """Actor-pool ANN: per-shard graph/list construction in Ray actors,
+    query = per-shard top-k fan-out + associative driver merge (the same
+    shard/merge discipline as the lexical tier)."""
+
+    def __init__(self, path: str, kind: str, num_shards: int = 4,
+                 num_cpus_per_actor: float = 0.25, seed: int = 42):
+        # fractional default: shard actors are bursty (idle between
+        # queries); reserving a full CPU each would starve co-resident
+        # Ray Data stages on small clusters (measured deadlock at
+        # num_cpus=4 with 4 × 1-cpu actors)
+        import pyarrow.parquet as pq
+        import ray
+        n = pq.read_metadata(path).num_rows
+        num_shards = max(1, min(num_shards, n))
+        bounds = np.linspace(0, n, num_shards + 1).astype(np.int64)
+        actor_cls = ray.remote(num_cpus=num_cpus_per_actor)(AnnShardWorker)
+        self.actors = [actor_cls.remote(path, int(lo), int(hi), kind, seed)
+                       for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+        self._ray = ray
+
+    def query(self, qvec: np.ndarray, k: int,
+              exclude_id: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        res = self._ray.get([a.query.remote(qvec, k, exclude_id)
+                             for a in self.actors])
+        ids = np.concatenate([r[0] for r in res]) if res else np.zeros(0, np.int64)
+        sims = np.concatenate([r[1] for r in res]) if res else np.zeros(0, np.float64)
+        order = np.lexsort((ids, -sims))[:k]
+        return ids[order], sims[order]
+
+
 class LshIndex:
     """Random-hyperplane LSH over normalized embeddings (the ANN scale path).
 

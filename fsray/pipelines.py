@@ -674,65 +674,52 @@ def ann_bruteforce(sf_dir: str) -> pa.Table:
     return pa.table({"query_id": qid_map, "neighbor_id": merged["neighbor_id"]})
 
 
-def ann_ivf(sf_dir: str) -> pa.Table:
-    """IVF ANN (k-means coarse quantizer) — approximate, rows-only check;
-    recall vs brute force asserted in tests."""
-    from fsray.ann import IvfIndex
-    ids, vecs = _embeddings(sf_dir)
-    index = IvfIndex(ids, vecs)
+def _query_vectors(sf_dir: str) -> dict[int, np.ndarray]:
+    """Probe vectors only — row-filter pushdown, never the full matrix."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", list(ANN_QUERY_IDS))])
+    return {int(v): np.asarray(e, dtype=np.float64)
+            for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+
+
+def _ann_sharded(sf_dir: str, kind: str) -> pa.Table:
+    """Shared driver lane for the approximate ANN kinds: per-shard index
+    construction in Ray actors (no driver-side matrix build — round-1
+    weak-point fixed), per-shard top-k fan-out, associative merge."""
+    from fsray.ann import ShardedAnnIndex
+    # NOT cached across calls: the shard actors hold fractional CPUs while
+    # alive; freeing the handle set releases them (a long-lived serving
+    # deployment would pin one ShardedAnnIndex and size actors to nodes)
+    index = ShardedAnnIndex(
+        os.path.join(sf_dir, "embeddings.parquet"), kind, num_shards=4)
+    qvecs = _query_vectors(sf_dir)
     rows_q, rows_n = [], []
     for q in ANN_QUERY_IDS:
-        qi = int(np.flatnonzero(ids == q)[0])
-        # tiny corpora have meaningless clusters — probe everything; at
-        # scale a third of the lists recovers ~0.8+ recall even on
-        # cluster-free uniform embeddings (the worst case for IVF)
-        nprobe = index.n_lists if index.n_lists <= 32 else max(8, index.n_lists // 3)
-        nids, _ = index.query(vecs[qi], ANN_K, nprobe=nprobe, exclude_id=int(q))
+        nids, _ = index.query(qvecs[int(q)], ANN_K, exclude_id=int(q))
         rows_q.extend([int(q)] * len(nids))
         rows_n.extend(nids.tolist())
     return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
                      "neighbor_id": pa.array(rows_n, type=pa.int64())})
 
 
-_HNSW_CACHE: dict[str, object] = {}
+def ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF ANN (k-means coarse quantizer), sharded construction —
+    approximate, rows-only check; recall vs brute force asserted in tests."""
+    return _ann_sharded(sf_dir, "ivf")
 
 
 def ann_hnsw(sf_dir: str) -> pa.Table:
-    """HNSW graph ANN — approximate, rows-only check; recall vs brute
-    force asserted in tests."""
-    from fsray.ann import HnswIndex
-    ids, vecs = _embeddings(sf_dir)
-    if sf_dir not in _HNSW_CACHE:
-        _HNSW_CACHE[sf_dir] = HnswIndex(ids, vecs)
-    index = _HNSW_CACHE[sf_dir]
-    rows_q, rows_n = [], []
-    for q in ANN_QUERY_IDS:
-        qi = int(np.flatnonzero(ids == q)[0])
-        nids, _ = index.query(vecs[qi], ANN_K, ef=96, exclude_id=int(q))
-        rows_q.extend([int(q)] * len(nids))
-        rows_n.extend(nids.tolist())
-    return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
-                     "neighbor_id": pa.array(rows_n, type=pa.int64())})
+    """HNSW graph ANN, per-shard graphs built in actors — approximate,
+    rows-only check; recall vs brute force asserted in tests."""
+    return _ann_sharded(sf_dir, "hnsw")
 
 
 def ann_lsh(sf_dir: str) -> pa.Table:
-    """LSH-bucketed ANN (the scale path) — approximate, rows-only check;
-    recall vs brute force is asserted in tests."""
-    from fsray.ann import LshIndex
-    ids, vecs = _embeddings(sf_dir)
-    # bucket width scales with corpus size: ~2^bits buckets, ~32 vectors
-    # per bucket so 2-probe multi-probing scans ~25% of the corpus — enough
-    # for solid recall even on cluster-free uniform embeddings (worst case)
-    n_bits = int(np.clip(np.log2(max(len(ids), 2)) - 5, 2, 16))
-    index = LshIndex(ids, vecs, n_bits=n_bits)
-    rows_q, rows_n = [], []
-    for q in ANN_QUERY_IDS:
-        qi = int(np.flatnonzero(ids == q)[0])
-        nids, _ = index.query(vecs[qi], ANN_K, probe_hamming=2, exclude_id=int(q))
-        rows_q.extend([int(q)] * len(nids))
-        rows_n.extend(nids.tolist())
-    return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
-                     "neighbor_id": pa.array(rows_n, type=pa.int64())})
+    """LSH-bucketed ANN (the scale path), sharded construction —
+    approximate, rows-only check; recall vs brute force asserted in tests."""
+    return _ann_sharded(sf_dir, "lsh")
 
 
 # ---------------------------------------------------------------------------
