@@ -84,7 +84,11 @@ class FieldSpec:
       CJK bigrams, 256-byte cap, scribe.rs:794-1070);
     - ``"cass_prefix"`` — edge n-grams (2..=20 scalars per word,
       scribe.rs:1003-1046) through CassPrefixNormalize — the
-      ``*_prefix`` fields the CASS query parser expands terms over.
+      ``*_prefix`` fields the CASS query parser expands terms over;
+    - ``"keyword"`` — exact-match, untokenized (FieldKind::Keyword,
+      schema.rs:39-42): the whole field value is ONE term, case
+      preserved; queried as ``field:value`` (never part of default-field
+      expansion).
     """
     name: str
     source: str
@@ -136,7 +140,10 @@ CODE_CORPUS = CorpusSpec(
 #: the driver `documents` table: single content field (lexical-only lane),
 #: n_chars as a NUMERIC fast field, text stored for snippets/hydration
 DOCUMENTS = CorpusSpec(
-    fields=(FieldSpec("content", "text", 1.0, 0),),
+    fields=(FieldSpec("content", "text", 1.0, 0),
+            # exact-match keyword lane (the reference's `id`-style field):
+            # source queried verbatim as src_kw:<value>
+            FieldSpec("src_kw", "source", 1.0, 1, analyzer="keyword")),
     doc_id_columns=("doc_id",),
     numeric_fields=(("n_chars", "n_chars"),),
     stored_columns=("text",),
@@ -348,6 +355,17 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
         if analyzer == "default":
             from fsray.tokenizer import tokenize_column_with_positions
             toks, orig_pos = tokenize_column_with_positions(src_col)
+        elif analyzer == "keyword":
+            # exact-match: the raw value IS the single term (no analysis,
+            # case preserved); empty values index nothing
+            vals = src_col.cast(pa.string())
+            keep = pc.not_equal(vals, "")
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            offs = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(keep_np.astype(np.int64), out=offs[1:])
+            toks = pa.LargeListArray.from_arrays(
+                pa.array(offs, type=pa.int64()), vals.filter(keep))
+            orig_pos = None
         else:
             from fsray.cass import cass_tokenize_column
             toks, orig_pos = cass_tokenize_column(

@@ -106,6 +106,21 @@ def cass_prefix_search(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+KEYWORD_VALUE = "src7"
+
+
+def keyword_lookup(sf_dir: str) -> pa.Table:
+    """Exact-match keyword-field lookup (FieldKind::Keyword,
+    schema.rs:39-42): ``src_kw:<value>`` matches documents whose raw
+    source equals the value — untokenized, case-sensitive.  Output is the
+    sorted matched doc_id set."""
+    idx = documents_index(sf_dir)
+    hits, _ = idx.search_paginated(f"src_kw:{KEYWORD_VALUE}", limit=1_000_000,
+                                   exact_count=True)
+    ids = sorted(int(h.doc_id) for h in hits)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 PHRASE_TERMS = ("part", "filter")
 
 
@@ -809,6 +824,7 @@ def make_queries() -> dict:
         "bm25_range_filter": bm25_range_filter,
         "bm25_set_filter": bm25_set_filter,
         "cass_prefix_search": cass_prefix_search,
+        "keyword_lookup": keyword_lookup,
         "chunk_documents": chunk_documents,
         "search_snippets": search_snippets,
         "doc_token_counts": doc_token_counts,
@@ -885,6 +901,9 @@ WHERE (regexp_matches(lower(source), '(^|[^0-9a-z])src1')
   AND (regexp_matches(lower(source), '(^|[^0-9a-z])wind')
        OR regexp_matches(lower(text), '(^|[^0-9a-z])wind'))
 ORDER BY doc_id"""
+
+    o["keyword_lookup"] = f"""
+SELECT doc_id FROM documents WHERE source = '{KEYWORD_VALUE}' ORDER BY doc_id"""
 
     o["doc_token_counts"] = f"""
 WITH {_toks2_sql()},

@@ -199,7 +199,8 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                 implicit_conjunction: bool = False,
                 fragment_rule: str = "phrase",
                 phrase_fallback=None,
-                grammar_ws: str | None = None) -> ParsedQuery:
+                grammar_ws: str | None = None,
+                keyword_fields: set[str] | None = None) -> ParsedQuery:
     """Parse user input into canonical clause groups. Never raises.
 
     The default parameterization is the reference's *default* parser
@@ -211,7 +212,9 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
     analyzes with the CASS analyzer, expands terms over the prefix fields
     but phrases over the base fields only."""
     default_fields = default_fields or [("content", 1.0), ("title", 2.0)]
-    known_fields = known_fields if known_fields is not None else {f for f, _ in default_fields}
+    keyword_fields = keyword_fields or set()
+    known_fields = (known_fields if known_fields is not None
+                    else {f for f, _ in default_fields}) | keyword_fields
     analyze = analyzer if analyzer is not None else tokenize_scalar
     phrase_fields = phrase_fields or default_fields
     text = (text or "")[:MAX_QUERY_CHARS]
@@ -230,6 +233,18 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
         if mult != 1.0:
             targets = [(f, b * mult) for f, b in targets]
         created: list[int] = []
+        if scoped_field in keyword_fields:
+            # keyword field (FieldKind::Keyword, schema.rs:39-42): the raw
+            # atom IS the term — no analysis, case preserved; wildcards
+            # still glob (pattern unlowered)
+            aid = atom_counter[0]
+            atom_counter[0] += 1
+            is_glob = ("*" in atom or "?" in atom) and any(ch.isalnum() for ch in atom)
+            cl = Clause(scoped_field, atom, targets[0][1], group,
+                        glob=is_glob, atom=aid)
+            (must_not if group == "must_not" else
+             must if group == "must" else should).append(cl)
+            return [aid]
         if ("*" in atom or "?" in atom) and any(ch.isalnum() for ch in atom):
             # wildcard atom: keep the pattern whole (lowercased), defer
             # dictionary expansion to the executor

@@ -455,7 +455,8 @@ class LocalIndex:
                        for s in sorted(self.manifest["shards"], key=int)]
         for sh in self.shards:
             sh.warm(warm_top_terms)
-        self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]]
+        self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]
+                               if f.get("analyzer") != "keyword"]
         self._cache: dict = {}
         self._mstat = self._manifest_stat()
 
@@ -494,7 +495,8 @@ class LocalIndex:
             for sh in self.shards:
                 sh.warm(self._warm_top_terms)
             self.default_fields = [(f["name"], f["boost"])
-                                   for f in new_manifest["fields"]]
+                                   for f in new_manifest["fields"]
+                                   if f.get("analyzer") != "keyword"]
         self._cache.clear()
 
     def _expand_globs(self, parsed: ParsedQuery) -> ParsedQuery:
@@ -552,7 +554,8 @@ class LocalIndex:
             from fsray.query import parse_cass_query
             parsed = parse_cass_query(text)
         else:
-            parsed = parse_query(text, default_fields=self.default_fields)
+            parsed = parse_query(text, default_fields=self.default_fields,
+                                 keyword_fields=self._keyword_fields())
         parsed = self._expand_globs(parsed)
         if parsed.is_empty:
             result: tuple[list[Hit], int | None] = ([], 0 if exact_count else None)
@@ -626,6 +629,10 @@ class LocalIndex:
             self._cache.pop(next(iter(self._cache)))
         self._cache[key] = value
 
+    def _keyword_fields(self) -> set[str]:
+        return {f["name"] for f in self.manifest["fields"]
+                if f.get("analyzer") == "keyword"}
+
     def _ord(self, field: str) -> int | None:
         for f in self.manifest["fields"]:
             if f["name"] == field:
@@ -679,7 +686,8 @@ class RayIndex:
         self.manifest = load_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
-        self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]]
+        self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]
+                               if f.get("analyzer") != "keyword"]
         remote_cls = ray.remote(num_cpus=num_cpus_per_actor)(ShardSearcherActor)
         self.actors = {int(s): remote_cls.remote(index_dir, int(s))
                        for s in sorted(self.manifest["shards"], key=int)}
@@ -732,7 +740,10 @@ class RayIndex:
             from fsray.query import parse_cass_query
             parsed = parse_cass_query(text)
         else:
-            parsed = parse_query(text, default_fields=self.default_fields)
+            parsed = parse_query(
+                text, default_fields=self.default_fields,
+                keyword_fields={f["name"] for f in self.manifest["fields"]
+                                if f.get("analyzer") == "keyword"})
         parsed = self._expand_globs(parsed)
         if parsed.is_empty:
             return [], (0 if exact_count else None)

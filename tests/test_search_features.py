@@ -96,3 +96,56 @@ def test_ray_index_pagination_and_glob_parity(small_corpus):
         rh, rt = remote.search_paginated(q, limit=8, offset=3, exact_count=True)
         assert [(h.doc_id, h.score) for h in lh] == [(h.doc_id, h.score) for h in rh], q
         assert lt == rt, q
+
+
+# ---- keyword field kind (FieldKind::Keyword, schema.rs:39-42) ------------
+
+def test_keyword_field_exact_match(sf_dir):
+    """src_kw:<value> matches exactly the docs whose raw source equals the
+    value — untokenized, case-sensitive, never in default expansion."""
+    import duckdb
+
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    hits, total = idx.search_paginated("src_kw:src3", limit=10**6,
+                                       exact_count=True)
+    con = duckdb.connect()
+    want = set(r[0] for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE source = 'src3'").fetchall())
+    assert want and {int(h.doc_id) for h in hits} == want
+    # case-sensitive: uppercase form matches nothing
+    _, t2 = idx.search_paginated("src_kw:SRC3", limit=10, exact_count=True)
+    assert t2 == 0
+    # keyword field never joins default-field expansion: a bare term that
+    # happens to equal a source value matches only via content
+    _, t3 = idx.search_paginated("src3", limit=10, exact_count=True)
+    assert t3 == 0  # 'src3' is not a content token in the testdata
+
+
+def test_keyword_glob(sf_dir):
+    """Wildcards on a keyword field glob the raw (unanalyzed) terms."""
+    import duckdb
+
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    hits, _ = idx.search_paginated("src_kw:src1*", limit=10**6,
+                                   exact_count=True)
+    con = duckdb.connect()
+    want = set(r[0] for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE source LIKE 'src1%'").fetchall())
+    assert want and {int(h.doc_id) for h in hits} == want
+
+
+def test_keyword_in_boolean_and_negation(sf_dir):
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    sp = {int(h.doc_id) for h in idx.search("spark", k=10**6)}
+    kw = {int(h.doc_id) for h in idx.search("src_kw:src3", k=10**6)}
+    both, _ = idx.search_paginated("spark AND src_kw:src3", limit=10**6,
+                                   exact_count=True)
+    assert {int(h.doc_id) for h in both} == sp & kw
+    neg, _ = idx.search_paginated("spark -src_kw:src3", limit=10**6,
+                                  exact_count=True)
+    assert {int(h.doc_id) for h in neg} == sp - kw
