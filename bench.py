@@ -41,6 +41,8 @@ SCALING_CPUS = tuple(int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8")
 
 
 def _init_ray(num_cpus: int):
+    import logging
+
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -48,6 +50,10 @@ def _init_ray(num_cpus: int):
     import ray.data
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # ray.data configures its own console logger (INFO execution-plan lines
+    # + the empty-block RefBundle schema warning) independent of
+    # logging_level — quiet it so the bench prints ONE json line
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     return ray
 
 
@@ -120,6 +126,19 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = time.perf_counter() - t_all
+
+    # round-2 lanes, measured OUTSIDE the headline total so `value` stays
+    # comparable across rounds (prefixed x_)
+    for name, fn in [
+        ("x_dedup_simhash", P.dedup_simhash),
+        ("x_dedup_ngram_jaccard", P.dedup_ngram_jaccard),
+        ("x_cass_prefix_search", P.cass_prefix_search),
+        ("x_keyword_lookup", P.keyword_lookup),
+    ]:
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
     return {
         "metric": "fsray headline: index build + BM25 query p50 + training-data pipelines",
         "value": round(total, 4),
@@ -174,14 +193,20 @@ def run_scaling_child(num_cpus: int) -> None:
     # to reliably surface the machine's true capability
     reps = 2 if num_cpus <= 2 else 4
     best_manifest, best_wall = None, None
+    all_runs: list[float] = []
     for rep in range(reps):
         index_dir = _fresh_dir(f"/dev/shm/fsray_scaling_idx_{num_cpus}")
         manifest, wall = _build_throughput(paths, index_dir, partition_rows=SCALING_DOCS // 96,
                                            shards=8, buckets=32)
+        all_runs.append(round(wall, 4))
         if best_wall is None or wall < best_wall:
             best_manifest, best_wall = manifest, wall
+    # every raw run is recorded alongside best-of-N (round-1 verdict asked
+    # for the non-best-of evidence in the record)
     print(json.dumps({"num_cpus": num_cpus, "wall_sec": round(best_wall, 4),
+                      "all_runs_sec": all_runs,
                       "docs_per_sec": round(best_manifest["doc_count"] / best_wall, 1),
+                      "docs_per_sec_worst": round(best_manifest["doc_count"] / max(all_runs), 1),
                       "doc_count": best_manifest["doc_count"]}))
 
 
@@ -208,9 +233,12 @@ def run_scaling() -> dict:
     t_n, t_4n = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
     factor = SCALING_CPUS[1] / SCALING_CPUS[0]
     eff = t_4n / (factor * t_n)
+    wn = results[0].get("docs_per_sec_worst", t_n)
+    w4 = results[1].get("docs_per_sec_worst", t_4n)
     return {
         "metric": "index-build scaling efficiency (N vs 4N cpus, fresh sessions)",
         "value": round(eff, 4),
+        "value_worst_of_runs": round(w4 / (factor * wn), 4),
         "unit": "efficiency",
         "queries": {f"docs_per_sec_cpus{r['num_cpus']}": r["docs_per_sec"] for r in results},
         "sf": f"synthetic {SCALING_DOCS} docs",

@@ -205,6 +205,141 @@ def jaccard_pairs_from_shingles(sh_table: pa.Table, tau: float,
                      "jaccard": pa.array(jac, type=pa.float64())})
 
 
+#: group-bucketing width for the wide dedup groupbys: Ray's map_groups
+#: pays a Python call per group, so keys are pre-hashed into NUM_GROUP_BUCKETS
+#: buckets and each map_groups call processes ALL its keys vectorized
+#: (measured at sf0.1: per-shingle map_groups = 20 s; bucketed ≈ 2 s)
+NUM_GROUP_BUCKETS = 64
+
+
+def add_group_bucket(batch: pa.Table, cols: list[str],
+                     nb: int = NUM_GROUP_BUCKETS) -> pa.Table:
+    """Append a ``bucket`` column = mixed hash of the key columns mod nb
+    (the pre-bucketing that turns a million-group groupby into nb
+    vectorized group calls)."""
+    with np.errstate(over="ignore"):
+        acc = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in cols:
+            col = batch[c].to_numpy().astype(np.int64).astype(np.uint64)
+            acc = _mix64(acc * np.uint64(1099511628211) ^ col)
+    return batch.append_column(
+        "bucket", pa.array((acc % np.uint64(nb)).astype(np.int64), type=pa.int64()))
+
+
+def jaccard_pair_counts(sh_table: pa.Table) -> pa.Table:
+    """Per-pair shingle co-occurrence counts (a < b, cnt, na, nb) over ALL
+    shingle groups in the input — vectorized (dense-code remap + packed-key
+    np.unique).  Exact (no df cap): the combiner half of the distributed
+    Jaccard; partial counts sum across buckets in a tiny groupby."""
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "cnt": pa.array([], type=pa.int64()),
+                      "na": pa.array([], type=pa.int64()),
+                      "nb": pa.array([], type=pa.int64())})
+    if sh_table.num_rows == 0:
+        return empty
+    sh = sh_table["shingle"].to_numpy()
+    doc = sh_table["doc_id"].to_numpy()
+    uniq_docs, doc_code = np.unique(doc, return_inverse=True)
+    sizes_by_code = np.zeros(len(uniq_docs), dtype=np.int64)
+    sizes_by_code[doc_code] = sh_table["n_shingles"].to_numpy()
+    order = np.lexsort((doc_code, sh))
+    sh_s, code_s = sh[order], doc_code[order]
+    bounds = np.concatenate(([0], np.flatnonzero(sh_s[1:] != sh_s[:-1]) + 1,
+                             [len(sh_s)]))
+    chunks: list[np.ndarray] = []
+    for g in range(len(bounds) - 1):
+        lo, hi = bounds[g], bounds[g + 1]
+        df = hi - lo
+        if df < 2:
+            continue
+        codes = code_s[lo:hi]
+        iu, ju = np.triu_indices(df, k=1)
+        chunks.append(codes[iu].astype(np.int64) << np.int64(32) | codes[ju])
+    if not chunks:
+        return empty
+    keys, counts = np.unique(np.concatenate(chunks), return_counts=True)
+    ca = (keys >> np.int64(32)).astype(np.int64)
+    cb = (keys & np.int64(0xFFFFFFFF)).astype(np.int64)
+    return pa.table({"a": pa.array(uniq_docs[ca], type=pa.int64()),
+                     "b": pa.array(uniq_docs[cb], type=pa.int64()),
+                     "cnt": pa.array(counts.astype(np.int64), type=pa.int64()),
+                     "na": pa.array(sizes_by_code[ca], type=pa.int64()),
+                     "nb": pa.array(sizes_by_code[cb], type=pa.int64())})
+
+
+def jaccard_combine_bucket(g: pa.Table, tau: float) -> pa.Table:
+    """Reduce one pair-bucket: sum partial co-occurrence counts per (a, b)
+    (sort + reduceat — all partials of a pair share its bucket), apply the
+    exact Jaccard threshold, emit survivors only.  Replaces a Ray
+    aggregate over ~|pairs| tiny groups (measured 24 s → <1 s at sf0.1)."""
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
+    if g.num_rows == 0:
+        return empty
+    a = g["a"].to_numpy()
+    b = g["b"].to_numpy()
+    cnt = g["cnt"].to_numpy()
+    na = g["na"].to_numpy()
+    nb = g["nb"].to_numpy()
+    order = np.lexsort((b, a))
+    a, b, cnt, na, nb = a[order], b[order], cnt[order], na[order], nb[order]
+    starts = np.concatenate(([0], np.flatnonzero(
+        (a[1:] != a[:-1]) | (b[1:] != b[:-1])) + 1))
+    sums = np.add.reduceat(cnt, starts)
+    a0, b0, na0, nb0 = a[starts], b[starts], na[starts], nb[starts]
+    union = na0 + nb0 - sums
+    jac = np.where(union > 0, sums / np.maximum(union, 1), 0.0)
+    keep = jac >= tau
+    return pa.table({"a": pa.array(a0[keep], type=pa.int64()),
+                     "b": pa.array(b0[keep], type=pa.int64()),
+                     "jaccard": pa.array(jac[keep], type=pa.float64())})
+
+
+def simhash_bucket_pairs(g: pa.Table, max_hamming: int = 3) -> pa.Table:
+    """(a, b, hamming ≤ max) pairs over ALL (chunk, chunk_val) groups in
+    one bucket — sorted-run iteration, xor-popcount per group."""
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "hamming": pa.array([], type=pa.int64())})
+    chunk = g["chunk"].to_numpy()
+    val = g["chunk_val"].to_numpy()
+    doc = g["doc_id"].to_numpy()
+    sig = g["simhash"].to_numpy().astype(np.uint64)
+    order = np.lexsort((doc, val, chunk))
+    c_s, v_s, d_s, s_s = chunk[order], val[order], doc[order], sig[order]
+    bounds = np.concatenate((
+        [0], np.flatnonzero((c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])) + 1,
+        [len(d_s)]))
+    out_a, out_b, out_h = [], [], []
+    for gi in range(len(bounds) - 1):
+        lo, hi = bounds[gi], bounds[gi + 1]
+        n = hi - lo
+        if n < 2:
+            continue
+        iu, ju = np.triu_indices(n, k=1)
+        ham = _popcount64(s_s[lo:hi][iu] ^ s_s[lo:hi][ju])
+        keep = ham <= max_hamming
+        if not keep.any():
+            continue
+        a, b = d_s[lo:hi][iu][keep], d_s[lo:hi][ju][keep]
+        lo_, hi_ = np.minimum(a, b), np.maximum(a, b)
+        ne = lo_ != hi_
+        out_a.append(lo_[ne])
+        out_b.append(hi_[ne])
+        out_h.append(ham[keep][ne])
+    if not out_a:
+        return empty
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    h = np.concatenate(out_h)
+    order2 = np.lexsort((b, a))
+    return pa.table({"a": pa.array(a[order2], type=pa.int64()),
+                     "b": pa.array(b[order2], type=pa.int64()),
+                     "hamming": pa.array(h[order2], type=pa.int64())})
+
+
 def minhash_batch(batch: pa.Table, text_column: str = "text",
                   id_column: str = "doc_id") -> pa.Table:
     """Per-doc 64-perm MinHash signature + 16 band keys (4 rows/band).

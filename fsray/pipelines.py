@@ -494,50 +494,39 @@ def dedup_exact(sf_dir: str) -> pa.Table:
 
 
 def _jaccard_pairs_distributed(sf_dir: str, tau: float) -> pa.Table:
-    """shingle rows → groupby(shingle) pair emit → groupby(pair) count →
-    exact Jaccard filter.  (The wide step is the shingle groupby; hot
-    shingles capped — see fsray.dedup.jaccard_pairs_from_shingles.)"""
-    from ray.data.aggregate import Count, Max
+    """shingle rows → bucketed groupby pair-count combiner → groupby(pair)
+    sum → exact Jaccard filter.
 
-    from fsray.dedup import shingle_batch
-    sh = _docs_ds(sf_dir).map_batches(shingle_batch, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        docs = g["doc_id"].to_numpy()
-        sizes = g["n_shingles"].to_numpy()
-        order = np.argsort(docs, kind="stable")
-        docs, sizes = docs[order], sizes[order]
-        n = len(docs)
-        # NO hot-shingle cap here: this lane is compared against a capless
-        # SQL oracle, so intersection counts must be exact.  (A df cap is
-        # the documented scale lever — fsray.dedup.jaccard_pairs_from_shingles
-        # — and intentionally diverges from exact Jaccard when used.)
-        if n < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64()),
-                             "na": pa.array([], type=pa.int64()),
-                             "nb": pa.array([], type=pa.int64())})
-        iu, ju = np.triu_indices(n, k=1)
-        return pa.table({"a": pa.array(docs[iu], type=pa.int64()),
-                         "b": pa.array(docs[ju], type=pa.int64()),
-                         "na": pa.array(sizes[iu], type=pa.int64()),
-                         "nb": pa.array(sizes[ju], type=pa.int64())})
-
-    pairs = sh.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
-    agg = pairs.groupby(["a", "b"]).aggregate(Count(), Max("na"), Max("nb")).to_pandas()
-    if len(agg) == 0:
-        return pa.table({"a": pa.array([], type=pa.int64()),
-                         "b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    inter = agg["count()"].to_numpy().astype(np.int64)
-    union = agg["max(na)"].to_numpy() + agg["max(nb)"].to_numpy() - inter
-    jac = inter / union
-    keep = jac >= tau
-    out = agg[keep].assign(jaccard=jac[keep]).sort_values(["a", "b"])
+    The wide step is the shingle groupby, pre-hashed into
+    NUM_GROUP_BUCKETS buckets so each ``map_groups`` call vectorizes over
+    ALL its shingle groups (per-shingle map_groups paid a Python call per
+    group — measured 20 s vs ~2 s at sf0.1).  NO hot-shingle cap: this
+    lane is compared against a capless SQL oracle (the df cap —
+    fsray.dedup.jaccard_pairs_from_shingles — is the documented scale
+    lever and intentionally diverges)."""
+    from fsray.dedup import (add_group_bucket, jaccard_combine_bucket,
+                             jaccard_pair_counts, shingle_batch)
+    sh = (_docs_ds(sf_dir)
+          .map_batches(shingle_batch, batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(lambda b: add_group_bucket(b, ["shingle"]),
+                       batch_format="pyarrow"))
+    pairs = sh.groupby("bucket").map_groups(jaccard_pair_counts,
+                                            batch_format="pyarrow")
+    # second bucketed exchange keyed by (a, b): every partial of a pair
+    # lands in one bucket, so the reduce is a vectorized in-bucket
+    # sort+reduceat with the τ threshold applied before anything leaves
+    # the cluster (a Ray aggregate over |pairs| tiny groups cost 24 s)
+    final = (pairs
+             .map_batches(lambda t: add_group_bucket(t, ["a", "b"]),
+                          batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(lambda t: jaccard_combine_bucket(t, tau),
+                         batch_format="pyarrow"))
+    out = final.to_pandas().sort_values(["a", "b"])
     return pa.table({"a": pa.array(out["a"].astype("int64"), type=pa.int64()),
                      "b": pa.array(out["b"].astype("int64"), type=pa.int64()),
-                     "jaccard": pa.array(out["jaccard"], type=pa.float64())})
+                     "jaccard": pa.array(out["jaccard"].astype("float64"),
+                                         type=pa.float64())})
 
 
 def dedup_ngram_jaccard(sf_dir: str) -> pa.Table:
@@ -554,12 +543,15 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
     test, so only candidate shingles ever reach the driver."""
     import ray
 
-    from fsray.dedup import (candidate_pairs_from_buckets, minhash_batch,
-                             shingle_batch)
-    b_ds = _docs_ds(sf_dir).map_batches(minhash_batch, batch_format="pyarrow",
-                                        zero_copy_batch=True)
-
-    cand = b_ds.groupby(["band", "band_key"]).map_groups(
+    from fsray.dedup import (add_group_bucket, candidate_pairs_from_buckets,
+                             minhash_batch, shingle_batch)
+    b_ds = (_docs_ds(sf_dir)
+            .map_batches(minhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(lambda b: add_group_bucket(b, ["band", "band_key"]),
+                         batch_format="pyarrow"))
+    # bucketed LSH-bucket groupby: candidate_pairs_from_buckets vectorizes
+    # over every (band, band_key) group inside one hash bucket
+    cand = b_ds.groupby("bucket").map_groups(
         candidate_pairs_from_buckets, batch_format="pyarrow")
     cand_pd = cand.to_pandas().drop_duplicates()
     cand_set = sorted(zip(cand_pd["a"].astype(int), cand_pd["b"].astype(int)))
@@ -606,12 +598,15 @@ def dedup_simhash(sf_dir: str) -> pa.Table:
     ``groupby((chunk, chunk_val))`` pair emit (pigeonhole guarantees every
     ≤3-distance pair shares a chunk) → output-sized dedupe.  No driver
     materialization of the signature table."""
-    from fsray.dedup import simhash_batch, simhash_chunk_batch, simhash_group_pairs
+    from fsray.dedup import (add_group_bucket, simhash_batch,
+                             simhash_bucket_pairs, simhash_chunk_batch)
     pairs = (_docs_ds(sf_dir)
              .map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
              .map_batches(simhash_chunk_batch, batch_format="pyarrow")
-             .groupby(["chunk", "chunk_val"])
-             .map_groups(simhash_group_pairs, batch_format="pyarrow"))
+             .map_batches(lambda b: add_group_bucket(b, ["chunk", "chunk_val"]),
+                          batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(simhash_bucket_pairs, batch_format="pyarrow"))
     out = pairs.to_pandas().drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
     return pa.table({"a": pa.array(out["a"].astype("int64"), type=pa.int64()),
                      "b": pa.array(out["b"].astype("int64"), type=pa.int64()),
