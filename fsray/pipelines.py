@@ -356,12 +356,20 @@ def bm25_set_filter(sf_dir: str, k: int = 10) -> pa.Table:
     })
 
 
+#: driver-lane chunk geometry: the testdata docs are ≤ 577 bytes, so the
+#: reference 768/96 default would make every doc a single chunk — 200/32
+#: exercises the multi-chunk overlap path against an exact SQL oracle
+CHUNK_MAX, CHUNK_OVERLAP = 200, 32
+
+
 def chunk_documents(sf_dir: str) -> pa.Table:
     """Char-boundary chunker over documents (flat_map stage; reference:
-    lexical_pipeline.rs chunk_text 768/96 byte windows)."""
+    lexical_pipeline.rs chunk_text byte windows, floored to char
+    boundaries — the testdata is ASCII so byte == char for the oracle)."""
     from fsray.chunker import chunk_batch
-    ds = _docs_ds(sf_dir).map_batches(chunk_batch, batch_format="pyarrow",
-                                      zero_copy_batch=True)
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: chunk_batch(b, max_chars=CHUNK_MAX, overlap_chars=CHUNK_OVERLAP),
+        batch_format="pyarrow", zero_copy_batch=True)
     out = ds.to_pandas().sort_values(["doc_id", "chunk_ordinal"])
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -393,6 +401,11 @@ def events_sessionize(sf_dir: str) -> pa.Table:
 def events_asof_orders(sf_dir: str) -> pa.Table:
     from fsray.windows import asof_join_orders
     return asof_join_orders(sf_dir)
+
+
+def events_range_join(sf_dir: str) -> pa.Table:
+    from fsray.windows import range_join_recent_events
+    return range_join_recent_events(sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -789,6 +802,22 @@ def hybrid_rrf(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 # multimodal lane
 
+def multimodal_frames(sf_dir: str) -> pa.Table:
+    """Video-frame-sampling plumbing: the flat_map-shaped actor stage (one
+    payload → n_frames pseudo-frame rows with deterministic offsets)."""
+    from fsray.multimodal import SampleFrames, text_as_media_batch
+    ds = (_docs_ds(sf_dir)
+          .map_batches(text_as_media_batch, batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(SampleFrames, batch_format="pyarrow", batch_size=64,
+                       concurrency=2))
+    out = ds.to_pandas().sort_values(["media_id", "frame"])
+    return pa.table({
+        "media_id": pa.array(out["media_id"].astype("int64"), type=pa.int64()),
+        "frame": pa.array(out["frame"].astype("int64"), type=pa.int64()),
+        "byte_offset": pa.array(out["byte_offset"].astype("int64"), type=pa.int64()),
+    })
+
+
 def multimodal_meta(sf_dir: str) -> pa.Table:
     """Binary-payload plumbing end-to-end: text bytes as opaque payloads →
     actor-pool decode stub → typed metadata.  Actor pool via callable class
@@ -832,6 +861,7 @@ def make_queries() -> dict:
         "events_tumbling_window": events_tumbling_window,
         "events_sessionize": events_sessionize,
         "events_asof_orders": events_asof_orders,
+        "events_range_join": events_range_join,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -843,6 +873,7 @@ def make_queries() -> dict:
         "ann_hnsw": ann_hnsw,
         "hybrid_rrf": hybrid_rrf,
         "multimodal_meta": multimodal_meta,
+        "multimodal_frames": multimodal_frames,
     })
     return q
 
@@ -972,6 +1003,30 @@ SELECT user_id, session, min(tus) // 1000000 AS start_s, max(tus) // 1000000 AS 
        count(*) AS n_events
 FROM s2 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+    # chunker oracle (ASCII corpus ⇒ byte == char): chunk k exists iff
+    # k == 0 (non-empty doc) or stride·(k-1) + max < n; stride = max - overlap
+    stride = CHUNK_MAX - CHUNK_OVERLAP
+    o["chunk_documents"] = f"""
+WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+ks AS (SELECT doc_id, text, n,
+              unnest(range(0, CAST(ceil(n / {stride}.0) AS BIGINT) + 1)) AS k
+       FROM d WHERE n > 0)
+SELECT doc_id, k AS chunk_ordinal, {stride} * k AS byte_start,
+       least({stride} * k + {CHUNK_MAX}, n) AS byte_end,
+       CAST(len(list_filter(regexp_split_to_array(
+              substr(text, CAST({stride} * k + 1 AS BIGINT),
+                     least({stride} * k + {CHUNK_MAX}, n) - {stride} * k),
+              '[^0-9A-Za-z_./:-]+'), x -> x <> '')) AS BIGINT) AS token_count
+FROM ks WHERE k = 0 OR {stride} * (k - 1) + {CHUNK_MAX} < n
+ORDER BY doc_id, chunk_ordinal"""
+
+    o["events_range_join"] = """
+SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_recent
+FROM events e JOIN events o
+  ON o.user_id = e.user_id
+ AND o.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+GROUP BY e.event_id ORDER BY e.event_id"""
+
     o["events_asof_orders"] = """
 SELECT e.event_id, COALESCE(epoch_us(o.o_orderdate) // 1000000, -1) AS asof_order_date_s
 FROM events e ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
@@ -1022,6 +1077,12 @@ SELECT i.doc_id,
        COALESCE(1.0 / (60 + l.rn), 0.0) + COALESCE(1.0 / (60 + s.rn), 0.0) AS rrf_score
 FROM ids i LEFT JOIN lex l ON l.doc_id = i.doc_id LEFT JOIN sem s ON s.doc_id = i.doc_id
 ORDER BY rrf_score DESC, i.doc_id ASC"""
+
+    o["multimodal_frames"] = """
+SELECT d.doc_id AS media_id, f.frame,
+       (octet_length(encode(d.text)) * f.frame) // 4 AS byte_offset
+FROM documents d CROSS JOIN (SELECT unnest(range(0, 4)) AS frame) f
+ORDER BY media_id, frame"""
 
     o["multimodal_meta"] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -105,6 +105,56 @@ def sessionize(sf_dir: str, gap_sec: int = 1800) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def range_join_recent_events(sf_dir: str, window_sec: int = 3600) -> pa.Table:
+    """Per event: how many same-user events fall in ``[ts - window, ts]``
+    (inclusive both ends; each event counts itself ⇒ ≥ 1).
+
+    The co-located range join the Dataset API lacks: rows are pre-hashed
+    by user into group buckets and reduced with a vectorized per-user
+    ``searchsorted`` inside ``groupby(bucket)`` — nothing is broadcast and
+    the big side never reaches the driver (the shape that holds when both
+    join sides are large; contrast asof_join_orders' broadcast build
+    side).  A two-table variant tags each side with a ``kind`` column
+    before the union — identical reduce."""
+    from fsray.dedup import add_group_bucket
+    win_us = np.int64(window_sec) * US_PER_SEC
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"].combine_chunks().cast(pa.int64()),
+            "t": b["ts"].combine_chunks().cast(pa.int64()),
+            "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+        })
+
+    both = (_events_ds(sf_dir)
+            .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(lambda b: add_group_bucket(b, ["user_id"]),
+                         batch_format="pyarrow"))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        user = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((t, user))
+        u_s, t_s, e_s = user[order], t[order], eid[order]
+        bounds = np.concatenate(([0], np.flatnonzero(u_s[1:] != u_s[:-1]) + 1,
+                                 [len(u_s)]))
+        out_eid, out_cnt = [], []
+        for gi in range(len(bounds) - 1):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            times = t_s[lo:hi]  # sorted per user
+            cnt = (np.searchsorted(times, times, side="right")
+                   - np.searchsorted(times, times - win_us, side="left"))
+            out_eid.append(e_s[lo:hi])
+            out_cnt.append(cnt.astype(np.int64))
+        return pa.table({"event_id": pa.array(np.concatenate(out_eid), type=pa.int64()),
+                         "n_recent": pa.array(np.concatenate(out_cnt), type=pa.int64())})
+
+    out = (both.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+           .to_pandas().sort_values("event_id"))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def asof_join_orders(sf_dir: str) -> pa.Table:
     """For each event: the user's latest order at-or-before the event time.
 

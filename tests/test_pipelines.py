@@ -124,3 +124,40 @@ def test_ann_hnsw_recall_vs_bruteforce():
         got = set(hn[hn["query_id"] == q]["neighbor_id"])
         recalls.append(len(want & got) / max(1, len(want)))
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_range_join_matches_duckdb_and_boundaries():
+    """Co-located range join (union + bucketed per-user searchsorted):
+    counts match SQL BETWEEN exactly, including both inclusive ends."""
+    import duckdb
+
+    from fsray.pipelines import events_range_join, make_oracle_sql
+    mine = events_range_join(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    orc = con.sql(make_oracle_sql()["events_range_join"]).df()
+    assert len(mine) == len(orc)
+    m = mine.sort_values("event_id").reset_index(drop=True)
+    r = orc.sort_values("event_id").reset_index(drop=True)
+    assert (m["event_id"].to_numpy() == r["event_id"].to_numpy()).all()
+    assert (m["n_recent"].to_numpy() == r["n_recent"].to_numpy()).all()
+    assert (m["n_recent"] >= 1).all()      # each event counts itself
+    assert m["n_recent"].max() > 1         # the window actually groups
+
+
+def test_chunk_overlap_geometry():
+    """Driver chunk geometry (200/32): consecutive chunks overlap exactly
+    32 bytes and ordinals are dense per doc."""
+    from fsray.pipelines import CHUNK_MAX, CHUNK_OVERLAP, chunk_documents
+    out = chunk_documents(SF_DIR).to_pandas()
+    multi = out.groupby("doc_id").size()
+    assert (multi > 1).any()
+    for doc_id, grp in out.groupby("doc_id"):
+        g = grp.sort_values("chunk_ordinal")
+        assert list(g["chunk_ordinal"]) == list(range(len(g)))
+        starts = g["byte_start"].to_numpy()
+        ends = g["byte_end"].to_numpy()
+        if len(g) > 1:
+            assert ((ends[:-1] - starts[1:]) == CHUNK_OVERLAP).all()
+            assert ((ends[:-1] - starts[:-1]) == CHUNK_MAX).all()
