@@ -106,6 +106,18 @@ def cass_prefix_search(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def string_range_scan(sf_dir: str) -> pa.Table:
+    """Term-dictionary string range over the keyword field:
+    ``src_kw:[src12 TO src16}`` — inclusive lower, EXCLUSIVE upper
+    (RangeStr mixed bounds, fixture query-default-string-range-mixed-
+    bounds).  Output: sorted matched doc_id set."""
+    idx = documents_index(sf_dir)
+    hits, _ = idx.search_paginated("src_kw:[src12 TO src16}",
+                                   limit=1_000_000, exact_count=True)
+    ids = sorted(int(h.doc_id) for h in hits)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 KEYWORD_VALUE = "src7"
 
 
@@ -849,6 +861,7 @@ def make_queries() -> dict:
         "bm25_set_filter": bm25_set_filter,
         "cass_prefix_search": cass_prefix_search,
         "keyword_lookup": keyword_lookup,
+        "string_range_scan": string_range_scan,
         "chunk_documents": chunk_documents,
         "search_snippets": search_snippets,
         "doc_token_counts": doc_token_counts,
@@ -930,6 +943,12 @@ ORDER BY doc_id"""
 
     o["keyword_lookup"] = f"""
 SELECT doc_id FROM documents WHERE source = '{KEYWORD_VALUE}' ORDER BY doc_id"""
+
+    # string range over the raw keyword terms: byte-lexicographic order on
+    # both sides (Arrow term sort == DuckDB binary collation for ASCII)
+    o["string_range_scan"] = """
+SELECT doc_id FROM documents
+WHERE source >= 'src12' AND source < 'src16' ORDER BY doc_id"""
 
     o["doc_token_counts"] = f"""
 WITH {_toks2_sql()},

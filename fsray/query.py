@@ -88,6 +88,35 @@ class SetClause:
 
 
 @dataclass(frozen=True)
+class StrRangeClause:
+    """String range over a field's TERM DICTIONARY —
+    ``field:[a TO m}`` with ``[``/``]`` inclusive and ``{``/``}``
+    exclusive bounds (fixture query-default-string-range-mixed-bounds;
+    RangeStr).  Bound values are normalized by the field's analyzer
+    (lowercased for text fields, raw for keyword fields); ``*`` is
+    unbounded.  Matches docs holding ANY term in the range; ConstScorer
+    1.0 like the numeric leaves."""
+    field: str
+    lo: str | None
+    hi: str | None
+    lo_inc: bool = True
+    hi_inc: bool = True
+    negate: bool = False
+    positional: bool = False
+
+
+@dataclass(frozen=True)
+class StrSetClause:
+    """String set ``field:IN[a b c]`` / ``field:IN(a,b)`` with non-numeric
+    values (fixture query-default-string-set-stable-dedup — values keep
+    stable source order after exact duplicate removal)."""
+    field: str
+    values: tuple[str, ...]
+    negate: bool = False
+    positional: bool = False
+
+
+@dataclass(frozen=True)
 class PhraseClause:
     """A quoted phrase scoped to one field (reference: query.rs quoted
     phrases; scorer semantics PLAN.md §8.3 pinned to Tantivy 0.26.1
@@ -311,36 +340,66 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                                         atom=aid, slop=slop, prefix=pprefix))
         return [aid]
 
+    def _norm_bound(field: str, v: str) -> str:
+        """Bound values pass through the field's normalizer: raw for
+        keyword fields, ASCII-lowercase otherwise (fixture
+        query-default-string-range-mixed-bounds: 'A' → 'a')."""
+        return v if field in keyword_fields else v.lower()
+
     def try_range(atom: str, negate: bool, positional: bool = False) -> int | None:
-        """Detect field:[a TO b] / field:IN(...) filters; append and return
-        the clause's index in ``ranges`` when the atom was consumed."""
+        """Detect ``field:[a TO b]`` (mixed ``[``/``{`` inclusive/exclusive
+        bounds; numeric → fast-field RangeClause, else term-dictionary
+        StrRangeClause), ``field:IN(...)`` and ``field:IN[a b]`` filters;
+        append and return the clause's index in ``ranges``."""
         if ":" not in atom:
             return None
         head, _, rest = atom.partition(":")
-        if rest.startswith("[") and rest.endswith("]"):
+        if rest[:1] in "[{" and rest[-1:] in "]}":
             parts = rest[1:-1].split()
             if len(parts) == 3 and parts[1].upper() == "TO":
-                def _bound(s):
-                    if s == "*":
-                        return None
+                lo_inc, hi_inc = rest[0] == "[", rest[-1] == "]"
+                lo_s, hi_s = parts[0], parts[2]
+
+                def _num(s):
                     try:
                         return int(s)
                     except ValueError:
                         return None
-                ranges.append(RangeClause(head, _bound(parts[0]), _bound(parts[2]),
-                                          negate=negate, positional=positional))
+                numeric = all(s == "*" or _num(s) is not None for s in (lo_s, hi_s))
+                if numeric:
+                    # integer exclusive bounds tighten by 1 (i64 semantics)
+                    lo_v = None if lo_s == "*" else _num(lo_s) + (0 if lo_inc else 1)
+                    hi_v = None if hi_s == "*" else _num(hi_s) - (0 if hi_inc else 1)
+                    ranges.append(RangeClause(head, lo_v, hi_v,
+                                              negate=negate, positional=positional))
+                else:
+                    ranges.append(StrRangeClause(
+                        head,
+                        _norm_bound(head, lo_s) if lo_s != "*" else None,
+                        _norm_bound(head, hi_s) if hi_s != "*" else None,
+                        lo_inc=lo_inc, hi_inc=hi_inc,
+                        negate=negate, positional=positional))
                 return len(ranges) - 1
         if rest.upper().startswith("IN(") and rest.endswith(")"):
+            raw_vals = [v.strip() for v in rest[3:-1].split(",") if v.strip()]
             try:
                 # stable duplicate removal (fixture
                 # query-default-string-set-stable-dedup)
-                vals = tuple(dict.fromkeys(
-                    int(v) for v in rest[3:-1].split(",") if v.strip()))
+                vals = tuple(dict.fromkeys(int(v) for v in raw_vals))
                 ranges.append(SetClause(head, vals, negate=negate,
                                         positional=positional))
-                return len(ranges) - 1
             except ValueError:
-                pass
+                svals = tuple(dict.fromkeys(_norm_bound(head, v)
+                                            for v in raw_vals))
+                ranges.append(StrSetClause(head, svals, negate=negate,
+                                           positional=positional))
+            return len(ranges) - 1
+        if rest.upper().startswith("IN[") and rest.endswith("]"):
+            svals = tuple(dict.fromkeys(_norm_bound(head, v)
+                                        for v in rest[3:-1].split() if v))
+            ranges.append(StrSetClause(head, svals, negate=negate,
+                                       positional=positional))
+            return len(ranges) - 1
         return None
 
     def field_scope(atom: str) -> tuple[str | None, str]:
@@ -421,12 +480,43 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                     inner -= 1
             j += 1
         atom = text[i:j]
-        # a range atom "field:[a TO b]" spans whitespace — extend to ']'
-        if "[" in atom and "]" not in atom and ":" in atom.split("[")[0]:
-            close = text.find("]", j)
-            if close != -1:
+        # a range atom "field:[a TO b]" (or mixed-bound "{a TO b}")
+        # spans whitespace — extend to the nearest closer
+        _op = min((p for p in (atom.find("["), atom.find("{")) if p != -1),
+                  default=-1)
+        if (_op != -1 and not any(c in atom[_op:] for c in "]}")
+                and (":" in atom[:_op] or (depth and _op == 0))):
+            # ':' form is the scoped atom; a bare '['/'{' opener inside a
+            # field-scoped group is a typed leaf taking the group's scope
+            # (fixture query-default-field-scoped-typed-leaves)
+            closes = [p for p in (text.find("]", j), text.find("}", j))
+                      if p != -1]
+            if closes:
+                close = min(closes)
                 atom = text[i:close + 1]
                 j = close + 1
+        # merge the spaced set form: "field: IN [a b]" / a bare "IN [z]"
+        # inside a scoped group (fixture query-default-string-set-stable-dedup)
+        def _skip_ws(k: int) -> int:
+            while k < n and is_ws(text[k]):
+                k += 1
+            return k
+        if atom.endswith(":"):
+            k = _skip_ws(j)
+            if text[k:k + 2].upper() == "IN":
+                k2 = _skip_ws(k + 2)
+                if k2 < n and text[k2] == "[":
+                    close = text.find("]", k2)
+                    if close != -1:
+                        atom = atom + "IN" + text[k2:close + 1]
+                        j = close + 1
+        elif atom.upper() == "IN" or atom.upper().endswith(":IN"):
+            k = _skip_ws(j)
+            if k < n and text[k] == "[":
+                close = text.find("]", k)
+                if close != -1:
+                    atom = atom + text[k:close + 1]
+                    j = close + 1
         # trailing ^<number> boosts the leaf (contract line 126: "`^`
         # boosts a leaf or group")
         boost = 1.0
@@ -557,7 +647,14 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
         if is_phrase:
             ids = emit_phrase(atom, "should", slop, pprefix, mult, scopes[-1])
         else:
-            ridx = try_range(atom, negate=False, positional=True)
+            probe = atom
+            if (scopes[-1] and ":" not in atom
+                    and (atom[:1] in "[{" or atom.upper().startswith("IN[")
+                         or atom.upper().startswith("IN("))):
+                # typed leaf inside a field-scoped group takes the scope
+                # (fixture query-default-field-scoped-typed-leaves)
+                probe = f"{scopes[-1]}:{atom}"
+            ridx = try_range(probe, negate=False, positional=True)
             if ridx is not None:
                 # typed leaf: the range/set is a positional tree node
                 # (query.rs:849-850,1223; fixture

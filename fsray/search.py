@@ -217,11 +217,42 @@ class ShardData:
 
     def spec_mask(self, rs: dict) -> np.ndarray:
         """Membership mask of ONE range/set spec over this shard's docid
-        range (negation not applied; unknown field matches nothing)."""
+        range (negation not applied; unknown field matches nothing).
+
+        Numeric kinds scan the NUMERIC fast columns; string kinds scan the
+        TERM DICTIONARY (sorted per field ⇒ the range is one contiguous
+        row run) and union the postings of every in-range term —
+        RangeStr/SetStr semantics (docs holding ANY matching term)."""
+        kind = rs["kind"]
+        if kind in ("str_range", "str_set"):
+            mask = np.zeros(self.size, dtype=bool)
+            ordn = self.fields.get(rs["field"])
+            if ordn is None or self.term_table is None:
+                return mask
+            if kind == "str_set":
+                for v in rs["values"]:
+                    dec = self.decode((ordn, v))
+                    if dec is not None:
+                        mask[dec.docids.astype(np.int64) - self.lo] = True
+                return mask
+            bounds = self._field_bounds.get(ordn)
+            if bounds is None:
+                return mask
+            start = (bounds[0] if rs["lo"] is None else
+                     self._term_bound(ordn, rs["lo"],
+                                      "left" if rs["lo_inc"] else "right"))
+            end = (bounds[1] if rs["hi"] is None else
+                   self._term_bound(ordn, rs["hi"],
+                                    "right" if rs["hi_inc"] else "left"))
+            for row in range(start, end):
+                dec = self.decode((ordn, self._tt_terms[row].as_py()))
+                if dec is not None:
+                    mask[dec.docids.astype(np.int64) - self.lo] = True
+            return mask
         vals = self.num.get(rs["field"])
         if vals is None:
             return np.zeros(self.size, dtype=bool)
-        if rs["kind"] == "range":
+        if kind == "range":
             m = np.ones(self.size, dtype=bool)
             if rs["lo"] is not None:
                 m &= vals >= rs["lo"]
@@ -229,6 +260,22 @@ class ShardData:
                 m &= vals <= rs["hi"]
             return m
         return np.isin(vals, np.asarray(rs["values"], dtype=np.int64))
+
+    def _term_bound(self, ordn: int, term: str, side: str) -> int:
+        """Binary-search row bound of ``term`` within a field's sorted run."""
+        bounds = self._field_bounds.get(ordn)
+        if bounds is None:
+            return 0
+        lo, hi = bounds
+        t = self._tt_terms
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = t[mid].as_py()
+            if v < term or (side == "right" and v == term):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
 
     def stored_values(self, docids: np.ndarray, column: str) -> list[str]:
         arr = self.stored.get(column)
@@ -402,11 +449,18 @@ def _clause_specs(parsed: ParsedQuery, manifest: dict, global_dfs: dict,
 
 
 def _range_spec(r) -> dict:
-    from fsray.query import RangeClause
+    from fsray.query import RangeClause, SetClause, StrRangeClause
     if isinstance(r, RangeClause):
         return {"kind": "range", "field": r.field, "lo": r.lo,
                 "hi": r.hi, "negate": r.negate}
-    return {"kind": "set", "field": r.field,
+    if isinstance(r, SetClause):
+        return {"kind": "set", "field": r.field,
+                "values": list(r.values), "negate": r.negate}
+    if isinstance(r, StrRangeClause):
+        return {"kind": "str_range", "field": r.field, "lo": r.lo,
+                "hi": r.hi, "lo_inc": r.lo_inc, "hi_inc": r.hi_inc,
+                "negate": r.negate}
+    return {"kind": "str_set", "field": r.field,
             "values": list(r.values), "negate": r.negate}
 
 

@@ -149,3 +149,87 @@ def test_keyword_in_boolean_and_negation(sf_dir):
     neg, _ = idx.search_paginated("spark -src_kw:src3", limit=10**6,
                                   exact_count=True)
     assert {int(h.doc_id) for h in neg} == sp - kw
+
+
+# ---- string ranges / sets over the term dictionary (RangeStr/SetStr) -----
+
+def test_string_range_mixed_bounds_keyword(sf_dir):
+    """src_kw:[src12 TO src16} — inclusive lower, exclusive upper over the
+    raw keyword terms."""
+    import duckdb
+
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    hits, total = idx.search_paginated("src_kw:[src12 TO src16}",
+                                       limit=10**6, exact_count=True)
+    con = duckdb.connect()
+    want = set(r[0] for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE source >= 'src12' AND source < 'src16'").fetchall())
+    assert want and {int(h.doc_id) for h in hits} == want and total == len(want)
+    # exclusive lower flips the boundary doc set
+    hits2, _ = idx.search_paginated("src_kw:{src12 TO src16]",
+                                    limit=10**6, exact_count=True)
+    want2 = set(r[0] for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE source > 'src12' AND source <= 'src16'").fetchall())
+    assert {int(h.doc_id) for h in hits2} == want2
+
+
+def test_string_range_over_text_field_terms(sf_dir):
+    """content:[wind TO wine] matches docs holding ANY token in the range
+    (dictionary scan, not raw-column compare)."""
+    import duckdb
+
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    hits, _ = idx.search_paginated("content:[wind TO wine]",
+                                   limit=10**6, exact_count=True)
+    con = duckdb.connect()
+    want = set(r[0] for r in con.sql(f"""
+        WITH toks AS (SELECT doc_id,
+            unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+          FROM read_parquet('{sf_dir}/documents.parquet'))
+        SELECT DISTINCT doc_id FROM toks
+        WHERE tok >= 'wind' AND tok <= 'wine'""").fetchall())
+    assert want and {int(h.doc_id) for h in hits} == want
+
+
+def test_string_set_and_spaced_in(sf_dir):
+    import duckdb
+
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    con = duckdb.connect()
+    want = set(r[0] for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE source IN ('src2', 'src9')").fetchall())
+    for q in ("src_kw:IN(src2,src9)", "src_kw:IN[src2 src9]",
+              "src_kw: IN [src2 src9 src2]"):
+        hits, _ = idx.search_paginated(q, limit=10**6, exact_count=True)
+        assert {int(h.doc_id) for h in hits} == want, q
+
+
+def test_string_range_as_typed_leaf_in_tree(sf_dir):
+    """(term AND strrange) OR term with the range as a positional leaf."""
+    import duckdb
+
+    from fsray.pipelines import documents_index
+    idx = documents_index(sf_dir)
+    con = duckdb.connect()
+    sp = {int(h.doc_id) for h in idx.search("spark", k=10**6)}
+    wi = {int(h.doc_id) for h in idx.search("window", k=10**6)}
+    rng = set(r[0] for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE source >= 'src12' AND source < 'src16'").fetchall())
+    hits, _ = idx.search_paginated(
+        "(spark AND src_kw:[src12 TO src16}) OR window",
+        limit=10**6, exact_count=True)
+    assert {int(h.doc_id) for h in hits} == (sp & rng) | wi
+    # scoped-group typed leaves execute too
+    hits2, _ = idx.search_paginated("src_kw:([src12 TO src16} OR IN [src2])",
+                                    limit=10**6, exact_count=True)
+    want2 = rng | set(r[0] for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE source = 'src2'").fetchall())
+    assert {int(h.doc_id) for h in hits2} == want2
