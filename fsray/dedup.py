@@ -510,6 +510,82 @@ def simhash_near_pairs(ids: np.ndarray, sigs: np.ndarray, max_hamming: int = 3) 
     return out
 
 
+#: embedding-LSH banding: P(bit agrees) = 1 - θ/π; at cos τ = 0.45
+#: (θ ≈ 63°) p ≈ 0.65, so 12 bands × 3 bits give ≈ 0.98 candidate recall
+#: at the threshold and → 1 above it, while pruning the low-similarity mass
+EMB_LSH_BANDS = 12
+EMB_LSH_BITS = 3
+
+
+def embedding_band_batch(batch: pa.Table, n_bands: int = EMB_LSH_BANDS,
+                         n_bits: int = EMB_LSH_BITS, seed: int = 42) -> pa.Table:
+    """Per-vector sign-band keys: one output row per (vector, band) with
+    the L2-normalized vector carried for in-bucket exact verification —
+    the LSH-bucketed scale path for embedding near-dup (the brute-force
+    lane's own docstring names this as its 100-TB answer): the all-pairs
+    matmul becomes per-bucket matmuls after a keyed shuffle; no broadcast
+    of the corpus."""
+    ids = batch["vec_id"].to_numpy().astype(np.int64)
+    flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // max(len(ids), 1)
+    mat = normalize_rows(flat.astype(np.float64).reshape(len(ids), dim))
+    rng = np.random.default_rng(seed)  # same planes in every task
+    planes = rng.standard_normal((dim, n_bands * n_bits))
+    bits = (mat @ planes > 0).astype(np.uint32).reshape(len(ids), n_bands, n_bits)
+    keys = (bits * (1 << np.arange(n_bits, dtype=np.uint32))).sum(axis=2)  # (n, bands)
+    n = len(ids)
+    # vector payload: fixed-size-list of float64, repeated per band
+    rep = np.repeat(np.arange(n), n_bands)
+    flat_rep = mat[rep].reshape(-1)
+    vec_col = pa.FixedSizeListArray.from_arrays(
+        pa.array(flat_rep, type=pa.float64()), dim)
+    return pa.table({
+        "vec_id": pa.array(ids[rep], type=pa.int64()),
+        "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n),
+                         type=pa.int64()),
+        "band_key": pa.array(keys.reshape(-1).astype(np.int64), type=pa.int64()),
+        "vec": vec_col,
+    })
+
+
+def embedding_bucket_pairs(g: pa.Table, tau: float) -> pa.Table:
+    """One hash bucket of (band, band_key) groups → exact-cosine-verified
+    near-dup pairs (a < b, cos ≥ tau).  Emitted pairs are EXACT (cosine
+    computed on the carried normalized vectors); only recall is subject to
+    the banding probability."""
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    band = g["band"].to_numpy()
+    key = g["band_key"].to_numpy()
+    ids = g["vec_id"].to_numpy()
+    vecs = g["vec"]
+    order = np.lexsort((ids, key, band))
+    b_s, k_s, i_s = band[order], key[order], ids[order]
+    flat = vecs.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // max(len(ids), 1)
+    m_s = flat.reshape(len(ids), dim)[order]
+    bounds = np.concatenate((
+        [0], np.flatnonzero((b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])) + 1,
+        [len(i_s)]))
+    pair_set: set[tuple[int, int]] = set()
+    for gi in range(len(bounds) - 1):
+        lo, hi = bounds[gi], bounds[gi + 1]
+        n = hi - lo
+        if n < 2:
+            continue
+        sims = m_s[lo:hi] @ m_s[lo:hi].T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= tau
+        for x, y in zip(i_s[lo:hi][iu[keep]], i_s[lo:hi][ju[keep]]):
+            if x != y:
+                pair_set.add((min(int(x), int(y)), max(int(x), int(y))))
+    if not pair_set:
+        return empty
+    arr = np.array(sorted(pair_set), dtype=np.int64)
+    return pa.table({"a": pa.array(arr[:, 0], type=pa.int64()),
+                     "b": pa.array(arr[:, 1], type=pa.int64())})
+
+
 def normalize_rows(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -666,6 +666,29 @@ def dedup_embedding_cosine(sf_dir: str) -> pa.Table:
                      "b": pa.array(out["b"].astype("int64"), type=pa.int64())})
 
 
+def dedup_embedding_lsh(sf_dir: str) -> pa.Table:
+    """Embedding near-dup via sign-band LSH buckets — the scale path for
+    ``dedup_embedding_cosine`` (no broadcast of the corpus: band keys
+    shuffle vectors into buckets, per-bucket matmuls verify exactly).
+    Approximate recall (banding); emitted pairs exact — rows-only driver
+    check, recall vs the exact lane asserted in tests."""
+    from fsray.dedup import (add_group_bucket, embedding_band_batch,
+                             embedding_bucket_pairs)
+    import ray.data as rd
+    ds = (rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+          .map_batches(embedding_band_batch, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .map_batches(lambda b: add_group_bucket(b, ["band", "band_key"]),
+                       batch_format="pyarrow")
+          .groupby("bucket")
+          .map_groups(lambda g: embedding_bucket_pairs(g, COSINE_TAU),
+                      batch_format="pyarrow"))
+    out = ds.to_pandas().drop_duplicates().sort_values(["a", "b"])
+    return pa.table({"a": pa.array(out["a"].astype("int64"), type=pa.int64()),
+                     "b": pa.array(out["b"].astype("int64"), type=pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # similarity search lane
 
@@ -880,6 +903,7 @@ def make_queries() -> dict:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,

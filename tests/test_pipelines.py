@@ -161,3 +161,18 @@ def test_chunk_overlap_geometry():
         if len(g) > 1:
             assert ((ends[:-1] - starts[1:]) == CHUNK_OVERLAP).all()
             assert ((ends[:-1] - starts[:-1]) == CHUNK_MAX).all()
+
+
+def test_embedding_lsh_dedup_precision_and_recall():
+    """LSH-bucketed embedding near-dup: every emitted pair is a TRUE pair
+    (exact in-bucket verification) and recall vs the exact broadcast lane
+    stays high (banding probability ≈ 0.98 at the τ boundary)."""
+    from fsray.pipelines import dedup_embedding_cosine, dedup_embedding_lsh
+    exact = dedup_embedding_cosine(SF_DIR).to_pandas()
+    lsh = dedup_embedding_lsh(SF_DIR).to_pandas()
+    exact_set = set(zip(exact["a"], exact["b"]))
+    lsh_set = set(zip(lsh["a"], lsh["b"]))
+    assert exact_set, "exact lane must find pairs at this sf"
+    assert lsh_set <= exact_set          # precision 1.0 (verified pairs)
+    recall = len(lsh_set & exact_set) / len(exact_set)
+    assert recall >= 0.8, (recall, len(exact_set))
