@@ -314,22 +314,20 @@ def _partial_postings(field_ord: int, tokens: pa.ListArray, docid_base: int,
     }, schema=_postings_schema())
 
 
-def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str) -> dict:
-    """Stage A for one partition (runs inside a Ray task). Resumable."""
-    _cap_worker_threads()
-    pidx = part["pidx"]
-    stats_path = os.path.join(index_dir, "partstats", f"part-{pidx:05d}.json")
-    done = read_json(stats_path)
-    if done is not None and done.get("fingerprint") == part["fingerprint"]:
-        done["skipped"] = True
-        return done
-
-    t0 = time.perf_counter()
-    pf = pq.ParquetFile(part["path"])
-    table = pf.read_row_groups(part["row_groups"], columns=spec.source_columns)
+def analyze_doc_batch(table: pa.Table, spec: CorpusSpec, cfg: BuildConfig,
+                      docid_base: int, shard: int, pidx: int,
+                      ) -> tuple[pa.Table, pa.Table, dict, int]:
+    """Tokenize + combine one in-memory doc batch (the pure core of stage
+    A).  Returns ``(staged_postings, idmap_table, field_stats,
+    postings_emitted)``.  ``run_partition`` wraps this with file IO and
+    resume markers; the delta lane (``fsray/delta.py``) runs it directly
+    on watch batches so a delta-resident document produces byte-identical
+    postings to a sealed one (the reference's delta≡sealed law,
+    PLAN.md §15.2)."""
+    table = table.select(spec.source_columns)
     n_rows = table.num_rows
     doc_ids = spec.doc_ids(table)
-    base = part["docid_base"]
+    base = docid_base
     docids = np.arange(base, base + n_rows, dtype=np.uint32)
 
     # per-row content sha256 witness (input invariant; BASELINE.json
@@ -375,7 +373,7 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
         # exact token counts per doc — compaction needs them to rewrite
         # the at-seal stats exactly (STATS recompute on segment rewrite)
         idmap_cols[f"tc_{f.name}"] = pa.array(counts, type=pa.uint32())
-        pt = _partial_postings(f.ord, toks, base, fn_ids, part["shard"], pidx,
+        pt = _partial_postings(f.ord, toks, base, fn_ids, shard, pidx,
                                cfg.num_buckets, positions=cfg.positions,
                                orig_positions=orig_pos)
         postings_tables.append(pt)
@@ -384,6 +382,26 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
         field_stats[f.name] = {"total_tokens": int(counts.sum()), "doc_count": n_rows}
 
     staged = pa.concat_tables(postings_tables) if postings_tables else _postings_schema().empty_table()
+    return staged, pa.table(idmap_cols), field_stats, n_postings
+
+
+def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str) -> dict:
+    """Stage A for one partition (runs inside a Ray task). Resumable."""
+    _cap_worker_threads()
+    pidx = part["pidx"]
+    stats_path = os.path.join(index_dir, "partstats", f"part-{pidx:05d}.json")
+    done = read_json(stats_path)
+    if done is not None and done.get("fingerprint") == part["fingerprint"]:
+        done["skipped"] = True
+        return done
+
+    t0 = time.perf_counter()
+    pf = pq.ParquetFile(part["path"])
+    table = pf.read_row_groups(part["row_groups"], columns=spec.source_columns)
+    staged, idmap, field_stats, n_postings = analyze_doc_batch(
+        table, spec, cfg, part["docid_base"], part["shard"], pidx)
+    n_rows = table.num_rows
+    base = part["docid_base"]
     # map-side hash shuffle: write this partition's partials pre-split by
     # bucket, so each stage-B reducer reads exactly its own files (an
     # explicit hash-partition exchange — no sort-based all-to-all operator;
@@ -404,7 +422,7 @@ def run_partition(part: dict, spec: CorpusSpec, cfg: BuildConfig, index_dir: str
             staged.slice(lo, hi - lo))
         written_buckets.append(b)
     atomic_write_parquet(os.path.join(index_dir, "idmap", f"part-{pidx:05d}.parquet"),
-                         pa.table(idmap_cols))
+                         idmap)
 
     summary = {
         "pidx": pidx, "fingerprint": part["fingerprint"], "rows": n_rows,
@@ -445,6 +463,23 @@ def merge_reducer(task: dict, index_dir: str, build_id: str) -> dict:
         atomic_write_json(marker, summary)
         return summary
     group = pa.concat_tables([pq.read_table(f) for f in files])
+    out = encode_posting_groups(group)
+    atomic_write_parquet(out_path, out)
+    summary = {
+        "shard": shard, "bucket": bucket, "build_id": build_id,
+        "terms": out.num_rows,
+        "postings": int(pc.sum(out["df"]).as_py() or 0),
+        "bytes": sum(out[c].nbytes for c in out.column_names),
+        "wall_sec": round(time.perf_counter() - t0, 4), "skipped": False,
+    }
+    atomic_write_json(marker, summary)
+    return summary
+
+
+def encode_posting_groups(group: pa.Table) -> pa.Table:
+    """merge=concat + block-encode posting partials into a termtable (the
+    pure core of stage B).  ``merge_reducer`` wraps it with file IO; the
+    delta lane encodes watch batches through the same kernel."""
     group = group.sort_by([("field", "ascending"), ("term", "ascending"), ("pidx", "ascending")])
     fields = group["field"].combine_chunks().to_numpy()
     terms = group["term"].combine_chunks()
@@ -489,16 +524,7 @@ def merge_reducer(task: dict, index_dir: str, build_id: str) -> dict:
         np.cumsum(pos_lengths, out=pos_off[1:])
         cols["positions"] = pa.LargeListArray.from_arrays(
             pa.array(pos_off, type=pa.int64()), pa.array(flat_poss, type=pa.uint32()))
-    out = pa.table(cols)
-    atomic_write_parquet(out_path, out)
-    summary = {
-        "shard": shard, "bucket": bucket, "build_id": build_id,
-        "terms": out.num_rows, "postings": int(lengths.sum()),
-        "bytes": sum(out[c].nbytes for c in out.column_names),
-        "wall_sec": round(time.perf_counter() - t0, 4), "skipped": False,
-    }
-    atomic_write_json(marker, summary)
-    return summary
+    return pa.table(cols)
 
 
 def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS,

@@ -52,18 +52,35 @@ class ShardData:
     arrays."""
 
     def __init__(self, index_dir: str, shard_id: int, manifest: dict):
-        self.shard_id = shard_id
-        info = manifest["shards"][str(shard_id)]
-        self.lo = int(info["docid_lo"])
-        self.hi = int(info["docid_hi"])
-        self.fields = {f["name"]: f["ord"] for f in manifest["fields"]}
-
         shard_dir = os.path.join(index_dir, "termtable", f"shard={shard_id:04d}")
         files = sorted(
             os.path.join(shard_dir, f) for f in os.listdir(shard_dir) if f.endswith(".parquet")
         ) if os.path.isdir(shard_dir) else []
-        if files:
-            tt = pa.concat_tables([pq.read_table(f) for f in files])
+        tt = pa.concat_tables([pq.read_table(f) for f in files]) if files else None
+        info = manifest["shards"][str(shard_id)]
+        idmap_files = [os.path.join(index_dir, "idmap", f"part-{pidx:05d}.parquet")
+                       for pidx in info["partitions"]]
+        im = pa.concat_tables([pq.read_table(f) for f in idmap_files])
+        self._setup(tt, im, manifest, shard_id,
+                    int(info["docid_lo"]), int(info["docid_hi"]))
+
+    @classmethod
+    def from_tables(cls, term_table: pa.Table | None, idmap: pa.Table,
+                    manifest: dict, shard_id: int, lo: int, hi: int) -> "ShardData":
+        """In-memory shard over already-built tables — the delta lane's
+        searchable mini-segment (reference delta.rs: a delta segment is
+        the same section layout resident in memory, PLAN.md §15.2)."""
+        obj = cls.__new__(cls)
+        obj._setup(term_table, idmap, manifest, shard_id, lo, hi)
+        return obj
+
+    def _setup(self, tt: pa.Table | None, im: pa.Table, manifest: dict,
+               shard_id: int, lo: int, hi: int) -> None:
+        self.shard_id = shard_id
+        self.lo = lo
+        self.hi = hi
+        self.fields = {f["name"]: f["ord"] for f in manifest["fields"]}
+        if tt is not None:
             # term dictionary = binary search over the (field, term)-sorted
             # columns (the reference's sorted, binary-searchable dictionary
             # design, grimoire.rs 4-KiB blocks) — no per-term Python dict
@@ -71,8 +88,6 @@ class ShardData:
             # startup at code-corpus vocab sizes)
             tt = tt.sort_by([("field", "ascending"), ("term", "ascending")]) \
                    .combine_chunks()
-        else:
-            tt = None
         self.term_table = tt
         self._decode_cache: dict[tuple[int, str], codec.DecodedTerm] = {}
         if tt is not None:
@@ -84,10 +99,7 @@ class ShardData:
                          int(np.searchsorted(self._tt_field, f, side="right")))
                 for f in np.unique(self._tt_field)}
 
-        # idmap + fieldnorms for the shard's partitions (dense over [lo, hi))
-        idmap_files = [os.path.join(index_dir, "idmap", f"part-{pidx:05d}.parquet")
-                       for pidx in info["partitions"]]
-        im = pa.concat_tables([pq.read_table(f) for f in idmap_files])
+        # idmap + fieldnorms (dense over [lo, hi))
         im = im.sort_by([("docid", "ascending")])
         self.doc_ids = im["doc_id"].combine_chunks()
         self.sha256 = im["content_sha256"].combine_chunks()
