@@ -139,6 +139,19 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         fn(sf_dir)
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # watch-mode update→searchable latency (QG-3 floor, §2.11): add a
+    # 1000-doc batch to the live index; the doc is searchable when add()
+    # returns (no rebuild).  Throwaway index — duplicates don't matter.
+    from fsray.build import DOCUMENTS, BuildConfig
+    from fsray.delta import WatchIndex
+    import pyarrow.parquet as _pq
+    w = WatchIndex(index_dir, DOCUMENTS, BuildConfig())
+    batch = _pq.read_table(os.path.join(sf_dir, "documents.parquet")).slice(0, 1000)
+    timings["x_watch_add_searchable_1k"] = w.add(batch, upsert=False)["searchable_sec"]
+    t0 = time.perf_counter()
+    w.search("stream merge", k=10)
+    timings["x_watch_first_query"] = round(time.perf_counter() - t0, 5)
+
     return {
         "metric": "fsray headline: index build + BM25 query p50 + training-data pipelines",
         "value": round(total, 4),

@@ -1,0 +1,247 @@
+"""Delta segments / watch mode: searchable-while-indexing (§2.11).
+
+The reference keeps a memory-resident *delta segment* that absorbs
+writes and is searchable immediately, then *seals* it into an immutable
+segment with byte-identical postings (frankensearch delta.rs; watch
+orchestration.rs:18-50; PLAN.md §15.2 "delta ≡ sealed" law).  Here the
+same lane is expressed over the Ray build kernels:
+
+- :func:`fsray.build.analyze_doc_batch` tokenizes a watch batch exactly
+  as stage A tokenizes a partition;
+- :func:`fsray.build.encode_posting_groups` block-encodes it exactly as
+  a stage-B reducer would — so the in-memory delta term table IS the
+  table ``seal()`` writes to disk (delta ≡ sealed by construction, not
+  by re-derivation);
+- :meth:`fsray.search.ShardData.from_tables` mounts it as one more
+  shard on the ordinary search surface.  Snapshot-global statistics
+  (N, avgdl, df) roll up over base + delta, so a document scores
+  bit-identically whether it is delta-resident or sealed (the
+  partition-geometry-independence law, Q1-OB3).
+
+Mutation semantics mirror the Keeper lane (`fsray/mutate.py`):
+upsert = tombstone(old) + append(new) with a fresh docid past the
+high-watermark (PLAN.md §7 Allocation); deletes are tombstones and
+never change surviving docs' scores (argus.rs:1434-1437).
+
+Distribution note: a WatchIndex is a *shared mutable index* — the one
+case the Dataset API can't express — so the Ray surface is a single
+:class:`WatchIndexActor` owning the delta (writes serialize through
+it), while sealed shards stay on the ordinary read-only
+``ShardSearcher`` actor pool.  At 100 TB the base index is built by the
+distributed lane; the delta only ever holds the unsealed tail (bounded
+by ``seal_rows``), so actor memory stays O(watch window), not O(corpus).
+"""
+
+from __future__ import annotations
+
+import copy
+import glob
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fsray.build import BuildConfig, CorpusSpec, analyze_doc_batch, encode_posting_groups
+from fsray.manifest import atomic_write_parquet, publish_manifest
+from fsray.search import LocalIndex, ShardData
+
+
+class WatchIndex(LocalIndex):
+    """A sealed base index plus searchable in-memory delta shards.
+
+    ``add()`` makes documents searchable in milliseconds (the QG-3
+    update→searchable floor); ``seal()`` persists the delta tables
+    verbatim and republishes the manifest atomically.  All search
+    entry points are inherited from :class:`LocalIndex` — the delta
+    shards are ordinary ``ShardData`` instances in ``self.shards``.
+    """
+
+    def __init__(self, index_dir: str, spec: CorpusSpec, cfg: BuildConfig | None = None,
+                 warm_top_terms: int = 32, seal_rows: int | None = None):
+        super().__init__(index_dir, warm_top_terms)
+        self.spec = spec
+        self.cfg = cfg or BuildConfig()
+        #: auto-seal watermark: delta rows beyond this trigger seal() on
+        #: the next add (bounds delta memory on an unattended watcher)
+        self.seal_rows = seal_rows
+        # session-local view: adds/upserts mutate this copy only; disk
+        # state changes exclusively through the atomic seal() publish
+        self.manifest = copy.deepcopy(self.manifest)
+        self._n_base_shards = len(self.shards)
+        self._delta: list[dict] = []  # per delta shard: {tt, idmap, stats}
+        self._delta_rows = 0
+
+    # the base class re-reads the on-disk manifest per search; a watch
+    # session OWNS its view (deltas + pending tombstones live here), so
+    # external republishes are picked up on the next fresh open instead
+    def _refresh_if_stale(self) -> None:
+        return
+
+    # ---- write path ----------------------------------------------------
+
+    def add(self, table: pa.Table, upsert: bool = True) -> dict:
+        """Index a batch of documents; searchable on return.
+
+        With ``upsert=True`` (the reference default), rows whose doc_id
+        already exists tombstone the prior version (old scores of OTHER
+        docs unchanged — at-seal stats semantics).  Returns a summary
+        with the update→searchable wall time.
+        """
+        t0 = time.perf_counter()
+        if table.num_rows == 0:
+            return {"rows": 0, "tombstoned": 0, "searchable_sec": 0.0}
+        tombstoned = self._tombstone_existing(self.spec.doc_ids(table)) if upsert else 0
+
+        watermark = max((sh.hi for sh in self.shards), default=0)
+        shard_id = 1 + max((sh.shard_id for sh in self.shards), default=-1)
+        staged, idmap, fstats, _ = analyze_doc_batch(
+            table, self.spec, self.cfg, watermark, shard_id, pidx=0)
+        tt = encode_posting_groups(staged) if staged.num_rows else None
+        lo, hi = watermark, watermark + table.num_rows
+        shard = ShardData.from_tables(tt, idmap, self.manifest, shard_id, lo, hi)
+        self.shards.append(shard)
+        self._delta.append({"tt": tt, "idmap": idmap, "shard_id": shard_id,
+                            "lo": lo, "hi": hi})
+        self._delta_rows += table.num_rows
+
+        # snapshot-global stats rollup (scores over base+delta must equal
+        # a fresh build of the union — the geometry-independence law)
+        self.manifest["shards"][str(shard_id)] = {
+            "docid_lo": lo, "docid_hi": hi, "partitions": []}
+        for fname, fs in fstats.items():
+            tgt = self.manifest["field_stats"].setdefault(
+                fname, {"doc_count": 0, "total_tokens": 0})
+            tgt["doc_count"] += fs["doc_count"]
+            tgt["total_tokens"] += fs["total_tokens"]
+        self.manifest["doc_count"] = self.manifest.get("doc_count", 0) + table.num_rows
+        self._cache.clear()
+        out = {"rows": table.num_rows, "tombstoned": tombstoned, "shard_id": shard_id,
+               "searchable_sec": round(time.perf_counter() - t0, 6)}
+        if self.seal_rows is not None and self._delta_rows >= self.seal_rows:
+            self.seal()
+        return out
+
+    def delete(self, doc_ids: list[str]) -> int:
+        """Tombstone by external id across base AND delta shards.
+
+        Session-local until seal() (the manifest tombstone republish);
+        unknown ids are ignored, like the reference's lenient delete."""
+        n = self._tombstone_existing(pa.array(sorted(set(doc_ids)), type=pa.string()))
+        self._cache.clear()
+        return n
+
+    def _tombstone_existing(self, wanted: pa.Array) -> int:
+        """Mark live docids whose doc_id is in ``wanted`` as tombstoned
+        (in-memory now; merged into the manifest at seal)."""
+        total = 0
+        for sh in self.shards:
+            mask = pc.is_in(sh.doc_ids, value_set=wanted)
+            hits = np.flatnonzero(mask.to_numpy(zero_copy_only=False)) + sh.lo
+            if len(hits) == 0:
+                continue
+            merged = np.union1d(sh.tombstones.astype(np.int64), hits)
+            total += len(merged) - len(sh.tombstones)
+            sh.tombstones = merged.astype(np.uint32)
+        return total
+
+    # ---- seal path -------------------------------------------------------
+
+    def seal(self) -> dict:
+        """Persist delta shards and tombstones; republish atomically.
+
+        The delta's encoded term table is written VERBATIM — a sealed
+        segment is byte-identical to its delta-resident form (the
+        delta≡sealed law), so a fresh :class:`LocalIndex` over the
+        republished manifest answers exactly like this WatchIndex.
+        """
+        next_pidx = 1 + max((int(p) for v in self.manifest["shards"].values()
+                             for p in v["partitions"]), default=-1)
+        for d in self._delta:
+            sid = d["shard_id"]
+            if d["tt"] is not None:
+                atomic_write_parquet(
+                    os.path.join(self.index_dir, "termtable",
+                                 f"shard={sid:04d}", "bucket=delta.parquet"),
+                    d["tt"])
+            pidx = next_pidx
+            next_pidx += 1
+            atomic_write_parquet(
+                os.path.join(self.index_dir, "idmap", f"part-{pidx:05d}.parquet"),
+                d["idmap"])
+            self.manifest["shards"][str(sid)]["partitions"] = [pidx]
+        # merge session tombstones (delete/upsert victims) into the manifest
+        tombs = {k: list(v) for k, v in self.manifest.get("tombstones", {}).items()}
+        for sh in self.shards:
+            if len(sh.tombstones):
+                tombs[str(sh.shard_id)] = [int(x) for x in sh.tombstones]
+        self.manifest["tombstones"] = tombs
+        self.manifest["avgdl"] = {
+            name: fs["total_tokens"] / max(1, fs["doc_count"])
+            for name, fs in self.manifest["field_stats"].items()}
+        self.manifest["generation"] = int(self.manifest.get("generation", 0)) + 1
+        publish_manifest(self.index_dir, self.manifest)
+        sealed = [d["shard_id"] for d in self._delta]
+        self._delta = []
+        self._delta_rows = 0
+        self._n_base_shards = len(self.shards)
+        self._mstat = self._manifest_stat()
+        return {"sealed_shards": sealed,
+                "generation": self.manifest["generation"]}
+
+    # ---- watch loop ------------------------------------------------------
+
+    def poll_directory(self, watch_dir: str, seen: set[str] | None = None,
+                       upsert: bool = True) -> tuple[set[str], int]:
+        """One watch tick: index any parquet file not in ``seen``
+        (reference orchestration.rs:18-50 directory watcher, expressed
+        as an explicit poll so callers own the cadence/actor).  Returns
+        the updated seen-set and rows indexed this tick."""
+        import pyarrow.parquet as pq
+        seen = set() if seen is None else set(seen)
+        rows = 0
+        for path in sorted(glob.glob(os.path.join(watch_dir, "*.parquet"))):
+            if path in seen:
+                continue
+            self.add(pq.read_table(path, columns=self.spec.source_columns),
+                     upsert=upsert)
+            rows += 1
+            seen.add(path)
+        return seen, rows
+
+
+class WatchIndexActor:
+    """Ray actor owning ONE WatchIndex: the shared-mutable-index case
+    where a raw actor is the right tool (writes serialize through the
+    actor's mailbox; readers call search on the same actor for
+    read-your-writes, or the sealed base via the ShardSearcher pool).
+
+    Usage::
+
+        Actor = ray.remote(WatchIndexActor)
+        w = Actor.remote(index_dir, spec)
+        ray.get(w.add.remote(batch))
+        hits = ray.get(w.search.remote("fn impl", 10))
+    """
+
+    def __init__(self, index_dir: str, spec: CorpusSpec,
+                 cfg: BuildConfig | None = None, seal_rows: int | None = None):
+        self.idx = WatchIndex(index_dir, spec, cfg, seal_rows=seal_rows)
+
+    def add(self, table: pa.Table, upsert: bool = True) -> dict:
+        return self.idx.add(table, upsert=upsert)
+
+    def delete(self, doc_ids: list[str]) -> int:
+        return self.idx.delete(doc_ids)
+
+    def seal(self) -> dict:
+        return self.idx.seal()
+
+    def search(self, text: str, k: int = 10, parser: str = "default") -> list[tuple[str, int, float]]:
+        return [(h.doc_id, h.docid, h.score)
+                for h in self.idx.search(text, k=k, parser=parser)]
+
+    def count(self, text: str) -> int:
+        _, total = self.idx.search_paginated(text, limit=1, exact_count=True)
+        return int(total or 0)

@@ -178,6 +178,51 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+#: watch-mode lane query (f64 conformance mode, plain bm25 oracle)
+WATCH_QUERY = ("stream merge", 10)
+
+_WATCH_CACHE: dict[str, "object"] = {}
+
+
+def watch_documents_index(sf_dir: str):
+    """Base build over the first 60% of ``documents``, then watch-adds of
+    the remaining rows in three delta batches (searchable immediately, no
+    rebuild — §2.11 delta segments).  Snapshot-global stats roll up over
+    base + delta, so the result is bit-identical to BM25 over ALL
+    documents — the driver oracle is the ordinary bm25 oracle SQL."""
+    if sf_dir not in _WATCH_CACHE:
+        import pyarrow.parquet as pq
+        from fsray.delta import WatchIndex
+        from fsray.manifest import atomic_write_parquet
+        tag = hashlib.sha256((sf_dir + ":watch").encode()).hexdigest()[:12]
+        cache_root = os.path.join("/tmp", "fsray_index_cache")
+        index_dir = os.path.join(cache_root, tag)
+        full = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        n_base = int(full.num_rows * 0.6)
+        base_src = os.path.join(cache_root, f"{tag}_base.parquet")
+        if not os.path.exists(base_src):
+            atomic_write_parquet(base_src, full.slice(0, n_base))
+        cfg = BuildConfig(partition_rows=1024, num_shards=4, num_buckets=16)
+        build_index([base_src], index_dir, DOCUMENTS, cfg)
+        w = WatchIndex(index_dir, DOCUMENTS, cfg)
+        rest = full.slice(n_base)
+        step = max(1, (rest.num_rows + 2) // 3)
+        for i in range(0, rest.num_rows, step):
+            w.add(rest.slice(i, step), upsert=False)
+        _WATCH_CACHE[sf_dir] = w
+    return _WATCH_CACHE[sf_dir]
+
+
+def watch_search(sf_dir: str, k: int = 10) -> pa.Table:
+    """Search the live base+delta WatchIndex (update→searchable lane)."""
+    idx = watch_documents_index(sf_dir)
+    hits = idx.search(WATCH_QUERY[0], k=k, dtype=np.float64)
+    return pa.table({
+        "doc_id": pa.array([int(h.doc_id) for h in hits], type=pa.int64()),
+        "score": pa.array([h.score for h in hits], type=pa.float64()),
+    })
+
+
 def _docs_ds(sf_dir: str):
     import ray.data as rd
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -882,6 +927,7 @@ def make_queries() -> dict:
         "bm25_phrase": bm25_phrase,
         "bm25_range_filter": bm25_range_filter,
         "bm25_set_filter": bm25_set_filter,
+        "watch_search": watch_search,
         "cass_prefix_search": cass_prefix_search,
         "keyword_lookup": keyword_lookup,
         "string_range_scan": string_range_scan,
@@ -938,6 +984,9 @@ def make_oracle_sql() -> dict:
     o = {}
     for name, (text, k) in BM25_QUERIES.items():
         o[name] = bm25_oracle_sql(text, k)
+
+    # watch lane ≡ BM25 over all documents (delta geometry independence)
+    o["watch_search"] = bm25_oracle_sql(*WATCH_QUERY)
 
     o["bm25_boolean"] = bm25_boolean_oracle_sql()
     o["bm25_boolean_range"] = bm25_boolean_range_oracle_sql()

@@ -1,0 +1,197 @@
+"""Delta segments / watch mode (§2.11).
+
+Pinned laws under test (reference delta.rs / PLAN.md §15.2):
+
+- **geometry independence**: base-build + watch-add ≡ one full build of
+  the union — same doc_ids, bit-identical f32 scores, same exact counts;
+- **delta ≡ sealed**: the parquet seal() writes is byte-identical to the
+  in-memory delta term table, and a fresh LocalIndex over the sealed
+  index answers exactly like the live WatchIndex;
+- **update→searchable**: an added doc is visible to the very next search
+  (read-your-writes), in milliseconds not a rebuild;
+- **upsert** = tombstone(old) + append(new) with a fresh docid;
+- **delete in watch**: survivors keep EXACTLY their pre-delete scores
+  (at-seal stats, argus.rs:1434-1437), excluded docs stay excluded
+  after seal.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fsray.build import CODE_CORPUS, BuildConfig, build_index
+from fsray.corpus import generate_code_corpus
+from fsray.delta import WatchIndex, WatchIndexActor
+from fsray.search import LocalIndex
+
+CFG = BuildConfig(partition_rows=128, num_shards=2, num_buckets=4)
+QUERIES = ["fn impl", "merge buffer", "parse config block", "fn -impl",
+           "impl AND buffer", "title:mod_7*"]
+
+
+def _build(tmp_path, table, name):
+    src = str(tmp_path / f"{name}.parquet")
+    pq.write_table(table, src, row_group_size=128)
+    d = str(tmp_path / f"idx_{name}")
+    build_index([src], d, CODE_CORPUS, CFG)
+    return d
+
+
+def _hits(idx, q):
+    return [(h.doc_id, h.score) for h in idx.search(q, k=50)]
+
+
+@pytest.fixture()
+def split_corpus(tmp_path):
+    table = generate_code_corpus(500, seed=11)
+    full_dir = _build(tmp_path, table, "full")
+    base_dir = _build(tmp_path, table.slice(0, 300), "base")
+    return {"table": table, "full": full_dir, "base": base_dir, "tmp": tmp_path}
+
+
+def test_watch_equals_full_build(split_corpus):
+    table = split_corpus["table"]
+    full = LocalIndex(split_corpus["full"])
+    w = WatchIndex(split_corpus["base"], CODE_CORPUS, CFG)
+    # two watch batches, docids continue past the base watermark in row
+    # order — identical global docid assignment to the full build
+    w.add(table.slice(300, 120), upsert=False)
+    w.add(table.slice(420, 80), upsert=False)
+    for q in QUERIES:
+        assert _hits(w, q) == _hits(full, q), q
+        _, cw = w.search_paginated(q, limit=1, exact_count=True)
+        _, cf = full.search_paginated(q, limit=1, exact_count=True)
+        assert cw == cf, q
+    # f64 oracle lane agrees too (stats rollup is exact, not approximate)
+    for q in QUERIES[:3]:
+        hw = [(h.doc_id, h.score) for h in w.search(q, k=20, dtype=np.float64)]
+        hf = [(h.doc_id, h.score) for h in full.search(q, k=20, dtype=np.float64)]
+        assert hw == hf, q
+
+
+def test_update_searchable_immediately(split_corpus):
+    w = WatchIndex(split_corpus["base"], CODE_CORPUS, CFG)
+    doc = pa.table({
+        "repo": ["watchrepo"], "path": ["src/zz.rs"], "commit": ["c1"],
+        "lang": ["rust"], "content": ["fn zzuniqwatchtoken() { impl }"],
+    })
+    summary = w.add(doc)
+    assert summary["rows"] == 1
+    # read-your-writes: the very next search sees the doc
+    hits = w.search("zzuniqwatchtoken", k=5)
+    assert [h.doc_id for h in hits] == ["watchrepo/src/zz.rs@c1"]
+    # the QG-3 floor is sub-second at any sane batch size; this 1-doc
+    # batch must be milliseconds
+    assert summary["searchable_sec"] < 1.0
+
+
+def test_seal_is_byte_identical_and_reloadable(split_corpus):
+    table = split_corpus["table"]
+    w = WatchIndex(split_corpus["base"], CODE_CORPUS, CFG)
+    w.add(table.slice(300, 200), upsert=False)
+    mem_tt = w._delta[0]["tt"]
+    before = {q: _hits(w, q) for q in QUERIES}
+    w.seal()
+    # delta ≡ sealed: the sealed file IS the in-memory table
+    sealed_files = glob.glob(os.path.join(
+        split_corpus["base"], "termtable", "shard=*", "bucket=delta.parquet"))
+    assert len(sealed_files) == 1
+    assert pq.read_table(sealed_files[0]).equals(mem_tt)
+    # a fresh open over the published manifest answers identically
+    fresh = LocalIndex(split_corpus["base"])
+    for q in QUERIES:
+        assert _hits(fresh, q) == before[q], q
+    # and the live WatchIndex keeps answering after seal
+    for q in QUERIES[:2]:
+        assert _hits(w, q) == before[q], q
+
+
+def test_upsert_tombstones_old_version(split_corpus):
+    table = split_corpus["table"]
+    w = WatchIndex(split_corpus["base"], CODE_CORPUS, CFG)
+    victim_id = CODE_CORPUS.doc_ids(table)[0].as_py()
+    new_doc = pa.table({
+        "repo": [table["repo"][0].as_py()], "path": [table["path"][0].as_py()],
+        "commit": [table["commit"][0].as_py()], "lang": ["rust"],
+        "content": ["fn replacedcontenttoken() {}"],
+    })
+    summary = w.add(new_doc, upsert=True)
+    assert summary["tombstoned"] == 1
+    hits = w.search("replacedcontenttoken", k=5)
+    assert [h.doc_id for h in hits] == [victim_id]
+    # the new docid is fresh (past the watermark), not the old one
+    assert hits[0].docid >= 300
+    # exactly one live version of the doc_id
+    _, total = w.search_paginated("replacedcontenttoken", limit=1, exact_count=True)
+    assert total == 1
+    # old content of the victim no longer matches under its old docid
+    for h in w.search("fn impl", k=300):
+        assert not (h.doc_id == victim_id and h.docid < 300)
+
+
+def test_delete_in_watch_preserves_survivor_scores(split_corpus):
+    w = WatchIndex(split_corpus["base"], CODE_CORPUS, CFG)
+    before = {q: _hits(w, q) for q in QUERIES}
+    victims = {h.doc_id for h in w.search("fn impl", k=5)}
+    n = w.delete(sorted(victims))
+    assert n == len(victims)
+    for q in QUERIES:
+        after = w.search(q, k=50)
+        assert not ({h.doc_id for h in after} & victims), q
+        before_scores = dict(before[q])
+        for h in after:
+            if h.doc_id in before_scores:
+                assert h.score == before_scores[h.doc_id], (q, h.doc_id)
+    # tombstones survive the seal (manifest republish)
+    w.seal()
+    fresh = LocalIndex(split_corpus["base"])
+    assert not ({h.doc_id for h in fresh.search("fn impl", k=50)} & victims)
+
+
+def test_multiple_seal_cycles(split_corpus):
+    table = split_corpus["table"]
+    w = WatchIndex(split_corpus["base"], CODE_CORPUS, CFG, seal_rows=150)
+    # auto-seal triggers once the delta tail passes seal_rows
+    w.add(table.slice(300, 100), upsert=False)
+    assert len(w._delta) == 1
+    w.add(table.slice(400, 100), upsert=False)  # 200 >= 150 -> sealed
+    assert len(w._delta) == 0
+    full = LocalIndex(split_corpus["full"])
+    fresh = LocalIndex(split_corpus["base"])
+    for q in QUERIES:
+        assert _hits(fresh, q) == _hits(full, q), q
+
+
+def test_poll_directory(split_corpus, tmp_path):
+    table = split_corpus["table"]
+    watch_dir = str(tmp_path / "incoming")
+    os.makedirs(watch_dir)
+    pq.write_table(table.slice(300, 100), os.path.join(watch_dir, "a.parquet"))
+    pq.write_table(table.slice(400, 100), os.path.join(watch_dir, "b.parquet"))
+    w = WatchIndex(split_corpus["base"], CODE_CORPUS, CFG)
+    seen, n = w.poll_directory(watch_dir)
+    assert n == 2 and len(seen) == 2
+    seen2, n2 = w.poll_directory(watch_dir, seen)
+    assert n2 == 0 and seen2 == seen
+    full = LocalIndex(split_corpus["full"])
+    for q in QUERIES:
+        assert _hits(w, q) == _hits(full, q), q
+
+
+def test_watch_actor_read_your_writes(split_corpus):
+    import ray
+    Actor = ray.remote(WatchIndexActor)
+    a = Actor.remote(split_corpus["base"], CODE_CORPUS, CFG)
+    doc = pa.table({
+        "repo": ["actorrepo"], "path": ["src/aa.rs"], "commit": ["c9"],
+        "lang": ["rust"], "content": ["fn actoruniqtoken() {}"],
+    })
+    ray.get(a.add.remote(doc))
+    hits = ray.get(a.search.remote("actoruniqtoken", 5))
+    assert [h[0] for h in hits] == ["actorrepo/src/aa.rs@c9"]
+    assert ray.get(a.count.remote("actoruniqtoken")) == 1
+    ray.kill(a)
