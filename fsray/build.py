@@ -53,7 +53,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from fsray import codec
-from fsray.manifest import atomic_write_json, atomic_write_parquet, publish_manifest, read_json
+from fsray.manifest import (atomic_write_json, atomic_write_parquet,
+                            publish_manifest, read_json, write_termtable)
 from fsray.tokenizer import tokenize_column, token_stats
 
 FORMAT_VERSION = 3
@@ -464,7 +465,7 @@ def merge_reducer(task: dict, index_dir: str, build_id: str) -> dict:
         return summary
     group = pa.concat_tables([pq.read_table(f) for f in files])
     out = encode_posting_groups(group)
-    atomic_write_parquet(out_path, out)
+    write_termtable(out_path, out)
     summary = {
         "shard": shard, "bucket": bucket, "build_id": build_id,
         "terms": out.num_rows,

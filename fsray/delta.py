@@ -44,7 +44,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from fsray.build import BuildConfig, CorpusSpec, analyze_doc_batch, encode_posting_groups
-from fsray.manifest import atomic_write_parquet, publish_manifest
+from fsray.manifest import atomic_write_parquet, publish_manifest, write_termtable
 from fsray.search import LocalIndex, ShardData
 
 
@@ -161,7 +161,7 @@ class WatchIndex(LocalIndex):
         for d in self._delta:
             sid = d["shard_id"]
             if d["tt"] is not None:
-                atomic_write_parquet(
+                write_termtable(
                     os.path.join(self.index_dir, "termtable",
                                  f"shard={sid:04d}", "bucket=delta.parquet"),
                     d["tt"])

@@ -34,7 +34,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from fsray import codec
-from fsray.manifest import atomic_write_parquet, load_manifest, publish_manifest
+from fsray.manifest import (atomic_write_parquet, load_manifest,
+                            publish_manifest, write_termtable)
 
 
 def _idmap_files(index_dir: str, manifest: dict, shard: str) -> list[str]:
@@ -193,7 +194,7 @@ def compact(index_dir: str) -> dict:
         shard_dir = os.path.join(index_dir, "termtable", f"shard={int(shard):04d}")
         for f in sorted(glob.glob(os.path.join(shard_dir, "*.parquet"))):
             t = pq.read_table(f)
-            atomic_write_parquet(f, _filter_termtable(t, dead_np))
+            write_termtable(f, _filter_termtable(t, dead_np))
         # exact stats delta from stored per-doc token counts
         for imf in _idmap_files(index_dir, manifest, shard):
             im = pq.read_table(imf)
@@ -298,7 +299,7 @@ def merge_shards(index_dir: str, shard_a: str, shard_b: str) -> dict:
         fa = os.path.join(dir_a, os.path.basename(fb))
         ta = pq.read_table(fa) if os.path.exists(fa) else None
         tb = pq.read_table(fb)
-        atomic_write_parquet(fa, _concat_termtables(ta, tb))
+        write_termtable(fa, _concat_termtables(ta, tb))
         os.unlink(fb)
         marker = fb + ".done.json"
         if os.path.exists(marker):
