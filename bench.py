@@ -134,6 +134,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_dedup_ngram_jaccard", P.dedup_ngram_jaccard),
         ("x_cass_prefix_search", P.cass_prefix_search),
         ("x_keyword_lookup", P.keyword_lookup),
+        ("x_hybrid_blend", P.hybrid_blend),
+        ("x_ann_mmr", P.ann_mmr),
+        ("x_prf_search", P.prf_search),
     ]:
         t0 = time.perf_counter()
         fn(sf_dir)

@@ -31,3 +31,210 @@ def rrf_fuse(arms: list[list], weights: list[float] | None = None,
         for rank, (doc_id, _score) in enumerate(arm):
             fused[doc_id] = fused.get(doc_id, 0.0) + w / (k + rank + 1)
     return sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+
+
+# ---------------------------------------------------------------------------
+# Fusion post-processing family (reference crates/frankensearch-fusion/src/
+# {normalize,blend,mmr,prf}.rs).  All kernels run in float64 (the repo's
+# oracle-lane discipline; the reference computes in f32 — same documented
+# divergence class as the BM25 f32/f64 lanes).  Decision thresholds keep the
+# reference's f32 constants so branch behavior is identical.
+
+import numpy as np
+
+NON_FINITE_FALLBACK = 0.0     # normalize.rs:12
+DEGENERATE_VALUE = 0.5        # normalize.rs:13
+Z_SCORE_CLIP_SIGMAS = 3.0     # normalize.rs:14
+NUMERIC_EPSILON = 1e-10       # normalize.rs:15
+F32_EPSILON = 1.1920928955078125e-07  # f32::EPSILON (blend.rs NormBounds / mmr.rs)
+DEFAULT_BLEND_FACTOR = 0.7    # blend.rs:24
+MMR_LAMBDA = 0.7              # mmr.rs MmrConfig::default
+MMR_CANDIDATE_POOL = 30       # mmr.rs MmrConfig::default
+PRF_ALPHA = 0.8               # prf.rs PrfConfig::default
+
+
+def min_max_normalize(scores: np.ndarray) -> np.ndarray:
+    """Min-max into [0, 1] (normalize.rs:34-71): non-finite -> 0.0; no
+    finite values -> all 0.0; degenerate range (<= 1e-10) -> finite 0.5."""
+    s = np.asarray(scores, dtype=np.float64)
+    finite = np.isfinite(s)
+    if not finite.any():
+        return np.zeros_like(s)
+    mn, mx = s[finite].min(), s[finite].max()
+    out = np.zeros_like(s)
+    if abs(mx - mn) <= NUMERIC_EPSILON:
+        out[finite] = DEGENERATE_VALUE
+        return out
+    out[finite] = np.clip((s[finite] - mn) / (mx - mn), 0.0, 1.0)
+    return out
+
+
+def z_score_normalize(scores: np.ndarray) -> np.ndarray:
+    """Z-score clipped to +-3 sigma, mapped into [0, 1] (normalize.rs:
+    527-569): z = (x - mean) / sqrt(m2/n) -> clamp(+-3) -> (z + 3) / 6.
+    Population std over finite values; degenerate std -> 0.5 (finite) /
+    0.0 (non-finite); no finite values -> all 0.0."""
+    s = np.asarray(scores, dtype=np.float64)
+    finite = np.isfinite(s)
+    n = int(finite.sum())
+    out = np.zeros_like(s)
+    if n == 0:
+        return out
+    f = s[finite]
+    mean = f.sum() / n
+    std = np.sqrt(((f - mean) ** 2).sum() / n)
+    if std <= NUMERIC_EPSILON:
+        out[finite] = DEGENERATE_VALUE
+        return out
+    z = np.clip((f - mean) / std, -Z_SCORE_CLIP_SIGMAS, Z_SCORE_CLIP_SIGMAS)
+    out[finite] = (z + Z_SCORE_CLIP_SIGMAS) / (2.0 * Z_SCORE_CLIP_SIGMAS)
+    return out
+
+
+def _norm_bounds_apply(scores: np.ndarray) -> np.ndarray:
+    """Blend-side min-max (blend.rs NormBounds:35-77): degenerate range
+    (<= f32::EPSILON) -> 1.0, non-finite -> 0.0 — note 1.0, NOT the 0.5
+    of the standalone normalizer; the two diverge in the reference too."""
+    s = np.asarray(scores, dtype=np.float64)
+    finite = np.isfinite(s)
+    out = np.zeros_like(s)
+    if not finite.any():
+        return out
+    mn, mx = s[finite].min(), s[finite].max()
+    rng = mx - mn
+    if rng > F32_EPSILON:
+        out[finite] = np.clip((s[finite] - mn) / rng, 0.0, 1.0)
+    else:
+        out[finite] = 1.0
+    return out
+
+
+def blend_two_tier(fast: list[tuple], quality: list[tuple],
+                   blend_factor: float = DEFAULT_BLEND_FACTOR,
+                   limit: int | None = None) -> list[tuple]:
+    """Two-tier score blend (blend.rs:107-192): per-arm min-max normalize
+    (NormBounds semantics), then per doc
+
+        both arms    -> alpha * quality + (1 - alpha) * fast
+        one arm only -> that arm's normalized score
+
+    ``fast``/``quality`` are best-first [(doc_id, score)]; the first (best)
+    occurrence per doc wins within an arm.  Non-[0,1]/non-finite
+    blend_factor falls back to 0.7 (sanitize_blend_factor, blend.rs:518).
+    Order: (blend desc, doc_id asc).  f64 lane: alpha*q + (1-alpha)*f with
+    two roundings (the reference fuses via f32 mul_add — same documented
+    f32/f64 divergence class as the scoring lanes)."""
+    a = float(blend_factor)
+    if not np.isfinite(a) or a < 0.0 or a > 1.0:
+        a = DEFAULT_BLEND_FACTOR
+
+    def arm_norm(arm: list[tuple]) -> dict:
+        ids = [d for d, _ in arm]
+        norm = _norm_bounds_apply(np.array([s for _, s in arm], dtype=np.float64))
+        first: dict = {}
+        for d, v in zip(ids, norm):
+            first.setdefault(d, float(v))
+        return first
+
+    fmap, qmap = arm_norm(fast), arm_norm(quality)
+    out = []
+    for d in fmap.keys() | qmap.keys():
+        f, q = fmap.get(d), qmap.get(d)
+        if f is not None and q is not None:
+            score = a * q + (1.0 - a) * f
+        else:
+            score = f if f is not None else q
+        if not np.isfinite(score):
+            score = 0.0
+        out.append((d, score))
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return out[:limit]
+
+
+def mmr_rerank(scores: np.ndarray, embeddings: np.ndarray, k: int,
+               lam: float = MMR_LAMBDA,
+               candidate_pool: int = MMR_CANDIDATE_POOL) -> list[int]:
+    """Maximal Marginal Relevance greedy re-rank (mmr.rs:103-250):
+
+        MMR(d) = lambda * rel_norm(d) - (1 - lambda) * max_{s in S} cos(d, s)
+
+    over the first ``min(len, candidate_pool)`` best-first candidates.
+    Relevance min-max normalized (degenerate range < f64 eps -> 1.0,
+    non-finite -> 0.0); first pick is pure relevance; strict-greater
+    comparisons keep the FIRST index on ties (mmr.rs fold).  Returns
+    selected candidate indices in selection order.  O(k*n) cosine
+    evaluations via a running max-to-selected (hoisted norms)."""
+    lam = lam if np.isfinite(lam) else 0.7
+    lam = min(max(lam, 0.0), 1.0)
+    n = min(len(scores), candidate_pool)
+    if n == 0 or k == 0:
+        return []
+    k = min(k, n)
+    s = np.asarray(scores[:n], dtype=np.float64)
+    emb = np.asarray(embeddings[:n], dtype=np.float64)
+    finite = np.isfinite(s)
+    norm_scores = np.zeros(n)
+    if finite.any():
+        mn, mx = s[finite].min(), s[finite].max()
+        if mx - mn < np.finfo(np.float64).eps:
+            norm_scores[finite] = 1.0
+        else:
+            norm_scores[finite] = (s[finite] - mn) / (mx - mn)
+    root_norms = np.sqrt((emb * emb).sum(axis=1))
+    safe = np.where(root_norms == 0.0, 1.0, root_norms)
+
+    def sims_to(j: int) -> np.ndarray:
+        d = emb @ emb[j]
+        return np.where((root_norms == 0.0) | (root_norms[j] == 0.0),
+                        0.0, d / (safe * safe[j]))
+
+    first = int(np.argmax(norm_scores))  # argmax keeps first occurrence
+    selected = [first]
+    remaining = np.ones(n, dtype=bool)
+    remaining[first] = False
+    max_sim = sims_to(first)
+    div_w = 1.0 - lam
+    for _ in range(1, k):
+        mmr = lam * norm_scores - div_w * max_sim
+        mmr[~remaining] = -np.inf
+        if not remaining.any():
+            break
+        best = int(np.argmax(mmr))
+        selected.append(best)
+        remaining[best] = False
+        max_sim = np.maximum(max_sim, sims_to(best))
+        max_sim[best] = -np.inf
+    return selected
+
+
+def prf_expand(original: np.ndarray, feedback: list[tuple],
+               alpha: float = PRF_ALPHA) -> np.ndarray | None:
+    """Pseudo-relevance-feedback query expansion — Rocchio Phase-1
+    centroid (prf.rs:119-170):
+
+        expanded = L2( alpha * original + (1 - alpha) * centroid )
+
+    ``feedback`` is [(embedding, weight)]; weights are clamped to >= 0 and
+    normalized to sum 1.  alpha clamps to [0.5, 1.0] (non-finite -> 0.8).
+    Returns None when feedback is empty, total weight ~ 0, or the expanded
+    vector has a degenerate norm — callers fall back to the original."""
+    if not feedback:
+        return None
+    alpha = alpha if np.isfinite(alpha) else PRF_ALPHA
+    alpha = min(max(alpha, 0.5), 1.0)
+    orig = np.asarray(original, dtype=np.float64)
+    weights = np.array([max(float(w), 0.0) for _, w in feedback], dtype=np.float64)
+    total = weights.sum()
+    if total < np.finfo(np.float64).eps:
+        return None
+    mat = np.zeros((len(feedback), orig.shape[0]))
+    for i, (emb, _) in enumerate(feedback):
+        e = np.asarray(emb, dtype=np.float64)
+        m = min(len(e), orig.shape[0])
+        mat[i, :m] = e[:m]
+    centroid = (weights / total) @ mat
+    expanded = alpha * orig + (1.0 - alpha) * centroid
+    norm_sq = float((expanded * expanded).sum())
+    if not np.isfinite(norm_sq) or norm_sq < np.finfo(np.float64).eps:
+        return None
+    return expanded / np.sqrt(norm_sq)

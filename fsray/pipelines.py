@@ -880,6 +880,131 @@ def hybrid_rrf(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# fusion post-processing lane (reference crates/frankensearch-fusion/src/
+# {blend,mmr,prf}.rs) — blend / MMR diversification / PRF query expansion
+# over arms the engine already produces.  Candidate generation is the
+# distributed part (broadcast query, per-batch top-k partials); the
+# post-processing itself is top-k-sized, so it runs on the driver by
+# design — at 100 TB the pool is still <= candidate_pool rows.
+
+BLEND_QUALITY_QUERY = "+spark +table"
+BLEND_K = 10
+MMR_K = 10
+PRF_FEEDBACK_K = 5
+PRF_K = 10
+
+
+def _semantic_pool(sf_dir: str, query_vec_id: int, pool: int) -> tuple:
+    """Distributed cosine pool for one query vector: broadcast the
+    normalized query (``ray.put`` once), per-batch top-pool partials,
+    driver merges pool x n_blocks rows — never the embedding matrix."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from fsray.dedup import normalize_rows
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", [query_vec_id])])
+    if qt.num_rows == 0:
+        raise FileNotFoundError(f"query vector {query_vec_id} not in {emb_path}")
+    qvec = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+    qref = ray.put(qvec / (np.linalg.norm(qvec) or 1.0))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn = ray.get(qref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.astype(np.float64).reshape(len(bids), -1)
+        sims = normalize_rows(mat) @ qn
+        keep = bids != query_vec_id
+        bids, sims, mat = bids[keep], sims[keep], mat[keep]
+        order = np.lexsort((bids, -sims))[:pool]
+        vecs = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat[order].reshape(-1)), mat.shape[1])
+        return pa.table({"doc_id": pa.array(bids[order], type=pa.int64()),
+                         "cos": pa.array(sims[order], type=pa.float64()),
+                         "vec": vecs})
+
+    parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())
+    pids = parts["doc_id"].to_numpy()
+    psims = parts["cos"].to_numpy()
+    order = np.lexsort((pids, -psims))[:pool]
+    vecs = np.stack(parts["vec"].to_numpy()[order]).astype(np.float64)
+    return qvec, pids[order].astype(np.int64), psims[order], vecs
+
+
+def hybrid_blend(sf_dir: str) -> pa.Table:
+    """Two-tier score blend (blend.rs:107-192): a broad fast arm re-ranked
+    by a precise quality arm — per-arm min-max normalization (NormBounds:
+    degenerate range -> 1.0), blend = 0.7*quality + (1-0.7)*fast, docs in
+    one arm keep that arm's normalized score.  Both arms are the engine's
+    f64 BM25 lane, so the oracle is bit-exact."""
+    from fsray.fuse import blend_two_tier
+    fast_tbl = bm25_search(sf_dir, HYBRID_QUERY, k=HYBRID_ARM_K)
+    qual_tbl = bm25_search(sf_dir, BLEND_QUALITY_QUERY, k=HYBRID_ARM_K)
+    fast = list(zip(fast_tbl["doc_id"].to_pylist(), fast_tbl["score"].to_pylist()))
+    qual = list(zip(qual_tbl["doc_id"].to_pylist(), qual_tbl["score"].to_pylist()))
+    blended = blend_two_tier(fast, qual, limit=BLEND_K)
+    return pa.table({"doc_id": pa.array([d for d, _ in blended], type=pa.int64()),
+                     "blend_score": pa.array([s for _, s in blended], type=pa.float64())})
+
+
+def ann_mmr(sf_dir: str) -> pa.Table:
+    """MMR diversification (mmr.rs:103-250) over the distributed cosine
+    candidate pool of query vector 0: greedy lambda=0.7 relevance/diversity
+    re-rank of the top-30 pool down to 10.  Output is selection order."""
+    from fsray.fuse import MMR_CANDIDATE_POOL, mmr_rerank
+    _, ids, sims, vecs = _semantic_pool(sf_dir, 0, MMR_CANDIDATE_POOL)
+    sel = mmr_rerank(sims, vecs, MMR_K)
+    return pa.table({"rank": pa.array(range(1, len(sel) + 1), type=pa.int64()),
+                     "doc_id": pa.array(ids[sel], type=pa.int64())})
+
+
+def prf_search(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback expansion (prf.rs:119-170): first-pass
+    cosine top-5 feedback docs -> cosine-weighted Rocchio centroid ->
+    expanded = L2(0.8*q + 0.2*centroid) -> second distributed pass, top-10.
+    Rank-only output: ranks are invariant to the L2 scaling and survive the
+    oracle's f32 cosine (id lists compare exactly; scores would not)."""
+    import ray
+    import ray.data as rd
+
+    from fsray.dedup import normalize_rows
+    from fsray.fuse import prf_expand
+    qvec, ids, sims, vecs = _semantic_pool(sf_dir, 0, PRF_FEEDBACK_K)
+    expanded = prf_expand(qvec, list(zip(vecs, sims)))
+    if expanded is None:
+        expanded = qvec / (np.linalg.norm(qvec) or 1.0)
+    qref = ray.put(expanded)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn = ray.get(qref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.astype(np.float64).reshape(len(bids), -1)
+        sims_b = normalize_rows(mat) @ qn
+        keep = bids != 0
+        bids, sims_b = bids[keep], sims_b[keep]
+        order = np.lexsort((bids, -sims_b))[:PRF_K]
+        return pa.table({"neighbor_id": pa.array(bids[order], type=pa.int64()),
+                         "cos": pa.array(sims_b[order], type=pa.float64())})
+
+    parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())
+    pids = parts["neighbor_id"].to_numpy()
+    psims = parts["cos"].to_numpy()
+    order = np.lexsort((pids, -psims))[:PRF_K]
+    return pa.table({"rank": pa.array(range(1, len(order) + 1), type=pa.int64()),
+                     "neighbor_id": pa.array(pids[order], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # multimodal lane
 
 def multimodal_frames(sf_dir: str) -> pa.Table:
@@ -955,6 +1080,9 @@ def make_queries() -> dict:
         "ann_ivf": ann_ivf,
         "ann_hnsw": ann_hnsw,
         "hybrid_rrf": hybrid_rrf,
+        "hybrid_blend": hybrid_blend,
+        "ann_mmr": ann_mmr,
+        "prf_search": prf_search,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
     })
@@ -1169,6 +1297,52 @@ SELECT i.doc_id,
        COALESCE(1.0 / (60 + l.rn), 0.0) + COALESCE(1.0 / (60 + s.rn), 0.0) AS rrf_score
 FROM ids i LEFT JOIN lex l ON l.doc_id = i.doc_id LEFT JOIN sem s ON s.doc_id = i.doc_id
 ORDER BY rrf_score DESC, i.doc_id ASC"""
+
+    fast_sql = bm25_oracle_sql(HYBRID_QUERY, HYBRID_ARM_K).strip().removeprefix("WITH")
+    qual_sql = bm25_oracle_sql(BLEND_QUALITY_QUERY, HYBRID_ARM_K).strip().removeprefix("WITH")
+    # NormBounds semantics (blend.rs:35-77): degenerate range (<= f32 eps)
+    # -> 1.0.  (1 - alpha) must be DOUBLE subtraction: DuckDB parses
+    # (1.0 - 0.7) as DECIMAL (exactly 0.3), one ULP off the engine's f64
+    # 1.0 - 0.7.  Bit-exact vs the engine's f64 blend lane.
+    o["hybrid_blend"] = f"""
+WITH fast_raw AS ( WITH {fast_sql} ),
+quality_raw AS ( WITH {qual_sql} ),
+fb AS (SELECT min(score) AS mn, max(score) - min(score) AS rng FROM fast_raw),
+qb AS (SELECT min(score) AS mn, max(score) - min(score) AS rng FROM quality_raw),
+fastn AS (SELECT doc_id, CASE WHEN (SELECT rng FROM fb) > 1.1920928955078125e-07
+    THEN LEAST(GREATEST((score - (SELECT mn FROM fb)) / (SELECT rng FROM fb), 0.0), 1.0)
+    ELSE 1.0 END AS f FROM fast_raw),
+qualn AS (SELECT doc_id, CASE WHEN (SELECT rng FROM qb) > 1.1920928955078125e-07
+    THEN LEAST(GREATEST((score - (SELECT mn FROM qb)) / (SELECT rng FROM qb), 0.0), 1.0)
+    ELSE 1.0 END AS q FROM quality_raw),
+ids AS (SELECT doc_id FROM fastn UNION SELECT doc_id FROM qualn)
+SELECT i.doc_id,
+       CASE WHEN f.f IS NOT NULL AND q.q IS NOT NULL
+            THEN 0.7 * q.q + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * f.f
+            WHEN f.f IS NOT NULL THEN f.f ELSE q.q END AS blend_score
+FROM ids i LEFT JOIN fastn f ON f.doc_id = i.doc_id LEFT JOIN qualn q ON q.doc_id = i.doc_id
+ORDER BY blend_score DESC, i.doc_id ASC LIMIT {BLEND_K}"""
+
+    # PRF (prf.rs:119-170): rank-only compare — ranks are invariant to the
+    # engine's L2 normalization of the expanded vector and survive DuckDB's
+    # f32 list_cosine_similarity (scores would not).
+    o["prf_search"] = f"""
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+sims1 AS (SELECT v.vec_id, list_cosine_similarity(v.embedding, q.e) AS cos
+          FROM embeddings v, q WHERE v.vec_id <> 0),
+fb AS (SELECT vec_id, cos FROM sims1 ORDER BY cos DESC, vec_id ASC LIMIT {PRF_FEEDBACK_K}),
+fbw AS (SELECT vec_id, GREATEST(cos, 0.0) / (SELECT sum(GREATEST(cos, 0.0)) FROM fb) AS w
+        FROM fb),
+fbe AS (SELECT f.vec_id, f.w, e.embedding FROM fbw f JOIN embeddings e USING (vec_id)),
+dims AS (SELECT unnest(range(1, len(e) + 1)) AS i FROM q),
+cent AS (SELECT d.i, sum(f.w * f.embedding[d.i]) AS c FROM fbe f, dims d GROUP BY d.i),
+expv AS (SELECT list(0.8 * q.e[cent.i] + (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) * cent.c ORDER BY cent.i) AS e
+         FROM cent, q GROUP BY ALL),
+sims2 AS (SELECT v.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), (SELECT e FROM expv)) AS cos
+          FROM embeddings v WHERE v.vec_id <> 0)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank, neighbor_id
+FROM sims2 ORDER BY cos DESC, neighbor_id ASC LIMIT {PRF_K}"""
 
     o["multimodal_frames"] = """
 SELECT d.doc_id AS media_id, f.frame,

@@ -1,0 +1,183 @@
+"""Fusion post-processing semantics (reference crates/frankensearch-fusion/
+src/{normalize,blend,mmr,prf}.rs) — normalization edge laws, blend arm
+fallbacks, MMR greedy selection, PRF centroid interpolation, and the
+pipeline lanes vs independent recomputation."""
+
+import numpy as np
+import pytest
+
+from fsray.fuse import (DEGENERATE_VALUE, blend_two_tier, min_max_normalize,
+                        mmr_rerank, prf_expand, z_score_normalize)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# normalize.rs laws
+
+def test_min_max_basic_and_non_finite():
+    out = min_max_normalize(np.array([1.0, 3.0, 2.0, np.nan, np.inf]))
+    assert out[0] == 0.0 and out[1] == 1.0 and out[2] == 0.5
+    assert out[3] == 0.0 and out[4] == 0.0  # non-finite -> fallback
+
+
+def test_min_max_degenerate_and_all_non_finite():
+    out = min_max_normalize(np.array([7.0, 7.0, np.nan]))
+    assert out[0] == DEGENERATE_VALUE and out[1] == DEGENERATE_VALUE and out[2] == 0.0
+    assert (min_max_normalize(np.array([np.nan, np.inf])) == 0.0).all()
+
+
+def test_z_score_maps_into_unit_interval_and_clips():
+    # one far outlier clips at +3 sigma -> exactly 1.0
+    s = np.array([0.0] * 99 + [1000.0])
+    out = z_score_normalize(s)
+    assert out[-1] == 1.0
+    assert (out >= 0.0).all() and (out <= 1.0).all()
+    # symmetric input: mean maps to 0.5
+    sym = z_score_normalize(np.array([-1.0, 0.0, 1.0]))
+    assert sym[1] == pytest.approx(0.5)
+    assert sym[0] == pytest.approx(1.0 - sym[2])
+
+
+def test_z_score_degenerate_and_empty():
+    out = z_score_normalize(np.array([4.0, 4.0, np.nan]))
+    assert out[0] == DEGENERATE_VALUE and out[2] == 0.0
+    assert (z_score_normalize(np.array([np.nan])) == 0.0).all()
+
+
+# ---------------------------------------------------------------------------
+# blend.rs laws
+
+def test_blend_both_arms_and_fallbacks():
+    fast = [(1, 10.0), (2, 5.0)]          # norm: 1 -> 1.0, 2 -> 0.0
+    qual = [(2, 0.9), (3, 0.1)]           # norm: 2 -> 1.0, 3 -> 0.0
+    out = dict(blend_two_tier(fast, qual, 0.7))
+    assert out[1] == 1.0                  # fast-only keeps fast norm
+    assert out[2] == pytest.approx(0.7 * 1.0 + (1.0 - 0.7) * 0.0)
+    assert out[3] == 0.0                  # quality-only keeps quality norm
+
+
+def test_blend_degenerate_arm_norms_to_one():
+    # single-hit arm (range 0) -> NormBounds degenerate -> 1.0, NOT 0.5
+    out = dict(blend_two_tier([(5, 3.0)], []))
+    assert out[5] == 1.0
+
+
+def test_blend_factor_sanitized():
+    fast, qual = [(1, 1.0), (2, 0.0)], [(1, 0.0), (2, 1.0)]
+    bad = blend_two_tier(fast, qual, float("nan"))
+    ref = blend_two_tier(fast, qual, 0.7)
+    assert bad == ref
+    assert blend_two_tier(fast, qual, 1.5) == ref  # out of [0,1] -> 0.7
+
+
+def test_blend_order_and_tiebreak():
+    out = blend_two_tier([(9, 1.0), (3, 1.0)], [])  # degenerate -> both 1.0
+    assert [d for d, _ in out] == [3, 9]  # score tie -> doc_id asc
+
+
+# ---------------------------------------------------------------------------
+# mmr.rs laws
+
+def _unit(v):
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+def test_mmr_lambda_one_is_pure_relevance():
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(8, 16))
+    scores = np.array([5.0, 9.0, 1.0, 7.0, 3.0, 8.0, 2.0, 6.0])
+    sel = mmr_rerank(scores, emb, k=4, lam=1.0)
+    assert sel == list(np.argsort(-scores)[:4])
+
+
+def test_mmr_low_lambda_prefers_diverse():
+    # two near-identical top-scored vectors + one orthogonal low-scored:
+    # diversity-heavy lambda must pick the orthogonal one second
+    emb = np.array([_unit([1, 0, 0]), _unit([1, 1e-3, 0]), _unit([0, 0, 1])])
+    sel = mmr_rerank(np.array([1.0, 0.99, 0.2]), emb, k=2, lam=0.1)
+    assert sel == [0, 2]
+
+
+def test_mmr_first_pick_keeps_first_on_tie():
+    emb = np.eye(3)
+    sel = mmr_rerank(np.array([4.0, 4.0, 4.0]), emb, k=1)
+    assert sel == [0]  # strict-greater fold keeps the first max
+
+
+def test_mmr_candidate_pool_truncates_and_k_clamps():
+    emb = np.eye(6)
+    scores = np.arange(6, 0, -1).astype(float)
+    sel = mmr_rerank(scores, emb, k=10, candidate_pool=3)
+    assert sorted(sel) == [0, 1, 2]  # k clamped to pool, pool truncates
+    assert mmr_rerank(np.array([]), np.zeros((0, 2)), k=3) == []
+
+
+# ---------------------------------------------------------------------------
+# prf.rs laws
+
+def test_prf_alpha_one_returns_normalized_original():
+    orig = np.array([3.0, 4.0])
+    out = prf_expand(orig, [(np.array([0.0, 1.0]), 1.0)], alpha=1.0)
+    assert np.allclose(out, orig / 5.0)
+
+
+def test_prf_empty_and_zero_weight_return_none():
+    assert prf_expand(np.array([1.0, 0.0]), [], 0.8) is None
+    assert prf_expand(np.array([1.0, 0.0]),
+                      [(np.array([0.0, 1.0]), -2.0)], 0.8) is None
+
+
+def test_prf_alpha_clamps_and_weighted_centroid():
+    orig = np.array([1.0, 0.0])
+    fb = [(np.array([0.0, 1.0]), 3.0), (np.array([0.0, -1.0]), 1.0)]
+    # alpha 0.1 clamps to 0.5; centroid = 0.75*[0,1] + 0.25*[0,-1] = [0, .5]
+    out = prf_expand(orig, fb, alpha=0.1)
+    want = 0.5 * orig + 0.5 * np.array([0.0, 0.5])
+    assert np.allclose(out, want / np.linalg.norm(want))
+    # non-finite alpha -> default 0.8
+    out2 = prf_expand(orig, fb, alpha=float("nan"))
+    want2 = 0.8 * orig + 0.2 * np.array([0.0, 0.5])
+    assert np.allclose(out2, want2 / np.linalg.norm(want2))
+
+
+# ---------------------------------------------------------------------------
+# pipeline lanes vs independent recomputation (sf0.001, shared Ray session)
+
+def test_ann_mmr_lane_matches_direct_rerank(ray_session):
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import MMR_K, ann_mmr
+    got = ann_mmr(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    q = mat[ids == 0][0]
+    qn = q / np.linalg.norm(q)
+    keep = ids != 0
+    sims = (mat[keep] / np.linalg.norm(mat[keep], axis=1, keepdims=True)) @ qn
+    order = np.lexsort((ids[keep], -sims))[:30]
+    sel = mmr_rerank(sims[order], mat[keep][order], MMR_K)
+    assert got["doc_id"].to_pylist() == [int(ids[keep][order][i]) for i in sel]
+    assert got["rank"].to_pylist() == list(range(1, len(sel) + 1))
+
+
+def test_prf_search_lane_differs_from_plain_ann_only_by_expansion(ray_session):
+    """PRF with alpha=1 would be the plain cosine ranking; the lane (alpha
+    0.8) must still rank feedback-adjacent docs highly — its top-1 stays in
+    the plain ranking's top-3 on this corpus (expansion is a nudge, not a
+    re-query)."""
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import prf_search
+    got = prf_search(SF)["neighbor_id"].to_pylist()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    q = mat[ids == 0][0]
+    keep = ids != 0
+    sims = (mat[keep] / np.linalg.norm(mat[keep], axis=1, keepdims=True)) @ (q / np.linalg.norm(q))
+    plain = ids[keep][np.lexsort((ids[keep], -sims))][:3]
+    assert len(got) == 10 and len(set(got)) == 10
+    assert got[0] in set(int(x) for x in plain)
