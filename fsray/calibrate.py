@@ -1,0 +1,175 @@
+"""Score calibration — map raw retrieval scores (BM25 / cosine / RRF /
+logits) onto comparable [0, 1] probabilities so tiers can be blended and
+thresholded on one scale.
+
+Reference: crates/frankensearch-fusion/src/calibration.rs — Identity /
+TemperatureScaling (sigmoid(x / T), calibration.rs:91-123) / PlattScaling
+(sigmoid(a*x + b), calibration.rs:138-177) / IsotonicRegression
+(PAVA-fitted monotone step function, binary-search lookup,
+calibration.rs:196-339), plus the ECE (calibration.rs:363-395) and Brier
+(calibration.rs:402-417) diagnostics.
+
+Engine lane discipline: the f64 oracle path evaluates ``exp`` via libm
+(``math.exp`` per element — ``np.exp``'s SIMD lanes are not guaranteed to
+round identically to DuckDB's libm-backed ``exp``; same rule as the BM25
+``idf`` lane, fsray/contract.py).  Calibrators accept scalars or arrays;
+the array paths are vectorized and safe inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def sigmoid(x: float) -> float:
+    """Numerically stable logistic (calibration.rs:564-572): the branch
+    form never exponentiates a large positive argument."""
+    if not math.isfinite(x):
+        return 0.0 if x != x or x < 0 else 1.0
+    if x >= 0.0:
+        e = math.exp(-x)
+        return 1.0 / (1.0 + e)
+    e = math.exp(x)
+    return e / (1.0 + e)
+
+
+class Identity:
+    """Passthrough, clamped into [0, 1] (calibration.rs:63-85)."""
+
+    name = "identity"
+
+    def calibrate(self, raw):
+        s = np.asarray(raw, dtype=np.float64)
+        out = np.where(np.isfinite(s), np.clip(s, 0.0, 1.0), 0.0)
+        return float(out) if np.ndim(raw) == 0 else out
+
+
+class TemperatureScaling:
+    """``sigmoid(x / T)`` — softmax-temperature analogue for scores that
+    are already roughly centred (calibration.rs:91-123).  T must be a
+    positive finite number."""
+
+    name = "temperature_scaling"
+
+    def __init__(self, temperature: float):
+        if not (temperature > 0.0 and math.isfinite(temperature)):
+            raise ValueError(f"temperature must be positive and finite, got {temperature}")
+        self.temperature = float(temperature)
+
+    def calibrate(self, raw):
+        if np.ndim(raw) == 0:
+            x = float(raw)
+            return sigmoid(x / self.temperature) if math.isfinite(x) else 0.0
+        return np.array([self.calibrate(float(v)) for v in np.asarray(raw)])
+
+
+class PlattScaling:
+    """``sigmoid(a * x + b)`` — offline-fit logistic calibration
+    (calibration.rs:138-177).  f64 lane: plain multiply-add (the
+    reference fuses via ``mul_add``; same documented divergence class as
+    the scoring lanes)."""
+
+    name = "platt_scaling"
+
+    def __init__(self, a: float, b: float):
+        if not (math.isfinite(a) and math.isfinite(b)):
+            raise ValueError(f"Platt parameters must be finite, got a={a}, b={b}")
+        self.a, self.b = float(a), float(b)
+
+    def calibrate(self, raw):
+        if np.ndim(raw) == 0:
+            x = float(raw)
+            return sigmoid(self.a * x + self.b) if math.isfinite(x) else 0.0
+        return np.array([self.calibrate(float(v)) for v in np.asarray(raw)])
+
+
+class IsotonicRegression:
+    """Monotone non-decreasing step function: ``values[i]`` for scores in
+    ``[breakpoints[i], breakpoints[i+1])``; below the first breakpoint →
+    ``values[0]``, at/above the last → ``values[-1]``
+    (calibration.rs:196-339)."""
+
+    name = "isotonic_regression"
+
+    def __init__(self, breakpoints, values):
+        bp = np.asarray(breakpoints, dtype=np.float64)
+        vals = np.asarray(values, dtype=np.float64)
+        if bp.size == 0:
+            raise ValueError("isotonic regression requires at least one breakpoint")
+        if bp.size != vals.size:
+            raise ValueError("breakpoints and values must have same length")
+        if np.any(np.diff(bp) < 0):
+            raise ValueError("breakpoints must be sorted ascending")
+        if np.any((vals < 0.0) | (vals > 1.0)) or np.any(np.diff(vals) < 0):
+            raise ValueError("values must be non-decreasing within [0, 1]")
+        self.breakpoints, self.values = bp, vals
+
+    @classmethod
+    def fit(cls, scores, labels) -> "IsotonicRegression":
+        """Pool-adjacent-violators: sort by score, merge adjacent blocks
+        whose label means violate monotonicity (midpoint representative
+        score on merge, step-back recheck — calibration.rs:268-316)."""
+        s = np.asarray(scores, dtype=np.float64)
+        y = np.asarray(labels, dtype=np.float64)
+        if s.size != y.size:
+            raise ValueError("scores and labels must match")
+        if s.size == 0:
+            raise ValueError("need at least one data point")
+        order = np.argsort(s, kind="stable")
+        blocks = [[float(y[i]), 1, float(s[i])] for i in order]  # [sum, count, rep_score]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1]:
+                blocks[i][0] += blocks[i + 1][0]
+                blocks[i][1] += blocks[i + 1][1]
+                blocks[i][2] = (blocks[i][2] + blocks[i + 1][2]) / 2.0
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        return cls([b[2] for b in blocks],
+                   [min(max(b[0] / b[1], 0.0), 1.0) for b in blocks])
+
+    def calibrate(self, raw):
+        s = np.asarray(raw, dtype=np.float64)
+        scalar = np.ndim(raw) == 0
+        s = np.atleast_1d(s)
+        # rightmost breakpoint <= x; Err(0) -> values[0]
+        idx = np.searchsorted(self.breakpoints, s, side="right")
+        idx = np.clip(idx - 1, 0, len(self.values) - 1)
+        out = np.where(np.isfinite(s), self.values[idx], 0.0)
+        return float(out[0]) if scalar else out
+
+
+def compute_ece(predictions, labels, num_bins: int = 10) -> float:
+    """Expected Calibration Error: equal-width confidence bins, weighted
+    |avg_confidence - accuracy| (calibration.rs:363-395).  0.0 on empty
+    input or zero bins."""
+    p = np.asarray(predictions, dtype=np.float64)
+    y = np.asarray(labels, dtype=np.float64)
+    n = min(p.size, y.size)
+    if n == 0 or num_bins == 0:
+        return 0.0
+    p, y = np.clip(p[:n], 0.0, 1.0), y[:n]
+    bins = np.minimum((p * num_bins).astype(np.int64), num_bins - 1)
+    ece = 0.0
+    for b in range(num_bins):
+        m = bins == b
+        cnt = int(m.sum())
+        if cnt:
+            ece += (cnt / n) * abs(p[m].sum() / cnt - y[m].sum() / cnt)
+    return ece
+
+
+def compute_brier_score(predictions, labels) -> float:
+    """Mean squared error of probabilities vs binary labels
+    (calibration.rs:402-417).  0.0 on empty input."""
+    p = np.asarray(predictions, dtype=np.float64)
+    y = np.asarray(labels, dtype=np.float64)
+    n = min(p.size, y.size)
+    if n == 0:
+        return 0.0
+    d = p[:n] - y[:n]
+    return float((d * d).sum() / n)

@@ -238,3 +238,59 @@ def prf_expand(original: np.ndarray, feedback: list[tuple],
     if not np.isfinite(norm_sq) or norm_sq < np.finfo(np.float64).eps:
         return None
     return expanded / np.sqrt(norm_sq)
+
+
+def nqc_cv(scores: np.ndarray) -> float:
+    """Query-commitment signal NQC: population coefficient of variation
+    (sigma / mu) of a query's top-k lexical scores (normalize.rs:88-119).
+    Non-finite values ignored; empty / no-finite / non-positive mean ->
+    0.0.  f64 accumulation, same order as the reference."""
+    s = np.asarray(scores, dtype=np.float64)
+    f = s[np.isfinite(s)]
+    if f.size == 0:
+        return 0.0
+    n = float(f.size)
+    mean = f.sum() / n
+    if mean <= NUMERIC_EPSILON:
+        return 0.0
+    variance = max((f * f).sum() / n - mean * mean, 0.0)
+    return float(np.sqrt(variance) / mean)
+
+
+class NqcDenseWeight:
+    """Per-query dense-tier down-weight from an empirical NQC CDF
+    (normalize.rs:131-251): a rolling sample of observed ``nqc_cv``
+    values maps a raw cv to its distribution percentile (the NQC scale is
+    corpus-dependent; a fixed beta*cv does not transfer), then
+
+        weight = clip(1 - beta * CDF(cv), clamp(w_min, 0, 1), 1)
+
+    Empty sketch or beta <= 0 -> neutral 1.0 (safe at startup).  Callers
+    multiply the semantic arm's RRF weight by this — no kernel change."""
+
+    def __init__(self, sample=()):
+        arr = np.asarray(list(sample), dtype=np.float64)
+        self._sorted = np.sort(arr[np.isfinite(arr)])
+
+    @classmethod
+    def from_query_scores(cls, queries) -> "NqcDenseWeight":
+        """Deployment path: one ``nqc_cv`` per query's top-k score slice
+        (empty slices contribute 0.0, kept in the sample)."""
+        return cls([nqc_cv(q) for q in queries])
+
+    def __len__(self) -> int:
+        return int(self._sorted.size)
+
+    def percentile(self, cv: float) -> float:
+        """Empirical CDF: fraction of samples <= cv; 0.0 when empty."""
+        if self._sorted.size == 0:
+            return 0.0
+        return float(np.searchsorted(self._sorted, cv, side="right")
+                     / self._sorted.size)
+
+    def dense_weight(self, cv: float, beta: float = 0.5,
+                     w_min: float = 0.0) -> float:
+        if beta <= 0.0:
+            return 1.0
+        floor = min(max(w_min, 0.0), 1.0)
+        return min(max(1.0 - beta * self.percentile(cv), floor), 1.0)

@@ -953,6 +953,22 @@ def hybrid_blend(sf_dir: str) -> pa.Table:
                      "blend_score": pa.array([s for _, s in blended], type=pa.float64())})
 
 
+PLATT_A, PLATT_B = 0.75, -4.0
+
+
+def bm25_calibrated(sf_dir: str) -> pa.Table:
+    """Platt-calibrated BM25 (calibration.rs:138-177): map the f64 BM25
+    lane through sigmoid(a*score + b) so lexical scores live on the same
+    [0,1] probability scale as the other tiers.  a > 0 keeps the ranking;
+    sigmoid evaluates via libm math.exp per element (np.exp's SIMD lanes
+    are not guaranteed to round like DuckDB's exp — the idf rule)."""
+    from fsray.calibrate import PlattScaling
+    hits = bm25_search(sf_dir, HYBRID_QUERY, k=10)
+    probs = PlattScaling(PLATT_A, PLATT_B).calibrate(hits["score"].to_numpy())
+    return pa.table({"doc_id": hits["doc_id"],
+                     "prob": pa.array(probs, type=pa.float64())})
+
+
 def ann_mmr(sf_dir: str) -> pa.Table:
     """MMR diversification (mmr.rs:103-250) over the distributed cosine
     candidate pool of query vector 0: greedy lambda=0.7 relevance/diversity
@@ -1081,6 +1097,7 @@ def make_queries() -> dict:
         "ann_hnsw": ann_hnsw,
         "hybrid_rrf": hybrid_rrf,
         "hybrid_blend": hybrid_blend,
+        "bm25_calibrated": bm25_calibrated,
         "ann_mmr": ann_mmr,
         "prf_search": prf_search,
         "multimodal_meta": multimodal_meta,
@@ -1322,6 +1339,20 @@ SELECT i.doc_id,
             WHEN f.f IS NOT NULL THEN f.f ELSE q.q END AS blend_score
 FROM ids i LEFT JOIN fastn f ON f.doc_id = i.doc_id LEFT JOIN qualn q ON q.doc_id = i.doc_id
 ORDER BY blend_score DESC, i.doc_id ASC LIMIT {BLEND_K}"""
+
+    # Platt calibration: the oracle mirrors the engine's BRANCHY stable
+    # sigmoid (x >= 0 -> 1/(1+exp(-x)), else exp(x)/(1+exp(x))) so both
+    # lanes round identically; 0.75 / 4.0 are exact binary, so the
+    # DECIMAL-literal trap does not bite here.
+    cal_sql = bm25_oracle_sql(HYBRID_QUERY, 10).strip().removeprefix("WITH")
+    o["bm25_calibrated"] = f"""
+WITH raw AS ( WITH {cal_sql} )
+SELECT doc_id,
+       CASE WHEN {PLATT_A} * score + ({PLATT_B}) >= 0.0
+            THEN 1.0 / (1.0 + exp(-({PLATT_A} * score + ({PLATT_B}))))
+            ELSE exp({PLATT_A} * score + ({PLATT_B}))
+                 / (1.0 + exp({PLATT_A} * score + ({PLATT_B}))) END AS prob
+FROM raw ORDER BY prob DESC, doc_id ASC"""
 
     # PRF (prf.rs:119-170): rank-only compare — ranks are invariant to the
     # engine's L2 normalization of the expanded vector and survive DuckDB's

@@ -1,0 +1,119 @@
+"""Score-calibration semantics (reference crates/frankensearch-fusion/src/
+calibration.rs) and the NQC query-commitment signal (normalize.rs)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from fsray.calibrate import (Identity, IsotonicRegression, PlattScaling,
+                             TemperatureScaling, compute_brier_score,
+                             compute_ece, sigmoid)
+from fsray.fuse import NqcDenseWeight, nqc_cv
+
+
+def test_sigmoid_laws():
+    assert sigmoid(0.0) == pytest.approx(0.5)
+    assert sigmoid(100.0) == pytest.approx(1.0)
+    assert sigmoid(-100.0) < 1e-10
+    assert sigmoid(2.5) + sigmoid(-2.5) == pytest.approx(1.0)
+    assert sigmoid(float("inf")) == 1.0 and sigmoid(float("-inf")) == 0.0
+    assert sigmoid(float("nan")) == 0.0
+
+
+def test_identity_clamps_and_zeroes_non_finite():
+    c = Identity()
+    assert c.calibrate(0.5) == 0.5 and c.calibrate(2.0) == 1.0
+    assert c.calibrate(-1.0) == 0.0 and c.calibrate(float("nan")) == 0.0
+
+
+def test_temperature_scaling_validates_and_sharpens():
+    with pytest.raises(ValueError):
+        TemperatureScaling(0.0)
+    with pytest.raises(ValueError):
+        TemperatureScaling(float("inf"))
+    hot, cold = TemperatureScaling(10.0), TemperatureScaling(0.1)
+    assert cold.calibrate(1.0) > hot.calibrate(1.0)  # low T sharpens
+    assert hot.calibrate(float("nan")) == 0.0
+
+
+def test_platt_scaling_matches_formula_and_validates():
+    with pytest.raises(ValueError):
+        PlattScaling(float("nan"), 0.0)
+    p = PlattScaling(0.75, -4.0)
+    assert p.calibrate(2.0) == sigmoid(0.75 * 2.0 + -4.0)
+    out = p.calibrate(np.array([2.0, 8.0, float("inf")]))
+    assert out[2] == 0.0 and out[1] > out[0]
+
+
+def test_isotonic_fit_pava_merges_violators():
+    # labels (0,1,0,1): middle pair violates -> merged block mean 0.5 at
+    # the midpoint score 2.5 (calibration.rs:268-316)
+    iso = IsotonicRegression.fit([1.0, 2.0, 3.0, 4.0], [0.0, 1.0, 0.0, 1.0])
+    assert list(iso.breakpoints) == [1.0, 2.5, 4.0]
+    assert list(iso.values) == [0.0, 0.5, 1.0]
+    # lookup: below-first / interval / exact / at-or-above-last
+    assert iso.calibrate(0.5) == 0.0
+    assert iso.calibrate(2.6) == 0.5
+    assert iso.calibrate(2.5) == 0.5
+    assert iso.calibrate(9.0) == 1.0
+    assert iso.calibrate(float("nan")) == 0.0
+    assert np.all(np.diff(iso.values) >= 0)
+
+
+def test_isotonic_validation():
+    with pytest.raises(ValueError):
+        IsotonicRegression([], [])
+    with pytest.raises(ValueError):
+        IsotonicRegression([2.0, 1.0], [0.1, 0.2])       # unsorted
+    with pytest.raises(ValueError):
+        IsotonicRegression([1.0, 2.0], [0.5, 0.2])       # decreasing
+    with pytest.raises(ValueError):
+        IsotonicRegression([1.0], [1.5])                 # out of [0,1]
+
+
+def test_ece_and_brier_hand_values():
+    # two samples, each |p - y| = 0.1 in its own bin -> ECE 0.1, Brier 0.01
+    assert compute_ece([0.9, 0.1], [1.0, 0.0], 10) == pytest.approx(0.1)
+    assert compute_brier_score([0.9, 0.1], [1.0, 0.0]) == pytest.approx(0.01)
+    assert compute_ece([], [], 10) == 0.0
+    assert compute_brier_score([], []) == 0.0
+    # calibration improves ECE: isotonic-fit probs vs raw scores as probs
+    scores = np.array([0.2, 0.4, 0.6, 0.8] * 10)
+    labels = np.array([0.0, 0.0, 1.0, 1.0] * 10)
+    iso = IsotonicRegression.fit(scores, labels)
+    assert compute_ece(iso.calibrate(scores), labels) <= compute_ece(scores, labels)
+
+
+def test_nqc_cv_laws():
+    assert nqc_cv(np.array([5.0, 5.0, 5.0])) == 0.0          # no spread
+    assert nqc_cv(np.array([])) == 0.0
+    assert nqc_cv(np.array([-1.0, 1.0])) == 0.0              # mean <= 0
+    v = np.array([10.0, 5.0, 1.0])
+    mu = v.mean()
+    want = math.sqrt(((v - mu) ** 2).mean()) / mu
+    assert nqc_cv(v) == pytest.approx(want)
+    # peaked retrieval (committed) has higher cv than flat
+    assert nqc_cv(np.array([10.0, 1.0, 1.0])) > nqc_cv(np.array([4.0, 4.0, 4.0]))
+
+
+def test_nqc_dense_weight_cdf_and_floor():
+    empty = NqcDenseWeight()
+    assert empty.dense_weight(0.5) == 1.0                    # neutral warm-up
+    w = NqcDenseWeight([0.1, 0.2, 0.3, 0.4])
+    assert w.percentile(0.25) == 0.5
+    assert w.dense_weight(0.25, beta=0.5) == pytest.approx(0.75)
+    assert w.dense_weight(0.25, beta=0.0) == 1.0             # beta off
+    assert w.dense_weight(9.0, beta=1.0, w_min=0.3) == pytest.approx(0.3)
+    # monotone: higher NQC never raises the dense weight
+    cvs = [0.05, 0.15, 0.25, 0.35, 0.45]
+    ws = [w.dense_weight(c, beta=0.5) for c in cvs]
+    assert all(a >= b for a, b in zip(ws, ws[1:]))
+
+
+def test_nqc_from_query_scores():
+    sk = NqcDenseWeight.from_query_scores([np.array([10.0, 1.0]),
+                                           np.array([4.0, 4.0]),
+                                           np.array([])])
+    assert len(sk) == 3                                      # empty slice kept as 0.0
+    assert sk.percentile(0.0) >= 1.0 / 3.0
