@@ -36,6 +36,47 @@ from fsray.tokenizer import tokenize_scalar
 
 MAX_QUERY_CHARS = 10_000
 
+
+@dataclass(frozen=True)
+class GlobClass:
+    """Classification of one wildcard pattern (CassWildcardPattern::parse,
+    query.rs:3415-3462).  ``strategy`` picks the dictionary access path:
+    ``TermQuery`` classes never scan (Exact = direct probe; Prefix =
+    binary-searched dictionary range, accelerated through the edge-ngram
+    prefix fields on CASS indexes), ``RegexQuery`` classes scan the base
+    term dictionaries with an anchor-free full-match regex
+    (to_regex, query.rs:3452-3460)."""
+    pattern: str
+    cls: str        # Exact | Prefix | Suffix | Substring | Complex
+    strategy: str   # TermQuery | RegexQuery
+    normalized_term: str | None = None  # Prefix only: pattern minus the star
+    regex: str | None = None            # RegexQuery classes only
+    question_mark_operator: bool = False  # Complex only
+
+
+def classify_glob(pattern: str) -> GlobClass:
+    """Classify a lowercased wildcard pattern into its execution strategy
+    (reference CassWildcardPattern::parse + to_regex, query.rs:3415-3462;
+    ``?`` single-scalar wildcards always take the Complex/regex lane)."""
+    pat = pattern.lower()
+    stars = pat.count("*")
+    has_q = "?" in pat
+    if stars == 0 and not has_q:
+        return GlobClass(pat, "Exact", "TermQuery")
+    if not pat.strip("*") and not has_q:
+        # all-star pattern: empty core lowers to Exact("") which matches
+        # nothing (query.rs:3435-3437)
+        return GlobClass("", "Exact", "TermQuery")
+    if pat.endswith("*") and stars == 1 and not has_q:
+        return GlobClass(pat, "Prefix", "TermQuery", normalized_term=pat[:-1])
+    rx = re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".")
+    if pat.startswith("*") and stars == 1 and not has_q:
+        return GlobClass(pat, "Suffix", "RegexQuery", regex=rx)
+    if pat.startswith("*") and pat.endswith("*") and stars == 2 and not has_q:
+        return GlobClass(pat, "Substring", "RegexQuery", regex=rx)
+    return GlobClass(pat, "Complex", "RegexQuery", regex=rx,
+                     question_mark_operator=has_q)
+
 #: group opener: optional +/- sign, optional field scope, then '('
 _GROUP_OPEN = re.compile(r"([+-]?)((?:[A-Za-z_][A-Za-z0-9_]*):)?\(")
 
@@ -229,7 +270,8 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
                 fragment_rule: str = "phrase",
                 phrase_fallback=None,
                 grammar_ws: str | None = None,
-                keyword_fields: set[str] | None = None) -> ParsedQuery:
+                keyword_fields: set[str] | None = None,
+                glob_fields: list[tuple[str, float]] | None = None) -> ParsedQuery:
     """Parse user input into canonical clause groups. Never raises.
 
     The default parameterization is the reference's *default* parser
@@ -256,9 +298,16 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
     phrases: list[PhraseClause] = []
     ranges: list = []
 
+    # explicit field scoping keeps the field's schema-configured boost
+    # (query.rs:2592-2599: `title:rust` lowers with TITLE_BOOST 2.0, and an
+    # explicit ^b multiplies on top — fixture query-default-field-and-boost
+    # pins Boost(3.0){Term title@2.0}, effective 6.0)
+    field_boosts = dict(default_fields)
+
     def emit(atom: str, group: str, scoped_field: str | None = None,
              mult: float = 1.0) -> list[int]:
-        targets = [(scoped_field, 1.0)] if scoped_field else default_fields
+        targets = ([(scoped_field, field_boosts.get(scoped_field, 1.0))]
+                   if scoped_field else default_fields)
         if mult != 1.0:
             targets = [(f, b * mult) for f, b in targets]
         created: list[int] = []
@@ -276,12 +325,24 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
             return [aid]
         if ("*" in atom or "?" in atom) and any(ch.isalnum() for ch in atom):
             # wildcard atom: keep the pattern whole (lowercased), defer
-            # dictionary expansion to the executor
+            # dictionary expansion to the executor.  Non-prefix patterns
+            # (suffix/substring/complex classes) scan the BASE-field term
+            # dictionaries only when ``glob_fields`` is set — the regex
+            # strategy never targets edge-ngram prefix fields, whose
+            # ngram terms would spuriously match interior patterns
+            # (fixture query-glob-{suffix,substring,complex}: fields
+            # [content, title]; classify_glob, query.rs)
             pat = atom.lower()
+            pure_prefix = (pat.endswith("*") and pat.count("*") == 1
+                           and "?" not in pat)
+            g_targets = targets
+            if glob_fields is not None and not pure_prefix and not scoped_field:
+                g_targets = ([(f, b * mult) for f, b in glob_fields]
+                             if mult != 1.0 else list(glob_fields))
             aid = atom_counter[0]
             atom_counter[0] += 1
             created.append(aid)
-            for fname, boost in targets:
+            for fname, boost in g_targets:
                 cl = Clause(fname, pat, boost, group, glob=True, atom=aid)
                 (must_not if group == "must_not" else
                  must if group == "must" else should).append(cl)
@@ -296,7 +357,8 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
             # its own required term (lower_compound, query.rs:3795-3801)
             aid = phrase_counter[0]
             phrase_counter[0] += 1
-            ph_targets = ([(scoped_field, 1.0)] if scoped_field
+            ph_targets = ([(scoped_field, field_boosts.get(scoped_field, 1.0) * mult)]
+                          if scoped_field
                           else [(f, b * mult) for f, b in phrase_fields])
             for fname, boost in ph_targets:
                 phrases.append(PhraseClause(fname, tuple(terms), boost, group,
@@ -334,7 +396,8 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
             return ids
         aid = phrase_counter[0]
         phrase_counter[0] += 1
-        targets = [(scoped_field, 1.0)] if scoped_field else phrase_fields
+        targets = ([(scoped_field, field_boosts.get(scoped_field, 1.0))]
+                   if scoped_field else phrase_fields)
         for fname, fboost in targets:
             phrases.append(PhraseClause(fname, terms, fboost * mult, group,
                                         atom=aid, slop=slop, prefix=pprefix))
@@ -402,11 +465,19 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
             return len(ranges) - 1
         return None
 
-    def field_scope(atom: str) -> tuple[str | None, str]:
+    def field_scope(atom: str) -> tuple[str | None, str | None]:
+        """Resolve ``head:rest`` field syntax.  Returns ``(None, None)``
+        when the fragment must be DROPPED: an identifier head that is not
+        a schema field is an unknown-field fragment, removed with a
+        diagnostic rather than lowered as text (query.rs:2581-2590;
+        fixtures query-identifier-raw-colon-dropped ``SearchIndex::new``
+        → Empty, query-lenient-diagnostic-keeps-valid-sibling)."""
         if ":" in atom:
             head, _, rest = atom.partition(":")
             if head in known_fields and rest:
                 return head, rest
+            if rest and head and all(c.isalnum() or c == "_" for c in head):
+                return None, None  # unknown field: fragment dropped
         return None, atom
 
     # ---- lexing: atoms, quoted phrases, operators, parens ----------------
@@ -591,10 +662,24 @@ def parse_query(text: str, default_fields: list[tuple[str, float]] | None = None
         if try_range(atom, negate=group == "must_not") is not None:
             continue
         scoped, atom = field_scope(atom)
+        if atom is None:
+            continue  # unknown-field fragment dropped (diagnostic)
         emit(atom, group, scoped, mult=boost)
 
+    # pure negation matches the complement: the parser injects an All
+    # branch so '-deprecated' scores every live doc NOT containing the
+    # term (fixtures query-default-all-negative-complement /
+    # query-boolean-negative-standalone-universe; only a DIRECTLY
+    # constructed MustNot-only boolean stays empty —
+    # query-boolean-mustnot-only-empty)
+    has_negative = bool(must_not) or any(p.group == "must_not" for p in phrases) \
+        or any(getattr(r, "negate", False) for r in ranges)
+    has_positive = bool(should or must) \
+        or any(p.group != "must_not" for p in phrases) \
+        or any(not getattr(r, "negate", False) for r in ranges)
     return ParsedQuery(should=should, must=must, must_not=must_not,
-                       phrases=phrases, ranges=ranges)
+                       phrases=phrases, ranges=ranges,
+                       match_all=has_negative and not has_positive)
 
 
 def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
@@ -663,6 +748,8 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
                 node = ("filter", ridx)
                 return ("not", node) if negated else node
             scoped, atom = field_scope(atom)
+            if atom is None:
+                return None  # unknown-field fragment dropped (diagnostic)
             ids = emit(atom, "should", scoped or scopes[-1], mult=mult)
         if not ids:
             return None
@@ -803,9 +890,13 @@ def _parse_boolean_tree(toks: list[tuple], emit, emit_phrase, try_range,
 CASS_TERM_FIELDS = [("title", 1.0), ("content", 1.0),
                     ("title_prefix", 1.0), ("content_prefix", 1.0)]
 CASS_PHRASE_FIELDS = [("title", 1.0), ("content", 1.0)]
+#: non-prefix glob patterns regex-scan the base term dictionaries in the
+#: reference's pinned order (fixture query-glob-suffix: fields
+#: [content, title]); prefix fields are never regex targets
+CASS_GLOB_FIELDS = [("content", 1.0), ("title", 1.0)]
 
 
-def parse_cass_query(text: str) -> ParsedQuery:
+def parse_cass_query(text: str, filters: dict | None = None) -> ParsedQuery:
     """The CASS parser variant (CassQueryParser, query.rs:3649-3858;
     parse_tree_cases with parser="cass"):
 
@@ -832,13 +923,20 @@ def parse_cass_query(text: str) -> ParsedQuery:
     def has_cjk(terms: tuple[str, ...]) -> bool:
         return any(is_cass_cjk(ch) for t in terms for ch in t)
 
+    # symbolic boolean operators: '&&' ≡ AND, '||' ≡ OR (fixtures
+    # query-cass-symbolic-and-equivalent / query-cass-symbolic-or) —
+    # rewritten to the keyword operators BEFORE lexing so 'auth||token'
+    # is an explicit OR, not a sanitize-split conjunction
+    text = (text or "").replace("&&", " AND ").replace("||", " OR ")
+
     parsed = parse_query(text, default_fields=CASS_TERM_FIELDS,
                          known_fields={f for f, _ in CASS_TERM_FIELDS},
                          analyzer=cass_query_analyze,
                          phrase_fields=CASS_PHRASE_FIELDS,
                          precedence="or_tight", implicit_conjunction=True,
                          fragment_rule="conjunction", phrase_fallback=has_cjk,
-                         grammar_ws=" \t\n")
+                         grammar_ws=" \t\n",
+                         glob_fields=CASS_GLOB_FIELDS)
     # a CASS parse that produced NOTHING (empty/blank/punctuation-only
     # input) lowers to All (query.rs:3716 parsed.map_or(Query::All, ...);
     # fixture query-empty-cass-all).  Standalone negation stays a
@@ -847,4 +945,38 @@ def parse_cass_query(text: str) -> ParsedQuery:
             and not parsed.phrases and not parsed.ranges
             and parsed.tree is None):
         parsed.match_all = True
+
+    # CASS structured filters (the API-level filter arguments, lowered as
+    # required children in the pinned order agents → workspaces → created
+    # range → source; fixtures query-cass-agent-workspace-filters,
+    # query-cass-created-{from,to}-only, query-cass-source-*-filter,
+    # query-cass-all-filter-order).  Metadata values are KEYWORD terms —
+    # raw, unanalyzed ('/alpha', 'archive-7').  A values list is ONE
+    # required atom whose clauses share the atom id (the existing
+    # any-branch-matches disjunction); the created range is a global
+    # numeric filter.  Indexes without the metadata fields skip the
+    # clauses at execution (lenient field_ord miss).
+    if filters:
+        aid = 500_000  # disjoint from term (0..) and phrase (1e6..) atoms
+        for field, key in (("agent", "agents"), ("workspace", "workspaces")):
+            vals = filters.get(key) or []
+            if vals:
+                for v in vals:
+                    parsed.must.append(Clause(field, str(v), 1.0, "must",
+                                              atom=aid))
+                aid += 1
+        lo, hi = filters.get("created_from"), filters.get("created_to")
+        if lo is not None or hi is not None:
+            parsed.ranges.append(RangeClause("created_at", lo, hi))
+        src = filters.get("source_filter")
+        if src == "source_id" and filters.get("source_id"):
+            parsed.must.append(Clause("source_id", str(filters["source_id"]),
+                                      1.0, "must", atom=aid))
+        elif src in ("local", "remote"):
+            # origin-kind values: 'local' stays local; 'remote' sources
+            # are the ssh-origin class (fixture
+            # query-cass-source-remote-filter: Term 'ssh' on origin_kind)
+            parsed.must.append(Clause("origin_kind",
+                                      "local" if src == "local" else "ssh",
+                                      1.0, "must", atom=aid))
     return parsed

