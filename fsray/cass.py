@@ -53,15 +53,30 @@ def cass_analyze(text: str, hyphen: bool = True) -> list[tuple[str, int]]:
     Position advances once per SOURCE token; hyphen parts and CJK bigrams
     share their source token's position (scribe.rs emit_* position
     plumbing)."""
-    out: list[tuple[str, int]] = []
+    return [(t, p) for t, p, _, _ in cass_analyze_spans(text, hyphen=hyphen)]
+
+
+def cass_analyze_spans(text: str,
+                       hyphen: bool = True) -> list[tuple[str, int, int, int]]:
+    """CASS tokenize with BYTE spans: [(token, position, byte_from, byte_to)].
+
+    Every token emitted from one source token — the compound, its hyphen
+    parts, each CJK bigram of a run — carries the SOURCE span's byte
+    offsets (fixtures analyzer-hyphen-compound-and-parts: bd/q3fy both
+    span 0..7; analyzer-hyphen-cjk-bigrams: every bigram spans the whole
+    run 0..12)."""
+    out: list[tuple[str, int, int, int]] = []
+    byte_at = [0]
+    for ch in text:
+        byte_at.append(byte_at[-1] + len(ch.encode("utf-8")))
     n = len(text)
     i = 0
     position = 0
 
-    def emit_normalized(source: str, pos: int) -> None:
+    def emit_normalized(source: str, pos: int, b0: int, b1: int) -> None:
         if len(source.encode("utf-8")) > CASS_MAX_TOKEN_BYTES:
             return
-        out.append((_ascii_lower(source), pos))
+        out.append((_ascii_lower(source), pos, b0, b1))
 
     while i < n:
         ch = text[i]
@@ -85,11 +100,12 @@ def cass_analyze(text: str, hyphen: bool = True) -> list[tuple[str, int]]:
                     continue
                 break
             source = text[i:end]
-            emit_normalized(source, position)
+            b0, b1 = byte_at[i], byte_at[end]
+            emit_normalized(source, position, b0, b1)
             if hyphen and "-" in source:
                 for part in source.split("-"):
                     if part:
-                        emit_normalized(part, position)
+                        emit_normalized(part, position, b0, b1)
             position += 1
             i = end
         elif is_cass_cjk(ch):
@@ -97,11 +113,12 @@ def cass_analyze(text: str, hyphen: bool = True) -> list[tuple[str, int]]:
             while j < n and is_cass_cjk(text[j]):
                 j += 1
             run = text[i:j]
+            b0, b1 = byte_at[i], byte_at[j]
             if len(run) == 1:
-                emit_normalized(run, position)
+                emit_normalized(run, position, b0, b1)
             else:
                 for a, b in zip(run, run[1:]):
-                    out.append((a + b, position))
+                    out.append((a + b, position, b0, b1))
             position += 1
             i = j
         else:

@@ -187,3 +187,24 @@ def unpack_score_docid(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     bits = np.where(mapped & 0x80000000, mapped & 0x7FFFFFFF, ~mapped & 0xFFFFFFFF)
     scores = bits.astype(np.uint32).view(np.float32)
     return scores, docids
+
+
+def epsilon_components(scores, relative_delta_max: float = 1e-4) -> list[list[int]]:
+    """ScoreEpsilon conformance classes: maximal connected components of
+    epsilon-adjacent oracle scores (fixture score-epsilon-component-boundary).
+
+    ``scores`` is the oracle ranking's score list in oracle order
+    (descending).  Adjacent entries connect when their relative delta is
+    <= ``relative_delta_max``; rank flips are permissible ONLY inside a
+    component (fixture score-epsilon-layout-class).  Returns index groups.
+    """
+    comps: list[list[int]] = []
+    for i, s in enumerate(scores):
+        if comps:
+            prev = scores[i - 1]
+            denom = max(abs(prev), abs(s))
+            if denom > 0 and abs(prev - s) / denom <= relative_delta_max:
+                comps[-1].append(i)
+                continue
+        comps.append([i])
+    return comps

@@ -77,6 +77,44 @@ def tokenize_scalar(text: str) -> list[str]:
     return [t for t in tokens if len(t.encode("utf-8")) <= MAX_TOKEN_BYTES]
 
 
+def tokenize_scalar_spans(text: str) -> list[tuple[str, int, int, int]]:
+    """Reference-exact span oracle: ``[(token, position, byte_from, byte_to)]``.
+
+    Mirrors the reference's token stream including BYTE offsets into the
+    source and Rust's FULL Unicode lowercase mapping ('İ' -> 'i' + U+0307
+    — fixture analyzer-default-unicode-lower-expansion), which Python's
+    ``str.lower`` shares.  The vectorized hot path keeps Arrow's simple
+    1:1 mapping (module docstring divergence note); this oracle exists for
+    offset-bearing surfaces (conformance, highlighting) where the
+    reference byte spans are contractual.  Oversized tokens drop after
+    analysis, so surviving positions keep their gaps (scribe.rs:205-242).
+    """
+    byte_at = [0]
+    for ch in text:
+        byte_at.append(byte_at[-1] + len(ch.encode("utf-8")))
+    spans: list[tuple[str, int, int, int]] = []
+    start = None
+    position = 0
+
+    def flush(end: int) -> None:
+        nonlocal position
+        tok = text[start:end].lower()
+        if len(tok.encode("utf-8")) <= MAX_TOKEN_BYTES:
+            spans.append((tok, position, byte_at[start], byte_at[end]))
+        position += 1
+
+    for i, ch in enumerate(text):
+        if ch.isalnum():
+            if start is None:
+                start = i
+        elif start is not None:
+            flush(i)
+            start = None
+    if start is not None:
+        flush(len(text))
+    return spans
+
+
 def tokenize_column(column: pa.ChunkedArray | pa.Array) -> pa.LargeListArray:
     """Vectorized tokenize of a string column -> large_list<string> of tokens.
 

