@@ -81,7 +81,10 @@ class TopK:
 def _finalize(scores: np.ndarray, candidates: np.ndarray, lo: int, k: int,
               dtype) -> TopK:
     """Select top-k (score desc, docid asc) from candidate local indices."""
-    if len(candidates) == 0:
+    if len(candidates) == 0 or k <= 0:
+        # limit 0 keeps the candidate count (exact totals) but collects no
+        # hits (behavior-pagination-and-limit-zero: "limit zero returns no
+        # hits without collector panic")
         return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype))
     cand_scores = scores[candidates]
     docids = (candidates + lo).astype(np.uint32)
@@ -251,6 +254,8 @@ def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
     norm, IEEE ops monotone), window bound = same-order clause sum of
     per-window maxima ≥ any document's exact score in the window.
     """
+    if k <= 0:
+        return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype))
     must_atoms = sorted({c.atom for c in clauses if c.group == "must"})
     win_ub = _window_bounds(clauses, lo, size, dtype=dtype)
     order = np.argsort(win_ub)[::-1]  # descending upper bound

@@ -80,6 +80,14 @@ class ShardData:
         self.lo = lo
         self.hi = hi
         self.fields = {f["name"]: f["ord"] for f in manifest["fields"]}
+        # CASS-schema index: edge-ngram prefix fields exist, so Prefix-class
+        # globs execute as ONE exact term probe (the normalized term IS the
+        # edge ngram) instead of a dictionary-range expansion —
+        # query.rs:3806 Exact|Prefix -> TermQuery; pinned by
+        # behavior-cass-prefix-and-cjk-boundaries ("a* does not generally
+        # match a longer token": the 1-char ngram never exists)
+        self._prefix_accel = any(f.get("analyzer") == "cass_prefix"
+                                 for f in manifest["fields"])
         if tt is not None:
             # term dictionary = binary search over the (field, term)-sorted
             # columns (the reference's sorted, binary-searchable dictionary
@@ -182,6 +190,11 @@ class ShardData:
         g = classify_glob(pattern)
         if g.cls == "Exact":
             return [g.pattern] if self.row_of((field_ord, g.pattern)) is not None else []
+        if g.cls == "Prefix" and self._prefix_accel:
+            # CASS index: prefix ≡ exact probe of the normalized term
+            # (matched through the edge-ngram fields, never expanded)
+            t = g.normalized_term or ""
+            return [t] if t and self.row_of((field_ord, t)) is not None else []
         bounds = self._field_bounds.get(int(field_ord))
         if bounds is None:
             return []

@@ -1,0 +1,134 @@
+"""Concrete behavior_cases from the quill language contract fixture.
+
+Sibling of ``tests/test_contract_sections.py``: consumes the
+``behavior_cases`` entries that pin directly checkable semantics —
+the snippet unicode golden (byte budget at token boundaries), the
+pagination/limit-zero collector contracts, and the CASS prefix-field /
+CJK boundary rules.  Prose-only behavior surfaces (writer mutations,
+reader snapshots, errors-no-panic, durability) are covered by
+test_mutate / test_delta / the edge-cases sweep in
+test_reference_fixtures, cited per case below.
+"""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fsray.build import CASS_DOCUMENTS, BuildConfig, build_index
+from fsray.cass import CASS_MAX_EDGE_NGRAM_CHARS, cass_generate_edge_ngrams
+from fsray.search import LocalIndex
+from fsray.snippet import DEFAULT_SNIPPET_MAX_CHARS, SnippetGenerator
+
+FIXTURE = "/root/reference/tests/fixtures/quill_language_contract.json"
+with open(FIXTURE) as f:
+    BEHAVIOR = {c["id"]: c for c in json.load(f)["behavior_cases"]}
+
+
+# ---- behavior-snippet-output --------------------------------------------
+
+def test_snippet_unicode_golden():
+    c = BEHAVIOR["behavior-snippet-output"]
+    assert DEFAULT_SNIPPET_MAX_CHARS == c["max_chars"]
+    g = c["unicode_golden"]
+    gen = SnippetGenerator([(g["query"], 1)],
+                           max_chars=g["max_chars_argument"],
+                           highlight_prefix=c["prefix"],
+                           highlight_postfix=c["suffix"])
+    assert gen.snippet(g["content"]) == g["expected_html"]
+
+
+# ---- behavior-pagination-and-limit-zero ---------------------------------
+
+@pytest.fixture(scope="module")
+def boundary_index(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bound")
+    words = ["window slides stream", "wi-fi gateway", "windmill energy",
+             "plain words", "搜索引擎 quick", "sparse windows driver",
+             "alpha beta", "gamma delta stream", "stream of windows",
+             "final stream entry"]
+    rows = pa.table({
+        "doc_id": pa.array(list(range(len(words))), type=pa.int64()),
+        "text": pa.array(words),
+        "source": pa.array([f"src{i}" for i in range(len(words))]),
+        "n_chars": pa.array([len(w) for w in words], type=pa.int64()),
+    })
+    src = str(root / "docs.parquet")
+    pq.write_table(rows, src, row_group_size=4)
+    d = str(root / "idx")
+    build_index([src], d, CASS_DOCUMENTS,
+                BuildConfig(partition_rows=4, num_shards=2, num_buckets=2))
+    return LocalIndex(d)
+
+
+def test_limit_zero_contracts(boundary_index):
+    c = BEHAVIOR["behavior-pagination-and-limit-zero"]
+    assert "limit zero returns no hits without collector panic" in c["contracts"]
+    hits, total = boundary_index.search_paginated("stream", limit=0,
+                                                  exact_count=True)
+    assert hits == []
+    # counted limit zero still returns the exact total
+    _, full_total = boundary_index.search_paginated("stream", limit=100,
+                                                    exact_count=True)
+    assert total == full_total and total == 4
+    # uncounted limit zero: no hits, count untracked
+    hits2, total2 = boundary_index.search_paginated("stream", limit=0)
+    assert hits2 == [] and total2 is None
+
+
+def test_offset_pages_rank_local(boundary_index):
+    # "offset pages use page-local rank starting at zero": page 2 of
+    # size 2 equals ranks 2..3 of the full ranking
+    full, _ = boundary_index.search_paginated("stream windows", limit=10)
+    page, _ = boundary_index.search_paginated("stream windows", limit=2,
+                                              offset=2)
+    assert [h.doc_id for h in page] == [h.doc_id for h in full[2:4]]
+
+
+# ---- behavior-cass-prefix-and-cjk-boundaries ----------------------------
+
+def _cass_match(idx, q):
+    hits, _ = idx.search_paginated(q, limit=10_000, parser="cass")
+    return {int(h.doc_id) for h in hits}
+
+
+def test_prefix_fields_contain_lengths_2_through_20_only(boundary_index):
+    c = BEHAVIOR["behavior-cass-prefix-and-cjk-boundaries"]
+    assert "prefix fields contain lengths 2 through 20 only" in c["contracts"]
+    assert CASS_MAX_EDGE_NGRAM_CHARS == 20
+    ords = {f["name"]: f["ord"] for f in boundary_index.manifest["fields"]}
+    for fname in ("title_prefix", "content_prefix"):
+        ordn = ords[fname]
+        for sh in boundary_index.shards:
+            if sh.term_table is None:
+                continue
+            lo, hi = sh._field_bounds.get(ordn, (0, 0))
+            terms = sh._tt_terms.slice(lo, hi - lo).to_pylist()
+            assert all(2 <= len(t) <= 20 for t in terms), fname
+    # and the generator itself never emits length-1 or >20 ngrams
+    grams = cass_generate_edge_ngrams("a windowpane xyzzyxzyzzyxzyzzyxzyzzyx").split()
+    assert all(2 <= len(g) <= 20 for g in grams)
+
+
+def test_single_char_prefix_glob_matches_nothing_longer(boundary_index):
+    # "a* does not generally match a longer token": Prefix-class globs
+    # probe the normalized term exactly; the 1-char edge ngram never
+    # exists, so 'w*' must NOT match window/windmill/windows docs
+    assert _cass_match(boundary_index, "w*") == set()
+    # while the 2-char prefix DOES match through the edge-ngram fields
+    assert _cass_match(boundary_index, "wi*") == {0, 1, 2, 5, 8}
+
+
+def test_exact_short_term_matches_longer_via_prefix_fields(boundary_index):
+    # "exact terms of length 2 through 20 may match longer tokens through
+    # prefix fields": the bare CASS term 'wind' hits window/windmill/
+    # windows docs because their edge-ngram fields contain 'wind'
+    assert _cass_match(boundary_index, "wind") == {0, 2, 5, 8}
+
+
+def test_cjk_unigram_does_not_match_inside_bigram_run(boundary_index):
+    # "single CJK unigram does not match inside a multi-character
+    # bigram-indexed run": doc 4 indexes 搜索/索引/引擎 bigrams only
+    assert _cass_match(boundary_index, "搜") == set()
+    assert _cass_match(boundary_index, "搜索") == {4}
