@@ -132,3 +132,26 @@ def test_cjk_unigram_does_not_match_inside_bigram_run(boundary_index):
     # bigram-indexed run": doc 4 indexes 搜索/索引/引擎 bigrams only
     assert _cass_match(boundary_index, "搜") == set()
     assert _cass_match(boundary_index, "搜索") == {4}
+
+
+# ---- behavior-quill-oversized-query-lowering ----------------------------
+
+def test_oversized_query_term_lowering_shapes(boundary_index):
+    """behavior-quill-oversized-query-lowering (G0 target): an oversized
+    term is unmatchable, so Must(valid, oversized) and a phrase containing
+    it lower to Empty while Should(valid, oversized) keeps the valid arm.
+
+    The fixture's 65,531-byte default-analyzer shape is unreachable
+    through an ordinary string query (10,000-char lenient truncation);
+    the CASS lane's 256-byte index cap makes the same lowering REACHABLE:
+    the query analyzer keeps the long token, the index can never contain
+    it, and the occur semantics do the rest."""
+    big = "z" * 300  # > CASS_MAX_TOKEN_BYTES: indexed nowhere
+    # Must(valid, oversized) -> Empty (CASS adjacency is conjunction)
+    assert _cass_match(boundary_index, f"stream {big}") == set()
+    # Should(valid, oversized) -> Should(valid)
+    assert _cass_match(boundary_index, f"stream OR {big}") == \
+        _cass_match(boundary_index, "stream")
+    # Must(valid) + MustNot(oversized) -> Must(valid)
+    assert _cass_match(boundary_index, f"stream AND NOT {big}") == \
+        _cass_match(boundary_index, "stream")
