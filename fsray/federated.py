@@ -1,0 +1,210 @@
+"""Federated search: one query fans out over multiple independent indexes,
+per-index results fuse into one ranked list.
+
+Reimplements the semantics of the reference's FederatedSearcher
+(crates/frankensearch-fusion/src/federated.rs):
+
+- per-index candidate pool = ``limit × candidate_pool_factor`` (≥1);
+- shards with non-finite or ≤0 weight contribute nothing;
+- fusion methods: RRF (``weight × 1/(k + rank + 1)``, k sanitized to 60
+  when non-finite/negative — federated.rs:546-552), WeightedScore
+  (per-index normalization then ``weight × max(norm, 0)``), CombMNZ
+  (weighted sum × appearance count);
+- per doc: fused score accumulates across shards; the PRIMARY shard is
+  the one with the greatest contribution (ties: lower rank, then
+  lexicographically smaller shard name — federated.rs:595-607);
+- ``appeared_in`` is the sorted distinct shard-name list; >1 appearance
+  marks the hit Hybrid;
+- final order: fused score desc → appearance count desc → source rank
+  asc → doc_id asc (strict total order, federated.rs:650-657), truncated
+  to ``limit``;
+- coverage record: queried / answered / failed / cancelled_in_flight
+  shards per query (partial federation is never silent —
+  federated.rs:540-560 bd-3zh67); ``min_indices`` is a post-gather FLOOR
+  that raises when unmet; ``wait_for_indices`` stops the gather early.
+
+Ray mapping: each member index is a LocalIndex (in-process shards) or a
+RayIndex (its own shard-actor pool), so the per-index search is already
+distributed; the scatter loop here is the driver-side gather, bounded by
+``max_indices`` member indexes — at cluster scale each member's actors
+live on their own nodes and the fuse input is ≤ limit × factor × indexes
+rows.  The async per-index timeout of the reference is an async-runtime
+concern with no sync analogue here; ``per_index_timeout_ms`` is accepted
+and recorded but a member search is bounded by its own execution
+(documented divergence).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DEFAULT_FEDERATED_RRF_K = 60.0
+
+
+class FederatedInsufficientResponsesError(RuntimeError):
+    """Fewer shards answered than the ``min_indices`` floor requires
+    (SearchError::FederatedInsufficientResponses)."""
+
+    def __init__(self, required: int, received: int):
+        super().__init__(f"federated search required {required} "
+                         f"responses, received {received}")
+        self.required = required
+        self.received = received
+
+
+@dataclass
+class FederatedHit:
+    doc_id: str
+    score: float
+    source_index: str   # strongest-contribution shard
+    source_rank: int    # 0-based rank in source_index
+    appeared_in: list[str]
+    hybrid: bool = False
+
+
+@dataclass
+class FederatedCoverage:
+    queried: list[str] = field(default_factory=list)
+    answered: list[str] = field(default_factory=list)
+    failed: list[tuple[str, str]] = field(default_factory=list)
+    cancelled_in_flight: list[str] = field(default_factory=list)
+
+    @property
+    def is_complete(self) -> bool:
+        return len(self.answered) == len(self.queried)
+
+
+@dataclass
+class FederatedResponse:
+    hits: list[FederatedHit]
+    coverage: FederatedCoverage
+
+
+def _sanitize_rrf_k(k: float) -> float:
+    return k if np.isfinite(k) and k >= 0.0 else DEFAULT_FEDERATED_RRF_K
+
+
+def _normalize(scores: np.ndarray, method: str, dtype) -> np.ndarray:
+    from fsray.fuse import min_max_normalize, z_score_normalize
+    if method == "minmax":
+        return min_max_normalize(scores.astype(dtype))
+    if method == "zscore":
+        return z_score_normalize(scores.astype(dtype))
+    raise ValueError(f"unknown normalization {method!r}")
+
+
+def federated_fuse(shard_results: list[tuple[str, float, list[tuple[str, float]]]],
+                   method: str = "rrf", k: float = DEFAULT_FEDERATED_RRF_K,
+                   normalization: str = "minmax",
+                   comb_mnz: bool = False,
+                   dtype=np.float32) -> list[FederatedHit]:
+    """Fuse per-shard ranked hits.  ``shard_results``: [(name, weight,
+    [(doc_id, score) ...])] in per-shard rank order.  ``method``: "rrf" or
+    "weighted" (set ``comb_mnz=True`` for CombMNZ).  ``dtype`` is the
+    accumulation precision: float32 is the reference lane, float64 the
+    oracle lane (documented f32/f64 divergence class)."""
+    docs: dict[str, dict] = {}
+    if method == "rrf":
+        kk = _sanitize_rrf_k(k)
+    for name, weight, hits in shard_results:
+        if not np.isfinite(weight) or weight <= 0.0 or not hits:
+            continue
+        w = dtype(weight)
+        if method == "rrf":
+            contribs = [w * dtype(1.0 / (kk + float(rank) + 1.0))
+                        for rank in range(len(hits))]
+        else:
+            raw = np.asarray([s for _, s in hits], dtype=dtype)
+            norm = _normalize(raw, normalization, dtype)
+            contribs = [w * max(dtype(n), dtype(0.0)) for n in norm]
+        for rank, ((doc_id, _), contribution) in enumerate(zip(hits, contribs)):
+            entry = docs.get(doc_id)
+            if entry is None:
+                entry = docs[doc_id] = {
+                    "fused": dtype(0.0), "primary": name, "rank": rank,
+                    "pc": contribution, "shards": set()}
+            entry["fused"] = entry["fused"] + contribution
+            entry["shards"].add(name)
+            better = (contribution > entry["pc"]
+                      or (contribution == entry["pc"]
+                          and (rank < entry["rank"]
+                               or (rank == entry["rank"]
+                                   and name < entry["primary"]))))
+            if better:
+                entry["primary"], entry["rank"], entry["pc"] = \
+                    name, rank, contribution
+    out = []
+    for doc_id, e in docs.items():
+        appeared = sorted(e["shards"])
+        fused = e["fused"] * dtype(len(appeared)) if comb_mnz else e["fused"]
+        out.append(FederatedHit(doc_id, float(fused), e["primary"], e["rank"],
+                                appeared, hybrid=len(appeared) > 1))
+    out.sort(key=lambda h: (-h.score, -len(h.appeared_in), h.source_rank,
+                            h.doc_id))
+    return out
+
+
+class FederatedSearcher:
+    """Scatter-gather over named member indexes (LocalIndex / RayIndex /
+    WatchIndex — anything with ``search(text, k, dtype)`` returning Hits)."""
+
+    def __init__(self, method: str = "rrf", k: float = DEFAULT_FEDERATED_RRF_K,
+                 normalization: str = "minmax", comb_mnz: bool = False,
+                 candidate_pool_factor: int = 3, min_indices: int = 1,
+                 max_indices: int | None = None,
+                 wait_for_indices: int | None = None,
+                 per_index_timeout_ms: int = 500):
+        self.method = method
+        self.k = k
+        self.normalization = normalization
+        self.comb_mnz = comb_mnz
+        self.candidate_pool_factor = max(1, candidate_pool_factor)
+        self.min_indices = min_indices
+        self.max_indices = max_indices
+        self.wait_for_indices = wait_for_indices
+        self.per_index_timeout_ms = per_index_timeout_ms
+        self._members: list[tuple[str, object, float]] = []
+
+    def add_index(self, name: str, index, weight: float = 1.0) -> "FederatedSearcher":
+        self._members.append((name, index, weight))
+        return self
+
+    def __len__(self) -> int:
+        return len(self._members)
+
+    def search(self, query: str, limit: int,
+               dtype=np.float32, **search_kw) -> FederatedResponse:
+        if not query or limit <= 0 or not self._members:
+            return FederatedResponse([], FederatedCoverage())
+        members = self._members[:self.max_indices] \
+            if self.max_indices is not None else self._members
+        per_index_limit = limit * self.candidate_pool_factor
+        cov = FederatedCoverage(queried=[n for n, _, _ in members])
+        shard_results = []
+        first_error: Exception | None = None
+        for name, index, weight in members:
+            if (self.wait_for_indices is not None
+                    and len(cov.answered) >= self.wait_for_indices):
+                cov.cancelled_in_flight.append(name)
+                continue
+            try:
+                hits = index.search(query, k=per_index_limit, dtype=dtype,
+                                    **search_kw)
+            except Exception as ex:  # noqa: BLE001 — shard faults are data
+                cov.failed.append((name, repr(ex)))
+                first_error = first_error or ex
+                continue
+            cov.answered.append(name)
+            shard_results.append(
+                (name, weight, [(h.doc_id, h.score) for h in hits]))
+        if not shard_results and first_error is not None:
+            raise first_error
+        if len(shard_results) < self.min_indices:
+            raise FederatedInsufficientResponsesError(
+                self.min_indices, len(shard_results))
+        hits = federated_fuse(shard_results, method=self.method, k=self.k,
+                              normalization=self.normalization,
+                              comb_mnz=self.comb_mnz, dtype=dtype)
+        return FederatedResponse(hits[:limit], cov)

@@ -251,7 +251,8 @@ def bm25_search(sf_dir: str, text: str, k: int = 10) -> pa.Table:
 
 
 def bm25_oracle_sql(text: str, k: int = 10, matched_override: str | None = None,
-                    score_override: str | None = None) -> str:
+                    score_override: str | None = None,
+                    table_filter: str | None = None) -> str:
     """Generate the DuckDB oracle for one engine query over ``documents``.
 
     Reproduces the engine's float64 lane exactly: same tokenization, the
@@ -264,6 +265,11 @@ def bm25_oracle_sql(text: str, k: int = 10, matched_override: str | None = None,
     match predicate and an explicitly-parenthesized score expression (used
     by the boolean-tree oracle, whose f64 summation must associate the way
     the tree kernel does: per-node partial sums, not left-to-right).
+
+    ``table_filter`` restricts the corpus (a SQL predicate over
+    ``documents`` rows): every statistic (N, avgdl, df) becomes
+    partition-local, exactly matching an index BUILT over only those rows
+    — the federated-search member-index oracle.
     """
     parsed = parse_query(text, default_fields=[("content", 1.0)])
     scoring = parsed.scoring_clauses()
@@ -295,13 +301,15 @@ def bm25_oracle_sql(text: str, k: int = 10, matched_override: str | None = None,
     if score_override is not None:
         score_terms = score_override
 
+    where = f"WHERE {table_filter}" if table_filter else ""
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{SPLIT_SQL}')) AS tok
-  FROM documents
+  FROM documents {where}
 ), toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
 dl0 AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
-dlx AS (SELECT d.doc_id, COALESCE(dl0.dl, 0) AS dl FROM documents d LEFT JOIN dl0 USING (doc_id)),
+dlx AS (SELECT d.doc_id, COALESCE(dl0.dl, 0) AS dl
+        FROM (SELECT doc_id FROM documents {where}) d LEFT JOIN dl0 USING (doc_id)),
 fnt(v) AS (VALUES {fnt_values}),
 dl AS (SELECT doc_id, dl,
          {K1_F64!r} * (1.0 - {B_F64!r} + {B_F64!r} * CAST((SELECT max(v) FROM fnt WHERE v <= dl) AS DOUBLE)
@@ -309,7 +317,7 @@ dl AS (SELECT doc_id, dl,
        FROM dlx),
 tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks2
        WHERE tok IN ({in_list}) GROUP BY doc_id, tok),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n),
+stats AS (SELECT (SELECT count(*) FROM dlx) AS n),
 w AS (SELECT tok, ln(1.0 + ((CAST((SELECT n FROM stats) - count(*) AS DOUBLE)) + 0.5)
                      / (CAST(count(*) AS DOUBLE) + 0.5)) * (1.0 + {K1_F64!r}) AS weight
       FROM tf GROUP BY tok),
@@ -1021,6 +1029,64 @@ def prf_search(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# federated lane (reference crates/frankensearch-fusion/src/federated.rs):
+# one query fans out over independent member indexes, RRF-fused globally.
+# The driver lane splits `documents` into two disjoint member corpora
+# (doc_id parity — stand-ins for two real indexes), builds one index per
+# member (each index build is its own Ray pipeline; on a cluster each
+# member's shard actors live on their own nodes), and fuses.  Every
+# statistic (N, avgdl, df) is member-local, which is exactly what the
+# partition-filtered oracle computes.
+
+FEDERATED_QUERY = ("spark stream table", 10)
+FEDERATED_PARTS = 2
+
+_FED_CACHE: dict[str, list] = {}
+
+
+def _federated_members(sf_dir: str) -> list:
+    """One LocalIndex per doc_id-parity partition of `documents`."""
+    if sf_dir not in _FED_CACHE:
+        import pyarrow.parquet as pq
+        src_path = os.path.join(sf_dir, "documents.parquet")
+        members = []
+        for part in range(FEDERATED_PARTS):
+            tag = hashlib.sha256(f"{sf_dir}:fed{part}".encode()).hexdigest()[:12]
+            index_dir = os.path.join("/tmp", "fsray_index_cache", tag)
+            part_src = index_dir + ".src.parquet"
+            if not os.path.exists(part_src):
+                t = pq.read_table(src_path)
+                mask = pc.equal(pc.bit_wise_and(t["doc_id"], FEDERATED_PARTS - 1),
+                                part)
+                os.makedirs(os.path.dirname(part_src), exist_ok=True)
+                pq.write_table(t.filter(mask), part_src, row_group_size=1024)
+            build_index([part_src], index_dir, DOCUMENTS,
+                        BuildConfig(partition_rows=1024, num_shards=2,
+                                    num_buckets=8))
+            members.append((f"part{part}", LocalIndex(index_dir)))
+        _FED_CACHE[sf_dir] = members
+    return _FED_CACHE[sf_dir]
+
+
+def federated_search(sf_dir: str) -> pa.Table:
+    """Scatter-gather over the two member indexes, RRF k=60, weight 1.0
+    each, f64 lane (oracle-exact; the engine default is the f32 lane —
+    documented divergence class)."""
+    from fsray.federated import FederatedSearcher
+    text, k = FEDERATED_QUERY
+    fed = FederatedSearcher(method="rrf", candidate_pool_factor=3)
+    for name, idx in _federated_members(sf_dir):
+        fed.add_index(name, idx, weight=1.0)
+    resp = fed.search(text, k, dtype=np.float64)
+    return pa.table({
+        "doc_id": pa.array([int(h.doc_id) for h in resp.hits], type=pa.int64()),
+        "rrf_score": pa.array([h.score for h in resp.hits], type=pa.float64()),
+        "n_indices": pa.array([len(h.appeared_in) for h in resp.hits],
+                              type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # multimodal lane
 
 def multimodal_frames(sf_dir: str) -> pa.Table:
@@ -1096,6 +1162,7 @@ def make_queries() -> dict:
         "ann_ivf": ann_ivf,
         "ann_hnsw": ann_hnsw,
         "hybrid_rrf": hybrid_rrf,
+        "federated_search": federated_search,
         "hybrid_blend": hybrid_blend,
         "bm25_calibrated": bm25_calibrated,
         "ann_mmr": ann_mmr,
@@ -1300,6 +1367,29 @@ ranked AS (SELECT query_id, neighbor_id,
                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
            FROM sims)
 SELECT query_id, neighbor_id FROM ranked WHERE rn <= {ANN_K} ORDER BY query_id, neighbor_id"""
+
+    fed_text, fed_k = FEDERATED_QUERY
+    fed_pool = fed_k * 3  # candidate_pool_factor
+    p0 = bm25_oracle_sql(fed_text, fed_pool,
+                         table_filter="doc_id % 2 = 0").strip().removeprefix("WITH")
+    p1 = bm25_oracle_sql(fed_text, fed_pool,
+                         table_filter="doc_id % 2 = 1").strip().removeprefix("WITH")
+    # federated RRF (federated.rs fuse_rrf): contribution 1/(60 + rank0 + 1)
+    # = 1/(60 + rn) with 1-based rn; fused = part0 + part1 in registration
+    # order (same f64 addition order as the engine lane); final order
+    # score desc, appearance count desc, doc_id asc, LIMIT k
+    o["federated_search"] = f"""
+WITH p0_raw AS ( WITH {p0} ),
+p1_raw AS ( WITH {p1} ),
+r0 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM p0_raw),
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM p1_raw),
+ids AS (SELECT doc_id FROM r0 UNION SELECT doc_id FROM r1)
+SELECT i.doc_id,
+       COALESCE(1.0 / (60 + a.rn), 0.0) + COALESCE(1.0 / (60 + b.rn), 0.0) AS rrf_score,
+       CAST((CASE WHEN a.rn IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN b.rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_indices
+FROM ids i LEFT JOIN r0 a ON a.doc_id = i.doc_id LEFT JOIN r1 b ON b.doc_id = i.doc_id
+ORDER BY rrf_score DESC, n_indices DESC, CAST(i.doc_id AS VARCHAR) ASC LIMIT {fed_k}"""
 
     lex_sql = bm25_oracle_sql(HYBRID_QUERY, HYBRID_ARM_K).strip().removeprefix("WITH")
     o["hybrid_rrf"] = f"""

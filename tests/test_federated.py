@@ -1,0 +1,198 @@
+"""Federated search laws (reference federated.rs semantics).
+
+Fusion-kernel laws run over hand-built shard results; searcher laws run
+over stub member indexes; the end-to-end lane is oracle-checked by the
+driver (`federated_search`, exact partition-filtered BM25 + RRF SQL).
+"""
+
+import numpy as np
+import pytest
+
+from fsray.federated import (
+    DEFAULT_FEDERATED_RRF_K,
+    FederatedInsufficientResponsesError,
+    FederatedSearcher,
+    federated_fuse,
+)
+
+
+def _hits(*pairs):
+    return [(d, float(s)) for d, s in pairs]
+
+
+def test_rrf_contribution_and_accumulation():
+    # fuse_rrf (federated.rs:480-512): weight × f32(1/(k + rank + 1)),
+    # fused score accumulates across shards
+    shards = [("a", 1.0, _hits(("x", 9.0), ("y", 5.0))),
+              ("b", 1.0, _hits(("y", 8.0)))]
+    out = federated_fuse(shards, method="rrf", k=60.0)
+    got = {h.doc_id: h for h in out}
+    c0 = np.float32(1.0) * np.float32(1.0 / 61.0)
+    c1 = np.float32(1.0) * np.float32(1.0 / 62.0)
+    assert got["x"].score == float(c0)
+    assert got["y"].score == float(np.float32(c1 + c0))  # a-rank1 + b-rank0
+    assert got["y"].appeared_in == ["a", "b"] and got["y"].hybrid
+    assert got["x"].appeared_in == ["a"] and not got["x"].hybrid
+    # y outranks x: higher fused score
+    assert [h.doc_id for h in out] == ["y", "x"]
+
+
+def test_rrf_k_sanitized():
+    # sanitize_rrf_k (federated.rs:546-552): non-finite / negative -> 60
+    shards = [("a", 1.0, _hits(("x", 1.0)))]
+    for bad in (float("nan"), float("inf"), -3.0):
+        out = federated_fuse(shards, method="rrf", k=bad)
+        assert out[0].score == float(np.float32(1.0 / (DEFAULT_FEDERATED_RRF_K + 1.0)))
+
+
+def test_nonpositive_or_nonfinite_weight_skipped():
+    shards = [("a", 0.0, _hits(("x", 1.0))),
+              ("b", -1.0, _hits(("x", 1.0))),
+              ("c", float("nan"), _hits(("x", 1.0))),
+              ("d", 2.0, _hits(("z", 1.0)))]
+    out = federated_fuse(shards, method="rrf")
+    assert [h.doc_id for h in out] == ["z"]
+    assert out[0].appeared_in == ["d"]
+
+
+def test_weighted_score_normalizes_per_index():
+    # fuse_weighted: min-max normalize each shard independently, then
+    # weight × max(norm, 0); top doc of each shard normalizes to 1.0
+    shards = [("a", 1.0, _hits(("x", 10.0), ("y", 2.0))),
+              ("b", 0.5, _hits(("y", 100.0), ("x", 50.0)))]
+    out = federated_fuse(shards, method="weighted", normalization="minmax")
+    got = {h.doc_id: h for h in out}
+    # x: 1.0 from a + 0.5 × 0.0 from b; y: 0.0 from a + 0.5 × 1.0 from b
+    assert got["x"].score == 1.0
+    assert got["y"].score == 0.5
+    # primary = strongest contribution: x from a, y from b
+    assert got["x"].source_index == "a" and got["y"].source_index == "b"
+
+
+def test_comb_mnz_multiplies_by_appearance_count():
+    shards = [("a", 1.0, _hits(("x", 3.0), ("y", 1.0))),
+              ("b", 1.0, _hits(("x", 7.0)))]
+    plain = {h.doc_id: h.score
+             for h in federated_fuse(shards, method="weighted")}
+    mnz = {h.doc_id: h.score
+           for h in federated_fuse(shards, method="weighted", comb_mnz=True)}
+    assert mnz["x"] == float(np.float32(np.float32(plain["x"]) * np.float32(2)))
+    assert mnz["y"] == plain["y"]  # single appearance: ×1
+
+
+def test_primary_tiebreaks_lower_rank_then_name():
+    # accumulate_doc (federated.rs:595-607): equal contribution -> lower
+    # rank wins; equal rank -> lexicographically smaller shard name
+    shards = [("b", 1.0, _hits(("x", 1.0), ("pad", 0.5))),
+              ("a", 1.0, _hits(("pad2", 0.9), ("x", 1.0)))]
+    out = federated_fuse(shards, method="rrf")
+    got = {h.doc_id: h for h in out}
+    assert got["x"].source_index == "b" and got["x"].source_rank == 0
+    shards_eq = [("b", 1.0, _hits(("x", 1.0))), ("a", 1.0, _hits(("x", 1.0)))]
+    out_eq = federated_fuse(shards_eq, method="rrf")
+    assert out_eq[0].source_index == "a"  # same contribution, same rank
+
+
+def test_sort_order_appearances_then_rank_then_docid():
+    # into_ranked_hits comparator (federated.rs:650-657): score desc ->
+    # appearance count desc -> source rank asc -> doc_id asc
+    k = 60.0
+    # x appears rank0 in both shards; y rank0 in one with weight 2 so the
+    # fused scores tie: w2×1/61 == (1/61 + 1/61)
+    shards = [("a", 1.0, _hits(("x", 5.0))), ("b", 1.0, _hits(("x", 5.0))),
+              ("c", 2.0, _hits(("y", 5.0)))]
+    out = federated_fuse(shards, method="rrf", k=k)
+    assert [h.doc_id for h in out] == ["x", "y"]  # tie -> more appearances
+    # pure doc_id tie: same score, same appearances, same rank
+    shards2 = [("a", 1.0, _hits(("m", 1.0))), ("b", 1.0, _hits(("j", 1.0)))]
+    out2 = federated_fuse(shards2, method="rrf")
+    assert [h.doc_id for h in out2] == ["j", "m"]
+
+
+class _StubIndex:
+    def __init__(self, rows, fail=False):
+        self.rows = rows
+        self.fail = fail
+
+    def search(self, text, k=10, dtype=np.float32, **kw):
+        if self.fail:
+            raise RuntimeError("shard down")
+
+        class H:
+            def __init__(self, d, s):
+                self.doc_id, self.score = d, s
+        return [H(d, s) for d, s in self.rows[:k]]
+
+
+def test_searcher_empty_inputs():
+    fed = FederatedSearcher()
+    assert fed.search("", 10).hits == []
+    assert fed.search("q", 0).hits == []
+    fed.add_index("a", _StubIndex([("x", 1.0)]))
+    assert fed.search("", 10).coverage.queried == []
+
+
+def test_searcher_coverage_and_partial_failure():
+    fed = (FederatedSearcher()
+           .add_index("a", _StubIndex([("x", 1.0)]))
+           .add_index("bad", _StubIndex([], fail=True))
+           .add_index("c", _StubIndex([("y", 1.0)])))
+    resp = fed.search("q", 10)
+    cov = resp.coverage
+    assert cov.queried == ["a", "bad", "c"]
+    assert cov.answered == ["a", "c"]
+    assert [n for n, _ in cov.failed] == ["bad"]
+    assert not cov.is_complete
+    assert {h.doc_id for h in resp.hits} == {"x", "y"}
+
+
+def test_searcher_all_failed_raises_first_error():
+    fed = (FederatedSearcher()
+           .add_index("a", _StubIndex([], fail=True))
+           .add_index("b", _StubIndex([], fail=True)))
+    with pytest.raises(RuntimeError, match="shard down"):
+        fed.search("q", 10)
+
+
+def test_searcher_min_indices_floor():
+    fed = (FederatedSearcher(min_indices=2)
+           .add_index("a", _StubIndex([("x", 1.0)]))
+           .add_index("bad", _StubIndex([], fail=True)))
+    with pytest.raises(FederatedInsufficientResponsesError) as ei:
+        fed.search("q", 10)
+    assert (ei.value.required, ei.value.received) == (2, 1)
+
+
+def test_searcher_wait_for_indices_early_stop():
+    fed = (FederatedSearcher(wait_for_indices=1)
+           .add_index("a", _StubIndex([("x", 1.0)]))
+           .add_index("late", _StubIndex([("y", 1.0)])))
+    resp = fed.search("q", 10)
+    assert resp.coverage.answered == ["a"]
+    assert resp.coverage.cancelled_in_flight == ["late"]
+    assert [h.doc_id for h in resp.hits] == ["x"]
+
+
+def test_searcher_candidate_pool_and_truncation():
+    rows = [(f"d{i:02d}", 100.0 - i) for i in range(40)]
+    fed = (FederatedSearcher(candidate_pool_factor=3)
+           .add_index("a", _StubIndex(rows)))
+    resp = fed.search("q", 5)
+    assert len(resp.hits) == 5  # truncated to limit
+    assert [h.doc_id for h in resp.hits] == [r[0] for r in rows[:5]]
+
+
+def test_driver_lane_matches_oracle(sf_dir):
+    import duckdb
+
+    from fsray.pipelines import federated_search, make_oracle_sql
+    mine = federated_search(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.sql(make_oracle_sql()["federated_search"]).df()
+    m = mine.sort_values("doc_id").reset_index(drop=True)
+    o = orc.sort_values("doc_id").reset_index(drop=True)
+    assert list(m.doc_id) == list(o.doc_id)
+    assert np.array_equal(m.rrf_score.values, o.rrf_score.values)
+    assert list(m.n_indices) == list(o.n_indices)
