@@ -1,0 +1,265 @@
+"""Adaptive fusion parameters and conformal search coverage.
+
+Reimplements two reference modules:
+
+- ``crates/frankensearch-fusion/src/adaptive.rs`` — Bayesian online
+  learning of the RRF K constant (Normal-Normal conjugate, prior
+  N(60, 10²), observation noise σ=15) and the blend factor
+  (Beta-Bernoulli, prior Beta(7, 3) ⇒ E=0.7), with per-query-class
+  posteriors falling back to the global posterior then the prior when
+  observations are below ``min_samples``, and safety clamps on every
+  read.
+- ``crates/frankensearch-fusion/src/conformal.rs`` — distribution-free
+  coverage over empirical nonconformity ranks: required-k for coverage
+  1−α, two-sided rank prediction intervals, finite-sample-corrected
+  p-values, Mondrian (per-class) calibration with global fallback, and
+  the adaptive-α error-rate tracker.
+
+Everything here is driver-side state over top-k-sized data by design —
+the distributed part of a search lives in the index lanes; these learn
+from their outcomes.
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _quantile_index(n: int, quantile: float) -> int:
+    """Empirical quantile index (conformal.rs:467-481): ceil((n+1)·q)
+    clamped to [1, n], minus 1.  Non-finite q → most conservative (1.0)."""
+    q = min(max(quantile, 0.0), 1.0) if math.isfinite(quantile) else 1.0
+    adjusted = math.ceil((n + 1.0) * q)
+    return int(min(max(adjusted, 1.0), float(n))) - 1
+
+
+def _validate_alpha(alpha: float) -> float:
+    if not math.isfinite(alpha) or not 0.0 <= alpha < 1.0:
+        raise ValueError(f"alpha must be finite and in [0, 1): {alpha}")
+    return alpha
+
+
+class ConformalSearchCalibration:
+    """Empirical conformal calibration over observed relevant-document
+    ranks (1-indexed; 1 = top hit, higher = worse)."""
+
+    def __init__(self, nonconformity_scores: list[int]):
+        if not nonconformity_scores:
+            raise ValueError("calibration set must contain at least one rank")
+        if any(r < 1 for r in nonconformity_scores):
+            raise ValueError("ranks must be 1-indexed (minimum value is 1)")
+        self.scores = sorted(int(r) for r in nonconformity_scores)
+        self.n = len(self.scores)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def required_k(self, alpha: float) -> int:
+        """k needed for coverage 1−α; invalid α → max rank (conservative)."""
+        try:
+            a = _validate_alpha(alpha)
+        except ValueError:
+            return self.scores[-1]
+        idx = _quantile_index(self.n, 1.0 - a)
+        return self.scores[min(idx, self.n - 1)]
+
+    def rank_prediction_interval(self, alpha: float) -> tuple[int, int]:
+        """Two-sided rank interval at confidence 1−α; invalid α → full
+        empirical support."""
+        try:
+            a = _validate_alpha(alpha)
+        except ValueError:
+            return self.scores[0], self.scores[-1]
+        tail = a / 2.0
+        lo = _quantile_index(self.n, tail)
+        hi = _quantile_index(self.n, 1.0 - tail)
+        return self.scores[min(lo, self.n - 1)], self.scores[min(hi, self.n - 1)]
+
+    def p_value(self, observed_rank: int) -> float:
+        """Finite-sample conformal p-value
+        ``(#{score ≥ rank} + 1) / (n + 1)`` as f32 (conformal.rs:201-240);
+        rank 0 (invalid) → 0.0."""
+        if observed_rank < 1:
+            return 0.0
+        first_geq = bisect.bisect_left(self.scores, observed_rank)
+        exceed = self.n - first_geq
+        return float(np.float32(exceed + 1) / np.float32(self.n + 1))
+
+
+class MondrianConformalCalibration:
+    """Query-class-conditional (Mondrian) calibration: a class with
+    ≥ ``min_class_samples`` observations gets its own model, else the
+    global model answers (conformal.rs:246-340)."""
+
+    def __init__(self, global_ranks: list[int],
+                 per_class_ranks: dict[str, list[int]] | None = None,
+                 min_class_samples: int = 20):
+        self.global_cal = ConformalSearchCalibration(global_ranks)
+        self.min_class_samples = min_class_samples
+        self.per_class: dict[str, ConformalSearchCalibration] = {}
+        for cls, ranks in (per_class_ranks or {}).items():
+            if len(ranks) >= min_class_samples:
+                self.per_class[cls] = ConformalSearchCalibration(ranks)
+
+    def has_class_calibration(self, query_class: str) -> bool:
+        return query_class in self.per_class
+
+    def required_k(self, query_class: str, alpha: float) -> int:
+        cal = self.per_class.get(query_class, self.global_cal)
+        return cal.required_k(alpha)
+
+
+class AdaptiveConformalAlpha:
+    """Online α tracking toward a target error rate
+    (conformal.rs:380-445): ``α ← clamp(α + γ·(observed − α),
+    1e-6, 1−1e-6)``; state is preserved when the downstream required-k
+    lookup fails."""
+
+    def __init__(self, alpha: float, gamma: float):
+        self.alpha = _validate_alpha(alpha)
+        if not math.isfinite(gamma) or not 0.0 < gamma <= 1.0:
+            raise ValueError(f"gamma must be finite and in (0, 1]: {gamma}")
+        self.gamma = gamma
+
+    def update(self, observed_error_rate: float,
+               calibration: ConformalSearchCalibration) -> dict:
+        if not math.isfinite(observed_error_rate) \
+                or not 0.0 <= observed_error_rate <= 1.0:
+            raise ValueError("observed error rate must be finite in [0, 1]")
+        alpha_before = self.alpha
+        drift = observed_error_rate - self.alpha
+        new_alpha = min(max(self.gamma * drift + self.alpha, 1e-6), 1.0 - 1e-6)
+        required_k = calibration.required_k(new_alpha)  # before commit
+        self.alpha = new_alpha
+        return {"alpha_before": alpha_before, "alpha_after": self.alpha,
+                "observed_error_rate": observed_error_rate,
+                "required_k": required_k}
+
+
+# ---------------------------------------------------------------------------
+# Bayesian adaptive fusion parameters (adaptive.rs)
+
+@dataclass
+class BlendPosterior:
+    """Beta-Bernoulli: prior Beta(7, 3) ⇒ E[blend] = 0.7."""
+    alpha: float = 7.0
+    beta: float = 3.0
+    n: int = 0
+
+    def update(self, success: bool) -> None:
+        if success:
+            self.alpha += 1.0
+        else:
+            self.beta += 1.0
+        self.n += 1
+
+    def mean(self) -> float:
+        return self.alpha / (self.alpha + self.beta)
+
+    def variance(self) -> float:
+        ab = self.alpha + self.beta
+        return (self.alpha * self.beta) / (ab * ab * (ab + 1.0))
+
+
+@dataclass
+class KPosterior:
+    """Normal-Normal conjugate: prior N(60, 10²), obs noise σ=15."""
+    mu: float = 60.0
+    sigma_sq: float = 100.0
+    sigma_obs_sq: float = 225.0
+    n: int = 0
+
+    def update(self, observed_k: float) -> None:
+        if not math.isfinite(observed_k):
+            return
+        p_prior = 1.0 / self.sigma_sq
+        p_obs = 1.0 / self.sigma_obs_sq
+        p_post = p_prior + p_obs
+        self.mu = (p_prior * self.mu + p_obs * observed_k) / p_post
+        self.sigma_sq = 1.0 / p_post
+        self.n += 1
+
+    def mean(self) -> float:
+        return self.mu
+
+    def std_dev(self) -> float:
+        return math.sqrt(self.sigma_sq)
+
+
+@dataclass
+class _ClassState:
+    blend: BlendPosterior = field(default_factory=BlendPosterior)
+    k: KPosterior = field(default_factory=KPosterior)
+
+
+class AdaptiveFusion:
+    """Per-query-class posteriors with global fallback and safety clamps
+    (adaptive.rs:216-422).  Reads return the posterior mean of the first
+    layer with ≥ ``min_samples`` observations (class → global → prior),
+    clamped to the configured safety range."""
+
+    def __init__(self, min_samples: int = 50,
+                 blend_min: float = 0.1, blend_max: float = 0.95,
+                 k_min: float = 1.0, k_max: float = 200.0):
+        self.min_samples = min_samples
+        self.blend_min, self.blend_max = blend_min, blend_max
+        self.k_min, self.k_max = k_min, k_max
+        self._global = _ClassState()
+        self._per_class: dict[str, _ClassState] = {}
+
+    def blend_factor(self, query_class: str) -> float:
+        cs = self._per_class.get(query_class)
+        if cs is not None and cs.blend.n >= self.min_samples:
+            v = cs.blend.mean()
+        elif self._global.blend.n >= self.min_samples:
+            v = self._global.blend.mean()
+        else:
+            v = BlendPosterior().mean()
+        return min(max(v, self.blend_min), self.blend_max)
+
+    def rrf_k(self, query_class: str) -> float:
+        cs = self._per_class.get(query_class)
+        if cs is not None and cs.k.n >= self.min_samples:
+            v = cs.k.mean()
+        elif self._global.k.n >= self.min_samples:
+            v = self._global.k.mean()
+        else:
+            v = KPosterior().mean()
+        return min(max(v, self.k_min), self.k_max)
+
+    def update_blend(self, query_class: str, success: bool) -> dict:
+        cs = self._per_class.setdefault(query_class, _ClassState())
+        cs.blend.update(success)
+        self._global.blend.update(success)
+        return {"query_class": query_class, "blend_used": cs.blend.mean(),
+                "k_used": cs.k.mean(),
+                "blend_posterior": (cs.blend.alpha, cs.blend.beta),
+                "k_posterior": (cs.k.mu, cs.k.sigma_sq)}
+
+    def update_k(self, query_class: str, observed_k: float) -> dict:
+        cs = self._per_class.setdefault(query_class, _ClassState())
+        cs.k.update(observed_k)
+        self._global.k.update(observed_k)
+        return {"query_class": query_class, "blend_used": cs.blend.mean(),
+                "k_used": cs.k.mean(),
+                "blend_posterior": (cs.blend.alpha, cs.blend.beta),
+                "k_posterior": (cs.k.mu, cs.k.sigma_sq)}
+
+    def reset(self) -> None:
+        self._global = _ClassState()
+        self._per_class.clear()
+
+    def snapshot(self) -> dict:
+        return {"global": {"blend": (self._global.blend.alpha,
+                                     self._global.blend.beta,
+                                     self._global.blend.n),
+                           "k": (self._global.k.mu, self._global.k.sigma_sq,
+                                 self._global.k.n)},
+                "per_class": {c: {"blend": (s.blend.alpha, s.blend.beta,
+                                            s.blend.n),
+                                  "k": (s.k.mu, s.k.sigma_sq, s.k.n)}
+                              for c, s in self._per_class.items()}}

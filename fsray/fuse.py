@@ -294,3 +294,96 @@ class NqcDenseWeight:
             return 1.0
         floor = min(max(w_min, 0.0), 1.0)
         return min(max(1.0 - beta * self.percentile(cv), floor), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# query-hubness correction (reference fusion/src/hubness.rs)
+
+def compute_query_hubness(doc_vecs: np.ndarray, query_sample: np.ndarray,
+                          kq: int, dtype=np.float32) -> np.ndarray:
+    """Per-doc query-hubness ``r_d``: mean cosine of doc d to its ``kq``
+    nearest queries in a background sample (hubness.rs:108-140).
+
+    Both matrices must be L2-normalized (dot = cosine).  Empty sample or
+    ``kq == 0`` → all zeros (identity).  The estimate MUST be a
+    query-distribution statistic — the reference measured and REJECTED the
+    query-free proxies (doc-doc density, centroid distance, PC removal) as
+    conflating hubs with tight relevant clusters (hubness.rs:12-24).
+
+    Ray mapping: ``doc_vecs`` is one batch of a ``map_batches`` scan with
+    ``query_sample`` broadcast once via ``ray.put`` — each batch's rows are
+    independent (embarrassingly parallel, mirroring the reference's rayon
+    split), so the full-corpus r_d table is a streaming per-batch matmul.
+    Accumulation is f32 with numpy reduction order (the reference accepts
+    the same reassociation ULP class, hubness.rs:150-163)."""
+    n = len(doc_vecs)
+    if query_sample is None or len(query_sample) == 0 or kq == 0:
+        return np.zeros(n, dtype=dtype)
+    k = min(int(kq), len(query_sample))
+    sims = (np.asarray(doc_vecs, dtype=dtype) @
+            np.asarray(query_sample, dtype=dtype).T)
+    top = np.partition(sims, sims.shape[1] - k, axis=1)[:, sims.shape[1] - k:]
+    return (top.sum(axis=1, dtype=dtype) / dtype(k)).astype(dtype)
+
+
+def apply_hubness_penalty(scores: np.ndarray, indices: np.ndarray,
+                          hubness: np.ndarray, beta: float = 0.2,
+                          dtype=np.float32) -> np.ndarray:
+    """``s' = s − β·r_d`` over a candidate pool (hubness.rs:66-86).
+
+    ``indices[i]`` selects the doc's precomputed hubness entry;
+    out-of-range indices get no penalty.  ``β == 0`` is the identity."""
+    scores = np.asarray(scores, dtype=dtype)
+    if not np.isfinite(beta) or beta == 0.0:
+        return scores.copy()
+    idx = np.asarray(indices, dtype=np.int64)
+    ok = (idx >= 0) & (idx < len(hubness))
+    r = np.where(ok, np.asarray(hubness, dtype=dtype)[np.clip(idx, 0, max(len(hubness) - 1, 0))],
+                 dtype(0.0))
+    return scores - dtype(beta) * r
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph score diffusion (reference fusion/src/smooth.rs)
+
+def neighbor_smooth(hits: list[tuple], neighbors: dict,
+                    alpha: float = 0.3, m: int = 10,
+                    mutual: bool = False) -> list[tuple]:
+    """Pool-restricted label propagation: ``smoothed(d) = (1−α)·s(d) +
+    α·mean_{n ∈ N(d) ∩ pool} s(n)`` (smooth.rs:83-115).
+
+    ``hits``: [(doc_id, dense score)] — the retrieved candidate pool;
+    ``neighbors``: doc_id → nearest-first list of dense-NN (Similar-edge)
+    neighbor doc_ids.  The m-cap counts every EXAMINED Similar edge
+    (in-pool or not); only in-pool ones become diffusion neighbors.  A
+    candidate with no in-pool neighbors keeps its score (α collapses to
+    0 — no-op on isolated docs / empty graph).  ``mutual=True`` counts a
+    neighbor only when it points back anywhere in its own (uncapped)
+    adjacency — reciprocal k-NN, the hub-noise refinement
+    (smooth.rs:160-250).  α ≤ 0 / non-finite / m == 0 → identity."""
+    if (not np.isfinite(alpha) or alpha <= 0.0 or m == 0
+            or not neighbors or not hits):
+        return list(hits)
+    pool = {d: np.float32(s) for d, s in hits}
+    keep = np.float32(1.0) - np.float32(alpha)
+    al = np.float32(alpha)
+    out = []
+    for d, s in hits:
+        s32 = np.float32(s)
+        examined = 0
+        tot = np.float32(0.0)
+        cnt = 0
+        for nb in neighbors.get(d, ()):
+            if examined == m:
+                break
+            examined += 1
+            ns = pool.get(nb)
+            if ns is None:
+                continue  # out-of-pool: cos(q, nb) unknown (pool-restricted)
+            if mutual and d not in neighbors.get(nb, ()):
+                continue  # no reciprocal edge nb -> d
+            tot = tot + ns
+            cnt += 1
+        mean = s32 if cnt == 0 else tot / np.float32(cnt)
+        out.append((d, float(keep * s32 + al * mean)))
+    return out

@@ -1029,6 +1029,125 @@ def prf_search(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# hubness / smoothing lanes (reference fusion/src/{hubness,smooth}.rs)
+
+HUBNESS_SAMPLE = 32   # embeddings vec_id < 32 stand in for the query log
+HUBNESS_KQ = 8
+HUBNESS_BETA = 0.2
+HUBNESS_K = 25
+SMOOTH_POOL = 50
+SMOOTH_M = 5
+SMOOTH_ALPHA = 0.3
+SMOOTH_K = 10
+
+
+def ann_hubness(sf_dir: str) -> pa.Table:
+    """Hubness-corrected dense top-k for query 0: ``s' = cos(q, d) −
+    β·r_d`` with ``r_d`` = mean cosine of d to its kq nearest queries in a
+    background sample (hubness.rs).
+
+    Ray shape: the query sample (the amortized, periodically-recomputed
+    table input) is broadcast once via ``ray.put``; each embedding batch
+    computes its rows' r_d AND cos-to-query in one pass and emits a
+    per-batch corrected top-k partial — the full r_d table streams, never
+    materializes."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from fsray.dedup import normalize_rows
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", HUBNESS_SAMPLE)])
+    order = np.argsort(st["vec_id"].to_numpy())
+    flat = st["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    sample = normalize_rows(flat.astype(np.float64).reshape(len(order), -1))[order]
+    sref = ray.put(sample.astype(np.float32))
+
+    def part(batch: pa.Table) -> pa.Table:
+        from fsray.fuse import apply_hubness_penalty, compute_query_hubness
+        s = ray.get(sref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        bf = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = normalize_rows(bf.astype(np.float64).reshape(len(bids), -1)).astype(np.float32)
+        r = compute_query_hubness(mat, s, HUBNESS_KQ)
+        cos = mat @ s[0]  # sample row 0 IS query vec_id 0
+        corrected = apply_hubness_penalty(cos, np.arange(len(bids)), r,
+                                          beta=HUBNESS_BETA)
+        keep = bids != 0  # exclude the query itself
+        bids, corrected = bids[keep], corrected[keep]
+        o = np.lexsort((bids, -corrected))[:HUBNESS_K]
+        return pa.table({"vec_id": pa.array(bids[o], type=pa.int64()),
+                         "s": pa.array(corrected[o].astype(np.float64),
+                                       type=pa.float64())})
+
+    parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())
+    pids = parts["vec_id"].to_numpy()
+    ps = parts["s"].to_numpy()
+    o = np.lexsort((pids, -ps))[:HUBNESS_K]
+    return pa.table({"neighbor_id": pa.array(np.sort(pids[o]), type=pa.int64())})
+
+
+def ann_smooth(sf_dir: str) -> pa.Table:
+    """kNN-graph score diffusion over the dense candidate pool for query 0
+    (smooth.rs): pool = top-``SMOOTH_POOL`` by cosine (distributed
+    partials, same shape as ann_bruteforce), Similar edges = each pool
+    member's ``SMOOTH_M`` nearest pool neighbors, then
+    ``(1−α)s + α·mean(in-pool neighbor scores)`` reranks.  The diffusion
+    itself is pool-sized driver work by design."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from fsray.dedup import normalize_rows
+    from fsray.fuse import neighbor_smooth
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", [0])])
+    qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+    qref = ray.put((qv / (np.linalg.norm(qv) or 1.0)).astype(np.float32))
+
+    def pool_part(batch: pa.Table) -> pa.Table:
+        qn = ray.get(qref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        bf = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = normalize_rows(bf.astype(np.float64).reshape(len(bids), -1)).astype(np.float32)
+        cos = mat @ qn
+        keep = bids != 0
+        bids, cos, mat = bids[keep], cos[keep], mat[keep]
+        o = np.lexsort((bids, -cos))[:SMOOTH_POOL]
+        return pa.table({"vec_id": pa.array(bids[o], type=pa.int64()),
+                         "cos": pa.array(cos[o].astype(np.float64)),
+                         "emb": pa.array([mat[i].tolist() for i in o])})
+
+    parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(pool_part, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())
+    o = np.lexsort((parts["vec_id"].to_numpy(), -parts["cos"].to_numpy()))[:SMOOTH_POOL]
+    ids = parts["vec_id"].to_numpy()[o]
+    cos = parts["cos"].to_numpy()[o]
+    embs = np.stack([np.asarray(e, dtype=np.float32)
+                     for e in parts["emb"].to_numpy()[o]])
+    # pool-local kNN graph: SMOOTH_M nearest (by cosine, id-asc ties),
+    # nearest-first, self excluded
+    sims = embs @ embs.T
+    nbrs = {}
+    for i, d in enumerate(ids):
+        order2 = np.lexsort((ids, -sims[i]))
+        nbrs[str(d)] = [str(ids[j]) for j in order2
+                        if j != i][:SMOOTH_M]
+    hits = [(str(d), float(c)) for d, c in zip(ids, cos)]
+    smoothed = neighbor_smooth(hits, nbrs, alpha=SMOOTH_ALPHA, m=SMOOTH_M)
+    sm = sorted(smoothed, key=lambda t: (-t[1], int(t[0])))[:SMOOTH_K]
+    return pa.table({
+        "rank": pa.array(range(1, len(sm) + 1), type=pa.int64()),
+        "neighbor_id": pa.array([int(d) for d, _ in sm], type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # federated lane (reference crates/frankensearch-fusion/src/federated.rs):
 # one query fans out over independent member indexes, RRF-fused globally.
 # The driver lane splits `documents` into two disjoint member corpora
@@ -1163,6 +1282,8 @@ def make_queries() -> dict:
         "ann_hnsw": ann_hnsw,
         "hybrid_rrf": hybrid_rrf,
         "federated_search": federated_search,
+        "ann_hubness": ann_hubness,
+        "ann_smooth": ann_smooth,
         "hybrid_blend": hybrid_blend,
         "bm25_calibrated": bm25_calibrated,
         "ann_mmr": ann_mmr,
@@ -1367,6 +1488,24 @@ ranked AS (SELECT query_id, neighbor_id,
                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
            FROM sims)
 SELECT query_id, neighbor_id FROM ranked WHERE rn <= {ANN_K} ORDER BY query_id, neighbor_id"""
+
+    # hubness: DuckDB's f32 cosine vs the engine's f32 matmul agree on the
+    # id SET at these scales; avg() (f64) vs the engine's f32 top-kq mean
+    # differ only in sub-ULP r_d noise scaled by beta=0.2
+    o["ann_hubness"] = f"""
+WITH sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {HUBNESS_SAMPLE}),
+sims AS (SELECT c.vec_id AS d, s.vec_id AS sq,
+                list_cosine_similarity(c.embedding, s.embedding) AS cos
+         FROM embeddings c, sample s),
+ranked AS (SELECT d, cos, row_number() OVER (PARTITION BY d ORDER BY cos DESC, sq ASC) AS rn
+           FROM sims),
+hub AS (SELECT d, avg(cos) AS r FROM ranked WHERE rn <= {HUBNESS_KQ} GROUP BY d),
+base AS (SELECT c.vec_id AS d, list_cosine_similarity(c.embedding, q.embedding) AS cos
+         FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE c.vec_id <> 0),
+corr AS (SELECT b.d, b.cos - {HUBNESS_BETA} * h.r AS s FROM base b JOIN hub h USING (d)),
+top AS (SELECT d FROM corr ORDER BY s DESC, d ASC LIMIT {HUBNESS_K})
+SELECT d AS neighbor_id FROM top ORDER BY neighbor_id"""
 
     fed_text, fed_k = FEDERATED_QUERY
     fed_pool = fed_k * 3  # candidate_pool_factor

@@ -1,0 +1,266 @@
+"""Hubness correction, kNN score smoothing, conformal coverage, adaptive
+fusion (reference fusion/src/{hubness,smooth,conformal,adaptive}.rs laws).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from fsray.adaptive import (
+    AdaptiveConformalAlpha,
+    AdaptiveFusion,
+    BlendPosterior,
+    ConformalSearchCalibration,
+    KPosterior,
+    MondrianConformalCalibration,
+)
+from fsray.fuse import apply_hubness_penalty, compute_query_hubness, neighbor_smooth
+
+
+def _norm(m):
+    m = np.asarray(m, dtype=np.float64)
+    return (m / np.linalg.norm(m, axis=1, keepdims=True)).astype(np.float32)
+
+
+# ---- hubness -------------------------------------------------------------
+
+def test_hubness_empty_sample_or_kq_zero_is_identity():
+    docs = _norm(np.random.default_rng(0).normal(size=(5, 8)))
+    assert np.all(compute_query_hubness(docs, np.zeros((0, 8), np.float32), 4) == 0)
+    assert np.all(compute_query_hubness(docs, docs, 0) == 0)
+
+
+def test_hubness_is_mean_of_top_kq_query_sims():
+    rng = np.random.default_rng(1)
+    docs = _norm(rng.normal(size=(6, 16)))
+    qs = _norm(rng.normal(size=(9, 16)))
+    r = compute_query_hubness(docs, qs, kq=3)
+    sims = docs @ qs.T
+    expect = np.sort(sims, axis=1)[:, -3:].mean(axis=1)
+    assert np.allclose(r, expect, atol=1e-6)
+    # kq larger than the sample clamps to the sample size
+    r_all = compute_query_hubness(docs, qs, kq=100)
+    assert np.allclose(r_all, sims.mean(axis=1), atol=1e-6)
+
+
+def test_hubness_penalty_by_index_and_identity():
+    # hubness.rs tests: beta 0 identity; s' = s − β·r[index]; out-of-range
+    # index → no penalty
+    scores = np.array([0.3, 0.9, 0.5], np.float32)
+    idx = np.array([0, 1, 7])
+    hub = np.array([0.1, 0.8], np.float32)
+    out = apply_hubness_penalty(scores, idx, hub, beta=0.5)
+    assert np.allclose(out, [0.3 - 0.05, 0.9 - 0.40, 0.5], atol=1e-6)
+    assert np.array_equal(apply_hubness_penalty(scores, idx, hub, beta=0.0), scores)
+
+
+def test_hubness_demotes_hub_in_ranking():
+    # a doc near many queries gets demoted below a specific answer
+    rng = np.random.default_rng(2)
+    hub_dir = _norm(rng.normal(size=(1, 32)))[0]
+    qs = _norm(rng.normal(size=(50, 32)) * 0.3 + hub_dir)  # queries cluster
+    specific = _norm(rng.normal(size=(1, 32)))[0]
+    docs = np.stack([hub_dir, specific])
+    r = compute_query_hubness(docs, qs, kq=10)
+    assert r[0] > r[1]  # the hub doc sits near many queries
+
+
+# ---- smoothing -----------------------------------------------------------
+
+POOL = [("a", 0.9), ("b", 0.8), ("c", 0.1), ("d", 0.05)]
+
+
+def test_smooth_identity_configs():
+    nbrs = {"a": ["b"], "b": ["a"]}
+    assert neighbor_smooth(POOL, nbrs, alpha=0.0) == POOL
+    assert neighbor_smooth(POOL, nbrs, alpha=-1.0) == POOL
+    assert neighbor_smooth(POOL, nbrs, alpha=float("nan")) == POOL
+    assert neighbor_smooth(POOL, nbrs, alpha=0.3, m=0) == POOL
+    assert neighbor_smooth(POOL, {}, alpha=0.3) == POOL
+
+
+def test_smooth_rescues_cluster_member():
+    # c neighbors the confident a, b cluster: its 0.1 is pulled up;
+    # isolated d is untouched (no in-pool neighbors → α collapses to 0)
+    nbrs = {"c": ["a", "b"], "a": ["b", "c"], "b": ["a", "c"]}
+    out = dict(neighbor_smooth(POOL, nbrs, alpha=0.3))
+    c_expect = 0.7 * 0.1 + 0.3 * ((0.9 + 0.8) / 2)
+    assert math.isclose(out["c"], c_expect, rel_tol=1e-6)
+    assert out["d"] == pytest.approx(0.05)
+
+
+def test_smooth_m_cap_counts_examined_edges():
+    # the m-cap counts EXAMINED edges, in-pool or not (smooth.rs:130-137):
+    # with m=1 and the nearest neighbor out of pool, c gets no diffusion
+    nbrs = {"c": ["zz_out_of_pool", "a"]}
+    out = dict(neighbor_smooth(POOL, nbrs, alpha=0.3, m=1))
+    assert out["c"] == pytest.approx(0.1)
+    out2 = dict(neighbor_smooth(POOL, nbrs, alpha=0.3, m=2))
+    assert out2["c"] == pytest.approx(0.7 * 0.1 + 0.3 * 0.9, rel=1e-6)
+
+
+def test_smooth_mutual_requires_reciprocal_edge():
+    # a -> b one-way: under mutual gating b contributes nothing to a
+    nbrs = {"a": ["b"], "b": ["c"], "c": ["b"]}
+    plain = dict(neighbor_smooth(POOL, nbrs, alpha=0.3))
+    mutual = dict(neighbor_smooth(POOL, nbrs, alpha=0.3, mutual=True))
+    assert plain["a"] == pytest.approx(0.7 * 0.9 + 0.3 * 0.8, rel=1e-6)
+    assert mutual["a"] == pytest.approx(0.9)  # no reciprocal b -> a
+    # b <-> c reciprocal: both diffuse under mutual
+    assert mutual["b"] == pytest.approx(0.7 * 0.8 + 0.3 * 0.1, rel=1e-6)
+
+
+# ---- conformal -----------------------------------------------------------
+
+def test_conformal_validation():
+    with pytest.raises(ValueError):
+        ConformalSearchCalibration([])
+    with pytest.raises(ValueError):
+        ConformalSearchCalibration([1, 0, 3])
+
+
+def test_required_k_decreases_as_alpha_increases():
+    cal = ConformalSearchCalibration(list(range(1, 21)))
+    ks = [cal.required_k(a) for a in (0.05, 0.1, 0.2, 0.5)]
+    assert ks == sorted(ks, reverse=True)
+    # alpha 0 → the most conservative k (max rank); invalid alpha too
+    assert cal.required_k(0.0) == 20
+    assert cal.required_k(float("nan")) == 20
+    assert cal.required_k(1.5) == 20
+
+
+def test_single_element_calibration():
+    cal = ConformalSearchCalibration([5])
+    assert len(cal) == 1
+    assert cal.required_k(0.1) == 5
+    assert cal.rank_prediction_interval(0.2) == (5, 5)
+
+
+def test_p_value_bounded_and_monotone():
+    cal = ConformalSearchCalibration([1, 3, 5, 7, 9])
+    ps = [cal.p_value(r) for r in (1, 3, 5, 7, 9, 10)]
+    assert all(0.0 < p <= 1.0 for p in ps)
+    assert ps == sorted(ps, reverse=True)
+    # best rank (1): every calibration score >= 1 → p = (5+1)/(5+1) = 1
+    assert cal.p_value(1) == 1.0
+    # beyond all calibration: p = 1/(n+1)
+    assert cal.p_value(100) == pytest.approx(1.0 / 6.0)
+    assert cal.p_value(0) == 0.0  # invalid rank
+
+
+def test_mondrian_falls_back_to_global():
+    mond = MondrianConformalCalibration(
+        list(range(1, 21)),
+        per_class_ranks={"identifier": [1, 2, 2, 3],
+                         "phrase": list(range(1, 31))},
+        min_class_samples=20)
+    assert not mond.has_class_calibration("identifier")  # 4 < 20
+    assert mond.has_class_calibration("phrase")
+    assert mond.required_k("identifier", 0.1) == \
+        mond.required_k("unknown", 0.1)  # global fallback
+
+
+def test_adaptive_alpha_tracks_error_rate():
+    cal = ConformalSearchCalibration(list(range(1, 21)))
+    ad = AdaptiveConformalAlpha(alpha=0.1, gamma=0.5)
+    up = ad.update(0.3, cal)  # observed error above target: α rises
+    assert up["alpha_before"] == pytest.approx(0.1)
+    assert up["alpha_after"] == pytest.approx(0.1 + 0.5 * (0.3 - 0.1))
+    assert up["required_k"] == cal.required_k(up["alpha_after"])
+    with pytest.raises(ValueError):
+        ad.update(float("nan"), cal)
+    with pytest.raises(ValueError):
+        AdaptiveConformalAlpha(alpha=0.1, gamma=0.0)
+
+
+# ---- adaptive fusion -----------------------------------------------------
+
+def test_posterior_math():
+    b = BlendPosterior()
+    assert b.mean() == pytest.approx(0.7)  # Beta(7,3) prior
+    b.update(True)
+    assert (b.alpha, b.beta, b.n) == (8.0, 3.0, 1)
+    k = KPosterior()
+    assert (k.mean(), k.std_dev()) == (60.0, 10.0)  # N(60, 10²) prior
+    k.update(80.0)
+    # conjugate: precision-weighted mean between prior 60 and obs 80
+    p_prior, p_obs = 1 / 100.0, 1 / 225.0
+    assert k.mean() == pytest.approx(
+        (p_prior * 60 + p_obs * 80) / (p_prior + p_obs))
+    assert k.sigma_sq == pytest.approx(1 / (p_prior + p_obs))
+    mu_before = k.mean()
+    k.update(float("inf"))  # non-finite observation ignored
+    assert k.mean() == mu_before and k.n == 1
+
+
+def test_adaptive_fusion_fallback_chain_and_clamps():
+    af = AdaptiveFusion(min_samples=3)
+    # below min_samples everywhere → prior means
+    assert af.blend_factor("identifier") == pytest.approx(0.7)
+    assert af.rrf_k("identifier") == pytest.approx(60.0)
+    # feed the GLOBAL posterior through another class
+    for _ in range(3):
+        af.update_blend("phrase", False)
+        af.update_k("phrase", 100.0)
+    # identifier has no class data → global posterior answers
+    assert af.blend_factor("identifier") == pytest.approx(7.0 / 13.0)
+    assert af.rrf_k("identifier") > 60.0
+    # the class's own posterior wins once it has enough samples
+    for _ in range(3):
+        af.update_blend("identifier", True)
+    assert af.blend_factor("identifier") == pytest.approx(10.0 / 13.0)
+    # safety clamps bound every read
+    tight = AdaptiveFusion(min_samples=0, blend_max=0.6, k_min=70.0)
+    assert tight.blend_factor("x") == 0.6  # prior 0.7 clamped down
+    assert tight.rrf_k("x") == 70.0        # prior 60 clamped up
+    af.reset()
+    assert af.blend_factor("identifier") == pytest.approx(0.7)
+    assert af.snapshot()["per_class"] == {}
+
+
+# ---- driver lanes --------------------------------------------------------
+
+def test_ann_smooth_lane_matches_direct_computation(sf_dir):
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import (
+        SMOOTH_ALPHA,
+        SMOOTH_K,
+        SMOOTH_M,
+        SMOOTH_POOL,
+        ann_smooth,
+    )
+    lane = ann_smooth(sf_dir).to_pandas()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    mat = flat.astype(np.float64).reshape(len(ids), -1)
+    mat = (mat / np.linalg.norm(mat, axis=1, keepdims=True)).astype(np.float32)
+    q = mat[np.flatnonzero(ids == 0)[0]]
+    cos = mat @ q
+    keep = ids != 0
+    ids2, cos2, mat2 = ids[keep], cos[keep], mat[keep]
+    o = np.lexsort((ids2, -cos2))[:SMOOTH_POOL]
+    pids, pcos, pemb = ids2[o], cos2[o], mat2[o]
+    sims = pemb @ pemb.T
+    nbrs = {str(d): [str(pids[j]) for j in np.lexsort((pids, -sims[i]))
+                     if j != i][:SMOOTH_M]
+            for i, d in enumerate(pids)}
+    hits = [(str(d), float(c)) for d, c in zip(pids, pcos)]
+    sm = sorted(neighbor_smooth(hits, nbrs, alpha=SMOOTH_ALPHA, m=SMOOTH_M),
+                key=lambda x: (-x[1], int(x[0])))[:SMOOTH_K]
+    assert list(lane["neighbor_id"]) == [int(d) for d, _ in sm]
+    # the diffusion actually changed the ranking vs raw cosine order
+    raw_top = [int(d) for d in pids[:SMOOTH_K]]
+    assert list(lane["neighbor_id"]) != raw_top or SMOOTH_ALPHA == 0.0
+
+
+def test_ann_hubness_lane_is_corrected_topk(sf_dir):
+    from fsray.pipelines import HUBNESS_K, ann_hubness, ann_bruteforce
+    lane = ann_hubness(sf_dir).to_pandas()
+    assert len(lane) == HUBNESS_K
+    assert list(lane["neighbor_id"]) == sorted(set(lane["neighbor_id"]))
+    # beta=0.2 correction moves the set vs the raw query-0 top-k at least
+    # sometimes; weaker invariant: both are valid id sets excluding 0
+    assert 0 not in set(lane["neighbor_id"])
