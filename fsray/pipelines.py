@@ -1147,6 +1147,56 @@ def ann_smooth(sf_dir: str) -> pa.Table:
     })
 
 
+def graph_pagerank(sf_dir: str) -> pa.Table:
+    """Query-biased PageRank over the dense-NN doc graph (graph_rank.rs):
+    pool + Similar edges exactly as ``ann_smooth`` builds them, seeds =
+    the pool's cosine scores, restart 0.15, ≤20 iterations, tol 1e-6."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from fsray.dedup import normalize_rows
+    from fsray.serving import GraphRanker
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", [0])])
+    qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+    qref = ray.put((qv / (np.linalg.norm(qv) or 1.0)).astype(np.float32))
+
+    def pool_part(batch: pa.Table) -> pa.Table:
+        qn = ray.get(qref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        bf = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = normalize_rows(bf.astype(np.float64).reshape(len(bids), -1)).astype(np.float32)
+        cos = mat @ qn
+        keep = bids != 0
+        bids, cos, mat = bids[keep], cos[keep], mat[keep]
+        o = np.lexsort((bids, -cos))[:SMOOTH_POOL]
+        return pa.table({"vec_id": pa.array(bids[o], type=pa.int64()),
+                         "cos": pa.array(cos[o].astype(np.float64)),
+                         "emb": pa.array([mat[i].tolist() for i in o])})
+
+    parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(pool_part, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())
+    o = np.lexsort((parts["vec_id"].to_numpy(), -parts["cos"].to_numpy()))[:SMOOTH_POOL]
+    ids = parts["vec_id"].to_numpy()[o]
+    cos = parts["cos"].to_numpy()[o]
+    embs = np.stack([np.asarray(e, dtype=np.float32)
+                     for e in parts["emb"].to_numpy()[o]])
+    sims = embs @ embs.T
+    graph = {}
+    for i, d in enumerate(ids):
+        order2 = [j for j in np.lexsort((ids, -sims[i])) if j != i][:SMOOTH_M]
+        graph[str(d)] = [(str(ids[j]), float(sims[i][j])) for j in order2]
+    seeds = [(str(d), float(c)) for d, c in zip(ids, cos)]
+    ranked = GraphRanker().rank(graph, seeds, SMOOTH_K) or []
+    return pa.table({
+        "rank": pa.array(range(1, len(ranked) + 1), type=pa.int64()),
+        "neighbor_id": pa.array([int(d) for d, _ in ranked], type=pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # federated lane (reference crates/frankensearch-fusion/src/federated.rs):
 # one query fans out over independent member indexes, RRF-fused globally.
@@ -1284,6 +1334,7 @@ def make_queries() -> dict:
         "federated_search": federated_search,
         "ann_hubness": ann_hubness,
         "ann_smooth": ann_smooth,
+        "graph_pagerank": graph_pagerank,
         "hybrid_blend": hybrid_blend,
         "bm25_calibrated": bm25_calibrated,
         "ann_mmr": ann_mmr,

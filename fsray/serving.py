@@ -1,0 +1,364 @@
+"""Product-serving machinery over the search kernels: as-you-type
+incremental planning, the quality-tier circuit breaker, the query-biased
+graph PageRank hook, and staleness-aware index caching.
+
+Reimplements the semantics of four reference modules
+(crates/frankensearch-fusion/src/{incremental,circuit_breaker,graph_rank,
+cache}.rs).  All four are driver/serving-side state machines by design —
+the distributed work happens in the index lanes they steer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# incremental as-you-type planning (incremental.rs)
+
+#: strategy ladder (incremental.rs:70-90): query length → backend mix
+SKIP = "skip"
+LEXICAL_PREFIX_ONLY = "lexical_prefix_only"
+LEXICAL_PLUS_HASH = "lexical_plus_hash"
+HYBRID_FAST = "hybrid_fast"
+FULL_TWO_TIER = "full_two_tier"
+
+
+@dataclass
+class IncrementalConfig:
+    min_prefix_len: int = 2
+    use_hash_embedder_for_short: bool = True
+    refine_after_pause_ms: int = 300
+    candidate_pool_size: int = 100
+
+
+@dataclass
+class SearchPlan:
+    strategy: str
+    reuse_candidates: bool
+    candidate_doc_ids: list[str]
+
+
+class IncrementalSearcher:
+    """Synchronous planning state machine (incremental.rs:115-230): the
+    consumer calls ``plan(query)``, executes the recommended strategy
+    (reusing ``candidate_doc_ids`` as an O(k) re-rank pool when offered),
+    then calls ``update(query, result_ids)``.  On this engine the
+    LexicalPrefixOnly strategy maps to the CASS edge-ngram prefix lane
+    and HybridFast to the BM25 + cosine RRF lane."""
+
+    def __init__(self, config: IncrementalConfig | None = None):
+        self.config = config or IncrementalConfig()
+        self._last_query: str | None = None
+        self._last_doc_ids: list[str] = []
+
+    def strategy_for_char_count(self, n: int) -> str:
+        if n < self.config.min_prefix_len or n == 0:
+            return SKIP
+        if n <= 2:
+            return LEXICAL_PREFIX_ONLY
+        if n <= 4:
+            return (LEXICAL_PLUS_HASH if self.config.use_hash_embedder_for_short
+                    else HYBRID_FAST)
+        return HYBRID_FAST
+
+    def is_prefix_extension(self, query: str) -> bool:
+        """'sea' → 'sear' is an extension; backspace / replacement is not."""
+        last = self._last_query
+        return (last is not None and len(query) > len(last)
+                and query.startswith(last))
+
+    def plan(self, query: str) -> SearchPlan:
+        n = len(query)
+        if n < self.config.min_prefix_len:
+            return SearchPlan(SKIP, False, [])
+        strategy = self.strategy_for_char_count(n)
+        reuse = self.is_prefix_extension(query) and bool(self._last_doc_ids)
+        return SearchPlan(strategy, reuse,
+                          list(self._last_doc_ids) if reuse else [])
+
+    def update(self, query: str, result_doc_ids: list[str]) -> None:
+        self._last_query = query
+        self._last_doc_ids = list(result_doc_ids[:self.config.candidate_pool_size])
+
+    def should_refine(self, elapsed_ms: float) -> bool:
+        return elapsed_ms >= self.config.refine_after_pause_ms
+
+    def reset(self) -> None:
+        self._last_query = None
+        self._last_doc_ids = []
+
+
+# ---------------------------------------------------------------------------
+# quality-tier circuit breaker (circuit_breaker.rs)
+
+CLOSED, OPEN, HALF_OPEN = "closed", "open", "half_open"
+
+
+@dataclass
+class CircuitBreakerConfig:
+    enabled: bool = True
+    failure_threshold: int = 5
+    latency_threshold_ms: float = 500.0
+    improvement_threshold: float = 0.05
+    half_open_interval_ms: float = 30_000.0
+    reset_threshold: int = 3
+
+
+class CircuitBreaker:
+    """Closed → Open on ``failure_threshold`` consecutive failures;
+    Open → HalfOpen after ``half_open_interval_ms`` (one probe allowed);
+    HalfOpen → Closed on ``reset_threshold`` consecutive successes,
+    HalfOpen → Open on any failure (circuit_breaker.rs:226-360).
+
+    A quality attempt FAILS when it errored, exceeded the latency
+    threshold, or its Kendall-tau improvement over the fast tier is
+    non-finite or below ``improvement_threshold`` (quality didn't help).
+    ``now_ms`` is injectable for deterministic tests."""
+
+    def __init__(self, config: CircuitBreakerConfig | None = None,
+                 now_ms=None):
+        self.config = config or CircuitBreakerConfig()
+        self._now = now_ms or (lambda: time.monotonic() * 1000.0)
+        self.state = CLOSED
+        self._consecutive_failures = 0
+        self._consecutive_successes = 0
+        self._last_trip_ms = 0.0
+        self.skip_count = 0
+        self.probe_count = 0
+        self.trip_count = 0
+
+    def should_skip_quality(self) -> bool:
+        if not self.config.enabled:
+            return False
+        if self.state == CLOSED or self.state == HALF_OPEN:
+            return False
+        # OPEN: probe after the half-open interval
+        if self._now() - self._last_trip_ms >= self.config.half_open_interval_ms:
+            self.state = HALF_OPEN
+            self._consecutive_successes = 0
+            self.probe_count += 1
+            return False
+        self.skip_count += 1
+        return True
+
+    def record_outcome(self, *, error: bool = False,
+                       latency_ms: float = 0.0,
+                       tau_improvement: float = 1.0) -> None:
+        if not self.config.enabled:
+            return
+        import math
+        is_failure = (error or latency_ms > self.config.latency_threshold_ms
+                      or not math.isfinite(tau_improvement)
+                      or tau_improvement < self.config.improvement_threshold)
+        if self.state == CLOSED:
+            if is_failure:
+                self._consecutive_failures += 1
+                if self._consecutive_failures >= self.config.failure_threshold:
+                    self._trip()
+            else:
+                self._consecutive_failures = 0
+        elif self.state == HALF_OPEN:
+            if is_failure:
+                self.state = OPEN
+                self._last_trip_ms = self._now()
+                self._consecutive_failures = 0
+            else:
+                self._consecutive_successes += 1
+                if self._consecutive_successes >= self.config.reset_threshold:
+                    self._reset()
+        # OPEN: defensive no-op (quality was skipped)
+
+    def _trip(self) -> None:
+        self.state = OPEN
+        self._last_trip_ms = self._now()
+        self._consecutive_failures = 0
+        self.trip_count += 1
+
+    def _reset(self) -> None:
+        self.state = CLOSED
+        self._consecutive_failures = 0
+        self._consecutive_successes = 0
+
+    def force_open(self) -> None:
+        self._trip()
+
+    def force_close(self) -> None:
+        self._reset()
+
+
+# ---------------------------------------------------------------------------
+# query-biased PageRank hook (graph_rank.rs)
+
+class GraphRanker:
+    """Personalized PageRank over a doc-doc graph, seeded by the query's
+    current hits (graph_rank.rs:120-260).
+
+    ``graph``: doc_id → [(neighbor_doc_id, weight)] (both endpoints are
+    nodes; non-finite / ≤0 weights are dropped at build).  ``seed_hits``:
+    [(doc_id, score)] — per doc the MAX positive finite score, normalized
+    to a teleport distribution.  Dangling mass redistributes to the seeds.
+    Output ranks are L1-normalized, positive-finite filtered, ordered
+    (score desc, doc_id asc), truncated to ``limit``."""
+
+    def __init__(self, restart_probability: float = 0.15,
+                 max_iterations: int = 20, tolerance: float = 1e-6):
+        self.restart_probability = restart_probability
+        self.max_iterations = max_iterations
+        self.tolerance = tolerance
+
+    def rank(self, graph: dict, seed_hits: list[tuple], limit: int) -> list[tuple] | None:
+        import math
+        if not graph or limit <= 0:
+            return None
+        # node universe: every adjacency key AND every referenced neighbor
+        idx: dict[str, int] = {}
+        for d, edges in graph.items():
+            idx.setdefault(d, len(idx))
+            for nb, _ in edges:
+                idx.setdefault(nb, len(idx))
+        nodes = [None] * len(idx)
+        for d, i in idx.items():
+            nodes[i] = d
+        n = len(nodes)
+        # personalization: max positive finite seed score per in-graph doc
+        seeds_w: dict[int, float] = {}
+        for d, s in seed_hits:
+            i = idx.get(d)
+            s = float(s)
+            if i is None or not math.isfinite(s) or s <= 0.0:
+                continue
+            seeds_w[i] = max(seeds_w.get(i, 0.0), s)
+        total = sum(seeds_w.values())
+        if total <= 0.0:
+            return None
+        seeds = [(i, w / total) for i, w in seeds_w.items()]
+
+        out_sum = [0.0] * n
+        csr: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+        for d, edges in graph.items():
+            src = idx[d]
+            row = []
+            s = 0.0
+            for nb, w in edges:
+                w = float(w)
+                if not math.isfinite(w) or w <= 0.0:
+                    continue
+                s += w
+                row.append((idx[nb], w))
+            out_sum[src] = s
+            csr[src] = row
+
+        teleport = min(max(self.restart_probability, 0.0), 1.0)
+        walk = 1.0 - teleport
+        eps = 2.220446049250313e-16  # f64 machine epsilon (Rust f64::EPSILON)
+        ranks = [0.0] * n
+        for i, w in seeds:
+            ranks[i] = w
+        for _ in range(self.max_iterations):
+            nxt = [0.0] * n
+            for i, w in seeds:
+                nxt[i] += teleport * w
+            dangling = sum(ranks[i] for i in range(n) if out_sum[i] <= eps)
+            if dangling > 0.0:
+                for i, w in seeds:
+                    nxt[i] += walk * dangling * w
+            for src in range(n):
+                r = ranks[src]
+                if r <= 0.0 or out_sum[src] <= eps:
+                    continue
+                base = walk * r / out_sum[src]
+                for dst, w in csr[src]:
+                    nxt[dst] += base * w
+            delta = sum(abs(ranks[i] - nxt[i]) for i in range(n))
+            ranks = nxt
+            if delta < self.tolerance:
+                break
+        total_rank = sum(ranks)
+        if total_rank > 0.0:
+            ranks = [r / total_rank for r in ranks]
+        out = [(nodes[i], ranks[i]) for i in range(n)
+               if math.isfinite(ranks[i]) and ranks[i] > 0.0]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:limit] or None
+
+
+# ---------------------------------------------------------------------------
+# staleness-aware index cache (cache.rs)
+
+SENTINEL_FILENAME = ".fsray_index_meta"
+SENTINEL_VERSION = 1
+
+
+@dataclass
+class IndexStaleness:
+    is_stale: bool
+    index_records: int
+    source_records: int
+    reasons: list[str] = field(default_factory=list)
+
+
+def write_sentinel(index_dir: str, record_count: int,
+                   source_fingerprint: str) -> None:
+    """Write the post-build sentinel (cache.rs SentinelFileDetector)."""
+    path = os.path.join(index_dir, SENTINEL_FILENAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": SENTINEL_VERSION, "record_count": record_count,
+                   "source_fingerprint": source_fingerprint}, f)
+    os.replace(tmp, path)  # atomic publish, like the manifest
+
+
+def check_staleness(index_dir: str, source_record_count: int,
+                    source_fingerprint: str) -> IndexStaleness:
+    """Compare the sentinel against the current source state.  A missing
+    or unreadable sentinel is stale (conservative)."""
+    path = os.path.join(index_dir, SENTINEL_FILENAME)
+    reasons = []
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return IndexStaleness(True, 0, source_record_count,
+                              ["sentinel missing or unreadable"])
+    if meta.get("version") != SENTINEL_VERSION:
+        reasons.append("sentinel version mismatch")
+    if meta.get("record_count") != source_record_count:
+        reasons.append(f"record count {meta.get('record_count')} != "
+                       f"{source_record_count}")
+    if meta.get("source_fingerprint") != source_fingerprint:
+        reasons.append("source fingerprint changed")
+    return IndexStaleness(bool(reasons), int(meta.get("record_count", 0)),
+                          source_record_count, reasons)
+
+
+class IndexCache:
+    """Staleness-checked index holder with atomic replacement
+    (cache.rs IndexCache): readers keep using the current index while a
+    background rebuild prepares a new directory; ``replace`` swaps the
+    handle atomically (the on-disk analogue is the manifest's two-slot
+    publish, fsray/manifest.py)."""
+
+    def __init__(self, index, index_dir: str):
+        self._index = index
+        self._index_dir = index_dir
+
+    @property
+    def index(self):
+        return self._index
+
+    @property
+    def index_dir(self) -> str:
+        return self._index_dir
+
+    def staleness(self, source_record_count: int,
+                  source_fingerprint: str) -> IndexStaleness:
+        return check_staleness(self._index_dir, source_record_count,
+                               source_fingerprint)
+
+    def replace(self, new_index, new_dir: str):
+        old = self._index
+        self._index, self._index_dir = new_index, new_dir
+        return old

@@ -1,0 +1,243 @@
+"""Serving-machinery laws: incremental planning, circuit breaker, graph
+PageRank, staleness cache (reference fusion/src/{incremental,
+circuit_breaker,graph_rank,cache}.rs).
+"""
+
+import math
+
+import pytest
+
+from fsray.serving import (
+    CLOSED,
+    FULL_TWO_TIER,
+    HALF_OPEN,
+    HYBRID_FAST,
+    LEXICAL_PLUS_HASH,
+    LEXICAL_PREFIX_ONLY,
+    OPEN,
+    SKIP,
+    CircuitBreaker,
+    CircuitBreakerConfig,
+    GraphRanker,
+    IncrementalConfig,
+    IncrementalSearcher,
+    IndexCache,
+    check_staleness,
+    write_sentinel,
+)
+
+
+# ---- incremental ---------------------------------------------------------
+
+def test_strategy_ladder():
+    s = IncrementalSearcher()
+    assert s.plan("a").strategy == SKIP           # below min_prefix_len 2
+    assert s.plan("ab").strategy == LEXICAL_PREFIX_ONLY
+    assert s.plan("abc").strategy == LEXICAL_PLUS_HASH
+    assert s.plan("abcd").strategy == LEXICAL_PLUS_HASH
+    assert s.plan("abcde").strategy == HYBRID_FAST
+    no_hash = IncrementalSearcher(IncrementalConfig(use_hash_embedder_for_short=False))
+    assert no_hash.plan("abc").strategy == HYBRID_FAST
+    assert FULL_TWO_TIER  # the post-pause refinement strategy constant
+
+
+def test_prefix_extension_and_candidate_reuse():
+    s = IncrementalSearcher()
+    assert not s.plan("sea").reuse_candidates  # no prior state
+    s.update("sea", ["d1", "d2", "d3"])
+    p = s.plan("sear")
+    assert p.reuse_candidates and p.candidate_doc_ids == ["d1", "d2", "d3"]
+    # backspace is NOT an extension; replacement is NOT an extension
+    s.update("search", ["d1"])
+    assert not s.plan("searc").reuse_candidates
+    assert not s.plan("mountain").reuse_candidates
+    s.reset()
+    assert not s.plan("search").reuse_candidates
+
+
+def test_candidate_pool_truncation_and_refine():
+    s = IncrementalSearcher(IncrementalConfig(candidate_pool_size=2))
+    s.update("ab", ["d1", "d2", "d3", "d4"])
+    assert s.plan("abc").candidate_doc_ids == ["d1", "d2"]
+    assert not s.should_refine(299)
+    assert s.should_refine(300)
+
+
+def test_incremental_over_cass_prefix_lane(sf_dir):
+    # the LexicalPrefixOnly strategy maps to the CASS edge-ngram lane:
+    # each keystroke extends the prefix; the plan offers the previous
+    # result set as an O(k) re-rank pool and the full search stays a
+    # subset-consistent refinement
+    from fsray.pipelines import documents_index_cass
+    idx = documents_index_cass(sf_dir)
+    s = IncrementalSearcher()
+    prev_ids = None
+    prev_list: list = []
+    for q in ("sp", "spa", "spar", "spark"):
+        plan = s.plan(q)
+        assert plan.strategy != SKIP
+        hits, _ = idx.search_paginated(q + "*", limit=10_000, parser="cass")
+        ids = [h.doc_id for h in hits]
+        if prev_ids is not None:
+            # extending the prefix can only NARROW the full match set
+            assert set(ids) <= prev_ids, q
+            # and the plan offers the previous TOP-100 as the re-rank pool
+            assert plan.reuse_candidates
+            assert plan.candidate_doc_ids == prev_list[:100]
+        s.update(q, ids)
+        prev_ids, prev_list = set(ids), ids
+
+
+# ---- circuit breaker -----------------------------------------------------
+
+class _Clock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def _breaker(**kw):
+    clock = _Clock()
+    cb = CircuitBreaker(CircuitBreakerConfig(**kw), now_ms=clock)
+    return cb, clock
+
+
+def test_breaker_trips_after_consecutive_failures():
+    cb, _ = _breaker(failure_threshold=3)
+    for _ in range(2):
+        cb.record_outcome(error=True)
+    assert cb.state == CLOSED
+    cb.record_outcome(latency_ms=0, tau_improvement=1.0)  # success resets
+    for _ in range(3):
+        cb.record_outcome(error=True)
+    assert cb.state == OPEN and cb.trip_count == 1
+    assert cb.should_skip_quality()
+
+
+def test_breaker_failure_classification():
+    # slow, not-useful (tau below threshold), NaN tau all count as failures
+    cb, _ = _breaker(failure_threshold=3)
+    cb.record_outcome(latency_ms=501.0, tau_improvement=1.0)
+    cb.record_outcome(latency_ms=1.0, tau_improvement=0.01)
+    cb.record_outcome(latency_ms=1.0, tau_improvement=float("nan"))
+    assert cb.state == OPEN
+
+
+def test_breaker_probe_cycle():
+    cb, clock = _breaker(failure_threshold=1, half_open_interval_ms=1000,
+                         reset_threshold=2)
+    cb.record_outcome(error=True)
+    assert cb.state == OPEN
+    assert cb.should_skip_quality() and cb.skip_count == 1
+    clock.t = 1000.0
+    assert not cb.should_skip_quality()  # probe allowed
+    assert cb.state == HALF_OPEN and cb.probe_count == 1
+    cb.record_outcome(error=True)        # probe failed -> reopen
+    assert cb.state == OPEN
+    clock.t = 2000.0
+    assert not cb.should_skip_quality()
+    cb.record_outcome(latency_ms=1, tau_improvement=1.0)
+    assert cb.state == HALF_OPEN         # 1 of 2 successes
+    cb.record_outcome(latency_ms=1, tau_improvement=1.0)
+    assert cb.state == CLOSED
+
+
+def test_breaker_disabled_never_skips():
+    cb, _ = _breaker(enabled=False, failure_threshold=1)
+    cb.record_outcome(error=True)
+    assert cb.state == CLOSED and not cb.should_skip_quality()
+
+
+def test_breaker_force_controls():
+    cb, _ = _breaker()
+    cb.force_open()
+    assert cb.state == OPEN
+    cb.force_close()
+    assert cb.state == CLOSED
+
+
+# ---- graph PageRank ------------------------------------------------------
+
+def test_graph_rank_guards():
+    gr = GraphRanker()
+    assert gr.rank({}, [("a", 1.0)], 10) is None
+    assert gr.rank({"a": [("b", 1.0)]}, [("a", 1.0)], 0) is None
+    # seeds outside the graph / non-positive scores -> no personalization
+    assert gr.rank({"a": [("b", 1.0)]}, [("zz", 1.0)], 10) is None
+    assert gr.rank({"a": [("b", 1.0)]}, [("a", -1.0)], 10) is None
+
+
+def test_graph_rank_distributes_and_normalizes():
+    # a seeds; mass flows a->b->c; ranks normalize to 1 and follow distance
+    g = {"a": [("b", 1.0)], "b": [("c", 1.0)], "c": []}
+    out = GraphRanker().rank(g, [("a", 1.0)], 10)
+    scores = dict(out)
+    assert math.isclose(sum(scores.values()), 1.0, rel_tol=1e-9)
+    assert scores["a"] > scores["b"] > scores["c"] > 0
+
+
+def test_graph_rank_dangling_mass_returns_to_seeds():
+    # dangling mass redistributes to the SEEDS in seed-weight proportion
+    # (graph_rank.rs:235-241): with two equal seeds, the isolated seed z
+    # (a sink that keeps what it receives) holds more mass than the
+    # pass-through node b, and no mass leaks (sum stays 1)
+    g = {"a": [("b", 1.0)], "b": [], "z": []}
+    scores = dict(GraphRanker().rank(g, [("a", 1.0), ("z", 1.0)], 10))
+    assert math.isclose(sum(scores.values()), 1.0, rel_tol=1e-9)
+    assert scores["z"] > scores["b"] > 0
+    # single-seed equivalence law: a sink whose dangling mass returns to
+    # the only seed behaves exactly like an explicit back-edge to it
+    g_sink = {"a": [("b", 1.0)], "b": [("c", 1.0)], "c": []}
+    g_cycle = {"a": [("b", 1.0)], "b": [("c", 1.0)], "c": [("a", 1.0)]}
+    s_sink = dict(GraphRanker().rank(g_sink, [("a", 1.0)], 10))
+    s_cycle = dict(GraphRanker().rank(g_cycle, [("a", 1.0)], 10))
+    for node in "abc":
+        assert math.isclose(s_sink[node], s_cycle[node], rel_tol=1e-9)
+
+
+def test_graph_rank_ignores_bad_edges_and_orders_output():
+    g = {"a": [("b", float("nan")), ("c", -2.0), ("d", 1.0)], "d": []}
+    out = GraphRanker().rank(g, [("a", 1.0)], 10)
+    ids = [d for d, _ in out]
+    assert "b" not in ids and "c" not in ids and "d" in ids
+    # ordering: score desc then doc_id asc
+    scores = [s for _, s in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_graph_rank_seed_weight_uses_max_score():
+    g = {"a": [("b", 1.0)], "b": []}
+    one = GraphRanker().rank(g, [("a", 0.2), ("a", 0.9)], 10)
+    two = GraphRanker().rank(g, [("a", 0.9)], 10)
+    assert one == two  # duplicate seeds keep the max, not the sum
+
+
+# ---- staleness cache -----------------------------------------------------
+
+def test_sentinel_staleness(tmp_path):
+    d = str(tmp_path)
+    st = check_staleness(d, 100, "abc")
+    assert st.is_stale and "sentinel missing or unreadable" in st.reasons
+    write_sentinel(d, 100, "abc")
+    assert not check_staleness(d, 100, "abc").is_stale
+    st2 = check_staleness(d, 150, "abc")
+    assert st2.is_stale and st2.index_records == 100 and st2.source_records == 150
+    assert check_staleness(d, 100, "xyz").is_stale
+
+
+def test_index_cache_atomic_replace(tmp_path):
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    cache = IndexCache("idx1", d1)
+    assert cache.index == "idx1"
+    old = cache.replace("idx2", d2)
+    assert old == "idx1" and cache.index == "idx2" and cache.index_dir == d2
+
+
+def test_graph_pagerank_lane(sf_dir):
+    from fsray.pipelines import SMOOTH_K, graph_pagerank
+    out = graph_pagerank(sf_dir).to_pandas()
+    assert len(out) == SMOOTH_K
+    assert list(out["rank"]) == list(range(1, SMOOTH_K + 1))
+    assert out["neighbor_id"].nunique() == SMOOTH_K and 0 not in set(out["neighbor_id"])
