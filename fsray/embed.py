@@ -1,0 +1,194 @@
+"""Hash-control embedder: deterministic, model-free text embeddings.
+
+Reimplements the reference's FNV-1a hash embedder
+(crates/frankensearch-embed/src/hash_embedder.rs) — the always-available
+fallback / CI test double of the embedding tier (the real model tiers
+need ML runtimes this environment doesn't have):
+
+- tokenization: split Unicode alphanumeric runs, PRESERVE case, drop
+  tokens shorter than 2 UTF-8 bytes (hash_embedder.rs:36,583-593);
+- ``FnvModular``: each token FNV-1a-64 hashes to one bucket
+  (``hash % dimension``); contribution sign is the hash's bit 63
+  (set ⇒ +1, clear ⇒ −1) (hash_embedder.rs:263-280);
+- ``JLProjection``: per token, an xorshift64 chain seeded with
+  ``(seed ^ hash) | 1`` (the ``| 1`` keeps the zero fixed point
+  unreachable) advances once per output dimension; the advanced state's
+  bit 0 gives the sign (clear ⇒ +1, set ⇒ −1) — Johnson-Lindenstrauss
+  random hyperplane projection (hash_embedder.rs:299-346);
+- output is L2-normalized with the zero-on-degenerate rule: non-finite
+  or ``< f32::EPSILON`` squared norm ⇒ all-zero vector
+  (core traits.rs:591-603, "l2-f32-zero-on-degenerate-v1").
+
+The batch kernel is vectorized numpy (per-byte-position FNV update over
+a padded token matrix, ``np.add.at`` scatter per doc) and bit-identical
+to the scalar oracle — signs are exact small integers so accumulation
+order cannot change a ULP.  Ray mapping: a callable-class
+``map_batches`` stage (dimension/config in ``__init__``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FNV_OFFSET = np.uint64(0xCBF2_9CE4_8422_2325)
+FNV_PRIME = np.uint64(0x0100_0000_01B3)
+MIN_TOKEN_BYTES = 2
+DEFAULT_DIMENSION = 384
+F32_EPSILON = np.float32(1.1920929e-07)
+
+_U64 = np.uint64
+_MASK = np.uint64(0xFFFF_FFFF_FFFF_FFFF)
+
+
+def hash_tokenize(text: str) -> list[bytes]:
+    """Unicode alnum runs, case preserved, < 2-UTF-8-byte tokens dropped."""
+    out: list[bytes] = []
+    start = None
+    for i, ch in enumerate(text):
+        if ch.isalnum():
+            if start is None:
+                start = i
+        elif start is not None:
+            b = text[start:i].encode("utf-8")
+            if len(b) >= MIN_TOKEN_BYTES:
+                out.append(b)
+            start = None
+    if start is not None:
+        b = text[start:].encode("utf-8")
+        if len(b) >= MIN_TOKEN_BYTES:
+            out.append(b)
+    return out
+
+
+def fnv1a(data: bytes) -> int:
+    """Scalar FNV-1a 64 (the conformance oracle)."""
+    h = int(FNV_OFFSET)
+    for byte in data:
+        h = ((h ^ byte) * int(FNV_PRIME)) & 0xFFFF_FFFF_FFFF_FFFF
+    return h
+
+
+def fnv1a_many(tokens: list[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a over a token list: one wrapping update per byte
+    position across all still-active tokens."""
+    n = len(tokens)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, t in enumerate(tokens):
+        buf[i, :len(t)] = np.frombuffer(t, dtype=np.uint8)
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = ((h[active] ^ buf[active, j].astype(np.uint64))
+                         * FNV_PRIME) & _MASK
+    return h
+
+
+def l2_normalize(vec: np.ndarray) -> np.ndarray:
+    """f32 L2 normalize; degenerate (non-finite or < f32 eps squared norm)
+    collapses to the zero vector ("l2-f32-zero-on-degenerate-v1")."""
+    v = vec.astype(np.float32, copy=True)
+    norm_sq = np.float32((v * v).sum(dtype=np.float32))
+    if not np.isfinite(norm_sq) or norm_sq < F32_EPSILON:
+        v[:] = 0.0
+        return v
+    return v * (np.float32(1.0) / np.float32(np.sqrt(norm_sq)))
+
+
+def _xorshift64(state: np.ndarray) -> np.ndarray:
+    state = state ^ ((state << _U64(13)) & _MASK)
+    state = state ^ (state >> _U64(7))
+    return state ^ ((state << _U64(17)) & _MASK)
+
+
+class HashEmbedder:
+    """Deterministic hash embedder (``algorithm``: "fnv_modular" | "jl").
+
+    Usable directly or as a Ray ``map_batches`` callable class over a
+    pyarrow batch with a text column — config in ``__init__`` (once per
+    actor), vectorized work in ``__call__`` (per batch)."""
+
+    def __init__(self, dimension: int = DEFAULT_DIMENSION,
+                 algorithm: str = "fnv_modular", seed: int = 0,
+                 text_column: str = "text", id_column: str = "doc_id"):
+        if algorithm not in ("fnv_modular", "jl"):
+            raise ValueError(f"unknown hash algorithm {algorithm!r}")
+        self.dimension = int(dimension)
+        self.algorithm = algorithm
+        self.seed = np.uint64(seed)
+        self.text_column = text_column
+        self.id_column = id_column
+
+    # -- scalar oracle -----------------------------------------------------
+
+    def embed(self, text: str) -> np.ndarray:
+        acc = np.zeros(self.dimension, dtype=np.float32)
+        for tok in hash_tokenize(text):
+            h = fnv1a(tok)
+            if self.algorithm == "fnv_modular":
+                sign = np.float32(1.0) if (h >> 63) == 1 else np.float32(-1.0)
+                acc[h % self.dimension] += sign
+            else:
+                state = (int(self.seed) ^ h) | 1
+                for dim in range(self.dimension):
+                    state ^= (state << 13) & 0xFFFF_FFFF_FFFF_FFFF
+                    state ^= state >> 7
+                    state ^= (state << 17) & 0xFFFF_FFFF_FFFF_FFFF
+                    acc[dim] += 1.0 if (state & 1) == 0 else -1.0
+        return l2_normalize(acc)
+
+    # -- vectorized batch --------------------------------------------------
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        """(len(texts), dimension) f32 matrix, bit-identical to per-text
+        :meth:`embed` (±1 integer accumulation is order-exact)."""
+        n = len(texts)
+        out = np.zeros((n, self.dimension), dtype=np.float32)
+        toks: list[bytes] = []
+        owner: list[int] = []
+        for i, t in enumerate(texts):
+            tt = hash_tokenize(t)
+            toks.extend(tt)
+            owner.extend([i] * len(tt))
+        if not toks:
+            return out
+        h = fnv1a_many(toks)
+        doc = np.asarray(owner, dtype=np.int64)
+        if self.algorithm == "fnv_modular":
+            idx = (h % _U64(self.dimension)).astype(np.int64)
+            sign = np.where((h >> _U64(63)) == 1, np.float32(1.0),
+                            np.float32(-1.0))
+            np.add.at(out, (doc, idx), sign)
+        else:
+            state = (self.seed ^ h) | _U64(1)
+            for dim in range(self.dimension):
+                state = _xorshift64(state)
+                sign = np.where((state & _U64(1)) == 0, np.float32(1.0),
+                                np.float32(-1.0))
+                np.add.at(out[:, dim], doc, sign)
+        norm_sq = (out * out).sum(axis=1, dtype=np.float32)
+        bad = ~np.isfinite(norm_sq) | (norm_sq < F32_EPSILON)
+        inv = np.zeros(n, dtype=np.float32)
+        inv[~bad] = np.float32(1.0) / np.sqrt(norm_sq[~bad]).astype(np.float32)
+        out *= inv[:, None]
+        return out
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        texts = batch[self.text_column].to_pylist()
+        mat = self.embed_texts([t or "" for t in texts])
+        return pa.table({
+            self.id_column: batch[self.id_column],
+            "embedding": pa.array([row.tolist() for row in mat],
+                                  type=pa.list_(pa.float32())),
+        })
+
+
+#: the reference's pinned conformance probe texts
+#: (HASH_CONFORMANCE_TEXTS_V1, hash_embedder.rs:46-52)
+HASH_CONFORMANCE_TEXTS = ["", "Frankensearch identity", "Case CASE case",
+                          "unicode café 東京"]

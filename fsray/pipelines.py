@@ -1147,6 +1147,50 @@ def ann_smooth(sf_dir: str) -> pa.Table:
     })
 
 
+HASH_EMBED_DIM = 128
+HASH_EMBED_K = 10
+HASH_EMBED_QUERY = "spark stream table window"
+
+
+def hash_embed_ann(sf_dir: str) -> pa.Table:
+    """End-to-end hash-control embedding retrieval (the embedding tier's
+    model-free fallback, hash_embedder.rs): hash-embed every document in
+    a stateful ``map_batches`` stage, hash-embed the query text, emit
+    per-batch cosine top-k partials, merge on the driver.  The as-you-type
+    LexicalPlusHash strategy's dense arm (serving.py strategy ladder)."""
+    import ray.data as rd
+
+    from fsray.embed import HashEmbedder
+    emb = HashEmbedder(dimension=HASH_EMBED_DIM)
+    qv = emb.embed(HASH_EMBED_QUERY)
+
+    class EmbedAndScore:
+        def __init__(self):
+            self.emb = HashEmbedder(dimension=HASH_EMBED_DIM)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
+            mat = self.emb.embed_texts(
+                [t or "" for t in batch["text"].to_pylist()])
+            cos = mat @ qv
+            o = np.lexsort((ids, -cos))[:HASH_EMBED_K]
+            return pa.table({"doc_id": pa.array(ids[o], type=pa.int64()),
+                             "cos": pa.array(cos[o].astype(np.float64))})
+
+    parts = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+             .map_batches(EmbedAndScore, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=2)
+             .to_pandas())
+    ids = parts["doc_id"].to_numpy()
+    cos = parts["cos"].to_numpy()
+    o = np.lexsort((ids, -cos))[:HASH_EMBED_K]
+    return pa.table({
+        "rank": pa.array(range(1, len(o) + 1), type=pa.int64()),
+        "doc_id": pa.array(ids[o], type=pa.int64()),
+    })
+
+
 def graph_pagerank(sf_dir: str) -> pa.Table:
     """Query-biased PageRank over the dense-NN doc graph (graph_rank.rs):
     pool + Similar edges exactly as ``ann_smooth`` builds them, seeds =
@@ -1335,6 +1379,7 @@ def make_queries() -> dict:
         "ann_hubness": ann_hubness,
         "ann_smooth": ann_smooth,
         "graph_pagerank": graph_pagerank,
+        "hash_embed_ann": hash_embed_ann,
         "hybrid_blend": hybrid_blend,
         "bm25_calibrated": bm25_calibrated,
         "ann_mmr": ann_mmr,

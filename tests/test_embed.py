@@ -1,0 +1,128 @@
+"""Hash-control embedder laws (reference hash_embedder.rs)."""
+
+import numpy as np
+import pytest
+
+from fsray.embed import (
+    HASH_CONFORMANCE_TEXTS,
+    HashEmbedder,
+    fnv1a,
+    fnv1a_many,
+    hash_tokenize,
+    l2_normalize,
+)
+
+
+def test_fnv1a_known_vectors():
+    # FNV-1a 64 reference values (public test vectors)
+    assert fnv1a(b"") == 0xCBF29CE484222325
+    assert fnv1a(b"a") == 0xAF63DC4C8601EC8C
+    assert fnv1a(b"foobar") == 0x85944171F73967E8
+
+
+def test_fnv1a_many_matches_scalar():
+    toks = [b"", b"a", b"foobar", "café".encode(), "東京".encode(), b"x" * 40]
+    assert list(fnv1a_many(toks)) == [fnv1a(t) for t in toks]
+
+
+def test_tokenize_rules():
+    # unicode alnum runs, case preserved, < 2-UTF-8-byte tokens dropped
+    assert hash_tokenize("Case CASE case") == [b"Case", b"CASE", b"case"]
+    assert hash_tokenize("a b c") == []          # 1-byte tokens dropped
+    assert hash_tokenize("é x") == ["é".encode()]  # 2-byte scalar kept
+    assert hash_tokenize("unicode café 東京") == \
+        [b"unicode", "café".encode(), "東京".encode()]
+    assert hash_tokenize("foo-bar/baz") == [b"foo", b"bar", b"baz"]
+
+
+def test_l2_zero_on_degenerate():
+    assert np.all(l2_normalize(np.zeros(4, np.float32)) == 0)
+    assert np.all(l2_normalize(np.full(2, 1e-30, np.float32)) == 0)
+    assert np.all(l2_normalize(np.full(2, np.float32(3.4e38))) == 0)  # inf norm
+    v = l2_normalize(np.array([3.0, 4.0], np.float32))
+    assert np.allclose(v, [0.6, 0.8])
+
+
+@pytest.mark.parametrize("algorithm", ["fnv_modular", "jl"])
+def test_batch_matches_scalar_bit_exact(algorithm):
+    emb = HashEmbedder(dimension=64, algorithm=algorithm, seed=42)
+    texts = HASH_CONFORMANCE_TEXTS + ["the quick brown fox", "fox brown quick the"]
+    batch = emb.embed_texts(texts)
+    for i, t in enumerate(texts):
+        single = emb.embed(t)
+        assert np.array_equal(batch[i], single), t
+
+
+def test_conformance_texts():
+    emb = HashEmbedder(dimension=384)
+    vecs = emb.embed_texts(HASH_CONFORMANCE_TEXTS)
+    # "" has no tokens → degenerate → zero vector
+    assert np.all(vecs[0] == 0)
+    # the rest are unit vectors
+    for i in (1, 2, 3):
+        assert np.isclose(np.linalg.norm(vecs[i]), 1.0, atol=1e-6)
+    # deterministic: re-embedding is bit-identical
+    again = emb.embed_texts(HASH_CONFORMANCE_TEXTS)
+    assert np.array_equal(vecs, again)
+
+
+def test_fnv_modular_is_bag_of_words():
+    emb = HashEmbedder(dimension=128)
+    a = emb.embed("the quick brown fox")
+    b = emb.embed("fox brown quick the")
+    assert np.array_equal(a, b)  # order-free bag of words
+    # case preserved: different case → different tokens → different vector
+    c = emb.embed("THE QUICK BROWN FOX")
+    assert not np.array_equal(a, c)
+
+
+def test_jl_seed_changes_space_and_never_dies():
+    e1 = HashEmbedder(dimension=64, algorithm="jl", seed=1)
+    e2 = HashEmbedder(dimension=64, algorithm="jl", seed=2)
+    v1, v2 = e1.embed("hello world"), e2.embed("hello world")
+    assert not np.array_equal(v1, v2)
+    # the `| 1` seed mixing keeps the xorshift chain live even when
+    # seed == token hash (state would otherwise be the zero fixed point)
+    tok = hash_tokenize("hello")[0]
+    dead_seed = fnv1a(tok)
+    e3 = HashEmbedder(dimension=64, algorithm="jl", seed=dead_seed)
+    assert np.linalg.norm(e3.embed("hello")) > 0
+
+
+def test_jl_preserves_similarity_better_than_chance():
+    # JL projection: overlapping token sets → higher cosine than disjoint
+    emb = HashEmbedder(dimension=256, algorithm="jl", seed=7)
+    a = emb.embed("shared tokens alpha beta gamma")
+    b = emb.embed("shared tokens alpha beta delta")
+    c = emb.embed("completely different words entirely")
+    assert a @ b > a @ c
+
+
+def test_map_batches_callable(sf_dir):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(HashEmbedder(dimension=32), batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         concurrency=2).take_all()
+    assert len(out) > 0
+    assert all(len(r["embedding"]) == 32 for r in out[:5])
+
+
+def test_hash_embed_ann_lane_matches_direct(sf_dir):
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import (
+        HASH_EMBED_DIM,
+        HASH_EMBED_K,
+        HASH_EMBED_QUERY,
+        hash_embed_ann,
+    )
+    lane = hash_embed_ann(sf_dir).to_pandas()
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = HashEmbedder(dimension=HASH_EMBED_DIM)
+    mat = emb.embed_texts([x or "" for x in t["text"].to_pylist()])
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    cos = mat @ emb.embed(HASH_EMBED_QUERY)
+    o = np.lexsort((ids, -cos))[:HASH_EMBED_K]
+    assert list(lane["doc_id"]) == list(ids[o])
