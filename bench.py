@@ -137,6 +137,11 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_hybrid_blend", P.hybrid_blend),
         ("x_ann_mmr", P.ann_mmr),
         ("x_prf_search", P.prf_search),
+        ("x_federated_search", P.federated_search),
+        ("x_ann_hubness", P.ann_hubness),
+        ("x_ann_smooth", P.ann_smooth),
+        ("x_graph_pagerank", P.graph_pagerank),
+        ("x_hash_embed_ann", P.hash_embed_ann),
     ]:
         t0 = time.perf_counter()
         fn(sf_dir)

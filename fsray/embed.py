@@ -68,24 +68,71 @@ def fnv1a(data: bytes) -> int:
     return h
 
 
-def fnv1a_many(tokens: list[bytes]) -> np.ndarray:
-    """Vectorized FNV-1a over a token list: one wrapping update per byte
-    position across all still-active tokens."""
-    n = len(tokens)
-    if n == 0:
-        return np.zeros(0, dtype=np.uint64)
-    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
-    maxlen = int(lens.max())
-    buf = np.zeros((n, maxlen), dtype=np.uint8)
-    for i, t in enumerate(tokens):
-        buf[i, :len(t)] = np.frombuffer(t, dtype=np.uint8)
-    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+def _fnv_padded(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a over a (n, maxlen) zero-padded byte matrix: one wrapping
+    update per byte position across all still-active rows."""
+    h = np.full(len(lens), FNV_OFFSET, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for j in range(maxlen):
+        for j in range(buf.shape[1]):
             active = lens > j
             h[active] = ((h[active] ^ buf[active, j].astype(np.uint64))
                          * FNV_PRIME) & _MASK
     return h
+
+
+def fnv1a_many(tokens: list[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a over a token list."""
+    n = len(tokens)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    buf = np.zeros((n, int(lens.max())), dtype=np.uint8)
+    for i, t in enumerate(tokens):
+        buf[i, :len(t)] = np.frombuffer(t, dtype=np.uint8)
+    return _fnv_padded(buf, lens)
+
+
+def _hash_tokens_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch tokenize+hash: ``(fnv1a hashes, owner text index)``.
+
+    polars ``extract_all`` of the token class (the same Rust-regex kernel
+    the lexical tokenizer uses, tokenizer.py) — case PRESERVED — then the
+    byte-length-2 admission filter and the padded-matrix FNV over the raw
+    Arrow value buffer (no per-token Python objects).  The ``\\p{L}\\p{N}``
+    class vs Python ``isalnum`` is the same documented divergence register
+    as tokenizer.py; the scalar :func:`hash_tokenize` path is the oracle.
+    """
+    import polars as pl
+    import pyarrow as pa
+    toks = (pl.Series([t or "" for t in texts])
+            .str.extract_all(r"[\p{L}\p{N}]+").to_arrow())
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    list_offs = np.asarray(toks.offsets)
+    counts = np.diff(list_offs)
+    owner = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    flat = toks.values.cast(pa.large_binary())
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), owner[:0]
+    offs = np.frombuffer(flat.buffers()[1], dtype=np.int64,
+                         count=n + 1 + flat.offset)[flat.offset:]
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    starts = offs[:-1]
+    lens = np.diff(offs)
+    keep = lens >= MIN_TOKEN_BYTES
+    starts, lens, owner = starts[keep], lens[keep], owner[keep]
+    if len(starts) == 0:
+        return np.zeros(0, dtype=np.uint64), owner
+    maxlen = int(lens.max())
+    pos = np.arange(maxlen)
+    valid = pos < lens[:, None]
+    idx = starts[:, None] + pos
+    buf = np.zeros((len(starts), maxlen), dtype=np.uint8)
+    buf[valid] = data[idx[valid]]
+    return _fnv_padded(buf, lens), owner
 
 
 def l2_normalize(vec: np.ndarray) -> np.ndarray:
@@ -148,16 +195,19 @@ class HashEmbedder:
         :meth:`embed` (±1 integer accumulation is order-exact)."""
         n = len(texts)
         out = np.zeros((n, self.dimension), dtype=np.float32)
-        toks: list[bytes] = []
-        owner: list[int] = []
-        for i, t in enumerate(texts):
-            tt = hash_tokenize(t)
-            toks.extend(tt)
-            owner.extend([i] * len(tt))
-        if not toks:
+        try:
+            h, doc = _hash_tokens_batch(texts)
+        except ImportError:  # no polars: scalar tokenize fallback
+            toks: list[bytes] = []
+            owner: list[int] = []
+            for i, t in enumerate(texts):
+                tt = hash_tokenize(t)
+                toks.extend(tt)
+                owner.extend([i] * len(tt))
+            h = fnv1a_many(toks)
+            doc = np.asarray(owner, dtype=np.int64)
+        if len(h) == 0:
             return out
-        h = fnv1a_many(toks)
-        doc = np.asarray(owner, dtype=np.int64)
         if self.algorithm == "fnv_modular":
             idx = (h % _U64(self.dimension)).astype(np.int64)
             sign = np.where((h >> _U64(63)) == 1, np.float32(1.0),
