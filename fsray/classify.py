@@ -1,0 +1,180 @@
+"""File ingestion classification: text / binary / archive / partial
+decisions over raw file bytes.
+
+Reimplements the default-policy decision tree of the reference's fsfs
+classifier (crates/frankensearch-fsfs/src/file_classification.rs):
+
+- sniff features over a capped probe (8,192 B): null-byte count,
+  non-printable ratio (control bytes except ``\\t\\n\\r``, plus DEL),
+  high-bit ratio, BOM (file_classification.rs:254-300,1103-1118);
+- archive extensions are blocked BEFORE any content decode
+  (``FSFS_ARCHIVE_EXTENSION_BLOCKED``, skip, confidence 0.99);
+- binary: any null byte (hard rule) OR ≥30% non-printable OR
+  (invalid UTF-8 AND ≥60% high-bit) → skip (reason
+  ``FSFS_BINARY_NULL_BYTE_DETECTED`` at 0.99 / heuristic at 0.9);
+- text: valid UTF-8 indexes normally (NFC normalization label; BOM ⇒
+  encoding confidence 1.0 else 0.98); UTF-16 BOMs quarantine for
+  transcode; unknown-8bit obeys the configured action (default
+  quarantine; lossy-decode indexes only at confidence ≥ 0.9,
+  confidence = 1 − 0.35·non_printable − 0.1·high_bit);
+- truncated inputs take the partial policy (default
+  index-partial-with-flag for valid UTF-8 prefixes,
+  ``FSFS_PARTIAL_TRUNCATED_PREFIX_ONLY``).
+
+Ray mapping: :class:`ClassifyFiles` is a stateful ``map_batches`` stage
+over a (path, payload) batch — the per-file sniff is numpy over the raw
+buffer; decisions are row-wise dataclass-free dicts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_PROBE_BYTES = 8_192
+BINARY_BYTE_THRESHOLD_PCT = 30.0
+HIGH_BIT_RATIO_THRESHOLD_PCT = 60.0
+MIN_CONFIDENCE_FOR_TEXT = 0.8
+MIN_CONFIDENCE_FOR_LOSSY = 0.9
+
+ARCHIVE_SUFFIXES = (".tar.gz", ".tar.bz2", ".tar.xz", ".tar.zst", ".tgz",
+                    ".tbz2", ".txz")
+ARCHIVE_EXTS = {"7z", "apk", "bz2", "crate", "dmg", "ear", "gz", "iso",
+                "jar", "pkg", "rar", "tar", "war", "whl", "xz", "zip", "zst"}
+
+#: non-printable byte class (file_classification.rs:1103-1105)
+_NON_PRINTABLE = np.zeros(256, dtype=bool)
+_NON_PRINTABLE[:0x20] = True
+_NON_PRINTABLE[[0x09, 0x0A, 0x0D]] = False
+_NON_PRINTABLE[0x7F] = True
+
+
+def is_archive_path(path: str) -> bool:
+    low = path.lower()
+    if any(low.endswith(s) for s in ARCHIVE_SUFFIXES):
+        return True
+    ext = low.rsplit(".", 1)[-1] if "." in low.rsplit("/", 1)[-1] else ""
+    return ext in ARCHIVE_EXTS
+
+
+def sniff_features(probe: bytes) -> dict:
+    """Null-byte count, non-printable ratio, high-bit ratio, BOM."""
+    if not probe:
+        return {"null_bytes": 0, "non_printable_ratio": 0.0,
+                "high_bit_ratio": 0.0, "bom": "none"}
+    arr = np.frombuffer(probe, dtype=np.uint8)
+    n = len(arr)
+    if probe.startswith(b"\xef\xbb\xbf"):
+        bom = "utf8"
+    elif probe.startswith(b"\xff\xfe"):
+        bom = "utf16le"
+    elif probe.startswith(b"\xfe\xff"):
+        bom = "utf16be"
+    else:
+        bom = "none"
+    return {"null_bytes": int((arr == 0).sum()),
+            "non_printable_ratio": float(_NON_PRINTABLE[arr].sum() / n),
+            "high_bit_ratio": float((arr >= 0x80).sum() / n),
+            "bom": bom}
+
+
+def classify_bytes(path: str, payload: bytes, size_bytes: int | None = None,
+                   truncated: bool = False,
+                   unknown_encoding_action: str = "quarantine") -> dict:
+    """One file's classification decision (default policy)."""
+    probe = payload[:MAX_PROBE_BYTES]
+    sf = sniff_features(probe)
+    size = len(payload) if size_bytes is None else size_bytes
+
+    def decision(detected_type, encoding, normalization, action, conf,
+                 enc_conf, reason):
+        return {"path": path, "size_bytes": size, "probe_bytes": len(probe),
+                **sf, "detected_type": detected_type,
+                "detected_encoding": encoding,
+                "normalization_applied": normalization,
+                "ingest_action": action,
+                "classification_confidence": conf,
+                "encoding_confidence": enc_conf, "reason_code": reason}
+
+    if is_archive_path(path):
+        return decision("archive", "none", "none", "skip", 0.99, 0.0,
+                        "FSFS_ARCHIVE_EXTENSION_BLOCKED")
+
+    try:
+        probe.decode("utf-8")
+        utf8_valid = True
+    except UnicodeDecodeError:
+        utf8_valid = False
+
+    if (sf["null_bytes"] > 0
+            or sf["non_printable_ratio"] * 100.0 >= BINARY_BYTE_THRESHOLD_PCT
+            or (not utf8_valid
+                and sf["high_bit_ratio"] * 100.0 >= HIGH_BIT_RATIO_THRESHOLD_PCT)):
+        null_hit = sf["null_bytes"] > 0
+        return decision("binary", "none", "none", "skip",
+                        0.99 if null_hit else 0.9, 0.0,
+                        "FSFS_BINARY_NULL_BYTE_DETECTED" if null_hit
+                        else "FSFS_BINARY_HEURISTIC_THRESHOLD")
+
+    if sf["bom"] in ("utf16le", "utf16be"):
+        label = "utf-16le" if sf["bom"] == "utf16le" else "utf-16be"
+        if truncated:
+            return decision("partial", label, "none", "quarantine", 0.9,
+                            0.99, "FSFS_PARTIAL_ENCODING_REQUIRES_TRANSCODE")
+        return decision("text", label, "none", "quarantine", 0.92, 0.99,
+                        "FSFS_TEXT_UTF16_REQUIRES_TRANSCODE")
+
+    if utf8_valid:
+        enc_conf = 1.0 if sf["bom"] == "utf8" else 0.98
+        if truncated:
+            return decision("partial", "utf-8", "utf8-nfc",
+                            "index_partial_with_flag",
+                            max(MIN_CONFIDENCE_FOR_TEXT, 0.82), enc_conf,
+                            "FSFS_PARTIAL_TRUNCATED_PREFIX_ONLY")
+        reason = ("FSFS_TEXT_UTF8_BOM" if sf["bom"] == "utf8"
+                  else "FSFS_TEXT_UTF8_HIGH_CONFIDENCE")
+        return decision("text", "utf-8", "utf8-nfc", "index",
+                        max(MIN_CONFIDENCE_FOR_TEXT, 0.95), enc_conf, reason)
+
+    # unknown 8-bit text: confidence from the sniff ratios
+    conf = min(max(1.0 - sf["non_printable_ratio"] * 0.35
+                   - sf["high_bit_ratio"] * 0.1, 0.0), 1.0)
+    if unknown_encoding_action == "lossy_decode" and conf >= MIN_CONFIDENCE_FOR_LOSSY:
+        action, norm, reason = "index", "utf8-nfc-lossy", \
+            "FSFS_TEXT_HEURISTIC_LOSSY_DECODE"
+    elif unknown_encoding_action == "skip":
+        action, norm, reason = "skip", "none", "FSFS_TEXT_HEURISTIC_SKIP"
+    else:  # quarantine (default), or lossy below the confidence floor
+        action, norm, reason = "quarantine", "none", \
+            "FSFS_TEXT_HEURISTIC_QUARANTINE"
+    return decision("partial" if truncated else "text", "unknown-8bit", norm,
+                    action, min(max(conf, 0.8), 1.0), conf, reason)
+
+
+class ClassifyFiles:
+    """Stateful ``map_batches`` stage: classify a (path, payload) batch.
+
+    Outputs one decision row per file; downstream stages route on
+    ``ingest_action`` (index / index_partial_with_flag / skip /
+    quarantine) — the Bootstrap-phase discovery→classification step of
+    the reference's orchestration (orchestration.rs:18-26) with Ray
+    doing the walk via ``ray.data.read_binary_files``."""
+
+    def __init__(self, path_column: str = "path",
+                 payload_column: str = "payload",
+                 unknown_encoding_action: str = "quarantine"):
+        self.path_column = path_column
+        self.payload_column = payload_column
+        self.unknown_encoding_action = unknown_encoding_action
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        paths = batch[self.path_column].to_pylist()
+        payloads = batch[self.payload_column].to_pylist()
+        rows = [classify_bytes(p, b or b"",
+                               unknown_encoding_action=self.unknown_encoding_action)
+                for p, b in zip(paths, payloads)]
+        cols = ["path", "size_bytes", "detected_type", "detected_encoding",
+                "normalization_applied", "ingest_action",
+                "classification_confidence", "reason_code", "null_bytes",
+                "non_printable_ratio", "high_bit_ratio", "bom"]
+        return pa.table({c: pa.array([r[c] for r in rows]) for c in cols})

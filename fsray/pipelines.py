@@ -1147,6 +1147,57 @@ def ann_smooth(sf_dir: str) -> pa.Table:
     })
 
 
+def classify_files(sf_dir: str) -> pa.Table:
+    """fsfs ingestion classification over a synthetic file corpus derived
+    deterministically from ``documents`` (the driver tables carry no raw
+    files): every 11th doc becomes an archive path, every 13th a
+    null-byte binary, every 7th a UTF-16LE CJK payload, the rest plain
+    UTF-8 — then the real classifier decides
+    (fsray/classify.py ≙ file_classification.rs default policy)."""
+    import ray.data as rd
+
+    from fsray.classify import ClassifyFiles
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        texts = batch["text"].to_pylist()
+        paths, payloads = [], []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            if i % 11 == 0:
+                paths.append(f"docs/{i:05d}.zip")
+                payloads.append(t.encode())
+            elif i % 13 == 0:
+                paths.append(f"docs/{i:05d}.bin")
+                payloads.append(b"\x00ELF" + t.encode())
+            elif i % 7 == 0:
+                paths.append(f"docs/{i:05d}.txt")
+                payloads.append(b"\xff\xfe" + ("搜索引擎" * 16).encode("utf-16-le"))
+            else:
+                paths.append(f"docs/{i:05d}.txt")
+                payloads.append(t.encode())
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "path": pa.array(paths),
+                         "payload": pa.array(payloads, type=pa.large_binary())})
+
+    cls = ClassifyFiles()
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = cls(batch)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "detected_type": out["detected_type"],
+                         "ingest_action": out["ingest_action"],
+                         "reason_code": out["reason_code"]})
+
+    ds = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+          .map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(run, batch_format="pyarrow"))
+    return pa.Table.from_pandas(
+        ds.to_pandas().sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 HASH_EMBED_DIM = 128
 HASH_EMBED_K = 10
 HASH_EMBED_QUERY = "spark stream table window"
@@ -1380,6 +1431,7 @@ def make_queries() -> dict:
         "ann_smooth": ann_smooth,
         "graph_pagerank": graph_pagerank,
         "hash_embed_ann": hash_embed_ann,
+        "classify_files": classify_files,
         "hybrid_blend": hybrid_blend,
         "bm25_calibrated": bm25_calibrated,
         "ann_mmr": ann_mmr,
@@ -1584,6 +1636,23 @@ ranked AS (SELECT query_id, neighbor_id,
                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
            FROM sims)
 SELECT query_id, neighbor_id FROM ranked WHERE rn <= {ANN_K} ORDER BY query_id, neighbor_id"""
+
+    # classify_files: the synthesis rule determines each payload's class,
+    # so the oracle states the expected decision per rule — precedence
+    # archive > binary > utf16 > utf8, matching the classifier's own order
+    o["classify_files"] = """
+SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0 THEN 'archive'
+       WHEN doc_id % 13 = 0 THEN 'binary'
+       ELSE 'text' END AS detected_type,
+  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN 'skip'
+       WHEN doc_id % 7 = 0 THEN 'quarantine'
+       ELSE 'index' END AS ingest_action,
+  CASE WHEN doc_id % 11 = 0 THEN 'FSFS_ARCHIVE_EXTENSION_BLOCKED'
+       WHEN doc_id % 13 = 0 THEN 'FSFS_BINARY_NULL_BYTE_DETECTED'
+       WHEN doc_id % 7 = 0 THEN 'FSFS_TEXT_UTF16_REQUIRES_TRANSCODE'
+       ELSE 'FSFS_TEXT_UTF8_HIGH_CONFIDENCE' END AS reason_code
+FROM documents ORDER BY doc_id"""
 
     # hubness: DuckDB's f32 cosine vs the engine's f32 matmul agree on the
     # id SET at these scales; avg() (f64) vs the engine's f32 top-kq mean

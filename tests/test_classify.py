@@ -1,0 +1,136 @@
+"""fsfs ingestion-classification laws (reference file_classification.rs
+default policy; the named scenarios mirror its own unit tests)."""
+
+import numpy as np
+import pytest
+
+from fsray.classify import (
+    ClassifyFiles,
+    classify_bytes,
+    is_archive_path,
+    sniff_features,
+)
+
+
+def test_utf8_text_indexes_normally():
+    # classify_utf8_text_indexes_normally
+    d = classify_bytes("/workspace/src/lib.rs", b"pub fn main() {}\n")
+    assert d["detected_type"] == "text"
+    assert d["detected_encoding"] == "utf-8"
+    assert d["ingest_action"] == "index"
+    assert d["reason_code"] == "FSFS_TEXT_UTF8_HIGH_CONFIDENCE"
+    assert d["classification_confidence"] == 0.95
+    assert d["encoding_confidence"] == 0.98
+    # with a UTF-8 BOM: reason + full encoding confidence
+    d2 = classify_bytes("/a.txt", b"\xef\xbb\xbfhello")
+    assert d2["reason_code"] == "FSFS_TEXT_UTF8_BOM"
+    assert d2["encoding_confidence"] == 1.0
+
+
+def test_binary_with_null_bytes_skips():
+    # classify_binary_with_null_bytes_skips: null byte is a HARD rule
+    d = classify_bytes("/bin/tool", b"\x7fELF\x00\x01\x02plain")
+    assert d["detected_type"] == "binary"
+    assert d["ingest_action"] == "skip"
+    assert d["reason_code"] == "FSFS_BINARY_NULL_BYTE_DETECTED"
+    assert d["classification_confidence"] == 0.99
+
+
+def test_binary_heuristic_thresholds():
+    # >= 30% non-printable (no nulls) trips the heuristic
+    payload = bytes([0x01, 0x02, 0x03]) + b"abcdefg"  # 3/10 = 30%
+    d = classify_bytes("/x", payload)
+    assert d["reason_code"] == "FSFS_BINARY_HEURISTIC_THRESHOLD"
+    assert d["classification_confidence"] == 0.9
+    # invalid UTF-8 with >= 60% high-bit bytes
+    d2 = classify_bytes("/y", bytes([0xC0] * 7) + b"abc")
+    assert d2["detected_type"] == "binary"
+    # invalid UTF-8 but below the high-bit threshold -> unknown-8bit text
+    d3 = classify_bytes("/z", bytes([0x93]) + b"Hello")
+    assert d3["detected_type"] == "text"
+    assert d3["detected_encoding"] == "unknown-8bit"
+
+
+def test_archive_path_skips_before_text_decode():
+    # classify_archive_path_skips_before_text_decode
+    d = classify_bytes("/data/release.tar.gz", b"perfectly valid utf8")
+    assert d["detected_type"] == "archive"
+    assert d["ingest_action"] == "skip"
+    assert d["reason_code"] == "FSFS_ARCHIVE_EXTENSION_BLOCKED"
+    assert d["classification_confidence"] == 0.99
+    for p in ("a.zip", "b.JAR", "c.tar.zst", "d.whl", "e.7z"):
+        assert is_archive_path(p), p
+    for p in ("a.txt", "b.rs", "c.tar.gz.txt", "gz", "dir.zip/file.txt"):
+        assert not is_archive_path(p), p
+
+
+def test_truncated_utf8_uses_partial_policy():
+    # classify_truncated_utf8_text_uses_partial_policy
+    d = classify_bytes("/big.log", b"valid utf8 prefix", truncated=True)
+    assert d["detected_type"] == "partial"
+    assert d["ingest_action"] == "index_partial_with_flag"
+    assert d["reason_code"] == "FSFS_PARTIAL_TRUNCATED_PREFIX_ONLY"
+    assert d["classification_confidence"] == 0.82
+
+
+def test_unknown_encoding_obeys_quarantine_policy():
+    # classify_unknown_encoding_obeys_quarantine_policy (same bytes)
+    payload = bytes([0x93, 0x48, 0x65, 0x6C, 0x6C, 0x6F, 0x94])
+    d = classify_bytes("/workspace/notes/cp1252.txt", payload)
+    assert d["detected_type"] == "text"
+    assert d["detected_encoding"] == "unknown-8bit"
+    assert d["ingest_action"] == "quarantine"
+    assert d["reason_code"] == "FSFS_TEXT_HEURISTIC_QUARANTINE"
+    # skip policy
+    d2 = classify_bytes("/n.txt", payload, unknown_encoding_action="skip")
+    assert d2["ingest_action"] == "skip"
+    assert d2["reason_code"] == "FSFS_TEXT_HEURISTIC_SKIP"
+    # lossy decode indexes only above the 0.9 confidence floor
+    d3 = classify_bytes("/n.txt", payload,
+                        unknown_encoding_action="lossy_decode")
+    conf = 1.0 - d3["non_printable_ratio"] * 0.35 - d3["high_bit_ratio"] * 0.1
+    if conf >= 0.9:
+        assert d3["ingest_action"] == "index"
+        assert d3["reason_code"] == "FSFS_TEXT_HEURISTIC_LOSSY_DECODE"
+    else:
+        assert d3["ingest_action"] == "quarantine"
+
+
+def test_utf16_bom_without_nulls_quarantines_for_transcode():
+    # reachable for null-free UTF-16 content (CJK); ASCII UTF-16 hits the
+    # null-byte binary rule FIRST (the reference's own precedence)
+    cjk = b"\xff\xfe" + ("搜索引擎" * 4).encode("utf-16-le")
+    d = classify_bytes("/cjk.txt", cjk)
+    assert d["detected_type"] == "text"
+    assert d["detected_encoding"] == "utf-16le"
+    assert d["ingest_action"] == "quarantine"
+    assert d["reason_code"] == "FSFS_TEXT_UTF16_REQUIRES_TRANSCODE"
+    ascii_utf16 = b"\xff\xfe" + "hello".encode("utf-16-le")
+    assert classify_bytes("/a.txt", ascii_utf16)["detected_type"] == "binary"
+
+
+def test_sniff_features_and_probe_cap():
+    sf = sniff_features(b"")
+    assert sf == {"null_bytes": 0, "non_printable_ratio": 0.0,
+                  "high_bit_ratio": 0.0, "bom": "none"}
+    sf2 = sniff_features(b"\x00\x01ab\x80\xff")
+    assert sf2["null_bytes"] == 1
+    assert sf2["non_printable_ratio"] == pytest.approx(2 / 6)
+    assert sf2["high_bit_ratio"] == pytest.approx(2 / 6)
+    # probe cap: a null byte past 8,192 bytes is not sniffed
+    big = b"a" * 8_192 + b"\x00"
+    assert classify_bytes("/big.txt", big)["detected_type"] == "text"
+    assert classify_bytes("/big.txt", big)["probe_bytes"] == 8_192
+
+
+def test_classify_files_lane_matches_oracle(sf_dir):
+    import duckdb
+
+    from fsray.pipelines import classify_files, make_oracle_sql
+    mine = classify_files(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.sql(make_oracle_sql()["classify_files"]).df()
+    for col in ("doc_id", "detected_type", "ingest_action", "reason_code"):
+        assert list(mine[col]) == list(orc[col]), col
