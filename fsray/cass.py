@@ -150,6 +150,59 @@ def cass_generate_edge_ngrams(text: str) -> str:
     return " ".join(parts)
 
 
+def cass_prefix_pairs(text: str) -> list[tuple[str, int]]:
+    """Fused edge-ngram analysis: ``cass_analyze(cass_generate_edge_ngrams
+    (text), hyphen=False)`` without materializing and re-scanning the
+    concatenated ngram string (the prefix-field build hot path: ~10
+    ngrams per word made the two-pass form ~5× the base field's cost).
+
+    Equivalence law (tested): identical (token, position) pairs.  ASCII
+    words take the fast path — each k-prefix is a SLICE of the
+    once-lowered word, one source token ⇒ one position.  Words containing
+    non-ASCII scalars fall back to per-ngram :func:`cass_analyze`
+    (CJK prefixes bigram-expand, mixed-script ngrams split into multiple
+    source tokens — position bookkeeping preserved exactly)."""
+    out: list[tuple[str, int]] = []
+    pos = 0
+    n = len(text)
+    i = 0
+    while i < n:
+        if not text[i].isalnum():
+            i += 1
+            continue
+        j = i + 1
+        while j < n and text[j].isalnum():
+            j += 1
+        word = text[i:j]
+        i = j
+        upper = min(len(word), CASS_MAX_EDGE_NGRAM_CHARS)
+        if upper < 2:
+            continue
+        if word.isascii():
+            wl = word.lower()
+            for k in range(2, upper + 1):
+                out.append((wl[:k], pos))
+                pos += 1
+        else:
+            for k in range(2, upper + 1):
+                pairs = cass_analyze(word[:k], hyphen=False)
+                if not pairs:
+                    # the ngram produced no token (e.g. dropped) but was
+                    # still one source fragment in the generated string —
+                    # cass_analyze of the concatenation advances position
+                    # only for fragments with source tokens; a fragment of
+                    # ngram length <= 20 chars always yields >= 1 source
+                    # token, so this branch is unreachable; kept defensive
+                    continue
+                base = pos
+                last = 0
+                for tok, p in pairs:
+                    out.append((tok, base + p))
+                    last = p
+                pos = base + last + 1
+    return out
+
+
 def cass_tokenize_column(column, mode: str = "hyphen"):
     """Index-side CASS analysis of a string column → (tokens, positions).
 
@@ -176,7 +229,7 @@ def cass_tokenize_column(column, mode: str = "hyphen"):
     for i, t in enumerate(texts):
         t = t or ""
         if mode == "prefix":
-            pairs = cass_analyze(cass_generate_edge_ngrams(t), hyphen=False)
+            pairs = cass_prefix_pairs(t)
         else:
             pairs = cass_analyze(t, hyphen=True)
         for tok, pos in pairs:

@@ -158,3 +158,16 @@ def test_cass_negation():
     c = parse_cass_query("auth -deprecated")
     assert {cl.term for cl in c.must} == {"auth"}
     assert {cl.term for cl in c.must_not} == {"deprecated"}
+
+
+def test_prefix_pairs_fused_equals_two_pass():
+    # the fused edge-ngram analyzer must emit IDENTICAL (token, position)
+    # pairs to analyzing the generated ngram string (the build hot path
+    # optimization's equivalence law)
+    from fsray.cass import cass_analyze, cass_generate_edge_ngrams, cass_prefix_pairs
+    cases = ["搜索引擎 quick start", "abc東京def mixed", "wi-fi BD-Q3FY",
+             "a xy 𠀀𠀁中 Z9", "ÉCLAIR café ÜBER", "x" * 30, "", "Hello, World!",
+             "one-two three4five", "ラーメン屋 menu", "한글검색 엔진"]
+    for t in cases:
+        assert cass_prefix_pairs(t) == \
+            cass_analyze(cass_generate_edge_ngrams(t), hyphen=False), t
