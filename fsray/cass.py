@@ -150,6 +150,35 @@ def cass_generate_edge_ngrams(text: str) -> str:
     return " ".join(parts)
 
 
+#: ASCII compound: alnum runs joined by SINGLE hyphens between alnums
+#: (the scribe.rs ASCII-token rule; trailing/doubled hyphens never join)
+_ASCII_COMPOUND = None
+
+
+def _cass_hyphen_pairs_ascii(text: str) -> list[tuple[str, int]]:
+    """ASCII fast path for ``cass_analyze(text, hyphen=True)``: compounds
+    via one compiled regex + slicing instead of the per-char scan.
+    Equivalence law pinned in tests/test_cass.py."""
+    global _ASCII_COMPOUND
+    if _ASCII_COMPOUND is None:
+        import re
+        _ASCII_COMPOUND = re.compile(r"[0-9A-Za-z]+(?:-[0-9A-Za-z]+)*")
+    out: list[tuple[str, int]] = []
+    for pos, m in enumerate(_ASCII_COMPOUND.finditer(text)):
+        source = m.group(0)
+        if len(source) <= CASS_MAX_TOKEN_BYTES:
+            low = source.lower()
+            out.append((low, pos))
+            if "-" in source:
+                out.extend((part, pos) for part in low.split("-") if part)
+        elif "-" in source:
+            # oversized compound dropped; parts may still fit
+            low = source.lower()
+            out.extend((part, pos) for part in low.split("-")
+                       if part and len(part) <= CASS_MAX_TOKEN_BYTES)
+    return out
+
+
 def cass_prefix_pairs(text: str) -> list[tuple[str, int]]:
     """Fused edge-ngram analysis: ``cass_analyze(cass_generate_edge_ngrams
     (text), hyphen=False)`` without materializing and re-scanning the
@@ -230,6 +259,8 @@ def cass_tokenize_column(column, mode: str = "hyphen"):
         t = t or ""
         if mode == "prefix":
             pairs = cass_prefix_pairs(t)
+        elif t.isascii():
+            pairs = _cass_hyphen_pairs_ascii(t)
         else:
             pairs = cass_analyze(t, hyphen=True)
         for tok, pos in pairs:

@@ -171,3 +171,12 @@ def test_prefix_pairs_fused_equals_two_pass():
     for t in cases:
         assert cass_prefix_pairs(t) == \
             cass_analyze(cass_generate_edge_ngrams(t), hyphen=False), t
+
+
+def test_hyphen_pairs_ascii_fast_path_equals_scalar():
+    from fsray.cass import _cass_hyphen_pairs_ascii, cass_analyze
+    cases = ["wi-fi BD-Q3FY setup", "a--b c- -d e-f-g", "x" * 300,
+             ("y" * 300) + "-ok", "Hello, World! 123-456", "",
+             "trail- -lead", "one-two-three", "UPPER-case Mixed-CASE"]
+    for t in cases:
+        assert _cass_hyphen_pairs_ascii(t) == cass_analyze(t, hyphen=True), t
