@@ -242,3 +242,141 @@ class HashEmbedder:
 #: (HASH_CONFORMANCE_TEXTS_V1, hash_embedder.rs:46-52)
 HASH_CONFORMANCE_TEXTS = ["", "Frankensearch identity", "Case CASE case",
                           "unicode café 東京"]
+
+
+# ---------------------------------------------------------------------------
+# batch coalescer (reference embed/src/batch_coalescer.rs)
+
+class EmbedHandle:
+    """Per-request result slot returned by :meth:`BatchCoalescer.submit`."""
+
+    __slots__ = ("text", "priority", "deadline_ms", "submitted_ms", "_result",
+                 "_done")
+
+    def __init__(self, text, priority, deadline_ms, submitted_ms):
+        self.text = text
+        self.priority = priority
+        self.deadline_ms = deadline_ms
+        self.submitted_ms = submitted_ms
+        self._result = None
+        self._done = False
+
+    def deliver(self, vec) -> None:
+        self._result = vec
+        self._done = True
+
+    def result(self):
+        if not self._done:
+            raise RuntimeError("embedding not delivered yet")
+        return self._result
+
+
+class CoalescedBatch:
+    """A formed batch: dispatch ``embed_batch(texts())`` then ``deliver``."""
+
+    def __init__(self, requests, reason: str):
+        self.requests = requests
+        self.reason = reason  # full | interactive_early | timeout | deadline | shutdown
+
+    def texts(self) -> list[str]:
+        return [r.text for r in self.requests]
+
+    def has_interactive(self) -> bool:
+        return any(r.priority == "interactive" for r in self.requests)
+
+    def deliver(self, matrix) -> None:
+        for req, vec in zip(self.requests, matrix):
+            req.deliver(vec)
+
+
+class BatchCoalescer:
+    """Deadline-aware embedding batch scheduler (batch_coalescer.rs):
+
+    1. requests arrive via :meth:`submit` with priority
+       "interactive" | "background"; per-request deadline =
+       ``max_wait_ms/2`` (interactive) or ``max_wait_ms`` (background);
+    2. dispatch when the batch is FULL (``max_batch_size``); else when an
+       interactive request is pending and the OLDEST pending request has
+       waited ≥ ``max_wait_ms/2`` (interactive_early); else on timeout
+       (oldest waited ≥ ``max_wait_ms`` with ≥ ``min_batch_size``
+       pending); else when any request passed its absolute deadline;
+       shutdown drains everything;
+    3. amortizes fixed per-call embedding overhead — the reference
+       measures 29× throughput for ONNX MiniLM at batch 32.
+
+    ``now_ms`` is injectable so tests drive time deterministically; the
+    production default is the monotonic clock.  This port is the
+    synchronous core: the consumer polls :meth:`try_form_batch` from its
+    dispatch loop (an actor's run loop under Ray)."""
+
+    def __init__(self, max_batch_size: int = 32, max_wait_ms: float = 10.0,
+                 min_batch_size: int = 4, use_priority_lanes: bool = True,
+                 now_ms=None):
+        import time as _time
+        self.max_batch_size = max_batch_size
+        self.max_wait_ms = max_wait_ms
+        self.min_batch_size = min_batch_size
+        self.use_priority_lanes = use_priority_lanes
+        self._now = now_ms or (lambda: _time.monotonic() * 1000.0)
+        self._pending: list[EmbedHandle] = []
+        self._shutdown = False
+        self.metrics = {"total_submitted": 0, "interactive_submissions": 0,
+                        "background_submissions": 0, "total_batches": 0,
+                        "total_coalesced": 0, "full_batch_dispatches": 0,
+                        "timeout_dispatches": 0}
+
+    def submit(self, text: str, priority: str = "background") -> EmbedHandle:
+        if priority not in ("interactive", "background"):
+            raise ValueError(f"unknown priority {priority!r}")
+        now = self._now()
+        wait = (self.max_wait_ms / 2.0 if priority == "interactive"
+                else self.max_wait_ms)
+        h = EmbedHandle(text, priority, now + wait, now)
+        self._pending.append(h)
+        self.metrics["total_submitted"] += 1
+        self.metrics[f"{priority}_submissions"] += 1
+        return h
+
+    def pending_count(self) -> int:
+        return len(self._pending)
+
+    def shutdown(self) -> None:
+        self._shutdown = True
+
+    def _ready_reason(self) -> str | None:
+        if not self._pending:
+            return None
+        if self._shutdown:
+            return "shutdown"
+        if len(self._pending) >= self.max_batch_size:
+            return "full"
+        now = self._now()
+        oldest = self._pending[0]
+        if self.use_priority_lanes \
+                and any(r.priority == "interactive" for r in self._pending) \
+                and now - oldest.submitted_ms >= self.max_wait_ms / 2.0:
+            return "interactive_early"
+        if len(self._pending) >= self.min_batch_size \
+                and now - oldest.submitted_ms >= self.max_wait_ms:
+            return "timeout"
+        if any(now >= r.deadline_ms for r in self._pending):
+            return "deadline"
+        return None
+
+    def try_form_batch(self) -> CoalescedBatch | None:
+        reason = self._ready_reason()
+        if reason is None:
+            return None
+        take = self._pending[:self.max_batch_size]
+        self._pending = self._pending[self.max_batch_size:]
+        self.metrics["total_batches"] += 1
+        self.metrics["total_coalesced"] += len(take)
+        if reason == "full":
+            self.metrics["full_batch_dispatches"] += 1
+        elif reason == "timeout":
+            self.metrics["timeout_dispatches"] += 1
+        return CoalescedBatch(take, reason)
+
+    def avg_batch_size(self) -> float:
+        b = self.metrics["total_batches"]
+        return self.metrics["total_coalesced"] / b if b else 0.0

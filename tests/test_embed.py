@@ -126,3 +126,71 @@ def test_hash_embed_ann_lane_matches_direct(sf_dir):
     cos = mat @ emb.embed(HASH_EMBED_QUERY)
     o = np.lexsort((ids, -cos))[:HASH_EMBED_K]
     assert list(lane["doc_id"]) == list(ids[o])
+
+
+# ---- batch coalescer (batch_coalescer.rs laws) ----------------------------
+
+class _Clk:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_coalescer_full_batch_dispatch():
+    from fsray.embed import BatchCoalescer
+    c = BatchCoalescer(max_batch_size=4, now_ms=_Clk())
+    for i in range(4):
+        assert c.try_form_batch() is None or i == 3
+        c.submit(f"t{i}")
+    b = c.try_form_batch()
+    assert b is not None and b.reason == "full" and len(b.requests) == 4
+    assert c.metrics["full_batch_dispatches"] == 1
+    assert c.pending_count() == 0
+
+
+def test_coalescer_interactive_early_and_deadlines():
+    from fsray.embed import BatchCoalescer
+    clk = _Clk()
+    c = BatchCoalescer(max_wait_ms=10, min_batch_size=4, now_ms=clk)
+    c.submit("bg")                      # background at t=0
+    clk.t = 4.0
+    c.submit("ui", priority="interactive")
+    assert c.try_form_batch() is None   # oldest waited 4 < 5 ms
+    clk.t = 5.0
+    b = c.try_form_batch()              # oldest waited 5 >= max_wait/2
+    assert b is not None and b.reason == "interactive_early"
+    assert b.has_interactive() and b.texts() == ["bg", "ui"]
+    # background-only below min_batch_size dispatches via DEADLINE, not
+    # timeout (rule ordering: timeout requires min_batch_size)
+    c2 = BatchCoalescer(max_wait_ms=10, min_batch_size=4, now_ms=clk)
+    clk.t = 0.0
+    c2.submit("solo")
+    clk.t = 9.9
+    assert c2.try_form_batch() is None
+    clk.t = 10.0
+    b2 = c2.try_form_batch()
+    assert b2 is not None and b2.reason == "deadline"
+
+
+def test_coalescer_timeout_and_shutdown_and_delivery():
+    import numpy as np
+
+    from fsray.embed import BatchCoalescer, HashEmbedder
+    clk = _Clk()
+    c = BatchCoalescer(max_wait_ms=10, min_batch_size=2, now_ms=clk)
+    h1, h2 = c.submit("alpha beta"), c.submit("gamma delta")
+    clk.t = 10.0
+    b = c.try_form_batch()
+    assert b.reason == "timeout" and c.metrics["timeout_dispatches"] == 1
+    emb = HashEmbedder(dimension=32)
+    b.deliver(emb.embed_texts(b.texts()))
+    assert np.array_equal(h1.result(), emb.embed("alpha beta"))
+    assert np.array_equal(h2.result(), emb.embed("gamma delta"))
+    assert c.avg_batch_size() == 2.0
+    # shutdown drains pending immediately
+    c.submit("late")
+    c.shutdown()
+    assert c.try_form_batch().reason == "shutdown"
+    assert c.try_form_batch() is None
