@@ -1,0 +1,323 @@
+"""Text canonicalization before embedding (reference
+``crates/frankensearch-core/src/canonicalize.rs``).
+
+The reference preprocesses ALL text before the embedding tier:
+
+1. NFC Unicode normalization (hash stability across representations)
+   — ``canonicalize.rs:86-100`` with the ASCII fast path (ASCII is
+   always NFC);
+2. markdown stripping: bold ``**``/``__``, italic ``*`` and boundary
+   ``_``, inline code backticks, ``[text](url)`` links, ``#`` headers,
+   ``>`` blockquotes, ``- ``/``+ ``/``1. `` list markers
+   (``canonicalize.rs:332-718``);
+3. fenced code-block collapsing to first ``code_head_lines`` + last
+   ``code_tail_lines`` lines with an ``[... N lines omitted ...]``
+   marker and a ``[code]`` / ``[code: lang]`` label
+   (``canonicalize.rs:223-247``);
+4. whitespace normalization: collapse Unicode-whitespace runs to one
+   space, trim (``canonicalize.rs:720``);
+5. low-signal filtering: a doc that is exactly an ack phrase ("ok",
+   "thanks", ...) canonicalizes to the empty string
+   (``canonicalize.rs:19-38,813``);
+6. truncation to ``max_length`` CHARACTERS (``canonicalize.rs:821``).
+
+Queries get the simple lane: NFC + trim + truncate
+(``canonicalize.rs:118-122``).
+
+Scale shape: the column kernel is a per-row scalar over a batch —
+canonicalization is inherently sequential string rewriting — but every
+primitive inside is a C-speed ``str`` method or compiled regex, each
+guarded by its trigger character exactly like the reference's
+borrow-fast-paths, so plain-prose rows pay one ``splitlines`` + one
+whitespace regex.  Run it as a ``map_batches`` task stage; it is
+embarrassingly parallel and keeps no state.
+"""
+from __future__ import annotations
+
+import re
+import unicodedata
+
+__all__ = [
+    "DefaultCanonicalizer",
+    "canonicalize_column",
+    "LOW_SIGNAL_CONTENT",
+]
+
+#: canonicalize.rs:23-38 — exact matches, ASCII case-insensitive.
+LOW_SIGNAL_CONTENT = frozenset([
+    "ok", "done", "done.", "got it", "got it.", "understood",
+    "understood.", "sure", "sure.", "yes", "no", "thanks", "thanks.",
+    "thank you", "thank you.",
+])
+
+# Rust char::is_whitespace is the Unicode White_Space property. Python
+# str.isspace() is WIDER (e.g. U+001C..U+001F information separators are
+# isspace but not White_Space), so pin the exact set (UAX #44 PropList).
+_WHITE_SPACE = frozenset(
+    "\t\n\x0b\x0c\r \x85\xa0 "
+    "           "
+    "    　"
+)
+
+_WS_RUN = re.compile(
+    "[" + "".join(re.escape(c) for c in sorted(_WHITE_SPACE)) + "]+"
+)
+
+# Inline-trigger scan (canonicalize.rs:339-351): a line with none of
+# these bytes skips every inline transform.
+_INLINE_TRIGGERS = ("*", "_", "`", "[")
+
+_ORDERED_MARKER = re.compile(r"^([0-9]+)\. ")
+
+#: Rust trim/trim_start strip the White_Space property, which is narrower
+#: than Python's default str.strip (no U+001C..U+001F) — pin it.
+_WS_STR = "\t\n\x0b\x0c\r \x85\xa0 " \
+    "           " \
+    "    　"
+
+
+def _nfc(text: str) -> str:
+    """NFC with the ASCII fast path (canonicalize.rs:86-100)."""
+    if text.isascii():
+        return text
+    return unicodedata.normalize("NFC", text)
+
+
+def _is_alnum(c: str) -> bool:
+    """Rust char::is_alphanumeric — Alphabetic or Number (canonicalize.rs:745)."""
+    return c.isalpha() or unicodedata.category(c) in ("Nd", "Nl", "No")
+
+
+def _strip_italic_underscores(text: str) -> str:
+    """Drop boundary ``_`` italic markers, keep snake_case
+    (canonicalize.rs:728-771): a ``_`` is a marker iff
+    (prev not alnum AND next alnum) OR (prev alnum AND next not alnum),
+    with BOL/EOL counting as non-word; prev/next are the ORIGINAL chars.
+    """
+    if "_" not in text:
+        return text
+    out = []
+    n = len(text)
+    for i, c in enumerate(text):
+        if c == "_":
+            prev_word = i > 0 and _is_alnum(text[i - 1])
+            next_word = i + 1 < n and _is_alnum(text[i + 1])
+            if (not prev_word and next_word) or (prev_word and not next_word):
+                continue
+        out.append(c)
+    return "".join(out)
+
+
+def _strip_markdown_links(text: str) -> str:
+    """``[text](url)`` -> ``text`` with nested-bracket/paren depth
+    tracking and unbalanced-input preservation (canonicalize.rs:773-838).
+    """
+    out = []
+    cursor = 0
+    n = len(text)
+    while True:
+        open_ = text.find("[", cursor)
+        if open_ < 0:
+            break
+        out.append(text[cursor:open_])
+        depth = 1
+        scan = open_ + 1
+        close = -1
+        while scan < n:
+            ch = text[scan]
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    close = scan
+                    break
+            scan += 1
+        if close < 0:
+            out.append(text[open_:])
+            return "".join(out)
+        if close + 1 < n and text[close + 1] == "(":
+            pdepth = 1
+            scan = close + 2
+            url_close = -1
+            while scan < n:
+                ch = text[scan]
+                if ch == "(":
+                    pdepth += 1
+                elif ch == ")":
+                    pdepth -= 1
+                    if pdepth == 0:
+                        url_close = scan
+                        break
+                scan += 1
+            if url_close < 0:
+                out.append(text[open_:])
+                return "".join(out)
+            out.append(text[open_ + 1:close])
+            cursor = url_close + 1
+        else:
+            out.append(text[open_:close + 1])
+            cursor = close + 1
+    out.append(text[cursor:])
+    return "".join(out)
+
+
+def _strip_prefixes_and_list_marker(s: str) -> str:
+    """Leading ``#``s / ``>``s + their whitespace, then one list marker
+    (canonicalize.rs:384-391,683-718). ``- `` / ``+ `` / ``12. `` are
+    markers; ``3.14159`` is not (needs the space after the dot)."""
+    s = s.lstrip("#").lstrip(_WS_STR).lstrip(">").lstrip(_WS_STR)
+    trimmed = s.lstrip(_WS_STR)
+    if trimmed.startswith("- "):
+        return trimmed[2:]
+    if trimmed.startswith("+ "):
+        return trimmed[2:]
+    m = _ORDERED_MARKER.match(trimmed)
+    if m:
+        return trimmed[m.end():]
+    return s
+
+
+def _strip_markdown_line(line: str) -> str:
+    """Inline transforms in the reference's exact order, each guarded by
+    its trigger char (canonicalize.rs:332-381)."""
+    has_star = "*" in line
+    has_us = "_" in line
+    has_bt = "`" in line
+    has_br = "[" in line
+    if not (has_star or has_us or has_bt or has_br):
+        return _strip_prefixes_and_list_marker(line)
+    r = line
+    if has_star:
+        r = r.replace("**", "")
+    if has_us:
+        r = r.replace("__", "")
+    if has_star:
+        r = r.replace("*", "")
+    if has_us:
+        r = _strip_italic_underscores(r)
+    if has_bt:
+        r = r.replace("`", "")
+    if has_br:
+        r = _strip_markdown_links(r)
+    return _strip_prefixes_and_list_marker(r)
+
+
+def _lines(text: str) -> list[str]:
+    """Rust ``str::lines``: split on ``\\n``, strip one trailing ``\\r``
+    per line, no phantom line after a final newline."""
+    parts = text.split("\n")
+    if parts and parts[-1] == "":
+        parts.pop()
+    return [p[:-1] if p.endswith("\r") else p for p in parts]
+
+
+def _collapsed_code_block(lang: str, lines: list[str], head: int,
+                          tail: int) -> str:
+    """``[code]``/``[code: lang]`` label + first *head* / last *tail*
+    lines with the omitted marker (canonicalize.rs:263-290)."""
+    label = "code" if not lang else f"code: {lang}"
+    if len(lines) > head + tail:
+        omitted = len(lines) - head - tail
+        return (f"[{label}]\n" + "\n".join(lines[:head]) +
+                f"\n[... {omitted} lines omitted ...]\n" +
+                "\n".join(lines[len(lines) - tail:]))
+    return f"[{label}]\n" + "\n".join(lines)
+
+
+def _normalize_whitespace(text: str) -> str:
+    """Collapse White_Space runs to single spaces, trim both ends
+    (canonicalize.rs:720-768). Regex over the pinned White_Space set —
+    NOT ``\\s`` (Python's is wider than Rust's)."""
+    return _WS_RUN.sub(" ", text).strip(_WS_STR)
+
+
+def _is_low_signal(text: str) -> bool:
+    t = text.strip(_WS_STR)
+    # eq_ignore_ascii_case: only ASCII letters fold (canonicalize.rs:806-818).
+    folded = "".join(
+        c.lower() if "A" <= c <= "Z" else c for c in t)
+    return folded in LOW_SIGNAL_CONTENT
+
+
+def _truncate_to_chars(text: str, max_chars: int) -> str:
+    # Python slicing is per code point == Rust char (canonicalize.rs:821).
+    return text[:max_chars]
+
+
+class DefaultCanonicalizer:
+    """The reference's default pipeline (canonicalize.rs:57-123).
+
+    ``canonicalize`` = NFC -> markdown/code strip -> whitespace ->
+    low-signal filter -> char truncation; ``canonicalize_query`` =
+    NFC -> trim -> truncation.
+    """
+
+    def __init__(self, max_length: int = 2000, code_head_lines: int = 20,
+                 code_tail_lines: int = 10):
+        self.max_length = max_length
+        self.code_head_lines = code_head_lines
+        self.code_tail_lines = code_tail_lines
+
+    # -- document lane ------------------------------------------------
+    def canonicalize(self, text: str) -> str:
+        normalized = _nfc(text)
+        stripped = self._strip_markdown_and_code(normalized)
+        ws = _normalize_whitespace(stripped)
+        if _is_low_signal(ws):
+            return ""
+        return _truncate_to_chars(ws, self.max_length)
+
+    # -- query lane ----------------------------------------------------
+    def canonicalize_query(self, query: str) -> str:
+        trimmed = _nfc(query).strip(_WS_STR)
+        return _truncate_to_chars(trimmed, self.max_length)
+
+    def _strip_markdown_and_code(self, text: str) -> str:
+        out = []
+        in_code = False
+        lang = ""
+        code_lines: list[str] = []
+        for line in _lines(text):
+            if line.startswith("```"):
+                if in_code:
+                    out.append(_collapsed_code_block(
+                        lang, code_lines, self.code_head_lines,
+                        self.code_tail_lines))
+                    out.append("\n")
+                    code_lines = []
+                    lang = ""
+                    in_code = False
+                else:
+                    in_code = True
+                    lang = line.lstrip("`").strip(_WS_STR)
+            elif in_code:
+                code_lines.append(line)
+            else:
+                stripped = _strip_markdown_line(line)
+                if stripped:
+                    out.append(stripped)
+                    out.append("\n")
+        if in_code and code_lines:
+            out.append(_collapsed_code_block(
+                lang, code_lines, self.code_head_lines,
+                self.code_tail_lines))
+            out.append("\n")
+        return "".join(out)
+
+
+def canonicalize_column(texts, canon: DefaultCanonicalizer | None = None,
+                        query: bool = False) -> list[str]:
+    """Batch kernel for ``map_batches``: canonicalize a column of texts.
+
+    Accepts a pyarrow Array/ChunkedArray or any iterable of str/None.
+    None rows stay None-like ("" out) — parquet nulls canonicalize to
+    empty, matching the reference's Option::unwrap_or_default at the
+    embed callsites.
+    """
+    c = canon or DefaultCanonicalizer()
+    fn = c.canonicalize_query if query else c.canonicalize
+    out = []
+    for t in (texts.to_pylist() if hasattr(texts, "to_pylist") else texts):
+        out.append("" if t is None else fn(t))
+    return out

@@ -504,6 +504,35 @@ def doc_fingerprints(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
 
 
+def canonicalize_docs(sf_dir: str) -> pa.Table:
+    """Embedding-path canonicalization (canonicalize.rs pipeline) with an
+    EXACT oracle: each document is wrapped in a deterministic markdown
+    shell (header + bold + link + fenced code block), canonicalized, and
+    the expected output is reconstructible in SQL because the raw corpus
+    text is markdown-free single-line ASCII — so header/bold/link/code
+    stripping, whitespace joining and the 2000-char truncation are all
+    exercised with value-hash verification."""
+    from fsray.canonicalize import DefaultCanonicalizer
+
+    def canon_batch(batch: pa.Table) -> pa.Table:
+        c = DefaultCanonicalizer()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        canon = [c.canonicalize(
+            f"# Title\n**{t}**\n[{lg} docs](https://example.com)\n"
+            f"```{s}\n{t}\n```") for t, lg, s in zip(texts, langs, srcs)]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "canon": pa.array(canon, type=pa.string()),
+            "canon_len": pa.array([len(x) for x in canon], type=pa.int64()),
+        })
+
+    ds = _docs_ds(sf_dir).map_batches(canon_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
 TERM_DF_TERMS = ("spark", "window", "customer", "vector", "table")
 
 
@@ -1405,6 +1434,7 @@ def make_queries() -> dict:
         "chunk_documents": chunk_documents,
         "search_snippets": search_snippets,
         "doc_token_counts": doc_token_counts,
+        "canonicalize_docs": canonicalize_docs,
         "text_quality": text_quality,
         "lang_id": lang_id,
         "doc_fingerprints": doc_fingerprints,
@@ -1503,6 +1533,17 @@ SELECT doc_id FROM documents WHERE source = '{KEYWORD_VALUE}' ORDER BY doc_id"""
     o["string_range_scan"] = """
 SELECT doc_id FROM documents
 WHERE source >= 'src12' AND source < 'src16' ORDER BY doc_id"""
+
+    # exact reconstruction of the canonicalize.rs pipeline over the
+    # markdown shell synthesized in canonicalize_docs: '# Title' ->
+    # 'Title', '**t**' -> t, '[lg docs](url)' -> 'lg docs', fenced block
+    # -> '[code: src]' + body, lines joined by single spaces, 2000-char cut
+    o["canonicalize_docs"] = """
+WITH c AS (SELECT doc_id,
+    substr('Title ' || text || ' ' || lang || ' docs [code: ' || source
+           || '] ' || text, 1, 2000) AS canon
+  FROM documents)
+SELECT doc_id, canon, length(canon) AS canon_len FROM c ORDER BY doc_id"""
 
     o["doc_token_counts"] = f"""
 WITH {_toks2_sql()},

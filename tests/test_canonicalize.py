@@ -1,0 +1,250 @@
+"""Canonicalization laws ported from the reference's own test module
+(crates/frankensearch-core/src/canonicalize.rs:870-1410). Each test
+name cites the reference test it mirrors."""
+import unicodedata
+
+import pytest
+
+from fsray.canonicalize import (
+    DefaultCanonicalizer,
+    LOW_SIGNAL_CONTENT,
+    canonicalize_column,
+    _collapsed_code_block,
+    _normalize_whitespace,
+    _strip_italic_underscores,
+    _strip_markdown_line,
+    _strip_markdown_links,
+    _truncate_to_chars,
+)
+
+C = DefaultCanonicalizer()
+
+
+# -- config (default_config_exact_values) -----------------------------------
+
+def test_default_config_exact_values():
+    assert (C.max_length, C.code_head_lines, C.code_tail_lines) == (2000, 20, 10)
+
+
+# -- NFC (nfc_normalization / query_canonicalization_nfc) -------------------
+
+def test_nfc_normalization():
+    decomposed = "café"          # e + combining acute
+    composed = "café"
+    assert C.canonicalize(decomposed) == composed
+    assert C.canonicalize_query(decomposed) == composed
+
+
+def test_nfc_ascii_fast_path_matches_reference():
+    for s in ["", "fn main() { let x = 0; }", "plain ascii text"]:
+        assert C.canonicalize_query(s) == unicodedata.normalize("NFC", s).strip()
+
+
+# -- markdown stripping ------------------------------------------------------
+
+def test_strip_markdown_headings():
+    # strip_markdown_headings + all_heading_levels_stripped
+    assert C.canonicalize("# Title\n## Sub\ntext") == "Title Sub text"
+    for n in range(1, 7):
+        assert C.canonicalize("#" * n + " Heading") == "Heading"
+
+
+def test_strip_markdown_preserves_inline_hash_tokens():
+    # only LEADING #s are header markers
+    assert C.canonicalize("issue #42 fixed") == "issue #42 fixed"
+
+
+def test_strip_markdown_bold_italic():
+    assert C.canonicalize("**bold** and *italic* and __bold2__") == \
+        "bold and italic and bold2"
+
+
+def test_strip_markdown_links():
+    assert C.canonicalize("See [the docs](https://example.com) here") == \
+        "See the docs here"
+
+
+def test_nested_markdown_bold_inside_link():
+    assert C.canonicalize("[**bold link**](url)") == "bold link"
+
+
+def test_nested_markdown_links_with_parens():
+    # nested parens inside the URL are depth-tracked
+    assert _strip_markdown_links("[text](http://x.com/a(b)c)") == "text"
+
+
+def test_unbalanced_link_preserves_content():
+    assert _strip_markdown_links("open [bracket only") == "open [bracket only"
+    assert _strip_markdown_links("[label](no close") == "[label](no close"
+    # bracket pair with no following paren stays verbatim
+    assert _strip_markdown_links("array[0] access") == "array[0] access"
+
+
+def test_strip_inline_code_backticks():
+    out = C.canonicalize("Use `fn main()` to start.")
+    assert "fn main()" in out and "`" not in out
+
+
+def test_strip_blockquotes():
+    assert C.canonicalize("> quoted text\nnormal") == "quoted text normal"
+
+
+def test_strip_list_markers_ordered():
+    assert C.canonicalize("1. first\n2. second\n10. tenth") == \
+        "first second tenth"
+
+
+def test_strip_list_markers_unordered():
+    assert C.canonicalize("- item a\n+ item b") == "item a item b"
+
+
+def test_numbers_not_list_markers_preserved():
+    # 3.14159 has no space after the dot — not a marker
+    assert C.canonicalize("3.14159 is pi") == "3.14159 is pi"
+
+
+def test_italic_underscores_vs_snake_case():
+    # strip_italic_underscores_matches_reference core cases
+    assert _strip_italic_underscores("_hello_") == "hello"
+    assert _strip_italic_underscores("snake_case_name") == "snake_case_name"
+    assert _strip_italic_underscores("_lead and trail_") == "lead and trail"
+    assert _strip_italic_underscores(
+        "fn compute_value(a_b, c_d) -> retry_count") == \
+        "fn compute_value(a_b, c_d) -> retry_count"
+    # double underscore: neither side alnum-adjacent on the facing side
+    assert _strip_italic_underscores("__") == "__"
+
+
+# -- code blocks --------------------------------------------------------------
+
+def test_collapse_short_code_block():
+    txt = "before\n```\nline1\nline2\n```\nafter"
+    out = C.canonicalize(txt)
+    assert "[code]" in out and "line1" in out and "line2" in out
+
+
+def test_collapse_long_code_block():
+    lines = [f"line{i}" for i in range(50)]
+    txt = "```rust\n" + "\n".join(lines) + "\n```"
+    out = C.canonicalize(txt)
+    assert "[code: rust]" in out
+    assert "line0" in out and "line19" in out      # first 20 kept
+    assert "line40" in out and "line49" in out     # last 10 kept
+    assert "[... 20 lines omitted ...]" in out
+    assert "line25" not in out
+
+
+def test_collapsed_code_block_exact_shape():
+    # collapse_code_block_matches_slow shape law, exact string
+    assert _collapsed_code_block("", ["a", "b"], 20, 10) == "[code]\na\nb"
+    assert _collapsed_code_block("py", ["a"], 20, 10) == "[code: py]\na"
+    got = _collapsed_code_block("rs", [str(i) for i in range(5)], 2, 1)
+    assert got == "[code: rs]\n0\n1\n[... 2 lines omitted ...]\n4"
+
+
+def test_multiple_code_blocks_independently_collapsed():
+    big = "\n".join(f"x{i}" for i in range(40))
+    txt = f"```\n{big}\n```\nmiddle\n```\n{big}\n```"
+    out = C.canonicalize(txt)
+    assert out.count("[... 10 lines omitted ...]") == 2
+    assert "middle" in out
+
+
+def test_unclosed_code_block():
+    out = C.canonicalize("text\n```rust\nfn main() {}")
+    assert "[code: rust]" in out and "fn main() {}" in out
+
+
+def test_language_tagged_code_block():
+    out = C.canonicalize("text\n```rust\nfn main() {}\n```\nmore")
+    assert "[code: rust]" in out and "fn main()" in out and "more" in out
+
+
+# -- whitespace / low-signal / truncation -------------------------------------
+
+def test_whitespace_normalization():
+    assert C.canonicalize("a  b\t\tc\n\n\nd") == "a b c d"
+    assert _normalize_whitespace("  x  ") == "x"
+
+
+def test_whitespace_rust_not_python_semantics():
+    # U+001C is Python-isspace but NOT Unicode White_Space — must survive
+    assert "\x1c" in _normalize_whitespace("a\x1cb")
+    # U+00A0 NBSP IS White_Space — must collapse
+    assert _normalize_whitespace("a  b") == "a b"
+
+
+def test_blank_lines_collapsed_via_whitespace_normalization():
+    assert C.canonicalize("para1\n\n\n\npara2") == "para1 para2"
+
+
+@pytest.mark.parametrize("ack", sorted(LOW_SIGNAL_CONTENT))
+def test_low_signal_filtered(ack):
+    assert C.canonicalize(ack) == ""
+    assert C.canonicalize(ack.upper()) == ""
+    assert C.canonicalize(f"  {ack}  ") == ""
+
+
+def test_low_signal_requires_exact_match():
+    assert C.canonicalize("ok then") == "ok then"
+    assert C.canonicalize("thanks a lot") == "thanks a lot"
+
+
+def test_truncate_long_text():
+    out = C.canonicalize("word " * 1000)
+    assert len(out) == 2000
+
+
+def test_truncate_at_char_boundary():
+    # multi-byte chars count as ONE char each
+    s = "é" * 3000
+    assert C.canonicalize(s) == "é" * 2000
+    assert _truncate_to_chars("日本語テキスト", 3) == "日本語"
+
+
+def test_query_truncation_respects_max_length():
+    q = "q" * 5000
+    assert C.canonicalize_query(q) == "q" * 2000
+
+
+def test_query_canonicalization_trims():
+    assert C.canonicalize_query("  hello world  ") == "hello world"
+
+
+def test_empty_input():
+    assert C.canonicalize("") == ""
+    assert C.canonicalize_query("") == ""
+
+
+def test_emoji_preserved():
+    assert "🚀" in C.canonicalize("launch 🚀 now")
+
+
+def test_empty_stripped_lines_dropped():
+    # a line that strips to nothing contributes no newline token
+    assert C.canonicalize("real\n**\nmore") == "real more"
+
+
+def test_crlf_lines_handled():
+    assert C.canonicalize("# a\r\n# b\r\n") == "a b"
+
+
+# -- batch kernel -------------------------------------------------------------
+
+def test_canonicalize_column_matches_scalar():
+    import pyarrow as pa
+    texts = ["# Title\nbody", None, "ok", "**x** [l](u)", "café" * 600]
+    got = canonicalize_column(pa.array(texts))
+    want = ["" if t is None else C.canonicalize(t) for t in texts]
+    assert got == want
+    gotq = canonicalize_column(texts, query=True)
+    wantq = ["" if t is None else C.canonicalize_query(t) for t in texts]
+    assert gotq == wantq
+
+
+def test_large_document_pipeline_completes():
+    doc = ("# Header\nSome **bold** text with [link](url).\n```python\n" +
+           "\n".join(f"x = {i}" for i in range(100)) + "\n```\n> quote\n" +
+           "- item\n") * 50
+    out = C.canonicalize(doc)
+    assert 0 < len(out) <= 2000
