@@ -99,6 +99,12 @@ def classify_bytes(path: str, payload: bytes, size_bytes: int | None = None,
         return decision("archive", "none", "none", "skip", 0.99, 0.0,
                         "FSFS_ARCHIVE_EXTENSION_BLOCKED")
 
+    # NO char-boundary trim before validation: the reference's cap_probe is
+    # a plain byte slice (file_classification.rs:643-647) and from_utf8 runs
+    # on the raw capped bytes (:562), so a multibyte char straddling the
+    # probe cap flips utf8_valid there too — pinned parity behavior (a
+    # high-bit-heavy text file whose probe ends mid-sequence classifies
+    # binary/unknown-8bit in BOTH engines; test_classify.py pins it)
     try:
         probe.decode("utf-8")
         utf8_valid = True

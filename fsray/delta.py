@@ -204,9 +204,9 @@ class WatchIndex(LocalIndex):
         for path in sorted(glob.glob(os.path.join(watch_dir, "*.parquet"))):
             if path in seen:
                 continue
-            self.add(pq.read_table(path, columns=self.spec.source_columns),
-                     upsert=upsert)
-            rows += 1
+            rows += self.add(
+                pq.read_table(path, columns=self.spec.source_columns),
+                upsert=upsert)["rows"]
             seen.add(path)
         return seen, rows
 

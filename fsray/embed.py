@@ -104,7 +104,9 @@ def _hash_tokens_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """
     import polars as pl
     import pyarrow as pa
-    toks = (pl.Series([t or "" for t in texts])
+    # dtype pinned: an empty input list would infer Null dtype and
+    # extract_all would raise SchemaError, killing the map_batches stage
+    toks = (pl.Series([t or "" for t in texts], dtype=pl.String)
             .str.extract_all(r"[\p{L}\p{N}]+").to_arrow())
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -329,7 +331,8 @@ class BatchCoalescer:
         if priority not in ("interactive", "background"):
             raise ValueError(f"unknown priority {priority!r}")
         now = self._now()
-        wait = (self.max_wait_ms / 2.0 if priority == "interactive"
+        wait = (self.max_wait_ms / 2.0
+                if priority == "interactive" and self.use_priority_lanes
                 else self.max_wait_ms)
         h = EmbedHandle(text, priority, now + wait, now)
         self._pending.append(h)

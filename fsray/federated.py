@@ -105,6 +105,9 @@ def federated_fuse(shard_results: list[tuple[str, float, list[tuple[str, float]]
     "weighted" (set ``comb_mnz=True`` for CombMNZ).  ``dtype`` is the
     accumulation precision: float32 is the reference lane, float64 the
     oracle lane (documented f32/f64 divergence class)."""
+    if method not in ("rrf", "weighted"):
+        # anything else would silently fall into the weighted branch
+        raise ValueError(f"unknown fusion method {method!r}")
     docs: dict[str, dict] = {}
     if method == "rrf":
         kk = _sanitize_rrf_k(k)

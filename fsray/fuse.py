@@ -25,7 +25,11 @@ def rrf_fuse(arms: list[list], weights: list[float] | None = None,
     Arms are assumed already ordered; arm order and clause order are
     preserved in the summation (deterministic float addition order).
     """
-    weights = weights or [1.0] * len(arms)
+    if weights is None:
+        weights = [1.0] * len(arms)
+    elif len(weights) != len(arms):
+        # zip() would silently truncate and drop whole arms from the fusion
+        raise ValueError(f"{len(weights)} weights for {len(arms)} arms")
     fused: dict = {}
     for arm, w in zip(arms, weights):
         for rank, (doc_id, _score) in enumerate(arm):
@@ -46,7 +50,9 @@ NON_FINITE_FALLBACK = 0.0     # normalize.rs:12
 DEGENERATE_VALUE = 0.5        # normalize.rs:13
 Z_SCORE_CLIP_SIGMAS = 3.0     # normalize.rs:14
 NUMERIC_EPSILON = 1e-10       # normalize.rs:15
-F32_EPSILON = 1.1920928955078125e-07  # f32::EPSILON (blend.rs NormBounds / mmr.rs)
+F32_EPSILON = 1.1920928955078125e-07  # f32::EPSILON (blend.rs NormBounds;
+# NOTE mmr.rs:141 uses f64::EPSILON for its degenerate-range branch — see
+# mmr_rerank, which matches that)
 DEFAULT_BLEND_FACTOR = 0.7    # blend.rs:24
 MMR_LAMBDA = 0.7              # mmr.rs MmrConfig::default
 MMR_CANDIDATE_POOL = 30       # mmr.rs MmrConfig::default
@@ -203,7 +209,9 @@ def mmr_rerank(scores: np.ndarray, embeddings: np.ndarray, k: int,
         selected.append(best)
         remaining[best] = False
         max_sim = np.maximum(max_sim, sims_to(best))
-        max_sim[best] = -np.inf
+        # no sentinel needed at selected indices: the ``mmr[~remaining]``
+        # mask overrides them, and a -inf here turns into 0*-inf = NaN
+        # when lam == 1.0 (div_w == 0)
     return selected
 
 
@@ -334,11 +342,11 @@ def apply_hubness_penalty(scores: np.ndarray, indices: np.ndarray,
     ``indices[i]`` selects the doc's precomputed hubness entry;
     out-of-range indices get no penalty.  ``β == 0`` is the identity."""
     scores = np.asarray(scores, dtype=dtype)
-    if not np.isfinite(beta) or beta == 0.0:
+    if not np.isfinite(beta) or beta == 0.0 or len(hubness) == 0:
         return scores.copy()
     idx = np.asarray(indices, dtype=np.int64)
     ok = (idx >= 0) & (idx < len(hubness))
-    r = np.where(ok, np.asarray(hubness, dtype=dtype)[np.clip(idx, 0, max(len(hubness) - 1, 0))],
+    r = np.where(ok, np.asarray(hubness, dtype=dtype)[np.clip(idx, 0, len(hubness) - 1)],
                  dtype(0.0))
     return scores - dtype(beta) * r
 

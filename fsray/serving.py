@@ -330,7 +330,13 @@ def check_staleness(index_dir: str, source_record_count: int,
                        f"{source_record_count}")
     if meta.get("source_fingerprint") != source_fingerprint:
         reasons.append("source fingerprint changed")
-    return IndexStaleness(bool(reasons), int(meta.get("record_count", 0)),
+    try:
+        indexed = int(meta.get("record_count") or 0)
+    except (TypeError, ValueError):
+        # a null/non-numeric count in an otherwise-valid sentinel must
+        # report stale (conservative), not crash the staleness probe
+        indexed = 0
+    return IndexStaleness(bool(reasons), indexed,
                           source_record_count, reasons)
 
 
@@ -342,23 +348,27 @@ class IndexCache:
     publish, fsray/manifest.py)."""
 
     def __init__(self, index, index_dir: str):
-        self._index = index
-        self._index_dir = index_dir
+        # one reference holds both halves: readers snapshotting _state see
+        # a consistent (index, dir) pair even mid-replace (two separate
+        # attribute stores would let a reader pair the new index with the
+        # old directory and report the fresh index as stale)
+        self._state = (index, index_dir)
 
     @property
     def index(self):
-        return self._index
+        return self._state[0]
 
     @property
     def index_dir(self) -> str:
-        return self._index_dir
+        return self._state[1]
 
     def staleness(self, source_record_count: int,
                   source_fingerprint: str) -> IndexStaleness:
-        return check_staleness(self._index_dir, source_record_count,
+        _, index_dir = self._state
+        return check_staleness(index_dir, source_record_count,
                                source_fingerprint)
 
     def replace(self, new_index, new_dir: str):
-        old = self._index
-        self._index, self._index_dir = new_index, new_dir
+        old, _ = self._state
+        self._state = (new_index, new_dir)
         return old

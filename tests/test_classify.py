@@ -123,6 +123,24 @@ def test_sniff_features_and_probe_cap():
     assert classify_bytes("/big.txt", big)["probe_bytes"] == 8_192
 
 
+def test_probe_cap_mid_utf8_sequence_is_reference_parity():
+    """The reference caps the probe with a PLAIN byte slice and validates
+    the raw capped bytes (file_classification.rs:643-647, :562) — no
+    char-boundary trim.  A high-bit-heavy text whose probe ends inside a
+    multibyte char therefore fails utf8 validation and classifies binary
+    (high_bit path) in BOTH engines; this pins that shared behavior."""
+    body = "a" + "é" * 5_000            # é = 2 bytes; probe ends mid-char
+    d = classify_bytes("/notes.txt", body.encode("utf-8"))
+    assert d["detected_type"] == "binary"
+    assert d["ingest_action"] == "skip"
+    assert d["reason_code"] == "FSFS_BINARY_HEURISTIC_THRESHOLD"
+    # a low-high-bit file with the same straddle stays text via the
+    # unknown-8bit lane NOT the binary lane (threshold gating still applies)
+    mostly_ascii = b"x" * 8_191 + "é".encode("utf-8") + b" tail"
+    d2 = classify_bytes("/mostly.txt", mostly_ascii)
+    assert d2["detected_type"] != "binary"
+
+
 def test_classify_files_lane_matches_oracle(sf_dir):
     import duckdb
 

@@ -174,7 +174,7 @@ def test_poll_directory(split_corpus, tmp_path):
     pq.write_table(table.slice(400, 100), os.path.join(watch_dir, "b.parquet"))
     w = WatchIndex(split_corpus["base"], CODE_CORPUS, CFG)
     seen, n = w.poll_directory(watch_dir)
-    assert n == 2 and len(seen) == 2
+    assert n == 200 and len(seen) == 2   # rows indexed, not files
     seen2, n2 = w.poll_directory(watch_dir, seen)
     assert n2 == 0 and seen2 == seen
     full = LocalIndex(split_corpus["full"])

@@ -194,3 +194,31 @@ def test_coalescer_timeout_and_shutdown_and_delivery():
     c.shutdown()
     assert c.try_form_batch().reason == "shutdown"
     assert c.try_form_batch() is None
+
+
+def test_coalescer_priority_lanes_off_disables_interactive_deadline():
+    """``use_priority_lanes=False`` must disable the interactive fast
+    path entirely — both the dispatch-reason label AND the halved
+    deadline (batch_coalescer.rs lane gating)."""
+    from fsray.embed import BatchCoalescer
+    clk = _Clk()
+    c = BatchCoalescer(max_wait_ms=10, min_batch_size=4,
+                       use_priority_lanes=False, now_ms=clk)
+    c.submit("ui", priority="interactive")
+    clk.t = 5.0
+    assert c.try_form_batch() is None   # would fire at max_wait/2 if lanes on
+    clk.t = 9.9
+    assert c.try_form_batch() is None
+    clk.t = 10.0
+    b = c.try_form_batch()
+    assert b is not None and b.reason == "deadline"
+
+
+def test_embed_empty_batch_does_not_crash():
+    """An empty batch (e.g. downstream of a filter stage) must embed to
+    a (0, dim) matrix, not kill the map_batches stage."""
+    import numpy as np
+
+    from fsray.embed import HashEmbedder
+    out = HashEmbedder(dimension=16).embed_texts([])
+    assert out.shape == (0, 16) and out.dtype == np.float32

@@ -196,3 +196,13 @@ def test_driver_lane_matches_oracle(sf_dir):
     assert list(m.doc_id) == list(o.doc_id)
     assert np.array_equal(m.rrf_score.values, o.rrf_score.values)
     assert list(m.n_indices) == list(o.n_indices)
+
+
+def test_unknown_fusion_method_raises():
+    """'combmnz' / 'RRF' etc. must raise, not silently fuse weighted
+    (CombMNZ is method='weighted' + comb_mnz=True)."""
+    import pytest
+    shards = [("a", 1.0, [("d1", 2.0)])]
+    for bad in ("combmnz", "RRF", "zscore"):
+        with pytest.raises(ValueError):
+            federated_fuse(shards, method=bad)

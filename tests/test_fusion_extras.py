@@ -264,3 +264,27 @@ def test_ann_hubness_lane_is_corrected_topk(sf_dir):
     # beta=0.2 correction moves the set vs the raw query-0 top-k at least
     # sometimes; weaker invariant: both are valid id sets excluding 0
     assert 0 not in set(lane["neighbor_id"])
+
+
+def test_rrf_fuse_weight_arm_mismatch_raises():
+    """A weights list shorter than arms must raise, never silently drop
+    whole arms via zip truncation."""
+    import pytest
+
+    from fsray.fuse import rrf_fuse
+    with pytest.raises(ValueError):
+        rrf_fuse([[("d1", 1.0)], [("d2", 1.0)]], weights=[1.0])
+    # None still means uniform weights
+    out = rrf_fuse([[("d1", 1.0)], [("d2", 1.0)]], weights=None)
+    assert {d for d, _ in out} == {"d1", "d2"}
+
+
+def test_hubness_penalty_empty_table_is_identity():
+    """An empty r_d table (hubness not yet computed) applies NO penalty
+    — the docstring's out-of-range rule, not an IndexError."""
+    import numpy as np
+
+    from fsray.fuse import apply_hubness_penalty
+    s = np.array([1.0, 2.0], dtype=np.float32)
+    out = apply_hubness_penalty(s, np.array([0, 1]), np.array([]), beta=0.2)
+    assert np.array_equal(out, s)

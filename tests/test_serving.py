@@ -233,6 +233,25 @@ def test_index_cache_atomic_replace(tmp_path):
     assert cache.index == "idx1"
     old = cache.replace("idx2", d2)
     assert old == "idx1" and cache.index == "idx2" and cache.index_dir == d2
+    # the (index, dir) pair lives in ONE reference so a concurrent reader
+    # can never observe the new index paired with the stale directory
+    assert cache._state == ("idx2", d2)
+
+
+def test_sentinel_null_record_count_reports_stale_not_crash(tmp_path):
+    import json as _json
+    import os
+
+    from fsray.serving import SENTINEL_FILENAME
+    d = str(tmp_path)
+    write_sentinel(d, 100, "abc")
+    p = os.path.join(d, SENTINEL_FILENAME)
+    meta = _json.load(open(p))
+    meta["record_count"] = None
+    with open(p, "w") as f:
+        _json.dump(meta, f)
+    st = check_staleness(d, 100, "abc")
+    assert st.is_stale and st.index_records == 0
 
 
 def test_graph_pagerank_lane(sf_dir):
