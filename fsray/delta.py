@@ -41,7 +41,6 @@ import time
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from fsray.build import BuildConfig, CorpusSpec, analyze_doc_batch, encode_posting_groups
 from fsray.manifest import atomic_write_parquet, publish_manifest, write_termtable
@@ -69,7 +68,6 @@ class WatchIndex(LocalIndex):
         # session-local view: adds/upserts mutate this copy only; disk
         # state changes exclusively through the atomic seal() publish
         self.manifest = copy.deepcopy(self.manifest)
-        self._n_base_shards = len(self.shards)
         self._delta: list[dict] = []  # per delta shard: {tt, idmap, stats}
         self._delta_rows = 0
 
@@ -134,13 +132,31 @@ class WatchIndex(LocalIndex):
 
     def _tombstone_existing(self, wanted: pa.Array) -> int:
         """Mark live docids whose doc_id is in ``wanted`` as tombstoned
-        (in-memory now; merged into the manifest at seal)."""
+        (in-memory now; merged into the manifest at seal).
+
+        Per-shard lookup is a binary search over a lazily-built sorted
+        doc_id view (O(batch · log shard) per add), not a full-column
+        scan — the hot watch write path must not degrade linearly with
+        base-corpus size (QG-3 update→searchable floor)."""
         total = 0
+        wanted_np = np.asarray(wanted.to_pylist(), dtype=object)
+        if len(wanted_np) == 0:
+            return 0
         for sh in self.shards:
-            mask = pc.is_in(sh.doc_ids, value_set=wanted)
-            hits = np.flatnonzero(mask.to_numpy(zero_copy_only=False)) + sh.lo
-            if len(hits) == 0:
+            srt = getattr(sh, "_docid_sorted_view", None)
+            if srt is None:
+                ids = np.asarray(sh.doc_ids.to_pylist(), dtype=object)
+                order = np.argsort(ids)
+                srt = sh._docid_sorted_view = (ids[order], order)
+            sorted_ids, order = srt
+            lo_pos = np.searchsorted(sorted_ids, wanted_np, side="left")
+            hi_pos = np.searchsorted(sorted_ids, wanted_np, side="right")
+            present = hi_pos > lo_pos
+            if not present.any():
                 continue
+            rows = np.concatenate([order[l:h] for l, h in
+                                   zip(lo_pos[present], hi_pos[present])])
+            hits = rows.astype(np.int64) + sh.lo
             merged = np.union1d(sh.tombstones.astype(np.int64), hits)
             total += len(merged) - len(sh.tombstones)
             sh.tombstones = merged.astype(np.uint32)
@@ -185,7 +201,6 @@ class WatchIndex(LocalIndex):
         sealed = [d["shard_id"] for d in self._delta]
         self._delta = []
         self._delta_rows = 0
-        self._n_base_shards = len(self.shards)
         self._mstat = self._manifest_stat()
         return {"sealed_shards": sealed,
                 "generation": self.manifest["generation"]}
@@ -204,9 +219,16 @@ class WatchIndex(LocalIndex):
         for path in sorted(glob.glob(os.path.join(watch_dir, "*.parquet"))):
             if path in seen:
                 continue
-            rows += self.add(
-                pq.read_table(path, columns=self.spec.source_columns),
-                upsert=upsert)["rows"]
+            # per-file fault isolation: a half-written parquet (the
+            # common watch race) must not lose this tick's seen-set
+            # progress — an aborted tick would re-add earlier files and,
+            # with upsert=False, leave permanent duplicates.  The bad
+            # file stays un-seen and is retried next tick.
+            try:
+                table = pq.read_table(path, columns=self.spec.source_columns)
+            except (OSError, pa.ArrowInvalid):
+                continue
+            rows += self.add(table, upsert=upsert)["rows"]
             seen.add(path)
         return seen, rows
 

@@ -159,6 +159,9 @@ class FederatedSearcher:
                  max_indices: int | None = None,
                  wait_for_indices: int | None = None,
                  per_index_timeout_ms: int = 500):
+        if method not in ("rrf", "weighted"):
+            # fail before the member scatter, not after it
+            raise ValueError(f"unknown fusion method {method!r}")
         self.method = method
         self.k = k
         self.normalization = normalization

@@ -771,8 +771,8 @@ class ShardSearcherActor:
              range_specs: list[dict] | None = None,
              tree: tuple | None = None, match_all: bool = False,
              filter_leaf_specs: dict[int, dict] | None = None,
-             ) -> tuple[np.ndarray, np.ndarray, int]:
-        t = self.shard.topk(specs, k, dtype=np.float32, mode=mode,
+             dtype=np.float32) -> tuple[np.ndarray, np.ndarray, int]:
+        t = self.shard.topk(specs, k, dtype=dtype, mode=mode,
                             range_specs=range_specs, tree=tree,
                             match_all=match_all,
                             filter_leaf_specs=filter_leaf_specs)
@@ -798,9 +798,9 @@ class RayIndex:
         self._ray = ray
 
     def search(self, text: str, k: int = 10, mode: str = "auto",
-               parser: str = "default") -> list[Hit]:
+               parser: str = "default", dtype=np.float32) -> list[Hit]:
         hits, _ = self.search_paginated(text, limit=k, offset=0, mode=mode,
-                                        parser=parser)
+                                        parser=parser, dtype=dtype)
         return hits
 
     def _expand_globs(self, parsed: ParsedQuery) -> ParsedQuery:
@@ -838,7 +838,8 @@ class RayIndex:
 
     def search_paginated(self, text: str, limit: int = 10, offset: int = 0,
                          exact_count: bool = False, mode: str = "auto",
-                         parser: str = "default") -> tuple[list[Hit], int | None]:
+                         parser: str = "default",
+                         dtype=np.float32) -> tuple[list[Hit], int | None]:
         ray = self._ray
         if parser == "cass":
             from fsray.query import parse_cass_query
@@ -861,17 +862,17 @@ class RayIndex:
         for dfl in df_lists:
             for key, df in zip(keys, dfl):
                 df_sum[key] = df_sum.get(key, 0) + int(df)
-        specs = _clause_specs(parsed, self.manifest, df_sum, dtype=np.float32)
+        specs = _clause_specs(parsed, self.manifest, df_sum, dtype=dtype)
         k = limit + offset
         eff_mode = "exhaustive" if exact_count else mode
         range_specs = _range_specs(parsed)
         results = ray.get([a.topk.remote(specs, k, eff_mode, range_specs,
                                          parsed.tree, parsed.match_all,
-                                         _leaf_specs(parsed))
+                                         _leaf_specs(parsed), dtype)
                            for a in self.actors.values()])
         per_shard = [TopK(d, s, count=c) for d, s, c in results]
         total = sum(t.count for t in per_shard) if exact_count else None
-        docids, scores = _merge_topk(per_shard, k, dtype=np.float32)
+        docids, scores = _merge_topk(per_shard, k, dtype=dtype)
         docids, scores = docids[offset:], scores[offset:]
         # materialize winners via their owning shards (IDMAP lookup after
         # selection — the reference's two-phase materialization, PLAN.md §10.3)

@@ -126,6 +126,7 @@ class CircuitBreaker:
         self._consecutive_failures = 0
         self._consecutive_successes = 0
         self._last_trip_ms = 0.0
+        self._probe_in_flight = False
         self.skip_count = 0
         self.probe_count = 0
         self.trip_count = 0
@@ -133,12 +134,23 @@ class CircuitBreaker:
     def should_skip_quality(self) -> bool:
         if not self.config.enabled:
             return False
-        if self.state == CLOSED or self.state == HALF_OPEN:
+        if self.state == CLOSED:
+            return False
+        if self.state == HALF_OPEN:
+            # exactly ONE outstanding probe at a time: concurrent callers
+            # skip until record_outcome resolves it (the load spike the
+            # breaker exists to prevent, circuit_breaker.rs:226-360)
+            if self._probe_in_flight:
+                self.skip_count += 1
+                return True
+            self._probe_in_flight = True
+            self.probe_count += 1
             return False
         # OPEN: probe after the half-open interval
         if self._now() - self._last_trip_ms >= self.config.half_open_interval_ms:
             self.state = HALF_OPEN
             self._consecutive_successes = 0
+            self._probe_in_flight = True
             self.probe_count += 1
             return False
         self.skip_count += 1
@@ -161,6 +173,7 @@ class CircuitBreaker:
             else:
                 self._consecutive_failures = 0
         elif self.state == HALF_OPEN:
+            self._probe_in_flight = False
             if is_failure:
                 self.state = OPEN
                 self._last_trip_ms = self._now()
@@ -175,12 +188,14 @@ class CircuitBreaker:
         self.state = OPEN
         self._last_trip_ms = self._now()
         self._consecutive_failures = 0
+        self._probe_in_flight = False
         self.trip_count += 1
 
     def _reset(self) -> None:
         self.state = CLOSED
         self._consecutive_failures = 0
         self._consecutive_successes = 0
+        self._probe_in_flight = False
 
     def force_open(self) -> None:
         self._trip()
@@ -236,50 +251,53 @@ class GraphRanker:
             return None
         seeds = [(i, w / total) for i, w in seeds_w.items()]
 
-        out_sum = [0.0] * n
-        csr: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+        # COO edge arrays + bincount scatter: the power iteration is
+        # O(edges) numpy kernels, not Python tuple loops (kNN doc-doc
+        # graphs are ~N·k edges; the serving path must stay in ms)
+        import numpy as np
+        srcs: list[int] = []
+        dsts: list[int] = []
+        ws: list[float] = []
         for d, edges in graph.items():
             src = idx[d]
-            row = []
-            s = 0.0
             for nb, w in edges:
                 w = float(w)
                 if not math.isfinite(w) or w <= 0.0:
                     continue
-                s += w
-                row.append((idx[nb], w))
-            out_sum[src] = s
-            csr[src] = row
+                srcs.append(src)
+                dsts.append(idx[nb])
+                ws.append(w)
+        src_a = np.asarray(srcs, dtype=np.int64)
+        dst_a = np.asarray(dsts, dtype=np.int64)
+        w_a = np.asarray(ws, dtype=np.float64)
+        out_sum = np.bincount(src_a, weights=w_a, minlength=n)
 
         teleport = min(max(self.restart_probability, 0.0), 1.0)
         walk = 1.0 - teleport
         eps = 2.220446049250313e-16  # f64 machine epsilon (Rust f64::EPSILON)
-        ranks = [0.0] * n
+        has_out = out_sum > eps
+        safe_out = np.where(has_out, out_sum, 1.0)
+        seed_vec = np.zeros(n, dtype=np.float64)
         for i, w in seeds:
-            ranks[i] = w
+            seed_vec[i] = w
+        ranks = seed_vec.copy()
         for _ in range(self.max_iterations):
-            nxt = [0.0] * n
-            for i, w in seeds:
-                nxt[i] += teleport * w
-            dangling = sum(ranks[i] for i in range(n) if out_sum[i] <= eps)
+            nxt = teleport * seed_vec
+            dangling = float(ranks[~has_out].sum())
             if dangling > 0.0:
-                for i, w in seeds:
-                    nxt[i] += walk * dangling * w
-            for src in range(n):
-                r = ranks[src]
-                if r <= 0.0 or out_sum[src] <= eps:
-                    continue
-                base = walk * r / out_sum[src]
-                for dst, w in csr[src]:
-                    nxt[dst] += base * w
-            delta = sum(abs(ranks[i] - nxt[i]) for i in range(n))
+                nxt = nxt + walk * dangling * seed_vec
+            if len(src_a):
+                base = np.where(has_out, walk * ranks / safe_out, 0.0)
+                nxt = nxt + np.bincount(dst_a, weights=base[src_a] * w_a,
+                                        minlength=n)
+            delta = float(np.abs(ranks - nxt).sum())
             ranks = nxt
             if delta < self.tolerance:
                 break
-        total_rank = sum(ranks)
+        total_rank = float(ranks.sum())
         if total_rank > 0.0:
-            ranks = [r / total_rank for r in ranks]
-        out = [(nodes[i], ranks[i]) for i in range(n)
+            ranks = ranks / total_rank
+        out = [(nodes[i], float(ranks[i])) for i in range(n)
                if math.isfinite(ranks[i]) and ranks[i] > 0.0]
         out.sort(key=lambda t: (-t[1], t[0]))
         return out[:limit] or None
@@ -303,12 +321,10 @@ class IndexStaleness:
 def write_sentinel(index_dir: str, record_count: int,
                    source_fingerprint: str) -> None:
     """Write the post-build sentinel (cache.rs SentinelFileDetector)."""
-    path = os.path.join(index_dir, SENTINEL_FILENAME)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": SENTINEL_VERSION, "record_count": record_count,
-                   "source_fingerprint": source_fingerprint}, f)
-    os.replace(tmp, path)  # atomic publish, like the manifest
+    from fsray.manifest import atomic_write_json
+    atomic_write_json(os.path.join(index_dir, SENTINEL_FILENAME),
+                      {"version": SENTINEL_VERSION, "record_count": record_count,
+                       "source_fingerprint": source_fingerprint})
 
 
 def check_staleness(index_dir: str, source_record_count: int,

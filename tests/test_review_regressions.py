@@ -203,3 +203,115 @@ def test_empty_cass_query_is_match_all(sf_dir):
                                       exact_count=True)
     assert total == n_docs - n_spark
     assert all(h.score == 1.0 for h in hits)
+
+
+# ---- round-2 second review pass (serving / delta / federated) -------------
+
+def test_federated_accepts_ray_index_member(small_corpus):
+    """FederatedSearcher passes dtype= to members; RayIndex must accept it
+    (r2 review: every RayIndex member silently failed on every query)."""
+    from fsray.federated import FederatedSearcher
+    fed = (FederatedSearcher(min_indices=2)
+           .add_index("local", LocalIndex(small_corpus["index_dir"]))
+           .add_index("remote", RayIndex(small_corpus["index_dir"])))
+    resp = fed.search("parse config", 10)
+    assert sorted(resp.coverage.answered) == ["local", "remote"]
+    assert not resp.coverage.failed
+    assert resp.hits and all(h.hybrid for h in resp.hits)  # both shards agree
+
+
+def test_federated_unknown_method_fails_fast():
+    from fsray.federated import FederatedSearcher
+    with pytest.raises(ValueError):
+        FederatedSearcher(method="weightd")
+
+
+def test_ray_index_float64_lane_matches_local(small_corpus):
+    """dtype=float64 threads through the actor pool (oracle-lane parity)."""
+    local = LocalIndex(small_corpus["index_dir"])
+    ridx = RayIndex(small_corpus["index_dir"])
+    lh = local.search("parse config block", k=20, dtype=np.float64)
+    rh = ridx.search("parse config block", k=20, dtype=np.float64)
+    assert [(h.docid, h.score) for h in lh] == [(h.docid, h.score) for h in rh]
+
+
+def test_breaker_half_open_allows_exactly_one_probe():
+    """Concurrent callers during an unresolved HALF_OPEN probe must skip
+    (r2 review: all N callers hit the failing quality tier at once)."""
+    from fsray.serving import (CLOSED, HALF_OPEN, CircuitBreaker,
+                               CircuitBreakerConfig)
+
+    class Clock:
+        t = 0.0
+    clock = Clock()
+    cb = CircuitBreaker(CircuitBreakerConfig(failure_threshold=1,
+                                             half_open_interval_ms=1000,
+                                             reset_threshold=1),
+                        now_ms=lambda: clock.t)
+    cb.record_outcome(error=True)
+    clock.t = 1000.0
+    assert not cb.should_skip_quality()          # the one probe
+    assert cb.state == HALF_OPEN and cb.probe_count == 1
+    assert cb.should_skip_quality()              # concurrent caller: skip
+    assert cb.should_skip_quality()
+    assert cb.probe_count == 1
+    cb.record_outcome(latency_ms=1, tau_improvement=1.0)
+    assert cb.state == CLOSED
+    assert not cb.should_skip_quality()
+
+
+def test_poll_directory_survives_corrupt_file(tmp_path):
+    """A half-written parquet in the watch dir must not lose the tick's
+    seen-set progress (r2 review: duplicates on retry with upsert=False)."""
+    from fsray.corpus import generate_code_corpus
+    from fsray.delta import WatchIndex
+
+    cfg = BuildConfig(partition_rows=128, num_shards=1, num_buckets=4)
+    table = generate_code_corpus(120, seed=7)
+    src = str(tmp_path / "base.parquet")
+    pq.write_table(table.slice(0, 60), src, row_group_size=128)
+    d = str(tmp_path / "idx")
+    build_index([src], d, CODE_CORPUS, cfg)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    pq.write_table(table.slice(60, 30), str(watch / "a.parquet"))
+    (watch / "b.parquet").write_bytes(b"not a parquet file")
+    w = WatchIndex(d, CODE_CORPUS, cfg)
+    seen, rows = w.poll_directory(str(watch), upsert=False)
+    assert rows == 30
+    assert str(watch / "a.parquet") in seen
+    assert str(watch / "b.parquet") not in seen  # retried next tick
+    # fix the bad file; the next tick indexes ONLY it — no re-add of a
+    pq.write_table(table.slice(90, 30), str(watch / "b.parquet"))
+    seen, rows = w.poll_directory(str(watch), seen=seen, upsert=False)
+    assert rows == 30
+    assert w.manifest["doc_count"] == 120
+    hits = w.search("fn", k=500)
+    assert len({h.doc_id for h in hits}) == len(hits)  # no duplicates
+
+
+def test_watch_upsert_sorted_lookup_handles_duplicates(tmp_path):
+    """The binary-search tombstone path must catch EVERY occurrence of a
+    doc_id, including duplicates within one shard."""
+    from fsray.corpus import generate_code_corpus
+    from fsray.delta import WatchIndex
+
+    cfg = BuildConfig(partition_rows=128, num_shards=1, num_buckets=4)
+    table = generate_code_corpus(80, seed=3)
+    src = str(tmp_path / "base.parquet")
+    pq.write_table(table.slice(0, 40), src, row_group_size=128)
+    d = str(tmp_path / "idx")
+    build_index([src], d, CODE_CORPUS, cfg)
+    w = WatchIndex(d, CODE_CORPUS, cfg)
+    # a batch holding the SAME source row twice (duplicate doc_id in one
+    # delta shard), then an upsert of that doc_id: both copies tombstone
+    dup_row = table.slice(0, 1)
+    w.add(pa.concat_tables([dup_row, dup_row]), upsert=False)
+    before = {h.doc_id for h in w.search("fn", k=500)}
+    out = w.add(dup_row, upsert=True)
+    assert out["tombstoned"] == 3  # base copy + both delta copies
+    after = {h.doc_id for h in w.search("fn", k=500)}
+    assert after == before  # same visible doc_id set, single live version
+    # 40 base + 2 dup copies + 1 upserted - 3 tombstoned = 40 live
+    _, total = w.search_paginated("", limit=1, exact_count=True, parser="cass")
+    assert total == 40
