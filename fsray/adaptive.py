@@ -235,17 +235,21 @@ class AdaptiveFusion:
         cs = self._per_class.setdefault(query_class, _ClassState())
         cs.blend.update(success)
         self._global.blend.update(success)
-        return {"query_class": query_class, "blend_used": cs.blend.mean(),
-                "k_used": cs.k.mean(),
-                "blend_posterior": (cs.blend.alpha, cs.blend.beta),
-                "k_posterior": (cs.k.mu, cs.k.sigma_sq)}
+        return self._telemetry(query_class, cs)
 
     def update_k(self, query_class: str, observed_k: float) -> dict:
         cs = self._per_class.setdefault(query_class, _ClassState())
         cs.k.update(observed_k)
         self._global.k.update(observed_k)
-        return {"query_class": query_class, "blend_used": cs.blend.mean(),
-                "k_used": cs.k.mean(),
+        return self._telemetry(query_class, cs)
+
+    def _telemetry(self, query_class: str, cs: _ClassState) -> dict:
+        # "used" fields report what a query would ACTUALLY get — through
+        # the min_samples fallback ladder and the safety clamps — not the
+        # raw per-class posterior mean (which may never be applied).
+        return {"query_class": query_class,
+                "blend_used": self.blend_factor(query_class),
+                "k_used": self.rrf_k(query_class),
                 "blend_posterior": (cs.blend.alpha, cs.blend.beta),
                 "k_posterior": (cs.k.mu, cs.k.sigma_sq)}
 

@@ -12,8 +12,9 @@ calibration.rs:196-339), plus the ECE (calibration.rs:363-395) and Brier
 Engine lane discipline: the f64 oracle path evaluates ``exp`` via libm
 (``math.exp`` per element — ``np.exp``'s SIMD lanes are not guaranteed to
 round identically to DuckDB's libm-backed ``exp``; same rule as the BM25
-``idf`` lane, fsray/contract.py).  Calibrators accept scalars or arrays;
-the array paths are vectorized and safe inside ``map_batches``.
+``idf`` lane, fsray/contract.py).  Calibrators accept scalars or 1-D
+arrays; array paths vectorize the surrounding arithmetic/masking in
+numpy while the ``exp`` itself stays per-element libm by design.
 """
 
 from __future__ import annotations
@@ -21,6 +22,20 @@ from __future__ import annotations
 import math
 
 import numpy as np
+
+
+def _sigmoid_lane(z: np.ndarray, finite_in: np.ndarray) -> np.ndarray:
+    """Apply :func:`sigmoid` over a pre-computed f64 logit vector.
+
+    The ``exp`` stays per-element ``math.exp`` (libm bit parity with the
+    scalar oracle and DuckDB); everything around it is vectorized.
+    Non-finite INPUTS map to 0.0 (the calibrator contract), while a
+    finite input whose logit overflowed follows :func:`sigmoid`'s own
+    saturation branches."""
+    return np.fromiter(
+        (sigmoid(v) if f else 0.0
+         for v, f in zip(z.tolist(), finite_in.tolist())),
+        dtype=np.float64, count=z.size)
 
 
 def sigmoid(x: float) -> float:
@@ -62,7 +77,8 @@ class TemperatureScaling:
         if np.ndim(raw) == 0:
             x = float(raw)
             return sigmoid(x / self.temperature) if math.isfinite(x) else 0.0
-        return np.array([self.calibrate(float(v)) for v in np.asarray(raw)])
+        x = np.asarray(raw, dtype=np.float64)
+        return _sigmoid_lane(x / self.temperature, np.isfinite(x))
 
 
 class PlattScaling:
@@ -82,7 +98,8 @@ class PlattScaling:
         if np.ndim(raw) == 0:
             x = float(raw)
             return sigmoid(self.a * x + self.b) if math.isfinite(x) else 0.0
-        return np.array([self.calibrate(float(v)) for v in np.asarray(raw)])
+        x = np.asarray(raw, dtype=np.float64)
+        return _sigmoid_lane(self.a * x + self.b, np.isfinite(x))
 
 
 class IsotonicRegression:

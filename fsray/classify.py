@@ -52,7 +52,13 @@ def is_archive_path(path: str) -> bool:
     low = path.lower()
     if any(low.endswith(s) for s in ARCHIVE_SUFFIXES):
         return True
-    ext = low.rsplit(".", 1)[-1] if "." in low.rsplit("/", 1)[-1] else ""
+    # Rust Path::extension() semantics (file_classification.rs:1222-1225):
+    # a leading-dot-only filename like ".tar" has NO extension (it is a
+    # hidden file, content-sniffed, not extension-blocked); only a dot at
+    # position > 0 of the basename starts an extension.
+    name = low.rsplit("/", 1)[-1]
+    dot = name.rfind(".")
+    ext = name[dot + 1:] if dot > 0 else ""
     return ext in ARCHIVE_EXTS
 
 

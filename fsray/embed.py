@@ -166,6 +166,8 @@ class HashEmbedder:
                  text_column: str = "text", id_column: str = "doc_id"):
         if algorithm not in ("fnv_modular", "jl"):
             raise ValueError(f"unknown hash algorithm {algorithm!r}")
+        if int(dimension) <= 0:
+            raise ValueError(f"dimension must be positive, got {dimension}")
         self.dimension = int(dimension)
         self.algorithm = algorithm
         self.seed = np.uint64(seed)
@@ -233,10 +235,15 @@ class HashEmbedder:
         import pyarrow as pa
         texts = batch[self.text_column].to_pylist()
         mat = self.embed_texts([t or "" for t in texts])
+        # zero-copy list<float32> column over the contiguous f32 matrix
+        # (no per-row Python float materialization on the hot path)
+        offsets = pa.array(
+            np.arange(0, (len(texts) + 1) * self.dimension, self.dimension,
+                      dtype=np.int32))
+        values = pa.array(mat.ravel(), type=pa.float32())
         return pa.table({
             self.id_column: batch[self.id_column],
-            "embedding": pa.array([row.tolist() for row in mat],
-                                  type=pa.list_(pa.float32())),
+            "embedding": pa.ListArray.from_arrays(offsets, values),
         })
 
 
@@ -287,6 +294,10 @@ class CoalescedBatch:
         return any(r.priority == "interactive" for r in self.requests)
 
     def deliver(self, matrix) -> None:
+        if len(matrix) != len(self.requests):
+            raise ValueError(
+                f"embed backend returned {len(matrix)} vectors for "
+                f"{len(self.requests)} requests")
         for req, vec in zip(self.requests, matrix):
             req.deliver(vec)
 

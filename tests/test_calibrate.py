@@ -117,3 +117,16 @@ def test_nqc_from_query_scores():
                                            np.array([])])
     assert len(sk) == 3                                      # empty slice kept as 0.0
     assert sk.percentile(0.0) >= 1.0 / 3.0
+
+
+def test_vector_paths_bit_match_scalar_oracle():
+    import numpy as np
+
+    from fsray.calibrate import PlattScaling, TemperatureScaling
+    xs = np.array([-700.0, -3.5, -1e-9, 0.0, 0.25, 9.9, 1e6,
+                   float("nan"), float("inf"), float("-inf")])
+    for cal in (TemperatureScaling(1.7), PlattScaling(2.0, -0.5)):
+        vec = cal.calibrate(xs)
+        scal = np.array([cal.calibrate(float(v)) for v in xs])
+        assert vec.dtype == np.float64
+        assert np.array_equal(vec, scal), cal.name

@@ -152,3 +152,17 @@ def test_classify_files_lane_matches_oracle(sf_dir):
     orc = con.sql(make_oracle_sql()["classify_files"]).df()
     for col in ("doc_id", "detected_type", "ingest_action", "reason_code"):
         assert list(mine[col]) == list(orc[col]), col
+
+
+def test_dotfile_archive_names_are_not_extensions():
+    # Rust Path::extension() returns None for a leading-dot-only filename
+    # (file_classification.rs:1222-1225): ".tar"/".zip" are hidden files,
+    # content-sniffed, NOT extension-blocked. Compound suffixes are checked
+    # with ends_with, so a dotfile ".tgz" IS still an archive.
+    for p in ("/a/.tar", ".zip", "dir/.rar"):
+        assert not is_archive_path(p), p
+    for p in ("/a/.tgz", ".tar.gz", "x/.foo.tar"):
+        assert is_archive_path(p), p
+    d = classify_bytes("/repo/.tar", b"plain utf8 text, hidden file")
+    assert d["ingest_action"] == "index"
+    assert d["detected_type"] != "archive"

@@ -222,3 +222,31 @@ def test_embed_empty_batch_does_not_crash():
     from fsray.embed import HashEmbedder
     out = HashEmbedder(dimension=16).embed_texts([])
     assert out.shape == (0, 16) and out.dtype == np.float32
+
+
+def test_embedder_validates_dimension_and_deliver_length():
+    import pytest as _pytest
+
+    from fsray.embed import BatchCoalescer, CoalescedBatch, EmbedHandle
+    with _pytest.raises(ValueError):
+        HashEmbedder(dimension=0)
+    with _pytest.raises(ValueError):
+        HashEmbedder(dimension=-4)
+    h = [EmbedHandle("a", "background", 100.0, 0.0),
+         EmbedHandle("b", "background", 100.0, 0.0)]
+    cb = CoalescedBatch(h, "full")
+    with _pytest.raises(ValueError, match="1 vectors for 2"):
+        cb.deliver([[0.0]])
+
+
+def test_map_batches_column_is_list_f32_and_bit_identical():
+    import numpy as np
+    import pyarrow as pa
+
+    emb = HashEmbedder(dimension=16)
+    t = pa.table({"doc_id": ["d1", "d2"], "text": ["alpha beta", ""]})
+    out = emb(t)
+    assert out["embedding"].type == pa.list_(pa.float32())
+    got = np.asarray(out["embedding"].to_pylist(), dtype=np.float32)
+    want = np.stack([emb.embed("alpha beta"), emb.embed("")])
+    assert np.array_equal(got, want)

@@ -288,3 +288,17 @@ def test_hubness_penalty_empty_table_is_identity():
     s = np.array([1.0, 2.0], dtype=np.float32)
     out = apply_hubness_penalty(s, np.array([0, 1]), np.array([]), beta=0.2)
     assert np.array_equal(out, s)
+
+
+def test_update_telemetry_reports_applied_values():
+    from fsray.adaptive import AdaptiveFusion, BlendPosterior, KPosterior
+    af = AdaptiveFusion(min_samples=50)
+    rec = af.update_k("c", 500.0)
+    # below min_samples the query-time value is the prior, and that is
+    # what the telemetry must report — not the raw per-class posterior
+    assert rec["k_used"] == af.rrf_k("c") == KPosterior().mean()
+    assert rec["blend_used"] == af.blend_factor("c") == BlendPosterior().mean()
+    for _ in range(60):
+        rec = af.update_k("c", 500.0)
+    # above min_samples: clamped to k_max, never the unclamped mean
+    assert rec["k_used"] == af.rrf_k("c") == af.k_max
