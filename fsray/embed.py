@@ -247,6 +247,34 @@ class HashEmbedder:
         })
 
 
+class HashEmbedScorer:
+    """Actor-pool ``map_batches`` stage: hash-embed each document batch and
+    emit a per-batch cosine top-k partial against a fixed query.
+
+    Module-level on purpose: a locally-defined callable class cloudpickles
+    by value (class + captured closure) into the actor's constructor
+    arguments, which Ray promotes to the object store and then warns about
+    restart safety; a named class ships as a tiny import reference."""
+
+    def __init__(self, query: str, dimension: int, k: int,
+                 text_column: str = "text", id_column: str = "doc_id"):
+        self.emb = HashEmbedder(dimension=dimension)
+        self.qv = self.emb.embed(query)
+        self.k = k
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        ids = batch[self.id_column].to_numpy().astype(np.int64)
+        mat = self.emb.embed_texts(
+            [t or "" for t in batch[self.text_column].to_pylist()])
+        cos = mat @ self.qv
+        o = np.lexsort((ids, -cos))[:self.k]
+        return pa.table({"doc_id": pa.array(ids[o], type=pa.int64()),
+                         "cos": pa.array(cos[o].astype(np.float64))})
+
+
 #: the reference's pinned conformance probe texts
 #: (HASH_CONFORMANCE_TEXTS_V1, hash_embedder.rs:46-52)
 HASH_CONFORMANCE_TEXTS = ["", "Frankensearch identity", "Case CASE case",

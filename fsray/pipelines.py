@@ -225,7 +225,12 @@ def watch_search(sf_dir: str, k: int = 10) -> pa.Table:
 
 def _docs_ds(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    # zero-copy metadata strip fused into the read: pandas-written parquet
+    # schemas are unhashable (dict metadata) and spam unify_schemas
+    # warnings in every downstream shuffle reduce
+    return (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+              .map_batches(lambda b: b.replace_schema_metadata(None),
+                           batch_format="pyarrow", zero_copy_batch=True))
 
 
 def _embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -1259,27 +1264,16 @@ def hash_embed_ann(sf_dir: str) -> pa.Table:
     LexicalPlusHash strategy's dense arm (serving.py strategy ladder)."""
     import ray.data as rd
 
-    from fsray.embed import HashEmbedder
-    emb = HashEmbedder(dimension=HASH_EMBED_DIM)
-    qv = emb.embed(HASH_EMBED_QUERY)
-
-    class EmbedAndScore:
-        def __init__(self):
-            self.emb = HashEmbedder(dimension=HASH_EMBED_DIM)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy().astype(np.int64)
-            mat = self.emb.embed_texts(
-                [t or "" for t in batch["text"].to_pylist()])
-            cos = mat @ qv
-            o = np.lexsort((ids, -cos))[:HASH_EMBED_K]
-            return pa.table({"doc_id": pa.array(ids[o], type=pa.int64()),
-                             "cos": pa.array(cos[o].astype(np.float64))})
+    from fsray.embed import HashEmbedScorer
 
     parts = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"])
-             .map_batches(EmbedAndScore, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=2)
+             .map_batches(HashEmbedScorer, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=2,
+                          fn_constructor_kwargs={
+                              "query": HASH_EMBED_QUERY,
+                              "dimension": HASH_EMBED_DIM,
+                              "k": HASH_EMBED_K})
              .to_pandas())
     ids = parts["doc_id"].to_numpy()
     cos = parts["cos"].to_numpy()

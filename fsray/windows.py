@@ -33,7 +33,12 @@ US_PER_SEC = 1_000_000
 
 def _events_ds(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    # strip the writer's pandas schema metadata (zero-copy, fused into the
+    # read task): schemas carrying metadata are unhashable in pyarrow and
+    # make every downstream groupby reduce log a unify_schemas warning
+    return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+              .map_batches(lambda b: b.replace_schema_metadata(None),
+                           batch_format="pyarrow", zero_copy_batch=True))
 
 
 def tumbling_partial(batch: pa.Table, width_sec: int = 3600) -> pa.Table:
