@@ -68,8 +68,23 @@ class AnnShardWorker:
     def __init__(self, path: str, row_lo: int, row_hi: int, kind: str,
                  seed: int = 42):
         import pyarrow.parquet as pq
-        t = pq.read_table(path, columns=["vec_id", "embedding"])
-        t = t.slice(row_lo, row_hi - row_lo)
+        # read ONLY the row groups overlapping [row_lo, row_hi) — each
+        # shard actor touches its own byte range of the file, never the
+        # whole table (the read-side pruning the class contract promises)
+        pf = pq.ParquetFile(path)
+        rgs, first_start, offs = [], 0, 0
+        for i in range(pf.metadata.num_row_groups):
+            nr = pf.metadata.row_group(i).num_rows
+            if offs < row_hi and offs + nr > row_lo:
+                if not rgs:
+                    first_start = offs
+                rgs.append(i)
+            offs += nr
+        if rgs:
+            t = pf.read_row_groups(rgs, columns=["vec_id", "embedding"])
+            t = t.slice(row_lo - first_start, row_hi - row_lo)
+        else:
+            t = pq.read_schema(path).empty_table().select(["vec_id", "embedding"])
         ids = t["vec_id"].to_numpy().astype(np.int64)
         flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         vecs = flat.astype(np.float64).reshape(len(ids), -1)

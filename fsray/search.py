@@ -101,6 +101,9 @@ class ShardData:
         if tt is not None:
             self._tt_field = tt["field"].to_numpy()
             self._tt_terms = tt["term"].combine_chunks()
+            # df column materialized once: dfs() runs per query per shard
+            # and must not re-copy an O(vocab) column each time
+            self._tt_df = tt["df"].to_numpy()
             # per-field run bounds: terms are sorted within each field run
             self._field_bounds = {
                 int(f): (int(np.searchsorted(self._tt_field, f, side="left")),
@@ -216,7 +219,7 @@ class ShardData:
         out = np.zeros(len(keys), dtype=np.int64)
         if self.term_table is None:
             return out
-        df_col = self.term_table["df"].to_numpy()
+        df_col = self._tt_df
         for i, key in enumerate(keys):
             row = self.row_of(key)
             if row is not None:
@@ -787,15 +790,47 @@ class RayIndex:
 
     def __init__(self, index_dir: str, num_cpus_per_actor: float = 1.0):
         import ray
+        self.index_dir = index_dir
+        self._num_cpus_per_actor = num_cpus_per_actor
+        self._ray = ray
         self.manifest = load_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
+        self._spawn_actors()
+        self._mstat = self._manifest_stat()
+
+    def _spawn_actors(self) -> None:
+        ray = self._ray
         self.default_fields = [(f["name"], f["boost"]) for f in self.manifest["fields"]
                                if f.get("analyzer") != "keyword"]
-        remote_cls = ray.remote(num_cpus=num_cpus_per_actor)(ShardSearcherActor)
-        self.actors = {int(s): remote_cls.remote(index_dir, int(s))
+        remote_cls = ray.remote(num_cpus=self._num_cpus_per_actor)(ShardSearcherActor)
+        self.actors = {int(s): remote_cls.remote(self.index_dir, int(s))
                        for s in sorted(self.manifest["shards"], key=int)}
-        self._ray = ray
+
+    def _manifest_stat(self) -> tuple:
+        from fsray.manifest import MANIFEST_NAME
+        st = os.stat(os.path.join(self.index_dir, MANIFEST_NAME))
+        return (st.st_mtime_ns, st.st_size)
+
+    def _refresh_if_stale(self) -> None:
+        """Epoch check mirroring LocalIndex: a republished manifest
+        (mutate / compact / append) respawns the shard actors so the Ray
+        surface never serves a pre-mutation snapshot."""
+        try:
+            cur = self._manifest_stat()
+        except FileNotFoundError:
+            return
+        if cur == self._mstat:
+            return
+        self._mstat = cur
+        new_manifest = load_manifest(self.index_dir)
+        if new_manifest is None:
+            return
+        self.manifest = new_manifest
+        old = self.actors
+        self._spawn_actors()
+        for a in old.values():
+            self._ray.kill(a)
 
     def search(self, text: str, k: int = 10, mode: str = "auto",
                parser: str = "default", dtype=np.float32) -> list[Hit]:
@@ -841,6 +876,7 @@ class RayIndex:
                          parser: str = "default",
                          dtype=np.float32) -> tuple[list[Hit], int | None]:
         ray = self._ray
+        self._refresh_if_stale()
         if parser == "cass":
             from fsray.query import parse_cass_query
             parsed = parse_cass_query(text)

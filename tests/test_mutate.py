@@ -208,3 +208,32 @@ def test_cache_epoch_invalidation_on_delete(tmp_path):
     for h in after:
         if h.doc_id in before_scores:  # docs newly surfaced into top-k skip
             assert abs(before_scores[h.doc_id] - h.score) < 1e-7
+
+
+def test_ray_index_refreshes_after_delete(tmp_path):
+    """Same epoch law on the actor-pool surface: a RayIndex created
+    BEFORE a delete must not serve the pre-mutation snapshot — the
+    manifest stat check respawns the shard actors."""
+    import pyarrow.parquet as pq
+
+    from fsray.build import CODE_CORPUS, BuildConfig, build_index
+    from fsray.corpus import generate_code_corpus
+    from fsray.mutate import delete_docs
+    from fsray.search import RayIndex
+    rows = generate_code_corpus(120, seed=5)
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(rows, src, row_group_size=32)
+    d = str(tmp_path / "idx")
+    build_index([src], d, CODE_CORPUS,
+                BuildConfig(partition_rows=32, num_shards=2, num_buckets=4))
+    idx = RayIndex(d)
+    before = idx.search("fn", k=50)
+    assert before
+    victim = before[0].doc_id
+    delete_docs(d, [victim])
+    after = idx.search("fn", k=50)
+    assert victim not in {h.doc_id for h in after}
+    before_scores = {h.doc_id: h.score for h in before}
+    for h in after:
+        if h.doc_id in before_scores:
+            assert abs(before_scores[h.doc_id] - h.score) < 1e-7
