@@ -80,15 +80,18 @@ class AnnShardWorker:
                     first_start = offs
                 rgs.append(i)
             offs += nr
-        if rgs:
-            t = pf.read_row_groups(rgs, columns=["vec_id", "embedding"])
-            t = t.slice(row_lo - first_start, row_hi - row_lo)
-        else:
-            t = pq.read_schema(path).empty_table().select(["vec_id", "embedding"])
+        self.kind = kind
+        if not rgs:
+            self.index = None  # range overlaps no rows: empty shard
+            return
+        t = pf.read_row_groups(rgs, columns=["vec_id", "embedding"])
+        t = t.slice(row_lo - first_start, row_hi - row_lo)
         ids = t["vec_id"].to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            self.index = None
+            return
         flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         vecs = flat.astype(np.float64).reshape(len(ids), -1)
-        self.kind = kind
         if kind == "hnsw":
             self.index = HnswIndex(ids, vecs, seed=seed)
         elif kind == "ivf":
@@ -101,6 +104,8 @@ class AnnShardWorker:
 
     def query(self, qvec: np.ndarray, k: int,
               exclude_id: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        if self.index is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
         if self.kind == "hnsw":
             return self.index.query(qvec, k, ef=96, exclude_id=exclude_id)
         if self.kind == "ivf":
@@ -216,10 +221,12 @@ class IvfIndex:
         for _ in range(n_iters):
             sims = self.norm @ centroids.T          # (n, n_lists)
             assign = np.argmax(sims, axis=1)
-            for c in range(self.n_lists):
-                members = self.norm[assign == c]
-                if len(members):
-                    centroids[c] = members.mean(axis=0)
+            # scatter-sum centroid update (no per-list mask scan over n)
+            sums = np.zeros_like(centroids)
+            np.add.at(sums, assign, self.norm)
+            counts = np.bincount(assign, minlength=self.n_lists)
+            nonempty = counts > 0
+            centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
             centroids = normalize_rows(centroids)
         self.centroids = centroids
         order = np.argsort(assign, kind="stable")
@@ -275,25 +282,32 @@ class HnswIndex:
             self._insert(node, ef_construction)
 
     def _search_layer(self, q: np.ndarray, entry: int, level: int, ef: int) -> list[int]:
+        # two-heap beam search: cand is a max-heap keyed (-sim, -node) so
+        # ties pop the larger node (matching the list-sort original); best
+        # is a min-heap keyed (sim, node) so eviction drops the same
+        # (sim, node)-minimal element the original best.remove(min) did
+        import heapq
+        s0 = float(self.norm[entry] @ q)
         visited = {entry}
-        cand = [(float(self.norm[entry] @ q), entry)]
-        best = list(cand)
+        cand = [(-s0, -entry)]
+        best = [(s0, entry)]
+        nbrs = self.neighbors[level]
+        norm = self.norm
         while cand:
-            cand.sort(reverse=True)
-            sim, node = cand.pop(0)
-            worst = min(best)[0] if len(best) >= ef else -2.0
-            if sim < worst:
+            nsim, nnode = heapq.heappop(cand)
+            if -nsim < best[0][0] and len(best) >= ef:
                 break
-            for nb in self.neighbors[level][node]:
-                if nb in visited:
-                    continue
-                visited.add(nb)
-                s = float(self.norm[nb] @ q)
-                if len(best) < ef or s > min(best)[0]:
-                    cand.append((s, nb))
-                    best.append((s, nb))
+            fresh = [nb for nb in nbrs[-nnode] if nb not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            sims = norm[fresh] @ q  # one batched dot for all new neighbors
+            for nb, s in zip(fresh, sims.tolist()):
+                if len(best) < ef or s > best[0][0]:
+                    heapq.heappush(cand, (-s, -nb))
+                    heapq.heappush(best, (s, nb))
                     if len(best) > ef:
-                        best.remove(min(best))
+                        heapq.heappop(best)
         return [node for _, node in sorted(best, reverse=True)]
 
     def _insert(self, node: int, ef: int) -> None:

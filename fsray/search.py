@@ -42,6 +42,25 @@ class Hit:
     score: float
 
 
+def _stat_manifest(index_dir: str) -> tuple:
+    """Cheap epoch token for a published manifest.  Publishes are atomic
+    temp+rename (manifest.py), so every republish lands on a NEW inode —
+    including st_ino makes the check collision-proof even when a
+    same-size rewrite lands inside the filesystem's mtime granularity."""
+    from fsray.manifest import MANIFEST_NAME
+    st = os.stat(os.path.join(index_dir, MANIFEST_NAME))
+    return (st.st_ino, st.st_mtime_ns, st.st_size)
+
+
+def _tombstone_only(old: dict, new: dict) -> bool:
+    """True when a republish differs only in tombstones/generation —
+    the immutable termtables are unchanged and a live index can just
+    swap tombstone arrays instead of reloading shards."""
+    strip = lambda m: {k: v for k, v in m.items()
+                       if k not in ("tombstones", "generation")}
+    return strip(new) == strip(old)
+
+
 class ShardData:
     """One shard's term table + fieldnorms + idmap, loaded once.
 
@@ -568,43 +587,42 @@ class LocalIndex:
         self._mstat = self._manifest_stat()
 
     def _manifest_stat(self) -> tuple:
-        from fsray.manifest import MANIFEST_NAME
-        st = os.stat(os.path.join(self.index_dir, MANIFEST_NAME))
-        return (st.st_mtime_ns, st.st_size)
+        return _stat_manifest(self.index_dir)
 
     def _refresh_if_stale(self) -> None:
         """Epoch check (reference: per-epoch ranked-query cache,
         index.rs:278-280,7405-7441): a republished manifest invalidates
         cached answers.  A tombstone-only republish (delete) keeps the
         immutable termtables — just swap tombstone arrays; anything else
-        (append / compact / merge) reloads the shard set."""
+        (append / compact / merge) reloads the shard set.  ``_mstat`` is
+        committed only after the reload succeeds so a transient failure
+        (manifest mid-replace, shard read error) is retried next search."""
         try:
             cur = self._manifest_stat()
         except FileNotFoundError:
             return
         if cur == self._mstat:
             return
-        self._mstat = cur
         new_manifest = load_manifest(self.index_dir)
         if new_manifest is None:
             return
-        strip = lambda m: {k: v for k, v in m.items()
-                           if k not in ("tombstones", "generation")}
-        tombstone_only = strip(new_manifest) == strip(self.manifest)
-        self.manifest = new_manifest
-        if tombstone_only:
+        if _tombstone_only(self.manifest, new_manifest):
+            self.manifest = new_manifest
             for sh in self.shards:
                 dead = new_manifest.get("tombstones", {}).get(str(sh.shard_id), [])
                 sh.tombstones = np.asarray(sorted(dead), dtype=np.uint32)
         else:
-            self.shards = [ShardData(self.index_dir, int(s), new_manifest)
-                           for s in sorted(new_manifest["shards"], key=int)]
-            for sh in self.shards:
+            shards = [ShardData(self.index_dir, int(s), new_manifest)
+                      for s in sorted(new_manifest["shards"], key=int)]
+            for sh in shards:
                 sh.warm(self._warm_top_terms)
+            self.shards = shards
+            self.manifest = new_manifest
             self.default_fields = [(f["name"], f["boost"])
                                    for f in new_manifest["fields"]
                                    if f.get("analyzer") != "keyword"]
         self._cache.clear()
+        self._mstat = cur
 
     def _expand_globs(self, parsed: ParsedQuery) -> ParsedQuery:
         """Lower glob clauses to bounded term disjunctions against the
@@ -784,6 +802,11 @@ class ShardSearcherActor:
     def materialize(self, docids: np.ndarray) -> list[str]:
         return self.shard.materialize(docids)
 
+    def set_tombstones(self, dead: list[int]) -> None:
+        """Tombstone push for a delete-only republish: the immutable
+        termtables stay warm in this actor, only the dead-set swaps."""
+        self.shard.tombstones = np.asarray(sorted(dead), dtype=np.uint32)
+
 
 class RayIndex:
     """Actor-pool execution surface: one ShardSearcher actor per shard."""
@@ -808,29 +831,39 @@ class RayIndex:
                        for s in sorted(self.manifest["shards"], key=int)}
 
     def _manifest_stat(self) -> tuple:
-        from fsray.manifest import MANIFEST_NAME
-        st = os.stat(os.path.join(self.index_dir, MANIFEST_NAME))
-        return (st.st_mtime_ns, st.st_size)
+        return _stat_manifest(self.index_dir)
 
     def _refresh_if_stale(self) -> None:
-        """Epoch check mirroring LocalIndex: a republished manifest
-        (mutate / compact / append) respawns the shard actors so the Ray
-        surface never serves a pre-mutation snapshot."""
+        """Epoch check mirroring LocalIndex: a tombstone-only republish
+        (delete) pushes the new dead-sets to the warm actors via one RPC
+        round; anything else (append / compact / merge) respawns the shard
+        actors.  Old actor handles are DROPPED, never ray.kill'ed — Ray
+        then terminates them gracefully after in-flight queries from
+        concurrent callers drain.  ``_mstat`` commits only after the
+        refresh succeeds so a transient failure is retried next search."""
         try:
             cur = self._manifest_stat()
         except FileNotFoundError:
             return
         if cur == self._mstat:
             return
-        self._mstat = cur
         new_manifest = load_manifest(self.index_dir)
         if new_manifest is None:
             return
-        self.manifest = new_manifest
-        old = self.actors
-        self._spawn_actors()
-        for a in old.values():
-            self._ray.kill(a)
+        if _tombstone_only(self.manifest, new_manifest):
+            tombs = new_manifest.get("tombstones", {})
+            self._ray.get([a.set_tombstones.remote(tombs.get(str(s), []))
+                           for s, a in self.actors.items()])
+            self.manifest = new_manifest
+        else:
+            old_manifest = self.manifest
+            self.manifest = new_manifest
+            try:
+                self._spawn_actors()
+            except BaseException:
+                self.manifest = old_manifest
+                raise
+        self._mstat = cur
 
     def search(self, text: str, k: int = 10, mode: str = "auto",
                parser: str = "default", dtype=np.float32) -> list[Hit]:

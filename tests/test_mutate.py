@@ -230,6 +230,7 @@ def test_ray_index_refreshes_after_delete(tmp_path):
     before = idx.search("fn", k=50)
     assert before
     victim = before[0].doc_id
+    actors_before = dict(idx.actors)
     delete_docs(d, [victim])
     after = idx.search("fn", k=50)
     assert victim not in {h.doc_id for h in after}
@@ -237,3 +238,6 @@ def test_ray_index_refreshes_after_delete(tmp_path):
     for h in after:
         if h.doc_id in before_scores:
             assert abs(before_scores[h.doc_id] - h.score) < 1e-7
+    # tombstone-only republish must NOT respawn the actor pool — the
+    # warm actors receive the new dead-set via set_tombstones RPC
+    assert idx.actors == actors_before

@@ -126,6 +126,23 @@ def test_ann_hnsw_recall_vs_bruteforce():
     assert np.mean(recalls) >= 0.8, recalls
 
 
+def test_ann_shard_worker_prunes_row_groups_and_handles_empty():
+    """The shard worker reads only its overlapping row groups (same ids
+    and vectors as the full-read-then-slice behavior) and an
+    out-of-range shard degrades to an always-empty index, not a crash."""
+    from fsray.ann import AnnShardWorker
+    path = f"{SF_DIR}/embeddings.parquet"
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(path).num_rows
+    mid = n // 2
+    w = AnnShardWorker(path, mid, n, "lsh")
+    full = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
+    assert list(w.index.ids) == list(full[mid:n])
+    empty = AnnShardWorker(path, n, n + 10, "hnsw")
+    ids, sims = empty.query(np.ones(8), k=5)
+    assert len(ids) == 0 and len(sims) == 0
+
+
 def test_range_join_matches_duckdb_and_boundaries():
     """Co-located range join (union + bucketed per-user searchsorted):
     counts match SQL BETWEEN exactly, including both inclusive ends."""
