@@ -138,12 +138,31 @@ class ShardedAnnIndex:
 
     def query(self, qvec: np.ndarray, k: int,
               exclude_id: int | None = None) -> tuple[np.ndarray, np.ndarray]:
-        res = self._ray.get([a.query.remote(qvec, k, exclude_id)
-                             for a in self.actors])
-        ids = np.concatenate([r[0] for r in res]) if res else np.zeros(0, np.int64)
-        sims = np.concatenate([r[1] for r in res]) if res else np.zeros(0, np.float64)
-        order = np.lexsort((ids, -sims))[:k]
-        return ids[order], sims[order]
+        return self.query_many([qvec], k, [exclude_id])[0]
+
+    def query_many(self, qvecs: list[np.ndarray], k: int,
+                   exclude_ids: list[int | None] | None = None,
+                   ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Batch fan-out: ONE RPC wave for all queries × all shards
+        (a query set never pays per-query round-trip latency)."""
+        if exclude_ids is None:
+            exclude_ids = [None] * len(qvecs)
+        if len(exclude_ids) != len(qvecs):
+            raise ValueError(f"exclude_ids length {len(exclude_ids)} != "
+                             f"qvecs length {len(qvecs)}")
+        futs = [a.query.remote(qv, k, ex)
+                for qv, ex in zip(qvecs, exclude_ids)
+                for a in self.actors]
+        res = self._ray.get(futs)
+        n_sh = len(self.actors)
+        out = []
+        for qi in range(len(qvecs)):
+            chunk = res[qi * n_sh:(qi + 1) * n_sh]
+            ids = np.concatenate([r[0] for r in chunk]) if chunk else np.zeros(0, np.int64)
+            sims = np.concatenate([r[1] for r in chunk]) if chunk else np.zeros(0, np.float64)
+            order = np.lexsort((ids, -sims))[:k]
+            out.append((ids[order], sims[order]))
+        return out
 
 
 class LshIndex:

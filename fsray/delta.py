@@ -90,12 +90,14 @@ class WatchIndex(LocalIndex):
         t0 = time.perf_counter()
         if table.num_rows == 0:
             return {"rows": 0, "tombstoned": 0, "searchable_sec": 0.0}
-        tombstoned = self._tombstone_existing(self.spec.doc_ids(table)) if upsert else 0
-
         watermark = max((sh.hi for sh in self.shards), default=0)
         shard_id = 1 + max((sh.shard_id for sh in self.shards), default=-1)
+        # analyze BEFORE tombstoning: if analysis raises, no state has
+        # mutated (tombstone-first would delete the prior versions and
+        # then lose the replacements — silent data loss on a bad batch)
         staged, idmap, fstats, _ = analyze_doc_batch(
             table, self.spec, self.cfg, watermark, shard_id, pidx=0)
+        tombstoned = self._tombstone_existing(self.spec.doc_ids(table)) if upsert else 0
         tt = encode_posting_groups(staged) if staged.num_rows else None
         lo, hi = watermark, watermark + table.num_rows
         shard = ShardData.from_tables(tt, idmap, self.manifest, shard_id, lo, hi)
@@ -226,9 +228,15 @@ class WatchIndex(LocalIndex):
             # file stays un-seen and is retried next tick.
             try:
                 table = pq.read_table(path, columns=self.spec.source_columns)
-            except (OSError, pa.ArrowInvalid):
+                added = self.add(table, upsert=upsert)["rows"]
+            except (OSError, pa.ArrowInvalid, ValueError, KeyError):
+                # the guard must cover add() too: an exception there would
+                # abort the tick and discard the seen-set progress of files
+                # already indexed this tick — the exact duplicate hazard
+                # above.  add() analyzes before mutating, so a failed add
+                # leaves no partial rows; the file retries next tick.
                 continue
-            rows += self.add(table, upsert=upsert)["rows"]
+            rows += added
             seen.add(path)
         return seen, rows
 

@@ -47,10 +47,13 @@ class DecodeMedia:
     def __init__(self, fake: bool = True):
         self.codec = _try_import_codec()
         self.fake = fake
-        if not fake and self.codec is None:
+        if not fake:
+            # fail at construction, not first batch: no real decode kernel
+            # is implemented yet even when a codec library imports — the
+            # honest stub contract (codec presence alone doesn't decode)
             raise NotImplementedError(
-                "real media decode requires an image/audio codec library "
-                "(none available in this environment); use fake=True")
+                "real media decode path is not implemented (stub contract); "
+                "use fake=True")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

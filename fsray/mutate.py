@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import glob
 import os
-import time
 
 import numpy as np
 import pyarrow as pa
@@ -102,7 +101,10 @@ def append_docs(index_dir: str, paths: list[str], spec, cfg) -> dict:
             # rebase every docid payload by the watermark: decode → shift →
             # re-encode (append-time only; queries never pay this)
             rebased = _rebase_termtable(t, watermark)
-            atomic_write_parquet(os.path.join(dst_dir, os.path.basename(f)), rebased)
+            # write_termtable (not atomic_write_parquet): keeps the
+            # DELTA_BYTE_ARRAY front-coded term column consistent with
+            # build/compact/merge output
+            write_termtable(os.path.join(dst_dir, os.path.basename(f)), rebased)
         # fresh pidx block past every live partition id (collision-free
         # across ANY number of successive appends)
         next_pidx = 1 + max((int(p) for v in manifest["shards"].values()
@@ -246,8 +248,6 @@ def _filter_termtable(t: pa.Table, dead: np.ndarray) -> pa.Table:
         if has_pos:
             pos = t["positions"][i].values.to_numpy(zero_copy_only=False).astype(np.uint32)
             tf64 = dec.tfs.astype(np.int64)
-            offs = np.zeros(len(tf64) + 1, dtype=np.int64)
-            np.cumsum(tf64, out=offs[1:])
             pos_keep = np.repeat(keep, tf64)
             out_poss.append(pos[pos_keep])
     flat_docids = np.concatenate(out_docids).astype(np.uint32) if n else np.zeros(0, np.uint32)

@@ -859,9 +859,10 @@ def _ann_sharded(sf_dir: str, kind: str) -> pa.Table:
     index = ShardedAnnIndex(
         os.path.join(sf_dir, "embeddings.parquet"), kind, num_shards=4)
     qvecs = _query_vectors(sf_dir)
+    results = index.query_many([qvecs[int(q)] for q in ANN_QUERY_IDS], ANN_K,
+                               [int(q) for q in ANN_QUERY_IDS])
     rows_q, rows_n = [], []
-    for q in ANN_QUERY_IDS:
-        nids, _ = index.query(qvecs[int(q)], ANN_K, exclude_id=int(q))
+    for q, (nids, _) in zip(ANN_QUERY_IDS, results):
         rows_q.extend([int(q)] * len(nids))
         rows_n.extend(nids.tolist())
     return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
@@ -917,6 +918,9 @@ def hybrid_rrf(sf_dir: str) -> pa.Table:
     qvec = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
     qref = ray.put(qvec / (np.linalg.norm(qvec) or 1.0))
 
+    # deliberately NOT _semantic_pool/_f32_pool: this arm is the f64 lane,
+    # does not exclude the query's own vec_id (the oracle ranks it too),
+    # and ships no vector payload
     def sem_partial(batch: pa.Table) -> pa.Table:
         qn = ray.get(qref)
         bids = batch["vec_id"].to_numpy().astype(np.int64)
@@ -1143,22 +1147,23 @@ def ann_hubness(sf_dir: str) -> pa.Table:
     return pa.table({"neighbor_id": pa.array(np.sort(pids[o]), type=pa.int64())})
 
 
-def ann_smooth(sf_dir: str) -> pa.Table:
-    """kNN-graph score diffusion over the dense candidate pool for query 0
-    (smooth.rs): pool = top-``SMOOTH_POOL`` by cosine (distributed
-    partials, same shape as ann_bruteforce), Similar edges = each pool
-    member's ``SMOOTH_M`` nearest pool neighbors, then
-    ``(1−α)s + α·mean(in-pool neighbor scores)`` reranks.  The diffusion
-    itself is pool-sized driver work by design."""
+def _f32_pool(sf_dir: str, query_vec_id: int, pool: int,
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed FLOAT32 cosine pool for one query vector (the shared
+    candidate-generation stage of ``ann_smooth`` / ``graph_pagerank``):
+    broadcast the normalized query once, per-batch top-``pool`` partials
+    carrying (id, cos, f32 row), driver merges pool × n_blocks rows —
+    never the embedding matrix.  Returns (ids, cos, embs) pool-sorted by
+    (cos desc, id asc).  Distinct from ``_semantic_pool``: f32 lane (the
+    reference similarity dtype for these post-processing families)."""
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
     from fsray.dedup import normalize_rows
-    from fsray.fuse import neighbor_smooth
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq.read_table(emb_path, columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "in", [0])])
+                       filters=[("vec_id", "in", [query_vec_id])])
     qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
     qref = ray.put((qv / (np.linalg.norm(qv) or 1.0)).astype(np.float32))
 
@@ -1168,9 +1173,9 @@ def ann_smooth(sf_dir: str) -> pa.Table:
         bf = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         mat = normalize_rows(bf.astype(np.float64).reshape(len(bids), -1)).astype(np.float32)
         cos = mat @ qn
-        keep = bids != 0
+        keep = bids != query_vec_id
         bids, cos, mat = bids[keep], cos[keep], mat[keep]
-        o = np.lexsort((bids, -cos))[:SMOOTH_POOL]
+        o = np.lexsort((bids, -cos))[:pool]
         return pa.table({"vec_id": pa.array(bids[o], type=pa.int64()),
                          "cos": pa.array(cos[o].astype(np.float64)),
                          "emb": pa.array([mat[i].tolist() for i in o])})
@@ -1178,19 +1183,36 @@ def ann_smooth(sf_dir: str) -> pa.Table:
     parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
              .map_batches(pool_part, batch_format="pyarrow", zero_copy_batch=True)
              .to_pandas())
-    o = np.lexsort((parts["vec_id"].to_numpy(), -parts["cos"].to_numpy()))[:SMOOTH_POOL]
+    o = np.lexsort((parts["vec_id"].to_numpy(), -parts["cos"].to_numpy()))[:pool]
     ids = parts["vec_id"].to_numpy()[o]
     cos = parts["cos"].to_numpy()[o]
     embs = np.stack([np.asarray(e, dtype=np.float32)
                      for e in parts["emb"].to_numpy()[o]])
+    return ids, cos, embs
+
+
+def _pool_knn_order(ids: np.ndarray, sims: np.ndarray, i: int, m: int) -> list[int]:
+    """Indices of row i's ``m`` nearest pool neighbors (cos desc, id asc
+    ties, self excluded) — the Similar-edge rule both graph lanes share."""
+    return [j for j in np.lexsort((ids, -sims[i])) if j != i][:m]
+
+
+def ann_smooth(sf_dir: str) -> pa.Table:
+    """kNN-graph score diffusion over the dense candidate pool for query 0
+    (smooth.rs): pool = top-``SMOOTH_POOL`` by cosine (distributed
+    partials, same shape as ann_bruteforce), Similar edges = each pool
+    member's ``SMOOTH_M`` nearest pool neighbors, then
+    ``(1−α)s + α·mean(in-pool neighbor scores)`` reranks.  The diffusion
+    itself is pool-sized driver work by design."""
+    from fsray.fuse import neighbor_smooth
+    ids, cos, embs = _f32_pool(sf_dir, 0, SMOOTH_POOL)
     # pool-local kNN graph: SMOOTH_M nearest (by cosine, id-asc ties),
     # nearest-first, self excluded
     sims = embs @ embs.T
     nbrs = {}
     for i, d in enumerate(ids):
-        order2 = np.lexsort((ids, -sims[i]))
-        nbrs[str(d)] = [str(ids[j]) for j in order2
-                        if j != i][:SMOOTH_M]
+        nbrs[str(d)] = [str(ids[j])
+                        for j in _pool_knn_order(ids, sims, i, SMOOTH_M)]
     hits = [(str(d), float(c)) for d, c in zip(ids, cos)]
     smoothed = neighbor_smooth(hits, nbrs, alpha=SMOOTH_ALPHA, m=SMOOTH_M)
     sm = sorted(smoothed, key=lambda t: (-t[1], int(t[0])))[:SMOOTH_K]
@@ -1288,44 +1310,13 @@ def graph_pagerank(sf_dir: str) -> pa.Table:
     """Query-biased PageRank over the dense-NN doc graph (graph_rank.rs):
     pool + Similar edges exactly as ``ann_smooth`` builds them, seeds =
     the pool's cosine scores, restart 0.15, ≤20 iterations, tol 1e-6."""
-    import pyarrow.parquet as pq
-    import ray
-    import ray.data as rd
-
-    from fsray.dedup import normalize_rows
     from fsray.serving import GraphRanker
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "in", [0])])
-    qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
-    qref = ray.put((qv / (np.linalg.norm(qv) or 1.0)).astype(np.float32))
-
-    def pool_part(batch: pa.Table) -> pa.Table:
-        qn = ray.get(qref)
-        bids = batch["vec_id"].to_numpy().astype(np.int64)
-        bf = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        mat = normalize_rows(bf.astype(np.float64).reshape(len(bids), -1)).astype(np.float32)
-        cos = mat @ qn
-        keep = bids != 0
-        bids, cos, mat = bids[keep], cos[keep], mat[keep]
-        o = np.lexsort((bids, -cos))[:SMOOTH_POOL]
-        return pa.table({"vec_id": pa.array(bids[o], type=pa.int64()),
-                         "cos": pa.array(cos[o].astype(np.float64)),
-                         "emb": pa.array([mat[i].tolist() for i in o])})
-
-    parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-             .map_batches(pool_part, batch_format="pyarrow", zero_copy_batch=True)
-             .to_pandas())
-    o = np.lexsort((parts["vec_id"].to_numpy(), -parts["cos"].to_numpy()))[:SMOOTH_POOL]
-    ids = parts["vec_id"].to_numpy()[o]
-    cos = parts["cos"].to_numpy()[o]
-    embs = np.stack([np.asarray(e, dtype=np.float32)
-                     for e in parts["emb"].to_numpy()[o]])
+    ids, cos, embs = _f32_pool(sf_dir, 0, SMOOTH_POOL)
     sims = embs @ embs.T
     graph = {}
     for i, d in enumerate(ids):
-        order2 = [j for j in np.lexsort((ids, -sims[i])) if j != i][:SMOOTH_M]
-        graph[str(d)] = [(str(ids[j]), float(sims[i][j])) for j in order2]
+        graph[str(d)] = [(str(ids[j]), float(sims[i][j]))
+                         for j in _pool_knn_order(ids, sims, i, SMOOTH_M)]
     seeds = [(str(d), float(c)) for d, c in zip(ids, cos)]
     ranked = GraphRanker().rank(graph, seeds, SMOOTH_K) or []
     return pa.table({

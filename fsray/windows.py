@@ -45,8 +45,14 @@ def tumbling_partial(batch: pa.Table, width_sec: int = 3600) -> pa.Table:
     """Per-batch partial: (event_type, window_start_s) → count, Σ micros."""
     ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()  # µs epoch
     win = (ts // (width_sec * US_PER_SEC)) * width_sec
-    val = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
-    micros = np.floor(val * 1e6).astype(np.int64)  # floor matches SQL floor() exactly
+    vcol = batch["value"].combine_chunks()
+    val = vcol.to_numpy(zero_copy_only=False)
+    # NULL values contribute 0 to the sum (SQL sum() skips NULLs) while the
+    # row still counts; floor matches SQL floor() exactly.  Without the
+    # mask a null→NaN row poisons the whole group (floor(NaN)→INT64_MIN).
+    if vcol.null_count:
+        val = np.where(np.asarray(vcol.is_null()), 0.0, val)
+    micros = np.floor(val * 1e6).astype(np.int64)
     t = pa.table({
         "event_type": batch["event_type"],
         "window_start_s": pa.array(win, type=pa.int64()),
@@ -174,21 +180,45 @@ def asof_join_orders(sf_dir: str) -> pa.Table:
                            columns=["o_orderkey", "o_custkey", "o_orderdate"])
     cust = orders["o_custkey"].to_numpy().astype(np.int64)
     date_us = orders["o_orderdate"].cast(pa.int64()).to_numpy()
-    # packed sort key: (custkey, date) — date fits < 2^62 / MAXC
-    order_key = cust * np.int64(1 << 48) + (date_us // US_PER_SEC)
+    date_s = date_us // US_PER_SEC
+    # packed sort key: (dense custkey rank, seconds).  Raw custkeys don't
+    # pack safely — cust * 2^48 overflows int64 at custkey ≥ 32,768 (TPC-H
+    # sf1 already exceeds it) — so rank the build-side keys densely:
+    # rank < #distinct-customers, seconds < 2^35 (year 3058), both checked.
+    SEC_BITS = 35
+    uniq_cust = np.unique(cust)
+    if len(uniq_cust) >= (1 << (63 - SEC_BITS)):
+        raise ValueError("as-of build side exceeds packable key cardinality")
+    if len(date_s) and (date_s.min() < 0 or date_s.max() >= (1 << SEC_BITS)):
+        raise ValueError("order dates outside packable range [1970, 3058)")
+    rank = np.searchsorted(uniq_cust, cust)
+    order_key = rank * np.int64(1 << SEC_BITS) + date_s
     order_sorted = np.argsort(order_key, kind="stable")
-    ref = ray.put((order_key[order_sorted], (date_us // US_PER_SEC)[order_sorted],
-                   cust[order_sorted]))
+    ref = ray.put((order_key[order_sorted], date_s[order_sorted],
+                   cust[order_sorted], uniq_cust))
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        keys, odates, custs = ray.get(ref)
+        keys, odates, custs, uniq = ray.get(ref)
         ev_user = batch["user_id"].combine_chunks().cast(pa.int64()).to_numpy()
         ev_ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy() // US_PER_SEC
-        probe = ev_user * np.int64(1 << 48) + ev_ts
+        if len(keys) == 0:  # empty build side: nothing ever matches
+            return pa.table({
+                "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
+                "asof_order_date_s": pa.array(np.full(len(ev_user), -1), type=pa.int64()),
+            })
+        # probe seconds clipped into the packable range: clipping high
+        # still admits every representable build date (at-or-before holds);
+        # unknown users get a neighbor's rank and are rejected by the
+        # custs equality check below
+        ev_rank = np.searchsorted(uniq, ev_user)
+        ev_rank = np.clip(ev_rank, 0, max(len(uniq) - 1, 0))
+        ev_sec = np.clip(ev_ts, 0, (1 << SEC_BITS) - 1)
+        probe = ev_rank * np.int64(1 << SEC_BITS) + ev_sec
         idx = np.searchsorted(keys, probe, side="right") - 1
         ok = (idx >= 0)
-        idx_c = np.clip(idx, 0, len(keys) - 1)
+        idx_c = np.clip(idx, 0, max(len(keys) - 1, 0))
         ok &= custs[idx_c] == ev_user
+        ok &= odates[idx_c] <= ev_ts  # belt-and-braces for clipped probes
         joined = np.where(ok, odates[idx_c], -1)
         return pa.table({
             "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),

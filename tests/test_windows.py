@@ -1,0 +1,83 @@
+"""Window-operator unit laws beyond the driver oracle, incl. the
+large-custkey regression for the as-of join key packing (raw
+cust * 2^48 overflowed int64 at custkey >= 32,768 and collided key
+blocks 2^16 apart; the dense-rank packing must not)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fsray.windows import asof_join_orders, tumbling_window_agg
+
+
+def _write_events(path, event_ids, user_ids, ts_s, values=None):
+    n = len(event_ids)
+    pq.write_table(pa.table({
+        "event_id": pa.array(event_ids, type=pa.int64()),
+        "user_id": pa.array(user_ids, type=pa.int64()),
+        "ts": pa.array(np.asarray(ts_s, dtype=np.int64) * 1_000_000,
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(values if values is not None else [1.0] * n,
+                          type=pa.float64()),
+    }), path)
+
+
+def test_asof_join_large_custkeys_no_packing_collision(tmp_path):
+    """Users 2^16 apart with interleaved order dates: the old packed key
+    collided their blocks; verify against a brute-force as-of oracle."""
+    rng = np.random.default_rng(7)
+    users = [70_000, 70_000 + 65_536, 70_000 + 2 * 65_536, 150_000, 3]
+    rows_c, rows_d, rows_k = [], [], []
+    k = 0
+    for u in users:
+        for d in sorted(rng.integers(1_000_000, 2_000_000, size=6)):
+            rows_c.append(u)
+            rows_d.append(int(d))
+            rows_k.append(k)
+            k += 1
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(rows_k, type=pa.int64()),
+        "o_custkey": pa.array(rows_c, type=pa.int64()),
+        "o_orderdate": pa.array(np.asarray(rows_d, dtype=np.int64) * 1_000_000,
+                                type=pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+
+    ev_users, ev_ts, ev_ids = [], [], []
+    i = 0
+    for u in users + [999_999]:  # one user with no orders at all
+        for t in rng.integers(900_000, 2_100_000, size=8):
+            ev_users.append(u)
+            ev_ts.append(int(t))
+            ev_ids.append(i)
+            i += 1
+    _write_events(str(tmp_path / "events.parquet"), ev_ids, ev_users, ev_ts)
+
+    got = asof_join_orders(str(tmp_path)).to_pandas().set_index("event_id")
+
+    # brute-force oracle
+    by_user = {}
+    for u, d in zip(rows_c, rows_d):
+        by_user.setdefault(u, []).append(d)
+    for eid, u, t in zip(ev_ids, ev_users, ev_ts):
+        dates = [d for d in by_user.get(u, []) if d <= t]
+        want = max(dates) if dates else -1
+        assert int(got.loc[eid, "asof_order_date_s"]) == want, (eid, u, t)
+
+
+def test_tumbling_window_null_values_sum_as_zero(tmp_path):
+    """A NULL value must contribute 0 to the sum and still count the row
+    (SQL sum() skips NULLs, count(*) doesn't) — not poison the group."""
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array(np.asarray([10, 20, 30], dtype=np.int64) * 1_000_000,
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["click"] * 3),
+        "value": pa.array([1.5, None, 2.25], type=pa.float64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = tumbling_window_agg(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert int(out["sum_value_micros"].iloc[0]) == 3_750_000
+    assert int(out["n_events"].iloc[0]) == 3
