@@ -1085,6 +1085,45 @@ def prf_search(sf_dir: str) -> pa.Table:
                      "neighbor_id": pa.array(pids[order], type=pa.int64())})
 
 
+RERANK_WINDOW = 50
+RERANK_K = 10
+
+
+def rerank_search(sf_dir: str) -> pa.Table:
+    """Cross-encoder rerank step over the BM25 top-``RERANK_WINDOW`` for
+    the wide query (rerank pipeline.rs:125-283 semantics, RrfCombine):
+    candidates from the lexical index in fused order, text hydrated via a
+    doc_id-filtered parquet read (the ``text_fn`` closure of the
+    reference), hash-reranker logits (the deterministic model-free
+    stand-in, see fsray/rerank.py), RRF rank-fusion of pre-rerank and
+    rerank order, top-``RERANK_K``.  Hash-embedding scores aren't
+    SQL-expressible → rows-only driver check; the step laws are pinned in
+    tests/test_rerank.py and the end-to-end lane in test_pipelines.py."""
+    import pyarrow.parquet as pq
+
+    from fsray.rerank import HashReranker, ScoredResult, rerank_step
+    idx = documents_index(sf_dir)
+    hits = idx.search(BM25_QUERIES["bm25_topk_wide"][0], k=RERANK_WINDOW,
+                      dtype=np.float64)
+    cands = [ScoredResult(str(h.doc_id), float(h.score)) for h in hits]
+    want = [int(c.doc_id) for c in cands]
+    tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "in", want)])
+    texts = dict(zip(tt["doc_id"].to_pylist(),
+                     tt["text"].to_pylist()))
+    rerank_step(HashReranker(), BM25_QUERIES["bm25_topk_wide"][0], cands,
+                lambda d: texts.get(int(d)), combine=("rrf",))
+    top = cands[:RERANK_K]
+    return pa.table({
+        "rank": pa.array(range(1, len(top) + 1), type=pa.int64()),
+        "doc_id": pa.array([int(c.doc_id) for c in top], type=pa.int64()),
+        "retrieval_score": pa.array([c.score for c in top], type=pa.float64()),
+        "rerank_score": pa.array([c.rerank_score for c in top],
+                                 type=pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # hubness / smoothing lanes (reference fusion/src/{hubness,smooth}.rs)
 
@@ -1470,6 +1509,7 @@ def make_queries() -> dict:
         "bm25_calibrated": bm25_calibrated,
         "ann_mmr": ann_mmr,
         "prf_search": prf_search,
+        "rerank_search": rerank_search,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
     })

@@ -1,0 +1,223 @@
+"""Cross-encoder rerank pipeline step — the reference's rerank integration
+re-expressed for this engine.
+
+Semantic anchors (reference frankensearch):
+- ``rerank_step`` graceful-failure laws and score application:
+  crates/frankensearch-rerank/src/pipeline.rs:86-283 — skip when fewer
+  than ``min_candidates``; skip docs whose text is unavailable; skip the
+  whole step on model failure or score-count mismatch; per-score guards
+  (doc_id alignment via ``original_rank``, non-finite scores dropped).
+- Combine strategies: ``PureReorder`` (sort the reranked window purely by
+  rerank score) and ``RrfCombine`` (rank-fuse pre-rerank order with the
+  rerank order, ``1/(k+pre_rank) + 1/(k+rerank_rank)``) —
+  pipeline.rs:30-55,262-352.  Defaults pipeline.rs:18-27
+  (top_k 100, min 5, RRF k 60).
+- Scoring activation ``sigmoid(logit)`` with non-finite logits mapped to
+  score 0.0 / no raw logit: native.rs:1631-1633,1694-1700.
+
+The real cross-encoder is an ONNX MiniLM session — no model runtime
+exists in this environment, so ``HashReranker`` is the deterministic
+model-free stand-in built on the hash-control embedder
+(``fsray/embed.py`` ≡ native_embedder.rs), the same honest-stub contract
+the reference itself uses for embeddings: logit = query·doc cosine of
+the FNV-1a hash embeddings, score = sigmoid(logit).  The *pipeline*
+semantics around the model are real and fully tested.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DEFAULT_TOP_K_RERANK = 100  # pipeline.rs:18
+DEFAULT_MIN_CANDIDATES = 5  # pipeline.rs:21
+DEFAULT_RRF_COMBINE_K = 60.0  # pipeline.rs:27
+
+
+@dataclass
+class ScoredResult:
+    """A retrieval candidate flowing through the rerank step
+    (core/src/types.rs ScoredResult, the fields this step touches)."""
+    doc_id: str
+    score: float  # fused retrieval score (pre-rerank)
+    rerank_score: float | None = None
+    source: str = "fused"  # becomes "reranked" when a rerank score lands
+
+
+@dataclass
+class RerankScore:
+    """One model output (core/src/traits.rs:662-675)."""
+    doc_id: str
+    score: float
+    original_rank: int
+    raw_logit: float | None = None
+
+
+@dataclass
+class RerankDocument:
+    doc_id: str
+    text: str
+
+
+class RerankError(Exception):
+    """Model-side failure: ``rerank_step`` catches this and keeps the
+    original order (graceful failure, pipeline.rs:178-191)."""
+
+
+def sigmoid(x: float) -> float:
+    """native.rs:1631-1633 (stable for the cosine range used here)."""
+    return 1.0 / (1.0 + math.exp(-x))
+
+
+class HashReranker:
+    """Deterministic model-free cross-encoder stand-in: logit is the
+    cosine between FNV-1a hash embeddings of query and document,
+    score = sigmoid(logit) (native.rs:1694-1700 activation contract).
+    Output order and ``original_rank`` follow the input order
+    (native.rs rerank_sync law)."""
+
+    def __init__(self, dimension: int | None = None):
+        from fsray.embed import DEFAULT_DIMENSION, HashEmbedder
+        self._embedder = HashEmbedder(dimension or DEFAULT_DIMENSION)
+
+    def id(self) -> str:
+        return "hash-reranker"
+
+    def rerank(self, query: str, documents: list[RerankDocument]
+               ) -> list[RerankScore]:
+        if not documents:
+            return []
+        qv = self._embedder.embed(query)  # L2-normalized already
+        mat = self._embedder.embed_texts([d.text for d in documents])
+        logits = mat @ qv
+        out = []
+        for rank, (doc, logit) in enumerate(zip(documents, logits)):
+            lf = float(logit)
+            if math.isfinite(lf):
+                out.append(RerankScore(doc.doc_id, sigmoid(lf), rank, lf))
+            else:
+                out.append(RerankScore(doc.doc_id, 0.0, rank, None))
+        return out
+
+
+def _finite_rerank_sort_score(c: ScoredResult) -> float:
+    """pipeline.rs:290-295: missing / non-finite rerank score sorts to
+    the worst rank."""
+    if c.rerank_score is not None and math.isfinite(c.rerank_score):
+        return c.rerank_score
+    return float("-inf")
+
+
+def _rerank_sort_key(c: ScoredResult) -> tuple:
+    # score desc, doc_id asc (pipeline.rs:297-304 compare_by_rerank_score)
+    return (-_finite_rerank_sort_score(c), c.doc_id)
+
+
+def _apply_rrf_combine(window: list[ScoredResult], k: float) -> None:
+    """pipeline.rs:306-352: index in ``window`` IS the pre-rerank rank;
+    fused key = 1/(k+pre_rank) + 1/(k+rerank_rank), descending, ties on
+    doc_id.  Candidates without a finite rerank score take the worst
+    rerank ranks (they keep their pre-rerank contribution only)."""
+    n = len(window)
+    if n < 2:
+        return
+    kf = max(float(k), 1.0)
+    by_rerank = sorted(range(n), key=lambda i: _rerank_sort_key(window[i]))
+    fused = [0.0] * n
+    for rerank_rank, pos in enumerate(by_rerank):
+        fused[pos] = 1.0 / (kf + pos) + 1.0 / (kf + rerank_rank)
+    order = sorted(range(n), key=lambda i: (-fused[i], window[i].doc_id))
+    reordered = [window[i] for i in order]
+    window[:] = reordered
+
+
+def rerank_step(reranker, query: str, candidates: list[ScoredResult],
+                text_fn, top_k_rerank: int = DEFAULT_TOP_K_RERANK,
+                min_candidates: int = DEFAULT_MIN_CANDIDATES,
+                combine: tuple = ("pure",)) -> dict:
+    """Rerank the top candidates in place; NEVER raises on model failure
+    (pipeline.rs:125-283).  ``combine`` is ``("pure",)`` or
+    ``("rrf", k)``.  ``text_fn(doc_id) -> str | None`` hydrates document
+    text; None skips that document.  Returns a small outcome record
+    (``{"reranked": n, "skipped": reason | None}``) — the reference logs
+    the same facts via tracing."""
+    if len(candidates) < min_candidates:
+        return {"reranked": 0, "skipped": "too_few_candidates"}
+
+    rerank_count = min(len(candidates), top_k_rerank)
+    docs: list[RerankDocument] = []
+    included: list[int] = []  # original indices with text available
+    for i in range(rerank_count):
+        text = text_fn(candidates[i].doc_id)
+        if text is not None:
+            docs.append(RerankDocument(candidates[i].doc_id, text))
+            included.append(i)
+    if len(docs) < min_candidates:
+        return {"reranked": 0, "skipped": "too_few_with_text"}
+
+    try:
+        scores = reranker.rerank(query, docs)
+    except RerankError:
+        return {"reranked": 0, "skipped": "model_failure"}
+    if len(scores) != len(docs):
+        return {"reranked": 0, "skipped": "score_count_mismatch"}
+
+    # Drop stale rerank scores so this run only reflects fresh output
+    # (pipeline.rs:285-289 clear_rerank_scores).
+    for c in candidates[:rerank_count]:
+        c.rerank_score = None
+
+    applied = 0
+    for s in scores:
+        if s.original_rank >= len(included):
+            continue  # outside included candidates (pipeline.rs:252-257)
+        idx = included[s.original_rank]
+        if candidates[idx].doc_id != s.doc_id:
+            continue  # cross-document contamination guard (pipeline.rs:213-222)
+        if not math.isfinite(s.score):
+            continue  # pipeline.rs:225-231
+        candidates[idx].rerank_score = s.score
+        candidates[idx].source = "reranked"
+        applied += 1
+
+    window = candidates[:rerank_count]
+    if combine[0] == "rrf":
+        _apply_rrf_combine(window, combine[1] if len(combine) > 1
+                           else DEFAULT_RRF_COMBINE_K)
+    else:
+        window.sort(key=_rerank_sort_key)
+    candidates[:rerank_count] = window
+    return {"reranked": applied, "skipped": None}
+
+
+class BatchHashReranker:
+    """Actor-pool stage shape for dataset-scale reranking: one embedder
+    per actor (setup in ``__init__``), vectorized query×doc cosine per
+    batch.  Input batch columns: ``query`` (one query per group),
+    ``doc_id``, ``text``, ``pre_rank``; output adds ``rerank_score``.
+    Used by the driver lane via ``map_groups`` per query."""
+
+    def __init__(self, dimension: int | None = None):
+        from fsray.embed import DEFAULT_DIMENSION, HashEmbedder
+        self._embedder = HashEmbedder(dimension or DEFAULT_DIMENSION)
+        self._qcache: dict[str, np.ndarray] = {}
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        queries = batch["query"].to_pylist()
+        texts = batch["text"].to_pylist()
+        mat = self._embedder.embed_texts(texts)
+        # one embed per distinct query string per actor lifetime
+        logits = np.zeros(len(texts), dtype=np.float64)
+        for q in set(queries):
+            qv = self._qcache.get(q)
+            if qv is None:
+                qv = self._qcache[q] = self._embedder.embed(q)
+            rows = np.asarray([i for i, s in enumerate(queries) if s == q])
+            logits[rows] = mat[rows] @ qv
+        scores = 1.0 / (1.0 + np.exp(-logits))
+        scores = np.where(np.isfinite(scores), scores, 0.0)
+        return batch.append_column(
+            "rerank_score", pa.array(scores, type=pa.float64()))

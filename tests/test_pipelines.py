@@ -193,3 +193,26 @@ def test_embedding_lsh_dedup_precision_and_recall():
     assert lsh_set <= exact_set          # precision 1.0 (verified pairs)
     recall = len(lsh_set & exact_set) / len(exact_set)
     assert recall >= 0.8, (recall, len(exact_set))
+
+
+def test_rerank_search_rrf_properties():
+    """End-to-end rerank lane: deterministic, reranked ids come from the
+    BM25 candidate window, and the RRF combine actually moves ranks away
+    from pure retrieval order while retrieval's veto holds (a doc ranked
+    deep by BM25 cannot take #1 on rerank score alone)."""
+    from fsray.pipelines import (BM25_QUERIES, RERANK_WINDOW, bm25_search,
+                                 rerank_search)
+    out = rerank_search(SF_DIR).to_pandas()
+    out2 = rerank_search(SF_DIR).to_pandas()
+    assert out.equals(out2)
+    assert list(out.columns) == ["rank", "doc_id", "retrieval_score",
+                                 "rerank_score"]
+    assert len(out) == 10
+    pre = bm25_search(SF_DIR, BM25_QUERIES["bm25_topk_wide"][0],
+                      k=RERANK_WINDOW).to_pandas()
+    pre_rank = {d: i for i, d in enumerate(pre["doc_id"])}
+    assert set(out["doc_id"]) <= set(pre_rank)
+    assert out["rerank_score"].notna().all()
+    # RRF veto: the #1 result must sit in the upper half of the
+    # retrieval window (1/(k+pre) caps how far rerank alone lifts it)
+    assert pre_rank[out["doc_id"].iloc[0]] < RERANK_WINDOW // 2

@@ -1,0 +1,278 @@
+"""Rerank pipeline-step laws, mirroring the reference's own test suite
+(crates/frankensearch-rerank/src/pipeline.rs tests): graceful-failure
+skip conditions, included-index mapping under missing text, stale-score
+clearing, top-k windowing, and the RRF-combine veto property."""
+
+import math
+
+import pytest
+
+from fsray.rerank import (
+    DEFAULT_MIN_CANDIDATES,
+    DEFAULT_RRF_COMBINE_K,
+    DEFAULT_TOP_K_RERANK,
+    BatchHashReranker,
+    HashReranker,
+    RerankDocument,
+    RerankError,
+    RerankScore,
+    ScoredResult,
+    rerank_step,
+    sigmoid,
+)
+
+
+class StubReranker:
+    """pipeline.rs StubReranker: score = 1 - i/len (input order preserved)."""
+
+    def id(self):
+        return "stub-reranker"
+
+    def rerank(self, query, documents):
+        n = max(len(documents), 1)
+        return [RerankScore(d.doc_id, 1.0 - i / n, i)
+                for i, d in enumerate(documents)]
+
+
+class FalsePositiveReranker:
+    """Scores the retrieval-worst (last) candidate highest."""
+
+    def id(self):
+        return "false-positive"
+
+    def rerank(self, query, documents):
+        n = max(len(documents), 1)
+        return [RerankScore(d.doc_id, (i + 1) / n, i)
+                for i, d in enumerate(documents)]
+
+
+class FailingReranker:
+    def id(self):
+        return "failing"
+
+    def rerank(self, query, documents):
+        raise RerankError("model exploded")
+
+
+class MismatchCountReranker:
+    def id(self):
+        return "mismatch"
+
+    def rerank(self, query, documents):
+        return [RerankScore(documents[0].doc_id, 0.5, 0)]
+
+
+class WrongDocIdReranker:
+    """Returns a score whose doc_id disagrees with original_rank."""
+
+    def id(self):
+        return "wrong-docid"
+
+    def rerank(self, query, documents):
+        out = [RerankScore(d.doc_id, 0.5, i) for i, d in enumerate(documents)]
+        out[0] = RerankScore("doc-wrong", 0.99, 0)
+        return out
+
+
+class NonFiniteReranker:
+    def id(self):
+        return "nonfinite"
+
+    def rerank(self, query, documents):
+        return [RerankScore(d.doc_id,
+                            float("nan") if i == 0 else 0.5 - i * 0.01, i)
+                for i, d in enumerate(documents)]
+
+
+def make_candidates(n):
+    # descending retrieval scores, doc-0 best (pipeline.rs:504-520)
+    return [ScoredResult(f"doc-{i}", 1.0 - i * 0.05) for i in range(n)]
+
+
+def text_all(doc_id):
+    return f"text for {doc_id}"
+
+
+def text_even(doc_id):
+    num = int(doc_id.split("-")[1])
+    return f"text for {doc_id}" if num % 2 == 0 else None
+
+
+def test_default_constants():
+    assert DEFAULT_TOP_K_RERANK == 100
+    assert DEFAULT_MIN_CANDIDATES == 5
+    assert DEFAULT_RRF_COMBINE_K == 60.0
+
+
+def test_rerank_happy_path():
+    cands = make_candidates(10)
+    out = rerank_step(StubReranker(), "q", cands, text_all, 100, 5)
+    assert out == {"reranked": 10, "skipped": None}
+    assert all(c.rerank_score is not None for c in cands)
+    assert all(c.source == "reranked" for c in cands)
+
+
+def test_rerank_too_few_candidates():
+    cands = make_candidates(3)
+    orig = [c.score for c in cands]
+    out = rerank_step(StubReranker(), "q", cands, text_all, 100, 5)
+    assert out["skipped"] == "too_few_candidates"
+    assert [c.score for c in cands] == orig
+    assert all(c.rerank_score is None for c in cands)
+
+
+def test_rerank_empty_candidates():
+    cands = []
+    out = rerank_step(StubReranker(), "q", cands, text_all, 100, 5)
+    assert out["skipped"] == "too_few_candidates"
+    assert cands == []
+
+
+def test_rerank_graceful_failure_keeps_order():
+    cands = make_candidates(8)
+    orig_ids = [c.doc_id for c in cands]
+    out = rerank_step(FailingReranker(), "q", cands, text_all, 100, 5)
+    assert out["skipped"] == "model_failure"
+    assert [c.doc_id for c in cands] == orig_ids
+    assert all(c.rerank_score is None for c in cands)
+
+
+def test_rerank_score_count_mismatch_skips():
+    cands = make_candidates(8)
+    orig_ids = [c.doc_id for c in cands]
+    out = rerank_step(MismatchCountReranker(), "q", cands, text_all, 100, 5)
+    assert out["skipped"] == "score_count_mismatch"
+    assert [c.doc_id for c in cands] == orig_ids
+
+
+def test_rerank_missing_text_maps_included_indices():
+    # only even docs have text: 5 of 10 — exactly meets min_candidates
+    cands = make_candidates(10)
+    out = rerank_step(StubReranker(), "q", cands, text_even, 100, 5)
+    assert out["reranked"] == 5
+    for c in cands:
+        num = int(c.doc_id.split("-")[1])
+        if num % 2 == 0:
+            assert c.rerank_score is not None, c.doc_id
+        else:
+            assert c.rerank_score is None, c.doc_id
+
+
+def test_rerank_missing_text_clears_stale_scores():
+    cands = make_candidates(6)
+    for c in cands:
+        c.rerank_score = 999.0
+        c.source = "reranked"
+    rerank_step(StubReranker(), "q", cands, text_even, 6, 3)
+    for c in cands:
+        num = int(c.doc_id.split("-")[1])
+        if num % 2 == 0:
+            assert c.rerank_score is not None and c.rerank_score != 999.0
+        else:
+            assert c.rerank_score is None, c.doc_id
+
+
+def test_rerank_missing_text_below_threshold():
+    cands = make_candidates(6)  # 3 even docs < min 5
+    out = rerank_step(StubReranker(), "q", cands, text_even, 100, 5)
+    assert out["skipped"] == "too_few_with_text"
+    assert all(c.rerank_score is None for c in cands)
+
+
+def test_rerank_respects_top_k():
+    cands = make_candidates(20)
+    rerank_step(StubReranker(), "q", cands, text_all, 10, 5)
+    reranked = {c.doc_id for c in cands if c.rerank_score is not None}
+    assert reranked == {f"doc-{i}" for i in range(10)}
+
+
+def test_rerank_wrong_docid_guard():
+    cands = make_candidates(6)
+    out = rerank_step(WrongDocIdReranker(), "q", cands, text_all, 100, 5)
+    assert out["reranked"] == 5  # the contaminated score is dropped
+    assert cands_by_id(cands)["doc-0"].rerank_score is None
+
+
+def test_rerank_nonfinite_score_dropped_and_sorts_last():
+    cands = make_candidates(6)
+    rerank_step(NonFiniteReranker(), "q", cands, text_all, 100, 5)
+    by_id = cands_by_id(cands)
+    assert by_id["doc-0"].rerank_score is None
+    # pure reorder: doc-0 (no finite score) sorts to the end of the window
+    assert cands[-1].doc_id == "doc-0"
+
+
+def cands_by_id(cands):
+    return {c.doc_id: c for c in cands}
+
+
+def test_rrf_combine_vetoes_deep_false_positive():
+    # pure reorder: the reranker's darling (retrieval-last doc-4) wins #1
+    pure = make_candidates(5)
+    rerank_step(FalsePositiveReranker(), "q", pure, text_all, 100, 2)
+    assert pure[0].doc_id == "doc-4"
+    # RRF-combine: retrieval's best stays on top; the deep FP is vetoed
+    rrf = make_candidates(5)
+    rerank_step(FalsePositiveReranker(), "q", rrf, text_all, 100, 2,
+                combine=("rrf", DEFAULT_RRF_COMBINE_K))
+    assert rrf[0].doc_id == "doc-0"
+    assert all(c.rerank_score is not None for c in rrf)
+
+
+def test_rrf_combine_key_formula():
+    # 3 candidates; reranker reverses the order; verify exact fused keys
+    cands = make_candidates(3)
+    rerank_step(FalsePositiveReranker(), "q", cands, text_all, 100, 2,
+                combine=("rrf", 60.0))
+    # pre ranks: doc-0=0 doc-1=1 doc-2=2; rerank ranks: doc-2=0 doc-1=1 doc-0=2
+    key = {"doc-0": 1 / 60 + 1 / 62, "doc-1": 1 / 61 + 1 / 61,
+           "doc-2": 1 / 62 + 1 / 60}
+    expect = sorted(key, key=lambda d: (-key[d], d))
+    assert [c.doc_id for c in cands] == expect
+
+
+def test_rrf_combine_unscored_takes_worst_rerank_rank():
+    cands = make_candidates(6)
+    # doc-1, doc-3, doc-5 lack text → no rerank score; they still keep the
+    # pre-rank RRF contribution but earn the worst rerank ranks
+    rerank_step(StubReranker(), "q", cands, text_even, 6, 3,
+                combine=("rrf", 60.0))
+    scored = [c.doc_id for c in cands if c.rerank_score is not None]
+    assert set(scored) == {"doc-0", "doc-2", "doc-4"}
+    # doc-0: best pre rank AND best rerank rank → must stay first
+    assert cands[0].doc_id == "doc-0"
+
+
+def test_hash_reranker_deterministic_and_sigmoid():
+    rr = HashReranker()
+    docs = [RerankDocument("a", "binary search tree"),
+            RerankDocument("b", "unrelated pasta recipe")]
+    s1 = rr.rerank("binary tree search", docs)
+    s2 = rr.rerank("binary tree search", docs)
+    assert [(x.doc_id, x.score, x.original_rank) for x in s1] == \
+           [(x.doc_id, x.score, x.original_rank) for x in s2]
+    for x in s1:
+        assert x.raw_logit is not None
+        assert x.score == pytest.approx(sigmoid(x.raw_logit))
+    # the on-topic doc out-scores the off-topic one
+    assert s1[0].score > s1[1].score
+
+
+def test_batch_hash_reranker_matches_scalar():
+    import pyarrow as pa
+    rr = HashReranker()
+    texts = ["merge sort implementation", "tokyo travel blog",
+             "sorting algorithms compared"]
+    query = "sort algorithm"
+    scalar = rr.rerank(query, [RerankDocument(str(i), t)
+                               for i, t in enumerate(texts)])
+    batch = pa.table({
+        "query": [query] * 3,
+        "doc_id": ["0", "1", "2"],
+        "text": texts,
+        "pre_rank": [0, 1, 2],
+    })
+    out = BatchHashReranker()(batch)
+    got = out["rerank_score"].to_pylist()
+    for s, g in zip(scalar, got):
+        assert g == pytest.approx(s.score, rel=1e-9)
