@@ -54,22 +54,44 @@ def cmd_build(args: argparse.Namespace) -> int:
 
 
 def cmd_search(args: argparse.Namespace) -> int:
-    _init_ray(args.num_cpus)
-    if args.ray_actors:
-        from fsray.search import RayIndex
-        idx = RayIndex(args.index_dir)
-    else:
-        from fsray.search import LocalIndex
-        idx = LocalIndex(args.index_dir)
-    hits, total = idx.search_paginated(args.query, limit=args.k,
-                                       offset=args.offset,
-                                       exact_count=args.exact_count)
-    out = {"query": args.query,
-           "hits": [{"doc_id": h.doc_id, "docid": h.docid, "score": h.score}
-                    for h in hits]}
-    if total is not None:
-        out["total"] = total
-    print(json.dumps(out, indent=1))
+    import time
+    from datetime import datetime, timezone
+
+    from fsray.emit import (OutputEnvelope, OutputError, OutputMeta,
+                            SearchHitPayload, SearchPayload, emit_envelope)
+    t0 = time.perf_counter()
+    ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    meta = OutputMeta(command="search", format=args.format)
+    try:
+        _init_ray(args.num_cpus)
+        if args.ray_actors:
+            from fsray.search import RayIndex
+            idx = RayIndex(args.index_dir)
+        else:
+            from fsray.search import LocalIndex
+            idx = LocalIndex(args.index_dir)
+        hits, total = idx.search_paginated(args.query, limit=args.k,
+                                           offset=args.offset,
+                                           exact_count=args.exact_count)
+    except FileNotFoundError as exc:
+        meta.duration_ms = int((time.perf_counter() - t0) * 1000)
+        err = OutputError("index_not_found", str(exc), exit_code=1,
+                          suggestion="check --index-dir points at a "
+                                     "built index (manifest.json present)")
+        emit_envelope(OutputEnvelope.failure(err, meta, ts),
+                      args.format, sys.stdout)
+        print()
+        return 1
+    meta.duration_ms = int((time.perf_counter() - t0) * 1000)
+    payload = SearchPayload(
+        query=args.query, phase="full",
+        total_candidates=total if total is not None else len(hits),
+        hits=[SearchHitPayload(rank=args.offset + i + 1, path=str(h.doc_id),
+                               score=float(h.score))
+              for i, h in enumerate(hits)])
+    emit_envelope(OutputEnvelope.success(payload, meta, ts),
+                  args.format, sys.stdout)
+    print()
     return 0
 
 
@@ -106,6 +128,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--ray-actors", action="store_true",
                    help="serve from a shard-actor pool instead of in-process")
     s.add_argument("--num-cpus", type=int, default=None)
+    s.add_argument("--format", choices=["json", "jsonl", "toon", "table",
+                                        "csv"], default="json",
+                   help="output format (fsfs format_emitter parity)")
     s.set_defaults(fn=cmd_search)
 
     be = sub.add_parser("bench", help="run the headline benchmark")

@@ -1,0 +1,595 @@
+"""Unified CLI output emission: envelope schema + JSON / JSONL / TOON /
+table / CSV emitters, mirroring the reference fsfs surface.
+
+Semantic anchors (reference frankensearch):
+- Envelope shape (``v``/``ts``/``ok``/``data``/``error``/``warnings``/
+  ``meta``, optional fields omitted when absent):
+  crates/frankensearch-fsfs/src/output_schema.rs:87-105,262-353.
+- Format dispatch + per-format behavior (JSON pretty 2-space, JSONL
+  compact single line + newline, table human summary with the ranked
+  search renderer, CSV RFC4180 with the search/generic/error row
+  layouts): adapters/format_emitter.rs:48-420.
+- JSON↔TOON parity contract: encoding an envelope as TOON and decoding
+  it yields the same JSON value (output_schema.rs:150-180 and the
+  ``verify_json_toon_parity`` law).
+- Stream frames: JSONL and TOON only; TOON frames carry the 0x1E record
+  separator prefix and trailing newline
+  (stream_protocol.rs:31, format_emitter.rs:122-186).
+
+The TOON codec here is a from-scratch implementation of the public TOON
+spec subset these envelopes need (objects, tabular uniform-object
+arrays, primitive arrays, list-form mixed arrays, JSON-style quoted
+strings).  Losslessness is by construction — the encoder quotes any
+string whose bare form would not round-trip — rather than by the
+reference's pre-wrap pass (output_schema.rs:196-248), which works
+around its third-party encoder; the contract (decode(encode(v)) == v)
+is identical and is what the tests pin.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+from dataclasses import dataclass, field
+
+OUTPUT_SCHEMA_VERSION = 1
+TOON_STREAM_RECORD_SEPARATOR = "\x1e"  # stream_protocol.rs:31
+FORMATS = ("json", "jsonl", "toon", "table", "csv")
+
+
+class EmitError(Exception):
+    pass
+
+
+# ─── Envelope schema ────────────────────────────────────────────────────
+
+
+@dataclass
+class OutputError:
+    code: str
+    message: str
+    exit_code: int = 1
+    field: str | None = None
+    suggestion: str | None = None
+    context: str | None = None
+
+    def to_value(self) -> dict:
+        out = {"code": self.code, "message": self.message,
+               "exit_code": self.exit_code}
+        if self.field is not None:
+            out["field"] = self.field
+        if self.suggestion is not None:
+            out["suggestion"] = self.suggestion
+        if self.context is not None:
+            out["context"] = self.context
+        return out
+
+
+@dataclass
+class OutputWarning:
+    code: str
+    message: str
+
+    def to_value(self) -> dict:
+        return {"code": self.code, "message": self.message}
+
+
+@dataclass
+class OutputMeta:
+    command: str
+    format: str
+    duration_ms: int | None = None
+    request_id: str | None = None
+
+    def to_value(self) -> dict:
+        out = {"command": self.command, "format": self.format}
+        if self.duration_ms is not None:
+            out["duration_ms"] = self.duration_ms
+        if self.request_id is not None:
+            out["request_id"] = self.request_id
+        return out
+
+
+@dataclass
+class OutputEnvelope:
+    """Success/error wrapper for every CLI response
+    (output_schema.rs:87-135): ``data`` present iff ``ok``, ``error``
+    present iff not ``ok``, warnings omitted when empty."""
+    ts: str
+    ok: bool
+    meta: OutputMeta
+    data: object = None
+    error: OutputError | None = None
+    warnings: list[OutputWarning] = field(default_factory=list)
+    v: int = OUTPUT_SCHEMA_VERSION
+
+    @classmethod
+    def success(cls, data, meta: OutputMeta, ts: str) -> OutputEnvelope:
+        return cls(ts=ts, ok=True, meta=meta, data=data)
+
+    @classmethod
+    def failure(cls, error: OutputError, meta: OutputMeta,
+                ts: str) -> OutputEnvelope:
+        return cls(ts=ts, ok=False, meta=meta, error=error)
+
+    def with_warnings(self, warnings: list[OutputWarning]) -> OutputEnvelope:
+        self.warnings = list(warnings)
+        return self
+
+    def to_value(self) -> dict:
+        out = {"v": self.v, "ts": self.ts, "ok": self.ok}
+        if self.data is not None:
+            out["data"] = self.data
+        if self.error is not None:
+            out["error"] = self.error.to_value()
+        if self.warnings:
+            out["warnings"] = [w.to_value() for w in self.warnings]
+        out["meta"] = self.meta.to_value()
+        return out
+
+
+def validate_envelope(env: OutputEnvelope) -> list[str]:
+    """Strict-mode invariants (output_schema.rs validate_envelope):
+    success carries no error; failure carries an error and no data;
+    meta.command is non-empty.  Returns violation strings (empty = ok)."""
+    bad = []
+    if env.ok and env.error is not None:
+        bad.append("success envelope must not carry an error")
+    if not env.ok and env.error is None:
+        bad.append("error envelope must carry an error payload")
+    if not env.ok and env.data is not None:
+        bad.append("error envelope must not carry data")
+    if not env.meta.command:
+        bad.append("meta.command must be non-empty")
+    return bad
+
+
+# ─── TOON codec (public-spec subset) ────────────────────────────────────
+
+_BARE_KEY = re.compile(r"^[A-Za-z0-9_.-]+$")
+_NUMERIC = re.compile(r"^-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?$")
+
+
+def _needs_quote(s: str) -> bool:
+    if s == "" or s in ("true", "false", "null"):
+        return True
+    if s != s.strip():
+        return True
+    if _NUMERIC.match(s):
+        return True
+    if any(ch in s for ch in ',:"\\\n\t\r{}[]#'):
+        return True
+    return s[0] in "-'"
+
+
+def _enc_scalar(v) -> str:
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, (int, float)):
+        return json.dumps(v)
+    s = str(v)
+    return json.dumps(s) if _needs_quote(s) else s
+
+
+def _enc_key(k: str) -> str:
+    return k if _BARE_KEY.match(k) else json.dumps(k)
+
+
+def _is_scalar(v) -> bool:
+    return v is None or isinstance(v, (bool, int, float, str))
+
+
+def _tabular_fields(arr: list) -> list[str] | None:
+    """Uniform array of flat objects → shared field list, else None."""
+    if not arr or not all(isinstance(x, dict) for x in arr):
+        return None
+    keys = list(arr[0].keys())
+    for x in arr:
+        if list(x.keys()) != keys or not all(_is_scalar(v) for v in x.values()):
+            return None
+    return keys if keys else None
+
+
+def _enc_lines(value, key: str | None, indent: int, out: list[str]) -> None:
+    pad = "  " * indent
+    label = f"{pad}{_enc_key(key)}" if key is not None else None
+    if _is_scalar(value):
+        out.append(f"{label}: {_enc_scalar(value)}" if label is not None
+                   else f"{pad}{_enc_scalar(value)}")
+        return
+    if isinstance(value, dict):
+        if label is not None:
+            if not value:
+                out.append(f"{label}: {{}}")
+                return
+            out.append(f"{label}:")
+            indent += 1
+        for k, v in value.items():
+            _enc_lines(v, k, indent, out)
+        return
+    if isinstance(value, (list, tuple)):
+        arr = list(value)
+        head = label if label is not None else f"{pad}-"
+        if all(_is_scalar(x) for x in arr):
+            body = ",".join(_enc_scalar(x) for x in arr)
+            out.append(f"{head}[{len(arr)}]:" + (f" {body}" if arr else ""))
+            return
+        fields = _tabular_fields(arr)
+        if fields is not None:
+            hdr = ",".join(_enc_key(f) for f in fields)
+            out.append(f"{head}[{len(arr)}]{{{hdr}}}:")
+            rpad = "  " * (indent + 1)
+            for x in arr:
+                out.append(rpad + ",".join(_enc_scalar(x[f]) for f in fields))
+            return
+        out.append(f"{head}[{len(arr)}]:")
+        for x in arr:
+            if _is_scalar(x):
+                out.append("  " * (indent + 1) + "- " + _enc_scalar(x))
+            elif isinstance(x, dict):
+                out.append("  " * (indent + 1) + "-")
+                _enc_lines(x, None, indent + 2, out)
+            else:
+                # no envelope shape nests an array directly in a mixed
+                # list; refuse rather than emit something undecodable
+                raise EmitError("array directly inside a mixed list is "
+                                "not supported by this TOON subset")
+        return
+    raise EmitError(f"unencodable TOON value type {type(value).__name__}")
+
+
+def toon_encode(value) -> str:
+    """Encode a JSON-shaped value as TOON text.  Root must be an object
+    (every envelope/frame is)."""
+    if not isinstance(value, dict):
+        raise EmitError("TOON root must be an object")
+    out: list[str] = []
+    for k, v in value.items():
+        _enc_lines(v, k, 0, out)
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def _dec_scalar(tok: str):
+    tok = tok.strip()
+    if tok.startswith('"'):
+        return json.loads(tok)
+    if tok == "null":
+        return None
+    if tok == "true":
+        return True
+    if tok == "false":
+        return False
+    if _NUMERIC.match(tok):
+        return json.loads(tok)
+    return tok
+
+
+def _split_csv(line: str) -> list[str]:
+    """Split a tabular row on commas outside quoted strings."""
+    out, cur, depth = [], [], False
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if ch == '"':
+            depth = not depth
+            cur.append(ch)
+        elif ch == "\\" and depth and i + 1 < len(line):
+            cur.append(ch)
+            cur.append(line[i + 1])
+            i += 1
+        elif ch == "," and not depth:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+_HEAD = re.compile(
+    r"^(?P<key>\"(?:[^\"\\]|\\.)*\"|[A-Za-z0-9_.-]+|-)"
+    r"(?:\[(?P<n>\d+)\](?:\{(?P<fields>[^}]*)\})?)?:(?P<rest>.*)$")
+
+
+class _Decoder:
+    def __init__(self, text: str):
+        self.lines = [(len(ln) - len(ln.lstrip(" ")), ln.strip())
+                      for ln in text.splitlines() if ln.strip()]
+        self.pos = 0
+
+    def _peek(self):
+        return self.lines[self.pos] if self.pos < len(self.lines) else None
+
+    def obj(self, indent: int) -> dict:
+        out = {}
+        while (nxt := self._peek()) is not None and nxt[0] == indent:
+            key, val = self.entry(indent)
+            out[key] = val
+        return out
+
+    def entry(self, indent: int):
+        _, line = self.lines[self.pos]
+        m = _HEAD.match(line)
+        if m is None:
+            raise EmitError(f"bad TOON line: {line!r}")
+        self.pos += 1
+        key = m.group("key")
+        key = json.loads(key) if key.startswith('"') else key
+        rest = m.group("rest").strip()
+        if m.group("n") is not None:
+            return key, self.array(int(m.group("n")), m.group("fields"),
+                                   rest, indent)
+        if rest == "{}":
+            return key, {}
+        if rest:
+            return key, _dec_scalar(rest)
+        nxt = self._peek()
+        if nxt is not None and nxt[0] > indent:
+            return key, self.block(indent)
+        return key, {}
+
+    def block(self, indent: int):
+        """Nested object body: the run of lines deeper than ``indent``,
+        whose top level sits at one consistent child indentation."""
+        child = self._peek()[0]
+        out = {}
+        while (nxt := self._peek()) is not None and nxt[0] > indent:
+            if nxt[0] != child:
+                raise EmitError("inconsistent TOON indentation")
+            key, val = self.entry(child)
+            out[key] = val
+        return out
+
+    def array(self, n: int, fields: str | None, rest: str, indent: int):
+        if fields is not None:
+            names = [json.loads(f) if f.startswith('"') else f
+                     for f in _split_csv(fields)] if fields else []
+            rows = []
+            for _ in range(n):
+                _, line = self.lines[self.pos]
+                self.pos += 1
+                vals = [_dec_scalar(t) for t in _split_csv(line)]
+                if len(vals) != len(names):
+                    raise EmitError("tabular row width mismatch")
+                rows.append(dict(zip(names, vals)))
+            return rows
+        if rest:
+            vals = [_dec_scalar(t) for t in _split_csv(rest)]
+            if len(vals) != n:
+                raise EmitError("primitive array length mismatch")
+            return vals
+        if n == 0:
+            return []
+        # list form: items at child indent, "- scalar" or bare "-" + block
+        out = []
+        child = self._peek()[0]
+        for _ in range(n):
+            ci, line = self.lines[self.pos]
+            if ci != child or not line.startswith("-"):
+                raise EmitError(f"bad TOON list item: {line!r}")
+            body = line[1:].strip()
+            if body:
+                self.pos += 1
+                out.append(_dec_scalar(body))
+            else:
+                self.pos += 1
+                nxt = self._peek()
+                out.append(self.block(ci)
+                           if nxt is not None and nxt[0] > ci else {})
+        return out
+
+
+def toon_decode(text: str):
+    dec = _Decoder(text)
+    out = dec.obj(0)
+    if dec.pos != len(dec.lines):
+        raise EmitError("trailing TOON content")
+    return out
+
+
+# ─── Search payload + table / CSV renderers ─────────────────────────────
+
+
+@dataclass
+class SearchHitPayload:
+    rank: int
+    path: str
+    score: float
+    in_both_sources: bool = False
+    lexical_rank: int | None = None   # 0-based, rendered 1-based
+    semantic_rank: int | None = None
+    snippet: str | None = None
+
+    def to_value(self) -> dict:
+        out = {"rank": self.rank, "path": self.path, "score": self.score,
+               "in_both_sources": self.in_both_sources}
+        if self.lexical_rank is not None:
+            out["lexical_rank"] = self.lexical_rank
+        if self.semantic_rank is not None:
+            out["semantic_rank"] = self.semantic_rank
+        if self.snippet is not None:
+            out["snippet"] = self.snippet
+        return out
+
+
+@dataclass
+class SearchPayload:
+    query: str
+    phase: str  # "fast" | "full"
+    total_candidates: int
+    hits: list[SearchHitPayload]
+
+    @property
+    def returned_hits(self) -> int:
+        return len(self.hits)
+
+    def to_value(self) -> dict:
+        return {"query": self.query, "phase": self.phase,
+                "total_candidates": self.total_candidates,
+                "returned_hits": self.returned_hits,
+                "hits": [h.to_value() for h in self.hits]}
+
+
+def render_search_table(payload: SearchPayload,
+                        duration_ms: int | None) -> str:
+    """Human table for search payloads (format_emitter.rs:489-546,
+    color/width stripped — no terminal detection in library code)."""
+    out = [f"PHASE {payload.phase.upper()}: {payload.returned_hits} "
+           f"hit(s) for \"{payload.query}\""]
+    total_ms = duration_ms or 0
+    if not payload.hits:
+        out.append(f"No results for \"{payload.query}\". Try broadening "
+                   f"your search or checking the index with fsfs status.")
+        out.append(f"{payload.returned_hits} results in {total_ms}ms")
+        return "\n".join(out) + "\n"
+    for hit in payload.hits:
+        line = f"{hit.rank:>3}. {hit.path}  score={hit.score:.3f}"
+        if hit.lexical_rank is not None and hit.semantic_rank is not None:
+            line += f" [L{hit.lexical_rank + 1} S{hit.semantic_rank + 1}]"
+        out.append(line)
+        if hit.snippet is not None:
+            out.append(f"     {hit.snippet.strip()}")
+    out.append(f"{payload.returned_hits} results in {total_ms}ms")
+    return "\n".join(out) + "\n"
+
+
+def _csv_field(s: str) -> str:
+    if any(ch in s for ch in ',\n\r"'):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def _csv_row(fields: list[str]) -> str:
+    return ",".join(_csv_field(f) for f in fields) + "\n"
+
+
+SEARCH_CSV_HEADER = ["query", "phase", "total_candidates", "returned_hits",
+                     "rank", "path", "score", "in_both_sources",
+                     "lexical_rank", "semantic_rank", "snippet"]
+
+
+def _search_payload_csv(payload: SearchPayload) -> str:
+    # format_emitter.rs:382-438: ranks rendered 1-based, score %.6f
+    out = [_csv_row(SEARCH_CSV_HEADER)]
+    for hit in payload.hits:
+        out.append(_csv_row([
+            payload.query, payload.phase, str(payload.total_candidates),
+            str(payload.returned_hits), str(hit.rank), hit.path,
+            f"{hit.score:.6f}", str(hit.in_both_sources).lower(),
+            "" if hit.lexical_rank is None else str(hit.lexical_rank + 1),
+            "" if hit.semantic_rank is None else str(hit.semantic_rank + 1),
+            hit.snippet or "",
+        ]))
+    return "".join(out)
+
+
+# ─── Format dispatch ────────────────────────────────────────────────────
+
+
+def _payload_value(data) -> object:
+    return data.to_value() if hasattr(data, "to_value") else data
+
+
+def emit_envelope_string(env: OutputEnvelope, fmt: str) -> str:
+    """Serialize one envelope in the requested format
+    (format_emitter.rs:48-93 dispatch table)."""
+    bad = validate_envelope(env)
+    if bad:
+        raise EmitError("invalid envelope: " + "; ".join(bad))
+    value = dict(env.to_value())
+    if env.data is not None:
+        value["data"] = _payload_value(env.data)
+    if fmt == "json":
+        return json.dumps(value, indent=2)
+    if fmt == "jsonl":
+        return json.dumps(value, separators=(",", ":")) + "\n"
+    if fmt == "toon":
+        return toon_encode(value)
+    if fmt == "table":
+        return _emit_table(env)
+    if fmt == "csv":
+        return _emit_csv(env)
+    raise EmitError(f"unknown output format {fmt!r}")
+
+
+def emit_envelope(env: OutputEnvelope, fmt: str, writer) -> None:
+    writer.write(emit_envelope_string(env, fmt))
+
+
+def _emit_table(env: OutputEnvelope) -> str:
+    out = io.StringIO()
+    if env.ok:
+        if env.data is not None:
+            if isinstance(env.data, SearchPayload):
+                out.write(render_search_table(env.data, env.meta.duration_ms))
+                return out.getvalue()
+            out.write(json.dumps(_payload_value(env.data), indent=2))
+    elif env.error is not None:
+        e = env.error
+        out.write(f"error: [{e.code}] {e.message}")
+        if e.field is not None:
+            out.write(f" (field: {e.field})")
+        if e.context is not None:
+            out.write(f"\n\n  {e.context}")
+        if e.suggestion is not None:
+            out.write(f"\n\n  Fix: {e.suggestion}")
+    for w in env.warnings:
+        out.write(f"\nwarning: [{w.code}] {w.message}")
+    if env.meta.duration_ms is not None:
+        out.write(f"\n({env.meta.duration_ms}ms)")
+    return out.getvalue()
+
+
+def _emit_csv(env: OutputEnvelope) -> str:
+    if env.ok:
+        if env.data is None:
+            raise EmitError("csv success output requires a payload")
+        if isinstance(env.data, SearchPayload):
+            return _search_payload_csv(env.data)
+        return (_csv_row(["data_json"]) +
+                _csv_row([json.dumps(_payload_value(env.data),
+                                     separators=(",", ":"))]))
+    header = ["ok", "error_code", "error_message", "error_field",
+              "error_suggestion", "error_context"]
+    e = env.error
+    row = ["false", e.code, e.message, e.field or "", e.suggestion or "",
+           e.context or ""]
+    return _csv_row(header) + _csv_row(row)
+
+
+# ─── Stream frames ──────────────────────────────────────────────────────
+
+
+@dataclass
+class StreamFrame:
+    """One NDJSON/TOON stream record (stream_protocol.rs:187-210 — the
+    fields this engine emits)."""
+    stream_id: str
+    seq: int
+    ts: str
+    command: str
+    event: dict
+    v: int = 1
+    schema_version: str = "fsray-stream-v1"
+
+    def to_value(self) -> dict:
+        return {"v": self.v, "schema_version": self.schema_version,
+                "stream_id": self.stream_id, "seq": self.seq,
+                "ts": self.ts, "command": self.command, "event": self.event}
+
+
+def emit_stream_frame_string(frame: StreamFrame, fmt: str) -> str:
+    """format_emitter.rs:122-186: jsonl = compact JSON + newline; toon =
+    0x1E record separator + TOON body + newline; other formats rejected."""
+    if fmt == "jsonl":
+        return json.dumps(frame.to_value(), separators=(",", ":")) + "\n"
+    if fmt == "toon":
+        body = toon_encode(frame.to_value())
+        return TOON_STREAM_RECORD_SEPARATOR + body.rstrip("\n") + "\n"
+    raise EmitError("stream mode supports only jsonl and toon")

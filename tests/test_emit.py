@@ -1,0 +1,283 @@
+"""Output-format emitter laws, mirroring the reference fsfs tests
+(adapters/format_emitter.rs + output_schema.rs): per-format behavior,
+the JSON↔TOON parity contract (decode(encode(v)) == v), envelope
+validation, search table/CSV rendering, and stream-frame framing."""
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fsray.emit import (
+    SEARCH_CSV_HEADER,
+    TOON_STREAM_RECORD_SEPARATOR,
+    EmitError,
+    OutputEnvelope,
+    OutputError,
+    OutputMeta,
+    OutputWarning,
+    SearchHitPayload,
+    SearchPayload,
+    StreamFrame,
+    emit_envelope_string,
+    emit_stream_frame_string,
+    render_search_table,
+    toon_decode,
+    toon_encode,
+    validate_envelope,
+)
+
+TS = "2026-08-18T00:00:00Z"
+
+
+def meta(fmt):
+    return OutputMeta(command="search", format=fmt, duration_ms=12)
+
+
+def sample_payload():
+    return SearchPayload(
+        query="spark window", phase="full", total_candidates=42,
+        hits=[
+            SearchHitPayload(rank=1, path="src/a.rs:10", score=1.25,
+                             in_both_sources=True, lexical_rank=0,
+                             semantic_rank=2, snippet="spark <b>window</b>"),
+            SearchHitPayload(rank=2, path="src/b, c.rs", score=0.75),
+        ])
+
+
+# ─── JSON / JSONL ───────────────────────────────────────────────────────
+
+
+def test_emit_json_success_envelope():
+    env = OutputEnvelope.success(["doc-1", "doc-2"], meta("json"), TS)
+    out = emit_envelope_string(env, "json")
+    assert '"ok": true' in out
+    assert '"doc-1"' in out and '"doc-2"' in out
+    assert '"format": "json"' in out
+    assert json.loads(out)["data"] == ["doc-1", "doc-2"]
+
+
+def test_emit_json_error_envelope():
+    err = OutputError("index_not_found", "not found", exit_code=1)
+    env = OutputEnvelope.failure(err, meta("json"), TS)
+    out = emit_envelope_string(env, "json")
+    v = json.loads(out)
+    assert v["ok"] is False
+    assert v["error"]["code"] == "index_not_found"
+    assert "data" not in v
+
+
+def test_emit_jsonl_is_single_line():
+    env = OutputEnvelope.success("data", meta("jsonl"), TS)
+    out = emit_envelope_string(env, "jsonl")
+    lines = out.rstrip("\n").split("\n")
+    assert len(lines) == 1 and out.endswith("\n")
+    assert json.loads(lines[0])["data"] == "data"
+
+
+def test_validate_envelope_laws():
+    ok = OutputEnvelope.success(1, meta("json"), TS)
+    assert validate_envelope(ok) == []
+    bad = OutputEnvelope.success(1, meta("json"), TS)
+    bad.error = OutputError("x", "y", 1)
+    assert validate_envelope(bad)
+    bad2 = OutputEnvelope(ts=TS, ok=False, meta=meta("json"))
+    assert validate_envelope(bad2)
+    with pytest.raises(EmitError):
+        emit_envelope_string(bad2, "json")
+
+
+# ─── TOON ───────────────────────────────────────────────────────────────
+
+
+def test_emit_toon_success_roundtrip():
+    env = OutputEnvelope.success(["doc-1", "doc-2"], meta("toon"), TS)
+    out = emit_envelope_string(env, "toon")
+    assert out
+    decoded = toon_decode(out)
+    assert decoded["ok"] is True
+    assert decoded["data"] == ["doc-1", "doc-2"]
+    assert decoded == env.to_value()
+
+
+def test_emit_toon_error_roundtrip():
+    err = OutputError("invalid_config", "bad value", 2, field="quality_weight")
+    env = OutputEnvelope.failure(err, meta("toon"), TS)
+    decoded = toon_decode(emit_envelope_string(env, "toon"))
+    assert decoded["ok"] is False
+    assert decoded["error"]["code"] == "invalid_config"
+    assert decoded["error"]["field"] == "quality_weight"
+
+
+def test_emit_toon_with_warnings():
+    env = OutputEnvelope.success(42, meta("toon"), TS).with_warnings([
+        OutputWarning("degraded_mode", "quality tier skipped"),
+        OutputWarning("fast_only_results", "fast only"),
+    ])
+    decoded = toon_decode(emit_envelope_string(env, "toon"))
+    assert [w["code"] for w in decoded["warnings"]] == \
+           ["degraded_mode", "fast_only_results"]
+    assert decoded["data"] == 42
+
+
+def test_toon_search_payload_parity_with_json():
+    """The JSON↔TOON parity contract on the deepest envelope shape."""
+    env = OutputEnvelope.success(sample_payload(), meta("toon"), TS)
+    json_value = json.loads(emit_envelope_string(env, "jsonl"))
+    assert toon_decode(emit_envelope_string(env, "toon")) == json_value
+
+
+def test_toon_quoting_hazards():
+    cases = {
+        "empty": "", "boolish": "true", "nullish": "null",
+        "numeric": "12.5", "comma": "a,b", "colon": "k: v",
+        "quote": 'say "hi"', "newline": "a\nb", "dash": "- item",
+        "pad": " padded ", "bracket": "[1]", "unicode": "héllo wörld",
+    }
+    assert toon_decode(toon_encode(cases)) == cases
+
+
+def test_toon_nested_and_mixed_arrays():
+    v = {"a": {"b": {"c": [1, 2, 3], "d": []}},
+         "mixed": ["x", {"k": 1}, {"k": 2, "j": "s"}],
+         "tabular": [{"p": 1, "q": "a"}, {"p": 2, "q": "b"}],
+         "empty_obj": {}, "scalars": [True, False, None, 0, -1.5]}
+    assert toon_decode(toon_encode(v)) == v
+
+
+_scalar = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(min_value=-2**53, max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=12))
+_keys = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    min_size=1, max_size=8)
+_value = st.recursive(
+    _scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(_keys, children, max_size=4)),
+    max_leaves=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(_keys, _value, max_size=5))
+def test_toon_roundtrip_property(v):
+    """decode(encode(v)) == v for arbitrary JSON-shaped objects (modulo
+    the documented subset: arrays directly inside mixed lists refuse)."""
+    try:
+        enc = toon_encode(v)
+    except EmitError:
+        return  # the documented unsupported shape
+    assert toon_decode(enc) == v
+
+
+# ─── Table ──────────────────────────────────────────────────────────────
+
+
+def test_emit_table_success_shows_data_and_warnings():
+    env = OutputEnvelope.success("hello world", meta("table"), TS) \
+        .with_warnings([OutputWarning("degraded_mode", "degraded")])
+    out = emit_envelope_string(env, "table")
+    assert "hello world" in out
+    assert "warning: [degraded_mode]" in out
+    assert "(12ms)" in out
+
+
+def test_emit_table_search_payload_renders_ranked_hits():
+    env = OutputEnvelope.success(sample_payload(), meta("table"), TS)
+    out = emit_envelope_string(env, "table")
+    assert 'PHASE FULL: 2 hit(s) for "spark window"' in out
+    assert "  1. src/a.rs:10  score=1.250 [L1 S3]" in out
+    assert "     spark <b>window</b>" in out
+    assert "2 results in 12ms" in out
+
+
+def test_emit_table_empty_search_payload():
+    payload = SearchPayload("nohits", "fast", 0, [])
+    env = OutputEnvelope.success(payload, meta("table"), TS)
+    out = emit_envelope_string(env, "table")
+    assert 'No results for "nohits"' in out
+
+
+def test_emit_table_error_shows_code_message_fix():
+    err = OutputError("invalid_config", "bad weight", 2,
+                      field="w", suggestion="use 0..1", context="w drives x")
+    env = OutputEnvelope.failure(err, meta("table"), TS)
+    out = emit_envelope_string(env, "table")
+    assert "error: [invalid_config] bad weight (field: w)" in out
+    assert "w drives x" in out
+    assert "Fix: use 0..1" in out
+
+
+# ─── CSV ────────────────────────────────────────────────────────────────
+
+
+def test_emit_csv_search_payload():
+    env = OutputEnvelope.success(sample_payload(), meta("csv"), TS)
+    lines = emit_envelope_string(env, "csv").splitlines()
+    assert lines[0] == ",".join(SEARCH_CSV_HEADER)
+    # ranks 1-based, score %.6f, path with comma quoted
+    assert lines[1] == ('spark window,full,42,2,1,src/a.rs:10,1.250000,'
+                        'true,1,3,spark <b>window</b>')
+    assert '"src/b, c.rs"' in lines[2]
+    assert lines[2].endswith("0.750000,false,,,")
+
+
+def test_emit_csv_generic_payload():
+    env = OutputEnvelope.success({"n": 3}, meta("csv"), TS)
+    lines = emit_envelope_string(env, "csv").splitlines()
+    assert lines[0] == "data_json"
+    assert json.loads(lines[1].strip('"').replace('""', '"')) == {"n": 3}
+
+
+def test_emit_csv_error_rows():
+    err = OutputError("io_error", 'disk "full", sadly', 1)
+    env = OutputEnvelope.failure(err, meta("csv"), TS)
+    lines = emit_envelope_string(env, "csv").splitlines()
+    assert lines[0].startswith("ok,error_code,error_message")
+    assert lines[1].startswith('false,io_error,"disk ""full"", sadly"')
+
+
+def test_emit_csv_requires_payload_on_success():
+    env = OutputEnvelope.success(None, meta("csv"), TS)
+    env.data = None
+    with pytest.raises(EmitError):
+        emit_envelope_string(env, "csv")
+
+
+# ─── Stream frames ──────────────────────────────────────────────────────
+
+
+def frame():
+    return StreamFrame(stream_id="01JTEST", seq=3, ts=TS, command="search",
+                       event={"kind": "result", "rank": 1, "item": "doc-9"})
+
+
+def test_stream_frame_jsonl_roundtrip():
+    out = emit_stream_frame_string(frame(), "jsonl")
+    assert out.endswith("\n") and "\n" not in out[:-1]
+    assert json.loads(out) == frame().to_value()
+
+
+def test_stream_frame_toon_record_separator():
+    out = emit_stream_frame_string(frame(), "toon")
+    assert out[0] == TOON_STREAM_RECORD_SEPARATOR
+    assert out.endswith("\n")
+    assert toon_decode(out[1:]) == frame().to_value()
+
+
+def test_stream_frame_rejects_non_stream_format():
+    with pytest.raises(EmitError, match="jsonl and toon"):
+        emit_stream_frame_string(frame(), "json")
+
+
+def test_render_search_table_plain_hit_without_ranks():
+    payload = SearchPayload("q", "fast", 5,
+                            [SearchHitPayload(rank=1, path="x.py", score=2.0)])
+    out = render_search_table(payload, None)
+    assert "  1. x.py  score=2.000" in out
+    assert "[L" not in out
+    assert "1 results in 0ms" in out
