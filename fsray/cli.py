@@ -104,6 +104,21 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_gc(args: argparse.Namespace) -> int:
+    from fsray.mutate import DEFAULT_GARBAGE_GRACE_SEC, collect_garbage
+    grace = (DEFAULT_GARBAGE_GRACE_SEC if args.grace_sec is None
+             else args.grace_sec)
+    try:
+        rep = collect_garbage(args.index_dir, grace_sec=grace,
+                              include_resume_markers=args.resume_markers)
+    except FileNotFoundError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    print(json.dumps({"removed": rep["removed"],
+                      "retained": len(rep["retained"])}, indent=1))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="fsray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -136,6 +151,16 @@ def main(argv: list[str] | None = None) -> int:
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     be.set_defaults(fn=cmd_bench)
+
+    g = sub.add_parser("gc", help="grace-window garbage sweep of a "
+                                  "published index directory")
+    g.add_argument("--index-dir", required=True)
+    g.add_argument("--grace-sec", type=float, default=None,
+                   help="minimum artifact age before deletion "
+                        "(default 300, keeper.rs DEFAULT_GARBAGE_GRACE)")
+    g.add_argument("--resume-markers", action="store_true",
+                   help="also reclaim stage resume markers")
+    g.set_defaults(fn=cmd_gc)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -374,3 +374,108 @@ def _concat_termtables(ta: pa.Table | None, tb: pa.Table) -> pa.Table:
             pa.array(np.concatenate(all_p) if all_p else np.zeros(0, np.uint32),
                      type=pa.uint32()))
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# grace-window garbage collection (keeper.rs writer-locked GC sweep)
+
+DEFAULT_GARBAGE_GRACE_SEC = 300.0  # keeper.rs:85 DEFAULT_GARBAGE_GRACE
+
+
+def collect_garbage(index_dir: str,
+                    grace_sec: float = DEFAULT_GARBAGE_GRACE_SEC,
+                    now: float | None = None,
+                    include_resume_markers: bool = False) -> dict:
+    """One grace-window garbage sweep over a published index directory
+    (reference: keeper.rs:9396-9448 ``collect_writer_garbage`` +
+    GarbageCollectionOptions:9024-9035).
+
+    Laws carried over:
+    - **No manifest, no sweep** — without a published generation the old
+      state stays authoritative and nothing is reclaimable
+      (keeper.rs:4211-4213: a crash mid-publish leaves only
+      grace-eligible *unreferenced* files behind).
+    - **Grace period** — only files older than ``grace_sec`` are removed,
+      so a concurrent writer's fresh artifacts survive (default 300 s).
+    - **Safe paths only** — candidates come from the known artifact roots
+      with expected name shapes; each target is re-checked to be a
+      regular file inside ``index_dir`` (the "unsafe garbage path
+      rejected" law, keeper.rs:699-701).  ``manifest.json`` and live
+      termtable/idmap parquet are never candidates.
+    - **Deterministic report** — removed paths sorted bytewise
+      (GarbageCollectionReport:9038-9049).
+
+    Candidate classes:
+    1. atomic-write temporaries (``*.tmp<pid>``) anywhere under the
+       artifact roots — crash leftovers;
+    2. ``stage_postings/`` shuffle intermediates — referenced only by
+       stage-B reducers; once the manifest is published they are garbage
+       (a future resume regenerates them);
+    3. orphaned ``idmap/part-*.parquet`` whose partition index no live
+       shard references (a crashed append before its publish);
+    4. (opt-in) stage resume markers (``partstats/*.json``,
+       ``termtable/*/*.done.json``) — correct to drop after publish, but
+       kept by default so an identical re-run stays incremental.
+
+    Termtable ``*.parquet`` files are NEVER removed: shard readers
+    discover them by directory listing, so presence == liveness.
+    """
+    import re
+    import stat as statmod
+    import time as timemod
+
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest in {index_dir} — refusing to "
+                                f"sweep an unpublished directory")
+    now = timemod.time() if now is None else now
+    root = os.path.realpath(index_dir)
+    live_pidx = {int(p) for v in manifest.get("shards", {}).values()
+                 for p in v["partitions"]}
+
+    tmp_re = re.compile(r"\.tmp\d+$")
+    idmap_re = re.compile(r"^part-(\d{5})\.parquet$")
+    candidates: list[str] = []
+
+    for dirpath, _dirnames, filenames in os.walk(root):
+        rel_dir = os.path.relpath(dirpath, root)
+        top = rel_dir.split(os.sep, 1)[0]
+        for name in filenames:
+            path = os.path.join(dirpath, name)
+            if tmp_re.search(name):
+                candidates.append(path)
+            elif top == "stage_postings" and rel_dir != ".":
+                candidates.append(path)
+            elif rel_dir == "idmap" and (m := idmap_re.match(name)):
+                if int(m.group(1)) not in live_pidx:
+                    candidates.append(path)
+            elif include_resume_markers and (
+                    (rel_dir == "partstats" and name.endswith(".json"))
+                    or (top == "termtable" and name.endswith(".done.json"))):
+                candidates.append(path)
+
+    removed, retained = [], []
+    for path in sorted(candidates):
+        try:
+            st = os.lstat(path)
+        except FileNotFoundError:
+            continue
+        rel = os.path.relpath(path, root)
+        if not statmod.S_ISREG(st.st_mode):
+            continue  # never a directory or symlink
+        if not os.path.realpath(path).startswith(root + os.sep):
+            raise ValueError(f"unsafe garbage path rejected: {path}")
+        if now - st.st_mtime < grace_sec:
+            retained.append(rel)  # inside the grace window
+            continue
+        os.unlink(path)
+        removed.append(rel)
+    # prune directories emptied by the sweep (stage bucket dirs)
+    for dirpath, dirnames, filenames in os.walk(
+            os.path.join(root, "stage_postings"), topdown=False):
+        if not dirnames and not filenames and dirpath != root:
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass
+    return {"removed": removed, "retained": retained}

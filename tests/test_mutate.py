@@ -241,3 +241,73 @@ def test_ray_index_refreshes_after_delete(tmp_path):
     # tombstone-only republish must NOT respawn the actor pool — the
     # warm actors receive the new dead-set via set_tombstones RPC
     assert idx.actors == actors_before
+
+
+def test_collect_garbage_laws(mut_index):
+    """Grace-window GC sweep (keeper.rs GC laws): stage intermediates and
+    tmp leftovers reclaimed past the grace window, fresh files retained,
+    live artifacts and search results untouched; orphan idmap partitions
+    removed; unpublished directories refuse the sweep; idempotent."""
+    import os
+    import time
+
+    from fsray.mutate import collect_garbage
+    d = mut_index["dir"]
+    idx = mut_index["idx"]
+    before = {q: _ids(idx.search(q, k=20)) for q in QUERIES}
+
+    # plant crash leftovers: an atomic-write temp + an orphan idmap part
+    tmp_leftover = os.path.join(d, "termtable", "shard=0000",
+                                "bucket=0000.parquet.tmp12345")
+    open(tmp_leftover, "w").write("partial")
+    orphan = os.path.join(d, "idmap", "part-00099.parquet")
+    pq.write_table(pa.table({"docid": pa.array([0], type=pa.uint32())}), orphan)
+    stage_files = []
+    for root, _, files in os.walk(os.path.join(d, "stage_postings")):
+        stage_files += [os.path.join(root, f) for f in files]
+    assert stage_files, "build must leave shuffle intermediates"
+
+    # inside the grace window nothing is removed
+    rep = collect_garbage(d, grace_sec=3600.0)
+    assert rep["removed"] == []
+    assert rep["retained"]
+
+    # past the grace window: all three classes reclaimed
+    rep = collect_garbage(d, grace_sec=0.0, now=time.time() + 1)
+    removed = set(rep["removed"])
+    assert os.path.relpath(tmp_leftover, d) in removed
+    assert os.path.relpath(orphan, d) in removed
+    for f in stage_files:
+        assert os.path.relpath(f, d) in removed
+        assert not os.path.exists(f)
+    assert rep["removed"] == sorted(rep["removed"])  # deterministic report
+    # resume markers retained by default
+    assert os.path.exists(os.path.join(d, "partstats"))
+    marker_glob = [f for f in os.listdir(os.path.join(d, "termtable", "shard=0000"))
+                   if f.endswith(".done.json")]
+    assert marker_glob, "markers kept unless include_resume_markers"
+
+    # live artifacts untouched: identical results after the sweep
+    idx2 = LocalIndex(d)
+    for q in QUERIES:
+        assert _ids(idx2.search(q, k=20)) == before[q], q
+
+    # idempotent; then the opt-in marker class
+    assert collect_garbage(d, grace_sec=0.0, now=time.time() + 1)["removed"] == []
+    rep = collect_garbage(d, grace_sec=0.0, now=time.time() + 1,
+                          include_resume_markers=True)
+    assert any(r.endswith(".done.json") for r in rep["removed"])
+    assert any(r.startswith("partstats") for r in rep["removed"])
+    idx3 = LocalIndex(d)
+    for q in QUERIES:
+        assert _ids(idx3.search(q, k=20)) == before[q], q
+
+
+def test_collect_garbage_requires_manifest(tmp_path):
+    import os
+
+    from fsray.mutate import collect_garbage
+    d = str(tmp_path / "empty_idx")
+    os.makedirs(d)
+    with pytest.raises(FileNotFoundError):
+        collect_garbage(d)
