@@ -535,7 +535,20 @@ def build_index(paths: list[str], index_dir: str, spec: CorpusSpec = CODE_CORPUS
     Resumable: rerunning with the same inputs skips completed partitions
     (stage A) and completed shard-buckets (stage B); the manifest is only
     published after every stage completes.
+
+    Holds the directory's writer admission for the whole build so a
+    concurrent grace-window GC sweep can never reclaim in-flight stage
+    artifacts (fsray.manifest.writer_lock).
     """
+    from fsray.manifest import writer_lock
+    with writer_lock(index_dir):
+        return _build_index_locked(paths, index_dir, spec, cfg,
+                                   ray_concurrency=ray_concurrency)
+
+
+def _build_index_locked(paths: list[str], index_dir: str, spec: CorpusSpec,
+                        cfg: BuildConfig | None, *,
+                        ray_concurrency: int | None = None) -> dict:
     import ray.data as rd
 
     cfg = cfg or BuildConfig()

@@ -58,7 +58,14 @@ def cmd_search(args: argparse.Namespace) -> int:
     from datetime import datetime, timezone
 
     from fsray.emit import (OutputEnvelope, OutputError, OutputMeta,
-                            SearchHitPayload, SearchPayload, emit_envelope)
+                            SearchHitPayload, SearchPayload,
+                            emit_envelope_string)
+
+    def _emit(env):
+        # newline-terminate exactly once: jsonl/toon/table/csv already
+        # end with one; pretty json does not
+        out = emit_envelope_string(env, args.format)
+        sys.stdout.write(out if out.endswith("\n") else out + "\n")
     t0 = time.perf_counter()
     ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
     meta = OutputMeta(command="search", format=args.format)
@@ -78,9 +85,7 @@ def cmd_search(args: argparse.Namespace) -> int:
         err = OutputError("index_not_found", str(exc), exit_code=1,
                           suggestion="check --index-dir points at a "
                                      "built index (manifest.json present)")
-        emit_envelope(OutputEnvelope.failure(err, meta, ts),
-                      args.format, sys.stdout)
-        print()
+        _emit(OutputEnvelope.failure(err, meta, ts))
         return 1
     meta.duration_ms = int((time.perf_counter() - t0) * 1000)
     payload = SearchPayload(
@@ -89,9 +94,7 @@ def cmd_search(args: argparse.Namespace) -> int:
         hits=[SearchHitPayload(rank=args.offset + i + 1, path=str(h.doc_id),
                                score=float(h.score))
               for i, h in enumerate(hits)])
-    emit_envelope(OutputEnvelope.success(payload, meta, ts),
-                  args.format, sys.stdout)
-    print()
+    _emit(OutputEnvelope.success(payload, meta, ts))
     return 0
 
 
@@ -105,13 +108,14 @@ def cmd_bench(args: argparse.Namespace) -> int:
 
 
 def cmd_gc(args: argparse.Namespace) -> int:
+    from fsray.manifest import WriterActiveError
     from fsray.mutate import DEFAULT_GARBAGE_GRACE_SEC, collect_garbage
     grace = (DEFAULT_GARBAGE_GRACE_SEC if args.grace_sec is None
              else args.grace_sec)
     try:
         rep = collect_garbage(args.index_dir, grace_sec=grace,
                               include_resume_markers=args.resume_markers)
-    except FileNotFoundError as exc:
+    except (FileNotFoundError, WriterActiveError) as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 1
     print(json.dumps({"removed": rep["removed"],

@@ -147,8 +147,8 @@ def validate_envelope(env: OutputEnvelope) -> list[str]:
 
 # ─── TOON codec (public-spec subset) ────────────────────────────────────
 
-_BARE_KEY = re.compile(r"^[A-Za-z0-9_.-]+$")
-_NUMERIC = re.compile(r"^-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?$")
+_BARE_KEY = re.compile(r"^[A-Za-z0-9_.-]+\Z")  # \Z: "$" would accept a trailing newline
+_NUMERIC = re.compile(r"^-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?\Z")
 
 
 def _needs_quote(s: str) -> bool:
@@ -158,7 +158,13 @@ def _needs_quote(s: str) -> bool:
         return True
     if _NUMERIC.match(s):
         return True
-    if any(ch in s for ch in ',:"\\\n\t\r{}[]#'):
+    if any(ch in s for ch in ',:"\\\t{}[]#'):
+        return True
+    # any line-boundary or control character must be JSON-escaped:
+    # the decoder splits on str.splitlines() boundaries, which
+    # include \x0b \x0c \x1c-\x1e \x85 \u2028 \u2029 beyond \n \r
+    if any(ch < " " or ch == "\x7f" or ch in "\x85\u2028\u2029"
+           for ch in s):
         return True
     return s[0] in "-'"
 
@@ -185,14 +191,19 @@ def _is_scalar(v) -> bool:
 
 
 def _tabular_fields(arr: list) -> list[str] | None:
-    """Uniform array of flat objects → shared field list, else None."""
+    """Uniform array of flat objects → shared field list, else None.
+    Field names must be bare keys: a quoted name could embed ``}`` or
+    ``,``, which the single-line ``{f1,f2}`` header cannot carry —
+    such arrays fall back to list form."""
     if not arr or not all(isinstance(x, dict) for x in arr):
         return None
     keys = list(arr[0].keys())
+    if not keys or not all(_BARE_KEY.match(k) for k in keys):
+        return None
     for x in arr:
         if list(x.keys()) != keys or not all(_is_scalar(v) for v in x.values()):
             return None
-    return keys if keys else None
+    return keys
 
 
 def _enc_lines(value, key: str | None, indent: int, out: list[str]) -> None:
@@ -527,6 +538,10 @@ def _emit_table(env: OutputEnvelope) -> str:
     if env.ok:
         if env.data is not None:
             if isinstance(env.data, SearchPayload):
+                # deliberate early return WITHOUT the warnings/duration
+                # tail: the reference does exactly this for search
+                # payloads (format_emitter.rs:273-281 `return Ok(())`;
+                # duration is already inside the rendered table)
                 out.write(render_search_table(env.data, env.meta.duration_ms))
                 return out.getvalue()
             out.write(json.dumps(_payload_value(env.data), indent=2))

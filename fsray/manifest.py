@@ -74,3 +74,45 @@ def load_manifest(index_dir: str) -> dict | None:
 
 def publish_manifest(index_dir: str, manifest: dict) -> None:
     atomic_write_json(os.path.join(index_dir, MANIFEST_NAME), manifest)
+
+
+class WriterActiveError(RuntimeError):
+    """Another process holds the index's writer admission."""
+
+
+def writer_lock(index_dir: str, blocking: bool = True):
+    """Advisory exclusive writer admission for one index directory — the
+    engine's analogue of the reference's durable writer lock
+    (keeper.rs:86-88 WRITER_LOCK_MAGIC; GC runs "under the held writer
+    admission", keeper.rs:4254-4271).  Every manifest-publishing writer
+    (build / append / compact / merge / delete) holds it for the whole
+    mutation, and the garbage sweep takes it NON-blocking — so a sweep
+    can never reclaim a slower-than-grace-period writer's in-flight
+    artifacts; it refuses with ``WriterActiveError`` instead.
+
+    flock is advisory and per-open-file-description: nested writers on
+    DIFFERENT directories (append's staging build) use different lock
+    files and cannot deadlock.
+    """
+    import contextlib
+    import fcntl
+
+    @contextlib.contextmanager
+    def _ctx():
+        os.makedirs(index_dir, exist_ok=True)
+        fd = os.open(os.path.join(index_dir, ".writer.lock"),
+                     os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX |
+                            (0 if blocking else fcntl.LOCK_NB))
+            except OSError as exc:
+                raise WriterActiveError(
+                    f"writer active on {index_dir}") from exc
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+    return _ctx()

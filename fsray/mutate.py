@@ -34,7 +34,20 @@ import pyarrow.parquet as pq
 
 from fsray import codec
 from fsray.manifest import (atomic_write_parquet, load_manifest,
-                            publish_manifest, write_termtable)
+                            publish_manifest, write_termtable, writer_lock)
+
+
+def _holds_writer_lock(fn):
+    """Every manifest-publishing mutation holds the index's writer
+    admission end-to-end (keeper.rs writer-lock law) so the grace-window
+    GC sweep can never race a slower-than-grace writer."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(index_dir, *args, **kwargs):
+        with writer_lock(index_dir):
+            return fn(index_dir, *args, **kwargs)
+    return wrapper
 
 
 def _idmap_files(index_dir: str, manifest: dict, shard: str) -> list[str]:
@@ -42,6 +55,7 @@ def _idmap_files(index_dir: str, manifest: dict, shard: str) -> list[str]:
             for pidx in manifest["shards"][shard]["partitions"]]
 
 
+@_holds_writer_lock
 def delete_docs(index_dir: str, doc_ids: list[str]) -> dict:
     """Tombstone documents by external id (manifest-only mutation).
 
@@ -70,6 +84,7 @@ def delete_docs(index_dir: str, doc_ids: list[str]) -> dict:
     return manifest
 
 
+@_holds_writer_lock
 def append_docs(index_dir: str, paths: list[str], spec, cfg) -> dict:
     """Append new documents as NEW shards past the docid high-watermark.
 
@@ -174,6 +189,7 @@ def _rebase_termtable(t: pa.Table, offset: int) -> pa.Table:
     return pa.table(out)
 
 
+@_holds_writer_lock
 def compact(index_dir: str) -> dict:
     """Drop tombstoned docs from term tables; recompute exact stats.
 
@@ -278,6 +294,7 @@ def _filter_termtable(t: pa.Table, dead: np.ndarray) -> pa.Table:
     return pa.table(cols)
 
 
+@_holds_writer_lock
 def merge_shards(index_dir: str, shard_a: str, shard_b: str) -> dict:
     """Tier merge: concatenate two bound-consecutive shards (merge=concat).
 
@@ -388,7 +405,9 @@ def collect_garbage(index_dir: str,
                     include_resume_markers: bool = False) -> dict:
     """One grace-window garbage sweep over a published index directory
     (reference: keeper.rs:9396-9448 ``collect_writer_garbage`` +
-    GarbageCollectionOptions:9024-9035).
+    GarbageCollectionOptions:9024-9035), taken under the directory's
+    writer admission (non-blocking: raises ``WriterActiveError`` instead
+    of racing an in-flight build/append/compact, keeper.rs:4254-4271).
 
     Laws carried over:
     - **No manifest, no sweep** — without a published generation the old
@@ -396,7 +415,7 @@ def collect_garbage(index_dir: str,
       (keeper.rs:4211-4213: a crash mid-publish leaves only
       grace-eligible *unreferenced* files behind).
     - **Grace period** — only files older than ``grace_sec`` are removed,
-      so a concurrent writer's fresh artifacts survive (default 300 s).
+      so a crashed writer's near-miss artifacts survive (default 300 s).
     - **Safe paths only** — candidates come from the known artifact roots
       with expected name shapes; each target is re-checked to be a
       regular file inside ``index_dir`` (the "unsafe garbage path
@@ -406,16 +425,21 @@ def collect_garbage(index_dir: str,
       (GarbageCollectionReport:9038-9049).
 
     Candidate classes:
-    1. atomic-write temporaries (``*.tmp<pid>``) anywhere under the
-       artifact roots — crash leftovers;
-    2. ``stage_postings/`` shuffle intermediates — referenced only by
-       stage-B reducers; once the manifest is published they are garbage
-       (a future resume regenerates them);
+    1. atomic-write temporaries (``*.tmp<pid>`` from parquet writes and
+       ``tmp*.tmp`` from mkstemp JSON writes) — crash leftovers;
+    2. the build's resumable-stage state: ``stage_postings/`` shuffle
+       intermediates AND ``partstats/*.json`` stage-A markers, swept
+       **atomically as one class** — a marker without its stage files
+       would make a later incremental rebuild silently skip regenerating
+       shuffle inputs the reducers need, so if ANY file of this class is
+       still inside the grace window the whole class is retained;
     3. orphaned ``idmap/part-*.parquet`` whose partition index no live
        shard references (a crashed append before its publish);
-    4. (opt-in) stage resume markers (``partstats/*.json``,
-       ``termtable/*/*.done.json``) — correct to drop after publish, but
-       kept by default so an identical re-run stays incremental.
+    4. ``append-*/`` staging trees left behind by completed appends;
+    5. (opt-in via ``include_resume_markers``) stage-B completion
+       markers (``termtable/*/*.done.json``) — independently safe either
+       way: a kept marker only short-circuits a reducer whose output
+       termtable already exists.
 
     Termtable ``*.parquet`` files are NEVER removed: shard readers
     discover them by directory listing, so presence == liveness.
@@ -424,58 +448,92 @@ def collect_garbage(index_dir: str,
     import stat as statmod
     import time as timemod
 
-    manifest = load_manifest(index_dir)
-    if manifest is None:
-        raise FileNotFoundError(f"no manifest in {index_dir} — refusing to "
-                                f"sweep an unpublished directory")
-    now = timemod.time() if now is None else now
-    root = os.path.realpath(index_dir)
-    live_pidx = {int(p) for v in manifest.get("shards", {}).values()
-                 for p in v["partitions"]}
+    with writer_lock(index_dir, blocking=False):
+        manifest = load_manifest(index_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no manifest in {index_dir} — refusing "
+                                    f"to sweep an unpublished directory")
+        now = timemod.time() if now is None else now
+        root = os.path.realpath(index_dir)
+        live_pidx = {int(p) for v in manifest.get("shards", {}).values()
+                     for p in v["partitions"]}
 
-    tmp_re = re.compile(r"\.tmp\d+$")
-    idmap_re = re.compile(r"^part-(\d{5})\.parquet$")
-    candidates: list[str] = []
+        # .tmp<pid> (atomic_write_parquet) and tmp<rand>.tmp (mkstemp JSON)
+        tmp_re = re.compile(r"\.tmp\d*$")
+        idmap_re = re.compile(r"^part-(\d{5,})\.parquet$")
+        candidates: list[str] = []
+        stage_class: list[str] = []  # class 2: all-or-nothing
 
-    for dirpath, _dirnames, filenames in os.walk(root):
-        rel_dir = os.path.relpath(dirpath, root)
-        top = rel_dir.split(os.sep, 1)[0]
-        for name in filenames:
-            path = os.path.join(dirpath, name)
-            if tmp_re.search(name):
-                candidates.append(path)
-            elif top == "stage_postings" and rel_dir != ".":
-                candidates.append(path)
-            elif rel_dir == "idmap" and (m := idmap_re.match(name)):
-                if int(m.group(1)) not in live_pidx:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            rel_dir = os.path.relpath(dirpath, root)
+            top = rel_dir.split(os.sep, 1)[0]
+            for name in filenames:
+                path = os.path.join(dirpath, name)
+                if name == ".writer.lock" and rel_dir == ".":
+                    continue
+                if tmp_re.search(name):
                     candidates.append(path)
-            elif include_resume_markers and (
-                    (rel_dir == "partstats" and name.endswith(".json"))
-                    or (top == "termtable" and name.endswith(".done.json"))):
-                candidates.append(path)
+                elif top == "stage_postings" and rel_dir != ".":
+                    stage_class.append(path)
+                elif rel_dir == "partstats" and name.endswith(".json"):
+                    stage_class.append(path)
+                elif rel_dir == "idmap" and (m := idmap_re.match(name)):
+                    if int(m.group(1)) not in live_pidx:
+                        candidates.append(path)
+                elif top.startswith("append-") and rel_dir != ".":
+                    candidates.append(path)
+                elif include_resume_markers and (
+                        top == "termtable" and name.endswith(".done.json")):
+                    candidates.append(path)
 
-    removed, retained = [], []
-    for path in sorted(candidates):
-        try:
-            st = os.lstat(path)
-        except FileNotFoundError:
-            continue
-        rel = os.path.relpath(path, root)
-        if not statmod.S_ISREG(st.st_mode):
-            continue  # never a directory or symlink
-        if not os.path.realpath(path).startswith(root + os.sep):
-            raise ValueError(f"unsafe garbage path rejected: {path}")
-        if now - st.st_mtime < grace_sec:
-            retained.append(rel)  # inside the grace window
-            continue
-        os.unlink(path)
-        removed.append(rel)
-    # prune directories emptied by the sweep (stage bucket dirs)
-    for dirpath, dirnames, filenames in os.walk(
-            os.path.join(root, "stage_postings"), topdown=False):
-        if not dirnames and not filenames and dirpath != root:
+        removed, retained = [], []
+
+        def age_ok(st) -> bool:
+            return now - st.st_mtime >= grace_sec
+
+        def check_safe(path, st) -> bool:
+            if not statmod.S_ISREG(st.st_mode):
+                return False  # never a directory or symlink
+            if not os.path.realpath(path).startswith(root + os.sep):
+                raise ValueError(f"unsafe garbage path rejected: {path}")
+            return True
+
+        # class 2 is atomic: any in-grace member retains the whole class
+        stage_stats = []
+        for path in stage_class:
             try:
-                os.rmdir(dirpath)
-            except OSError:
-                pass
-    return {"removed": removed, "retained": retained}
+                st = os.lstat(path)
+            except FileNotFoundError:
+                continue
+            if check_safe(path, st):
+                stage_stats.append((path, st))
+        if stage_stats and all(age_ok(st) for _, st in stage_stats):
+            candidates.extend(p for p, _ in stage_stats)
+        else:
+            retained.extend(os.path.relpath(p, root) for p, _ in stage_stats)
+
+        for path in sorted(candidates):
+            try:
+                st = os.lstat(path)
+            except FileNotFoundError:
+                continue
+            if not check_safe(path, st):
+                continue
+            rel = os.path.relpath(path, root)
+            if not age_ok(st):
+                retained.append(rel)  # inside the grace window
+                continue
+            os.unlink(path)
+            removed.append(rel)
+        # prune directories emptied by the sweep (stage buckets, staging
+        # trees)
+        for sub in ["stage_postings", "partstats"] + [
+                d for d in os.listdir(root) if d.startswith("append-")]:
+            base = os.path.join(root, sub)
+            for dirpath, dirnames, filenames in os.walk(base, topdown=False):
+                if not dirnames and not filenames:
+                    try:
+                        os.rmdir(dirpath)
+                    except OSError:
+                        pass
+        return {"removed": removed, "retained": sorted(retained)}

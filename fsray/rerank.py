@@ -217,7 +217,11 @@ class BatchHashReranker:
                 qv = self._qcache[q] = self._embedder.embed(q)
             rows = np.asarray([i for i, s in enumerate(queries) if s == q])
             logits[rows] = mat[rows] @ qv
-        scores = 1.0 / (1.0 + np.exp(-logits))
-        scores = np.where(np.isfinite(scores), scores, 0.0)
+        # guard the LOGIT like the scalar path (native.rs:1694-1700): a
+        # non-finite logit scores 0.0 — sigmoid(+inf) would be a finite
+        # 1.0 and silently diverge from HashReranker
+        with np.errstate(over="ignore"):
+            scores = np.where(np.isfinite(logits),
+                              1.0 / (1.0 + np.exp(-logits)), 0.0)
         return batch.append_column(
             "rerank_score", pa.array(scores, type=pa.float64()))

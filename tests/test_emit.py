@@ -281,3 +281,14 @@ def test_render_search_table_plain_hit_without_ranks():
     assert "  1. x.py  score=2.000" in out
     assert "[L" not in out
     assert "1 results in 0ms" in out
+
+
+def test_toon_non_bare_key_in_uniform_array_falls_back_to_list_form():
+    """A uniform object array whose field names need quoting cannot use
+    the single-line {f1,f2} tabular header (a '}' or ',' in the name
+    would be unparseable) — it must round-trip via list form."""
+    for key in ["}", "a,b", "has space", '"q"']:
+        v = {"rows": [{key: 1}, {key: 2}]}
+        enc = toon_encode(v)
+        assert "{" not in enc.splitlines()[0]
+        assert toon_decode(enc) == v

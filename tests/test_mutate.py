@@ -244,10 +244,12 @@ def test_ray_index_refreshes_after_delete(tmp_path):
 
 
 def test_collect_garbage_laws(mut_index):
-    """Grace-window GC sweep (keeper.rs GC laws): stage intermediates and
-    tmp leftovers reclaimed past the grace window, fresh files retained,
+    """Grace-window GC sweep (keeper.rs GC laws): stage state and tmp
+    leftovers reclaimed past the grace window, fresh files retained,
     live artifacts and search results untouched; orphan idmap partitions
-    removed; unpublished directories refuse the sweep; idempotent."""
+    (5+ digit pidx) removed; the stage class (shuffle intermediates +
+    stage-A markers) is all-or-nothing; unpublished directories refuse
+    the sweep; idempotent."""
     import os
     import time
 
@@ -256,51 +258,86 @@ def test_collect_garbage_laws(mut_index):
     idx = mut_index["idx"]
     before = {q: _ids(idx.search(q, k=20)) for q in QUERIES}
 
-    # plant crash leftovers: an atomic-write temp + an orphan idmap part
-    tmp_leftover = os.path.join(d, "termtable", "shard=0000",
-                                "bucket=0000.parquet.tmp12345")
-    open(tmp_leftover, "w").write("partial")
-    orphan = os.path.join(d, "idmap", "part-00099.parquet")
-    pq.write_table(pa.table({"docid": pa.array([0], type=pa.uint32())}), orphan)
+    # plant crash leftovers: both atomic-write temp shapes + two orphan
+    # idmap parts (5-digit and 6-digit pidx)
+    tmp_parquet = os.path.join(d, "termtable", "shard=0000",
+                               "bucket=0000.parquet.tmp12345")
+    open(tmp_parquet, "w").write("partial")
+    tmp_json = os.path.join(d, "partstats", "tmpab3x9f.tmp")
+    open(tmp_json, "w").write("{")
+    orphans = [os.path.join(d, "idmap", "part-00099.parquet"),
+               os.path.join(d, "idmap", "part-123456.parquet")]
+    for orphan in orphans:
+        pq.write_table(pa.table({"docid": pa.array([0], type=pa.uint32())}),
+                       orphan)
     stage_files = []
     for root, _, files in os.walk(os.path.join(d, "stage_postings")):
         stage_files += [os.path.join(root, f) for f in files]
     assert stage_files, "build must leave shuffle intermediates"
+    part_markers = [os.path.join(d, "partstats", f)
+                    for f in os.listdir(os.path.join(d, "partstats"))
+                    if f.endswith(".json")]
+    assert part_markers
 
     # inside the grace window nothing is removed
     rep = collect_garbage(d, grace_sec=3600.0)
     assert rep["removed"] == []
-    assert rep["retained"]
+    assert rep["retained"] == sorted(rep["retained"])
 
-    # past the grace window: all three classes reclaimed
-    rep = collect_garbage(d, grace_sec=0.0, now=time.time() + 1)
+    # stage class is ATOMIC: one fresh stage file retains the whole
+    # class (a marker without its shuffle inputs would corrupt a later
+    # incremental rebuild) while independent classes still reclaim
+    sweep_now = time.time() + 60
+    os.utime(stage_files[0], (sweep_now, sweep_now))  # age 0 at the sweep
+    rep = collect_garbage(d, grace_sec=5.0, now=sweep_now)
     removed = set(rep["removed"])
-    assert os.path.relpath(tmp_leftover, d) in removed
-    assert os.path.relpath(orphan, d) in removed
-    for f in stage_files:
+    assert os.path.relpath(tmp_parquet, d) in removed
+    assert os.path.relpath(tmp_json, d) in removed
+    for orphan in orphans:  # independent class: reclaimed despite the
+        assert os.path.relpath(orphan, d) in removed  # retained stage class
+    for f in stage_files + part_markers:
+        assert os.path.relpath(f, d) not in removed, f
+        assert os.path.exists(f)
+
+    # past the grace window for everything: the stage class goes too
+    rep = collect_garbage(d, grace_sec=0.0, now=time.time() + 60)
+    removed = set(rep["removed"])
+    for f in stage_files + part_markers:
         assert os.path.relpath(f, d) in removed
         assert not os.path.exists(f)
     assert rep["removed"] == sorted(rep["removed"])  # deterministic report
-    # resume markers retained by default
-    assert os.path.exists(os.path.join(d, "partstats"))
-    marker_glob = [f for f in os.listdir(os.path.join(d, "termtable", "shard=0000"))
+    # stage-B completion markers retained unless opted in
+    marker_glob = [f for f in os.listdir(os.path.join(d, "termtable",
+                                                      "shard=0000"))
                    if f.endswith(".done.json")]
-    assert marker_glob, "markers kept unless include_resume_markers"
+    assert marker_glob, "stage-B markers kept unless include_resume_markers"
 
     # live artifacts untouched: identical results after the sweep
     idx2 = LocalIndex(d)
     for q in QUERIES:
         assert _ids(idx2.search(q, k=20)) == before[q], q
 
-    # idempotent; then the opt-in marker class
-    assert collect_garbage(d, grace_sec=0.0, now=time.time() + 1)["removed"] == []
-    rep = collect_garbage(d, grace_sec=0.0, now=time.time() + 1,
+    # idempotent; then the opt-in stage-B marker class
+    assert collect_garbage(d, grace_sec=0.0, now=time.time() + 60)["removed"] == []
+    rep = collect_garbage(d, grace_sec=0.0, now=time.time() + 60,
                           include_resume_markers=True)
     assert any(r.endswith(".done.json") for r in rep["removed"])
-    assert any(r.startswith("partstats") for r in rep["removed"])
     idx3 = LocalIndex(d)
     for q in QUERIES:
         assert _ids(idx3.search(q, k=20)) == before[q], q
+
+
+def test_collect_garbage_refuses_while_writer_active(mut_index):
+    """GC takes the writer admission non-blocking (keeper.rs:4254-4271):
+    a held writer lock makes the sweep refuse rather than race."""
+    from fsray.manifest import WriterActiveError, writer_lock
+    from fsray.mutate import collect_garbage
+    d = mut_index["dir"]
+    with writer_lock(d):
+        with pytest.raises(WriterActiveError):
+            collect_garbage(d, grace_sec=0.0)
+    # released: sweep proceeds
+    collect_garbage(d, grace_sec=3600.0)
 
 
 def test_collect_garbage_requires_manifest(tmp_path):

@@ -276,3 +276,24 @@ def test_batch_hash_reranker_matches_scalar():
     got = out["rerank_score"].to_pylist()
     for s, g in zip(scalar, got):
         assert g == pytest.approx(s.score, rel=1e-9)
+
+
+def test_batch_hash_reranker_nonfinite_logit_scores_zero():
+    """Batch path guards the LOGIT like the scalar path: a non-finite
+    cosine scores 0.0, not sigmoid(inf)=1.0."""
+    import numpy as np
+    import pyarrow as pa
+    rr = BatchHashReranker()
+
+    class InfEmbedder:
+        def embed(self, text):
+            return np.array([np.inf, 0.0])
+
+        def embed_texts(self, texts):
+            return np.tile(np.array([np.inf, 0.0]), (len(texts), 1))
+
+    rr._embedder = InfEmbedder()
+    batch = pa.table({"query": ["q"], "doc_id": ["0"], "text": ["t"],
+                      "pre_rank": [0]})
+    out = rr(batch)
+    assert out["rerank_score"].to_pylist() == [0.0]
