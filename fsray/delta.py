@@ -173,7 +173,16 @@ class WatchIndex(LocalIndex):
         segment is byte-identical to its delta-resident form (the
         delta≡sealed law), so a fresh :class:`LocalIndex` over the
         republished manifest answers exactly like this WatchIndex.
+
+        Holds the directory's writer admission like every other
+        manifest-publishing writer (fsray.manifest.writer_lock), so a
+        concurrent GC sweep cannot race the seal's new files.
         """
+        from fsray.manifest import writer_lock
+        with writer_lock(self.index_dir):
+            return self._seal_locked()
+
+    def _seal_locked(self) -> dict:
         next_pidx = 1 + max((int(p) for v in self.manifest["shards"].values()
                              for p in v["partitions"]), default=-1)
         for d in self._delta:
