@@ -142,6 +142,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_ann_smooth", P.ann_smooth),
         ("x_graph_pagerank", P.graph_pagerank),
         ("x_hash_embed_ann", P.hash_embed_ann),
+        ("x_rerank_search", P.rerank_search),
     ]:
         t0 = time.perf_counter()
         fn(sf_dir)
