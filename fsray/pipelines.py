@@ -810,11 +810,10 @@ def ann_bruteforce(sf_dir: str) -> pa.Table:
 
     from fsray.ann import merge_topk_partials, topk_partial
     from fsray.dedup import normalize_rows
-    ids, vecs = _embeddings(sf_dir)
-    qsel = np.isin(ids, ANN_QUERY_IDS)
-    order = np.argsort(ids[qsel])
-    qids = ids[qsel][order]
-    qnorm = normalize_rows(vecs[qsel][order])
+    # probe vectors via row-filter pushdown — never the full matrix
+    qvecs = _query_vectors(sf_dir)
+    qids = np.asarray(sorted(int(q) for q in ANN_QUERY_IDS), dtype=np.int64)
+    qnorm = normalize_rows(np.stack([qvecs[int(q)] for q in qids]))
     ref = ray.put((qids, qnorm))
 
     def block(batch: pa.Table) -> pa.Table:
@@ -836,6 +835,138 @@ def ann_bruteforce(sf_dir: str) -> pa.Table:
     qid_map = pa.array([int(ANN_QUERY_IDS[q]) for q in merged["query_id"].to_numpy()],
                        type=pa.int64())
     return pa.table({"query_id": qid_map, "neighbor_id": merged["neighbor_id"]})
+
+
+MRL_SEARCH_DIMS = 16
+MRL_K = 10
+QUANT_K = 10
+
+
+def ann_mrl(sf_dir: str) -> pa.Table:
+    """Matryoshka two-phase ANN for query 0 (mrl.rs:55-260): phase 1 is
+    a DISTRIBUTED truncated scan — each batch computes first-
+    ``MRL_SEARCH_DIMS`` dot products against the (broadcast) normalized
+    query and emits its top-``3k`` pool partial; the (score desc, id
+    asc) order is total, so the driver merge is chunk-boundary
+    independent (mrl.rs:212-224).  Phase 2 rescores ONLY the pooled
+    candidates at full dimension via a row-filtered parquet read (the
+    ``raw_vector_bytes_partial`` analogue: never the matrix).  Rows are
+    L2-normalized full-dim before truncation, as the reference stores
+    unit vectors, so phase 2 is exact cosine.  Approximate by design →
+    rows-only driver check; equality/recall vs ``ann_bruteforce`` is
+    pinned in tests."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from fsray.dedup import normalize_rows
+    from fsray.quant import MrlConfig, topk_by_score_then_id
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qvec = _query_vectors(sf_dir)[0]
+    qn = (qvec / (np.linalg.norm(qvec) or 1.0)).astype(np.float32)
+    cfg = MrlConfig(search_dims=MRL_SEARCH_DIMS)
+    pool_k = cfg.effective_rescore_top_k(MRL_K)
+    qref = ray.put(qn[:cfg.search_dims])
+
+    def scan_part(batch: pa.Table) -> pa.Table:
+        qt = ray.get(qref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
+                             ).astype(np.float32)
+        keep = bids != 0
+        bids, mat = bids[keep], mat[keep]
+        part = mat[:, :cfg.search_dims] @ qt
+        sel = topk_by_score_then_id(bids, part, pool_k)
+        return pa.table({"vec_id": pa.array(bids[sel], type=pa.int64()),
+                         "tscore": pa.array(part[sel].astype(np.float64))})
+
+    parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+             .map_batches(scan_part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .to_pandas())
+    pids = parts["vec_id"].to_numpy()
+    pscores = parts["tscore"].to_numpy()
+    pool = pids[topk_by_score_then_id(pids, pscores, pool_k)]
+    # phase 2: full-dim rescore of the pool only (row-filter pushdown)
+    ct = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", [int(x) for x in pool])])
+    cids = ct["vec_id"].to_numpy().astype(np.int64)
+    cmat = normalize_rows(
+        ct["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64).reshape(len(cids), -1))
+    full = cmat @ (qvec / (np.linalg.norm(qvec) or 1.0))
+    sel = topk_by_score_then_id(cids, full, MRL_K)
+    return pa.table({
+        "rank": pa.array(range(1, len(sel) + 1), type=pa.int64()),
+        "neighbor_id": pa.array(cids[sel], type=pa.int64()),
+    })
+
+
+def ann_quantized(sf_dir: str) -> pa.Table:
+    """int8-quantized ANN for query 0 (quantization.rs:48-272): phase A
+    calibrates per-dimension [min,max] as DISTRIBUTED d-sized partials
+    (each batch emits one min/max row; the driver combine is
+    d-element); the (mins, scales) pair — 8 bytes/dim — is broadcast
+    once via ``ray.put``.  Phase B quantizes each batch's rows to u8
+    and scores asymmetric-distance cosine against the f32 query,
+    emitting top-k partials.  At 100 TB the u8 corpus would be the
+    resident/written form (4× less object store + heap than f32); this
+    lane quantizes on the fly from the f32 source to exercise the same
+    kernels.  Approximate (±quantization error) → rows-only driver
+    check; recall vs ``ann_bruteforce`` pinned in tests."""
+    import ray
+    import ray.data as rd
+
+    from fsray.dedup import normalize_rows
+    from fsray.quant import ScalarQuantizer, topk_by_score_then_id
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qvec = _query_vectors(sf_dir)[0]
+    qn = (qvec / (np.linalg.norm(qvec) or 1.0)).astype(np.float32)
+
+    def bounds_part(batch: pa.Table) -> pa.Table:
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
+                             ).astype(np.float32)
+        return pa.table({"mins": pa.array([mat.min(axis=0).tolist()]),
+                         "maxs": pa.array([mat.max(axis=0).tolist()])})
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    bp = ds.map_batches(bounds_part, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    mins = np.min(np.stack([np.asarray(x, dtype=np.float32)
+                            for x in bp["mins"]]), axis=0)
+    maxs = np.max(np.stack([np.asarray(x, dtype=np.float32)
+                            for x in bp["maxs"]]), axis=0)
+    rng = maxs - mins
+    scales = np.where(rng < np.finfo(np.float32).eps, np.float32(0.0),
+                      rng / np.float32(255.0))
+    pref = ray.put((mins, scales, qn))
+
+    def adc_part(batch: pa.Table) -> pa.Table:
+        p_mins, p_scales, p_q = ray.get(pref)
+        sq = ScalarQuantizer(p_mins, p_scales)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
+                             ).astype(np.float32)
+        keep = bids != 0
+        bids, mat = bids[keep], mat[keep]
+        cos = sq.cosine_quantized(sq.quantize(mat), p_q)
+        sel = topk_by_score_then_id(bids, cos, QUANT_K)
+        return pa.table({"vec_id": pa.array(bids[sel], type=pa.int64()),
+                         "cos": pa.array(cos[sel].astype(np.float64))})
+
+    parts = ds.map_batches(adc_part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    pids = parts["vec_id"].to_numpy()
+    pcos = parts["cos"].to_numpy()
+    sel = topk_by_score_then_id(pids, pcos, QUANT_K)
+    return pa.table({
+        "rank": pa.array(range(1, len(sel) + 1), type=pa.int64()),
+        "neighbor_id": pa.array(pids[sel], type=pa.int64()),
+    })
 
 
 def _query_vectors(sf_dir: str) -> dict[int, np.ndarray]:
@@ -1510,6 +1641,8 @@ def make_queries() -> dict:
         "ann_mmr": ann_mmr,
         "prf_search": prf_search,
         "rerank_search": rerank_search,
+        "ann_mrl": ann_mrl,
+        "ann_quantized": ann_quantized,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
     })

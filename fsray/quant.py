@@ -1,0 +1,186 @@
+"""Vector compression + adaptive-dimension search: int8 scalar
+quantization and Matryoshka (MRL) two-phase search.
+
+Semantic anchors (reference frankensearch):
+- ``ScalarQuantizer``: per-dimension min/max calibration (non-finite
+  values skipped), ``q = clamp(round((x-min)/scale), 0, 255)`` with
+  zero-scale constant dimensions mapping to 0, asymmetric-distance dot /
+  cosine against a full-precision query, and the documented error
+  bounds (``scale/2`` per dim; cosine ``<= max_scale * sqrt(d)``):
+  crates/frankensearch-index/src/quantization.rs:48-272.
+- MRL search: truncated first-``search_dims`` scan → bounded top-k pool
+  (score desc, index asc ties, NaN→-inf) → full-dimension rescore of
+  the pool, chunk-boundary-independent merge:
+  crates/frankensearch-index/src/mrl.rs:55-260,407-616.  Config laws:
+  ``rescore_dims`` ≥ ``search_dims`` (else the rescore would be
+  strictly worse than the scan), ``rescore_top_k`` default 3×limit,
+  fall back to a plain full-dim scan when ``search_dims`` ≥ the index
+  dimension.
+
+Why these matter at 100 TB: int8 storage is 4× less object-store /
+heap than f32 (the quantizer parameters are 2 f32 per dimension,
+broadcast once via ``ray.put``), and the truncated scan reads only
+``search_dims/d`` of each batch's FLOPs — both are per-batch
+``map_batches`` kernels with driver-side top-k merges, the same shape
+as ``ann_bruteforce``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class ScalarQuantizer:
+    """Per-dimension u8 scalar quantizer (quantization.rs:48-272),
+    vectorized over row matrices."""
+
+    def __init__(self, mins: np.ndarray, scales: np.ndarray):
+        self.mins = np.asarray(mins, dtype=np.float32)
+        self.scales = np.asarray(scales, dtype=np.float32)
+        if self.mins.shape != self.scales.shape or self.mins.ndim != 1:
+            raise ValueError("mins/scales must be equal-length 1-D")
+
+    @property
+    def dims(self) -> int:
+        return len(self.mins)
+
+    @classmethod
+    def fit(cls, mat: np.ndarray) -> "ScalarQuantizer":
+        """Calibrate per-dimension [min, max] over training rows;
+        non-finite entries are skipped (a NaN would otherwise corrupt
+        the bounds — quantization.rs:78-90)."""
+        mat = np.asarray(mat, dtype=np.float32)
+        if mat.ndim != 2 or mat.shape[0] == 0:
+            raise ValueError("need a non-empty 2-D training matrix")
+        masked = np.ma.masked_invalid(mat)
+        mins = masked.min(axis=0).filled(np.float32(np.inf)).astype(np.float32)
+        maxs = masked.max(axis=0).filled(np.float32(-np.inf)).astype(np.float32)
+        rng = maxs - mins
+        scales = np.where(rng < np.finfo(np.float32).eps,
+                          np.float32(0.0), rng / np.float32(255.0))
+        # an all-non-finite dimension behaves as constant (scale 0, min 0)
+        bad = ~np.isfinite(mins)
+        mins = np.where(bad, np.float32(0.0), mins)
+        scales = np.where(bad, np.float32(0.0), scales)
+        return cls(mins, scales.astype(np.float32))
+
+    def quantize(self, mat: np.ndarray) -> np.ndarray:
+        """Rows → u8: ``clamp(round((x-min)/scale), 0, 255)``; constant
+        dimensions → 0; NaN → 0 (quantization.rs:117-143)."""
+        mat = np.asarray(mat, dtype=np.float32)
+        safe = np.where(self.scales > 0, self.scales, np.float32(1.0))
+        with np.errstate(invalid="ignore"):
+            q = np.rint((mat - self.mins) / safe)
+        q = np.where(np.isnan(q), 0.0, np.clip(q, 0.0, 255.0))
+        q = np.where(self.scales > 0, q, 0.0)
+        return q.astype(np.uint8)
+
+    def dequantize(self, qmat: np.ndarray) -> np.ndarray:
+        """u8 rows → f32: ``q * scale + min`` (quantization.rs:146-166)."""
+        return (np.asarray(qmat, dtype=np.float32) * self.scales
+                + self.mins).astype(np.float32)
+
+    def dot_quantized(self, qmat: np.ndarray, query: np.ndarray) -> np.ndarray:
+        """Asymmetric-distance dot products: stored rows dequantized
+        on the fly, query stays f32 (quantization.rs:168-196)."""
+        return self.dequantize(qmat) @ np.asarray(query, dtype=np.float32)
+
+    def cosine_quantized(self, qmat: np.ndarray,
+                         query: np.ndarray) -> np.ndarray:
+        """ADC cosine; zero denominators → 0.0
+        (quantization.rs:198-220)."""
+        deq = self.dequantize(qmat)
+        query = np.asarray(query, dtype=np.float32)
+        dot = deq @ query
+        denom = (np.linalg.norm(deq, axis=1)
+                 * np.float32(np.linalg.norm(query)))
+        eps = np.finfo(np.float32).eps
+        return np.where(denom < eps, np.float32(0.0),
+                        dot / np.where(denom < eps, 1.0, denom))
+
+    def max_error_per_dim(self) -> np.ndarray:
+        """Half a quantization step per dimension
+        (quantization.rs:252-258)."""
+        return self.scales / 2.0
+
+    def cosine_error_bound(self) -> float:
+        """``max_scale * sqrt(d)`` for unit-normalized vectors
+        (quantization.rs:260-272 — scales already store range/255)."""
+        return float(self.scales.max(initial=0.0) * np.sqrt(self.dims))
+
+    def quantized_vector_bytes(self) -> int:
+        return self.dims  # 1 byte/dim (4x vs f32)
+
+    def parameter_bytes(self) -> int:
+        return self.dims * 4 * 2  # mins + scales, f32 each
+
+
+# ---------------------------------------------------------------------------
+# MRL two-phase search (mrl.rs)
+
+
+@dataclass
+class MrlConfig:
+    """mrl.rs:55-113 — defaults 64 / 0 (=full dim) / 0 (=3×limit)."""
+    search_dims: int = 64
+    rescore_dims: int = 0
+    rescore_top_k: int = 0
+
+    def effective_rescore_dims(self, index_dim: int) -> int:
+        dims = (index_dim if self.rescore_dims == 0
+                or self.rescore_dims > index_dim else self.rescore_dims)
+        # rescore never uses fewer dims than the scan (mrl.rs:91-105)
+        return max(dims, self.search_dims)
+
+    def effective_rescore_top_k(self, limit: int) -> int:
+        return self.rescore_top_k if self.rescore_top_k else limit * 3
+
+
+def nan_safe(scores: np.ndarray) -> np.ndarray:
+    """NaN scores sort below everything (mrl.rs:176-182)."""
+    return np.where(np.isnan(scores), -np.inf, scores)
+
+
+def topk_by_score_then_id(ids: np.ndarray, scores: np.ndarray,
+                          k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, id asc) — the MRL heap's
+    total order, which makes chunked merges boundary-independent
+    (mrl.rs:184-224)."""
+    order = np.lexsort((ids, -nan_safe(np.asarray(scores, dtype=np.float64))))
+    return order[:k]
+
+
+def mrl_search_matrix(mat: np.ndarray, ids: np.ndarray, query: np.ndarray,
+                      limit: int, config: MrlConfig,
+                      ) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Single-matrix MRL reference kernel (the per-shard / in-test
+    oracle): truncated dot scan → pool → full-dim rescore.  Returns
+    (ids, scores, stats).  The Ray lane in ``fsray/pipelines.py``
+    distributes phase 1 per batch and reproduces this exactly because
+    the pool order is total (mrl.rs:212-224 merge law)."""
+    mat = np.asarray(mat, dtype=np.float32)
+    query = np.asarray(query, dtype=np.float32)
+    d = mat.shape[1]
+    if query.shape[0] != d:
+        raise ValueError(f"query dim {query.shape[0]} != index dim {d}")
+    if config.search_dims < 1:
+        raise ValueError("search_dims must be >= 1")
+    if config.search_dims >= d:
+        # no truncation benefit: plain full-dim scan (mrl.rs:241-249)
+        scores = mat @ query
+        sel = topk_by_score_then_id(ids, scores, limit)
+        return ids[sel], scores[sel].astype(np.float64), {
+            "scan_dims": d, "rescore_dims": d, "candidates_rescored": 0,
+            "records_scanned": len(ids)}
+    sd = config.search_dims
+    pool_k = config.effective_rescore_top_k(limit)
+    rd = config.effective_rescore_dims(d)
+    part = mat[:, :sd] @ query[:sd]
+    pool = topk_by_score_then_id(ids, part, pool_k)
+    rescored = mat[pool, :rd] @ query[:rd]
+    sel = topk_by_score_then_id(ids[pool], rescored, limit)
+    return (ids[pool][sel], rescored[sel].astype(np.float64), {
+        "scan_dims": sd, "rescore_dims": rd,
+        "candidates_rescored": len(pool), "records_scanned": len(ids)})

@@ -1,0 +1,213 @@
+"""Scalar-quantization and MRL-search laws (reference
+frankensearch-index/src/{quantization,mrl}.rs) plus the distributed
+lane ≡ reference kernel conformance."""
+
+import numpy as np
+import pytest
+
+from fsray.quant import (
+    MrlConfig,
+    ScalarQuantizer,
+    mrl_search_matrix,
+    nan_safe,
+    topk_by_score_then_id,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def unit_rows(n, d, rng=RNG):
+    m = rng.normal(size=(n, d))
+    return (m / np.linalg.norm(m, axis=1, keepdims=True)).astype(np.float32)
+
+
+# ─── ScalarQuantizer ────────────────────────────────────────────────────
+
+
+def test_quantize_roundtrip_error_bounded():
+    m = unit_rows(64, 32)
+    sq = ScalarQuantizer.fit(m)
+    err = np.abs(sq.dequantize(sq.quantize(m)) - m)
+    # per-dimension bound: half a quantization step (+f32 slack)
+    bound = sq.max_error_per_dim() + 1e-6
+    assert (err <= bound[None, :]).all()
+
+
+def test_constant_dimension_maps_to_zero_and_restores_min():
+    m = np.array([[1.5, 0.0], [1.5, 1.0], [1.5, 2.0]], dtype=np.float32)
+    sq = ScalarQuantizer.fit(m)
+    q = sq.quantize(m)
+    assert (q[:, 0] == 0).all()
+    deq = sq.dequantize(q)
+    assert np.allclose(deq[:, 0], 1.5)
+
+
+def test_fit_skips_non_finite_values():
+    m = np.array([[np.nan, 0.0], [1.0, 1.0], [3.0, np.inf]], dtype=np.float32)
+    sq = ScalarQuantizer.fit(m)
+    assert sq.mins[0] == 1.0 and sq.scales[0] == pytest.approx(2.0 / 255)
+    assert sq.mins[1] == 0.0 and sq.scales[1] == pytest.approx(1.0 / 255)
+    # NaN input quantizes to 0, not UB
+    assert sq.quantize(m)[0, 0] == 0
+
+
+def test_all_nonfinite_dimension_is_constant_zero():
+    m = np.array([[np.nan, 1.0], [np.inf, 2.0]], dtype=np.float32)
+    sq = ScalarQuantizer.fit(m)
+    assert sq.mins[0] == 0.0 and sq.scales[0] == 0.0
+    assert (sq.quantize(m)[:, 0] == 0).all()
+
+
+def test_adc_cosine_within_error_bound():
+    m = unit_rows(128, 64)
+    q = unit_rows(1, 64)[0]
+    sq = ScalarQuantizer.fit(m)
+    exact = m @ q
+    adc = sq.cosine_quantized(sq.quantize(m), q)
+    bound = sq.cosine_error_bound()
+    assert bound < 0.1  # the ~2% claim for unit vectors scales with d
+    assert np.abs(adc - exact).max() <= bound + 1e-5
+
+
+def test_memory_accounting():
+    sq = ScalarQuantizer.fit(unit_rows(4, 384))
+    assert sq.quantized_vector_bytes() == 384  # 4x vs f32's 1536
+    assert sq.parameter_bytes() == 384 * 8
+
+
+def test_dot_quantized_matches_dequantized_dot():
+    m = unit_rows(16, 8)
+    q = unit_rows(1, 8)[0]
+    sq = ScalarQuantizer.fit(m)
+    qm = sq.quantize(m)
+    assert np.allclose(sq.dot_quantized(qm, q), sq.dequantize(qm) @ q)
+
+
+# ─── MRL config + kernel laws ───────────────────────────────────────────
+
+
+def test_mrl_config_effective_laws():
+    c = MrlConfig(search_dims=64)
+    assert c.effective_rescore_dims(384) == 384     # 0 => full dim
+    assert c.effective_rescore_top_k(10) == 30      # 0 => 3x limit
+    c2 = MrlConfig(search_dims=128, rescore_dims=64, rescore_top_k=7)
+    assert c2.effective_rescore_dims(384) == 128    # never below scan dims
+    assert c2.effective_rescore_top_k(10) == 7
+    c3 = MrlConfig(search_dims=64, rescore_dims=9999)
+    assert c3.effective_rescore_dims(384) == 384    # clamped to index dim
+
+
+def test_mrl_full_dims_falls_back_to_plain_scan():
+    m = unit_rows(50, 16)
+    ids = np.arange(50, dtype=np.int64) * 3
+    q = unit_rows(1, 16)[0]
+    got_ids, got_scores, stats = mrl_search_matrix(
+        m, ids, q, 5, MrlConfig(search_dims=16))
+    scores = m @ q
+    sel = topk_by_score_then_id(ids, scores, 5)
+    assert (got_ids == ids[sel]).all()
+    assert stats["candidates_rescored"] == 0
+
+
+def test_mrl_nan_safe_and_tiebreak():
+    scores = np.array([0.5, np.nan, 0.5, 0.9])
+    ids = np.array([7, 1, 3, 9], dtype=np.int64)
+    sel = topk_by_score_then_id(ids, scores, 4)
+    # 0.9 first; the 0.5 tie breaks id-asc (3 before 7); NaN last
+    assert ids[sel].tolist() == [9, 3, 7, 1]
+    assert nan_safe(scores)[1] == -np.inf
+
+
+def test_mrl_recall_on_matryoshka_like_matrix():
+    """When early dimensions carry the energy (the MRL training
+    property, mrl.rs module docs), the truncated scan + rescore
+    recovers the exact top-k."""
+    rng = np.random.default_rng(7)
+    d, n = 64, 400
+    decay = np.exp(-np.arange(d) / 8.0)           # energy front-loaded
+    m = rng.normal(size=(n, d)) * decay
+    m = (m / np.linalg.norm(m, axis=1, keepdims=True)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    q = (rng.normal(size=d) * decay).astype(np.float32)
+    q /= np.linalg.norm(q)
+    exact_sel = topk_by_score_then_id(ids, m @ q, 10)
+    got_ids, got_scores, stats = mrl_search_matrix(
+        m, ids, q, 10, MrlConfig(search_dims=16))
+    assert stats["scan_dims"] == 16 and stats["rescore_dims"] == 64
+    recall = len(set(got_ids) & set(ids[exact_sel])) / 10
+    assert recall >= 0.9, recall
+    # rescored scores are EXACT full-dim cosines for the returned ids
+    assert np.allclose(got_scores, (m[got_ids] @ q).astype(np.float64),
+                       atol=1e-6)
+
+
+def test_mrl_chunked_merge_boundary_independent():
+    """Per-chunk pool partials merged under the (score desc, id asc)
+    total order equal the single-matrix pool (mrl.rs:212-224)."""
+    m = unit_rows(300, 32, np.random.default_rng(3))
+    ids = np.arange(300, dtype=np.int64)
+    q = unit_rows(1, 32, np.random.default_rng(4))[0]
+    cfg = MrlConfig(search_dims=8)
+    pool_k = cfg.effective_rescore_top_k(10)
+    part = m[:, :8] @ q[:8]
+    whole = ids[topk_by_score_then_id(ids, part, pool_k)]
+    for n_chunks in (2, 3, 7):
+        cid, cscore = [], []
+        for ch in np.array_split(np.arange(300), n_chunks):
+            s = m[ch][:, :8] @ q[:8]
+            sel = topk_by_score_then_id(ids[ch], s, pool_k)
+            cid.append(ids[ch][sel])
+            cscore.append(s[sel])
+        cid = np.concatenate(cid)
+        cscore = np.concatenate(cscore)
+        merged = cid[topk_by_score_then_id(cid, cscore, pool_k)]
+        assert (merged == whole).all(), n_chunks
+
+
+# ─── Ray lane conformance ───────────────────────────────────────────────
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _full_matrix(sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fsray.dedup import normalize_rows
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    return ids, normalize_rows(flat.astype(np.float64).reshape(len(ids), -1))
+
+
+def test_ann_mrl_lane_equals_reference_kernel(ray_session):
+    """The distributed phase-1 + filtered-read phase-2 lane returns
+    EXACTLY what the single-matrix reference kernel returns — the
+    conformance law that matters regardless of embedding family
+    (synthetic testdata is not MRL-trained, so recall vs exact is not
+    the pinned property; kernel equality is)."""
+    from fsray.pipelines import MRL_K, MRL_SEARCH_DIMS, ann_mrl
+    got = ann_mrl(SF_DIR).to_pandas()
+    ids, mat = _full_matrix(SF_DIR)
+    keep = ids != 0
+    qvec = mat[ids == 0][0]
+    want_ids, _, _ = mrl_search_matrix(
+        mat[keep].astype(np.float32), ids[keep],
+        (qvec / np.linalg.norm(qvec)).astype(np.float32),
+        MRL_K, MrlConfig(search_dims=MRL_SEARCH_DIMS))
+    assert got["neighbor_id"].tolist() == want_ids.tolist()
+
+
+def test_ann_quantized_lane_recall(ray_session):
+    """ADC-cosine over on-the-fly u8 rows recovers the exact top-5
+    (quantization error ≪ neighbor gaps at this sf); deterministic."""
+    from fsray.pipelines import ann_bruteforce, ann_quantized
+    bf = ann_bruteforce(SF_DIR).to_pandas()
+    bf0 = set(bf[bf.query_id == 0].neighbor_id)
+    got = ann_quantized(SF_DIR).to_pandas()
+    got2 = ann_quantized(SF_DIR).to_pandas()
+    assert got.equals(got2)
+    recall = len(set(got.neighbor_id[:5]) & bf0) / 5
+    assert recall >= 0.8, recall
