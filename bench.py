@@ -143,6 +143,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_graph_pagerank", P.graph_pagerank),
         ("x_hash_embed_ann", P.hash_embed_ann),
         ("x_rerank_search", P.rerank_search),
+        ("x_ann_mrl", P.ann_mrl),
+        ("x_ann_quantized", P.ann_quantized),
+        ("x_two_tier_search", P.two_tier_search),
     ]:
         t0 = time.perf_counter()
         fn(sf_dir)

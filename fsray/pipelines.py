@@ -969,6 +969,88 @@ def ann_quantized(sf_dir: str) -> pa.Table:
     })
 
 
+def two_tier_search(sf_dir: str) -> pa.Table:
+    """Two-tier vector search for query 0 (two_tier.rs:1262-1632 +
+    blend.rs:107-192): the FAST tier is the reference's default fast
+    scan — the int8 two-pass (two_tier.rs:1330-1344
+    ``search_top_k_int8_two_pass``) — run as a DISTRIBUTED ADC-cosine
+    scan over on-the-fly u8 rows (3×k candidate pool, the
+    FAST_TIER_MULT); the QUALITY tier rescores ONLY those pool hits at
+    full f32 precision via a row-filtered parquet read
+    (``quality_scores_for_hits``: k rows, never a scan); then
+    ``blend_two_tier`` fuses the two normalized arms (α = 0.7).
+    Rows-only driver check; the blend law vs an independent full-matrix
+    recomputation and the ``TwoTierIndex`` ladder laws are pinned in
+    ``tests/test_twotier.py``."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from fsray.dedup import normalize_rows
+    from fsray.fuse import blend_two_tier
+    from fsray.quant import ScalarQuantizer, topk_by_score_then_id
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qvec = _query_vectors(sf_dir)[0]
+    qn = (qvec / (np.linalg.norm(qvec) or 1.0)).astype(np.float32)
+    pool_k = 3 * MRL_K  # FAST_TIER_MULT (two_tier.rs:1333)
+
+    def bounds_part(batch: pa.Table) -> pa.Table:
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
+                             ).astype(np.float32)
+        return pa.table({"mins": pa.array([mat.min(axis=0).tolist()]),
+                         "maxs": pa.array([mat.max(axis=0).tolist()])})
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    bp = ds.map_batches(bounds_part, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    mins = np.min(np.stack([np.asarray(x, dtype=np.float32)
+                            for x in bp["mins"]]), axis=0)
+    maxs = np.max(np.stack([np.asarray(x, dtype=np.float32)
+                            for x in bp["maxs"]]), axis=0)
+    rng = maxs - mins
+    scales = np.where(rng < np.finfo(np.float32).eps, np.float32(0.0),
+                      rng / np.float32(255.0))
+    pref = ray.put((mins, scales, qn))
+
+    def fast_part(batch: pa.Table) -> pa.Table:
+        p_mins, p_scales, p_q = ray.get(pref)
+        sq = ScalarQuantizer(p_mins, p_scales)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
+                             ).astype(np.float32)
+        keep = bids != 0
+        bids, mat = bids[keep], mat[keep]
+        cos = sq.cosine_quantized(sq.quantize(mat), p_q)
+        sel = topk_by_score_then_id(bids, cos, pool_k)
+        return pa.table({"vec_id": pa.array(bids[sel], type=pa.int64()),
+                         "cos": pa.array(cos[sel].astype(np.float64))})
+
+    parts = ds.map_batches(fast_part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    pids = parts["vec_id"].to_numpy()
+    pcos = parts["cos"].to_numpy()
+    psel = topk_by_score_then_id(pids, pcos, pool_k)
+    fast = [(int(d), float(s)) for d, s in zip(pids[psel], pcos[psel])]
+    # quality tier: exact f32 rescore of the pool rows only
+    ct = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", [d for d, _ in fast])])
+    cids = ct["vec_id"].to_numpy().astype(np.int64)
+    cmat = normalize_rows(
+        ct["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64).reshape(len(cids), -1))
+    qfull = qvec / (np.linalg.norm(qvec) or 1.0)
+    quality = [(int(d), float(s)) for d, s in zip(cids, cmat @ qfull)]
+    blended = blend_two_tier(fast, quality, limit=MRL_K)
+    return pa.table({
+        "rank": pa.array(range(1, len(blended) + 1), type=pa.int64()),
+        "neighbor_id": pa.array([d for d, _ in blended], type=pa.int64()),
+        "blend_score": pa.array([s for _, s in blended], type=pa.float64()),
+    })
+
+
 def _query_vectors(sf_dir: str) -> dict[int, np.ndarray]:
     """Probe vectors only — row-filter pushdown, never the full matrix."""
     import pyarrow.parquet as pq
@@ -1643,6 +1725,7 @@ def make_queries() -> dict:
         "rerank_search": rerank_search,
         "ann_mrl": ann_mrl,
         "ann_quantized": ann_quantized,
+        "two_tier_search": two_tier_search,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
     })

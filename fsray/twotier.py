@@ -1,0 +1,125 @@
+"""Two-tier vector search: fast-tier candidate generation + quality-tier
+per-hit rescoring with doc-aligned fallbacks.
+
+Semantic anchors (reference frankensearch,
+crates/frankensearch-index/src/two_tier.rs):
+- ``search_fast`` (two_tier.rs:1262-1344): the fast tier is a CANDIDATE
+  GENERATOR — ANN when available (exact-scan degradation is counted on
+  a monotonic fallback counter, :1296-1310,1659-1665), else the MRL
+  truncated scan when ``mrl_search_dims`` is configured and smaller
+  than the index dimension (:1313-1321), else the full exact scan.
+- ``quality_scores_for_hits`` (two_tier.rs:1566-1632): per-hit quality
+  dot product against the SAME doc ids; a doc missing from the quality
+  tier yields ``None`` (never an error, never a dropped hit); no
+  quality index at all yields all-``None``; a query/dimension mismatch
+  is an error.
+- Downstream blend: ``fsray.fuse.blend_two_tier`` (blend.rs:107-192) —
+  both arms normalized, α·quality + (1−α)·fast, single-arm docs keep
+  their normalized single-arm score.
+
+Ray shape: the fast tier runs as distributed per-batch truncated-scan
+partials (the ``ann_mrl`` phase-1 kernel); the quality rescore reads
+ONLY the hit rows via parquet row-filter pushdown — at 100 TB the
+quality tier is k rows, never a table scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class TwoTierError(ValueError):
+    pass
+
+
+class TwoTierIndex:
+    """In-memory two-tier wrapper over (ids, fast_matrix) +
+    optional (ids, quality_matrix) — the per-shard / in-test kernel.
+    The distributed lane in ``fsray/pipelines.py`` reproduces it with
+    batch partials + filtered reads."""
+
+    def __init__(self, fast_ids: np.ndarray, fast_mat: np.ndarray,
+                 quality_ids: np.ndarray | None = None,
+                 quality_mat: np.ndarray | None = None,
+                 mrl_search_dims: int = 0):
+        self.fast_ids = np.asarray(fast_ids, dtype=np.int64)
+        self.fast_mat = np.asarray(fast_mat, dtype=np.float32)
+        self.quality_ids = (None if quality_ids is None
+                            else np.asarray(quality_ids, dtype=np.int64))
+        self.quality_mat = (None if quality_mat is None
+                            else np.asarray(quality_mat, dtype=np.float32))
+        self.mrl_search_dims = mrl_search_dims
+        self.ann_fallback_count = 0  # two_tier.rs:1659-1665
+        self._q_row = ({} if self.quality_ids is None else
+                       {int(d): i for i, d in enumerate(self.quality_ids)})
+
+    @property
+    def has_quality_index(self) -> bool:
+        return self.quality_mat is not None
+
+    def search_fast(self, query: np.ndarray, k: int,
+                    ann_index=None) -> list[tuple[int, float]]:
+        """Fast-tier candidates, best-first [(doc_id, score)].
+
+        Tier ladder (two_tier.rs:1281-1344): ``ann_index`` (an object
+        with ``query(qvec, k) -> (ids, sims)`` e.g. ``fsray.ann``'s
+        HNSW/IVF) owns retrieval when given — an underfilled answer
+        (< k hits with ≥ k records) degrades to the exact scan and
+        bumps ``ann_fallback_count``; else the MRL truncated scan when
+        configured; else the exact scan."""
+        from fsray.quant import MrlConfig, mrl_search_matrix, topk_by_score_then_id
+        query = np.asarray(query, dtype=np.float32)
+        if query.shape[0] != self.fast_mat.shape[1]:
+            raise TwoTierError(
+                f"query dim {query.shape[0]} != fast dim "
+                f"{self.fast_mat.shape[1]}")
+        if ann_index is not None:
+            ids, sims = ann_index.query(query, k)
+            if len(ids) >= min(k, len(self.fast_ids)):
+                return [(int(d), float(s)) for d, s in zip(ids, sims)]
+            # degraded: exact repair, observable via the counter
+            self.ann_fallback_count += 1
+        if 0 < self.mrl_search_dims < self.fast_mat.shape[1]:
+            ids, scores, _ = mrl_search_matrix(
+                self.fast_mat, self.fast_ids, query, k,
+                MrlConfig(search_dims=self.mrl_search_dims))
+            return [(int(d), float(s)) for d, s in zip(ids, scores)]
+        scores = self.fast_mat @ query
+        sel = topk_by_score_then_id(self.fast_ids, scores, k)
+        return [(int(self.fast_ids[i]), float(scores[i])) for i in sel]
+
+    def quality_scores_for_hits(self, query: np.ndarray,
+                                hit_ids: list[int]) -> list[float | None]:
+        """Per-hit quality-tier dot products, doc-id aligned
+        (two_tier.rs:1566-1632): no quality index → all None; a hit
+        missing from the quality tier → None (hit kept); dimension
+        mismatch → error."""
+        if self.quality_mat is None:
+            return [None] * len(hit_ids)
+        query = np.asarray(query, dtype=np.float32)
+        if query.shape[0] != self.quality_mat.shape[1]:
+            raise TwoTierError(
+                f"query dim {query.shape[0]} != quality dim "
+                f"{self.quality_mat.shape[1]}")
+        out: list[float | None] = []
+        for d in hit_ids:
+            row = self._q_row.get(int(d))
+            out.append(None if row is None
+                       else float(self.quality_mat[row] @ query))
+        return out
+
+    def search_blended(self, fast_query: np.ndarray,
+                       quality_query: np.ndarray, k: int,
+                       blend_factor: float = 0.7,
+                       fast_k: int | None = None,
+                       ann_index=None) -> list[tuple[int, float]]:
+        """fast candidates → quality rescore of those hits only →
+        ``blend_two_tier`` (the sync searcher's progressive shape:
+        quality never sees more than the fast pool)."""
+        from fsray.fuse import blend_two_tier
+        pool = self.search_fast(fast_query, fast_k or 3 * k, ann_index)
+        hit_ids = [d for d, _ in pool]
+        qscores = self.quality_scores_for_hits(quality_query, hit_ids)
+        quality = [(d, s) for d, s in zip(hit_ids, qscores) if s is not None]
+        return [(int(d), float(s)) for d, s in
+                blend_two_tier(pool, quality, blend_factor, limit=k)]

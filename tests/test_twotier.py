@@ -1,0 +1,167 @@
+"""Two-tier search laws (reference two_tier.rs:1262-1665): fast-tier
+ladder (ANN → degraded-to-exact with the observable fallback counter →
+MRL → exact), doc-aligned quality rescoring with None fallbacks, the
+dimension-mismatch errors, and the distributed lane ≡ independent
+full-matrix blend recomputation."""
+
+import numpy as np
+import pytest
+
+from fsray.twotier import TwoTierError, TwoTierIndex
+
+RNG = np.random.default_rng(11)
+
+
+def unit_rows(n, d, rng=RNG):
+    m = rng.normal(size=(n, d))
+    return (m / np.linalg.norm(m, axis=1, keepdims=True)).astype(np.float32)
+
+
+def make_index(n=40, d=16, quality=True, mrl=0):
+    ids = np.arange(n, dtype=np.int64) * 2  # non-contiguous doc ids
+    fast = unit_rows(n, d)
+    if quality:
+        return TwoTierIndex(ids, fast, ids.copy(), unit_rows(n, d),
+                            mrl_search_dims=mrl), ids, fast
+    return TwoTierIndex(ids, fast, mrl_search_dims=mrl), ids, fast
+
+
+class FakeAnn:
+    """Returns a pre-set answer; lets tests drive the underfill path."""
+
+    def __init__(self, ids, sims):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.sims = np.asarray(sims, dtype=np.float64)
+
+    def query(self, qvec, k):
+        return self.ids[:k], self.sims[:k]
+
+
+def test_search_fast_exact_scan_order():
+    idx, ids, fast = make_index()
+    q = unit_rows(1, 16)[0]
+    hits = idx.search_fast(q, 5)
+    scores = fast @ q
+    order = np.lexsort((ids, -scores))[:5]
+    assert [d for d, _ in hits] == [int(ids[i]) for i in order]
+    assert all(np.isclose(s, scores[i]) for (_, s), i in zip(hits, order))
+
+
+def test_search_fast_ann_owns_retrieval_when_filled():
+    idx, ids, _ = make_index()
+    ann = FakeAnn([6, 2, 4], [0.9, 0.8, 0.7])
+    hits = idx.search_fast(unit_rows(1, 16)[0], 3, ann_index=ann)
+    assert [d for d, _ in hits] == [6, 2, 4]
+    assert idx.ann_fallback_count == 0
+
+
+def test_search_fast_ann_underfill_degrades_and_counts():
+    """two_tier.rs:1296-1310: a degraded ANN answer falls back to the
+    exact scan and bumps the monotonic fallback counter."""
+    idx, ids, fast = make_index()
+    ann = FakeAnn([6], [0.9])  # 1 hit for k=5 over 40 records
+    q = unit_rows(1, 16)[0]
+    hits = idx.search_fast(q, 5, ann_index=ann)
+    assert idx.ann_fallback_count == 1
+    scores = fast @ q
+    order = np.lexsort((ids, -scores))[:5]
+    assert [d for d, _ in hits] == [int(ids[i]) for i in order]
+    idx.search_fast(q, 5, ann_index=ann)
+    assert idx.ann_fallback_count == 2  # monotonic
+
+
+def test_search_fast_mrl_ladder_rung():
+    idx, ids, fast = make_index(mrl=4)
+    from fsray.quant import MrlConfig, mrl_search_matrix
+    q = unit_rows(1, 16)[0]
+    hits = idx.search_fast(q, 5)
+    want_ids, want_scores, _ = mrl_search_matrix(
+        fast, ids, q, 5, MrlConfig(search_dims=4))
+    assert [d for d, _ in hits] == want_ids.tolist()
+
+
+def test_search_fast_dim_mismatch():
+    idx, _, _ = make_index()
+    with pytest.raises(TwoTierError):
+        idx.search_fast(unit_rows(1, 8)[0], 5)
+
+
+def test_quality_scores_none_without_quality_index():
+    idx, _, _ = make_index(quality=False)
+    assert not idx.has_quality_index
+    out = idx.quality_scores_for_hits(unit_rows(1, 16)[0], [0, 2, 4])
+    assert out == [None, None, None]
+
+
+def test_quality_scores_doc_aligned_with_missing_none():
+    """two_tier.rs:1566-1632: hits missing from the quality tier get
+    None — kept, never dropped, never an error."""
+    ids = np.array([10, 20, 30], dtype=np.int64)
+    fast = unit_rows(3, 8)
+    qids = np.array([10, 30], dtype=np.int64)  # 20 missing
+    qmat = unit_rows(2, 8)
+    idx = TwoTierIndex(ids, fast, qids, qmat)
+    q = unit_rows(1, 8)[0]
+    out = idx.quality_scores_for_hits(q, [10, 20, 30, 99])
+    assert out[1] is None and out[3] is None
+    assert out[0] == pytest.approx(float(qmat[0] @ q))
+    assert out[2] == pytest.approx(float(qmat[1] @ q))
+
+
+def test_quality_scores_dim_mismatch():
+    idx, _, _ = make_index()
+    with pytest.raises(TwoTierError):
+        idx.quality_scores_for_hits(unit_rows(1, 4)[0], [0])
+
+
+def test_search_blended_matches_manual_blend():
+    from fsray.fuse import blend_two_tier
+    idx, ids, fast = make_index()
+    q = unit_rows(1, 16)[0]
+    got = idx.search_blended(q, q, 5)
+    pool = idx.search_fast(q, 15)
+    qs = idx.quality_scores_for_hits(q, [d for d, _ in pool])
+    quality = [(d, s) for (d, _), s in zip(pool, qs) if s is not None]
+    want = blend_two_tier(pool, quality, 0.7, limit=5)
+    assert [(d, pytest.approx(s)) for d, s in want] == got
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_two_tier_lane_matches_independent_recompute(ray_session):
+    """The distributed lane (u8 ADC fast pool + filtered f32 rescore +
+    blend) equals an independent full-matrix recomputation of the same
+    laws — and is deterministic."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fsray.dedup import normalize_rows
+    from fsray.fuse import blend_two_tier
+    from fsray.pipelines import MRL_K, two_tier_search
+    from fsray.quant import ScalarQuantizer, topk_by_score_then_id
+    got = two_tier_search(SF_DIR).to_pandas()
+    assert got.equals(two_tier_search(SF_DIR).to_pandas())
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    mat = normalize_rows(flat.astype(np.float64).reshape(len(ids), -1))
+    qvec = mat[ids == 0][0]
+    keep = ids != 0
+    ids, mat = ids[keep], mat[keep]
+    m32 = mat.astype(np.float32)
+    sq = ScalarQuantizer.fit(m32)
+    adc = sq.cosine_quantized(sq.quantize(m32), qvec.astype(np.float32))
+    psel = topk_by_score_then_id(ids, adc, 3 * MRL_K)
+    fast = [(int(d), float(s)) for d, s in zip(ids[psel], adc[psel])]
+    pool_ids = {d for d, _ in fast}
+    qsel = np.isin(ids, list(pool_ids))
+    quality = [(int(d), float(s))
+               for d, s in zip(ids[qsel], mat[qsel] @ qvec)]
+    want = blend_two_tier(fast, quality, limit=MRL_K)
+    assert got["neighbor_id"].tolist() == [d for d, _ in want]
+    for g, (_, s) in zip(got["blend_score"], want):
+        assert g == pytest.approx(s, rel=1e-9)
