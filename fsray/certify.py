@@ -1,0 +1,160 @@
+"""Distribution-free recall certification for approximate NN search.
+
+Semantic anchors (reference
+crates/frankensearch-index/src/recall_certificate.rs):
+- ``conformal_recall_lower_bound`` (rc.rs:29-73): split-conformal
+  per-query lower tolerance bound — rank ``⌊α·(n+1)⌋`` (1-indexed) of
+  the sorted calibration recalls; rank 0 ⇒ the trivial 0.0 (too few
+  samples to certify anything at this α, never an invented number);
+  non-finite entries ignored; finite-sample exact under
+  exchangeability.
+- ``mean_recall_lower_bound`` (rc.rs:75-103): Hoeffding
+  ``mean − sqrt(ln(1/δ)/(2n))``, clamped to [0, 1].
+- ``mean_recall_lower_bound_bernstein`` (rc.rs:105-140): empirical
+  Bernstein (Maurer & Pontil 2009)
+  ``mean − sqrt(2·V_n·ln(2/δ)/n) − 7·ln(2/δ)/(3(n−1))`` — tighter
+  than Hoeffding when recall variance is small (the usual case);
+  0.0 for n < 2.
+- ``certified_min_ef`` / ``certified_min_ef_mean`` (rc.rs:142-210):
+  the smallest ``ef_search`` whose certified bound meets the target
+  (candidates tried ef-ascending, so the first hit is the cheapest);
+  if none qualifies, the highest-bound candidate with
+  ``meets_target=False`` — the caller always learns the best
+  certifiable option instead of trusting the ``0.9+0.1·log2(ef/k)``
+  heuristic this module replaces.
+
+``calibrate_hnsw_recall`` produces the calibration samples: measured
+per-query recall@k of the HNSW graph vs the exact scan over a BOUNDED
+calibration sample (certification is a sample-sized activity by
+design — the certificate transfers to fresh queries by
+exchangeability, not by scanning the corpus).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def _finite(recalls) -> np.ndarray:
+    arr = np.asarray(list(recalls), dtype=np.float64)
+    return arr[np.isfinite(arr)]
+
+
+def conformal_recall_lower_bound(recalls, alpha: float) -> float:
+    """P(recall_new ≥ L) ≥ 1−α for a fresh exchangeable query
+    (rc.rs:29-73)."""
+    if not (0.0 <= alpha < 1.0):
+        return 0.0
+    arr = _finite(recalls)
+    n = len(arr)
+    if n == 0:
+        return 0.0
+    rank = int(math.floor(alpha * (n + 1)))
+    if rank == 0:
+        return 0.0
+    arr.sort()
+    return float(np.clip(arr[min(rank - 1, n - 1)], 0.0, 1.0))
+
+
+def mean_recall_lower_bound(recalls, delta: float) -> float:
+    """Hoeffding lower confidence bound on E[recall] (rc.rs:75-103)."""
+    if not (0.0 <= delta < 1.0):
+        return 0.0
+    arr = _finite(recalls)
+    n = len(arr)
+    if n == 0 or delta == 0.0:
+        return 0.0
+    radius = math.sqrt(math.log(1.0 / delta) / (2.0 * n))
+    return float(np.clip(arr.mean() - radius, 0.0, 1.0))
+
+
+def mean_recall_lower_bound_bernstein(recalls, delta: float) -> float:
+    """Empirical-Bernstein mean bound (rc.rs:105-140); 0.0 for n<2."""
+    if not (0.0 < delta < 1.0):
+        return 0.0
+    arr = _finite(recalls)
+    n = len(arr)
+    if n < 2:
+        return 0.0
+    mean = arr.mean()
+    var = float(((arr - mean) ** 2).sum()) / (n - 1)
+    ln = math.log(2.0 / delta)
+    bound = mean - math.sqrt(2.0 * var * ln / n) - 7.0 * ln / (3.0 * (n - 1))
+    return float(np.clip(bound, 0.0, 1.0))
+
+
+@dataclass(frozen=True)
+class CertifiedEf:
+    """rc.rs:142-155."""
+    ef_search: int
+    certified_recall: float
+    meets_target: bool
+
+
+def _certified_min(calibration, target: float, bound_fn) -> CertifiedEf | None:
+    best: CertifiedEf | None = None
+    for ef, recalls in sorted(calibration, key=lambda p: p[0]):
+        bound = bound_fn(recalls)
+        cand = CertifiedEf(int(ef), bound, bound >= target)
+        if cand.meets_target:
+            return cand  # ef-ascending: first hit is the cheapest
+        if best is None or bound > best.certified_recall:
+            best = cand
+    return best
+
+
+def certified_min_ef(calibration, target: float,
+                     alpha: float) -> CertifiedEf | None:
+    """Smallest ef whose CONFORMAL per-query bound meets target
+    (rc.rs:157-191); highest-bound fallback with meets_target=False."""
+    return _certified_min(calibration, target,
+                          lambda r: conformal_recall_lower_bound(r, alpha))
+
+
+def certified_min_ef_mean(calibration, target: float,
+                          delta: float) -> CertifiedEf | None:
+    """Smallest ef whose certified MEAN (empirical-Bernstein) bound
+    meets target (rc.rs:193-210+) — the weaker average-recall budget
+    that certifies a cheaper ef."""
+    return _certified_min(
+        calibration, target,
+        lambda r: mean_recall_lower_bound_bernstein(r, delta))
+
+
+def recall_at_k(approx_ids: np.ndarray, exact_ids: np.ndarray) -> float:
+    """Fraction of the exact top-k recovered (the crate's own
+    bruteforce comparison)."""
+    if len(exact_ids) == 0:
+        return 1.0
+    return len(set(approx_ids.tolist()) & set(exact_ids.tolist())) / len(exact_ids)
+
+
+def calibrate_hnsw_recall(ids: np.ndarray, vecs: np.ndarray,
+                          query_ids: list[int], k: int,
+                          ef_candidates: list[int],
+                          ) -> list[tuple[int, list[float]]]:
+    """Measured per-query recall@k of the HNSW graph vs the exact scan,
+    for each candidate ef — the calibration input to the certificates.
+    Runs on a BOUNDED sample (ids, vecs): certification needs a
+    calibration sample, not a corpus scan."""
+    from fsray.ann import HnswIndex
+    from fsray.dedup import normalize_rows
+    norm = normalize_rows(np.asarray(vecs, dtype=np.float64))
+    hnsw = HnswIndex(np.asarray(ids, dtype=np.int64), np.asarray(vecs))
+    id_row = {int(d): i for i, d in enumerate(ids)}
+    out = []
+    for ef in ef_candidates:
+        recalls = []
+        for q in query_ids:
+            qv = norm[id_row[int(q)]]
+            sims = norm @ qv
+            order = np.lexsort((ids, -sims))
+            exact = np.asarray([ids[i] for i in order
+                                if ids[i] != q][:k], dtype=np.int64)
+            approx, _ = hnsw.query(qv, k, ef=ef, exclude_id=int(q))
+            recalls.append(recall_at_k(approx, exact))
+        out.append((int(ef), recalls))
+    return out

@@ -1051,6 +1051,57 @@ def two_tier_search(sf_dir: str) -> pa.Table:
     })
 
 
+CERT_EFS = (8, 16, 32, 64)
+CERT_QUERIES = 24
+CERT_K = 5
+
+
+def ann_recall_certificate(sf_dir: str) -> pa.Table:
+    """Distribution-free ANN recall certification
+    (recall_certificate.rs): measure per-query recall@k of the HNSW
+    graph vs the exact scan over a BOUNDED calibration sample, then
+    emit the split-conformal per-query lower bound and the
+    empirical-Bernstein mean bound per candidate ``ef_search``, plus
+    whether the 0.9 recall budget is certified.  Certification is
+    sample-sized by design (the bound transfers to fresh queries by
+    exchangeability, not by scanning the corpus), so the in-memory
+    calibration matrix is capped — at 100 TB this stays exactly this
+    size.  Rows-only driver check; every bound law is pinned in
+    ``tests/test_certify.py`` against the reference's own test values."""
+    import pyarrow.parquet as pq
+
+    from fsray.certify import (calibrate_hnsw_recall,
+                               conformal_recall_lower_bound,
+                               mean_recall_lower_bound_bernstein)
+    CAP = 2048  # calibration sample cap (rows)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    if t.num_rows > CAP:
+        t = t.slice(0, CAP)
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    vecs = flat.astype(np.float64).reshape(len(ids), -1)
+    qids = [int(x) for x in ids[:CERT_QUERIES]]
+    cal = calibrate_hnsw_recall(ids, vecs, qids, CERT_K, list(CERT_EFS))
+    rows = {"ef_search": [], "conformal_bound": [],
+            "bernstein_mean_bound": [], "meets_target": []}
+    for ef, recalls in cal:
+        cb = conformal_recall_lower_bound(recalls, alpha=0.10)
+        bb = mean_recall_lower_bound_bernstein(recalls, delta=0.05)
+        rows["ef_search"].append(ef)
+        rows["conformal_bound"].append(cb)
+        rows["bernstein_mean_bound"].append(bb)
+        rows["meets_target"].append(cb >= 0.9)
+    return pa.table({
+        "ef_search": pa.array(rows["ef_search"], type=pa.int64()),
+        "conformal_bound": pa.array(rows["conformal_bound"],
+                                    type=pa.float64()),
+        "bernstein_mean_bound": pa.array(rows["bernstein_mean_bound"],
+                                         type=pa.float64()),
+        "meets_target": pa.array(rows["meets_target"], type=pa.bool_()),
+    })
+
+
 def _query_vectors(sf_dir: str) -> dict[int, np.ndarray]:
     """Probe vectors only — row-filter pushdown, never the full matrix."""
     import pyarrow.parquet as pq
@@ -1726,6 +1777,7 @@ def make_queries() -> dict:
         "ann_mrl": ann_mrl,
         "ann_quantized": ann_quantized,
         "two_tier_search": two_tier_search,
+        "ann_recall_certificate": ann_recall_certificate,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
     })

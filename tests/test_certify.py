@@ -1,0 +1,124 @@
+"""Recall-certification laws, mirroring the reference's own tests
+(recall_certificate.rs tests): order-statistic recovery, trivial-bound
+sentinels, monotonicity, finite-sample coverage, mean-bound tightening,
+Bernstein < Hoeffding on low variance, certified-min-ef selection."""
+
+import numpy as np
+import pytest
+
+from fsray.certify import (
+    CertifiedEf,
+    calibrate_hnsw_recall,
+    certified_min_ef,
+    certified_min_ef_mean,
+    conformal_recall_lower_bound,
+    mean_recall_lower_bound,
+    mean_recall_lower_bound_bernstein,
+    recall_at_k,
+)
+
+
+def test_conformal_trivial_when_sample_too_small():
+    # alpha=0.05, n=10 -> floor(0.05*11)=0 -> cannot certify > 0
+    assert conformal_recall_lower_bound([0.9] * 10, 0.05) == 0.0
+    # n=19 -> floor(0.05*20)=1 -> certifiable
+    assert conformal_recall_lower_bound([0.9] * 19, 0.05) > 0.0
+    assert conformal_recall_lower_bound([], 0.1) == 0.0
+    assert conformal_recall_lower_bound([0.9, 0.8], 0.0) == 0.0
+    assert conformal_recall_lower_bound([0.9, 0.8], 1.0) == 0.0
+
+
+def test_conformal_recovers_order_statistic():
+    # 99 values 0.01..0.99; alpha=0.1 -> rank floor(0.1*100)=10 -> 0.10
+    recalls = [i / 100.0 for i in range(1, 100)]
+    assert conformal_recall_lower_bound(recalls, 0.10) == pytest.approx(0.10)
+
+
+def test_conformal_monotone_in_alpha_and_ignores_nonfinite():
+    rng = np.random.default_rng(42)
+    recalls = rng.uniform(size=500).tolist()
+    strong = conformal_recall_lower_bound(recalls, 0.01)
+    weak = conformal_recall_lower_bound(recalls, 0.20)
+    assert strong <= weak
+    with_nan = recalls + [float("nan"), float("inf")] * 10
+    assert conformal_recall_lower_bound(with_nan, 0.20) == \
+        conformal_recall_lower_bound(recalls, 0.20)
+
+
+def test_conformal_finite_sample_coverage():
+    """THE validity law: a fresh draw falls below the bound at most
+    ~alpha of the time, for an arbitrary skewed recall law."""
+    rng = np.random.default_rng(0x5EED)
+    alpha, n_cal, trials = 0.10, 200, 2000
+    misses = 0
+    for _ in range(trials):
+        draws = 1.0 - (rng.uniform(size=n_cal + 1)
+                       * rng.uniform(size=n_cal + 1)) * 0.4
+        bound = conformal_recall_lower_bound(draws[:-1], alpha)
+        if draws[-1] < bound:
+            misses += 1
+    assert misses / trials <= alpha + 0.03, misses / trials
+
+
+def test_mean_bound_tightens_with_n():
+    small = mean_recall_lower_bound([0.95] * 30, 0.05)
+    large = mean_recall_lower_bound([0.95] * 3000, 0.05)
+    assert 0.0 <= small < large <= 0.95
+    assert large > 0.90
+
+
+def test_bernstein_tighter_than_hoeffding_on_low_variance():
+    # near-constant recalls: Bernstein's variance term wins
+    recalls = [0.98] * 200 + [0.95] * 10
+    h = mean_recall_lower_bound(recalls, 0.05)
+    b = mean_recall_lower_bound_bernstein(recalls, 0.05)
+    assert b > h
+    assert mean_recall_lower_bound_bernstein([0.9], 0.05) == 0.0  # n<2
+
+
+def test_certified_min_ef_picks_cheapest_meeting_target():
+    cal = [(64, [0.99] * 99), (16, [0.6] * 99), (32, [0.96] * 99)]
+    got = certified_min_ef(cal, target=0.9, alpha=0.10)
+    assert got == CertifiedEf(32, pytest.approx(0.96), True)
+
+
+def test_certified_min_ef_fallback_reports_best_certifiable():
+    cal = [(16, [0.5] * 99), (32, [0.7] * 99)]
+    got = certified_min_ef(cal, target=0.99, alpha=0.10)
+    assert got is not None and not got.meets_target
+    assert got.ef_search == 32  # highest certified bound, not the target
+    assert certified_min_ef([], 0.9, 0.1) is None
+
+
+def test_certified_min_ef_mean_certifies_cheaper_than_tail():
+    """A heavy-tailed but high-mean sample: the mean budget certifies
+    an ef the per-query tail bound gives up on (rc.rs:193-204)."""
+    recalls = [1.0] * 180 + [0.2] * 20  # mean 0.92, 10% tail at 0.2
+    cal = [(16, recalls)]
+    # conformal tail bound = 20th smallest = 0.2; Bernstein mean ~0.83
+    tail = certified_min_ef(cal, target=0.82, alpha=0.10)
+    mean = certified_min_ef_mean(cal, target=0.82, delta=0.05)
+    assert not tail.meets_target
+    assert mean.meets_target
+
+
+def test_recall_at_k():
+    assert recall_at_k(np.array([1, 2, 3]), np.array([2, 3, 4])) == \
+        pytest.approx(2 / 3)
+    assert recall_at_k(np.array([]), np.array([])) == 1.0
+
+
+def test_calibration_recall_improves_with_ef_and_lane_runs(ray_session):
+    """Measured HNSW calibration: recall is (weakly) monotone in ef on
+    average, and the driver lane emits a deterministic certificate."""
+    from fsray.pipelines import ann_recall_certificate
+    t = ann_recall_certificate("/root/testdata/sf0.001").to_pandas()
+    assert list(t.columns) == ["ef_search", "conformal_bound",
+                               "bernstein_mean_bound", "meets_target"]
+    assert t.equals(ann_recall_certificate("/root/testdata/sf0.001")
+                    .to_pandas())
+    assert (t["ef_search"].is_monotonic_increasing)
+    # bounds weakly improve with ef (allow tiny non-monotonic noise)
+    cb = t["conformal_bound"].to_numpy()
+    assert cb[-1] >= cb[0]
+    assert cb[-1] >= 0.8  # at max ef the graph is near-exact at this sf
