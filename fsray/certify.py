@@ -145,16 +145,20 @@ def calibrate_hnsw_recall(ids: np.ndarray, vecs: np.ndarray,
     norm = normalize_rows(np.asarray(vecs, dtype=np.float64))
     hnsw = HnswIndex(np.asarray(ids, dtype=np.int64), np.asarray(vecs))
     id_row = {int(d): i for i, d in enumerate(ids)}
+    # the exact top-k is ef-independent: compute it once per query
+    exact_by_q = {}
+    for q in query_ids:
+        qv = norm[id_row[int(q)]]
+        sims = norm @ qv
+        order = np.lexsort((ids, -sims))
+        exact_by_q[int(q)] = np.asarray(
+            [ids[i] for i in order if ids[i] != q][:k], dtype=np.int64)
     out = []
     for ef in ef_candidates:
         recalls = []
         for q in query_ids:
-            qv = norm[id_row[int(q)]]
-            sims = norm @ qv
-            order = np.lexsort((ids, -sims))
-            exact = np.asarray([ids[i] for i in order
-                                if ids[i] != q][:k], dtype=np.int64)
-            approx, _ = hnsw.query(qv, k, ef=ef, exclude_id=int(q))
-            recalls.append(recall_at_k(approx, exact))
+            approx, _ = hnsw.query(norm[id_row[int(q)]], k, ef=ef,
+                                   exclude_id=int(q))
+            recalls.append(recall_at_k(approx, exact_by_q[int(q)]))
         out.append((int(ef), recalls))
     return out

@@ -903,6 +903,70 @@ def ann_mrl(sf_dir: str) -> pa.Table:
     })
 
 
+def _fit_quantizer_distributed(ds) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed per-dimension [min, max] calibration over the FULL
+    stored corpus (probe rows included — they are stored vectors too):
+    each batch emits one d-sized masked min/max row (non-finite entries
+    skipped, the ``ScalarQuantizer.fit`` law, quantization.rs:78-90);
+    the driver combine is d-element.  Returns (mins, scales)."""
+
+    def bounds_part(batch: pa.Table) -> pa.Table:
+        from fsray.dedup import normalize_rows
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
+                             ).astype(np.float32)
+        masked = np.ma.masked_invalid(mat)
+        mins = masked.min(axis=0).filled(np.float32(np.inf))
+        maxs = masked.max(axis=0).filled(np.float32(-np.inf))
+        return pa.table({"mins": pa.array([mins.tolist()]),
+                         "maxs": pa.array([maxs.tolist()])})
+
+    bp = ds.map_batches(bounds_part, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    mins = np.min(np.stack([np.asarray(x, dtype=np.float32)
+                            for x in bp["mins"]]), axis=0)
+    maxs = np.max(np.stack([np.asarray(x, dtype=np.float32)
+                            for x in bp["maxs"]]), axis=0)
+    rng = maxs - mins
+    scales = np.where(rng < np.finfo(np.float32).eps, np.float32(0.0),
+                      rng / np.float32(255.0))
+    bad = ~np.isfinite(mins)  # all-non-finite dimension => constant 0
+    mins = np.where(bad, np.float32(0.0), mins).astype(np.float32)
+    scales = np.where(bad, np.float32(0.0), scales).astype(np.float32)
+    return mins, scales
+
+
+def _adc_topk_parts(ds, mins: np.ndarray, scales: np.ndarray,
+                    qn: np.ndarray, k: int, exclude_id: int):
+    """Shared ADC-cosine scan: broadcast (mins, scales, query) once;
+    each batch quantizes its rows to u8 and emits a top-``k`` partial
+    under the (score desc, id asc) total order.  Returns the collected
+    partials as a pandas frame (vec_id, cos)."""
+    import ray
+
+    from fsray.dedup import normalize_rows
+    from fsray.quant import ScalarQuantizer, topk_by_score_then_id
+    pref = ray.put((mins, scales, qn))
+
+    def adc_part(batch: pa.Table) -> pa.Table:
+        p_mins, p_scales, p_q = ray.get(pref)
+        sq = ScalarQuantizer(p_mins, p_scales)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
+                             ).astype(np.float32)
+        keep = bids != exclude_id
+        bids, mat = bids[keep], mat[keep]
+        cos = sq.cosine_quantized(sq.quantize(mat), p_q)
+        sel = topk_by_score_then_id(bids, cos, k)
+        return pa.table({"vec_id": pa.array(bids[sel], type=pa.int64()),
+                         "cos": pa.array(cos[sel].astype(np.float64))})
+
+    return ds.map_batches(adc_part, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+
+
 def ann_quantized(sf_dir: str) -> pa.Table:
     """int8-quantized ANN for query 0 (quantization.rs:48-272): phase A
     calibrates per-dimension [min,max] as DISTRIBUTED d-sized partials
@@ -915,51 +979,15 @@ def ann_quantized(sf_dir: str) -> pa.Table:
     lane quantizes on the fly from the f32 source to exercise the same
     kernels.  Approximate (±quantization error) → rows-only driver
     check; recall vs ``ann_bruteforce`` pinned in tests."""
-    import ray
     import ray.data as rd
 
-    from fsray.dedup import normalize_rows
-    from fsray.quant import ScalarQuantizer, topk_by_score_then_id
+    from fsray.quant import topk_by_score_then_id
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qvec = _query_vectors(sf_dir)[0]
     qn = (qvec / (np.linalg.norm(qvec) or 1.0)).astype(np.float32)
-
-    def bounds_part(batch: pa.Table) -> pa.Table:
-        bids = batch["vec_id"].to_numpy().astype(np.int64)
-        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
-                             ).astype(np.float32)
-        return pa.table({"mins": pa.array([mat.min(axis=0).tolist()]),
-                         "maxs": pa.array([mat.max(axis=0).tolist()])})
-
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    bp = ds.map_batches(bounds_part, batch_format="pyarrow",
-                        zero_copy_batch=True).to_pandas()
-    mins = np.min(np.stack([np.asarray(x, dtype=np.float32)
-                            for x in bp["mins"]]), axis=0)
-    maxs = np.max(np.stack([np.asarray(x, dtype=np.float32)
-                            for x in bp["maxs"]]), axis=0)
-    rng = maxs - mins
-    scales = np.where(rng < np.finfo(np.float32).eps, np.float32(0.0),
-                      rng / np.float32(255.0))
-    pref = ray.put((mins, scales, qn))
-
-    def adc_part(batch: pa.Table) -> pa.Table:
-        p_mins, p_scales, p_q = ray.get(pref)
-        sq = ScalarQuantizer(p_mins, p_scales)
-        bids = batch["vec_id"].to_numpy().astype(np.int64)
-        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
-                             ).astype(np.float32)
-        keep = bids != 0
-        bids, mat = bids[keep], mat[keep]
-        cos = sq.cosine_quantized(sq.quantize(mat), p_q)
-        sel = topk_by_score_then_id(bids, cos, QUANT_K)
-        return pa.table({"vec_id": pa.array(bids[sel], type=pa.int64()),
-                         "cos": pa.array(cos[sel].astype(np.float64))})
-
-    parts = ds.map_batches(adc_part, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
+    mins, scales = _fit_quantizer_distributed(ds)
+    parts = _adc_topk_parts(ds, mins, scales, qn, QUANT_K, exclude_id=0)
     pids = parts["vec_id"].to_numpy()
     pcos = parts["cos"].to_numpy()
     sel = topk_by_score_then_id(pids, pcos, QUANT_K)
@@ -983,53 +1011,18 @@ def two_tier_search(sf_dir: str) -> pa.Table:
     recomputation and the ``TwoTierIndex`` ladder laws are pinned in
     ``tests/test_twotier.py``."""
     import pyarrow.parquet as pq
-    import ray
     import ray.data as rd
 
     from fsray.dedup import normalize_rows
     from fsray.fuse import blend_two_tier
-    from fsray.quant import ScalarQuantizer, topk_by_score_then_id
+    from fsray.quant import topk_by_score_then_id
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qvec = _query_vectors(sf_dir)[0]
     qn = (qvec / (np.linalg.norm(qvec) or 1.0)).astype(np.float32)
     pool_k = 3 * MRL_K  # FAST_TIER_MULT (two_tier.rs:1333)
-
-    def bounds_part(batch: pa.Table) -> pa.Table:
-        bids = batch["vec_id"].to_numpy().astype(np.int64)
-        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
-                             ).astype(np.float32)
-        return pa.table({"mins": pa.array([mat.min(axis=0).tolist()]),
-                         "maxs": pa.array([mat.max(axis=0).tolist()])})
-
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    bp = ds.map_batches(bounds_part, batch_format="pyarrow",
-                        zero_copy_batch=True).to_pandas()
-    mins = np.min(np.stack([np.asarray(x, dtype=np.float32)
-                            for x in bp["mins"]]), axis=0)
-    maxs = np.max(np.stack([np.asarray(x, dtype=np.float32)
-                            for x in bp["maxs"]]), axis=0)
-    rng = maxs - mins
-    scales = np.where(rng < np.finfo(np.float32).eps, np.float32(0.0),
-                      rng / np.float32(255.0))
-    pref = ray.put((mins, scales, qn))
-
-    def fast_part(batch: pa.Table) -> pa.Table:
-        p_mins, p_scales, p_q = ray.get(pref)
-        sq = ScalarQuantizer(p_mins, p_scales)
-        bids = batch["vec_id"].to_numpy().astype(np.int64)
-        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        mat = normalize_rows(flat.astype(np.float64).reshape(len(bids), -1)
-                             ).astype(np.float32)
-        keep = bids != 0
-        bids, mat = bids[keep], mat[keep]
-        cos = sq.cosine_quantized(sq.quantize(mat), p_q)
-        sel = topk_by_score_then_id(bids, cos, pool_k)
-        return pa.table({"vec_id": pa.array(bids[sel], type=pa.int64()),
-                         "cos": pa.array(cos[sel].astype(np.float64))})
-
-    parts = ds.map_batches(fast_part, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
+    mins, scales = _fit_quantizer_distributed(ds)
+    parts = _adc_topk_parts(ds, mins, scales, qn, pool_k, exclude_id=0)
     pids = parts["vec_id"].to_numpy()
     pcos = parts["cos"].to_numpy()
     psel = topk_by_score_then_id(pids, pcos, pool_k)

@@ -44,10 +44,18 @@ class TwoTierIndex:
                  mrl_search_dims: int = 0):
         self.fast_ids = np.asarray(fast_ids, dtype=np.int64)
         self.fast_mat = np.asarray(fast_mat, dtype=np.float32)
+        if len(self.fast_ids) != self.fast_mat.shape[0]:
+            raise TwoTierError("fast_ids/fast_mat row count mismatch")
+        if (quality_ids is None) != (quality_mat is None):
+            raise TwoTierError("quality_ids and quality_mat must be "
+                               "passed together")
         self.quality_ids = (None if quality_ids is None
                             else np.asarray(quality_ids, dtype=np.int64))
         self.quality_mat = (None if quality_mat is None
                             else np.asarray(quality_mat, dtype=np.float32))
+        if (self.quality_ids is not None
+                and len(self.quality_ids) != self.quality_mat.shape[0]):
+            raise TwoTierError("quality_ids/quality_mat row count mismatch")
         self.mrl_search_dims = mrl_search_dims
         self.ann_fallback_count = 0  # two_tier.rs:1659-1665
         self._q_row = ({} if self.quality_ids is None else
@@ -77,13 +85,20 @@ class TwoTierIndex:
             ids, sims = ann_index.query(query, k)
             if len(ids) >= min(k, len(self.fast_ids)):
                 return [(int(d), float(s)) for d, s in zip(ids, sims)]
-            # degraded: exact repair, observable via the counter
+            # degraded: EXACT repair (never the approximate MRL rung —
+            # two_tier.rs:1296-1310 falls back to the exact scan),
+            # observable via the counter
             self.ann_fallback_count += 1
+            return self._exact_scan(query, k)
         if 0 < self.mrl_search_dims < self.fast_mat.shape[1]:
             ids, scores, _ = mrl_search_matrix(
                 self.fast_mat, self.fast_ids, query, k,
                 MrlConfig(search_dims=self.mrl_search_dims))
             return [(int(d), float(s)) for d, s in zip(ids, scores)]
+        return self._exact_scan(query, k)
+
+    def _exact_scan(self, query: np.ndarray, k: int) -> list[tuple[int, float]]:
+        from fsray.quant import topk_by_score_then_id
         scores = self.fast_mat @ query
         sel = topk_by_score_then_id(self.fast_ids, scores, k)
         return [(int(self.fast_ids[i]), float(scores[i])) for i in sel]

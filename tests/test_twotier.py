@@ -150,10 +150,12 @@ def test_two_tier_lane_matches_independent_recompute(ray_session):
     flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
     mat = normalize_rows(flat.astype(np.float64).reshape(len(ids), -1))
     qvec = mat[ids == 0][0]
+    # calibration covers ALL stored rows (the probe is a stored vector
+    # too) — only the SCAN excludes the probe, matching the lane
+    sq = ScalarQuantizer.fit(mat.astype(np.float32))
     keep = ids != 0
     ids, mat = ids[keep], mat[keep]
     m32 = mat.astype(np.float32)
-    sq = ScalarQuantizer.fit(m32)
     adc = sq.cosine_quantized(sq.quantize(m32), qvec.astype(np.float32))
     psel = topk_by_score_then_id(ids, adc, 3 * MRL_K)
     fast = [(int(d), float(s)) for d, s in zip(ids[psel], adc[psel])]
@@ -165,3 +167,29 @@ def test_two_tier_lane_matches_independent_recompute(ray_session):
     assert got["neighbor_id"].tolist() == [d for d, _ in want]
     for g, (_, s) in zip(got["blend_score"], want):
         assert g == pytest.approx(s, rel=1e-9)
+
+
+def test_search_fast_ann_underfill_with_mrl_still_exact_repairs():
+    """two_tier.rs:1296-1310: the degraded path repairs with the EXACT
+    scan even when the MRL rung is configured — never approximate."""
+    idx, ids, fast = make_index(mrl=4)
+    ann = FakeAnn([6], [0.9])
+    q = unit_rows(1, 16)[0]
+    hits = idx.search_fast(q, 5, ann_index=ann)
+    assert idx.ann_fallback_count == 1
+    scores = fast @ q
+    order = np.lexsort((ids, -scores))[:5]
+    assert [d for d, _ in hits] == [int(ids[i]) for i in order]
+
+
+def test_constructor_validation():
+    ids = np.arange(3, dtype=np.int64)
+    fast = unit_rows(3, 8)
+    with pytest.raises(TwoTierError):
+        TwoTierIndex(ids, unit_rows(4, 8))           # row count mismatch
+    with pytest.raises(TwoTierError):
+        TwoTierIndex(ids, fast, quality_mat=fast)    # mat without ids
+    with pytest.raises(TwoTierError):
+        TwoTierIndex(ids, fast, quality_ids=ids)     # ids without mat
+    with pytest.raises(TwoTierError):
+        TwoTierIndex(ids, fast, np.arange(5, dtype=np.int64), fast)
