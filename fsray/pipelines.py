@@ -1095,6 +1095,43 @@ def ann_recall_certificate(sf_dir: str) -> pa.Table:
     })
 
 
+def vector_wal_search(sf_dir: str) -> pa.Table:
+    """Searchable-while-indexing VECTOR freshness (wal.rs framing +
+    search.rs:1448-1557 resolution — the semantic-tier sibling of
+    ``watch_search``): base = the embeddings table, then two
+    deterministic WAL batches (an update of doc 1 to the query
+    direction and a brand-new doc) are appended and the merged search
+    must (a) see the new doc, (b) shadow doc 1's base vector with its
+    WAL version.  The WAL sidecar is rebuilt from scratch per call
+    (deterministic).  At scale the WAL attaches per ANN shard; the
+    resolution laws are shard-local and merge under the same
+    (score desc, id asc) total order.  Rows-only driver check; laws
+    pinned in ``tests/test_vwal.py``."""
+    import hashlib
+    import shutil
+
+    from fsray.dedup import normalize_rows
+    from fsray.vwal import VectorWalIndex
+    ids, vecs = _embeddings(sf_dir)
+    norm = normalize_rows(vecs).astype(np.float32)
+    qvec = norm[ids == 0][0]
+    keep = ids != 0
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    wal_dir = os.path.join("/tmp", "fsray_vwal", tag)
+    shutil.rmtree(wal_dir, ignore_errors=True)
+    idx = VectorWalIndex(ids[keep], norm[keep], wal_dir)
+    new_id = int(ids.max()) + 1
+    # batch 1: update doc 1 toward the query; batch 2: a fresh doc
+    idx.append(np.array([1]), (qvec * 0.95)[None, :])
+    idx.append(np.array([new_id]), (qvec * 0.9)[None, :])
+    hits = idx.search(qvec, MRL_K)
+    return pa.table({
+        "rank": pa.array(range(1, len(hits) + 1), type=pa.int64()),
+        "neighbor_id": pa.array([d for d, _ in hits], type=pa.int64()),
+        "score": pa.array([s for _, s in hits], type=pa.float64()),
+    })
+
+
 def _query_vectors(sf_dir: str) -> dict[int, np.ndarray]:
     """Probe vectors only — row-filter pushdown, never the full matrix."""
     import pyarrow.parquet as pq
@@ -1771,6 +1808,7 @@ def make_queries() -> dict:
         "ann_quantized": ann_quantized,
         "two_tier_search": two_tier_search,
         "ann_recall_certificate": ann_recall_certificate,
+        "vector_wal_search": vector_wal_search,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
     })

@@ -1,0 +1,180 @@
+"""Vector write-ahead log: searchable fresh vectors over a sealed base
+— the semantic-tier sibling of the lexical ``WatchIndex``.
+
+Semantic anchors (reference frankensearch,
+crates/frankensearch-index/src/{wal.rs,search.rs}):
+- Appends are BATCHES in a sidecar; each batch is integrity-protected
+  so a crash's partial write is detected and DISCARDED on reload
+  (wal.rs:1-28 CRC framing).  Here each batch is its own parquet file
+  published by atomic rename — a partial write never becomes visible,
+  and an unreadable/malformed batch file is skipped and counted
+  (``discarded_batches``), never trusted.
+- The WAL header pins dimension (+ quantization): an append with the
+  wrong dimensionality is rejected (wal.rs header laws).
+- Search = main scan + WAL scan merged under one top-k
+  (search.rs:1448-1474 ``scan_wal``): WAL scores with non-finite
+  values are SKIPPED (corrupt-guard, search.rs:1466-1470).
+- Resolution (search.rs:1492-1557 ``resolve_sorted_entries``):
+  * a main-index hit whose doc_id has ANY WAL entry is skipped — the
+    WAL SHADOWS the sealed base for that doc;
+  * among multiple WAL entries for one doc, the highest-scored wins at
+    result time (first under best-first order);
+  * duplicates keep the first (best) occurrence.
+- ``compact()`` folds the WAL into the base — the LATEST appended
+  entry per doc becomes the stored vector (updates applied in order) —
+  and removes the batch files; search answers are unchanged for docs
+  whose latest entry is also their best-scoring one (always true for
+  single-entry docs).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fsray.manifest import atomic_write_parquet
+
+
+class VectorWalError(ValueError):
+    pass
+
+
+class VectorWalIndex:
+    """Sealed base (ids, vectors) + parquet-batch WAL sidecar."""
+
+    def __init__(self, base_ids: np.ndarray, base_vecs: np.ndarray,
+                 wal_dir: str):
+        self.base_ids = np.asarray(base_ids, dtype=np.int64)
+        self.base_vecs = np.asarray(base_vecs, dtype=np.float32)
+        if len(self.base_ids) != self.base_vecs.shape[0]:
+            raise VectorWalError("base ids/vectors row count mismatch")
+        self.dimension = int(self.base_vecs.shape[1])
+        self.wal_dir = wal_dir
+        os.makedirs(wal_dir, exist_ok=True)
+        self.wal_ids = np.zeros(0, dtype=np.int64)
+        self.wal_vecs = np.zeros((0, self.dimension), dtype=np.float32)
+        self.discarded_batches = 0
+        self._next_batch = 0
+        self.reload()
+
+    # ---- append / reload -------------------------------------------------
+
+    def _batch_path(self, n: int) -> str:
+        return os.path.join(self.wal_dir, f"wal-{n:05d}.parquet")
+
+    def append(self, ids: np.ndarray, vecs: np.ndarray) -> str:
+        """Append one batch (atomic publish).  Dimension is pinned by
+        the header law: a mismatched batch is rejected before any
+        write."""
+        ids = np.asarray(ids, dtype=np.int64)
+        vecs = np.asarray(vecs, dtype=np.float32)
+        if vecs.ndim != 2 or vecs.shape[1] != self.dimension:
+            raise VectorWalError(
+                f"append dimension {vecs.shape} != WAL dimension "
+                f"{self.dimension}")
+        if len(ids) != vecs.shape[0]:
+            raise VectorWalError("append ids/vectors row count mismatch")
+        path = self._batch_path(self._next_batch)
+        atomic_write_parquet(path, pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs]),
+        }))
+        self._next_batch += 1
+        self.wal_ids = np.concatenate([self.wal_ids, ids])
+        self.wal_vecs = np.vstack([self.wal_vecs, vecs])
+        return path
+
+    def reload(self) -> None:
+        """Rebuild the in-memory WAL view from the sidecar files in
+        batch order; an unreadable or wrong-shape batch is discarded
+        and counted — never trusted (the CRC-framing law)."""
+        ids_parts, vec_parts = [], []
+        self.discarded_batches = 0
+        files = sorted(glob.glob(os.path.join(self.wal_dir, "wal-*.parquet")))
+        for f in files:
+            try:
+                t = pq.read_table(f, columns=["doc_id", "embedding"])
+                bids = t["doc_id"].to_numpy().astype(np.int64)
+                flat = t["embedding"].combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False)
+                mat = np.asarray(flat, dtype=np.float32).reshape(len(bids), -1)
+                if mat.shape[1] != self.dimension:
+                    raise VectorWalError("batch dimension mismatch")
+            except Exception:
+                self.discarded_batches += 1
+                continue
+            ids_parts.append(bids)
+            vec_parts.append(mat)
+        self.wal_ids = (np.concatenate(ids_parts) if ids_parts
+                        else np.zeros(0, dtype=np.int64))
+        self.wal_vecs = (np.vstack(vec_parts) if vec_parts
+                         else np.zeros((0, self.dimension), dtype=np.float32))
+        if files:
+            last = os.path.basename(files[-1])
+            self._next_batch = int(last[4:9]) + 1
+        else:
+            self._next_batch = 0
+
+    # ---- search ----------------------------------------------------------
+
+    def search(self, query: np.ndarray, k: int) -> list[tuple[int, float]]:
+        """Merged top-k over base + WAL, best-first [(doc_id, score)]
+        under (score desc, doc_id asc):
+        WAL presence shadows the base for that doc; a doc's best WAL
+        entry wins among its WAL duplicates; non-finite WAL scores are
+        skipped."""
+        query = np.asarray(query, dtype=np.float32)
+        if query.shape[0] != self.dimension:
+            raise VectorWalError("query dimension mismatch")
+        shadowed = set(self.wal_ids.tolist())
+        cands: list[tuple[float, int]] = []
+        if len(self.base_ids):
+            scores = self.base_vecs @ query
+            for d, s in zip(self.base_ids, scores):
+                if int(d) not in shadowed:
+                    cands.append((float(s), int(d)))
+        if len(self.wal_ids):
+            wscores = self.wal_vecs @ query
+            finite = np.isfinite(wscores)  # corrupt-guard
+            for d, s in zip(self.wal_ids[finite], wscores[finite]):
+                cands.append((float(s), int(d)))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        out, seen = [], set()
+        for s, d in cands:
+            if d in seen:
+                continue  # first (best) occurrence wins
+            seen.add(d)
+            out.append((d, s))
+            if len(out) == k:
+                break
+        return out
+
+    # ---- compaction ------------------------------------------------------
+
+    def compact(self) -> dict:
+        """Fold the WAL into the base (LATEST appended entry per doc —
+        updates applied in order) and remove the batch files."""
+        if len(self.wal_ids):
+            latest: dict[int, int] = {}
+            for i, d in enumerate(self.wal_ids):
+                latest[int(d)] = i  # forward insert keeps the latest
+            keep = ~np.isin(self.base_ids, self.wal_ids)
+            new_ids = [int(x) for x in self.base_ids[keep]]
+            new_vecs = [self.base_vecs[keep]]
+            add_ids = sorted(latest)
+            new_ids.extend(add_ids)
+            new_vecs.append(self.wal_vecs[[latest[d] for d in add_ids]])
+            self.base_ids = np.asarray(new_ids, dtype=np.int64)
+            self.base_vecs = np.vstack(new_vecs)
+        folded = int(len(self.wal_ids))
+        for f in glob.glob(os.path.join(self.wal_dir, "wal-*.parquet")):
+            os.unlink(f)
+        self.wal_ids = np.zeros(0, dtype=np.int64)
+        self.wal_vecs = np.zeros((0, self.dimension), dtype=np.float32)
+        self._next_batch = 0
+        return {"folded_entries": folded,
+                "base_rows": int(len(self.base_ids))}

@@ -1,0 +1,124 @@
+"""Vector-WAL laws (reference wal.rs framing + search.rs:1448-1557
+resolution): freshness, shadowing, best-WAL-entry-wins, corrupt-batch
+discard, dimension pinning, non-finite score guard, compaction."""
+
+import numpy as np
+import pytest
+
+from fsray.vwal import VectorWalError, VectorWalIndex
+
+RNG = np.random.default_rng(23)
+
+
+def unit_rows(n, d, rng=RNG):
+    m = rng.normal(size=(n, d))
+    return (m / np.linalg.norm(m, axis=1, keepdims=True)).astype(np.float32)
+
+
+@pytest.fixture()
+def widx(tmp_path):
+    ids = np.arange(20, dtype=np.int64)
+    vecs = unit_rows(20, 8)
+    return VectorWalIndex(ids, vecs, str(tmp_path / "wal")), ids, vecs
+
+
+def test_append_makes_fresh_vectors_searchable(widx):
+    idx, ids, vecs = widx
+    q = unit_rows(1, 8)[0]
+    before = idx.search(q, 3)
+    # a fresh doc aligned exactly with the query must take #1
+    idx.append(np.array([100]), q[None, :])
+    after = idx.search(q, 3)
+    assert after[0][0] == 100
+    assert after[0][1] == pytest.approx(1.0, abs=1e-5)
+    assert [d for d, _ in after[1:]] == [d for d, _ in before[:2]]
+
+
+def test_wal_shadows_base_for_updated_doc(widx):
+    idx, ids, vecs = widx
+    q = unit_rows(1, 8)[0]
+    # update doc 5 to the exact query direction: its BASE vector must
+    # no longer be scored (shadowed), only the WAL version
+    idx.append(np.array([5]), q[None, :])
+    hits = idx.search(q, 5)
+    assert hits[0] == (5, pytest.approx(1.0, abs=1e-5))
+    assert [d for d, _ in hits].count(5) == 1
+
+
+def test_best_wal_entry_wins_among_duplicates(widx):
+    idx, _, _ = widx
+    q = unit_rows(1, 8)[0]
+    idx.append(np.array([7, 7]), np.vstack([q * 0.5, q]))  # two entries
+    hits = idx.search(q, 3)
+    assert hits[0][0] == 7
+    assert hits[0][1] == pytest.approx(1.0, abs=1e-5)  # the better one
+
+
+def test_nonfinite_wal_score_skipped(widx):
+    idx, _, _ = widx
+    q = unit_rows(1, 8)[0]
+    bad = np.full((1, 8), np.inf, dtype=np.float32)
+    idx.append(np.array([300]), bad)
+    hits = idx.search(q, 20)
+    assert 300 not in [d for d, _ in hits]  # corrupt entry never a hit
+
+
+def test_corrupt_trailing_batch_discarded(widx, tmp_path):
+    idx, ids, vecs = widx
+    q = unit_rows(1, 8)[0]
+    idx.append(np.array([100]), q[None, :])
+    # crash analogue: garbage batch file appears in the sidecar dir
+    bad = idx._batch_path(1)
+    open(bad, "wb").write(b"not parquet at all")
+    idx.reload()
+    assert idx.discarded_batches == 1
+    hits = idx.search(q, 3)
+    assert hits[0][0] == 100  # the intact batch survived the reload
+
+
+def test_dimension_pinned_on_append_and_query(widx):
+    idx, _, _ = widx
+    with pytest.raises(VectorWalError):
+        idx.append(np.array([1]), unit_rows(1, 4))
+    with pytest.raises(VectorWalError):
+        idx.search(unit_rows(1, 4)[0], 3)
+
+
+def test_reload_reconstructs_from_disk(widx, tmp_path):
+    idx, ids, vecs = widx
+    q = unit_rows(1, 8)[0]
+    idx.append(np.array([100]), q[None, :])
+    idx.append(np.array([5]), (q * 0.9)[None, :])
+    want = idx.search(q, 5)
+    fresh = VectorWalIndex(ids, vecs, idx.wal_dir)
+    assert fresh.search(q, 5) == want
+    assert fresh._next_batch == 2
+
+
+def test_compact_folds_latest_entry_and_clears_wal(widx):
+    idx, ids, vecs = widx
+    q = unit_rows(1, 8)[0]
+    idx.append(np.array([5]), (q * 0.5)[None, :])
+    idx.append(np.array([5, 100]), np.vstack([q, q * 0.8]))  # latest for 5
+    before = idx.search(q, 5)
+    rep = idx.compact()
+    assert rep == {"folded_entries": 3, "base_rows": 21}
+    assert len(idx.wal_ids) == 0
+    assert idx._next_batch == 0
+    # doc 5's stored vector is its LATEST entry (q), doc 100 folded in
+    after = idx.search(q, 5)
+    assert after == before
+    # and a fresh open sees no WAL files left
+    fresh = VectorWalIndex(idx.base_ids, idx.base_vecs, idx.wal_dir)
+    assert fresh.search(q, 5) == after
+
+
+def test_vector_wal_lane(ray_session):
+    from fsray.pipelines import vector_wal_search
+    t = vector_wal_search("/root/testdata/sf0.001").to_pandas()
+    assert t.equals(vector_wal_search("/root/testdata/sf0.001").to_pandas())
+    # the WAL-updated doc shadows its base vector and ranks first;
+    # the brand-new doc is visible right behind it
+    assert t.neighbor_id.iloc[0] == 1
+    assert t.score.iloc[0] == pytest.approx(0.95, abs=1e-6)
+    assert t.score.iloc[1] == pytest.approx(0.90, abs=1e-6)
