@@ -1114,7 +1114,10 @@ def vector_wal_search(sf_dir: str) -> pa.Table:
     from fsray.vwal import VectorWalIndex
     ids, vecs = _embeddings(sf_dir)
     norm = normalize_rows(vecs).astype(np.float32)
-    qvec = norm[ids == 0][0]
+    probe = norm[ids == 0]
+    if len(probe) == 0:
+        raise ValueError(f"no probe vector (vec_id 0) in {sf_dir}")
+    qvec = probe[0]
     keep = ids != 0
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     wal_dir = os.path.join("/tmp", "fsray_vwal", tag)

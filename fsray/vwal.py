@@ -16,21 +16,28 @@ crates/frankensearch-index/src/{wal.rs,search.rs}):
   values are SKIPPED (corrupt-guard, search.rs:1466-1470).
 - Resolution (search.rs:1492-1557 ``resolve_sorted_entries``):
   * a main-index hit whose doc_id has ANY WAL entry is skipped — the
-    WAL SHADOWS the sealed base for that doc;
+    WAL SHADOWS the sealed base for that doc.  This matches the
+    reference exactly, including the consequence that a doc whose
+    ONLY WAL entry is corrupt (non-finite) vanishes from results: the
+    base hit is shadowed and the WAL entry is score-skipped;
   * among multiple WAL entries for one doc, the highest-scored wins at
     result time (first under best-first order);
   * duplicates keep the first (best) occurrence.
-- ``compact()`` folds the WAL into the base — the LATEST appended
-  entry per doc becomes the stored vector (updates applied in order) —
-  and removes the batch files; search answers are unchanged for docs
-  whose latest entry is also their best-scoring one (always true for
-  single-entry docs).
+- ``compact()`` folds the WAL into the base: the LATEST appended entry
+  with a FINITE vector per doc becomes the stored vector (updates
+  applied in order; corrupt entries never become stored vectors —
+  ``dropped_corrupt`` counts them); a doc with no finite WAL entry is
+  REMOVED (it was invisible pre-compact by the shadowing law above and
+  stays invisible).  Search answers are unchanged whenever each doc's
+  latest finite entry is also its best-scoring one (always true for
+  single-finite-entry docs).
 """
 
 from __future__ import annotations
 
 import glob
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -38,13 +45,19 @@ import pyarrow.parquet as pq
 
 from fsray.manifest import atomic_write_parquet
 
+_BATCH_RE = re.compile(r"^wal-(\d+)\.parquet$")
+
 
 class VectorWalError(ValueError):
     pass
 
 
 class VectorWalIndex:
-    """Sealed base (ids, vectors) + parquet-batch WAL sidecar."""
+    """Sealed base (ids, vectors) + parquet-batch WAL sidecar.
+
+    In-memory WAL state is kept as per-batch array lists and
+    concatenated lazily (one append never copies the whole accumulated
+    WAL — reload() builds the same lists from disk)."""
 
     def __init__(self, base_ids: np.ndarray, base_vecs: np.ndarray,
                  wal_dir: str):
@@ -55,11 +68,32 @@ class VectorWalIndex:
         self.dimension = int(self.base_vecs.shape[1])
         self.wal_dir = wal_dir
         os.makedirs(wal_dir, exist_ok=True)
-        self.wal_ids = np.zeros(0, dtype=np.int64)
-        self.wal_vecs = np.zeros((0, self.dimension), dtype=np.float32)
+        self._id_parts: list[np.ndarray] = []
+        self._vec_parts: list[np.ndarray] = []
+        self._flat: tuple[np.ndarray, np.ndarray] | None = None
         self.discarded_batches = 0
         self._next_batch = 0
         self.reload()
+
+    # ---- WAL view --------------------------------------------------------
+
+    @property
+    def wal_ids(self) -> np.ndarray:
+        return self._flatten()[0]
+
+    @property
+    def wal_vecs(self) -> np.ndarray:
+        return self._flatten()[1]
+
+    def _flatten(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._flat is None:
+            if self._id_parts:
+                self._flat = (np.concatenate(self._id_parts),
+                              np.vstack(self._vec_parts))
+            else:
+                self._flat = (np.zeros(0, dtype=np.int64),
+                              np.zeros((0, self.dimension), dtype=np.float32))
+        return self._flat
 
     # ---- append / reload -------------------------------------------------
 
@@ -79,76 +113,90 @@ class VectorWalIndex:
         if len(ids) != vecs.shape[0]:
             raise VectorWalError("append ids/vectors row count mismatch")
         path = self._batch_path(self._next_batch)
+        # explicit float32 list type: an inferred type would double the
+        # sidecar (float64) and make an EMPTY batch null-typed/unreadable
         atomic_write_parquet(path, pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
-            "embedding": pa.array([v.tolist() for v in vecs]),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
         }))
         self._next_batch += 1
-        self.wal_ids = np.concatenate([self.wal_ids, ids])
-        self.wal_vecs = np.vstack([self.wal_vecs, vecs])
+        self._id_parts.append(ids)
+        self._vec_parts.append(vecs)
+        self._flat = None
         return path
+
+    def _batch_files(self) -> list[tuple[int, str]]:
+        """(batch_number, path) in NUMERIC append order — lexicographic
+        ordering breaks at the 6-digit rollover."""
+        out = []
+        for f in glob.glob(os.path.join(self.wal_dir, "wal-*.parquet")):
+            m = _BATCH_RE.match(os.path.basename(f))
+            if m:
+                out.append((int(m.group(1)), f))
+        out.sort()
+        return out
 
     def reload(self) -> None:
         """Rebuild the in-memory WAL view from the sidecar files in
         batch order; an unreadable or wrong-shape batch is discarded
         and counted — never trusted (the CRC-framing law)."""
-        ids_parts, vec_parts = [], []
+        self._id_parts, self._vec_parts = [], []
+        self._flat = None
         self.discarded_batches = 0
-        files = sorted(glob.glob(os.path.join(self.wal_dir, "wal-*.parquet")))
-        for f in files:
+        files = self._batch_files()
+        for _, f in files:
             try:
                 t = pq.read_table(f, columns=["doc_id", "embedding"])
                 bids = t["doc_id"].to_numpy().astype(np.int64)
                 flat = t["embedding"].combine_chunks().flatten().to_numpy(
                     zero_copy_only=False)
-                mat = np.asarray(flat, dtype=np.float32).reshape(len(bids), -1)
+                mat = np.asarray(flat, dtype=np.float32).reshape(
+                    len(bids), -1 if len(bids) else self.dimension)
                 if mat.shape[1] != self.dimension:
                     raise VectorWalError("batch dimension mismatch")
             except Exception:
                 self.discarded_batches += 1
                 continue
-            ids_parts.append(bids)
-            vec_parts.append(mat)
-        self.wal_ids = (np.concatenate(ids_parts) if ids_parts
-                        else np.zeros(0, dtype=np.int64))
-        self.wal_vecs = (np.vstack(vec_parts) if vec_parts
-                         else np.zeros((0, self.dimension), dtype=np.float32))
-        if files:
-            last = os.path.basename(files[-1])
-            self._next_batch = int(last[4:9]) + 1
-        else:
-            self._next_batch = 0
+            self._id_parts.append(bids)
+            self._vec_parts.append(mat)
+        self._next_batch = files[-1][0] + 1 if files else 0
 
     # ---- search ----------------------------------------------------------
 
     def search(self, query: np.ndarray, k: int) -> list[tuple[int, float]]:
         """Merged top-k over base + WAL, best-first [(doc_id, score)]
-        under (score desc, doc_id asc):
-        WAL presence shadows the base for that doc; a doc's best WAL
-        entry wins among its WAL duplicates; non-finite WAL scores are
-        skipped."""
+        under (score desc, doc_id asc) — see the module docstring for
+        the shadowing / best-entry / corrupt-guard resolution laws."""
         query = np.asarray(query, dtype=np.float32)
         if query.shape[0] != self.dimension:
             raise VectorWalError("query dimension mismatch")
-        shadowed = set(self.wal_ids.tolist())
-        cands: list[tuple[float, int]] = []
+        if k <= 0:
+            return []
+        wal_ids, wal_vecs = self._flatten()
+        id_parts, score_parts = [], []
         if len(self.base_ids):
-            scores = self.base_vecs @ query
-            for d, s in zip(self.base_ids, scores):
-                if int(d) not in shadowed:
-                    cands.append((float(s), int(d)))
-        if len(self.wal_ids):
-            wscores = self.wal_vecs @ query
+            keep = ~np.isin(self.base_ids, wal_ids)  # WAL shadows base
+            id_parts.append(self.base_ids[keep])
+            score_parts.append((self.base_vecs[keep] @ query
+                                ).astype(np.float64))
+        if len(wal_ids):
+            wscores = (wal_vecs @ query).astype(np.float64)
             finite = np.isfinite(wscores)  # corrupt-guard
-            for d, s in zip(self.wal_ids[finite], wscores[finite]):
-                cands.append((float(s), int(d)))
-        cands.sort(key=lambda t: (-t[0], t[1]))
+            id_parts.append(wal_ids[finite])
+            score_parts.append(wscores[finite])
+        if not id_parts:
+            return []
+        ids = np.concatenate(id_parts)
+        scores = np.concatenate(score_parts)
+        order = np.lexsort((ids, -scores))  # best-first total order
         out, seen = [], set()
-        for s, d in cands:
+        for i in order:
+            d = int(ids[i])
             if d in seen:
                 continue  # first (best) occurrence wins
             seen.add(d)
-            out.append((d, s))
+            out.append((d, float(scores[i])))
             if len(out) == k:
                 break
         return out
@@ -156,25 +204,33 @@ class VectorWalIndex:
     # ---- compaction ------------------------------------------------------
 
     def compact(self) -> dict:
-        """Fold the WAL into the base (LATEST appended entry per doc —
-        updates applied in order) and remove the batch files."""
-        if len(self.wal_ids):
+        """Fold the WAL into the base (module docstring: latest FINITE
+        entry per doc; docs with no finite entry removed; corrupt
+        entries counted, never stored) and remove the batch files."""
+        wal_ids, wal_vecs = self._flatten()
+        dropped_corrupt = 0
+        if len(wal_ids):
+            finite_rows = np.isfinite(wal_vecs).all(axis=1)
+            dropped_corrupt = int((~finite_rows).sum())
             latest: dict[int, int] = {}
-            for i, d in enumerate(self.wal_ids):
-                latest[int(d)] = i  # forward insert keeps the latest
-            keep = ~np.isin(self.base_ids, self.wal_ids)
+            for i in np.flatnonzero(finite_rows):
+                latest[int(wal_ids[i])] = int(i)  # forward keeps latest
+            # every WAL-touched doc leaves the base (shadowing law);
+            # only docs with a finite entry come back
+            keep = ~np.isin(self.base_ids, wal_ids)
             new_ids = [int(x) for x in self.base_ids[keep]]
             new_vecs = [self.base_vecs[keep]]
             add_ids = sorted(latest)
             new_ids.extend(add_ids)
-            new_vecs.append(self.wal_vecs[[latest[d] for d in add_ids]])
+            new_vecs.append(wal_vecs[[latest[d] for d in add_ids]])
             self.base_ids = np.asarray(new_ids, dtype=np.int64)
             self.base_vecs = np.vstack(new_vecs)
-        folded = int(len(self.wal_ids))
-        for f in glob.glob(os.path.join(self.wal_dir, "wal-*.parquet")):
+        folded = int(len(wal_ids)) - dropped_corrupt
+        for _, f in self._batch_files():
             os.unlink(f)
-        self.wal_ids = np.zeros(0, dtype=np.int64)
-        self.wal_vecs = np.zeros((0, self.dimension), dtype=np.float32)
+        self._id_parts, self._vec_parts = [], []
+        self._flat = None
         self._next_batch = 0
         return {"folded_entries": folded,
+                "dropped_corrupt": dropped_corrupt,
                 "base_rows": int(len(self.base_ids))}

@@ -102,7 +102,8 @@ def test_compact_folds_latest_entry_and_clears_wal(widx):
     idx.append(np.array([5, 100]), np.vstack([q, q * 0.8]))  # latest for 5
     before = idx.search(q, 5)
     rep = idx.compact()
-    assert rep == {"folded_entries": 3, "base_rows": 21}
+    assert rep == {"folded_entries": 3, "dropped_corrupt": 0,
+                   "base_rows": 21}
     assert len(idx.wal_ids) == 0
     assert idx._next_batch == 0
     # doc 5's stored vector is its LATEST entry (q), doc 100 folded in
@@ -122,3 +123,57 @@ def test_vector_wal_lane(ray_session):
     assert t.neighbor_id.iloc[0] == 1
     assert t.score.iloc[0] == pytest.approx(0.95, abs=1e-6)
     assert t.score.iloc[1] == pytest.approx(0.90, abs=1e-6)
+
+
+def test_search_k_nonpositive_returns_empty(widx):
+    idx, _, _ = widx
+    q = unit_rows(1, 8)[0]
+    assert idx.search(q, 0) == []
+    assert idx.search(q, -3) == []
+
+
+def test_empty_batch_roundtrips_without_phantom_corruption(widx):
+    idx, _, _ = widx
+    idx.append(np.zeros(0, dtype=np.int64), np.zeros((0, 8), np.float32))
+    idx.reload()
+    assert idx.discarded_batches == 0  # a valid empty batch is not corrupt
+
+
+def test_batch_order_numeric_not_lexicographic(widx):
+    """wal-100000 must sort AFTER wal-99999 (append order), and the next
+    batch number continues past the highest, never overwriting."""
+    import os
+    idx, _, _ = widx
+    q = unit_rows(1, 8)[0]
+    # simulate a mature WAL: plant high-numbered batches out of lex order
+    idx._next_batch = 99999
+    idx.append(np.array([7]), (q * 0.5)[None, :])    # wal-99999
+    idx.append(np.array([7]), q[None, :])            # wal-100000 (latest)
+    idx.reload()
+    assert idx._next_batch == 100001
+    rep = idx.compact()  # latest entry (full q) must win
+    hits = idx.search(q, 1)
+    assert hits[0] == (7, pytest.approx(1.0, abs=1e-5))
+
+
+def test_compact_drops_corrupt_entries_and_keeps_doc_invisible(widx):
+    """A doc whose ONLY WAL entry is non-finite is invisible pre-compact
+    (reference shadowing law) and STAYS invisible post-compact; the
+    corrupt entry never becomes a stored vector."""
+    idx, _, _ = widx
+    q = unit_rows(1, 8)[0]
+    idx.append(np.array([5]), np.full((1, 8), np.inf, dtype=np.float32))
+    assert 5 not in [d for d, _ in idx.search(q, 20)]
+    rep = idx.compact()
+    assert rep["dropped_corrupt"] == 1 and rep["folded_entries"] == 0
+    assert rep["base_rows"] == 19  # doc 5 removed, not resurrected
+    assert 5 not in [d for d, _ in idx.search(q, 20)]
+    assert np.isfinite(idx.base_vecs).all()
+
+
+def test_wal_batches_stored_as_float32(widx):
+    import pyarrow.parquet as pq
+    idx, _, _ = widx
+    path = idx.append(np.array([1]), unit_rows(1, 8))
+    schema = pq.read_schema(path)
+    assert schema.field("embedding").type.value_type == "float"
