@@ -354,8 +354,13 @@ def minhash_batch(batch: pa.Table, text_column: str = "text",
     ids = batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
     sig = np.full((n, NUM_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(sv):
+        # shingles repeat heavily ACROSS docs (measured ~10% unique on the
+        # sf0.1 corpus): run the 64-perm mix on the unique values only and
+        # gather — ~10x off the dominant step, exact same signatures
+        uniq, inv = np.unique(sv, return_inverse=True)
         with np.errstate(over="ignore"):
-            m = _mix64(sv[:, None] * PERM_A[None, :] + PERM_B[None, :])  # (n_shingles, 64)
+            m_u = _mix64(uniq[:, None] * PERM_A[None, :] + PERM_B[None, :])
+        m = m_u[inv]  # (n_shingles, 64), original per-doc order preserved
         starts = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(cnts, out=starts[1:])
         nz = cnts > 0
