@@ -23,9 +23,14 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    from fsray.pipelines import hybrid_rrf
-    return hybrid_rrf("/root/testdata/sf0.001")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+
+    The full progressive product flow (fusion/searcher.rs): lexical
+    BM25 + distributed hash-embed semantic arm → RRF (Phase 1) →
+    quality-tier rescore of the fused candidates → blend →
+    cross-encoder rerank step (Phase 2)."""
+    from fsray.pipelines import progressive_search_pipeline
+    return progressive_search_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1642,6 +1642,103 @@ def hash_embed_ann(sf_dir: str) -> pa.Table:
     })
 
 
+PROG_ARM_K = 30
+PROG_K = 10
+
+
+def progressive_search_pipeline(sf_dir: str) -> pa.Table:
+    """The reference's END-TO-END product flow as one composed pipeline
+    (fusion/searcher.rs phase flow; README architecture): Phase 1 =
+    lexical BM25 arm + fast hash-embed semantic arm (distributed
+    actor-pool cosine partials) → RRF fusion (initial results); Phase 2
+    = quality-tier rescore of ONLY the fused candidates (row-filtered
+    embeddings read; the quality query is the L2 centroid of the top-5
+    fused candidates' quality vectors — the model-free stand-in for a
+    quality text embedder, the same PRF-feedback shape as prf.rs) →
+    two-tier blend → cross-encoder rerank step (hash model,
+    RRF-combine).  Phase-1 preservation, skip taxonomy, Kendall-τ and
+    rank-change diagnostics are pinned in ``tests/test_searcher.py``.
+    Rows-only driver check (hash/centroid arms aren't SQL)."""
+    import pyarrow.parquet as pq
+
+    from fsray.dedup import normalize_rows
+    from fsray.rerank import HashReranker, ScoredResult, rerank_step
+    from fsray.searcher import progressive_search
+    query = BM25_QUERIES["bm25_topk_wide"][0]
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def lexical_fn():
+        idx = documents_index(sf_dir)
+        hits = idx.search(query, k=PROG_ARM_K, dtype=np.float64)
+        return [(int(h.doc_id), float(h.score)) for h in hits]
+
+    def fast_semantic_fn():
+        import ray.data as rd
+
+        from fsray.embed import HashEmbedScorer
+        parts = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+                 .map_batches(HashEmbedScorer, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=2,
+                              fn_constructor_kwargs={
+                                  "query": query,
+                                  "dimension": HASH_EMBED_DIM,
+                                  "k": PROG_ARM_K})
+                 .to_pandas())
+        ids = parts["doc_id"].to_numpy()
+        cos = parts["cos"].to_numpy()
+        o = np.lexsort((ids, -cos))[:PROG_ARM_K]
+        return [(int(ids[i]), float(cos[i])) for i in o]
+
+    def quality_fn(doc_ids):
+        ct = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "in",
+                                     [int(d) for d in doc_ids])])
+        cids = ct["vec_id"].to_numpy().astype(np.int64)
+        if len(cids) == 0:
+            return [None] * len(doc_ids)
+        cmat = normalize_rows(
+            ct["embedding"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False).astype(np.float64
+                                             ).reshape(len(cids), -1))
+        row = {int(d): i for i, d in enumerate(cids)}
+        # quality query = centroid of the top-5 fused candidates that
+        # HAVE quality vectors (PRF-feedback stand-in for the absent
+        # quality text embedder)
+        feedback = [row[int(d)] for d in doc_ids[:5] if int(d) in row]
+        if not feedback:
+            return [None] * len(doc_ids)
+        centroid = cmat[feedback].mean(axis=0)
+        centroid /= (np.linalg.norm(centroid) or 1.0)
+        sims = cmat @ centroid
+        return [float(sims[row[int(d)]]) if int(d) in row else None
+                for d in doc_ids]
+
+    def rerank_fn(results):
+        want = [int(d) for d, _ in results[:PROG_K * 2]]
+        tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"],
+                           filters=[("doc_id", "in", want)])
+        texts = dict(zip(tt["doc_id"].to_pylist(), tt["text"].to_pylist()))
+        cands = [ScoredResult(str(d), float(s)) for d, s in results]
+        rerank_step(HashReranker(), query, cands,
+                    lambda d: texts.get(int(d)), combine=("rrf",))
+        return [(int(c.doc_id),
+                 float(c.rerank_score if c.rerank_score is not None
+                       else c.score)) for c in cands]
+
+    result, metrics = progressive_search(
+        lexical_fn, fast_semantic_fn, PROG_K,
+        quality_fn=quality_fn, rerank_fn=rerank_fn)
+    return pa.table({
+        "rank": pa.array(range(1, len(result.results) + 1),
+                         type=pa.int64()),
+        "doc_id": pa.array([d for d, _ in result.results],
+                           type=pa.int64()),
+        "phase": pa.array([result.phase] * len(result.results)),
+    })
+
+
 def graph_pagerank(sf_dir: str) -> pa.Table:
     """Query-biased PageRank over the dense-NN doc graph (graph_rank.rs):
     pool + Similar edges exactly as ``ann_smooth`` builds them, seeds =
@@ -1812,6 +1909,7 @@ def make_queries() -> dict:
         "two_tier_search": two_tier_search,
         "ann_recall_certificate": ann_recall_certificate,
         "vector_wal_search": vector_wal_search,
+        "progressive_search": progressive_search_pipeline,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
     })

@@ -1,0 +1,207 @@
+"""Progressive two-phase search orchestration: Phase 1 (Initial) =
+lexical + fast-semantic → RRF; Phase 2 (Refined) = quality rescore →
+blend → rerank, with refinement-failure preservation and ranking-drift
+diagnostics.
+
+Semantic anchors (reference frankensearch):
+- Phase flow and failure law: crates/frankensearch-fusion/src/
+  searcher.rs:1-250,914-1360 — Phase 1 results are delivered first and
+  are NEVER lost: any Phase-2 error yields ``RefinementFailed`` with
+  the initial results preserved, plus a ``skip_reason`` when
+  refinement never ran (``fast_only``, ``no_quality_embedder``,
+  ``no_fast_phase_candidates`` — searcher.rs:1340-1356).
+- Diagnostics: core/src/config.rs:455-520 ``TwoTierMetrics`` (phase
+  timings, candidate counts, Kendall tau, rank changes).
+- ``kendall_tau``: fusion/src/blend.rs:417-465 — refined ranks taken
+  in initial order (deduped, common docs only), inversion counting,
+  ``None`` below two common docs, τ = (C − D) / total_pairs.
+- ``compute_rank_changes``: blend.rs:365-405 — per initial doc:
+  lower refined rank ⇒ promoted, higher ⇒ demoted, equal ⇒ stable,
+  missing from refined ⇒ demoted; refined-only docs ⇒ promoted.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+def _merge_count_inversions(arr: list[int]) -> int:
+    """O(n log n) inversion count (blend.rs merge_sort_inversions)."""
+    n = len(arr)
+    if n < 2:
+        return 0
+    mid = n // 2
+    left, right = arr[:mid], arr[mid:]
+    inv = _merge_count_inversions(left) + _merge_count_inversions(right)
+    i = j = k = 0
+    while i < len(left) and j < len(right):
+        if left[i] <= right[j]:
+            arr[k] = left[i]
+            i += 1
+        else:
+            arr[k] = right[j]
+            j += 1
+            inv += len(left) - i
+        k += 1
+    arr[k:] = left[i:] + right[j:]
+    return inv
+
+
+def kendall_tau(initial_ids: list, refined_ids: list) -> float | None:
+    """Kendall τ between two rankings over their common docs
+    (blend.rs:417-465): None below two common docs."""
+    refined_rank = {}
+    for r, d in enumerate(refined_ids):
+        refined_rank.setdefault(d, r)  # first occurrence
+    seen = set()
+    ranks = []
+    for d in initial_ids:
+        if d in refined_rank and d not in seen:
+            seen.add(d)
+            ranks.append(refined_rank[d])
+    n = len(ranks)
+    if n < 2:
+        return None
+    discordant = _merge_count_inversions(ranks)
+    total_pairs = n * (n - 1) // 2
+    return (total_pairs - 2 * discordant) / total_pairs
+
+
+def compute_rank_changes(initial_ids: list, refined_ids: list) -> dict:
+    """blend.rs:365-405 promoted/demoted/stable census."""
+    initial_rank = {}
+    for r, d in enumerate(initial_ids):
+        initial_rank.setdefault(d, r)
+    refined_rank = {}
+    for r, d in enumerate(refined_ids):
+        refined_rank.setdefault(d, r)
+    promoted = demoted = stable = 0
+    for d, old in initial_rank.items():
+        new = refined_rank.get(d)
+        if new is None or new > old:
+            demoted += 1
+        elif new < old:
+            promoted += 1
+        else:
+            stable += 1
+    promoted += sum(1 for d in refined_rank if d not in initial_rank)
+    return {"promoted": promoted, "demoted": demoted, "stable": stable}
+
+
+@dataclass
+class SearchPhaseResult:
+    """What ``progressive_search`` hands to ``on_phase`` / returns."""
+    phase: str  # "initial" | "refined" | "refinement_failed"
+    results: list  # best-first [(doc_id, score)]
+    error: str | None = None
+
+
+@dataclass
+class ProgressiveMetrics:
+    """The TwoTierMetrics subset this engine populates
+    (config.rs:455-520)."""
+    lexical_search_ms: float = 0.0
+    vector_search_ms: float = 0.0
+    rrf_fusion_ms: float = 0.0
+    phase1_total_ms: float = 0.0
+    quality_search_ms: float = 0.0
+    blend_ms: float = 0.0
+    rerank_ms: float = 0.0
+    phase2_total_ms: float = 0.0
+    kendall_tau: float | None = None
+    rank_changes: dict = field(default_factory=dict)
+    skip_reason: str | None = None
+    lexical_candidates: int = 0
+    semantic_candidates: int = 0
+    incomplete_embeddings: int = 0
+
+
+def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
+                       quality_fn=None, rerank_fn=None,
+                       rrf_k: float = 60.0, blend_factor: float = 0.7,
+                       fast_only: bool = False, on_phase=None,
+                       ) -> tuple[SearchPhaseResult, ProgressiveMetrics]:
+    """Run the two-phase progressive flow.
+
+    - ``lexical_fn()`` / ``fast_semantic_fn()`` → best-first
+      [(doc_id, score)] candidate arms (either may be empty).
+    - ``quality_fn(doc_ids) -> list[float | None]`` → per-candidate
+      quality scores, None for docs without a quality embedding
+      (two_tier ``quality_scores_for_hits`` shape).
+    - ``rerank_fn(results) -> results`` → optional rerank of the
+      blended list (e.g. ``fsray.rerank.rerank_step`` wrapped).
+
+    Phase-1 results are delivered via ``on_phase`` BEFORE refinement
+    and are preserved verbatim when refinement fails or is skipped
+    (searcher.rs failure law).  Returns the final phase result plus
+    metrics.
+    """
+    from fsray.fuse import blend_two_tier, rrf_fuse
+    m = ProgressiveMetrics()
+    t_p1 = time.perf_counter()
+    t0 = time.perf_counter()
+    lexical = list(lexical_fn())
+    m.lexical_search_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    semantic = list(fast_semantic_fn())
+    m.vector_search_ms = (time.perf_counter() - t0) * 1e3
+    m.lexical_candidates = len(lexical)
+    m.semantic_candidates = len(semantic)
+    t0 = time.perf_counter()
+    fused = rrf_fuse([lexical, semantic], k=rrf_k)
+    initial = [(d, s) for d, s in fused][:limit]
+    m.rrf_fusion_ms = (time.perf_counter() - t0) * 1e3
+    m.phase1_total_ms = (time.perf_counter() - t_p1) * 1e3
+    phase1 = SearchPhaseResult("initial", initial)
+    if on_phase is not None:
+        on_phase(phase1)
+
+    # refinement gates (searcher.rs:1340-1356 skip taxonomy)
+    if fast_only:
+        m.skip_reason = "fast_only"
+        return phase1, m
+    if quality_fn is None:
+        m.skip_reason = "no_quality_embedder"
+        return phase1, m
+    if not initial:
+        m.skip_reason = "no_fast_phase_candidates"
+        return phase1, m
+
+    t_p2 = time.perf_counter()
+    try:
+        cand_ids = [d for d, _ in fused]
+        t0 = time.perf_counter()
+        qscores = list(quality_fn(cand_ids))
+        m.quality_search_ms = (time.perf_counter() - t0) * 1e3
+        if len(qscores) != len(cand_ids):
+            raise ValueError("quality_fn returned wrong-length scores")
+        m.incomplete_embeddings = sum(1 for s in qscores if s is None)
+        quality = [(d, s) for d, s in zip(cand_ids, qscores)
+                   if s is not None]
+        t0 = time.perf_counter()
+        refined = blend_two_tier(list(fused), quality, blend_factor,
+                                 limit=None)
+        m.blend_ms = (time.perf_counter() - t0) * 1e3
+        if rerank_fn is not None:
+            t0 = time.perf_counter()
+            refined = list(rerank_fn(refined))
+            m.rerank_ms = (time.perf_counter() - t0) * 1e3
+        refined = refined[:limit]
+    except Exception as exc:  # NEVER lose initial results
+        m.phase2_total_ms = (time.perf_counter() - t_p2) * 1e3
+        m.skip_reason = str(exc)
+        failed = SearchPhaseResult("refinement_failed", initial,
+                                   error=str(exc))
+        if on_phase is not None:
+            on_phase(failed)
+        return failed, m
+    m.phase2_total_ms = (time.perf_counter() - t_p2) * 1e3
+    m.kendall_tau = kendall_tau([d for d, _ in initial],
+                                [d for d, _ in refined])
+    m.rank_changes = compute_rank_changes([d for d, _ in initial],
+                                          [d for d, _ in refined])
+    result = SearchPhaseResult("refined", refined)
+    if on_phase is not None:
+        on_phase(result)
+    return result, m

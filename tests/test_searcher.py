@@ -1,0 +1,145 @@
+"""Progressive-search orchestration laws (reference
+fusion/searcher.rs + blend.rs diagnostics): phase-1 preservation under
+refinement failure, skip taxonomy, Kendall-τ and rank-change censuses,
+and the composed end-to-end pipeline lane."""
+
+import pytest
+
+from fsray.searcher import (
+    compute_rank_changes,
+    kendall_tau,
+    progressive_search,
+)
+
+
+def lex():
+    return [(1, 3.0), (2, 2.0), (3, 1.0)]
+
+
+def sem():
+    return [(2, 0.9), (4, 0.8)]
+
+
+def quality_all(ids):
+    return [0.5 + 0.1 * (i % 3) for i, _ in enumerate(ids)]
+
+
+# ─── kendall_tau (blend.rs:417-465) ─────────────────────────────────────
+
+
+def test_kendall_tau_identical_and_reversed():
+    assert kendall_tau([1, 2, 3, 4], [1, 2, 3, 4]) == pytest.approx(1.0)
+    assert kendall_tau([1, 2, 3, 4], [4, 3, 2, 1]) == pytest.approx(-1.0)
+
+
+def test_kendall_tau_partial_overlap_and_none():
+    # common docs only: initial [1,2,9], refined [2,1,8] → common {1,2}
+    # refined ranks in initial order = [1, 0] → one inversion → tau -1
+    assert kendall_tau([1, 2, 9], [2, 1, 8]) == pytest.approx(-1.0)
+    assert kendall_tau([1, 2], [3, 4]) is None      # no common docs
+    assert kendall_tau([1], [1]) is None            # < 2 common
+    assert kendall_tau([], []) is None
+
+
+def test_kendall_tau_mixed():
+    # initial [a b c d], refined [a c b d]: one discordant pair of 6
+    assert kendall_tau(["a", "b", "c", "d"], ["a", "c", "b", "d"]) == \
+        pytest.approx((5 - 1) / 6)
+
+
+def test_rank_changes_census():
+    # initial: a=0 b=1 c=2 ; refined: b=0 a=1 d=2
+    # a: 0→1 demoted; b: 1→0 promoted; c: missing → demoted; d: new → promoted
+    out = compute_rank_changes(["a", "b", "c"], ["b", "a", "d"])
+    assert out == {"promoted": 2, "demoted": 2, "stable": 0}
+    assert compute_rank_changes(["x"], ["x"]) == \
+        {"promoted": 0, "demoted": 0, "stable": 1}
+
+
+# ─── progressive flow (searcher.rs) ─────────────────────────────────────
+
+
+def test_phase1_delivered_before_refinement_and_refined_final():
+    phases = []
+    result, m = progressive_search(
+        lex, sem, 3, quality_fn=quality_all,
+        on_phase=lambda p: phases.append(p.phase))
+    assert phases == ["initial", "refined"]
+    assert result.phase == "refined"
+    assert len(result.results) == 3
+    assert m.kendall_tau is not None
+    assert set(m.rank_changes) == {"promoted", "demoted", "stable"}
+    assert m.lexical_candidates == 3 and m.semantic_candidates == 2
+
+
+def test_rrf_initial_order():
+    # doc 2 appears in BOTH arms → highest RRF mass
+    result, m = progressive_search(lex, sem, 4, fast_only=True)
+    assert result.results[0][0] == 2
+    assert m.skip_reason == "fast_only"
+    assert result.phase == "initial"
+
+
+def test_refinement_failure_preserves_initial():
+    def bad_quality(ids):
+        raise RuntimeError("quality tier exploded")
+    phases = []
+    result, m = progressive_search(
+        lex, sem, 3, quality_fn=bad_quality,
+        on_phase=lambda p: phases.append(p))
+    assert result.phase == "refinement_failed"
+    assert result.error == "quality tier exploded"
+    assert m.skip_reason == "quality tier exploded"
+    # the refinement-failed payload IS the initial results, verbatim
+    assert result.results == phases[0].results
+    assert phases[0].phase == "initial"
+
+
+def test_wrong_length_quality_is_a_refinement_failure():
+    result, m = progressive_search(lex, sem, 3, quality_fn=lambda ids: [1.0])
+    assert result.phase == "refinement_failed"
+
+
+def test_skip_no_quality_embedder():
+    result, m = progressive_search(lex, sem, 3)
+    assert result.phase == "initial"
+    assert m.skip_reason == "no_quality_embedder"
+    assert m.kendall_tau is None
+
+
+def test_skip_no_fast_phase_candidates():
+    result, m = progressive_search(lambda: [], lambda: [], 3,
+                                   quality_fn=quality_all)
+    assert result.results == []
+    assert m.skip_reason == "no_fast_phase_candidates"
+
+
+def test_incomplete_embeddings_counted_and_single_arm_blend():
+    def quality_partial(ids):
+        return [0.9 if d == 2 else None for d in ids]
+    result, m = progressive_search(lex, sem, 4, quality_fn=quality_partial)
+    assert result.phase == "refined"
+    assert m.incomplete_embeddings == 3  # docs 1, 3, 4 lack quality
+    # every phase-1 doc survives (single-arm docs keep their fast score)
+    assert {d for d, _ in result.results} == {1, 2, 3, 4}
+
+
+def test_rerank_hook_runs_inside_phase2():
+    def reverse_rerank(results):
+        return list(reversed(results))
+    base, _ = progressive_search(lex, sem, 4, quality_fn=quality_all)
+    rr, m = progressive_search(lex, sem, 4, quality_fn=quality_all,
+                               rerank_fn=reverse_rerank)
+    assert [d for d, _ in rr.results] == \
+        [d for d, _ in reversed(base.results)]
+    assert m.rerank_ms >= 0.0
+
+
+def test_progressive_pipeline_lane(ray_session):
+    from fsray.pipelines import progressive_search_pipeline
+    t = progressive_search_pipeline("/root/testdata/sf0.001").to_pandas()
+    assert t.equals(
+        progressive_search_pipeline("/root/testdata/sf0.001").to_pandas())
+    assert list(t.columns) == ["rank", "doc_id", "phase"]
+    assert len(t) == 10
+    assert (t["phase"] == "refined").all()
