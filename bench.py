@@ -146,6 +146,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_ann_mrl", P.ann_mrl),
         ("x_ann_quantized", P.ann_quantized),
         ("x_two_tier_search", P.two_tier_search),
+        ("x_vector_wal_search", P.vector_wal_search),
+        ("x_ann_recall_certificate", P.ann_recall_certificate),
+        ("x_progressive_search", P.progressive_search_pipeline),
     ]:
         t0 = time.perf_counter()
         fn(sf_dir)

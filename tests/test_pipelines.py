@@ -77,7 +77,8 @@ def test_rows_only_queries_run(name):
 def test_entry_runs():
     tbl = _to_table(entrymod.entry())
     assert tbl.num_rows > 0
-    assert "doc_id" in tbl.column_names and "rrf_score" in tbl.column_names
+    # the progressive-search flagship: refined top-k with a stable schema
+    assert tbl.column_names == ["rank", "doc_id", "phase"]
 
 
 def test_ann_lsh_recall_vs_bruteforce():
