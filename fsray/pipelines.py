@@ -837,6 +837,25 @@ def ann_bruteforce(sf_dir: str) -> pa.Table:
     return pa.table({"query_id": qid_map, "neighbor_id": merged["neighbor_id"]})
 
 
+def _read_normalized_embeddings(emb_path: str, ids: list,
+                                ) -> tuple[np.ndarray, np.ndarray]:
+    """Row-filtered read of embedding rows, L2-normalized f64 — the
+    quality-tier / rescore read shared by ann_mrl, two_tier_search and
+    the progressive pipeline (never the full matrix)."""
+    import pyarrow.parquet as pq
+
+    from fsray.dedup import normalize_rows
+    ct = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", [int(d) for d in ids])])
+    cids = ct["vec_id"].to_numpy().astype(np.int64)
+    if len(cids) == 0:
+        return cids, np.zeros((0, 0))
+    cmat = normalize_rows(
+        ct["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64).reshape(len(cids), -1))
+    return cids, cmat
+
+
 MRL_SEARCH_DIMS = 16
 MRL_K = 10
 QUANT_K = 10
@@ -889,12 +908,7 @@ def ann_mrl(sf_dir: str) -> pa.Table:
     pscores = parts["tscore"].to_numpy()
     pool = pids[topk_by_score_then_id(pids, pscores, pool_k)]
     # phase 2: full-dim rescore of the pool only (row-filter pushdown)
-    ct = pq.read_table(emb_path, columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "in", [int(x) for x in pool])])
-    cids = ct["vec_id"].to_numpy().astype(np.int64)
-    cmat = normalize_rows(
-        ct["embedding"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False).astype(np.float64).reshape(len(cids), -1))
+    cids, cmat = _read_normalized_embeddings(emb_path, list(pool))
     full = cmat @ (qvec / (np.linalg.norm(qvec) or 1.0))
     sel = topk_by_score_then_id(cids, full, MRL_K)
     return pa.table({
@@ -1010,10 +1024,8 @@ def two_tier_search(sf_dir: str) -> pa.Table:
     Rows-only driver check; the blend law vs an independent full-matrix
     recomputation and the ``TwoTierIndex`` ladder laws are pinned in
     ``tests/test_twotier.py``."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from fsray.dedup import normalize_rows
     from fsray.fuse import blend_two_tier
     from fsray.quant import topk_by_score_then_id
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -1028,12 +1040,7 @@ def two_tier_search(sf_dir: str) -> pa.Table:
     psel = topk_by_score_then_id(pids, pcos, pool_k)
     fast = [(int(d), float(s)) for d, s in zip(pids[psel], pcos[psel])]
     # quality tier: exact f32 rescore of the pool rows only
-    ct = pq.read_table(emb_path, columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "in", [d for d, _ in fast])])
-    cids = ct["vec_id"].to_numpy().astype(np.int64)
-    cmat = normalize_rows(
-        ct["embedding"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False).astype(np.float64).reshape(len(cids), -1))
+    cids, cmat = _read_normalized_embeddings(emb_path, [d for d, _ in fast])
     qfull = qvec / (np.linalg.norm(qvec) or 1.0)
     quality = [(int(d), float(s)) for d, s in zip(cids, cmat @ qfull)]
     blended = blend_two_tier(fast, quality, limit=MRL_K)
@@ -1614,31 +1621,39 @@ HASH_EMBED_K = 10
 HASH_EMBED_QUERY = "spark stream table window"
 
 
+def _hash_embed_topk(sf_dir: str, query: str, k: int,
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed hash-embed cosine top-k for a text query: stateful
+    actor-pool scorer per batch, driver lexsort merge.  Shared by the
+    ``hash_embed_ann`` lane and the progressive pipeline's fast arm."""
+    import ray.data as rd
+
+    from fsray.embed import HashEmbedScorer
+    parts = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+             .map_batches(HashEmbedScorer, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=2,
+                          fn_constructor_kwargs={
+                              "query": query,
+                              "dimension": HASH_EMBED_DIM,
+                              "k": k})
+             .to_pandas())
+    ids = parts["doc_id"].to_numpy()
+    cos = parts["cos"].to_numpy()
+    o = np.lexsort((ids, -cos))[:k]
+    return ids[o], cos[o]
+
+
 def hash_embed_ann(sf_dir: str) -> pa.Table:
     """End-to-end hash-control embedding retrieval (the embedding tier's
     model-free fallback, hash_embedder.rs): hash-embed every document in
     a stateful ``map_batches`` stage, hash-embed the query text, emit
     per-batch cosine top-k partials, merge on the driver.  The as-you-type
     LexicalPlusHash strategy's dense arm (serving.py strategy ladder)."""
-    import ray.data as rd
-
-    from fsray.embed import HashEmbedScorer
-
-    parts = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"])
-             .map_batches(HashEmbedScorer, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=2,
-                          fn_constructor_kwargs={
-                              "query": HASH_EMBED_QUERY,
-                              "dimension": HASH_EMBED_DIM,
-                              "k": HASH_EMBED_K})
-             .to_pandas())
-    ids = parts["doc_id"].to_numpy()
-    cos = parts["cos"].to_numpy()
-    o = np.lexsort((ids, -cos))[:HASH_EMBED_K]
+    ids, cos = _hash_embed_topk(sf_dir, HASH_EMBED_QUERY, HASH_EMBED_K)
     return pa.table({
-        "rank": pa.array(range(1, len(o) + 1), type=pa.int64()),
-        "doc_id": pa.array(ids[o], type=pa.int64()),
+        "rank": pa.array(range(1, len(ids) + 1), type=pa.int64()),
+        "doc_id": pa.array(ids, type=pa.int64()),
     })
 
 
@@ -1661,7 +1676,6 @@ def progressive_search_pipeline(sf_dir: str) -> pa.Table:
     Rows-only driver check (hash/centroid arms aren't SQL)."""
     import pyarrow.parquet as pq
 
-    from fsray.dedup import normalize_rows
     from fsray.rerank import HashReranker, ScoredResult, rerank_step
     from fsray.searcher import progressive_search
     query = BM25_QUERIES["bm25_topk_wide"][0]
@@ -1673,34 +1687,13 @@ def progressive_search_pipeline(sf_dir: str) -> pa.Table:
         return [(int(h.doc_id), float(h.score)) for h in hits]
 
     def fast_semantic_fn():
-        import ray.data as rd
-
-        from fsray.embed import HashEmbedScorer
-        parts = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id", "text"])
-                 .map_batches(HashEmbedScorer, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=2,
-                              fn_constructor_kwargs={
-                                  "query": query,
-                                  "dimension": HASH_EMBED_DIM,
-                                  "k": PROG_ARM_K})
-                 .to_pandas())
-        ids = parts["doc_id"].to_numpy()
-        cos = parts["cos"].to_numpy()
-        o = np.lexsort((ids, -cos))[:PROG_ARM_K]
-        return [(int(ids[i]), float(cos[i])) for i in o]
+        ids, cos = _hash_embed_topk(sf_dir, query, PROG_ARM_K)
+        return [(int(d), float(c)) for d, c in zip(ids, cos)]
 
     def quality_fn(doc_ids):
-        ct = pq.read_table(emb_path, columns=["vec_id", "embedding"],
-                           filters=[("vec_id", "in",
-                                     [int(d) for d in doc_ids])])
-        cids = ct["vec_id"].to_numpy().astype(np.int64)
+        cids, cmat = _read_normalized_embeddings(emb_path, list(doc_ids))
         if len(cids) == 0:
             return [None] * len(doc_ids)
-        cmat = normalize_rows(
-            ct["embedding"].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False).astype(np.float64
-                                             ).reshape(len(cids), -1))
         row = {int(d): i for i, d in enumerate(cids)}
         # quality query = centroid of the top-5 fused candidates that
         # HAVE quality vectors (PRF-feedback stand-in for the absent
@@ -1723,9 +1716,9 @@ def progressive_search_pipeline(sf_dir: str) -> pa.Table:
         cands = [ScoredResult(str(d), float(s)) for d, s in results]
         rerank_step(HashReranker(), query, cands,
                     lambda d: texts.get(int(d)), combine=("rrf",))
-        return [(int(c.doc_id),
-                 float(c.rerank_score if c.rerank_score is not None
-                       else c.score)) for c in cands]
+        # order is the authoritative ranking; scores keep the single
+        # blend scale (SearchPhaseResult contract)
+        return [(int(c.doc_id), float(c.score)) for c in cands]
 
     result, metrics = progressive_search(
         lexical_fn, fast_semantic_fn, PROG_K,
@@ -1735,7 +1728,8 @@ def progressive_search_pipeline(sf_dir: str) -> pa.Table:
                          type=pa.int64()),
         "doc_id": pa.array([d for d, _ in result.results],
                            type=pa.int64()),
-        "phase": pa.array([result.phase] * len(result.results)),
+        "phase": pa.array([result.phase] * len(result.results),
+                          type=pa.string()),
     })
 
 

@@ -7,9 +7,12 @@ Semantic anchors (reference frankensearch):
 - Phase flow and failure law: crates/frankensearch-fusion/src/
   searcher.rs:1-250,914-1360 — Phase 1 results are delivered first and
   are NEVER lost: any Phase-2 error yields ``RefinementFailed`` with
-  the initial results preserved, plus a ``skip_reason`` when
-  refinement never ran (``fast_only``, ``no_quality_embedder``,
-  ``no_fast_phase_candidates`` — searcher.rs:1340-1356).
+  the initial results preserved.  ``metrics.skip_reason`` carries the
+  skip taxonomy when refinement never ran (``fast_only``,
+  ``no_quality_embedder``, ``no_fast_phase_candidates`` —
+  searcher.rs:1340-1356) or, exactly like the reference, the error
+  text when refinement ran and failed (searcher.rs:1134,1305); the
+  two cases are distinguished by ``result.phase``.
 - Diagnostics: core/src/config.rs:455-520 ``TwoTierMetrics`` (phase
   timings, candidate counts, Kendall tau, rank changes).
 - ``kendall_tau``: fusion/src/blend.rs:417-465 — refined ranks taken
@@ -91,7 +94,13 @@ def compute_rank_changes(initial_ids: list, refined_ids: list) -> dict:
 
 @dataclass
 class SearchPhaseResult:
-    """What ``progressive_search`` hands to ``on_phase`` / returns."""
+    """What ``progressive_search`` hands to ``on_phase`` / returns.
+
+    ``results`` is best-first [(doc_id, score)]: the ORDER is the
+    authoritative ranking.  After a ``rerank_fn`` the order reflects
+    the rerank while scores keep the phase-2 blend scale (the
+    reference's results likewise keep ``score`` and ``rerank_score``
+    as separate facts and rank by the rerank)."""
     phase: str  # "initial" | "refined" | "refinement_failed"
     results: list  # best-first [(doc_id, score)]
     error: str | None = None
@@ -150,7 +159,7 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
     m.semantic_candidates = len(semantic)
     t0 = time.perf_counter()
     fused = rrf_fuse([lexical, semantic], k=rrf_k)
-    initial = [(d, s) for d, s in fused][:limit]
+    initial = fused[:limit]
     m.rrf_fusion_ms = (time.perf_counter() - t0) * 1e3
     m.phase1_total_ms = (time.perf_counter() - t_p1) * 1e3
     phase1 = SearchPhaseResult("initial", initial)
