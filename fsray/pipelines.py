@@ -1678,16 +1678,22 @@ def progressive_search_pipeline(sf_dir: str) -> pa.Table:
 
     from fsray.rerank import HashReranker, ScoredResult, rerank_step
     from fsray.searcher import progressive_search
+    from fsray.searcher import QueryClass
     query = BM25_QUERIES["bm25_topk_wide"][0]
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    # per-source candidate budgets from the query class
+    # (query_class.rs:192-216 multipliers)
+    lex_mult, sem_mult = QueryClass.BUDGETS[QueryClass.classify(query)]
+    lex_k = max(1, int(PROG_ARM_K * lex_mult))
+    sem_k = max(1, int(PROG_ARM_K * sem_mult))
 
     def lexical_fn():
         idx = documents_index(sf_dir)
-        hits = idx.search(query, k=PROG_ARM_K, dtype=np.float64)
+        hits = idx.search(query, k=lex_k, dtype=np.float64)
         return [(int(h.doc_id), float(h.score)) for h in hits]
 
     def fast_semantic_fn():
-        ids, cos = _hash_embed_topk(sf_dir, query, PROG_ARM_K)
+        ids, cos = _hash_embed_topk(sf_dir, query, sem_k)
         return [(int(d), float(c)) for d, c in zip(ids, cos)]
 
     def quality_fn(doc_ids):
@@ -1722,7 +1728,7 @@ def progressive_search_pipeline(sf_dir: str) -> pa.Table:
 
     result, metrics = progressive_search(
         lexical_fn, fast_semantic_fn, PROG_K,
-        quality_fn=quality_fn, rerank_fn=rerank_fn)
+        quality_fn=quality_fn, rerank_fn=rerank_fn, query=query)
     return pa.table({
         "rank": pa.array(range(1, len(result.results) + 1),
                          type=pa.int64()),

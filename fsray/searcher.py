@@ -29,6 +29,66 @@ import time
 from dataclasses import dataclass, field
 
 
+class QueryClass:
+    """Heuristic query classification driving per-source candidate
+    budgets (core/src/query_class.rs:24-216): Empty → immediate empty
+    result; Identifier (paths, ``::``, dots, snake_case, camelCase,
+    issue IDs, ``fn``/``struct``/``impl`` prefixes) leans lexical;
+    1-3 words → ShortKeyword (balanced); 4+ → NaturalLanguage (leans
+    semantic)."""
+    EMPTY = "empty"
+    IDENTIFIER = "identifier"
+    SHORT_KEYWORD = "short_keyword"
+    NATURAL_LANGUAGE = "natural_language"
+
+    #: (lexical, semantic) candidate-budget multipliers
+    #: (query_class.rs:192-216)
+    BUDGETS = {
+        EMPTY: (0.0, 0.0),
+        IDENTIFIER: (2.0, 0.5),       # lean heavily lexical
+        SHORT_KEYWORD: (1.0, 1.0),    # balanced
+        NATURAL_LANGUAGE: (0.5, 2.0),  # lean heavily semantic
+    }
+
+    @staticmethod
+    def classify(query: str) -> str:
+        s = query.strip()
+        if not s:
+            return QueryClass.EMPTY
+        if QueryClass._looks_like_identifier(s):
+            return QueryClass.IDENTIFIER
+        # only the <=3 boundary matters (query_class.rs:58-62)
+        if len(s.split(None, 4)[:4]) <= 3:
+            return QueryClass.SHORT_KEYWORD
+        return QueryClass.NATURAL_LANGUAGE
+
+    @staticmethod
+    def _looks_like_identifier(s: str) -> bool:
+        # single Unicode implementation: the reference's ASCII fast path
+        # is behavior-identical by its own comment (query_class.rs:79-81)
+        if not any(c.isspace() for c in s):
+            if "/" in s or "\\" in s or "." in s or "::" in s:
+                return True
+            if "_" in s:
+                return True
+            # camelCase / PascalCase: mixed case that isn't one
+            # capitalized word
+            has_lower = any(c.islower() for c in s)
+            has_upper = any(c.isupper() for c in s)
+            first_upper = s[0].isupper()
+            rest_lower = all(c.islower() for c in s[1:])
+            if has_lower and has_upper and not (first_upper and rest_lower):
+                return True
+            # issue/ticket ID: prefix-digits (bd-123, JIRA-456)
+            prefix, sep, suffix = s.rpartition("-")
+            if (sep and prefix and suffix and suffix.isascii()
+                    and suffix.isdigit()
+                    and all(c.isascii() and (c.isalnum() or c in "-_")
+                            for c in prefix)):
+                return True
+        return s.startswith(("fn ", "struct ", "impl "))
+
+
 def _merge_count_inversions(arr: list[int]) -> int:
     """O(n log n) inversion count (blend.rs merge_sort_inversions)."""
     n = len(arr)
@@ -121,6 +181,7 @@ class ProgressiveMetrics:
     kendall_tau: float | None = None
     rank_changes: dict = field(default_factory=dict)
     skip_reason: str | None = None
+    query_class: str | None = None
     lexical_candidates: int = 0
     semantic_candidates: int = 0
     incomplete_embeddings: int = 0
@@ -130,6 +191,7 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
                        quality_fn=None, rerank_fn=None,
                        rrf_k: float = 60.0, blend_factor: float = 0.7,
                        fast_only: bool = False, on_phase=None,
+                       query: str | None = None,
                        ) -> tuple[SearchPhaseResult, ProgressiveMetrics]:
     """Run the two-phase progressive flow.
 
@@ -141,6 +203,12 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
     - ``rerank_fn(results) -> results`` → optional rerank of the
       blended list (e.g. ``fsray.rerank.rerank_step`` wrapped).
 
+    - ``query`` (optional) → classified into ``metrics.query_class``
+      (QueryClass heuristics); an Empty class returns empty results
+      immediately.  Callers size arm budgets with
+      ``QueryClass.BUDGETS[cls]`` (the reference's per-source
+      candidate multipliers).
+
     Phase-1 results are delivered via ``on_phase`` BEFORE refinement
     and are preserved verbatim when refinement fails or is skipped
     (searcher.rs failure law).  Returns the final phase result plus
@@ -148,6 +216,16 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
     """
     from fsray.fuse import blend_two_tier, rrf_fuse
     m = ProgressiveMetrics()
+    if query is not None:
+        m.query_class = QueryClass.classify(query)
+        if m.query_class == QueryClass.EMPTY:
+            # empty queries return empty results immediately
+            # (query_class.rs:25-26)
+            empty = SearchPhaseResult("initial", [])
+            m.skip_reason = "empty_query"
+            if on_phase is not None:
+                on_phase(empty)
+            return empty, m
     t_p1 = time.perf_counter()
     t0 = time.perf_counter()
     lexical = list(lexical_fn())

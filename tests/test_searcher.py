@@ -143,3 +143,56 @@ def test_progressive_pipeline_lane(ray_session):
     assert list(t.columns) == ["rank", "doc_id", "phase"]
     assert len(t) == 10
     assert (t["phase"] == "refined").all()
+
+
+# ─── QueryClass (core/src/query_class.rs) ───────────────────────────────
+
+
+def test_query_class_reference_cases():
+    from fsray.searcher import QueryClass as QC
+    cases = {
+        "": QC.EMPTY, "   ": QC.EMPTY, "\t\n": QC.EMPTY,
+        "src/main.rs": QC.IDENTIFIER, "path/to/file.txt": QC.IDENTIFIER,
+        "bd-123": QC.IDENTIFIER, "JIRA-456": QC.IDENTIFIER,
+        "my-project-123": QC.IDENTIFIER, "repo_name-789": QC.IDENTIFIER,
+        "std::vec::Vec": QC.IDENTIFIER, "config.toml": QC.IDENTIFIER,
+        "fn main": QC.IDENTIFIER, "struct Foo": QC.IDENTIFIER,
+        "snake_case_name": QC.IDENTIFIER, "camelCaseName": QC.IDENTIFIER,
+        "error-handling": QC.SHORT_KEYWORD, "load-balancer": QC.SHORT_KEYWORD,
+        "bd-ab": QC.SHORT_KEYWORD,
+        "search": QC.SHORT_KEYWORD, "vector index search": QC.SHORT_KEYWORD,
+        "http 404/500": QC.SHORT_KEYWORD,
+        "how does the search pipeline work?": QC.NATURAL_LANGUAGE,
+        "find all documents about distributed consensus": QC.NATURAL_LANGUAGE,
+        "how should we handle HTTP status 404/500 errors": QC.NATURAL_LANGUAGE,
+        "Capitalized": QC.SHORT_KEYWORD,  # one capitalized word is NOT camelCase
+    }
+    for q, want in cases.items():
+        assert QC.classify(q) == want, (q, QC.classify(q), want)
+
+
+def test_query_class_budgets():
+    from fsray.searcher import QueryClass as QC
+    assert QC.BUDGETS[QC.IDENTIFIER] == (2.0, 0.5)     # lean lexical
+    assert QC.BUDGETS[QC.NATURAL_LANGUAGE] == (0.5, 2.0)
+    assert QC.BUDGETS[QC.SHORT_KEYWORD] == (1.0, 1.0)
+    assert QC.BUDGETS[QC.EMPTY] == (0.0, 0.0)
+
+
+def test_empty_query_short_circuits():
+    from fsray.searcher import progressive_search
+    called = []
+    result, m = progressive_search(
+        lambda: called.append("lex") or [], lambda: called.append("sem") or [],
+        5, quality_fn=quality_all, query="   ")
+    assert result.results == [] and result.phase == "initial"
+    assert m.query_class == "empty"
+    assert m.skip_reason == "empty_query"
+    assert called == []  # arms never ran
+
+
+def test_query_class_recorded_in_metrics():
+    from fsray.searcher import progressive_search
+    _, m = progressive_search(lex, sem, 3, quality_fn=quality_all,
+                              query="how does the search pipeline work?")
+    assert m.query_class == "natural_language"
