@@ -1,0 +1,220 @@
+"""Typed operator advice for graceful search degradation.
+
+Semantic anchors (reference frankensearch,
+crates/frankensearch-fsfs/src/degradation_advisor.rs):
+- the 8-kind failure taxonomy with its pinned reason codes, operator
+  summaries, severities and ``preserves_initial_results`` flags
+  (da.rs:13-71,254-267): only ``corrupt_index`` loses the initial
+  results; ``lexical_fallback`` is Info, everything else Warn/Error;
+- ordered ``next_actions`` per kind with replayable commands
+  (da.rs:269-398 — commands adapted to this engine's CLI surface:
+  ``fsray search/build/gc`` instead of ``fsfs ...``);
+- ``advice_for_search_error`` classification of engine errors into
+  kinds (da.rs:198-226, mapped onto this engine's exception types);
+- zero-signal advice only for availability failures — an expected
+  empty answer is NOT degradation (da.rs:171-196).
+
+Schema version pinned so emitted advice is machine-comparable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEGRADATION_ADVICE_SCHEMA_VERSION = "fsray.degradation.advice.v2"
+
+#: kind -> (reason_code suffix, summary, severity, preserves_initial)
+_KINDS = {
+    "refinement_failed": (
+        "quality refinement failed; initial results remain usable",
+        "warn", True),
+    "lexical_fallback": (
+        "semantic retrieval fell back to lexical search", "info", True),
+    "quality_model_missing": (
+        "quality model unavailable; refinement skipped", "warn", True),
+    "embedding_space_unverifiable": (
+        "semantic index and query embedding identities cannot be proven "
+        "compatible", "warn", True),
+    "timeout": (
+        "quality stage exceeded its latency budget", "warn", True),
+    "index_corrupt": (
+        "index artifact could not be read safely", "error", False),
+    "cache_miss": (
+        "expected cache artifact was missing or stale", "warn", True),
+    "semantic_zero_signal": (
+        "semantic lane produced zero signal despite live records; results "
+        "may be lexical-only", "warn", True),
+}
+
+
+@dataclass(frozen=True)
+class NextAction:
+    order: int
+    reason_code: str
+    action: str
+    command: str | None = None
+
+    def to_value(self) -> dict:
+        out = {"order": self.order, "reason_code": self.reason_code,
+               "action": self.action}
+        if self.command is not None:
+            out["command"] = self.command
+        return out
+
+
+@dataclass
+class DegradationAdvice:
+    failure: str
+    severity: str
+    reason_code: str
+    operator_summary: str
+    preserves_initial_results: bool
+    next_actions: list[NextAction]
+    replay_command: str
+    original_error: str | None = None
+    schema_version: str = DEGRADATION_ADVICE_SCHEMA_VERSION
+
+    def to_value(self) -> dict:
+        out = {
+            "schema_version": self.schema_version,
+            "failure": self.failure,
+            "severity": self.severity,
+            "reason_code": self.reason_code,
+            "operator_summary": self.operator_summary,
+            "preserves_initial_results": self.preserves_initial_results,
+            "next_actions": [a.to_value() for a in self.next_actions],
+            "replay_command": self.replay_command,
+        }
+        if self.original_error is not None:
+            out["original_error"] = self.original_error
+        return out
+
+
+def _replay_command(query: str, index_dir: str | None) -> str:
+    d = index_dir if index_dir else "$FSRAY_INDEX_DIR"
+    return (f"python -m fsray.cli search --index-dir {d} "
+            f"--query {query!r} --format json")
+
+
+def _next_actions(failure: str, index_dir: str | None) -> list[NextAction]:
+    d = index_dir if index_dir else "$FSRAY_INDEX_DIR"
+    rebuild = (f"python -m fsray.cli build --input <corpus.parquet> "
+               f"--index-dir {d}")
+    table = {
+        "refinement_failed": [
+            ("keep_initial", "Keep displaying the initial result set; "
+             "refinement failure is graceful.", None),
+            ("inspect_status", "Inspect the manifest metrics and degraded-"
+             "mode state before retrying.",
+             f"python -m fsray.cli gc --index-dir {d} --grace-sec 1e18"),
+        ],
+        "lexical_fallback": [
+            ("verify_vector_index", "Verify the embeddings table and hash "
+             "embedder before depending on semantic scores.", None),
+            ("rebuild_vector_index", "Rebuild index artifacts in place when "
+             "the semantic side is stale or unreadable.", rebuild),
+        ],
+        "quality_model_missing": [
+            ("check_model_cache", "Check the quality-tier configuration; the "
+             "hash-control embedder is the always-available fallback.", None),
+        ],
+        "embedding_space_unverifiable": [
+            ("keep_lexical_only", "Keep lexical results, but do not admit "
+             "semantic scores from an unidentified embedding space.", None),
+            ("reindex_after_identity_change", "Rebuild in place only if you "
+             "intentionally change the canonical embedding identity.",
+             rebuild),
+        ],
+        "timeout": [
+            ("use_fast_only", "Use fast-only results for latency-sensitive "
+             "workflows (progressive_search(fast_only=True)).", None),
+            ("raise_quality_timeout", "Increase the quality budget only "
+             "after confirming the host has spare capacity.", None),
+        ],
+        "index_corrupt": [
+            ("stop_trusting_artifact", "Do not trust hits from the "
+             "unreadable artifact; use lexical fallback or rebuild.", None),
+            ("reindex_in_place", "Rebuild index artifacts in place from "
+             "source content; no cleanup is required.", rebuild),
+        ],
+        "cache_miss": [
+            ("verify_cache_key", "Verify index-dir and resume fingerprints "
+             "before assuming there are no results.", None),
+            ("replay_search", "Replay the search with an explicit index-dir "
+             "and machine-readable output.",
+             _replay_command("<query>", index_dir)),
+        ],
+        "semantic_zero_signal": [
+            ("inspect_zero_signal_census", "Inspect the embeddings table "
+             "census (rows, zero-norm vectors) for the corpus.", None),
+            ("rebuild_unusable_vectors", "Rebuild in place if live records "
+             "lack usable vectors (zero-norm or corrupt embeddings).",
+             rebuild),
+        ],
+    }
+    return [NextAction(i + 1, f"degrade.action.{code}", text, cmd)
+            for i, (code, text, cmd) in enumerate(table[failure])]
+
+
+def advice_for(failure: str, query: str, index_dir: str | None = None,
+               original_error: str | None = None) -> DegradationAdvice:
+    """Build the typed advice record for one failure kind
+    (da.rs:124-154 ``DegradationAdvice::from_input``)."""
+    if failure not in _KINDS:
+        raise ValueError(f"unknown degradation failure kind {failure!r}")
+    summary, severity, preserves = _KINDS[failure]
+    return DegradationAdvice(
+        failure=failure,
+        severity=severity,
+        reason_code=f"degrade.advice.{failure}",
+        operator_summary=summary,
+        preserves_initial_results=preserves,
+        next_actions=_next_actions(failure, index_dir),
+        replay_command=_replay_command(query, index_dir),
+        original_error=original_error,
+    )
+
+
+def classify_search_error(error: Exception) -> str:
+    """Map this engine's exception types onto the failure taxonomy
+    (da.rs:198-226 adapted): corrupt artifacts → index_corrupt, missing
+    artifacts → cache_miss, timeouts → timeout, everything else →
+    refinement_failed (the graceful default)."""
+    import pyarrow as pa
+
+    from fsray.twotier import TwoTierError
+    from fsray.vwal import VectorWalError
+    if isinstance(error, TimeoutError):
+        return "timeout"
+    if isinstance(error, (pa.ArrowInvalid, TwoTierError, VectorWalError)):
+        return "index_corrupt"
+    if isinstance(error, FileNotFoundError):
+        return "cache_miss"
+    return "refinement_failed"
+
+
+def advice_for_search_error(query: str, index_dir: str | None,
+                            error: Exception) -> DegradationAdvice:
+    return advice_for(classify_search_error(error), query, index_dir,
+                      original_error=f"{type(error).__name__}: {error}")
+
+
+def advice_for_zero_signal(query: str, index_dir: str | None,
+                           reason_code: str,
+                           is_availability_failure: bool,
+                           ) -> DegradationAdvice | None:
+    """Only availability failures warrant operator advice; every other
+    zero-signal reason is an expected outcome and must NOT surface as
+    degradation (da.rs:171-196)."""
+    if not is_availability_failure:
+        return None
+    adv = advice_for("semantic_zero_signal", query, index_dir)
+    adv.original_error = reason_code
+    return adv
+
+
+def synthetic_degradation_advice_fixture() -> list[DegradationAdvice]:
+    """One advice record per kind (da.rs:229-252) — the fixture shape
+    conformance tests pin."""
+    return [advice_for(kind, "authentication middleware",
+                       "/tmp/fsray-fixture/index") for kind in _KINDS]

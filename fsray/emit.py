@@ -435,16 +435,24 @@ class SearchPayload:
     phase: str  # "fast" | "full"
     total_candidates: int
     hits: list[SearchHitPayload]
+    #: reason_code -> advice value (output_schema.rs SearchPayload
+    #: degradation_advice BTreeMap; omitted when empty)
+    degradation_advice: dict = field(default_factory=dict)
 
     @property
     def returned_hits(self) -> int:
         return len(self.hits)
 
     def to_value(self) -> dict:
-        return {"query": self.query, "phase": self.phase,
-                "total_candidates": self.total_candidates,
-                "returned_hits": self.returned_hits,
-                "hits": [h.to_value() for h in self.hits]}
+        out = {"query": self.query, "phase": self.phase,
+               "total_candidates": self.total_candidates,
+               "returned_hits": self.returned_hits,
+               "hits": [h.to_value() for h in self.hits]}
+        if self.degradation_advice:
+            out["degradation_advice"] = {
+                k: (v.to_value() if hasattr(v, "to_value") else v)
+                for k, v in sorted(self.degradation_advice.items())}
+        return out
 
 
 def render_search_table(payload: SearchPayload,

@@ -182,6 +182,7 @@ class ProgressiveMetrics:
     rank_changes: dict = field(default_factory=dict)
     skip_reason: str | None = None
     query_class: str | None = None
+    degradation_advice: dict | None = None
     lexical_candidates: int = 0
     semantic_candidates: int = 0
     incomplete_embeddings: int = 0
@@ -276,8 +277,11 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
             m.rerank_ms = (time.perf_counter() - t0) * 1e3
         refined = refined[:limit]
     except Exception as exc:  # NEVER lose initial results
+        from fsray.advisor import advice_for_search_error
         m.phase2_total_ms = (time.perf_counter() - t_p2) * 1e3
         m.skip_reason = str(exc)
+        m.degradation_advice = advice_for_search_error(
+            query or "", None, exc).to_value()
         failed = SearchPhaseResult("refinement_failed", initial,
                                    error=str(exc))
         if on_phase is not None:

@@ -1,0 +1,101 @@
+"""Degradation-advisor laws (reference degradation_advisor.rs): the
+8-kind taxonomy with pinned reason codes / severities / preservation
+flags, ordered next actions with replayable commands, error
+classification, the zero-signal availability gate, the fixture shape,
+and end-to-end emission through the envelope formats."""
+
+import json
+
+import pytest
+
+from fsray.advisor import (
+    DEGRADATION_ADVICE_SCHEMA_VERSION,
+    advice_for,
+    advice_for_search_error,
+    advice_for_zero_signal,
+    classify_search_error,
+    synthetic_degradation_advice_fixture,
+)
+
+
+def test_taxonomy_severities_and_preservation():
+    """da.rs:254-267: lexical_fallback is Info, index_corrupt is Error
+    (and the ONLY kind that loses initial results), the rest Warn."""
+    fixture = synthetic_degradation_advice_fixture()
+    assert len(fixture) == 8
+    by_kind = {a.failure: a for a in fixture}
+    assert by_kind["lexical_fallback"].severity == "info"
+    assert by_kind["index_corrupt"].severity == "error"
+    assert not by_kind["index_corrupt"].preserves_initial_results
+    for kind, a in by_kind.items():
+        if kind != "index_corrupt":
+            assert a.preserves_initial_results, kind
+        if kind not in ("lexical_fallback", "index_corrupt"):
+            assert a.severity == "warn", kind
+        assert a.reason_code == f"degrade.advice.{kind}"
+        assert a.schema_version == DEGRADATION_ADVICE_SCHEMA_VERSION
+        assert a.next_actions[0].order == 1  # ordered, 1-based
+        assert [n.order for n in a.next_actions] == \
+            list(range(1, len(a.next_actions) + 1))
+        assert a.replay_command.startswith("python -m fsray.cli search")
+
+
+def test_unknown_kind_rejected():
+    with pytest.raises(ValueError):
+        advice_for("made_up_kind", "q")
+
+
+def test_classify_search_error_mapping():
+    import pyarrow as pa
+
+    from fsray.twotier import TwoTierError
+    assert classify_search_error(TimeoutError("slow")) == "timeout"
+    assert classify_search_error(TwoTierError("dim")) == "index_corrupt"
+    assert classify_search_error(pa.ArrowInvalid("bad")) == "index_corrupt"
+    assert classify_search_error(FileNotFoundError("x")) == "cache_miss"
+    assert classify_search_error(RuntimeError("boom")) == "refinement_failed"
+
+
+def test_advice_for_search_error_carries_original():
+    adv = advice_for_search_error("my query", "/idx", RuntimeError("boom"))
+    assert adv.failure == "refinement_failed"
+    assert adv.original_error == "RuntimeError: boom"
+    assert "/idx" in adv.replay_command and "my query" in adv.replay_command
+
+
+def test_zero_signal_availability_gate():
+    """da.rs:171-196: expected-empty reasons must NOT surface as
+    degradation; availability failures must."""
+    assert advice_for_zero_signal("q", None, "zero.no_usable_vectors",
+                                  is_availability_failure=True) is not None
+    assert advice_for_zero_signal("q", None, "zero.empty_index",
+                                  is_availability_failure=False) is None
+
+
+def test_searcher_attaches_advice_on_refinement_failure():
+    from fsray.searcher import progressive_search
+
+    def bad_quality(ids):
+        raise RuntimeError("quality tier exploded")
+    result, m = progressive_search(
+        lambda: [(1, 1.0), (2, 0.5)], lambda: [], 2,
+        quality_fn=bad_quality, query="some query text here now")
+    assert result.phase == "refinement_failed"
+    assert m.degradation_advice is not None
+    assert m.degradation_advice["failure"] == "refinement_failed"
+    assert m.degradation_advice["preserves_initial_results"] is True
+
+
+def test_advice_emits_through_envelope_formats():
+    from fsray.emit import (OutputEnvelope, OutputMeta, SearchPayload,
+                            emit_envelope_string, toon_decode)
+    adv = advice_for("timeout", "q", "/idx")
+    payload = SearchPayload("q", "fast", 3, [],
+                            degradation_advice={adv.reason_code: adv})
+    env = OutputEnvelope.success(payload, OutputMeta("search", "json"),
+                                 "2026-08-18T00:00:00Z")
+    j = json.loads(emit_envelope_string(env, "jsonl"))
+    assert j["data"]["degradation_advice"][
+        "degrade.advice.timeout"]["severity"] == "warn"
+    # TOON parity holds on the advice-bearing shape
+    assert toon_decode(emit_envelope_string(env, "toon")) == j
