@@ -1,0 +1,202 @@
+"""Per-hit search explanations: decompose a document's score into
+typed per-source components.
+
+Semantic anchors (reference frankensearch,
+crates/frankensearch-core/src/explanation.rs):
+- ``HitExplanation`` (final_score, components, phase, rank_movement)
+  with the ``total_rrf_contribution`` / ``source_count`` /
+  ``was_promoted`` helpers (explanation.rs:202-260);
+- ``ScoreComponent`` (source, raw, normalized, rrf_contribution,
+  weight) and the ``ExplainedSource`` variants — LexicalBm25 carries
+  matched terms + aggregate tf/idf (explanation.rs:63-165);
+- ``RankMovement`` signed delta, negative = promoted
+  (explanation.rs:168-199);
+- Display strings pinned to the reference's formats.
+
+``explain_bm25`` is the engine-side decomposition: per matched clause
+(term or slop-0 phrase) it reports df, idf, weight and the exact BM25
+leaf score ``weight · tf/(tf + tf_cache[fieldnorm_id])`` — on the flat
+query lane the component scores SUM to the document's ``search()``
+score bit-for-bit in the f64 lane (pinned by test).  Explicit boolean
+trees still decompose per clause, but group boosts attach at tree
+nodes, so the sum law is only guaranteed for the flat lane
+(documented).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class ExplainedSource:
+    """One scoring source (explanation.rs:63-144).  ``kind`` ∈
+    {lexical_bm25, semantic_fast, semantic_quality, rerank}; the
+    variant payload lives in ``detail``."""
+    kind: str
+    detail: dict
+
+    def __str__(self) -> str:
+        d = self.detail
+        if self.kind == "lexical_bm25":
+            return (f"BM25(terms=[{', '.join(d['matched_terms'])}], "
+                    f"tf={d['tf']:.2f}, idf={d['idf']:.2f})")
+        if self.kind == "semantic_fast":
+            return f"FastSemantic({d['embedder']}, cos={d['cosine_sim']:.4f})"
+        if self.kind == "semantic_quality":
+            return (f"QualitySemantic({d['embedder']}, "
+                    f"cos={d['cosine_sim']:.4f})")
+        if self.kind == "rerank":
+            return (f"Rerank({d['model']}, logit={d['logit']:.4f}, "
+                    f"sig={d['sigmoid']:.4f})")
+        return f"{self.kind}({self.detail})"
+
+
+@dataclass
+class ScoreComponent:
+    source: ExplainedSource
+    raw_score: float
+    normalized_score: float
+    rrf_contribution: float = 0.0
+    weight: float = 1.0
+
+    def __str__(self) -> str:
+        return (f"{self.source}: raw={self.raw_score:.4f} "
+                f"norm={self.normalized_score:.4f} "
+                f"rrf={self.rrf_contribution:.6f} w={self.weight:.2f}")
+
+
+@dataclass
+class RankMovement:
+    initial_rank: int
+    refined_rank: int
+    delta: int
+    reason: str
+
+    def __str__(self) -> str:
+        direction = ("promoted" if self.delta < 0
+                     else "demoted" if self.delta > 0 else "stable")
+        return (f"{direction} #{self.initial_rank} -> "
+                f"#{self.refined_rank} (delta={self.delta}) {self.reason}")
+
+
+@dataclass
+class HitExplanation:
+    final_score: float
+    components: list[ScoreComponent]
+    phase: str = "initial"  # "initial" | "refined"
+    rank_movement: RankMovement | None = None
+
+    def total_rrf_contribution(self) -> float:
+        return sum(c.rrf_contribution for c in self.components)
+
+    def source_count(self) -> int:
+        return len(self.components)
+
+    def was_promoted(self) -> bool:
+        return self.rank_movement is not None and self.rank_movement.delta < 0
+
+
+def _locate(index, doc_id: str):
+    """(shard, docid) for a live doc_id, else None (tombstoned docs are
+    not explainable — they cannot be hits)."""
+    import pyarrow.compute as pc
+    for sh in index.shards:
+        mask = pc.equal(sh.doc_ids, doc_id)
+        idx = pc.index(mask, True).as_py()
+        if idx is None or idx < 0:
+            continue
+        docid = sh.lo + idx
+        if len(sh.tombstones) and np.isin(np.uint32(docid), sh.tombstones):
+            return None
+        return sh, docid
+    return None
+
+
+def explain_bm25(index, text: str, doc_id: str, dtype=np.float64,
+                 parser: str = "default") -> HitExplanation | None:
+    """Decompose ``doc_id``'s BM25 score for ``text`` into per-clause
+    components (the ``LexicalBm25`` lane of explanation.rs).  Returns
+    None when the doc does not exist, is tombstoned, or matches no
+    scoring clause.  Flat-lane sum law: ``final_score`` equals
+    ``index.search(text, dtype=...)``'s score for this doc exactly."""
+    from fsray.contract import compute_tf_cache, idf
+    from fsray.query import parse_cass_query, parse_query
+    from fsray.scorer import phrase_matches
+    from fsray.search import _clause_specs
+
+    index._refresh_if_stale()
+    if parser == "cass":
+        parsed = parse_cass_query(text)
+    else:
+        parsed = parse_query(text, default_fields=index.default_fields,
+                             keyword_fields=index._keyword_fields())
+    parsed = index._expand_globs(parsed)
+    if parsed.is_empty:
+        return None
+    located = _locate(index, doc_id)
+    if located is None:
+        return None
+    sh, docid = located
+
+    # snapshot-global dfs, exactly like search_paginated
+    keys = sorted({(index._ord(c.field), c.term)
+                   for c in parsed.scoring_clauses()
+                   if index._ord(c.field) is not None} |
+                  {(index._ord(p.field), t) for p in parsed.phrases
+                   for t in p.terms if index._ord(p.field) is not None})
+    df_sum: dict = {}
+    for s in index.shards:
+        for tk, df in zip(keys, s.dfs(keys)):
+            df_sum[tk] = df_sum.get(tk, 0) + int(df)
+    specs = _clause_specs(parsed, index.manifest, df_sum, dtype=dtype)
+
+    n_by_ord = {f["ord"]: index.manifest["field_stats"][f["name"]]["doc_count"]
+                for f in index.manifest["fields"]}
+    components: list[ScoreComponent] = []
+    total = dtype(0.0)
+    for cs in specs:
+        if cs["group"] == "must_not" or cs["weight"] == 0.0:
+            continue
+        if cs.get("kind") == "phrase":
+            decs = [sh.decode((cs["field_ord"], t)) for t in cs["terms"]]
+            if any(d is None for d in decs):
+                continue
+            ph_docids, ph_freqs = phrase_matches(decs)
+            pos = np.searchsorted(ph_docids, np.uint32(docid))
+            if pos >= len(ph_docids) or ph_docids[pos] != docid:
+                continue
+            tf = int(ph_freqs[pos])
+            terms = list(cs["terms"])
+            agg_idf = float(sum(idf(df_sum[(cs["field_ord"], t)],
+                                    n_by_ord[cs["field_ord"]], dtype=dtype)
+                                for t in terms))
+        else:
+            dec = sh.decode((cs["field_ord"], cs["term"]))
+            if dec is None:
+                continue
+            pos = np.searchsorted(dec.docids, np.uint32(docid))
+            if pos >= len(dec.docids) or dec.docids[pos] != docid:
+                continue
+            tf = int(dec.tfs[pos])
+            terms = [cs["term"]]
+            agg_idf = float(idf(df_sum[(cs["field_ord"], cs["term"])],
+                                n_by_ord[cs["field_ord"]], dtype=dtype))
+        fn_id = int(sh.fn[cs["field_ord"]][docid - sh.lo])
+        tf_cache = compute_tf_cache(np.float32(cs["avgdl"]), dtype=dtype)
+        freq = dtype(tf)
+        score = dtype(cs["weight"]) * (freq / (freq + tf_cache[fn_id]))
+        total = total + score
+        components.append(ScoreComponent(
+            source=ExplainedSource("lexical_bm25", {
+                "matched_terms": terms, "tf": float(tf), "idf": agg_idf,
+                "df": int(df_sum.get((cs["field_ord"], terms[0]), 0)),
+                "fieldnorm_id": fn_id,
+            }),
+            raw_score=float(score), normalized_score=float(score),
+            rrf_contribution=0.0, weight=float(cs["weight"])))
+    if not components:
+        return None
+    return HitExplanation(final_score=float(total), components=components)

@@ -1,0 +1,109 @@
+"""Explanation laws (reference core/src/explanation.rs): the flat-lane
+sum law (Σ component scores == the engine's f64 search score,
+bit-for-bit), matched-term/tf/idf details, tombstone/missing behavior,
+Display formats, and the HitExplanation helpers."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from fsray.build import CODE_CORPUS, BuildConfig, build_index
+from fsray.corpus import generate_code_corpus
+from fsray.explain import (
+    ExplainedSource,
+    HitExplanation,
+    RankMovement,
+    ScoreComponent,
+    explain_bm25,
+)
+from fsray.search import LocalIndex
+
+QUERIES = ["fn impl", "merge buffer config", '"parse config"',
+           "fn -impl", "+merge buffer"]
+
+
+@pytest.fixture(scope="module")
+def exp_index(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("explain")
+    table = generate_code_corpus(400, seed=5)
+    src = str(tmp / "corpus.parquet")
+    pq.write_table(table, src, row_group_size=128)
+    d = str(tmp / "idx")
+    build_index([src], d, CODE_CORPUS,
+                BuildConfig(partition_rows=128, num_shards=2, num_buckets=4,
+                            positions=True))
+    return LocalIndex(d)
+
+
+def test_sum_law_bit_exact_f64(exp_index):
+    """THE law: on the flat lane, component scores sum to the doc's
+    search score exactly in the f64 lane — for every top hit of every
+    query shape (union, 3-term, phrase, must-not, must)."""
+    for q in QUERIES:
+        hits = exp_index.search(q, k=10, dtype=np.float64)
+        assert hits, q
+        for h in hits:
+            exp = explain_bm25(exp_index, q, h.doc_id)
+            assert exp is not None, (q, h.doc_id)
+            assert exp.final_score == h.score, (q, h.doc_id)
+            assert sum(c.raw_score for c in exp.components) == \
+                pytest.approx(exp.final_score, abs=0.0)
+
+
+def test_component_details(exp_index):
+    hits = exp_index.search("fn impl", k=1, dtype=np.float64)
+    exp = explain_bm25(exp_index, "fn impl", hits[0].doc_id)
+    assert exp.source_count() == len(exp.components) >= 1
+    for c in exp.components:
+        assert c.source.kind == "lexical_bm25"
+        d = c.source.detail
+        assert d["matched_terms"] and d["tf"] >= 1.0
+        assert d["idf"] > 0.0 and d["df"] >= 1
+        assert 0 <= d["fieldnorm_id"] <= 255
+        assert c.rrf_contribution == 0.0
+        assert "BM25(terms=[" in str(c.source)
+        assert "raw=" in str(c)
+    assert exp.total_rrf_contribution() == 0.0
+
+
+def test_missing_doc_and_no_match_return_none(exp_index):
+    assert explain_bm25(exp_index, "fn impl", "no-such-doc") is None
+    # a live doc that matches nothing in the query
+    hits = exp_index.search("fn", k=1, dtype=np.float64)
+    assert explain_bm25(exp_index, "zzzznotaterm", hits[0].doc_id) is None
+    assert explain_bm25(exp_index, "", hits[0].doc_id) is None
+
+
+def test_rank_movement_and_helpers():
+    mv = RankMovement(initial_rank=5, refined_rank=2, delta=-3,
+                      reason="promoted by quality embedder")
+    assert "promoted #5 -> #2 (delta=-3)" in str(mv)
+    exp = HitExplanation(
+        final_score=0.032,
+        components=[ScoreComponent(
+            ExplainedSource("rerank", {"model": "hash-reranker",
+                                       "logit": 0.5, "sigmoid": 0.62}),
+            raw_score=0.62, normalized_score=0.62,
+            rrf_contribution=0.016, weight=1.0)],
+        phase="refined", rank_movement=mv)
+    assert exp.was_promoted()
+    assert exp.total_rrf_contribution() == pytest.approx(0.016)
+    assert "Rerank(hash-reranker, logit=0.5000, sig=0.6200)" in \
+        str(exp.components[0].source)
+    stable = HitExplanation(1.0, [], rank_movement=RankMovement(1, 1, 0, "x"))
+    assert not stable.was_promoted()
+    assert "stable #1 -> #1" in str(stable.rank_movement)
+
+
+def test_tombstoned_doc_not_explainable(exp_index, tmp_path):
+    import shutil
+
+    from fsray.mutate import delete_docs
+    d2 = str(tmp_path / "idx2")
+    shutil.copytree(exp_index.index_dir, d2)
+    idx2 = LocalIndex(d2)
+    victim = exp_index.search("fn impl", k=1, dtype=np.float64)[0].doc_id
+    assert explain_bm25(idx2, "fn impl", victim) is not None
+    delete_docs(d2, [victim])
+    idx2 = LocalIndex(d2)
+    assert explain_bm25(idx2, "fn impl", victim) is None
