@@ -23,7 +23,8 @@ from dataclasses import dataclass, field
 
 DEGRADATION_ADVICE_SCHEMA_VERSION = "fsray.degradation.advice.v2"
 
-#: kind -> (reason_code suffix, summary, severity, preserves_initial)
+#: kind -> (summary, severity, preserves_initial); the reason code
+#: is derived from the key as f"degrade.advice.{kind}"
 _KINDS = {
     "refinement_failed": (
         "quality refinement failed; initial results remain usable",
@@ -91,9 +92,10 @@ class DegradationAdvice:
 
 
 def _replay_command(query: str, index_dir: str | None) -> str:
-    d = index_dir if index_dir else "$FSRAY_INDEX_DIR"
+    import shlex
+    d = (shlex.quote(index_dir) if index_dir else "$FSRAY_INDEX_DIR")
     return (f"python -m fsray.cli search --index-dir {d} "
-            f"--query {query!r} --format json")
+            f"--query {shlex.quote(query)} --format json")
 
 
 def _next_actions(failure: str, index_dir: str | None) -> list[NextAction]:

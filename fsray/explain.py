@@ -100,8 +100,9 @@ class HitExplanation:
 
 
 def _locate(index, doc_id: str):
-    """(shard, docid) for a live doc_id, else None (tombstoned docs are
-    not explainable — they cannot be hits)."""
+    """(shard, docid) for a LIVE doc_id, else None.  A tombstoned copy
+    does not end the scan: upsert = tombstone(old) + append(new), so the
+    live version lives in a LATER shard (mutate.py contract)."""
     import pyarrow.compute as pc
     for sh in index.shards:
         mask = pc.equal(sh.doc_ids, doc_id)
@@ -110,7 +111,7 @@ def _locate(index, doc_id: str):
             continue
         docid = sh.lo + idx
         if len(sh.tombstones) and np.isin(np.uint32(docid), sh.tombstones):
-            return None
+            continue  # the live version may be in a later shard
         return sh, docid
     return None
 
@@ -141,46 +142,61 @@ def explain_bm25(index, text: str, doc_id: str, dtype=np.float64,
         return None
     sh, docid = located
 
-    # snapshot-global dfs, exactly like search_paginated
-    keys = sorted({(index._ord(c.field), c.term)
-                   for c in parsed.scoring_clauses()
-                   if index._ord(c.field) is not None} |
-                  {(index._ord(p.field), t) for p in parsed.phrases
-                   for t in p.terms if index._ord(p.field) is not None})
-    df_sum: dict = {}
-    for s in index.shards:
-        for tk, df in zip(keys, s.dfs(keys)):
-            df_sum[tk] = df_sum.get(tk, 0) + int(df)
+    # snapshot-global dfs via the SAME binding search_paginated uses
+    df_sum = index._global_dfs(parsed)
     specs = _clause_specs(parsed, index.manifest, df_sum, dtype=dtype)
 
     n_by_ord = {f["ord"]: index.manifest["field_stats"][f["name"]]["doc_count"]
                 for f in index.manifest["fields"]}
+    def doc_tf(cs) -> int | None:
+        """This doc's tf for one clause spec (term or slop-0 phrase),
+        None when the clause does not match the doc in its shard."""
+        if cs.get("kind") == "phrase":
+            decs = [sh.decode((cs["field_ord"], t)) for t in cs["terms"]]
+            if any(d is None for d in decs):
+                return None
+            ph_docids, ph_freqs = phrase_matches(decs)
+            pos = np.searchsorted(ph_docids, np.uint32(docid))
+            if pos >= len(ph_docids) or ph_docids[pos] != docid:
+                return None
+            return int(ph_freqs[pos])
+        dec = sh.decode((cs["field_ord"], cs["term"]))
+        if dec is None:
+            return None
+        pos = np.searchsorted(dec.docids, np.uint32(docid))
+        if pos >= len(dec.docids) or dec.docids[pos] != docid:
+            return None
+        return int(dec.tfs[pos])
+
+    # gate like the kernel: an excluded doc or a doc failing ANY
+    # required atom can never be a hit — no fabricated explanation
+    must_atom_ok: dict[int, bool] = {}
+    for cs in specs:
+        if cs["group"] == "must_not":
+            if doc_tf(cs) is not None:
+                return None  # excluded by a -clause
+        elif cs["group"] == "must":
+            atom = cs.get("atom", -1)
+            must_atom_ok.setdefault(atom, False)
+            if doc_tf(cs) is not None:
+                must_atom_ok[atom] = True
+    if not all(must_atom_ok.values()):
+        return None  # a required atom matched nowhere in this doc
+
     components: list[ScoreComponent] = []
     total = dtype(0.0)
     for cs in specs:
         if cs["group"] == "must_not" or cs["weight"] == 0.0:
             continue
+        tf = doc_tf(cs)
+        if tf is None:
+            continue
         if cs.get("kind") == "phrase":
-            decs = [sh.decode((cs["field_ord"], t)) for t in cs["terms"]]
-            if any(d is None for d in decs):
-                continue
-            ph_docids, ph_freqs = phrase_matches(decs)
-            pos = np.searchsorted(ph_docids, np.uint32(docid))
-            if pos >= len(ph_docids) or ph_docids[pos] != docid:
-                continue
-            tf = int(ph_freqs[pos])
             terms = list(cs["terms"])
             agg_idf = float(sum(idf(df_sum[(cs["field_ord"], t)],
                                     n_by_ord[cs["field_ord"]], dtype=dtype)
                                 for t in terms))
         else:
-            dec = sh.decode((cs["field_ord"], cs["term"]))
-            if dec is None:
-                continue
-            pos = np.searchsorted(dec.docids, np.uint32(docid))
-            if pos >= len(dec.docids) or dec.docids[pos] != docid:
-                continue
-            tf = int(dec.tfs[pos])
             terms = [cs["term"]]
             agg_idf = float(idf(df_sum[(cs["field_ord"], cs["term"])],
                                 n_by_ord[cs["field_ord"]], dtype=dtype))

@@ -659,6 +659,22 @@ class LocalIndex:
                                         mode=mode, parser=parser)
         return hits
 
+    def _global_dfs(self, parsed) -> dict:
+        """Snapshot-global doc-frequency sums for every scoring term and
+        phrase constituent of a parsed query — the binding step shared
+        by search_paginated and fsray.explain (the explanation sum law
+        depends on both using EXACTLY this aggregation)."""
+        keys = sorted({(self._ord(c.field), c.term)
+                       for c in parsed.scoring_clauses()
+                       if self._ord(c.field) is not None} |
+                      {(self._ord(p.field), t) for p in parsed.phrases
+                       for t in p.terms if self._ord(p.field) is not None})
+        df_sum: dict = {}
+        for sh in self.shards:
+            for tk, df in zip(keys, sh.dfs(keys)):
+                df_sum[tk] = df_sum.get(tk, 0) + int(df)
+        return df_sum
+
     def search_paginated(self, text: str, limit: int = 10, offset: int = 0,
                          exact_count: bool = False, dtype=np.float32,
                          mode: str = "auto",
@@ -686,14 +702,7 @@ class LocalIndex:
             result: tuple[list[Hit], int | None] = ([], 0 if exact_count else None)
             self._put_cache(key, result)
             return result
-        keys = sorted({(self._ord(c.field), c.term)
-                       for c in parsed.scoring_clauses() if self._ord(c.field) is not None} |
-                      {(self._ord(p.field), t) for p in parsed.phrases
-                       for t in p.terms if self._ord(p.field) is not None})
-        df_sum: dict = {}
-        for sh in self.shards:
-            for tk, df in zip(keys, sh.dfs(keys)):
-                df_sum[tk] = df_sum.get(tk, 0) + int(df)
+        df_sum = self._global_dfs(parsed)
         specs = _clause_specs(parsed, self.manifest, df_sum, dtype=dtype)
         range_specs = _range_specs(parsed)
         leaf_specs = _leaf_specs(parsed)

@@ -277,11 +277,19 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
             m.rerank_ms = (time.perf_counter() - t0) * 1e3
         refined = refined[:limit]
     except Exception as exc:  # NEVER lose initial results
-        from fsray.advisor import advice_for_search_error
         m.phase2_total_ms = (time.perf_counter() - t_p2) * 1e3
         m.skip_reason = str(exc)
-        m.degradation_advice = advice_for_search_error(
-            query or "", None, exc).to_value()
+        try:
+            # advice generation may never cost the caller their Phase-1
+            # results — guard it independently
+            from fsray.advisor import advice_for_search_error
+            adv = advice_for_search_error(query or "", None, exc)
+            # whatever the classified kind claims, THIS path did
+            # preserve the initial results — the record must say so
+            adv.preserves_initial_results = True
+            m.degradation_advice = adv.to_value()
+        except Exception:
+            m.degradation_advice = None
         failed = SearchPhaseResult("refinement_failed", initial,
                                    error=str(exc))
         if on_phase is not None:

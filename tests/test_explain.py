@@ -107,3 +107,51 @@ def test_tombstoned_doc_not_explainable(exp_index, tmp_path):
     delete_docs(d2, [victim])
     idx2 = LocalIndex(d2)
     assert explain_bm25(idx2, "fn impl", victim) is None
+
+
+def test_excluded_and_must_failing_docs_not_explainable(exp_index):
+    """A doc the query excludes (-clause) or that fails a required atom
+    can never be a hit — no fabricated explanation (review repro)."""
+    # find a doc matching both fn AND impl: excluded by "fn -impl"
+    both = exp_index.search("+fn +impl", k=1, dtype=np.float64)
+    assert both
+    assert explain_bm25(exp_index, "fn -impl", both[0].doc_id) is None
+    # a doc matching buffer but NOT merge fails "+merge buffer"
+    hits_m = {h.doc_id for h in exp_index.search("merge", k=400,
+                                                 dtype=np.float64)}
+    only_buffer = [h for h in exp_index.search("buffer", k=400,
+                                               dtype=np.float64)
+                   if h.doc_id not in hits_m]
+    assert only_buffer
+    assert explain_bm25(exp_index, "+merge buffer",
+                        only_buffer[0].doc_id) is None
+
+
+def test_upserted_doc_is_explainable(exp_index, tmp_path):
+    """Upsert = tombstone(old) + append(new in a later shard): the live
+    copy must be found past the tombstoned one (review repro)."""
+    import shutil
+
+    import pyarrow as pa
+
+    from fsray.build import CODE_CORPUS
+    from fsray.corpus import generate_code_corpus
+    from fsray.delta import WatchIndex
+    d2 = str(tmp_path / "idx3")
+    shutil.copytree(exp_index.index_dir, d2)
+    w = WatchIndex(d2, CODE_CORPUS)
+    # upsert the corpus's own first row with fresh content (the doc_id
+    # is composite, so reuse the source row verbatim)
+    row = generate_code_corpus(400, seed=5).slice(0, 1)
+    row = row.set_column(row.schema.get_field_index("content"), "content",
+                         pa.array(["fn impl fn impl fresh upsert body"]))
+    victim = CODE_CORPUS.doc_ids(row)[0].as_py()
+    w.add(row, upsert=True)
+    w.seal()
+    idx2 = LocalIndex(d2)
+    hit = [h for h in idx2.search("fn impl", k=400, dtype=np.float64)
+           if h.doc_id == victim]
+    assert hit, "upserted doc must still be a hit"
+    exp = explain_bm25(idx2, "fn impl", victim)
+    assert exp is not None
+    assert exp.final_score == hit[0].score
