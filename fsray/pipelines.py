@@ -1739,6 +1739,103 @@ def progressive_search_pipeline(sf_dir: str) -> pa.Table:
     })
 
 
+def progressive_search_explained(sf_dir: str) -> dict:
+    """The progressive flow with per-hit explanations (the
+    ``TwoTierConfig { explain: true }`` analogue, explanation.rs): for
+    each refined hit, a ``HitExplanation`` whose components carry the
+    REAL per-tier facts only the arms know — lexical BM25 components
+    from ``explain_bm25`` (matched terms, tf/idf, bit-exact leaf
+    scores), the fast hash-embed cosine, the quality-tier cosine with
+    the blend weight, and the Rerank component appended by
+    ``rerank_step`` itself (pipeline.rs:1682-1700 via
+    ``ScoredResult.explanation``) — plus ``RankMovement`` between the
+    phases.  Returns {doc_id: HitExplanation}; not a driver lane (the
+    payload is typed objects, not a table)."""
+    import pyarrow.parquet as pq
+
+    from fsray.explain import (ExplainedSource, HitExplanation,
+                               RankMovement, ScoreComponent, explain_bm25)
+    from fsray.rerank import HashReranker, ScoredResult, rerank_step
+    from fsray.searcher import progressive_search
+    query = BM25_QUERIES["bm25_topk_wide"][0]
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    idx = documents_index(sf_dir)
+
+    lex_hits = [(int(h.doc_id), float(h.score))
+                for h in idx.search(query, k=PROG_ARM_K, dtype=np.float64)]
+    sem_ids, sem_cos = _hash_embed_topk(sf_dir, query, PROG_ARM_K)
+    sem_hits = [(int(d), float(c)) for d, c in zip(sem_ids, sem_cos)]
+    sem_map = dict(sem_hits)
+
+    quality_map: dict[int, float] = {}
+
+    def quality_fn(doc_ids):
+        cids, cmat = _read_normalized_embeddings(emb_path, list(doc_ids))
+        if len(cids) == 0:
+            return [None] * len(doc_ids)
+        row = {int(d): i for i, d in enumerate(cids)}
+        feedback = [row[int(d)] for d in doc_ids[:5] if int(d) in row]
+        if not feedback:
+            return [None] * len(doc_ids)
+        centroid = cmat[feedback].mean(axis=0)
+        centroid /= (np.linalg.norm(centroid) or 1.0)
+        sims = cmat @ centroid
+        out = [float(sims[row[int(d)]]) if int(d) in row else None
+               for d in doc_ids]
+        quality_map.update({int(d): s for d, s in zip(doc_ids, out)
+                            if s is not None})
+        return out
+
+    explanations: dict[int, HitExplanation] = {}
+    phases: list = []
+    result, metrics = progressive_search(
+        lambda: lex_hits, lambda: sem_hits, PROG_K,
+        quality_fn=quality_fn, query=query,
+        on_phase=lambda p: phases.append(p))
+    initial_rank = {d: r for r, (d, _) in enumerate(phases[0].results)}
+    refined_rank = {d: r for r, (d, _) in enumerate(result.results)}
+
+    tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "in",
+                                 [int(d) for d, _ in result.results])])
+    texts = dict(zip(tt["doc_id"].to_pylist(), tt["text"].to_pylist()))
+
+    cands = []
+    for d, s in result.results:
+        comps: list[ScoreComponent] = []
+        lex_exp = explain_bm25(idx, query, str(d))
+        if lex_exp is not None:
+            comps.extend(lex_exp.components)
+        if d in sem_map:
+            comps.append(ScoreComponent(
+                ExplainedSource("semantic_fast", {
+                    "embedder": "hash-embedder",
+                    "cosine_sim": sem_map[d]}),
+                raw_score=sem_map[d], normalized_score=sem_map[d]))
+        if d in quality_map:
+            comps.append(ScoreComponent(
+                ExplainedSource("semantic_quality", {
+                    "embedder": "prf-centroid",
+                    "cosine_sim": quality_map[d]}),
+                raw_score=quality_map[d], normalized_score=quality_map[d],
+                weight=0.7))
+        mv = None
+        if d in initial_rank:
+            delta = refined_rank[d] - initial_rank[d]
+            reason = ("promoted by quality blend" if delta < 0 else
+                      "demoted by quality blend" if delta > 0 else "stable")
+            mv = RankMovement(initial_rank[d], refined_rank[d], delta, reason)
+        exp = HitExplanation(final_score=float(s), components=comps,
+                             phase="refined", rank_movement=mv)
+        explanations[int(d)] = exp
+        cands.append(ScoredResult(str(d), float(s), explanation=exp))
+    # the rerank step appends its component to each explanation itself
+    rerank_step(HashReranker(), query, cands,
+                lambda d: texts.get(int(d)), combine=("rrf",))
+    return explanations
+
+
 def graph_pagerank(sf_dir: str) -> pa.Table:
     """Query-biased PageRank over the dense-NN doc graph (graph_rank.rs):
     pool + Similar edges exactly as ``ann_smooth`` builds them, seeds =

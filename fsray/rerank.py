@@ -44,6 +44,10 @@ class ScoredResult:
     score: float  # fused retrieval score (pre-rerank)
     rerank_score: float | None = None
     source: str = "fused"  # becomes "reranked" when a rerank score lands
+    #: optional fsray.explain.HitExplanation — when present, a landed
+    #: rerank score appends a Rerank component and updates final_score,
+    #: mirroring pipeline.rs:1682-1700
+    explanation: object | None = None
 
 
 @dataclass
@@ -181,6 +185,20 @@ def rerank_step(reranker, query: str, candidates: list[ScoredResult],
         candidates[idx].rerank_score = s.score
         candidates[idx].source = "reranked"
         applied += 1
+        if candidates[idx].explanation is not None:
+            # append the Rerank component and move final_score to the
+            # rerank output (pipeline.rs:1682-1700)
+            from fsray.explain import ExplainedSource, ScoreComponent
+            exp = candidates[idx].explanation
+            exp.final_score = float(s.score)
+            exp.components.append(ScoreComponent(
+                source=ExplainedSource("rerank", {
+                    "model": reranker.id(),
+                    "logit": float(s.raw_logit or 0.0),
+                    "sigmoid": float(s.score)}),
+                raw_score=float(s.score),
+                normalized_score=float(s.score),
+                rrf_contribution=0.0, weight=1.0))
 
     window = candidates[:rerank_count]
     if combine[0] == "rrf":

@@ -155,3 +155,33 @@ def test_upserted_doc_is_explainable(exp_index, tmp_path):
     exp = explain_bm25(idx2, "fn impl", victim)
     assert exp is not None
     assert exp.final_score == hit[0].score
+
+
+def test_progressive_explanations_end_to_end(ray_session):
+    """The explain=true analogue: refined hits carry real per-tier
+    components — bit-exact lexical decomposition, fast/quality cosines,
+    the rerank component appended by rerank_step itself — and rank
+    movement between phases."""
+    from fsray.pipelines import progressive_search_explained
+    exps = progressive_search_explained("/root/testdata/sf0.001")
+    assert len(exps) == 10
+    saw_rerank = saw_movement = 0
+    for d, exp in exps.items():
+        kinds = [c.source.kind for c in exp.components]
+        assert exp.phase == "refined"
+        if "rerank" in kinds:
+            saw_rerank += 1
+            # pipeline.rs law: final_score moved to the rerank output
+            rc = [c for c in exp.components if c.source.kind == "rerank"][0]
+            assert exp.final_score == rc.raw_score
+            assert rc.source.detail["model"] == "hash-reranker"
+            assert 0.0 <= rc.source.detail["sigmoid"] <= 1.0
+        lex = [c for c in exp.components if c.source.kind == "lexical_bm25"]
+        for c in lex:
+            assert c.source.detail["matched_terms"]
+        if exp.rank_movement is not None:
+            saw_movement += 1
+            assert exp.rank_movement.delta == (exp.rank_movement.refined_rank
+                                               - exp.rank_movement.initial_rank)
+    assert saw_rerank >= 8  # the top-10 all have text -> reranked
+    assert saw_movement >= 1
