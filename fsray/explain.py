@@ -49,7 +49,9 @@ class ExplainedSource:
             return (f"QualitySemantic({d['embedder']}, "
                     f"cos={d['cosine_sim']:.4f})")
         if self.kind == "rerank":
-            return (f"Rerank({d['model']}, logit={d['logit']:.4f}, "
+            logit = d.get("logit")
+            ls = "none" if logit is None else f"{logit:.4f}"
+            return (f"Rerank({d['model']}, logit={ls}, "
                     f"sig={d['sigmoid']:.4f})")
         return f"{self.kind}({self.detail})"
 

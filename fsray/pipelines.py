@@ -1661,41 +1661,10 @@ PROG_ARM_K = 30
 PROG_K = 10
 
 
-def progressive_search_pipeline(sf_dir: str) -> pa.Table:
-    """The reference's END-TO-END product flow as one composed pipeline
-    (fusion/searcher.rs phase flow; README architecture): Phase 1 =
-    lexical BM25 arm + fast hash-embed semantic arm (distributed
-    actor-pool cosine partials) → RRF fusion (initial results); Phase 2
-    = quality-tier rescore of ONLY the fused candidates (row-filtered
-    embeddings read; the quality query is the L2 centroid of the top-5
-    fused candidates' quality vectors — the model-free stand-in for a
-    quality text embedder, the same PRF-feedback shape as prf.rs) →
-    two-tier blend → cross-encoder rerank step (hash model,
-    RRF-combine).  Phase-1 preservation, skip taxonomy, Kendall-τ and
-    rank-change diagnostics are pinned in ``tests/test_searcher.py``.
-    Rows-only driver check (hash/centroid arms aren't SQL)."""
-    import pyarrow.parquet as pq
-
-    from fsray.rerank import HashReranker, ScoredResult, rerank_step
-    from fsray.searcher import progressive_search
-    from fsray.searcher import QueryClass
-    query = BM25_QUERIES["bm25_topk_wide"][0]
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    # per-source candidate budgets from the query class
-    # (query_class.rs:192-216 multipliers)
-    lex_mult, sem_mult = QueryClass.BUDGETS[QueryClass.classify(query)]
-    lex_k = max(1, int(PROG_ARM_K * lex_mult))
-    sem_k = max(1, int(PROG_ARM_K * sem_mult))
-
-    def lexical_fn():
-        idx = documents_index(sf_dir)
-        hits = idx.search(query, k=lex_k, dtype=np.float64)
-        return [(int(h.doc_id), float(h.score)) for h in hits]
-
-    def fast_semantic_fn():
-        ids, cos = _hash_embed_topk(sf_dir, query, sem_k)
-        return [(int(d), float(c)) for d, c in zip(ids, cos)]
-
+def _prf_centroid_quality_fn(emb_path: str, sink: dict | None = None):
+    """The PRF-centroid quality scorer shared by both progressive lanes
+    (one implementation — the two lanes must never drift).  ``sink``
+    optionally collects {doc_id: score} for explanation building."""
     def quality_fn(doc_ids):
         cids, cmat = _read_normalized_embeddings(emb_path, list(doc_ids))
         if len(cids) == 0:
@@ -1710,100 +1679,57 @@ def progressive_search_pipeline(sf_dir: str) -> pa.Table:
         centroid = cmat[feedback].mean(axis=0)
         centroid /= (np.linalg.norm(centroid) or 1.0)
         sims = cmat @ centroid
-        return [float(sims[row[int(d)]]) if int(d) in row else None
-                for d in doc_ids]
-
-    def rerank_fn(results):
-        want = [int(d) for d, _ in results[:PROG_K * 2]]
-        tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"],
-                           filters=[("doc_id", "in", want)])
-        texts = dict(zip(tt["doc_id"].to_pylist(), tt["text"].to_pylist()))
-        cands = [ScoredResult(str(d), float(s)) for d, s in results]
-        rerank_step(HashReranker(), query, cands,
-                    lambda d: texts.get(int(d)), combine=("rrf",))
-        # order is the authoritative ranking; scores keep the single
-        # blend scale (SearchPhaseResult contract)
-        return [(int(c.doc_id), float(c.score)) for c in cands]
-
-    result, metrics = progressive_search(
-        lexical_fn, fast_semantic_fn, PROG_K,
-        quality_fn=quality_fn, rerank_fn=rerank_fn, query=query)
-    return pa.table({
-        "rank": pa.array(range(1, len(result.results) + 1),
-                         type=pa.int64()),
-        "doc_id": pa.array([d for d, _ in result.results],
-                           type=pa.int64()),
-        "phase": pa.array([result.phase] * len(result.results),
-                          type=pa.string()),
-    })
-
-
-def progressive_search_explained(sf_dir: str) -> dict:
-    """The progressive flow with per-hit explanations (the
-    ``TwoTierConfig { explain: true }`` analogue, explanation.rs): for
-    each refined hit, a ``HitExplanation`` whose components carry the
-    REAL per-tier facts only the arms know — lexical BM25 components
-    from ``explain_bm25`` (matched terms, tf/idf, bit-exact leaf
-    scores), the fast hash-embed cosine, the quality-tier cosine with
-    the blend weight, and the Rerank component appended by
-    ``rerank_step`` itself (pipeline.rs:1682-1700 via
-    ``ScoredResult.explanation``) — plus ``RankMovement`` between the
-    phases.  Returns {doc_id: HitExplanation}; not a driver lane (the
-    payload is typed objects, not a table)."""
-    import pyarrow.parquet as pq
-
-    from fsray.explain import (ExplainedSource, HitExplanation,
-                               RankMovement, ScoreComponent, explain_bm25)
-    from fsray.rerank import HashReranker, ScoredResult, rerank_step
-    from fsray.searcher import progressive_search
-    query = BM25_QUERIES["bm25_topk_wide"][0]
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    idx = documents_index(sf_dir)
-
-    lex_hits = [(int(h.doc_id), float(h.score))
-                for h in idx.search(query, k=PROG_ARM_K, dtype=np.float64)]
-    sem_ids, sem_cos = _hash_embed_topk(sf_dir, query, PROG_ARM_K)
-    sem_hits = [(int(d), float(c)) for d, c in zip(sem_ids, sem_cos)]
-    sem_map = dict(sem_hits)
-
-    quality_map: dict[int, float] = {}
-
-    def quality_fn(doc_ids):
-        cids, cmat = _read_normalized_embeddings(emb_path, list(doc_ids))
-        if len(cids) == 0:
-            return [None] * len(doc_ids)
-        row = {int(d): i for i, d in enumerate(cids)}
-        feedback = [row[int(d)] for d in doc_ids[:5] if int(d) in row]
-        if not feedback:
-            return [None] * len(doc_ids)
-        centroid = cmat[feedback].mean(axis=0)
-        centroid /= (np.linalg.norm(centroid) or 1.0)
-        sims = cmat @ centroid
         out = [float(sims[row[int(d)]]) if int(d) in row else None
                for d in doc_ids]
-        quality_map.update({int(d): s for d, s in zip(doc_ids, out)
-                            if s is not None})
+        if sink is not None:
+            sink.update({int(d): s for d, s in zip(doc_ids, out)
+                         if s is not None})
+        return out
+    return quality_fn
+
+
+def _run_progressive(sf_dir: str, explain: bool = False):
+    """ONE implementation of the progressive product flow (used by the
+    driver lane and the explained variant — identical budgets, arms,
+    quality and rerank, so an explanation always describes the ranking
+    the product lane actually produces).  Returns
+    (result, metrics, explanations | None)."""
+    import pyarrow.parquet as pq
+
+    from fsray.rerank import HashReranker, ScoredResult, rerank_step
+    from fsray.searcher import QueryClass, progressive_search
+    query = BM25_QUERIES["bm25_topk_wide"][0]
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    # per-source candidate budgets from the query class
+    # (query_class.rs:192-216 multipliers)
+    lex_mult, sem_mult = QueryClass.BUDGETS[QueryClass.classify(query)]
+    lex_k = max(1, int(PROG_ARM_K * lex_mult))
+    sem_k = max(1, int(PROG_ARM_K * sem_mult))
+    idx = documents_index(sf_dir)
+
+    def lexical_fn():
+        hits = idx.search(query, k=lex_k, dtype=np.float64)
+        return [(int(h.doc_id), float(h.score)) for h in hits]
+
+    sem_map: dict[int, float] = {}
+
+    def fast_semantic_fn():
+        ids, cos = _hash_embed_topk(sf_dir, query, sem_k)
+        out = [(int(d), float(c)) for d, c in zip(ids, cos)]
+        sem_map.update(out)
         return out
 
-    explanations: dict[int, HitExplanation] = {}
+    quality_map: dict[int, float] = {}
+    quality_fn = _prf_centroid_quality_fn(
+        emb_path, sink=quality_map if explain else None)
+
     phases: list = []
-    result, metrics = progressive_search(
-        lambda: lex_hits, lambda: sem_hits, PROG_K,
-        quality_fn=quality_fn, query=query,
-        on_phase=lambda p: phases.append(p))
-    initial_rank = {d: r for r, (d, _) in enumerate(phases[0].results)}
-    refined_rank = {d: r for r, (d, _) in enumerate(result.results)}
+    explanations: dict[int, object] = {}
 
-    tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                       columns=["doc_id", "text"],
-                       filters=[("doc_id", "in",
-                                 [int(d) for d, _ in result.results])])
-    texts = dict(zip(tt["doc_id"].to_pylist(), tt["text"].to_pylist()))
-
-    cands = []
-    for d, s in result.results:
-        comps: list[ScoreComponent] = []
+    def _build_explanation(d: int, score: float):
+        from fsray.explain import (ExplainedSource, HitExplanation,
+                                   ScoreComponent, explain_bm25)
+        comps = []
         lex_exp = explain_bm25(idx, query, str(d))
         if lex_exp is not None:
             comps.extend(lex_exp.components)
@@ -1818,21 +1744,92 @@ def progressive_search_explained(sf_dir: str) -> dict:
                 ExplainedSource("semantic_quality", {
                     "embedder": "prf-centroid",
                     "cosine_sim": quality_map[d]}),
-                raw_score=quality_map[d], normalized_score=quality_map[d],
-                weight=0.7))
-        mv = None
-        if d in initial_rank:
+                raw_score=quality_map[d],
+                normalized_score=quality_map[d], weight=0.7))
+        return HitExplanation(final_score=float(score), components=comps)
+
+    def rerank_fn(results):
+        want = [int(d) for d, _ in results[:PROG_K * 2]]
+        tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"],
+                           filters=[("doc_id", "in", want)])
+        texts = dict(zip(tt["doc_id"].to_pylist(), tt["text"].to_pylist()))
+        cands = []
+        for d, sc in results:
+            exp = _build_explanation(int(d), sc) if explain else None
+            if exp is not None:
+                explanations[int(d)] = exp
+            cands.append(ScoredResult(str(d), float(sc), explanation=exp))
+        # the rerank step appends its component to each explanation
+        # (pipeline.rs:1682-1700)
+        rerank_step(HashReranker(), query, cands,
+                    lambda d: texts.get(int(d)), combine=("rrf",))
+        # order is the authoritative ranking; scores keep the single
+        # blend scale (SearchPhaseResult contract)
+        return [(int(c.doc_id), float(c.score)) for c in cands]
+
+    result, metrics = progressive_search(
+        lexical_fn, fast_semantic_fn, PROG_K,
+        quality_fn=quality_fn, rerank_fn=rerank_fn, query=query,
+        on_phase=phases.append)
+    if not explain:
+        return result, metrics, None
+
+    from fsray.explain import RankMovement
+    initial_rank = ({d: r for r, (d, _) in enumerate(phases[0].results)}
+                    if phases else {})
+    refined_rank = {d: r for r, (d, _) in enumerate(result.results)}
+    # honest phase: refinement_failed results ARE the initial results
+    out_phase = "refined" if result.phase == "refined" else "initial"
+    out: dict[int, object] = {}
+    for d, sc in result.results:
+        exp = explanations.get(int(d))
+        if exp is None:  # refinement failed before rerank ran
+            exp = _build_explanation(int(d), sc)
+        exp.phase = out_phase
+        if result.phase == "refined" and d in initial_rank:
             delta = refined_rank[d] - initial_rank[d]
             reason = ("promoted by quality blend" if delta < 0 else
                       "demoted by quality blend" if delta > 0 else "stable")
-            mv = RankMovement(initial_rank[d], refined_rank[d], delta, reason)
-        exp = HitExplanation(final_score=float(s), components=comps,
-                             phase="refined", rank_movement=mv)
-        explanations[int(d)] = exp
-        cands.append(ScoredResult(str(d), float(s), explanation=exp))
-    # the rerank step appends its component to each explanation itself
-    rerank_step(HashReranker(), query, cands,
-                lambda d: texts.get(int(d)), combine=("rrf",))
+            exp.rank_movement = RankMovement(initial_rank[d],
+                                             refined_rank[d], delta, reason)
+        out[int(d)] = exp
+    return result, metrics, out
+
+
+def progressive_search_pipeline(sf_dir: str) -> pa.Table:
+    """The reference's END-TO-END product flow as one composed pipeline
+    (fusion/searcher.rs phase flow; README architecture): Phase 1 =
+    lexical BM25 arm + fast hash-embed semantic arm (distributed
+    actor-pool cosine partials) → RRF fusion (initial results); Phase 2
+    = quality-tier rescore of ONLY the fused candidates (row-filtered
+    embeddings read; PRF-centroid quality query stand-in) → two-tier
+    blend → cross-encoder rerank step (hash model, RRF-combine), with
+    arm budgets sized by the query class.  Rows-only driver check; laws
+    pinned in ``tests/test_searcher.py``."""
+    result, _metrics, _ = _run_progressive(sf_dir, explain=False)
+    return pa.table({
+        "rank": pa.array(range(1, len(result.results) + 1),
+                         type=pa.int64()),
+        "doc_id": pa.array([d for d, _ in result.results],
+                           type=pa.int64()),
+        "phase": pa.array([result.phase] * len(result.results),
+                          type=pa.string()),
+    })
+
+
+def progressive_search_explained(sf_dir: str) -> dict:
+    """The progressive flow with per-hit explanations (the
+    ``TwoTierConfig { explain: true }`` analogue, explanation.rs) — the
+    SAME flow as ``progressive_search_pipeline`` (shared
+    implementation), so every HitExplanation describes the ranking the
+    product lane actually produces: bit-exact lexical decomposition,
+    fast/quality cosine components, the Rerank component appended by
+    ``rerank_step`` itself, RankMovement between phases (attached only
+    when refinement genuinely ran; a refinement failure keeps phase
+    "initial").  Returns {doc_id: HitExplanation}; not a driver lane
+    (the payload is typed objects, not a table)."""
+    _result, _metrics, explanations = _run_progressive(sf_dir, explain=True)
     return explanations
 
 

@@ -169,9 +169,14 @@ def rerank_step(reranker, query: str, candidates: list[ScoredResult],
         return {"reranked": 0, "skipped": "score_count_mismatch"}
 
     # Drop stale rerank scores so this run only reflects fresh output
-    # (pipeline.rs:285-289 clear_rerank_scores).
+    # (pipeline.rs:285-289 clear_rerank_scores) — including any rerank
+    # component a previous run appended to an attached explanation
     for c in candidates[:rerank_count]:
         c.rerank_score = None
+        if c.explanation is not None:
+            c.explanation.components = [
+                comp for comp in c.explanation.components
+                if getattr(comp.source, "kind", None) != "rerank"]
 
     applied = 0
     for s in scores:
@@ -187,14 +192,20 @@ def rerank_step(reranker, query: str, candidates: list[ScoredResult],
         applied += 1
         if candidates[idx].explanation is not None:
             # append the Rerank component and move final_score to the
-            # rerank output (pipeline.rs:1682-1700)
+            # rerank output; rrf_contribution stays 0.0 and the logit
+            # stays OPTIONAL exactly like the reference
+            # (pipeline.rs:1682-1700: logit: raw_logit.unwrap_or(0.0)
+            # is its serialization default, but our detail keeps None
+            # rather than fabricate a logit whose sigmoid contradicts
+            # the recorded score)
             from fsray.explain import ExplainedSource, ScoreComponent
             exp = candidates[idx].explanation
             exp.final_score = float(s.score)
             exp.components.append(ScoreComponent(
                 source=ExplainedSource("rerank", {
                     "model": reranker.id(),
-                    "logit": float(s.raw_logit or 0.0),
+                    "logit": (float(s.raw_logit)
+                              if s.raw_logit is not None else None),
                     "sigmoid": float(s.score)}),
                 raw_score=float(s.score),
                 normalized_score=float(s.score),

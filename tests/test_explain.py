@@ -185,3 +185,13 @@ def test_progressive_explanations_end_to_end(ray_session):
                                                - exp.rank_movement.initial_rank)
     assert saw_rerank >= 8  # the top-10 all have text -> reranked
     assert saw_movement >= 1
+
+
+def test_explained_lane_matches_product_lane(ray_session):
+    """Shared implementation: the explained variant describes EXACTLY
+    the ranking the driver lane produces (review finding)."""
+    from fsray.pipelines import (progressive_search_explained,
+                                 progressive_search_pipeline)
+    t = progressive_search_pipeline("/root/testdata/sf0.001").to_pandas()
+    exps = progressive_search_explained("/root/testdata/sf0.001")
+    assert list(exps.keys()) == t["doc_id"].tolist()

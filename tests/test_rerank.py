@@ -297,3 +297,24 @@ def test_batch_hash_reranker_nonfinite_logit_scores_zero():
                       "pre_rank": [0]})
     out = rr(batch)
     assert out["rerank_score"].to_pylist() == [0.0]
+
+
+def test_rerank_rerun_does_not_duplicate_explanation_components():
+    """A second rerank_step on the same candidates replaces (never
+    stacks) the rerank component, mirroring the stale-score clear."""
+    from fsray.explain import HitExplanation
+    rr = HashReranker()
+    cands = [ScoredResult(f"d{i}", 1.0 - i * 0.1,
+                          explanation=HitExplanation(1.0 - i * 0.1, []))
+             for i in range(6)]
+    texts = {f"d{i}": f"text body {i}" for i in range(6)}
+    for _ in range(2):
+        rerank_step(rr, "text body", cands, lambda d: texts.get(d),
+                    combine=("rrf",))
+    for c in cands:
+        kinds = [x.source.kind for x in c.explanation.components]
+        assert kinds.count("rerank") == 1, c.doc_id
+        rc = [x for x in c.explanation.components
+              if x.source.kind == "rerank"][0]
+        assert rc.source.detail["logit"] is not None
+        assert c.explanation.final_score == c.rerank_score
