@@ -184,3 +184,33 @@ def mrl_search_matrix(mat: np.ndarray, ids: np.ndarray, query: np.ndarray,
     return (ids[pool][sel], rescored[sel].astype(np.float64), {
         "scan_dims": sd, "rescore_dims": rd,
         "candidates_rescored": len(pool), "records_scanned": len(ids)})
+
+
+# ---------------------------------------------------------------------------
+# f16 storage tier (the reference's Quantization::F16 — 2 bytes/elem,
+# lib.rs:41, decode-on-the-fly asymmetric dot `dot_product_f16_bytes_f32`)
+
+
+def f16_encode(mat: np.ndarray) -> np.ndarray:
+    """f32 rows → IEEE half storage (2 bytes/elem, round-to-nearest-even
+    — numpy's astype matches the half crate's conversion)."""
+    return np.asarray(mat, dtype=np.float32).astype(np.float16)
+
+
+def f16_dot(stored: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Asymmetric dot: f16 rows decoded on the fly against an f32 query
+    (dot_product_f16_bytes_f32 — the stored side widens, the query
+    never narrows)."""
+    return (np.asarray(stored, dtype=np.float16).astype(np.float32)
+            @ np.asarray(query, dtype=np.float32))
+
+
+def f16_cosine(stored: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Asymmetric cosine over f16 rows (cosine_similarity_f16 shape)."""
+    deq = np.asarray(stored, dtype=np.float16).astype(np.float32)
+    query = np.asarray(query, dtype=np.float32)
+    dot = deq @ query
+    denom = np.linalg.norm(deq, axis=1) * np.float32(np.linalg.norm(query))
+    eps = np.finfo(np.float32).eps
+    return np.where(denom < eps, np.float32(0.0),
+                    dot / np.where(denom < eps, 1.0, denom))

@@ -211,3 +211,27 @@ def test_ann_quantized_lane_recall(ray_session):
     assert got.equals(got2)
     recall = len(set(got.neighbor_id[:5]) & bf0) / 5
     assert recall >= 0.8, recall
+
+
+# ─── f16 tier (lib.rs Quantization::F16) ────────────────────────────────
+
+
+def test_f16_roundtrip_error_and_memory():
+    m = unit_rows(64, 32)
+    h = ScalarQuantizer  # noqa: F841 (import anchor)
+    from fsray.quant import f16_cosine, f16_dot, f16_encode
+    enc = f16_encode(m)
+    assert enc.dtype == np.float16
+    assert enc.nbytes == m.nbytes // 2  # 2 bytes/elem vs 4
+    # IEEE half relative error <= 2^-11 for normal values
+    err = np.abs(enc.astype(np.float32) - m)
+    assert (err <= np.abs(m) * 2.0 ** -11 + 1e-7).all()
+    q = unit_rows(1, 32)[0]
+    exact = m @ q
+    approx = f16_dot(enc, q)
+    assert np.abs(approx - exact).max() < 5e-3
+    cos = f16_cosine(enc, q)
+    assert np.abs(cos - exact).max() < 5e-3  # unit rows: cos == dot
+    # zero row -> cosine 0, not NaN
+    enc0 = f16_encode(np.zeros((1, 32), np.float32))
+    assert f16_cosine(enc0, q)[0] == 0.0
