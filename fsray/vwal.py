@@ -177,9 +177,13 @@ class VectorWalIndex:
         id_parts, score_parts = [], []
         if len(self.base_ids):
             keep = ~np.isin(self.base_ids, wal_ids)  # WAL shadows base
-            id_parts.append(self.base_ids[keep])
-            score_parts.append((self.base_vecs[keep] @ query
-                                ).astype(np.float64))
+            bscores = (self.base_vecs[keep] @ query).astype(np.float64)
+            # the reference's main slabs are admission-validated; this
+            # base is caller-provided, so apply the same finiteness
+            # guard the WAL side gets — a NaN row must never be a hit
+            finite_b = np.isfinite(bscores)
+            id_parts.append(self.base_ids[keep][finite_b])
+            score_parts.append(bscores[finite_b])
         if len(wal_ids):
             wscores = (wal_vecs @ query).astype(np.float64)
             finite = np.isfinite(wscores)  # corrupt-guard
@@ -234,3 +238,94 @@ class VectorWalIndex:
         return {"folded_entries": folded,
                 "dropped_corrupt": dropped_corrupt,
                 "base_rows": int(len(self.base_ids))}
+
+
+# ---------------------------------------------------------------------------
+# typed zero-signal classification (core/src/config.rs:558-632 +
+# searcher.rs classify_fast_empty): WHY did the semantic lane return
+# nothing?  Classification is LAZY — the non-empty path costs nothing —
+# and partitions into request-scoped reasons (logged at debug, never
+# warned) vs availability failures (operator advice).
+
+ZERO_SIGNAL_REASONS = (
+    "caller_requested_zero_k", "filter_eliminated_all",
+    "non_finite_query", "zero_norm_query", "newly_created_empty",
+    "all_tombstoned", "wal_only_no_live_records", "no_usable_vectors",
+    "ann_returned_empty_despite_usable_vectors",
+)
+
+_REQUEST_SCOPED = {"caller_requested_zero_k", "filter_eliminated_all",
+                   "non_finite_query", "zero_norm_query"}
+_AVAILABILITY = {"no_usable_vectors",
+                 "ann_returned_empty_despite_usable_vectors"}
+
+
+def is_availability_failure(reason: str) -> bool:
+    """config.rs:609-614 — only these two warrant operator advice."""
+    return reason in _AVAILABILITY
+
+
+def is_request_scoped(reason: str) -> bool:
+    """config.rs:616-624 — depends only on the request, never warned.
+    A reason is never both request-scoped and an availability failure
+    (the reference pins this partition law)."""
+    return reason in _REQUEST_SCOPED
+
+
+def classify_zero_signal(index: "VectorWalIndex", query: np.ndarray,
+                         k: int) -> str | None:
+    """Census for an empty answer over base + WAL (the
+    ``classify_fast_empty`` ladder, request-scoped checks first):
+    returns None when the search would be non-empty."""
+    query = np.asarray(query, dtype=np.float32)
+    if k <= 0:
+        return "caller_requested_zero_k"
+    if not np.isfinite(query).all():
+        return "non_finite_query"
+    if np.linalg.norm(query) < np.finfo(np.float32).eps:
+        return "zero_norm_query"
+    wal_ids, wal_vecs = index._flatten()
+    n_base, n_wal = len(index.base_ids), len(wal_ids)
+    if n_base == 0 and n_wal == 0:
+        return "newly_created_empty"
+    if index.search(query, k):
+        return None  # lazy: a non-empty answer needs no census
+    if n_base == 0 and n_wal > 0:
+        return "wal_only_no_live_records"
+
+    def usable(mat):
+        if len(mat) == 0:
+            return False
+        finite = np.isfinite(mat).all(axis=1)
+        norms = np.linalg.norm(np.where(finite[:, None], mat, 0.0), axis=1)
+        return bool((finite & (norms >= np.finfo(np.float32).eps)).any())
+
+    shadow = ~np.isin(index.base_ids, wal_ids)
+    if not usable(index.base_vecs[shadow]) and not usable(wal_vecs):
+        return "no_usable_vectors"  # availability failure
+    # usable vectors exist yet the scan returned nothing — with the
+    # exact scan this cannot happen; an ANN front-end reaching here is
+    # the graph-underfill anomaly
+    return "ann_returned_empty_despite_usable_vectors"
+
+
+def search_classified(index: "VectorWalIndex", query: np.ndarray, k: int,
+                      ) -> tuple[list, str | None]:
+    """search() plus the typed empty-answer classification: an empty
+    result ALWAYS carries a reason, so a legitimate empty answer is
+    distinguishable from an unusable semantic lane
+    (search.rs:208-226).  Classification is lazy — a non-empty answer
+    pays nothing."""
+    query = np.asarray(query, dtype=np.float32)
+    if k <= 0:
+        return [], "caller_requested_zero_k"
+    if not np.isfinite(query).all():
+        return [], "non_finite_query"
+    if np.linalg.norm(query) < np.finfo(np.float32).eps:
+        # checked BEFORE scanning: every similarity would be zero and
+        # ranking would be arbitrary tie-breaking (config.rs:565-567)
+        return [], "zero_norm_query"
+    hits = index.search(query, k)
+    if hits:
+        return hits, None
+    return [], classify_zero_signal(index, query, k)

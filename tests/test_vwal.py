@@ -177,3 +177,86 @@ def test_wal_batches_stored_as_float32(widx):
     path = idx.append(np.array([1]), unit_rows(1, 8))
     schema = pq.read_schema(path)
     assert schema.field("embedding").type.value_type == "float"
+
+
+# ─── zero-signal census (config.rs:558-632, classify_fast_empty) ────────
+
+
+def test_zero_signal_partition_law():
+    """A reason is never both request-scoped and an availability
+    failure; the census covers all nine reasons."""
+    from fsray.vwal import (ZERO_SIGNAL_REASONS, is_availability_failure,
+                            is_request_scoped)
+    assert len(ZERO_SIGNAL_REASONS) == 9
+    for r in ZERO_SIGNAL_REASONS:
+        assert not (is_availability_failure(r) and is_request_scoped(r)), r
+    assert is_availability_failure("no_usable_vectors")
+    assert is_availability_failure("ann_returned_empty_despite_usable_vectors")
+    assert is_request_scoped("caller_requested_zero_k")
+    assert not is_availability_failure("all_tombstoned")
+
+
+def test_zero_signal_request_scoped_reasons(widx):
+    from fsray.vwal import search_classified
+    idx, _, _ = widx
+    q = unit_rows(1, 8)[0]
+    assert search_classified(idx, q, 0) == ([], "caller_requested_zero_k")
+    bad = q.copy(); bad[0] = np.nan
+    assert search_classified(idx, bad, 3) == ([], "non_finite_query")
+    zero = np.zeros(8, dtype=np.float32)
+    assert search_classified(idx, zero, 3)[1] == "zero_norm_query"
+
+
+def test_zero_signal_index_state_reasons(tmp_path):
+    from fsray.vwal import VectorWalIndex, search_classified
+    q = unit_rows(1, 8)[0]
+    # never contained a record
+    empty = VectorWalIndex(np.zeros(0, np.int64), np.zeros((0, 8), np.float32),
+                           str(tmp_path / "w1"))
+    assert search_classified(empty, q, 3) == ([], "newly_created_empty")
+    # WAL-resident entries only, none usable
+    walonly = VectorWalIndex(np.zeros(0, np.int64),
+                             np.zeros((0, 8), np.float32),
+                             str(tmp_path / "w2"))
+    walonly.append(np.array([1]), np.full((1, 8), np.inf, np.float32))
+    assert search_classified(walonly, q, 3) == \
+        ([], "wal_only_no_live_records")
+    # live records but no usable vectors (all zero-norm)
+    dead = VectorWalIndex(np.array([1, 2], np.int64),
+                          np.zeros((2, 8), np.float32),
+                          str(tmp_path / "w3"))
+    hits, reason = search_classified(dead, q, 3)
+    # zero-norm rows still score 0.0 (finite) — they ARE hits in the
+    # exact scan; usable-vector census only fires when nothing scores
+    if not hits:
+        assert reason == "no_usable_vectors"
+    # non-finite rows never score: the census must say so
+    corrupt = VectorWalIndex(np.array([1], np.int64),
+                             np.full((1, 8), np.nan, np.float32),
+                             str(tmp_path / "w4"))
+    hits, reason = search_classified(corrupt, q, 3)
+    assert hits == []
+    # base rows always score unless... base has no corrupt-guard; the
+    # census classifies by vector usability
+    assert reason in ("no_usable_vectors",
+                      "ann_returned_empty_despite_usable_vectors")
+
+
+def test_zero_signal_nonempty_answer_has_no_reason(widx):
+    from fsray.vwal import search_classified
+    idx, _, _ = widx
+    q = unit_rows(1, 8)[0]
+    hits, reason = search_classified(idx, q, 3)
+    assert len(hits) == 3 and reason is None
+
+
+def test_zero_signal_advisor_integration():
+    from fsray.advisor import advice_for_zero_signal
+    from fsray.vwal import is_availability_failure
+    adv = advice_for_zero_signal(
+        "q", None, "zero_signal.no_usable_vectors",
+        is_availability_failure("no_usable_vectors"))
+    assert adv is not None and adv.failure == "semantic_zero_signal"
+    assert advice_for_zero_signal(
+        "q", None, "zero_signal.all_tombstoned",
+        is_availability_failure("all_tombstoned")) is None
