@@ -19,7 +19,7 @@ Schema version pinned so emitted advice is machine-comparable.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 DEGRADATION_ADVICE_SCHEMA_VERSION = "fsray.degradation.advice.v2"
 

@@ -25,7 +25,7 @@ nodes, so the sum law is only guaranteed for the flat lane
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -27,7 +27,7 @@ semantics around the model are real and fully tested.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
