@@ -169,6 +169,17 @@ def _needs_quote(s: str) -> bool:
     return s[0] in "-'"
 
 
+def _json_dumps(value, **kw) -> str:
+    """json.dumps that REJECTS non-finite floats: Python's default
+    emits bare ``NaN``/``Infinity`` tokens, which are invalid JSON and
+    break the pinned TOON ``decode(encode(v)) == v`` parity (the
+    decoder reads them back as strings)."""
+    try:
+        return json.dumps(value, allow_nan=False, **kw)
+    except ValueError as e:
+        raise EmitError(f"non-finite number in payload: {e}") from None
+
+
 def _enc_scalar(v) -> str:
     if v is None:
         return "null"
@@ -177,7 +188,7 @@ def _enc_scalar(v) -> str:
     if v is False:
         return "false"
     if isinstance(v, (int, float)):
-        return json.dumps(v)
+        return _json_dumps(v)
     s = str(v)
     return json.dumps(s) if _needs_quote(s) else s
 
@@ -464,7 +475,8 @@ def render_search_table(payload: SearchPayload,
     total_ms = duration_ms or 0
     if not payload.hits:
         out.append(f"No results for \"{payload.query}\". Try broadening "
-                   f"your search or checking the index with fsfs status.")
+                   f"your search or rebuilding the index with "
+                   f"python -m fsray.cli build.")
         out.append(f"{payload.returned_hits} results in {total_ms}ms")
         return "\n".join(out) + "\n"
     for hit in payload.hits:
@@ -525,9 +537,9 @@ def emit_envelope_string(env: OutputEnvelope, fmt: str) -> str:
     if env.data is not None:
         value["data"] = _payload_value(env.data)
     if fmt == "json":
-        return json.dumps(value, indent=2)
+        return _json_dumps(value, indent=2)
     if fmt == "jsonl":
-        return json.dumps(value, separators=(",", ":")) + "\n"
+        return _json_dumps(value, separators=(",", ":")) + "\n"
     if fmt == "toon":
         return toon_encode(value)
     if fmt == "table":
@@ -552,7 +564,7 @@ def _emit_table(env: OutputEnvelope) -> str:
                 # duration is already inside the rendered table)
                 out.write(render_search_table(env.data, env.meta.duration_ms))
                 return out.getvalue()
-            out.write(json.dumps(_payload_value(env.data), indent=2))
+            out.write(_json_dumps(_payload_value(env.data), indent=2))
     elif env.error is not None:
         e = env.error
         out.write(f"error: [{e.code}] {e.message}")
@@ -576,8 +588,8 @@ def _emit_csv(env: OutputEnvelope) -> str:
         if isinstance(env.data, SearchPayload):
             return _search_payload_csv(env.data)
         return (_csv_row(["data_json"]) +
-                _csv_row([json.dumps(_payload_value(env.data),
-                                     separators=(",", ":"))]))
+                _csv_row([_json_dumps(_payload_value(env.data),
+                                      separators=(",", ":"))]))
     header = ["ok", "error_code", "error_message", "error_field",
               "error_suggestion", "error_context"]
     e = env.error
@@ -611,7 +623,7 @@ def emit_stream_frame_string(frame: StreamFrame, fmt: str) -> str:
     """format_emitter.rs:122-186: jsonl = compact JSON + newline; toon =
     0x1E record separator + TOON body + newline; other formats rejected."""
     if fmt == "jsonl":
-        return json.dumps(frame.to_value(), separators=(",", ":")) + "\n"
+        return _json_dumps(frame.to_value(), separators=(",", ":")) + "\n"
     if fmt == "toon":
         body = toon_encode(frame.to_value())
         return TOON_STREAM_RECORD_SEPARATOR + body.rstrip("\n") + "\n"

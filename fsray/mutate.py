@@ -435,7 +435,13 @@ def collect_garbage(index_dir: str,
        still inside the grace window the whole class is retained;
     3. orphaned ``idmap/part-*.parquet`` whose partition index no live
        shard references (a crashed append before its publish);
-    4. ``append-*/`` staging trees left behind by completed appends;
+    4. ``append-*/`` staging trees left behind by completed appends —
+       each tree is swept **atomically**, like class 2: a crashed
+       append's resumable state (stage files + partstats marker) must
+       be reclaimed all-or-nothing, otherwise a re-run could honor a
+       surviving marker while its slightly-older stage files were
+       already deleted and rebuild shards with silently missing
+       postings;
     5. (opt-in via ``include_resume_markers``) stage-B completion
        markers (``termtable/*/*.done.json``) — independently safe either
        way: a kept marker only short-circuits a reducer whose output
@@ -463,6 +469,7 @@ def collect_garbage(index_dir: str,
         idmap_re = re.compile(r"^part-(\d{5,})\.parquet$")
         candidates: list[str] = []
         stage_class: list[str] = []  # class 2: all-or-nothing
+        append_classes: dict[str, list[str]] = {}  # class 4: per-tree atomic
 
         for dirpath, _dirnames, filenames in os.walk(root):
             rel_dir = os.path.relpath(dirpath, root)
@@ -481,7 +488,7 @@ def collect_garbage(index_dir: str,
                     if int(m.group(1)) not in live_pidx:
                         candidates.append(path)
                 elif top.startswith("append-") and rel_dir != ".":
-                    candidates.append(path)
+                    append_classes.setdefault(top, []).append(path)
                 elif include_resume_markers and (
                         top == "termtable" and name.endswith(".done.json")):
                     candidates.append(path)
@@ -498,19 +505,26 @@ def collect_garbage(index_dir: str,
                 raise ValueError(f"unsafe garbage path rejected: {path}")
             return True
 
+        def sweep_atomic_class(paths: list[str]) -> None:
+            """All-or-nothing: any in-grace member retains the class."""
+            stats = []
+            for path in paths:
+                try:
+                    st = os.lstat(path)
+                except FileNotFoundError:
+                    continue
+                if check_safe(path, st):
+                    stats.append((path, st))
+            if stats and all(age_ok(st) for _, st in stats):
+                candidates.extend(p for p, _ in stats)
+            else:
+                retained.extend(os.path.relpath(p, root) for p, _ in stats)
+
         # class 2 is atomic: any in-grace member retains the whole class
-        stage_stats = []
-        for path in stage_class:
-            try:
-                st = os.lstat(path)
-            except FileNotFoundError:
-                continue
-            if check_safe(path, st):
-                stage_stats.append((path, st))
-        if stage_stats and all(age_ok(st) for _, st in stage_stats):
-            candidates.extend(p for p, _ in stage_stats)
-        else:
-            retained.extend(os.path.relpath(p, root) for p, _ in stage_stats)
+        sweep_atomic_class(stage_class)
+        # class 4: each append-* staging tree is its own atomic class
+        for tree in sorted(append_classes):
+            sweep_atomic_class(append_classes[tree])
 
         for path in sorted(candidates):
             try:
@@ -530,10 +544,9 @@ def collect_garbage(index_dir: str,
         for sub in ["stage_postings", "partstats"] + [
                 d for d in os.listdir(root) if d.startswith("append-")]:
             base = os.path.join(root, sub)
-            for dirpath, dirnames, filenames in os.walk(base, topdown=False):
-                if not dirnames and not filenames:
-                    try:
-                        os.rmdir(dirpath)
-                    except OSError:
-                        pass
+            for dirpath, _dirnames, _filenames in os.walk(base, topdown=False):
+                try:
+                    os.rmdir(dirpath)  # fails (caught) unless empty —
+                except OSError:        # bottom-up, so emptied parents prune too
+                    pass
         return {"removed": removed, "retained": sorted(retained)}

@@ -197,18 +197,24 @@ def watch_documents_index(sf_dir: str):
         tag = hashlib.sha256((sf_dir + ":watch").encode()).hexdigest()[:12]
         cache_root = os.path.join("/tmp", "fsray_index_cache")
         index_dir = os.path.join(cache_root, tag)
-        full = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-        n_base = int(full.num_rows * 0.6)
+        src = os.path.join(sf_dir, "documents.parquet")
+        # footer metadata only — the full table never lands on the driver;
+        # base/delta splits go through row-filter pushdown (doc_id is the
+        # contiguous row ordinal in the driver corpus)
+        n_rows = pq.ParquetFile(src).metadata.num_rows
+        n_base = int(n_rows * 0.6)
         base_src = os.path.join(cache_root, f"{tag}_base.parquet")
         if not os.path.exists(base_src):
-            atomic_write_parquet(base_src, full.slice(0, n_base))
+            atomic_write_parquet(
+                base_src, pq.read_table(src, filters=[("doc_id", "<", n_base)]))
         cfg = BuildConfig(partition_rows=1024, num_shards=4, num_buckets=16)
         build_index([base_src], index_dir, DOCUMENTS, cfg)
         w = WatchIndex(index_dir, DOCUMENTS, cfg)
-        rest = full.slice(n_base)
-        step = max(1, (rest.num_rows + 2) // 3)
-        for i in range(0, rest.num_rows, step):
-            w.add(rest.slice(i, step), upsert=False)
+        step = max(1, (n_rows - n_base + 2) // 3)
+        for lo in range(n_base, n_rows, step):
+            delta = pq.read_table(src, filters=[
+                ("doc_id", ">=", lo), ("doc_id", "<", min(lo + step, n_rows))])
+            w.add(delta, upsert=False)
         _WATCH_CACHE[sf_dir] = w
     return _WATCH_CACHE[sf_dir]
 
@@ -518,9 +524,9 @@ def canonicalize_docs(sf_dir: str) -> pa.Table:
     stripping, whitespace joining and the 2000-char truncation are all
     exercised with value-hash verification."""
     from fsray.canonicalize import DefaultCanonicalizer
+    c = DefaultCanonicalizer()  # stateless per call — built once, not per batch
 
     def canon_batch(batch: pa.Table) -> pa.Table:
-        c = DefaultCanonicalizer()
         texts = batch.column("text").to_pylist()
         langs = batch.column("lang").to_pylist()
         srcs = batch.column("source").to_pylist()
@@ -1519,9 +1525,12 @@ def _f32_pool(sf_dir: str, query_vec_id: int, pool: int,
         keep = bids != query_vec_id
         bids, cos, mat = bids[keep], cos[keep], mat[keep]
         o = np.lexsort((bids, -cos))[:pool]
+        sel = mat[o]
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(sel.ravel(), type=pa.float32()), sel.shape[1])
         return pa.table({"vec_id": pa.array(bids[o], type=pa.int64()),
                          "cos": pa.array(cos[o].astype(np.float64)),
-                         "emb": pa.array([mat[i].tolist() for i in o])})
+                         "emb": emb})
 
     parts = (rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
              .map_batches(pool_part, batch_format="pyarrow", zero_copy_batch=True)

@@ -273,10 +273,17 @@ def is_request_scoped(reason: str) -> bool:
 
 
 def classify_zero_signal(index: "VectorWalIndex", query: np.ndarray,
-                         k: int) -> str | None:
+                         k: int, already_searched: bool = False) -> str | None:
     """Census for an empty answer over base + WAL (the
     ``classify_fast_empty`` ladder, request-scoped checks first):
-    returns None when the search would be non-empty."""
+    returns None when the search would be non-empty.
+
+    ``already_searched=True`` tells the census the caller has ALREADY
+    run the scan and observed it empty, so the non-emptiness probe is
+    skipped — otherwise every empty answer routed through
+    ``search_classified`` would pay the full base+WAL scan twice,
+    contradicting the lazy-cost story on the one path where scan cost
+    matters."""
     query = np.asarray(query, dtype=np.float32)
     if k <= 0:
         return "caller_requested_zero_k"
@@ -288,7 +295,7 @@ def classify_zero_signal(index: "VectorWalIndex", query: np.ndarray,
     n_base, n_wal = len(index.base_ids), len(wal_ids)
     if n_base == 0 and n_wal == 0:
         return "newly_created_empty"
-    if index.search(query, k):
+    if not already_searched and index.search(query, k):
         return None  # lazy: a non-empty answer needs no census
     if n_base == 0 and n_wal > 0:
         return "wal_only_no_live_records"
@@ -328,4 +335,4 @@ def search_classified(index: "VectorWalIndex", query: np.ndarray, k: int,
     hits = index.search(query, k)
     if hits:
         return hits, None
-    return [], classify_zero_signal(index, query, k)
+    return [], classify_zero_signal(index, query, k, already_searched=True)

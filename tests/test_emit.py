@@ -256,6 +256,18 @@ def frame():
                        event={"kind": "result", "rank": 1, "item": "doc-9"})
 
 
+@pytest.mark.parametrize("fmt", ["json", "jsonl", "toon"])
+@pytest.mark.parametrize("bad", [float("nan"), float("inf"), float("-inf")])
+def test_non_finite_payload_rejected(fmt, bad):
+    """Non-finite numbers never serialize: Python json would emit bare
+    NaN/Infinity tokens (invalid JSON), and TOON would decode them back
+    as strings, violating the pinned decode(encode(v)) == v parity —
+    every lane raises EmitError instead."""
+    env = OutputEnvelope.success({"score": bad}, meta(fmt), TS)
+    with pytest.raises(EmitError, match="non-finite"):
+        emit_envelope_string(env, fmt)
+
+
 def test_stream_frame_jsonl_roundtrip():
     out = emit_stream_frame_string(frame(), "jsonl")
     assert out.endswith("\n") and "\n" not in out[:-1]

@@ -327,6 +327,42 @@ def test_collect_garbage_laws(mut_index):
         assert _ids(idx3.search(q, k=20)) == before[q], q
 
 
+def test_collect_garbage_append_tree_atomic(mut_index):
+    """Each append-* staging tree is an ATOMIC class: one in-grace file
+    retains the whole tree (a surviving partstats-style marker whose
+    sibling stage files were reclaimed would make a resumed append
+    rebuild shards with silently missing postings); a fully-aged tree
+    is reclaimed whole."""
+    import os
+    import time
+
+    from fsray.mutate import collect_garbage
+    d = mut_index["dir"]
+    tree = os.path.join(d, "append-test1234")
+    os.makedirs(os.path.join(tree, "stage_postings", "bucket=0000"),
+                exist_ok=True)
+    os.makedirs(os.path.join(tree, "partstats"), exist_ok=True)
+    old_f = os.path.join(tree, "stage_postings", "bucket=0000", "p0.npz")
+    marker = os.path.join(tree, "partstats", "part-0.json")
+    open(old_f, "w").write("x")
+    open(marker, "w").write("{}")
+
+    sweep_now = time.time() + 3600
+    os.utime(old_f, (sweep_now - 100, sweep_now - 100))   # past grace
+    os.utime(marker, (sweep_now, sweep_now))              # in grace
+    rep = collect_garbage(d, grace_sec=5.0, now=sweep_now)
+    assert os.path.exists(old_f), "in-grace sibling must retain the tree"
+    assert os.path.exists(marker)
+    rels = {os.path.relpath(p, d) for p in (old_f, marker)}
+    assert rels <= set(rep["retained"])
+
+    # whole tree past grace: reclaimed together, directories pruned
+    os.utime(marker, (sweep_now - 100, sweep_now - 100))
+    rep = collect_garbage(d, grace_sec=5.0, now=sweep_now)
+    assert rels <= set(rep["removed"])
+    assert not os.path.exists(tree)
+
+
 def test_collect_garbage_refuses_while_writer_active(mut_index):
     """GC takes the writer admission non-blocking (keeper.rs:4254-4271):
     a held writer lock makes the sweep refuse rather than race."""
