@@ -877,9 +877,10 @@ def ann_mrl(sf_dir: str) -> pa.Table:
     candidates at full dimension via a row-filtered parquet read (the
     ``raw_vector_bytes_partial`` analogue: never the matrix).  Rows are
     L2-normalized full-dim before truncation, as the reference stores
-    unit vectors, so phase 2 is exact cosine.  Approximate by design →
-    rows-only driver check; equality/recall vs ``ann_bruteforce`` is
-    pinned in tests."""
+    unit vectors, so phase 2 is exact cosine.  EXACT rank oracle: both
+    phases are reproduced in SQL (truncated f32 rows, f64 dots); ranks
+    — not f32 phase-1 scores — are the comparable surface.  Recall vs
+    ``ann_bruteforce`` additionally pinned in tests."""
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
@@ -997,8 +998,10 @@ def ann_quantized(sf_dir: str) -> pa.Table:
     emitting top-k partials.  At 100 TB the u8 corpus would be the
     resident/written form (4× less object store + heap than f32); this
     lane quantizes on the fly from the f32 source to exercise the same
-    kernels.  Approximate (±quantization error) → rows-only driver
-    check; recall vs ``ann_bruteforce`` pinned in tests."""
+    kernels.  EXACT rank oracle: the u8 codes are emulated bit-exactly
+    in FLOAT SQL (DuckDB FLOAT arithmetic == numpy f32; roundbankers ==
+    np.rint) and the ADC cosine ranks compared; recall vs
+    ``ann_bruteforce`` additionally pinned in tests."""
     import ray.data as rd
 
     from fsray.quant import topk_by_score_then_id
@@ -1027,9 +1030,10 @@ def two_tier_search(sf_dir: str) -> pa.Table:
     full f32 precision via a row-filtered parquet read
     (``quality_scores_for_hits``: k rows, never a scan); then
     ``blend_two_tier`` fuses the two normalized arms (α = 0.7).
-    Rows-only driver check; the blend law vs an independent full-matrix
-    recomputation and the ``TwoTierIndex`` ladder laws are pinned in
-    ``tests/test_twotier.py``."""
+    EXACT rank oracle: fast-arm quantizer emulated bit-exactly in
+    FLOAT SQL, quality arm + NormBounds blend in f64; the blend law vs
+    an independent full-matrix recomputation and the ``TwoTierIndex``
+    ladder laws are pinned in ``tests/test_twotier.py``."""
     import ray.data as rd
 
     from fsray.fuse import blend_two_tier
@@ -1050,10 +1054,12 @@ def two_tier_search(sf_dir: str) -> pa.Table:
     qfull = qvec / (np.linalg.norm(qvec) or 1.0)
     quality = [(int(d), float(s)) for d, s in zip(cids, cmat @ qfull)]
     blended = blend_two_tier(fast, quality, limit=MRL_K)
+    # rank-only output: the oracle emulates the u8 quantizer bit-exactly
+    # in FLOAT SQL but accumulates dots in f64, so ranks (not the f32
+    # blend inputs) are the comparable surface — the prf_search pattern
     return pa.table({
         "rank": pa.array(range(1, len(blended) + 1), type=pa.int64()),
         "neighbor_id": pa.array([d for d, _ in blended], type=pa.int64()),
-        "blend_score": pa.array([s for _, s in blended], type=pa.float64()),
     })
 
 
@@ -1115,13 +1121,18 @@ def vector_wal_search(sf_dir: str) -> pa.Table:
     deterministic WAL batches (an update of doc 1 to the query
     direction and a brand-new doc) are appended and the merged search
     must (a) see the new doc, (b) shadow doc 1's base vector with its
-    WAL version.  The WAL sidecar is rebuilt from scratch per call
-    (deterministic).  At scale the WAL attaches per ANN shard; the
+    WAL version.  The WAL sidecar lives in a per-invocation
+    ``mkdtemp`` directory (two concurrent processes on the same
+    sf_dir must not race each other's batch files) and is removed
+    after the search.  At scale the WAL attaches per ANN shard; the
     resolution laws are shard-local and merge under the same
-    (score desc, id asc) total order.  Rows-only driver check; laws
+    (score desc, id asc) total order.  EXACT rank oracle: base-minus-
+    shadowed ∪ WAL rows scored in SQL (the f32 WAL vectors ``0.95·q``
+    / ``0.9·q`` bit-reconstructed with FLOAT arithmetic); ranks — not
+    the f32 engine dots — are the comparable surface; score laws
     pinned in ``tests/test_vwal.py``."""
-    import hashlib
     import shutil
+    import tempfile
 
     from fsray.dedup import normalize_rows
     from fsray.vwal import VectorWalIndex
@@ -1132,19 +1143,19 @@ def vector_wal_search(sf_dir: str) -> pa.Table:
         raise ValueError(f"no probe vector (vec_id 0) in {sf_dir}")
     qvec = probe[0]
     keep = ids != 0
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    wal_dir = os.path.join("/tmp", "fsray_vwal", tag)
-    shutil.rmtree(wal_dir, ignore_errors=True)
-    idx = VectorWalIndex(ids[keep], norm[keep], wal_dir)
-    new_id = int(ids.max()) + 1
-    # batch 1: update doc 1 toward the query; batch 2: a fresh doc
-    idx.append(np.array([1]), (qvec * 0.95)[None, :])
-    idx.append(np.array([new_id]), (qvec * 0.9)[None, :])
-    hits = idx.search(qvec, MRL_K)
+    wal_dir = tempfile.mkdtemp(prefix="fsray_vwal_")
+    try:
+        idx = VectorWalIndex(ids[keep], norm[keep], wal_dir)
+        new_id = int(ids.max()) + 1
+        # batch 1: update doc 1 toward the query; batch 2: a fresh doc
+        idx.append(np.array([1]), (qvec * 0.95)[None, :])
+        idx.append(np.array([new_id]), (qvec * 0.9)[None, :])
+        hits = idx.search(qvec, MRL_K)
+    finally:
+        shutil.rmtree(wal_dir, ignore_errors=True)
     return pa.table({
         "rank": pa.array(range(1, len(hits) + 1), type=pa.int64()),
         "neighbor_id": pa.array([d for d, _ in hits], type=pa.int64()),
-        "score": pa.array([s for _, s in hits], type=pa.float64()),
     })
 
 
@@ -2356,6 +2367,130 @@ sims2 AS (SELECT v.vec_id AS neighbor_id,
           FROM embeddings v WHERE v.vec_id <> 0)
 SELECT CAST(row_number() OVER (ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank, neighbor_id
 FROM sims2 ORDER BY cos DESC, neighbor_id ASC LIMIT {PRF_K}"""
+
+    # ---- vector-tier oracles (quantized / MRL / two-tier / WAL) ----------
+    # Shared scaffolding: per-element rows of the embeddings table with
+    # the engine's normalization reproduced exactly — f64 L2-normalize
+    # then FLOAT cast (``normalize_rows(...).astype(np.float32)``).
+    # DuckDB FLOAT arithmetic is genuine f32 (verified bit-exact vs
+    # numpy) and ``roundbankers`` == ``np.rint``, so the u8 quantizer is
+    # emulated bit-exactly; dot-product ACCUMULATION is f64 in SQL vs
+    # f32/f64-BLAS in the engine, so these lanes compare ranks, never
+    # raw scores (the prf_search pattern).
+    nel_cte = """
+dims AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+el AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+       FROM embeddings e, dims d),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id),
+nel AS (SELECT e.vec_id, e.i,
+               CAST(e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS FLOAT) AS x32
+        FROM el e JOIN nrm n USING (vec_id)),
+nfull AS (SELECT e.vec_id, e.i,
+                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS xn
+          FROM el e JOIN nrm n USING (vec_id))"""
+    f32_eps = "CAST(1.1920928955078125e-07 AS FLOAT)"
+    # ScalarQuantizer.fit + quantize + ADC cosine (quantization.rs laws)
+    # in FLOAT SQL: codes are bit-identical to the engine's u8 rows
+    sq_cte = f"""
+mm AS (SELECT i, min(x32) AS mn0, max(x32) AS mx0 FROM nel GROUP BY i),
+sc AS (SELECT i, mn0 AS mn,
+         CASE WHEN (mx0 - mn0) < {f32_eps} THEN CAST(0 AS FLOAT)
+              ELSE (mx0 - mn0) / CAST(255 AS FLOAT) END AS scale
+       FROM mm),
+qc AS (SELECT n.vec_id, n.i,
+         CASE WHEN s.scale > 0
+              THEN LEAST(GREATEST(roundbankers((n.x32 - s.mn) / s.scale, 0), 0), 255)
+              ELSE 0 END AS code
+       FROM nel n JOIN sc s USING (i)),
+deq AS (SELECT q.vec_id, q.i,
+          CAST(CAST(CAST(q.code AS FLOAT) * s.scale AS FLOAT) + s.mn AS FLOAT) AS dq
+        FROM qc q JOIN sc s USING (i)),
+qv32 AS (SELECT i, x32 FROM nel WHERE vec_id = 0),
+qd2 AS (SELECT sqrt(sum(CAST(x32 AS DOUBLE) * CAST(x32 AS DOUBLE))) AS qd FROM qv32),
+adc AS (SELECT d.vec_id,
+          sum(CAST(d.dq AS DOUBLE) * CAST(v.x32 AS DOUBLE)) AS dot,
+          sqrt(sum(CAST(d.dq AS DOUBLE) * CAST(d.dq AS DOUBLE))) AS dn
+        FROM deq d JOIN qv32 v USING (i) WHERE d.vec_id <> 0 GROUP BY d.vec_id),
+cosq AS (SELECT vec_id,
+           CASE WHEN dn * (SELECT qd FROM qd2) < 1.1920928955078125e-07 THEN 0.0
+                ELSE dot / (dn * (SELECT qd FROM qd2)) END AS cos
+         FROM adc)"""
+    mrl_pool = 3 * MRL_K  # MrlConfig.effective_rescore_top_k default
+
+    o["ann_mrl"] = f"""
+WITH {nel_cte},
+q32 AS (SELECT i, x32 FROM nel WHERE vec_id = 0 AND i <= {MRL_SEARCH_DIMS}),
+p1 AS (SELECT n.vec_id, sum(CAST(n.x32 AS DOUBLE) * CAST(t.x32 AS DOUBLE)) AS ts
+       FROM nel n JOIN q32 t USING (i)
+       WHERE n.vec_id <> 0 GROUP BY n.vec_id),
+pool AS (SELECT vec_id FROM p1 ORDER BY ts DESC, vec_id ASC LIMIT {mrl_pool}),
+qf AS (SELECT i, xn FROM nfull WHERE vec_id = 0),
+p2 AS (SELECT f.vec_id, sum(f.xn * q.xn) AS s
+       FROM nfull f JOIN qf q USING (i)
+       WHERE f.vec_id IN (SELECT vec_id FROM pool) GROUP BY f.vec_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id AS neighbor_id
+FROM p2 ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
+
+    o["ann_quantized"] = f"""
+WITH {nel_cte},
+{sq_cte}
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id AS neighbor_id
+FROM cosq ORDER BY cos DESC, vec_id ASC LIMIT {QUANT_K}"""
+
+    # two-tier: fast arm = the ADC pool (3k), quality arm = f64 rescore
+    # of exactly those rows, NormBounds min-max per arm, 0.7-blend —
+    # (1 - alpha) spelled as DOUBLE subtraction (the DECIMAL trap)
+    o["two_tier_search"] = f"""
+WITH {nel_cte},
+{sq_cte},
+fastarm AS (SELECT vec_id, cos FROM cosq ORDER BY cos DESC, vec_id ASC LIMIT {mrl_pool}),
+fb AS (SELECT min(cos) AS mn, max(cos) - min(cos) AS rng FROM fastarm),
+fn AS (SELECT vec_id,
+         CASE WHEN (SELECT rng FROM fb) > 1.1920928955078125e-07
+              THEN LEAST(GREATEST((cos - (SELECT mn FROM fb)) / (SELECT rng FROM fb), 0.0), 1.0)
+              ELSE 1.0 END AS f
+       FROM fastarm),
+qf AS (SELECT i, xn FROM nfull WHERE vec_id = 0),
+qual AS (SELECT nf.vec_id, sum(nf.xn * q.xn) AS s
+         FROM nfull nf JOIN qf q USING (i)
+         WHERE nf.vec_id IN (SELECT vec_id FROM fastarm) GROUP BY nf.vec_id),
+qb AS (SELECT min(s) AS mn, max(s) - min(s) AS rng FROM qual),
+qn AS (SELECT vec_id,
+         CASE WHEN (SELECT rng FROM qb) > 1.1920928955078125e-07
+              THEN LEAST(GREATEST((s - (SELECT mn FROM qb)) / (SELECT rng FROM qb), 0.0), 1.0)
+              ELSE 1.0 END AS q
+       FROM qual),
+blend AS (SELECT f.vec_id,
+            0.7 * q.q + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * f.f AS b
+          FROM fn f JOIN qn q USING (vec_id))
+SELECT CAST(row_number() OVER (ORDER BY b DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id AS neighbor_id
+FROM blend ORDER BY b DESC, vec_id ASC LIMIT {MRL_K}"""
+
+    # WAL freshness: base rows minus the shadowed doc 1 ∪ the two WAL
+    # rows (f32 vectors 0.95·q / 0.9·q reconstructed in FLOAT SQL)
+    o["vector_wal_search"] = f"""
+WITH {nel_cte},
+qv AS (SELECT i, x32 FROM nel WHERE vec_id = 0),
+base AS (SELECT n.vec_id, sum(CAST(n.x32 AS DOUBLE) * CAST(v.x32 AS DOUBLE)) AS s
+         FROM nel n JOIN qv v USING (i)
+         WHERE n.vec_id <> 0 AND n.vec_id <> 1 GROUP BY n.vec_id),
+wal AS (
+  SELECT CAST(1 AS BIGINT) AS vec_id,
+         sum(CAST(CAST(v.x32 * CAST(0.95 AS FLOAT) AS FLOAT) AS DOUBLE)
+             * CAST(v.x32 AS DOUBLE)) AS s
+  FROM qv v
+  UNION ALL
+  SELECT (SELECT max(vec_id) FROM embeddings) + 1,
+         sum(CAST(CAST(v.x32 * CAST(0.9 AS FLOAT) AS FLOAT) AS DOUBLE)
+             * CAST(v.x32 AS DOUBLE))
+  FROM qv v),
+allrows AS (SELECT * FROM base UNION ALL SELECT * FROM wal)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id AS neighbor_id
+FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
 
     o["multimodal_frames"] = """
 SELECT d.doc_id AS media_id, f.frame,

@@ -119,10 +119,12 @@ def test_vector_wal_lane(ray_session):
     t = vector_wal_search("/root/testdata/sf0.001").to_pandas()
     assert t.equals(vector_wal_search("/root/testdata/sf0.001").to_pandas())
     # the WAL-updated doc shadows its base vector and ranks first;
-    # the brand-new doc is visible right behind it
+    # the brand-new doc (max base id + 1) is visible right behind it
+    import pyarrow.parquet as pq
+    max_id = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                           columns=["vec_id"])["vec_id"].to_numpy().max()
     assert t.neighbor_id.iloc[0] == 1
-    assert t.score.iloc[0] == pytest.approx(0.95, abs=1e-6)
-    assert t.score.iloc[1] == pytest.approx(0.90, abs=1e-6)
+    assert t.neighbor_id.iloc[1] == max_id + 1
 
 
 def test_search_k_nonpositive_returns_empty(widx):
