@@ -226,11 +226,19 @@ def add_group_bucket(batch: pa.Table, cols: list[str],
         "bucket", pa.array((acc % np.uint64(nb)).astype(np.int64), type=pa.int64()))
 
 
-def jaccard_pair_counts(sh_table: pa.Table) -> pa.Table:
-    """Per-pair shingle co-occurrence counts (a < b, cnt, na, nb) over ALL
+def jaccard_pair_counts(sh_table: pa.Table,
+                        max_shingle_df: int | None = None) -> pa.Table:
+    """Per-pair shingle co-occurrence counts (a < b, cnt, na, nb) over the
     shingle groups in the input — vectorized (dense-code remap + packed-key
-    np.unique).  Exact (no df cap): the combiner half of the distributed
-    Jaccard; partial counts sum across buckets in a tiny groupby."""
+    np.unique).  The combiner half of the distributed Jaccard; partial
+    counts sum across buckets in a tiny groupby.
+
+    ``max_shingle_df`` bounds the per-group pair emit: a shingle shared
+    by df docs emits O(df²) pairs, so one hot shingle (a boilerplate
+    n-gram) would dominate the whole exchange at corpus scale.  Groups
+    with df > cap are skipped — the documented scale lever (DIV-R13):
+    pairs whose EVERY common shingle is hotter than the cap lose those
+    contributions.  ``None`` = capless (exact; toy/test scale only)."""
     empty = pa.table({"a": pa.array([], type=pa.int64()),
                       "b": pa.array([], type=pa.int64()),
                       "cnt": pa.array([], type=pa.int64()),
@@ -251,7 +259,7 @@ def jaccard_pair_counts(sh_table: pa.Table) -> pa.Table:
     for g in range(len(bounds) - 1):
         lo, hi = bounds[g], bounds[g + 1]
         df = hi - lo
-        if df < 2:
+        if df < 2 or (max_shingle_df is not None and df > max_shingle_df):
             continue
         codes = code_s[lo:hi]
         iu, ju = np.triu_indices(df, k=1)
@@ -266,6 +274,26 @@ def jaccard_pair_counts(sh_table: pa.Table) -> pa.Table:
                      "cnt": pa.array(counts.astype(np.int64), type=pa.int64()),
                      "na": pa.array(sizes_by_code[ca], type=pa.int64()),
                      "nb": pa.array(sizes_by_code[cb], type=pa.int64())})
+
+
+def pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack (a, b) doc-id pairs into one sorted u64 key each
+    (``a << 32 | b``).  Assumes doc ids < 2^32 — the same packing bound
+    the dense-code pair kernels rely on; a >4B-doc corpus would shard
+    the id space first (the partitioning assumption, documented)."""
+    return (np.asarray(a, dtype=np.uint64) << np.uint64(32)) \
+        | np.asarray(b, dtype=np.uint64)
+
+
+def filter_pairs_to_candidates(t: pa.Table,
+                               cand_packed: np.ndarray) -> pa.Table:
+    """Keep only (a, b) rows whose packed key is in the (sorted)
+    candidate-pair set — the in-Ray half of LSH-then-verify: pair
+    partials that are not LSH candidates never leave the task."""
+    if t.num_rows == 0:
+        return t
+    packed = pack_pairs(t["a"].to_numpy(), t["b"].to_numpy())
+    return t.filter(pa.array(np.isin(packed, cand_packed)))
 
 
 def jaccard_combine_bucket(g: pa.Table, tau: float) -> pa.Table:

@@ -630,25 +630,38 @@ def dedup_exact(sf_dir: str) -> pa.Table:
                      "n_copies": pa.array(agg["count()"].astype("int64"), type=pa.int64())})
 
 
-def _jaccard_pairs_distributed(sf_dir: str, tau: float) -> pa.Table:
+#: Hot-shingle df cap for the driver Jaccard lane (DIV-R13): a shingle
+#: shared by df docs emits O(df²) pair partials, so one boilerplate
+#: n-gram would dominate the exchange at corpus scale.  256 is far above
+#: every df in the test corpora (max 25 at sf0.1), so the capped lane
+#: still matches the capless SQL oracle exactly; at 100 TB the cap is
+#: the recall lever (pairs whose every common shingle is hotter than the
+#: cap lose those contributions).
+JACCARD_MAX_DF = 256
+
+
+def _jaccard_pairs_distributed(sf_dir: str, tau: float,
+                               max_df: int | None = JACCARD_MAX_DF) -> pa.Table:
     """shingle rows → bucketed groupby pair-count combiner → groupby(pair)
     sum → exact Jaccard filter.
 
     The wide step is the shingle groupby, pre-hashed into
     NUM_GROUP_BUCKETS buckets so each ``map_groups`` call vectorizes over
     ALL its shingle groups (per-shingle map_groups paid a Python call per
-    group — measured 20 s vs ~2 s at sf0.1).  NO hot-shingle cap: this
-    lane is compared against a capless SQL oracle (the df cap —
-    fsray.dedup.jaccard_pairs_from_shingles — is the documented scale
-    lever and intentionally diverges)."""
+    group — measured 20 s vs ~2 s at sf0.1).  Hot shingles above
+    ``max_df`` are skipped in the pair emit (the bounded-exchange scale
+    path, DIV-R13); the cap exceeds every test-corpus df so the lane
+    remains oracle-exact, and the capless behavior stays pinned by a
+    toy-scale test."""
     from fsray.dedup import (add_group_bucket, jaccard_combine_bucket,
                              jaccard_pair_counts, shingle_batch)
     sh = (_docs_ds(sf_dir)
           .map_batches(shingle_batch, batch_format="pyarrow", zero_copy_batch=True)
           .map_batches(lambda b: add_group_bucket(b, ["shingle"]),
                        batch_format="pyarrow"))
-    pairs = sh.groupby("bucket").map_groups(jaccard_pair_counts,
-                                            batch_format="pyarrow")
+    pairs = sh.groupby("bucket").map_groups(
+        lambda g: jaccard_pair_counts(g, max_shingle_df=max_df),
+        batch_format="pyarrow")
     # second bucketed exchange keyed by (a, b): every partial of a pair
     # lands in one bucket, so the reduce is a vectorized in-bucket
     # sort+reduceat with the τ threshold applied before anything leaves
@@ -670,18 +683,69 @@ def dedup_ngram_jaccard(sf_dir: str) -> pa.Table:
     return _jaccard_pairs_distributed(sf_dir, JACCARD_TAU)
 
 
+def _verify_pairs_exact(sf_dir: str, cand_a: np.ndarray, cand_b: np.ndarray,
+                        tau: float) -> pa.Table:
+    """Exact-Jaccard verification of a candidate pair set, entirely
+    inside Ray (no driver shingle sets, no Python pair loop): shingle
+    rows are filtered to the candidate DOCS via one broadcast id array,
+    pair partials are produced by the same bucketed
+    ``jaccard_pair_counts`` combiner the exact lane uses — restricted
+    to candidate docs, so the per-group emit is bounded by the
+    candidate set, never the corpus — non-candidate pairs are dropped
+    in-task, and the τ filter runs in the bucketed reducer.  Only the
+    final survivor pairs reach the driver."""
+    import ray
+
+    from fsray.dedup import (add_group_bucket, filter_pairs_to_candidates,
+                             jaccard_combine_bucket, jaccard_pair_counts,
+                             pack_pairs, shingle_batch)
+    if len(cand_a) == 0:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    cand_docs_ref = ray.put(np.unique(np.concatenate([cand_a, cand_b])))
+    cand_pairs_ref = ray.put(np.sort(pack_pairs(cand_a, cand_b)))
+
+    def filter_to_candidates(b: pa.Table) -> pa.Table:
+        keep = np.isin(b["doc_id"].to_numpy(), ray.get(cand_docs_ref))
+        return b.filter(pa.array(keep))
+
+    def cand_pair_counts(g: pa.Table) -> pa.Table:
+        return filter_pairs_to_candidates(
+            jaccard_pair_counts(g), ray.get(cand_pairs_ref))
+
+    verified = (_docs_ds(sf_dir)
+                .map_batches(shingle_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .map_batches(filter_to_candidates, batch_format="pyarrow")
+                .map_batches(lambda b: add_group_bucket(b, ["shingle"]),
+                             batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(cand_pair_counts, batch_format="pyarrow")
+                .map_batches(lambda t: add_group_bucket(t, ["a", "b"]),
+                             batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(lambda t: jaccard_combine_bucket(t, tau),
+                            batch_format="pyarrow"))
+    out = verified.to_pandas().sort_values(["a", "b"])
+    return pa.table({"a": pa.array(out["a"].astype("int64"), type=pa.int64()),
+                     "b": pa.array(out["b"].astype("int64"), type=pa.int64()),
+                     "jaccard": pa.array(out["jaccard"].astype("float64"),
+                                         type=pa.float64())})
+
+
 def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
     """MinHash→band→bucket groupby → candidates → exact-Jaccard verify.
 
     Verification makes the output exact on the candidate set; with 32×2
     banding the candidate set misses a τ=0.5 pair with P < 1e-4, so this
-    matches the exact-Jaccard oracle.  The verify stage filters shingles to
-    the (small) candidate-doc set INSIDE Ray via a broadcast membership
-    test, so only candidate shingles ever reach the driver."""
-    import ray
-
+    matches the exact-Jaccard oracle.  Both stages run inside Ray: the
+    banding groupby yields the (output-sized) candidate pair list, and
+    ``_verify_pairs_exact`` re-derives shingles for candidate docs only
+    and reduces exact pair counts with the shared bucketed kernels — no
+    driver-side shingle sets or Python pair loops."""
     from fsray.dedup import (add_group_bucket, candidate_pairs_from_buckets,
-                             minhash_batch, shingle_batch)
+                             minhash_batch)
     b_ds = (_docs_ds(sf_dir)
             .map_batches(minhash_batch, batch_format="pyarrow", zero_copy_batch=True)
             .map_batches(lambda b: add_group_bucket(b, ["band", "band_key"]),
@@ -691,41 +755,10 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
     cand = b_ds.groupby("bucket").map_groups(
         candidate_pairs_from_buckets, batch_format="pyarrow")
     cand_pd = cand.to_pandas().drop_duplicates()
-    cand_set = sorted(zip(cand_pd["a"].astype(int), cand_pd["b"].astype(int)))
-    if not cand_set:
-        return pa.table({"a": pa.array([], type=pa.int64()),
-                         "b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    # exact verification: broadcast the candidate-doc ids (ray.put once),
-    # filter shingle rows to candidates inside each task, collect only the
-    # candidate shingles (candidate-set-sized, not corpus-sized)
-    cand_docs_ref = ray.put(np.asarray(
-        sorted({d for p in cand_set for d in p}), dtype=np.int64))
-
-    def filter_to_candidates(b: pa.Table) -> pa.Table:
-        keep = np.isin(b["doc_id"].to_numpy(), ray.get(cand_docs_ref))
-        return b.filter(pa.array(keep))
-
-    sh = (_docs_ds(sf_dir)
-          .map_batches(shingle_batch, batch_format="pyarrow", zero_copy_batch=True)
-          .map_batches(filter_to_candidates, batch_format="pyarrow"))
-    sh_pd = sh.to_pandas()
-    sets: dict[int, set] = {}
-    for d, s in zip(sh_pd["doc_id"].astype(int), sh_pd["shingle"].astype(int)):
-        sets.setdefault(d, set()).add(s)
-    rows = []
-    for a, b in cand_set:
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        jac = inter / union
-        if jac >= JACCARD_TAU:
-            rows.append((a, b, jac))
-    return pa.table({"a": pa.array([r[0] for r in rows], type=pa.int64()),
-                     "b": pa.array([r[1] for r in rows], type=pa.int64()),
-                     "jaccard": pa.array([r[2] for r in rows], type=pa.float64())})
+    return _verify_pairs_exact(
+        sf_dir,
+        cand_pd["a"].to_numpy().astype(np.int64),
+        cand_pd["b"].to_numpy().astype(np.int64), JACCARD_TAU)
 
 
 def dedup_simhash(sf_dir: str) -> pa.Table:
@@ -753,26 +786,69 @@ def dedup_simhash(sf_dir: str) -> pa.Table:
 COSINE_TAU = 0.45
 
 
+#: row budget per self-join block: two blocks of f64 vectors must fit a
+#: worker's heap alongside the sim matrix tile
+COSINE_BLOCK_ROWS = 4096
+
+
 def dedup_embedding_cosine(sf_dir: str) -> pa.Table:
-    """Embedding near-dup pairs (cosine ≥ τ): broadcast normalized corpus
-    (ray.put once), per-batch matmul blocks."""
-    import ray
+    """Embedding near-dup pairs (cosine ≥ τ) as a BLOCKED upper-triangle
+    self-join: the vec_id range is split into row-bounded blocks, one
+    Ray task per block pair (i ≤ j), and each task reads exactly its two
+    blocks via row-filter pushdown — no whole-corpus ``ray.put`` and no
+    driver matrix (the r2 scale-killer).  Work is inherently O(N²/2) for
+    the EXACT semantics; blocking makes the memory per task two blocks
+    and turns the quadratic cost into a schedulable task set.  At corpus
+    scale the recall-bounded path is ``dedup_embedding_lsh`` (banded
+    shuffle, no quadratic task count); this lane is the exact
+    verifier/oracle sibling."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from fsray.dedup import cosine_pairs_block, normalize_rows
-    ids, vecs = _embeddings(sf_dir)
-    ref = ray.put((ids, normalize_rows(vecs)))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    md = pq.ParquetFile(emb_path).metadata
+    vid_idx = md.schema.to_arrow_schema().get_field_index("vec_id")
+    stats = [md.row_group(i).column(vid_idx).statistics
+             for i in range(md.num_row_groups)]
+    lo = min(s.min for s in stats)
+    hi = max(s.max for s in stats) + 1
+    n_blocks = max(1, -(-md.num_rows // COSINE_BLOCK_ROWS))
+    edges = np.unique(np.linspace(lo, hi, n_blocks + 1).astype(np.int64))
+    ranges = list(zip(edges[:-1], edges[1:]))
+    descs = [{"alo": int(a0), "ahi": int(a1), "blo": int(b0), "bhi": int(b1)}
+             for bi, (a0, a1) in enumerate(ranges)
+             for (b0, b1) in ranges[bi:]]
 
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, all_norm = ray.get(ref)
-        bids = batch["vec_id"].to_numpy().astype(np.int64)
-        flat = batch["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        mat = flat.astype(np.float64).reshape(len(bids), -1)
-        return cosine_pairs_block(bids, mat, all_ids, all_norm, COSINE_TAU)
+    def read_range(r_lo: int, r_hi: int) -> tuple[np.ndarray, np.ndarray]:
+        t = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", ">=", r_lo),
+                                   ("vec_id", "<", r_hi)])
+        rids = t["vec_id"].to_numpy().astype(np.int64)
+        flat = t["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        return rids, flat.astype(np.float64).reshape(len(rids), -1)
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    out = ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    def block_pair(batch: pa.Table) -> pa.Table:
+        outs = []
+        for d in batch.to_pylist():
+            aids, amat = read_range(d["alo"], d["ahi"])
+            if d["alo"] == d["blo"]:
+                bids, bmat = aids, amat
+            else:
+                bids, bmat = read_range(d["blo"], d["bhi"])
+            if len(aids) == 0 or len(bids) == 0:
+                continue
+            # a<b filter inside the kernel handles the diagonal block
+            outs.append(cosine_pairs_block(aids, amat, bids,
+                                           normalize_rows(bmat), COSINE_TAU))
+        if not outs:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        return pa.concat_tables(outs)
+
+    ds = rd.from_items(descs, override_num_blocks=len(descs))
+    out = ds.map_batches(block_pair, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["a", "b"])
     return pa.table({"a": pa.array(out["a"].astype("int64"), type=pa.int64()),
                      "b": pa.array(out["b"].astype("int64"), type=pa.int64())})

@@ -103,6 +103,29 @@ def test_minhash_equals_exact_jaccard():
     assert np.allclose(exact["jaccard"], lsh["jaccard"])
 
 
+def test_jaccard_capped_lane_equals_capless(ray_session):
+    """DIV-R13: the driver lane's hot-shingle cap (JACCARD_MAX_DF=256)
+    is invisible at test scale — capped ≡ capless on the driver corpus
+    (max shingle df is 25 at sf0.1) — while a tight synthetic cap
+    demonstrably drops hot-shingle contributions (the scale lever)."""
+    import pyarrow as pa
+
+    from fsray.dedup import jaccard_pair_counts
+    from fsray.pipelines import JACCARD_TAU, _jaccard_pairs_distributed
+    capped = _canon(_to_table(_jaccard_pairs_distributed(SF_DIR, JACCARD_TAU)))
+    capless = _canon(_to_table(_jaccard_pairs_distributed(
+        SF_DIR, JACCARD_TAU, max_df=None)))
+    assert capped.equals(capless)
+
+    # the cap semantics themselves: a shingle in 3 docs emits no pairs
+    # under max_shingle_df=2
+    sh = pa.table({"shingle": pa.array([7, 7, 7], type=pa.int64()),
+                   "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                   "n_shingles": pa.array([1, 1, 1], type=pa.int64())})
+    assert jaccard_pair_counts(sh).num_rows == 3
+    assert jaccard_pair_counts(sh, max_shingle_df=2).num_rows == 0
+
+
 def test_ann_ivf_recall_vs_bruteforce():
     from fsray.pipelines import ann_bruteforce, ann_ivf
     bf = _to_table(ann_bruteforce(SF_DIR)).to_pandas()
