@@ -1,0 +1,492 @@
+"""Persistent embedding job queue + staleness ladder — the
+FrankenSQLite ``embedding_jobs`` analogue on this engine's durability
+model (atomic-rename JSON manifest instead of SQLite rows, DIV-R10).
+
+Semantic anchors (reference frankensearch,
+crates/frankensearch-storage/src):
+
+- Status machine ``pending → processing → completed | failed | skipped``
+  with retry-to-pending: job_queue.rs:21-51.
+- Enqueue outcomes (Inserted / Replaced / Deduplicated /
+  HashEmbedderSkipped): hash-tier embedders never queue (they embed
+  synchronously), an active job with the SAME content hash dedupes, a
+  CHANGED hash replaces the pending twin: job_queue.rs:934-1000
+  (``enqueue_inner``) + ``is_hash_embedder`` job_queue.rs:1049-1053.
+- Claim: pending ∧ ready (``submitted_at <= now``) ∧ no processing twin
+  for the same (doc, embedder), ordered priority DESC then
+  submitted_at ASC, capped at ``config.batch_size``:
+  job_queue.rs:326-421.  Claims MUST route through a single queue
+  instance (the reference's snapshot-isolation warning,
+  job_queue.rs:338-346) — at cluster scale one queue per index shard.
+- Complete / fail / skip transitions demand ``processing`` (skip also
+  accepts pending) and clear the terminal twin row first:
+  job_queue.rs:421-697.  Fail: retry_count+1; past max_retries →
+  terminal failed; superseded by a newer pending twin → the old job is
+  DELETED, not retried; else → pending with exponential backoff
+  ``base << min(n, 20)`` capped at 30 s: job_queue.rs:487-638,
+  1055-1059.
+- Reclaim stale leases: processing rows whose lease expired
+  (``started_at <= now - min(visibility_timeout, stale_threshold)``)
+  go back to pending with retry_count+1, or are deleted when a newer
+  pending twin exists: job_queue.rs:699-806.  This is the CRASH REPLAY
+  path: a worker that died mid-batch leaves processing rows, and the
+  next drain reclaims them.
+- Depth / backpressure (ready_pending > threshold): job_queue.rs:806-820.
+- Resurrect terminal failures on embedder change: job_queue.rs:821-860.
+- Staleness ladder (None/minor/significant/critical →
+  NoAction/IncrementalUpdate/FullRebuild with min_change_threshold=10,
+  full_rebuild_fraction=0.30): staleness.rs:26-103,142-289.
+
+Time is injectable (``now_ms`` callable) so every law is deterministic
+under a logical clock — no wall-clock in tests or driver lanes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+MAX_BACKOFF_EXPONENT = 20       # job_queue.rs:17
+MAX_RETRY_DELAY_MS = 30_000     # job_queue.rs:18
+_HASH_EMBEDDER_PREFIXES = ("fnv1a-", "jl-")
+
+PENDING = "pending"
+PROCESSING = "processing"
+COMPLETED = "completed"
+FAILED = "failed"
+SKIPPED = "skipped"
+_STATUSES = (PENDING, PROCESSING, COMPLETED, FAILED, SKIPPED)
+
+INSERTED = "inserted"
+REPLACED = "replaced"
+DEDUPLICATED = "deduplicated"
+HASH_EMBEDDER_SKIPPED = "skipped_hash_embedder"
+
+
+class QueueError(ValueError):
+    """Validation / not-found / conflict errors (QueueErrorKind)."""
+
+    def __init__(self, kind: str, message: str):
+        super().__init__(f"{kind}: {message}")
+        self.kind = kind
+
+
+def is_hash_embedder(embedder_id: str) -> bool:
+    """Hash-tier embedders are synchronous — they never queue
+    (job_queue.rs:1049-1053)."""
+    return (embedder_id.startswith(_HASH_EMBEDDER_PREFIXES)
+            or embedder_id == "hash/fnv1a")
+
+
+def compute_retry_delay_ms(base_delay_ms: int, exponent: int) -> int:
+    """Exponential backoff ``base << min(n, 20)`` capped at 30 s
+    (job_queue.rs:1055-1059)."""
+    return min(base_delay_ms << min(exponent, MAX_BACKOFF_EXPONENT),
+               MAX_RETRY_DELAY_MS)
+
+
+@dataclass(frozen=True)
+class JobQueueConfig:
+    """job_queue.rs:152-173 defaults."""
+    batch_size: int = 32
+    visibility_timeout_ms: int = 30_000
+    max_retries: int = 3
+    retry_base_delay_ms: int = 100
+    stale_job_threshold_ms: int = 300_000
+    backpressure_threshold: int = 10_000
+
+
+@dataclass
+class ClaimedJob:
+    job_id: int
+    doc_id: str
+    embedder_id: str
+    priority: int
+    retry_count: int
+    max_retries: int
+    submitted_at: int
+    content_hash: str | None
+
+
+@dataclass
+class QueueDepth:
+    pending: int = 0
+    ready_pending: int = 0
+    processing: int = 0
+    completed: int = 0
+    failed: int = 0
+    skipped: int = 0
+
+
+@dataclass
+class Metrics:
+    total_enqueued: int = 0
+    total_completed: int = 0
+    total_failed: int = 0
+    total_skipped: int = 0
+    total_retried: int = 0
+    total_deduplicated: int = 0
+    total_batches_processed: int = 0
+
+
+def _ensure_non_empty(value: str, fieldname: str) -> None:
+    if not value or not value.strip():
+        raise QueueError("validation", f"{fieldname} must not be empty")
+
+
+class EmbeddingJobQueue:
+    """Single-writer persistent queue over one atomic-rename JSON
+    manifest.  Construction REPLAYS the manifest from disk, so a
+    crashed process resumes exactly where the last committed transition
+    left it — in-flight ``processing`` leases are then recovered by
+    ``reclaim_stale_jobs`` (the job_queue.rs recovery tests' shape).
+    """
+
+    STATE_FILE = "queue.json"
+
+    def __init__(self, state_dir: str, config: JobQueueConfig | None = None,
+                 now_ms=None, document_exists=None):
+        self.state_dir = state_dir
+        self.config = config or JobQueueConfig()
+        self._now_ms = now_ms or _wall_ms
+        self._document_exists = document_exists
+        self.metrics = Metrics()
+        os.makedirs(state_dir, exist_ok=True)
+        self._path = os.path.join(state_dir, self.STATE_FILE)
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                state = json.load(f)
+            self._jobs = {int(k): v for k, v in state["jobs"].items()}
+            self._next_id = int(state["next_id"])
+        else:
+            self._jobs: dict[int, dict] = {}
+            self._next_id = 1
+            self._persist()
+
+    # -- persistence -------------------------------------------------------
+
+    def _persist(self) -> None:
+        from fsray.manifest import atomic_write_json
+        atomic_write_json(self._path, {
+            "jobs": {str(k): v for k, v in self._jobs.items()},
+            "next_id": self._next_id,
+        })
+
+    # -- enqueue -----------------------------------------------------------
+
+    def _enqueue_inner(self, doc_id: str, embedder_id: str,
+                       content_hash: str, priority: int,
+                       submitted_at: int) -> str:
+        _ensure_non_empty(doc_id, "doc_id")
+        _ensure_non_empty(embedder_id, "embedder_id")
+        if self._document_exists is not None and not self._document_exists(doc_id):
+            raise QueueError("not_found", f"documents: {doc_id}")
+        if is_hash_embedder(embedder_id):
+            return HASH_EMBEDDER_SKIPPED
+        active = [j for j in self._jobs.values()
+                  if j["doc_id"] == doc_id and j["embedder_id"] == embedder_id
+                  and j["status"] in (PENDING, PROCESSING)]
+        for j in active:
+            if j.get("content_hash") == content_hash:
+                return DEDUPLICATED
+        replaced = False
+        if active:
+            # changed content: drop the (stale) pending twin; a processing
+            # twin keeps running and resolves via the supersede laws
+            for jid in [k for k, j in self._jobs.items()
+                        if j["doc_id"] == doc_id
+                        and j["embedder_id"] == embedder_id
+                        and j["status"] == PENDING]:
+                del self._jobs[jid]
+            replaced = True
+        self._jobs[self._next_id] = {
+            "doc_id": doc_id, "embedder_id": embedder_id,
+            "priority": int(priority), "submitted_at": int(submitted_at),
+            "status": PENDING, "retry_count": 0,
+            "max_retries": self.config.max_retries,
+            "content_hash": content_hash, "worker_id": None,
+            "started_at": None, "completed_at": None, "error_message": None,
+        }
+        self._next_id += 1
+        return REPLACED if replaced else INSERTED
+
+    def enqueue(self, doc_id: str, embedder_id: str, content_hash: str,
+                priority: int = 0) -> bool:
+        outcome = self._enqueue_inner(doc_id, embedder_id, content_hash,
+                                      priority, self._now_ms())
+        self._record_enqueue(outcome)
+        self._persist()
+        return outcome in (INSERTED, REPLACED)
+
+    def enqueue_batch(self, jobs: list[tuple]) -> dict:
+        """jobs: [(doc_id, embedder_id, content_hash, priority)].
+        Per-job submitted_at = base + index (stable FIFO within a
+        batch, job_queue.rs:283-292)."""
+        summary = {INSERTED: 0, REPLACED: 0, DEDUPLICATED: 0,
+                   HASH_EMBEDDER_SKIPPED: 0}
+        base = self._now_ms()
+        for i, (doc_id, embedder_id, content_hash, priority) in enumerate(jobs):
+            outcome = self._enqueue_inner(doc_id, embedder_id, content_hash,
+                                          priority, base + i)
+            summary[outcome] += 1
+            self._record_enqueue(outcome)
+        if jobs:
+            self._persist()
+        return summary
+
+    def _record_enqueue(self, outcome: str) -> None:
+        if outcome in (INSERTED, REPLACED):
+            self.metrics.total_enqueued += 1
+        else:
+            self.metrics.total_deduplicated += 1
+
+    # -- claim -------------------------------------------------------------
+
+    def claim_batch(self, worker_id: str, batch_size: int) -> list[ClaimedJob]:
+        _ensure_non_empty(worker_id, "worker_id")
+        if batch_size <= 0:
+            return []
+        now = self._now_ms()
+        limit = min(batch_size, self.config.batch_size)
+        processing_twins = {(j["doc_id"], j["embedder_id"])
+                            for j in self._jobs.values()
+                            if j["status"] == PROCESSING}
+        ready = [(jid, j) for jid, j in self._jobs.items()
+                 if j["status"] == PENDING and j["submitted_at"] <= now
+                 and (j["doc_id"], j["embedder_id"]) not in processing_twins]
+        ready.sort(key=lambda kv: (-kv[1]["priority"], kv[1]["submitted_at"],
+                                   kv[0]))
+        claimed = []
+        for jid, j in ready[:limit]:
+            j["status"] = PROCESSING
+            j["started_at"] = now
+            j["worker_id"] = worker_id
+            j["error_message"] = None
+            claimed.append(ClaimedJob(
+                job_id=jid, doc_id=j["doc_id"], embedder_id=j["embedder_id"],
+                priority=j["priority"], retry_count=j["retry_count"],
+                max_retries=j["max_retries"], submitted_at=j["submitted_at"],
+                content_hash=j.get("content_hash")))
+        if claimed:
+            self.metrics.total_batches_processed += 1
+            self._persist()
+        return claimed
+
+    # -- transitions -------------------------------------------------------
+
+    def _load_processing(self, job_id: int) -> dict:
+        j = self._jobs.get(job_id)
+        if j is None:
+            raise QueueError("not_found", f"embedding_jobs: {job_id}")
+        if j["status"] != PROCESSING:
+            raise QueueError(
+                "conflict",
+                f"job {job_id} is not processing (status={j['status']})")
+        return j
+
+    def _drop_twin(self, doc_id: str, embedder_id: str, status: str,
+                   keep: int) -> None:
+        """Delete the prior terminal twin row so one (doc, embedder)
+        keeps a single row per terminal status (the reference's
+        DELETE-before-UPDATE)."""
+        for jid in [k for k, j in self._jobs.items()
+                    if k != keep and j["doc_id"] == doc_id
+                    and j["embedder_id"] == embedder_id
+                    and j["status"] == status]:
+            del self._jobs[jid]
+
+    def complete(self, job_id: int) -> None:
+        j = self._load_processing(job_id)
+        self._drop_twin(j["doc_id"], j["embedder_id"], COMPLETED, job_id)
+        j["status"] = COMPLETED
+        j["completed_at"] = self._now_ms()
+        j["worker_id"] = None
+        j["error_message"] = None
+        self.metrics.total_completed += 1
+        self._persist()
+
+    def fail(self, job_id: int, error: str) -> dict:
+        """Returns {"kind": "retried", retry_count, delay_ms,
+        next_attempt_at_ms} or {"kind": "terminal_failed", retry_count}
+        (FailResult, job_queue.rs:130-140)."""
+        _ensure_non_empty(error, "error")
+        now = self._now_ms()
+        j = self._load_processing(job_id)
+        retry_count = j["retry_count"] + 1
+        if retry_count > j["max_retries"]:
+            self._drop_twin(j["doc_id"], j["embedder_id"], FAILED, job_id)
+            j.update(status=FAILED, retry_count=retry_count,
+                     completed_at=now, error_message=error, worker_id=None)
+            self.metrics.total_failed += 1
+            self._persist()
+            return {"kind": "terminal_failed", "retry_count": retry_count}
+        pending_twin = any(
+            x["doc_id"] == j["doc_id"] and x["embedder_id"] == j["embedder_id"]
+            and x["status"] == PENDING for x in self._jobs.values())
+        if pending_twin:
+            # superseded by a newer pending job: never retry the old one
+            del self._jobs[job_id]
+            self.metrics.total_failed += 1
+            self._persist()
+            return {"kind": "terminal_failed", "retry_count": retry_count}
+        delay_ms = compute_retry_delay_ms(self.config.retry_base_delay_ms,
+                                          retry_count - 1)
+        next_at = now + delay_ms
+        j.update(status=PENDING, retry_count=retry_count, submitted_at=next_at,
+                 started_at=None, completed_at=None, error_message=error,
+                 worker_id=None)
+        self.metrics.total_retried += 1
+        self._persist()
+        return {"kind": "retried", "retry_count": retry_count,
+                "delay_ms": delay_ms, "next_attempt_at_ms": next_at}
+
+    def skip(self, job_id: int, reason: str) -> None:
+        _ensure_non_empty(reason, "reason")
+        j = self._jobs.get(job_id)
+        if j is None:
+            raise QueueError("not_found", f"embedding_jobs: {job_id}")
+        if j["status"] not in (PENDING, PROCESSING):
+            raise QueueError(
+                "conflict",
+                f"job {job_id} cannot be skipped from status {j['status']}")
+        self._drop_twin(j["doc_id"], j["embedder_id"], SKIPPED, job_id)
+        j.update(status=SKIPPED, completed_at=self._now_ms(),
+                 worker_id=None, error_message=reason)
+        self.metrics.total_skipped += 1
+        self._persist()
+
+    # -- recovery ----------------------------------------------------------
+
+    def reclaim_stale_jobs(self) -> int:
+        """Crash replay: expired processing leases go back to pending
+        (retry_count+1) or are deleted when a newer pending twin
+        exists (job_queue.rs:699-806)."""
+        now = self._now_ms()
+        cutoff = now - min(self.config.visibility_timeout_ms,
+                           self.config.stale_job_threshold_ms)
+        stale = [(jid, j) for jid, j in self._jobs.items()
+                 if j["status"] == PROCESSING
+                 and (j["started_at"] is None or j["started_at"] <= cutoff)]
+        reclaimed = 0
+        for jid, j in stale:
+            pending_twin = any(
+                x["doc_id"] == j["doc_id"]
+                and x["embedder_id"] == j["embedder_id"]
+                and x["status"] == PENDING for x in self._jobs.values())
+            if pending_twin:
+                del self._jobs[jid]
+            else:
+                j.update(status=PENDING, submitted_at=now, started_at=None,
+                         worker_id=None, error_message="reclaimed stale lease",
+                         retry_count=j["retry_count"] + 1)
+                self.metrics.total_retried += 1
+            reclaimed += 1
+        if reclaimed:
+            self._persist()
+        return reclaimed
+
+    def resurrect_terminal_failures(self, embedder_id: str) -> int:
+        """Embedder changed / became available: failed → pending with a
+        fresh retry budget (job_queue.rs:821-860)."""
+        now = self._now_ms()
+        n = 0
+        for j in self._jobs.values():
+            if j["embedder_id"] == embedder_id and j["status"] == FAILED:
+                j.update(status=PENDING, retry_count=0, error_message=None,
+                         started_at=None, submitted_at=now)
+                n += 1
+        if n:
+            self._persist()
+        return n
+
+    # -- introspection -----------------------------------------------------
+
+    def queue_depth(self) -> QueueDepth:
+        d = QueueDepth()
+        now = self._now_ms()
+        for j in self._jobs.values():
+            setattr(d, j["status"], getattr(d, j["status"]) + 1)
+            if j["status"] == PENDING and j["submitted_at"] <= now:
+                d.ready_pending += 1
+        return d
+
+    def is_backpressured(self) -> bool:
+        return self.queue_depth().ready_pending > self.config.backpressure_threshold
+
+    def jobs_snapshot(self) -> list[dict]:
+        """All job rows (id-ordered) — the lane/oracle surface."""
+        return [dict(self._jobs[k], job_id=k) for k in sorted(self._jobs)]
+
+
+def _wall_ms() -> int:
+    import time
+    return int(time.time() * 1000)
+
+
+# ─── staleness ladder (staleness.rs) ────────────────────────────────────
+
+
+@dataclass(frozen=True)
+class StalenessConfig:
+    """staleness.rs:26-50 defaults."""
+    min_change_threshold: int = 10
+    max_index_age_secs: int | None = None
+    full_rebuild_fraction: float = 0.30
+
+
+@dataclass
+class StalenessDecision:
+    level: str                   # none | minor | significant | critical
+    action: str                  # no_action | incremental_update | full_rebuild
+    doc_count: int = 0
+    reasons: list[str] = field(default_factory=list)
+
+
+def classify_staleness(total_documents: int, docs_changed: int,
+                       pending_documents: int,
+                       model_revision_changed: bool = False,
+                       schema_changed: bool = False,
+                       index_missing: bool = False,
+                       config: StalenessConfig | None = None,
+                       ) -> StalenessDecision:
+    """The staleness severity ladder + recommended action
+    (staleness.rs:53-81,236-289): model/schema/missing ⇒ critical
+    full-rebuild; changed-doc mass above ``full_rebuild_fraction`` ⇒
+    significant full-rebuild; above ``min_change_threshold`` (or any
+    pending embeddings) ⇒ incremental; else fresh."""
+    cfg = config or StalenessConfig()
+    reasons = []
+    if index_missing:
+        reasons.append("index_missing")
+    if model_revision_changed:
+        reasons.append("model_revision_changed")
+    if schema_changed:
+        reasons.append("schema_changed")
+    if reasons:
+        return StalenessDecision("critical", "full_rebuild",
+                                 doc_count=total_documents, reasons=reasons)
+    changed = docs_changed + pending_documents
+    if total_documents > 0 and docs_changed / total_documents >= \
+            cfg.full_rebuild_fraction and docs_changed > 0:
+        return StalenessDecision(
+            "significant", "full_rebuild", doc_count=total_documents,
+            reasons=["changed_fraction_exceeded"])
+    if changed >= cfg.min_change_threshold:
+        return StalenessDecision("significant", "incremental_update",
+                                 doc_count=changed,
+                                 reasons=["change_threshold_exceeded"])
+    if changed > 0:
+        return StalenessDecision("minor", "incremental_update",
+                                 doc_count=changed, reasons=["minor_changes"])
+    return StalenessDecision("none", "no_action")
+
+
+def enqueue_stale_documents(queue: EmbeddingJobQueue, embedder_id: str,
+                            stale_docs: list[tuple], priority: int = 0,
+                            ) -> dict:
+    """Bridge from the staleness detector to the queue: enqueue every
+    (doc_id, content_hash) the detector reported changed — the
+    reference's incremental-update path feeding ``embedding_jobs``."""
+    return queue.enqueue_batch([(doc_id, embedder_id, content_hash, priority)
+                                for doc_id, content_hash in stale_docs])

@@ -2042,6 +2042,108 @@ def multimodal_meta(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# embedding job queue lane
+
+#: NOT a hash-tier id — hash embedders never queue (job_queue.rs
+#: ``is_hash_embedder``); the model WORK is the DIV-R07 hash stand-in,
+#: the queue transitions around it are the real subject
+EMBED_QUEUE_EMBEDDER = "model2vec-potion-base-8M"
+EMBED_QUEUE_DIM = 64
+#: deterministic transient failure: these docs fail their FIRST embed
+#: attempt and succeed on the backoff retry
+EMBED_QUEUE_FAIL_MOD, EMBED_QUEUE_FAIL_REM = 97, 13
+
+
+def embed_queue_drain(sf_dir: str) -> pa.Table:
+    """Enqueue every document into the persistent embedding job queue
+    and drain it to completion with Ray embed workers
+    (storage/src/job_queue.rs end-to-end: enqueue_batch → claim_batch →
+    remote hash-embed → complete, with a deterministic transient
+    failure class exercising fail→backoff→retry).  The queue itself is
+    a single driver-side manifest instance — the reference's own law
+    (claims MUST route through one instance; at cluster scale one
+    queue per index shard) — while the EMBED work runs as Ray tasks
+    over row-filtered reads, one task per claimed batch, in flight
+    concurrently.  Content hashes come from the distributed sha256
+    witness stage.  Time is a logical clock, so the backoff laws are
+    exercised deterministically.  EXACT oracle on the final queue
+    state: every job completed, retry_count 1 exactly for the failure
+    class, priority = doc_id % 3."""
+    import ray
+
+    from fsray.dedup import exact_key_batch
+    from fsray.embed import HashEmbedder
+    from fsray.jobqueue import EmbeddingJobQueue, JobQueueConfig
+    import shutil
+    import tempfile
+
+    hashes = (_docs_ds(sf_dir)
+              .map_batches(exact_key_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .to_pandas().sort_values("doc_id"))
+    doc_ids = hashes["doc_id"].to_numpy().astype(np.int64)
+    clock = {"t": 1_000_000}
+    state_dir = tempfile.mkdtemp(prefix="fsray_jobq_")
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+
+    @ray.remote
+    def embed_claimed(ids: list[int]) -> dict[int, int]:
+        import pyarrow.parquet as pq
+        t = pq.read_table(doc_path, columns=["doc_id", "text"],
+                          filters=[("doc_id", "in", ids)])
+        emb = HashEmbedder(dimension=EMBED_QUEUE_DIM)
+        mat = emb.embed_texts([x or "" for x in t["text"].to_pylist()])
+        return {int(d): int(mat.shape[1])
+                for d in t["doc_id"].to_numpy()}
+
+    try:
+        q = EmbeddingJobQueue(state_dir, JobQueueConfig(),
+                              now_ms=lambda: clock["t"])
+        q.enqueue_batch([(str(int(d)), EMBED_QUEUE_EMBEDDER, h, int(d) % 3)
+                         for d, h in zip(doc_ids, hashes["content_sha256"])])
+        clock["t"] += len(doc_ids) + 1_000  # every submitted_at now ready
+        attempted: set[int] = set()
+        dims: dict[int, int] = {}
+        while True:
+            q.reclaim_stale_jobs()
+            inflight = []
+            while True:
+                claims = q.claim_batch("drain-worker", 32)
+                if not claims:
+                    break
+                batch_ids = [int(c.doc_id) for c in claims]
+                inflight.append((claims, embed_claimed.remote(batch_ids)))
+            for claims, fut in inflight:
+                got = ray.get(fut)
+                for c in claims:
+                    d = int(c.doc_id)
+                    first = d not in attempted
+                    attempted.add(d)
+                    if first and d % EMBED_QUEUE_FAIL_MOD == EMBED_QUEUE_FAIL_REM:
+                        q.fail(c.job_id, "transient embed failure")
+                    else:
+                        dims[d] = got[d]
+                        q.complete(c.job_id)
+            depth = q.queue_depth()
+            if depth.pending == 0 and depth.processing == 0:
+                break
+            clock["t"] += 200  # ride past the retry backoff window
+        rows = q.jobs_snapshot()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    rows.sort(key=lambda j: int(j["doc_id"]))
+    return pa.table({
+        "doc_id": pa.array([int(j["doc_id"]) for j in rows], type=pa.int64()),
+        "status": pa.array([j["status"] for j in rows], type=pa.string()),
+        "retry_count": pa.array([j["retry_count"] for j in rows],
+                                type=pa.int64()),
+        "priority": pa.array([j["priority"] for j in rows], type=pa.int64()),
+        "n_dims": pa.array([dims[int(j["doc_id"])] for j in rows],
+                           type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 def make_queries() -> dict:
@@ -2102,6 +2204,7 @@ def make_queries() -> dict:
         "progressive_search": progressive_search_pipeline,
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
+        "embed_queue_drain": embed_queue_drain,
     })
     return q
 
@@ -2573,6 +2676,16 @@ SELECT d.doc_id AS media_id, f.frame,
        (octet_length(encode(d.text)) * f.frame) // 4 AS byte_offset
 FROM documents d CROSS JOIN (SELECT unnest(range(0, 4)) AS frame) f
 ORDER BY media_id, frame"""
+
+    # job-queue drain: every job completes; the deterministic transient
+    # failure class carries exactly one retry; priority is doc_id % 3
+    o["embed_queue_drain"] = f"""
+SELECT doc_id, 'completed' AS status,
+       CAST(CASE WHEN doc_id % {EMBED_QUEUE_FAIL_MOD} = {EMBED_QUEUE_FAIL_REM}
+            THEN 1 ELSE 0 END AS BIGINT) AS retry_count,
+       doc_id % 3 AS priority,
+       CAST({EMBED_QUEUE_DIM} AS BIGINT) AS n_dims
+FROM documents ORDER BY doc_id"""
 
     o["multimodal_meta"] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -1,0 +1,342 @@
+"""Embedding job queue + staleness ladder laws, mirroring the
+reference's own test battery (storage/src/job_queue.rs:1357-2855 and
+staleness.rs) on the manifest-backed queue: enqueue outcomes, claim
+ordering/disjointness, fail→retry→terminal, supersede, stale-lease
+reclaim, restart recovery (crash replay), depth/backpressure,
+resurrection, backoff arithmetic, and the severity ladder."""
+
+import pytest
+
+from fsray.jobqueue import (
+    COMPLETED,
+    DEDUPLICATED,
+    FAILED,
+    HASH_EMBEDDER_SKIPPED,
+    INSERTED,
+    PENDING,
+    PROCESSING,
+    REPLACED,
+    SKIPPED,
+    EmbeddingJobQueue,
+    JobQueueConfig,
+    QueueError,
+    StalenessConfig,
+    classify_staleness,
+    compute_retry_delay_ms,
+    enqueue_stale_documents,
+    is_hash_embedder,
+)
+
+H1 = "a" * 64
+H2 = "b" * 64
+
+
+class Clock:
+    def __init__(self, t=1_000_000):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+@pytest.fixture
+def q(tmp_path):
+    clock = Clock()
+    queue = EmbeddingJobQueue(str(tmp_path / "q"), JobQueueConfig(),
+                              now_ms=clock)
+    queue.clock = clock
+    return queue
+
+
+def _statuses(queue):
+    return {(j["doc_id"], j["status"]) for j in queue.jobs_snapshot()}
+
+
+def test_enqueue_deduplicates_same_job(q):
+    assert q.enqueue("doc1", "model2vec", H1, 0) is True
+    assert q.enqueue("doc1", "model2vec", H1, 0) is False  # deduplicated
+    assert q.queue_depth().pending == 1
+    assert q.metrics.total_deduplicated == 1
+
+
+def test_enqueue_replaces_active_job_when_hash_changes(q):
+    q.enqueue("doc1", "model2vec", H1, 0)
+    assert q.enqueue("doc1", "model2vec", H2, 5) is True  # replaced
+    jobs = q.jobs_snapshot()
+    assert len(jobs) == 1
+    assert jobs[0]["content_hash"] == H2 and jobs[0]["priority"] == 5
+
+
+def test_hash_embedder_jobs_are_skipped(q):
+    for eid in ("fnv1a-256", "jl-384", "hash/fnv1a"):
+        assert q.enqueue("doc1", eid, H1, 0) is False
+    assert q.queue_depth().pending == 0
+    assert is_hash_embedder("fnv1a-x") and not is_hash_embedder("model2vec")
+
+
+def test_claim_batch_assigns_disjoint_jobs(q):
+    for i in range(5):
+        q.enqueue(f"d{i}", "m", H1, 0)
+    q.clock.t += 10
+    a = q.claim_batch("w1", 3)
+    b = q.claim_batch("w2", 3)
+    ids_a = {c.job_id for c in a}
+    ids_b = {c.job_id for c in b}
+    assert len(a) == 3 and len(b) == 2
+    assert not ids_a & ids_b
+
+
+def test_enqueue_replacement_keeps_inflight_processing_job(q):
+    q.enqueue("doc1", "m", H1, 0)
+    q.clock.t += 10
+    [claim] = q.claim_batch("w", 1)
+    # content changed while processing: new pending row, old keeps running
+    q.enqueue("doc1", "m", H2, 0)
+    sts = sorted(j["status"] for j in q.jobs_snapshot())
+    assert sts == [PENDING, PROCESSING]
+    # the processing job now fails → superseded: DELETED, not retried
+    res = q.fail(claim.job_id, "boom")
+    assert res["kind"] == "terminal_failed"
+    assert [j["status"] for j in q.jobs_snapshot()] == [PENDING]
+
+
+def test_fail_transitions_retry_then_terminal_failure(tmp_path):
+    clock = Clock()
+    q = EmbeddingJobQueue(str(tmp_path), JobQueueConfig(max_retries=2),
+                          now_ms=clock)
+    q.enqueue("doc1", "m", H1, 0)
+    for attempt in range(2):
+        clock.t += 1_000_000
+        [c] = q.claim_batch("w", 1)
+        res = q.fail(c.job_id, "transient")
+        assert res["kind"] == "retried"
+        assert res["retry_count"] == attempt + 1
+        assert res["delay_ms"] == 100 << attempt  # exponential backoff
+        # not claimable until the backoff elapses
+        assert q.claim_batch("w", 1) == []
+        assert q.queue_depth().ready_pending == 0
+    clock.t += 1_000_000
+    [c] = q.claim_batch("w", 1)
+    res = q.fail(c.job_id, "final")
+    assert res == {"kind": "terminal_failed", "retry_count": 3}
+    [j] = q.jobs_snapshot()
+    assert j["status"] == FAILED and j["error_message"] == "final"
+
+
+def test_reclaim_stale_jobs_restores_processing_work(q):
+    q.enqueue("doc1", "m", H1, 0)
+    q.clock.t += 10
+    [c] = q.claim_batch("w", 1)
+    assert q.reclaim_stale_jobs() == 0  # lease still fresh
+    q.clock.t += JobQueueConfig().visibility_timeout_ms + 1
+    assert q.reclaim_stale_jobs() == 1
+    [j] = q.jobs_snapshot()
+    assert j["status"] == PENDING and j["retry_count"] == 1
+    assert j["error_message"] == "reclaimed stale lease"
+
+
+def test_reclaim_uses_visibility_timeout_when_stale_threshold_larger(tmp_path):
+    clock = Clock()
+    cfg = JobQueueConfig(visibility_timeout_ms=1_000,
+                         stale_job_threshold_ms=500_000)
+    q = EmbeddingJobQueue(str(tmp_path), cfg, now_ms=clock)
+    q.enqueue("doc1", "m", H1, 0)
+    clock.t += 10
+    q.claim_batch("w", 1)
+    clock.t += 1_001  # past visibility, far below stale threshold
+    assert q.reclaim_stale_jobs() == 1
+
+
+def test_restart_recovery_preserves_and_reclaims_jobs(tmp_path):
+    """CRASH REPLAY: a new instance over the same manifest sees the
+    exact committed state; expired leases of the dead worker reclaim to
+    pending and the drain completes (job_queue.rs:1664-1716)."""
+    clock = Clock()
+    d = str(tmp_path / "q")
+    q1 = EmbeddingJobQueue(d, JobQueueConfig(), now_ms=clock)
+    for i in range(4):
+        q1.enqueue(f"d{i}", "m", H1, 0)
+    clock.t += 10
+    claims = q1.claim_batch("dead-worker", 2)
+    q1.complete(claims[0].job_id)
+    del q1  # process "crashes" — claims[1] is left processing
+
+    q2 = EmbeddingJobQueue(d, JobQueueConfig(), now_ms=clock)
+    sts = sorted(j["status"] for j in q2.jobs_snapshot())
+    assert sts == [COMPLETED, PENDING, PENDING, PROCESSING]
+    clock.t += JobQueueConfig().visibility_timeout_ms + 1
+    assert q2.reclaim_stale_jobs() == 1
+    while True:
+        batch = q2.claim_batch("w2", 10)
+        if not batch:
+            break
+        for c in batch:
+            q2.complete(c.job_id)
+    assert {j["status"] for j in q2.jobs_snapshot()} == {COMPLETED}
+    reclaimed = [j for j in q2.jobs_snapshot() if j["retry_count"] == 1]
+    assert len(reclaimed) == 1  # exactly the dead worker's in-flight job
+
+
+def test_reclaim_removes_processing_job_when_replacement_pending(q):
+    q.enqueue("doc1", "m", H1, 0)
+    q.clock.t += 10
+    q.claim_batch("w", 1)
+    q.enqueue("doc1", "m", H2, 0)  # newer pending twin
+    q.clock.t += JobQueueConfig().visibility_timeout_ms + 1
+    assert q.reclaim_stale_jobs() == 1
+    jobs = q.jobs_snapshot()
+    assert len(jobs) == 1 and jobs[0]["status"] == PENDING
+    assert jobs[0]["content_hash"] == H2
+
+
+def test_enqueue_batch_reports_insert_replace_dedup_and_hash_skip(q):
+    q.enqueue("doc1", "m", H1, 0)
+    summary = q.enqueue_batch([
+        ("doc2", "m", H1, 0),          # inserted
+        ("doc1", "m", H2, 0),          # replaced (hash changed)
+        ("doc2", "m", H1, 0),          # deduplicated
+        ("doc3", "fnv1a-256", H1, 0),  # hash-embedder skip
+    ])
+    assert summary == {INSERTED: 1, REPLACED: 1, DEDUPLICATED: 1,
+                       HASH_EMBEDDER_SKIPPED: 1}
+
+
+def test_claim_batch_orders_by_priority_then_fifo_submission(q):
+    q.enqueue_batch([("low", "m", H1, 0), ("hi1", "m", H1, 9),
+                     ("hi2", "m", H1, 9), ("mid", "m", H1, 4)])
+    q.clock.t += 100
+    claimed = q.claim_batch("w", 10)
+    assert [c.doc_id for c in claimed] == ["hi1", "hi2", "mid", "low"]
+
+
+def test_queue_depth_tracks_ready_pending_for_delayed_retries(q):
+    q.enqueue("doc1", "m", H1, 0)
+    q.clock.t += 10
+    [c] = q.claim_batch("w", 1)
+    q.fail(c.job_id, "transient")
+    d = q.queue_depth()
+    assert d.pending == 1 and d.ready_pending == 0  # backoff not elapsed
+    q.clock.t += 101
+    assert q.queue_depth().ready_pending == 1
+
+
+def test_backpressure_trips_only_when_ready_pending_exceeds_threshold(tmp_path):
+    clock = Clock()
+    q = EmbeddingJobQueue(str(tmp_path),
+                          JobQueueConfig(backpressure_threshold=2),
+                          now_ms=clock)
+    for i in range(3):
+        q.enqueue(f"d{i}", "m", H1, 0)
+    clock.t += 10
+    assert q.is_backpressured() is True
+    [c] = q.claim_batch("w", 1)
+    assert q.is_backpressured() is False  # 2 ready == threshold, not over
+
+
+def test_skip_from_pending_and_processing_only(q):
+    q.enqueue("doc1", "m", H1, 0)
+    [j] = q.jobs_snapshot()
+    q.skip(j["job_id"], "binary file")
+    [j] = q.jobs_snapshot()
+    assert j["status"] == SKIPPED and j["error_message"] == "binary file"
+    with pytest.raises(QueueError, match="conflict"):
+        q.skip(j["job_id"], "again")
+
+
+def test_complete_demands_processing(q):
+    q.enqueue("doc1", "m", H1, 0)
+    [j] = q.jobs_snapshot()
+    with pytest.raises(QueueError, match="not processing"):
+        q.complete(j["job_id"])
+    with pytest.raises(QueueError, match="not_found"):
+        q.complete(999)
+
+
+def test_resurrect_terminal_failures(tmp_path):
+    clock = Clock()
+    q = EmbeddingJobQueue(str(tmp_path), JobQueueConfig(max_retries=0),
+                          now_ms=clock)
+    q.enqueue("doc1", "m", H1, 0)
+    q.enqueue("doc2", "other", H1, 0)
+    clock.t += 10
+    for c in q.claim_batch("w", 10):
+        q.fail(c.job_id, "down")
+    assert q.queue_depth().failed == 2
+    assert q.resurrect_terminal_failures("m") == 1  # embedder-scoped
+    d = q.queue_depth()
+    assert d.pending == 1 and d.failed == 1
+    [j] = [x for x in q.jobs_snapshot() if x["embedder_id"] == "m"]
+    assert j["retry_count"] == 0 and j["error_message"] is None
+
+
+@pytest.mark.parametrize("exp,want", [(0, 100), (1, 200), (2, 400),
+                                      (3, 800), (30, 30_000)])
+def test_compute_retry_delay_ms(exp, want):
+    assert compute_retry_delay_ms(100, exp) == want
+
+
+def test_compute_retry_delay_zero_base():
+    assert compute_retry_delay_ms(0, 5) == 0
+
+
+def test_validation_rejects_empty_fields(q):
+    with pytest.raises(QueueError, match="validation"):
+        q.enqueue("", "m", H1, 0)
+    with pytest.raises(QueueError, match="validation"):
+        q.claim_batch("  ", 1)
+    with pytest.raises(QueueError, match="validation"):
+        q.enqueue("d", "m", H1, 0) and q.fail(1, "")
+
+
+def test_document_existence_gate(tmp_path):
+    clock = Clock()
+    q = EmbeddingJobQueue(str(tmp_path), JobQueueConfig(), now_ms=clock,
+                          document_exists=lambda d: d == "known")
+    assert q.enqueue("known", "m", H1, 0) is True
+    with pytest.raises(QueueError, match="not_found"):
+        q.enqueue("unknown", "m", H1, 0)
+
+
+# ─── staleness ladder ───────────────────────────────────────────────────
+
+
+def test_staleness_fresh():
+    d = classify_staleness(100, 0, 0)
+    assert (d.level, d.action) == ("none", "no_action")
+
+
+def test_staleness_minor_incremental():
+    d = classify_staleness(100, 3, 0)
+    assert (d.level, d.action, d.doc_count) == ("minor", "incremental_update", 3)
+
+
+def test_staleness_threshold_incremental():
+    d = classify_staleness(100, 8, 5)
+    assert (d.level, d.action, d.doc_count) == (
+        "significant", "incremental_update", 13)
+
+
+def test_staleness_mass_change_full_rebuild():
+    d = classify_staleness(100, 30, 0)
+    assert (d.level, d.action) == ("significant", "full_rebuild")
+    assert d.reasons == ["changed_fraction_exceeded"]
+
+
+def test_staleness_critical_reasons_force_rebuild():
+    for kw in ({"index_missing": True}, {"model_revision_changed": True},
+               {"schema_changed": True}):
+        d = classify_staleness(100, 0, 0, **kw)
+        assert (d.level, d.action) == ("critical", "full_rebuild")
+
+
+def test_staleness_custom_config():
+    cfg = StalenessConfig(min_change_threshold=2, full_rebuild_fraction=0.9)
+    d = classify_staleness(100, 2, 0, config=cfg)
+    assert d.action == "incremental_update"
+
+
+def test_enqueue_stale_documents_bridge(q):
+    summary = enqueue_stale_documents(q, "m", [("d1", H1), ("d2", H2)],
+                                      priority=7)
+    assert summary[INSERTED] == 2
+    assert all(j["priority"] == 7 for j in q.jobs_snapshot())
