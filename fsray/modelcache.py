@@ -1,0 +1,382 @@
+"""Pluggable embedder protocol + pinned model-artifact cache.
+
+The model TIERS themselves stay DIV-R07 stand-ins (no ONNX/model2vec
+runtimes or downloads exist in this environment), but everything AROUND
+a real model is implemented and tested against fake weights files:
+
+Semantic anchors (reference frankensearch):
+- ``Embedder`` trait surface (embed / embed_batch / identity-bound
+  outputs that fail closed on a dimension mismatch / id / model_name /
+  is_semantic / category→tier): crates/frankensearch-core/src/
+  traits.rs:220-346.
+- Model cache layout + root resolution priority chain (explicit model
+  dir env → data dir env → XDG data home → ``~/.local/share``), known
+  model registry with versioned directories ``<dir_name>/<version>``:
+  crates/frankensearch-embed/src/model_cache.rs:37-231.
+- Pinned artifact manifests: per-file sha256 that MUST verify before a
+  model loads (fail-closed; raw names and dimensions never synthesize
+  compatibility): crates/frankensearch-embed/src/model_manifest.rs
+  (``ModelArtifactManifestV1.validate``).
+- Graceful degradation: when a model tier cannot load (missing
+  artifacts, missing runtime), resolution falls back to the hash tier
+  instead of failing the pipeline:
+  crates/frankensearch-embed/src/auto_detect.rs.
+
+Why this matters at 100 TB: embed actors load the model ONCE per actor
+from a node-local verified cache (``map_batches(Cls, concurrency=N)``
+with the load in ``__init__``); a sha256-pinned manifest is what makes
+"every node runs the same weights" checkable without shipping weights
+through the object store.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Protocol, runtime_checkable
+
+import numpy as np
+
+ENV_MODEL_DIR = "FSRAY_MODEL_DIR"
+ENV_DATA_DIR = "FSRAY_DATA_DIR"
+ENV_XDG_DATA_HOME = "XDG_DATA_HOME"
+_SUBDIR = "fsray"
+_MODELS_SUBDIR = "models"
+MODEL_CACHE_LAYOUT_VERSION = 1
+MANIFEST_FILENAME = "manifest.json"
+
+#: model_cache.rs:55-80 — the known registry, versioned dirs
+KNOWN_MODELS = (
+    {"dir_name": "potion-base-128M", "version": "v1", "dimension": 256,
+     "category": "fast", "description": "Potion 128M fast embedder (256d)"},
+    {"dir_name": "potion-multilingual-128M", "version": "v1", "dimension": 256,
+     "category": "fast",
+     "description": "Potion multilingual 128M embedder (256d)"},
+    {"dir_name": "all-MiniLM-L6-v2", "version": "v1", "dimension": 384,
+     "category": "quality", "description": "MiniLM-L6-v2 quality embedder (384d)"},
+    {"dir_name": "ms-marco-MiniLM-L-6-v2", "version": "v1", "dimension": 1,
+     "category": "quality", "description": "MS MARCO MiniLM reranker"},
+)
+
+
+class ModelCacheError(ValueError):
+    pass
+
+
+class ModelUnavailable(ModelCacheError):
+    """A model tier that cannot load (artifacts missing/corrupt or no
+    runtime) — the caller degrades to the hash tier."""
+
+
+# ─── embedder protocol ──────────────────────────────────────────────────
+
+
+@runtime_checkable
+class Embedder(Protocol):
+    """The pluggable embedder surface (traits.rs:220-346).  Any object
+    with these members slots into the embed actor pools; the built-in
+    ``HashEmbedder`` conforms via :class:`EmbedderAdapter`."""
+
+    def embed(self, text: str) -> np.ndarray: ...
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray: ...
+
+    @property
+    def dimension(self) -> int: ...
+
+    def id(self) -> str: ...
+
+    def model_name(self) -> str: ...
+
+    def is_semantic(self) -> bool: ...
+
+    def is_ready(self) -> bool: ...
+
+    def category(self) -> str: ...
+
+
+def default_tier(category: str) -> str:
+    """ModelCategory → ModelTier default mapping (traits.rs): the fast
+    tier serves progressive phase 1, quality serves the refine phase."""
+    return {"hash": "fast", "fast": "fast", "quality": "quality"}.get(
+        category, "fast")
+
+
+@dataclass(frozen=True)
+class EmbedderIdentity:
+    """The immutable identity bundle bound to every output
+    (traits.rs:255-296): persistence/compat checks use THIS, never a
+    raw model name + dimension."""
+    embedder_id: str
+    model_name: str
+    revision: str
+    dimension: int
+    normalized: bool = True
+
+    def validate_vector(self, vec: np.ndarray) -> None:
+        if vec.shape[-1] != self.dimension:
+            raise ModelCacheError(
+                f"identity-bound embedding dimension {vec.shape[-1]} != "
+                f"declared {self.dimension} for {self.embedder_id}")
+
+
+@dataclass
+class BoundEmbedding:
+    values: np.ndarray
+    identity: EmbedderIdentity
+
+
+class EmbedderAdapter:
+    """Wraps any ``embed_texts``-capable core (e.g. ``HashEmbedder``)
+    into the full protocol with an identity bundle; ``embed_bound``
+    fail-closes on dimension mismatches (traits.rs:257-273)."""
+
+    def __init__(self, core, embedder_id: str, model_name: str,
+                 revision: str, semantic: bool, category: str):
+        self._core = core
+        self._id = embedder_id
+        self._model_name = model_name
+        self._semantic = semantic
+        self._category = category
+        self.identity = EmbedderIdentity(
+            embedder_id=embedder_id, model_name=model_name,
+            revision=revision, dimension=int(core.dimension))
+
+    def embed(self, text: str) -> np.ndarray:
+        return self._core.embed(text)
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        return self._core.embed_texts(texts)
+
+    @property
+    def dimension(self) -> int:
+        return int(self._core.dimension)
+
+    def id(self) -> str:
+        return self._id
+
+    def model_name(self) -> str:
+        return self._model_name
+
+    def is_semantic(self) -> bool:
+        return self._semantic
+
+    def is_ready(self) -> bool:
+        return True
+
+    def category(self) -> str:
+        return self._category
+
+    def tier(self) -> str:
+        return default_tier(self._category)
+
+    def embed_bound(self, text: str) -> BoundEmbedding:
+        vec = self.embed(text)
+        self.identity.validate_vector(vec)
+        return BoundEmbedding(values=vec, identity=self.identity)
+
+    def embed_texts_bound(self, texts: list[str]) -> list[BoundEmbedding]:
+        mat = self.embed_texts(texts)
+        self.identity.validate_vector(mat)
+        return [BoundEmbedding(values=row, identity=self.identity)
+                for row in mat]
+
+
+# ─── cache root resolution (model_cache.rs:103-149) ─────────────────────
+
+
+def resolve_cache_root(env: dict | None = None) -> str:
+    """Priority chain: explicit model dir → data dir → XDG data home →
+    ``~/.local/share`` (injectable env mapping for tests)."""
+    env = os.environ if env is None else env
+    if env.get(ENV_MODEL_DIR):
+        return env[ENV_MODEL_DIR]
+    if env.get(ENV_DATA_DIR):
+        return os.path.join(env[ENV_DATA_DIR], _MODELS_SUBDIR)
+    if env.get(ENV_XDG_DATA_HOME):
+        return os.path.join(env[ENV_XDG_DATA_HOME], _SUBDIR, _MODELS_SUBDIR)
+    home = env.get("HOME") or os.path.expanduser("~")
+    return os.path.join(home, ".local", "share", _SUBDIR, _MODELS_SUBDIR)
+
+
+def versioned_model_path(root: str, dir_name: str) -> str:
+    """``<root>/<dir_name>/<version>`` for a known model
+    (model_cache.rs:204-213); unknown models raise."""
+    for m in KNOWN_MODELS:
+        if m["dir_name"] == dir_name:
+            return os.path.join(root, dir_name, m["version"])
+    raise ModelCacheError(f"unknown model {dir_name!r}")
+
+
+def ensure_cache_layout(root: str) -> list[str]:
+    """Create the versioned directory tree; returns created paths
+    (model_cache.rs:231-249)."""
+    made = []
+    for m in KNOWN_MODELS:
+        p = versioned_model_path(root, m["dir_name"])
+        if not os.path.isdir(p):
+            os.makedirs(p, exist_ok=True)
+            made.append(p)
+    return made
+
+
+# ─── pinned artifact manifest (model_manifest.rs) ───────────────────────
+
+
+@dataclass
+class ModelArtifactManifest:
+    """Per-model pinned artifact list: every file carries the sha256 it
+    MUST hash to before the model may load (fail-closed)."""
+    model_id: str
+    revision: str
+    dimension: int
+    files: list[dict] = field(default_factory=list)  # {name, sha256, bytes}
+    layout_version: int = MODEL_CACHE_LAYOUT_VERSION
+
+    def to_value(self) -> dict:
+        return {"model_id": self.model_id, "revision": self.revision,
+                "dimension": self.dimension, "files": self.files,
+                "layout_version": self.layout_version}
+
+    @classmethod
+    def from_value(cls, v: dict) -> "ModelArtifactManifest":
+        return cls(model_id=v["model_id"], revision=v["revision"],
+                   dimension=int(v["dimension"]), files=list(v["files"]),
+                   layout_version=int(v.get("layout_version", 1)))
+
+    def validate(self) -> None:
+        if not self.model_id or not self.revision:
+            raise ModelCacheError("manifest requires model_id and revision")
+        if self.dimension <= 0:
+            raise ModelCacheError("manifest dimension must be positive")
+        for f in self.files:
+            sha = f.get("sha256", "")
+            if len(sha) != 64 or any(c not in "0123456789abcdef" for c in sha):
+                raise ModelCacheError(
+                    f"artifact {f.get('name')!r}: sha256 must be 64 lowercase "
+                    f"hex chars")
+
+
+def write_manifest(model_dir: str, manifest: ModelArtifactManifest) -> str:
+    from fsray.manifest import atomic_write_json
+    manifest.validate()
+    path = os.path.join(model_dir, MANIFEST_FILENAME)
+    atomic_write_json(path, manifest.to_value())
+    return path
+
+
+def load_manifest(model_dir: str) -> ModelArtifactManifest:
+    path = os.path.join(model_dir, MANIFEST_FILENAME)
+    try:
+        with open(path) as f:
+            m = ModelArtifactManifest.from_value(json.load(f))
+    except FileNotFoundError:
+        raise ModelUnavailable(f"no artifact manifest in {model_dir}") from None
+    except (ValueError, KeyError) as e:
+        raise ModelCacheError(f"corrupt manifest in {model_dir}: {e}") from None
+    m.validate()
+    return m
+
+
+def pin_directory(model_dir: str, model_id: str, revision: str,
+                  dimension: int) -> ModelArtifactManifest:
+    """Hash every artifact file in ``model_dir`` and write the pinned
+    manifest — the local-dir install path (what ``model_download.rs``
+    does after fetching)."""
+    files = []
+    for name in sorted(os.listdir(model_dir)):
+        if name == MANIFEST_FILENAME:
+            continue
+        p = os.path.join(model_dir, name)
+        if not os.path.isfile(p):
+            continue
+        h = hashlib.sha256()
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        files.append({"name": name, "sha256": h.hexdigest(),
+                      "bytes": os.path.getsize(p)})
+    manifest = ModelArtifactManifest(model_id=model_id, revision=revision,
+                                     dimension=dimension, files=files)
+    write_manifest(model_dir, manifest)
+    return manifest
+
+
+def verify_artifacts(model_dir: str,
+                     manifest: ModelArtifactManifest | None = None) -> None:
+    """Fail-closed artifact verification: every manifest file must
+    exist, match its size, and hash to its pinned sha256.  Raises
+    ``ModelUnavailable`` on any deviation — a corrupt or partial model
+    never loads (model_manifest.rs validate + is_model_installed)."""
+    manifest = manifest or load_manifest(model_dir)
+    for f in manifest.files:
+        p = os.path.join(model_dir, f["name"])
+        if not os.path.isfile(p):
+            raise ModelUnavailable(
+                f"artifact {f['name']!r} missing from {model_dir}")
+        if os.path.getsize(p) != f.get("bytes", os.path.getsize(p)):
+            raise ModelUnavailable(
+                f"artifact {f['name']!r} size mismatch (partial download?)")
+        h = hashlib.sha256()
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != f["sha256"]:
+            raise ModelUnavailable(
+                f"artifact {f['name']!r} sha256 mismatch: model refused "
+                f"(pinned {f['sha256'][:12]}…, got {h.hexdigest()[:12]}…)")
+
+
+def is_model_installed(model_dir: str) -> bool:
+    try:
+        verify_artifacts(model_dir)
+        return True
+    except ModelCacheError:
+        return False
+
+
+# ─── resolution + graceful degrade (auto_detect.rs) ─────────────────────
+
+
+def hash_tier_embedder(dimension: int = 256) -> EmbedderAdapter:
+    """The always-available tier — the reference's own designated
+    fallback (DIV-R07)."""
+    from fsray.embed import HashEmbedder
+    return EmbedderAdapter(
+        HashEmbedder(dimension=dimension), embedder_id=f"fnv-hash-{dimension}",
+        model_name="fnv1a-hash", revision="v1", semantic=False,
+        category="hash")
+
+
+def load_model_embedder(model_dir: str) -> EmbedderAdapter:
+    """Verify pinned artifacts, then construct the model-tier embedder.
+    The inference RUNTIME is absent in this environment, so after the
+    (real) verification gate this raises ``ModelUnavailable`` unless an
+    ``onnxruntime`` import succeeds — the load path, cache layout and
+    manifest laws stay fully testable against fake weights."""
+    manifest = load_manifest(model_dir)
+    verify_artifacts(model_dir, manifest)
+    try:
+        import onnxruntime  # noqa: F401  (absent here by design)
+    except ImportError:
+        raise ModelUnavailable(
+            f"verified artifacts for {manifest.model_id} but no inference "
+            f"runtime is available in this environment") from None
+    raise ModelUnavailable(
+        f"model-tier inference for {manifest.model_id} not wired "
+        f"(DIV-R07)")  # pragma: no cover — unreachable without a runtime
+
+
+def resolve_embedder(model_dir: str | None,
+                     fallback_dimension: int = 256) -> tuple[EmbedderAdapter, str | None]:
+    """The auto-detect ladder: try the model tier, degrade to the hash
+    tier with a typed reason instead of failing the pipeline
+    (auto_detect.rs).  Returns (embedder, degrade_reason|None)."""
+    if model_dir is None:
+        return hash_tier_embedder(fallback_dimension), "no_model_configured"
+    try:
+        return load_model_embedder(model_dir), None
+    except ModelUnavailable as e:
+        return hash_tier_embedder(fallback_dimension), str(e)

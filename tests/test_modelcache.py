@@ -1,0 +1,175 @@
+"""Model cache + pluggable embedder protocol laws (model_cache.rs root
+resolution chain, model_manifest.rs fail-closed pinning, traits.rs
+identity-bound embedding, auto_detect.rs graceful degrade) — all
+exercised against FAKE weights files; the hash tier is the verified
+always-available fallback."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fsray.embed import HashEmbedder
+from fsray.modelcache import (
+    ENV_DATA_DIR,
+    ENV_MODEL_DIR,
+    ENV_XDG_DATA_HOME,
+    KNOWN_MODELS,
+    Embedder,
+    EmbedderAdapter,
+    ModelCacheError,
+    ModelUnavailable,
+    default_tier,
+    ensure_cache_layout,
+    hash_tier_embedder,
+    is_model_installed,
+    load_manifest,
+    load_model_embedder,
+    pin_directory,
+    resolve_cache_root,
+    resolve_embedder,
+    verify_artifacts,
+    versioned_model_path,
+    write_manifest,
+    ModelArtifactManifest,
+)
+
+
+def fake_model_dir(tmp_path, corrupt=False, drop=None):
+    d = tmp_path / "m"
+    d.mkdir(exist_ok=True)
+    (d / "model.onnx").write_bytes(b"\x00FAKE-WEIGHTS" * 100)
+    (d / "tokenizer.json").write_bytes(b'{"vocab": {}}')
+    manifest = pin_directory(str(d), "all-MiniLM-L6-v2", "v1", 384)
+    if corrupt:
+        # same byte length as the pinned weights: the sha gate, not the
+        # size gate, must catch it
+        (d / "model.onnx").write_bytes(b"\x00EVIL-WEIGHTS" * 100)
+    if drop:
+        os.unlink(d / drop)
+    return str(d), manifest
+
+
+# ─── root resolution chain (model_cache.rs:103-149) ─────────────────────
+
+
+def test_resolve_cache_root_priority_chain():
+    assert resolve_cache_root({ENV_MODEL_DIR: "/x/models",
+                               ENV_DATA_DIR: "/y"}) == "/x/models"
+    assert resolve_cache_root({ENV_DATA_DIR: "/y"}) == "/y/models"
+    assert resolve_cache_root({ENV_XDG_DATA_HOME: "/xdg"}) == \
+        "/xdg/fsray/models"
+    assert resolve_cache_root({"HOME": "/home/u"}) == \
+        "/home/u/.local/share/fsray/models"
+
+
+def test_resolve_empty_env_values_skip_to_next():
+    assert resolve_cache_root({ENV_MODEL_DIR: "", ENV_DATA_DIR: "/y"}) == \
+        "/y/models"
+
+
+def test_versioned_layout(tmp_path):
+    root = str(tmp_path / "cache")
+    made = ensure_cache_layout(root)
+    assert len(made) == len(KNOWN_MODELS)
+    p = versioned_model_path(root, "potion-base-128M")
+    assert p.endswith("potion-base-128M/v1") and os.path.isdir(p)
+    with pytest.raises(ModelCacheError, match="unknown model"):
+        versioned_model_path(root, "nonexistent-model")
+
+
+# ─── pinned manifests (model_manifest.rs) ───────────────────────────────
+
+
+def test_pin_verify_roundtrip(tmp_path):
+    d, manifest = fake_model_dir(tmp_path)
+    assert {f["name"] for f in manifest.files} == {"model.onnx",
+                                                   "tokenizer.json"}
+    verify_artifacts(d)                     # pinned hashes match
+    assert is_model_installed(d)
+    assert load_manifest(d).to_value() == manifest.to_value()
+
+
+def test_verify_fails_closed_on_tamper(tmp_path):
+    d, _ = fake_model_dir(tmp_path, corrupt=True)
+    with pytest.raises(ModelUnavailable, match="sha256 mismatch"):
+        verify_artifacts(d)
+    assert not is_model_installed(d)
+
+
+def test_verify_fails_closed_on_missing_artifact(tmp_path):
+    d, _ = fake_model_dir(tmp_path, drop="tokenizer.json")
+    with pytest.raises(ModelUnavailable, match="missing"):
+        verify_artifacts(d)
+
+
+def test_manifest_validation_rejects_bad_sha(tmp_path):
+    m = ModelArtifactManifest(model_id="m", revision="v1", dimension=8,
+                              files=[{"name": "w", "sha256": "XYZ"}])
+    with pytest.raises(ModelCacheError, match="64 lowercase hex"):
+        write_manifest(str(tmp_path), m)
+
+
+def test_missing_manifest_is_unavailable_not_corrupt(tmp_path):
+    with pytest.raises(ModelUnavailable, match="no artifact manifest"):
+        load_manifest(str(tmp_path))
+
+
+# ─── protocol + identity binding (traits.rs:220-346) ────────────────────
+
+
+def test_hash_embedder_conforms_to_protocol():
+    e = hash_tier_embedder(64)
+    assert isinstance(e, Embedder)
+    assert e.dimension == 64
+    assert e.id() == "fnv-hash-64"
+    assert e.is_semantic() is False and e.is_ready() is True
+    assert e.category() == "hash" and e.tier() == "fast"
+    # adapter output identical to the wrapped core
+    core = HashEmbedder(dimension=64)
+    text = "identity bound"
+    assert np.array_equal(e.embed(text), core.embed(text))
+
+
+def test_embed_bound_carries_identity_and_fail_closes():
+    e = hash_tier_embedder(32)
+    b = e.embed_bound("hello")
+    assert b.identity.embedder_id == "fnv-hash-32"
+    assert b.identity.dimension == 32 and len(b.values) == 32
+    batch = e.embed_texts_bound(["a", "b"])
+    assert len(batch) == 2
+    assert all(x.identity == b.identity for x in batch)
+    # a lying identity fails closed: raw dim never synthesizes compat
+    with pytest.raises(ModelCacheError, match="dimension"):
+        b.identity.validate_vector(np.zeros(16, dtype=np.float32))
+
+
+def test_default_tier_mapping():
+    assert default_tier("hash") == "fast"
+    assert default_tier("fast") == "fast"
+    assert default_tier("quality") == "quality"
+
+
+# ─── graceful degrade ladder (auto_detect.rs) ───────────────────────────
+
+
+def test_model_tier_verifies_then_reports_runtime_unavailable(tmp_path):
+    """The REAL verification gate runs; only the absent runtime stops
+    the load (DIV-R07) — a tampered model never reaches that point."""
+    d, _ = fake_model_dir(tmp_path)
+    with pytest.raises(ModelUnavailable, match="no inference runtime"):
+        load_model_embedder(d)
+
+
+def test_resolve_embedder_degrades_with_typed_reason(tmp_path):
+    d, _ = fake_model_dir(tmp_path)
+    e, reason = resolve_embedder(d, fallback_dimension=48)
+    assert e.category() == "hash" and e.dimension == 48
+    assert "no inference runtime" in reason
+
+    e2, reason2 = resolve_embedder(None)
+    assert reason2 == "no_model_configured" and e2.is_ready()
+
+    dc, _ = fake_model_dir(tmp_path, corrupt=True)
+    e3, reason3 = resolve_embedder(dc)
+    assert "sha256 mismatch" in reason3 and e3.category() == "hash"
