@@ -1,0 +1,332 @@
+"""Pressure-driven degradation: the smoothed pressure controller and
+the feature-shedding ladder.
+
+Semantic anchors (reference frankensearch,
+crates/frankensearch-fsfs/src/pressure.rs):
+
+- ``PressureSignal`` (cpu/memory/io/load pct, clamped; EWMA blend
+  ``alpha*current + (1-alpha)*prior``; score = component MAX):
+  pressure.rs:878-919.
+- ``PressureController``: EWMA smoothing, per-profile thresholds
+  (strict 60/75/90, performance 70/85/95, degraded 80/90/98),
+  UPWARD transitions at the raw thresholds, DOWNWARD transitions only
+  below ``threshold - hysteresis`` (anti-flap), and a state change
+  applies only after ``consecutive_required`` consistent observations:
+  pressure.rs:1483-1600.
+- ``DegradationStage`` ladder full → embed_deferred → lexical_only →
+  metadata_only → paused, each with a correctness-preserving
+  capability CONTRACT (query mode, indexing mode, semantic/lexical
+  toggles, writes) and a reason code: pressure.rs:54-185.
+- Signal → auto target stage: hard pause ⇒ paused; pressure
+  normal+quality-circuit-open ⇒ embed_deferred; constrained ⇒
+  embed_deferred; degraded ⇒ lexical_only; emergency ⇒ metadata_only:
+  pressure.rs:287-306.
+- ``DegradationStateMachine.observe``: operator override wins;
+  escalation is IMMEDIATE; recovery steps ONE stage toward full only
+  after ``consecutive_healthy_required`` gate-satisfying observations
+  (per-stage recovery gates — embed_deferred additionally requires the
+  quality circuit closed; paused requires the pause cleared):
+  pressure.rs:97-185, 739-828.
+
+At 100 TB this ladder is what keeps a saturated cluster serving:
+stages shed the expensive arms (quality rescore, then the semantic
+arm, then retrieval itself) while the lexical/metadata contract stays
+correct — wired into ``fsray.searcher.progressive_search`` via
+``degradation_stage``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEFAULT_EWMA_ALPHA = 0.3
+DEFAULT_HYSTERESIS_PCT = 5.0
+DEFAULT_CONSECUTIVE_REQUIRED = 3
+
+# pressure states by severity
+NORMAL, CONSTRAINED, DEGRADED, EMERGENCY = \
+    "normal", "constrained", "degraded", "emergency"
+_PRESSURE_SEVERITY = {NORMAL: 0, CONSTRAINED: 1, DEGRADED: 2, EMERGENCY: 3}
+
+# degradation stages by severity
+FULL, EMBED_DEFERRED, LEXICAL_ONLY, METADATA_ONLY, PAUSED = \
+    "full", "embed_deferred", "lexical_only", "metadata_only", "paused"
+_STAGE_SEVERITY = {FULL: 0, EMBED_DEFERRED: 1, LEXICAL_ONLY: 2,
+                   METADATA_ONLY: 3, PAUSED: 4}
+_STEP_TOWARD_FULL = {PAUSED: METADATA_ONLY, METADATA_ONLY: LEXICAL_ONLY,
+                     LEXICAL_ONLY: EMBED_DEFERRED, EMBED_DEFERRED: FULL,
+                     FULL: FULL}
+
+_PROFILES = {  # pressure.rs PressureThresholds::for_profile
+    "strict": (60.0, 75.0, 90.0),
+    "performance": (70.0, 85.0, 95.0),
+    "degraded": (80.0, 90.0, 98.0),
+}
+
+
+def _normalize_pct(x: float) -> float:
+    import math
+    if not math.isfinite(x):
+        return 0.0
+    return min(max(x, 0.0), 100.0)
+
+
+@dataclass(frozen=True)
+class PressureSignal:
+    cpu_pct: float = 0.0
+    memory_pct: float = 0.0
+    io_pct: float = 0.0
+    load_pct: float = 0.0
+
+    def __post_init__(self):
+        for f in ("cpu_pct", "memory_pct", "io_pct", "load_pct"):
+            object.__setattr__(self, f, _normalize_pct(getattr(self, f)))
+
+    def ewma(self, previous: "PressureSignal",
+             alpha: float) -> "PressureSignal":
+        import math
+        a = alpha if math.isfinite(alpha) else DEFAULT_EWMA_ALPHA
+        a = min(max(a, 0.0), 1.0)
+
+        def blend(cur, prior):
+            return a * cur + (1.0 - a) * prior
+        return PressureSignal(
+            blend(self.cpu_pct, previous.cpu_pct),
+            blend(self.memory_pct, previous.memory_pct),
+            blend(self.io_pct, previous.io_pct),
+            blend(self.load_pct, previous.load_pct))
+
+    def score(self) -> float:
+        return max(self.cpu_pct, self.memory_pct, self.io_pct, self.load_pct)
+
+
+@dataclass(frozen=True)
+class PressureControllerConfig:
+    profile: str = "performance"
+    ewma_alpha: float = DEFAULT_EWMA_ALPHA
+    hysteresis_pct: float = DEFAULT_HYSTERESIS_PCT
+    consecutive_required: int = DEFAULT_CONSECUTIVE_REQUIRED
+
+    def validate(self) -> "PressureControllerConfig":
+        if not (0.0 <= self.ewma_alpha <= 1.0):
+            raise ValueError("pressure.ewma_alpha must be in [0, 1]")
+        if self.hysteresis_pct < 0:
+            raise ValueError("pressure.hysteresis_pct must be >= 0")
+        if self.consecutive_required < 1:
+            raise ValueError("pressure.consecutive_required must be >= 1")
+        if self.profile not in _PROFILES:
+            raise ValueError(f"unknown pressure profile {self.profile!r}")
+        return self
+
+
+def _state_for_up(score: float, th: tuple) -> str:
+    constrained, degraded, emergency = th
+    if score >= emergency:
+        return EMERGENCY
+    if score >= degraded:
+        return DEGRADED
+    if score >= constrained:
+        return CONSTRAINED
+    return NORMAL
+
+
+def _state_for_down(score: float, th: tuple, hysteresis: float) -> str:
+    m = max(hysteresis, 0.0)
+    constrained, degraded, emergency = th
+    if score >= max(emergency - m, 0.0):
+        return EMERGENCY
+    if score >= max(degraded - m, 0.0):
+        return DEGRADED
+    if score >= max(constrained - m, 0.0):
+        return CONSTRAINED
+    return NORMAL
+
+
+class PressureController:
+    """EWMA + hysteresis + consecutive-observation anti-flap
+    (pressure.rs:1483-1600)."""
+
+    def __init__(self, config: PressureControllerConfig | None = None):
+        self.config = (config or PressureControllerConfig()).validate()
+        self.state = NORMAL
+        self._smoothed: PressureSignal | None = None
+        self._pending: str | None = None
+        self._pending_consecutive = 0
+
+    def observe(self, raw: PressureSignal) -> dict:
+        smoothed = (raw if self._smoothed is None
+                    else raw.ewma(self._smoothed, self.config.ewma_alpha))
+        self._smoothed = smoothed
+        th = _PROFILES[self.config.profile]
+        score = smoothed.score()
+        up = _state_for_up(score, th)
+        if _PRESSURE_SEVERITY[up] > _PRESSURE_SEVERITY[self.state]:
+            target = up
+        elif _PRESSURE_SEVERITY[up] < _PRESSURE_SEVERITY[self.state]:
+            target = _state_for_down(score, th, self.config.hysteresis_pct)
+        else:
+            target = self.state
+        prev = self.state
+        if target == self.state:
+            self._pending, self._pending_consecutive = None, 0
+            changed, reason = False, "pressure.state.stable"
+        else:
+            if self._pending == target:
+                self._pending_consecutive += 1
+            else:
+                self._pending, self._pending_consecutive = target, 1
+            if self._pending_consecutive >= self.config.consecutive_required:
+                self.state = target
+                self._pending, self._pending_consecutive = None, 0
+                changed, reason = True, "pressure.transition.applied"
+            else:
+                changed, reason = False, "pressure.transition.pending"
+        return {"from": prev, "to": self.state, "changed": changed,
+                "reason_code": reason, "score": score,
+                "consecutive_observed": self._pending_consecutive}
+
+
+# ─── degradation ladder ─────────────────────────────────────────────────
+
+
+#: correctness-preserving contract per stage (pressure.rs:97-151)
+STAGE_CONTRACTS = {
+    FULL: {"query_mode": "hybrid", "indexing_mode": "full",
+           "semantic_search": True, "lexical_search": True,
+           "writes": True,
+           "banner": "Normal mode: hybrid retrieval and indexing are "
+                     "fully enabled."},
+    EMBED_DEFERRED: {"query_mode": "hybrid",
+                     "indexing_mode": "defer_embedding",
+                     "semantic_search": True, "lexical_search": True,
+                     "writes": True,
+                     "banner": "Constrained mode: expensive embedding is "
+                               "deferred to protect latency."},
+    LEXICAL_ONLY: {"query_mode": "lexical_only",
+                   "indexing_mode": "defer_embedding",
+                   "semantic_search": False, "lexical_search": True,
+                   "writes": True,
+                   "banner": "Degraded mode: serving lexical-only results "
+                             "while preserving correctness."},
+    METADATA_ONLY: {"query_mode": "metadata_only",
+                    "indexing_mode": "metadata_only",
+                    "semantic_search": False, "lexical_search": False,
+                    "writes": True,
+                    "banner": "Safe mode: metadata operations only while "
+                              "search pipelines stabilize."},
+    PAUSED: {"query_mode": "paused", "indexing_mode": "paused",
+             "semantic_search": False, "lexical_search": False,
+             "writes": False,
+             "banner": "Emergency pause: write/query execution halted "
+                       "until recovery gates pass."},
+}
+
+
+@dataclass(frozen=True)
+class DegradationSignal:
+    pressure_state: str = NORMAL
+    quality_circuit_open: bool = False
+    hard_pause_requested: bool = False
+
+    def auto_target_stage(self) -> str:
+        """pressure.rs:287-306."""
+        if self.hard_pause_requested:
+            return PAUSED
+        if self.pressure_state == NORMAL:
+            return EMBED_DEFERRED if self.quality_circuit_open else FULL
+        return {CONSTRAINED: EMBED_DEFERRED, DEGRADED: LEXICAL_ONLY,
+                EMERGENCY: METADATA_ONLY}[self.pressure_state]
+
+
+#: per-stage recovery gates (pressure.rs:152-185):
+#: (max pressure for recovery, require circuit closed, require pause cleared)
+_RECOVERY_GATES = {
+    EMBED_DEFERRED: (NORMAL, True, False),
+    LEXICAL_ONLY: (CONSTRAINED, False, False),
+    METADATA_ONLY: (DEGRADED, False, False),
+    PAUSED: (DEGRADED, False, True),
+}
+
+
+def _gate_satisfied(stage: str, signal: DegradationSignal) -> bool:
+    max_p, need_circuit_closed, need_pause_cleared = _RECOVERY_GATES[stage]
+    if _PRESSURE_SEVERITY[signal.pressure_state] > _PRESSURE_SEVERITY[max_p]:
+        return False
+    if need_circuit_closed and signal.quality_circuit_open:
+        return False
+    if need_pause_cleared and signal.hard_pause_requested:
+        return False
+    return True
+
+
+@dataclass
+class DegradationTransition:
+    from_stage: str
+    to_stage: str
+    changed: bool
+    trigger: str
+    reason_code: str
+    pending_recovery_observations: int
+    contract: dict = field(default_factory=dict)
+
+
+class DegradationStateMachine:
+    """Escalate immediately, recover one gated step at a time
+    (pressure.rs:739-828)."""
+
+    def __init__(self, consecutive_healthy_required: int = 3):
+        if consecutive_healthy_required < 1:
+            raise ValueError(
+                "degrade.consecutive_healthy_required must be >= 1")
+        self.required = consecutive_healthy_required
+        self.stage = FULL
+        self.override: str | None = None   # a forced stage name, or None=auto
+        self._pending_recovery = 0
+
+    def set_override(self, stage: str | None) -> None:
+        if stage is not None and stage not in _STAGE_SEVERITY:
+            raise ValueError(f"unknown degradation stage {stage!r}")
+        self.override = stage
+        self._pending_recovery = 0
+
+    def observe(self, signal: DegradationSignal) -> DegradationTransition:
+        frm = self.stage
+        trigger, reason = "stable", "degrade.stable"
+        if self.override is not None:
+            self._pending_recovery = 0
+            self.stage = self.override
+            trigger, reason = "operator_override", "degrade.override"
+        else:
+            target = signal.auto_target_stage()
+            ts, cs = _STAGE_SEVERITY[target], _STAGE_SEVERITY[self.stage]
+            if ts > cs:
+                self.stage = target
+                self._pending_recovery = 0
+                if signal.hard_pause_requested:
+                    trigger = "hard_pause"
+                elif (signal.quality_circuit_open
+                      and signal.pressure_state == NORMAL
+                      and target == EMBED_DEFERRED):
+                    trigger = "quality_circuit_open"
+                else:
+                    trigger = "pressure_escalation"
+                reason = "degrade.escalated"
+            elif ts < cs:
+                if _gate_satisfied(self.stage, signal):
+                    self._pending_recovery += 1
+                    trigger = "recovery"
+                    if self._pending_recovery >= self.required:
+                        self.stage = _STEP_TOWARD_FULL[self.stage]
+                        self._pending_recovery = 0
+                        reason = "degrade.recovered"
+                    else:
+                        reason = "degrade.recovery_pending"
+                else:
+                    self._pending_recovery = 0
+            else:
+                self._pending_recovery = 0
+        return DegradationTransition(
+            from_stage=frm, to_stage=self.stage, changed=self.stage != frm,
+            trigger=trigger, reason_code=reason,
+            pending_recovery_observations=self._pending_recovery,
+            contract=dict(STAGE_CONTRACTS[self.stage], stage=self.stage))

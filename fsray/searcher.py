@@ -186,6 +186,7 @@ class ProgressiveMetrics:
     lexical_candidates: int = 0
     semantic_candidates: int = 0
     incomplete_embeddings: int = 0
+    degraded_stage: str | None = None
 
 
 def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
@@ -193,6 +194,7 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
                        rrf_k: float = 60.0, blend_factor: float = 0.7,
                        fast_only: bool = False, on_phase=None,
                        query: str | None = None,
+                       degradation_stage: str = "full",
                        ) -> tuple[SearchPhaseResult, ProgressiveMetrics]:
     """Run the two-phase progressive flow.
 
@@ -210,6 +212,14 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
       ``QueryClass.BUDGETS[cls]`` (the reference's per-source
       candidate multipliers).
 
+    - ``degradation_stage`` → the pressure ladder's capability
+      contract (fsray.pressure STAGE_CONTRACTS): ``embed_deferred``
+      serves hybrid phase 1 but skips the quality rescore;
+      ``lexical_only`` drops the semantic arm AND the rescore;
+      ``metadata_only`` / ``paused`` refuse query serving with a typed
+      empty result — every shed stage still preserves whatever it DOES
+      serve (the correctness contract, pressure.rs:97-151).
+
     Phase-1 results are delivered via ``on_phase`` BEFORE refinement
     and are preserved verbatim when refinement fails or is skipped
     (searcher.rs failure law).  Returns the final phase result plus
@@ -217,6 +227,18 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
     """
     from fsray.fuse import blend_two_tier, rrf_fuse
     m = ProgressiveMetrics()
+    if degradation_stage in ("metadata_only", "paused"):
+        # query serving disabled at these rungs (contract query_mode)
+        m.skip_reason = f"degraded_{degradation_stage}"
+        refused = SearchPhaseResult("initial", [])
+        if on_phase is not None:
+            on_phase(refused)
+        return refused, m
+    if degradation_stage == "lexical_only":
+        fast_semantic_fn = (lambda _orig=fast_semantic_fn: [])
+        fast_only, m.degraded_stage = True, degradation_stage
+    elif degradation_stage == "embed_deferred":
+        fast_only, m.degraded_stage = True, degradation_stage
     if query is not None:
         m.query_class = QueryClass.classify(query)
         if m.query_class == QueryClass.EMPTY:
@@ -247,7 +269,8 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
 
     # refinement gates (searcher.rs:1340-1356 skip taxonomy)
     if fast_only:
-        m.skip_reason = "fast_only"
+        m.skip_reason = (f"degraded_{m.degraded_stage}"
+                         if m.degraded_stage else "fast_only")
         return phase1, m
     if quality_fn is None:
         m.skip_reason = "no_quality_embedder"

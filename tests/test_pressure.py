@@ -1,0 +1,253 @@
+"""Pressure controller + degradation ladder laws, mirroring the
+reference's pressure.rs transitions: EWMA smoothing, profile
+thresholds, hysteresis, consecutive anti-flap, the signal→stage
+mapping, immediate escalation vs gated one-step recovery, operator
+override, stage contracts, and the progressive_search wiring."""
+
+import pytest
+
+from fsray.pressure import (
+    CONSTRAINED,
+    DEGRADED,
+    EMBED_DEFERRED,
+    EMERGENCY,
+    FULL,
+    LEXICAL_ONLY,
+    METADATA_ONLY,
+    NORMAL,
+    PAUSED,
+    STAGE_CONTRACTS,
+    DegradationSignal,
+    DegradationStateMachine,
+    PressureController,
+    PressureControllerConfig,
+    PressureSignal,
+)
+
+
+def sig(score):
+    return PressureSignal(cpu_pct=score)
+
+
+# ─── pressure signal ────────────────────────────────────────────────────
+
+
+def test_signal_normalizes_and_scores_by_max():
+    s = PressureSignal(cpu_pct=120.0, memory_pct=-5.0, io_pct=float("nan"),
+                       load_pct=33.0)
+    assert (s.cpu_pct, s.memory_pct, s.io_pct) == (100.0, 0.0, 0.0)
+    assert s.score() == 100.0
+
+
+def test_ewma_blend():
+    prev = PressureSignal(cpu_pct=0.0)
+    cur = PressureSignal(cpu_pct=100.0)
+    assert cur.ewma(prev, 0.3).cpu_pct == pytest.approx(30.0)
+    assert cur.ewma(prev, float("nan")).cpu_pct == pytest.approx(30.0)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        PressureControllerConfig(ewma_alpha=1.5).validate()
+    with pytest.raises(ValueError):
+        PressureControllerConfig(consecutive_required=0).validate()
+    with pytest.raises(ValueError):
+        PressureControllerConfig(profile="bogus").validate()
+
+
+# ─── controller anti-flap ───────────────────────────────────────────────
+
+
+def controller(**kw):
+    return PressureController(PressureControllerConfig(
+        ewma_alpha=1.0, consecutive_required=kw.pop("req", 3), **kw))
+
+
+def test_escalation_needs_consecutive_observations():
+    c = controller()
+    assert c.observe(sig(90))["changed"] is False   # pending 1
+    assert c.observe(sig(90))["changed"] is False   # pending 2
+    t = c.observe(sig(90))
+    assert t["changed"] is True and t["to"] == DEGRADED  # performance: 85
+    assert c.observe(sig(90))["reason_code"] == "pressure.state.stable"
+
+
+def test_flapping_signal_never_transitions():
+    c = controller()
+    for score in (90, 50, 90, 50, 90, 50):
+        assert c.observe(sig(score))["changed"] is False
+    assert c.state == NORMAL
+
+
+def test_hysteresis_blocks_shallow_recovery():
+    c = controller()
+    for _ in range(3):
+        c.observe(sig(90))
+    assert c.state == DEGRADED
+    # 82 is below the 85 up-threshold but NOT below 85-5 hysteresis
+    for _ in range(5):
+        t = c.observe(sig(82))
+    assert c.state == DEGRADED and t["changed"] is False
+    # 79 clears the hysteresis band → recovery applies after 3 obs
+    for _ in range(3):
+        t = c.observe(sig(79))
+    assert t["changed"] is True and c.state == CONSTRAINED
+
+
+def test_profile_thresholds():
+    strict = PressureController(PressureControllerConfig(
+        profile="strict", ewma_alpha=1.0, consecutive_required=1))
+    assert strict.observe(sig(61))["to"] == CONSTRAINED
+    perf = PressureController(PressureControllerConfig(
+        ewma_alpha=1.0, consecutive_required=1))
+    assert perf.observe(sig(61))["to"] == NORMAL
+    assert perf.observe(sig(96))["to"] == EMERGENCY
+
+
+# ─── signal → stage mapping (pressure.rs:287-306) ───────────────────────
+
+
+@pytest.mark.parametrize("pressure,circuit,pause,want", [
+    (NORMAL, False, False, FULL),
+    (NORMAL, True, False, EMBED_DEFERRED),
+    (CONSTRAINED, False, False, EMBED_DEFERRED),
+    (DEGRADED, False, False, LEXICAL_ONLY),
+    (EMERGENCY, False, False, METADATA_ONLY),
+    (NORMAL, False, True, PAUSED),
+    (EMERGENCY, True, True, PAUSED),  # hard pause dominates
+])
+def test_auto_target_stage(pressure, circuit, pause, want):
+    s = DegradationSignal(pressure, circuit, pause)
+    assert s.auto_target_stage() == want
+
+
+# ─── degradation state machine ──────────────────────────────────────────
+
+
+def test_escalation_is_immediate_recovery_is_gated_one_step():
+    m = DegradationStateMachine(consecutive_healthy_required=2)
+    t = m.observe(DegradationSignal(EMERGENCY))
+    assert t.changed and t.to_stage == METADATA_ONLY
+    assert t.trigger == "pressure_escalation"
+    # recovery: metadata_only gate allows pressure <= degraded
+    t = m.observe(DegradationSignal(DEGRADED))
+    assert not t.changed and t.reason_code == "degrade.recovery_pending"
+    t = m.observe(DegradationSignal(DEGRADED))
+    assert t.changed and t.to_stage == LEXICAL_ONLY  # ONE step, not full
+    # lexical_only gate demands pressure <= constrained: degraded holds
+    t = m.observe(DegradationSignal(DEGRADED))
+    assert not t.changed and m.stage == LEXICAL_ONLY
+    assert t.pending_recovery_observations == 0  # unsatisfied gate resets
+
+
+def test_interrupted_recovery_resets_counter():
+    m = DegradationStateMachine(consecutive_healthy_required=3)
+    m.observe(DegradationSignal(CONSTRAINED))
+    assert m.stage == EMBED_DEFERRED
+    m.observe(DegradationSignal(NORMAL))
+    m.observe(DegradationSignal(NORMAL))
+    m.observe(DegradationSignal(CONSTRAINED))  # pressure returns → reset
+    t = m.observe(DegradationSignal(NORMAL))
+    assert t.pending_recovery_observations == 1 and m.stage == EMBED_DEFERRED
+
+
+def test_embed_deferred_recovery_requires_circuit_closed():
+    m = DegradationStateMachine(consecutive_healthy_required=1)
+    m.observe(DegradationSignal(NORMAL, quality_circuit_open=True))
+    assert m.stage == EMBED_DEFERRED
+    t = m.observe(DegradationSignal(NORMAL, quality_circuit_open=True))
+    assert m.stage == EMBED_DEFERRED  # target=embed_deferred, stable
+    assert t.trigger == "stable"
+    t = m.observe(DegradationSignal(NORMAL, quality_circuit_open=False))
+    assert t.changed and m.stage == FULL
+
+
+def test_paused_recovery_requires_pause_cleared():
+    m = DegradationStateMachine(consecutive_healthy_required=1)
+    m.observe(DegradationSignal(NORMAL, hard_pause_requested=True))
+    assert m.stage == PAUSED
+    t = m.observe(DegradationSignal(DEGRADED, hard_pause_requested=False))
+    assert t.changed and m.stage == METADATA_ONLY
+
+
+def test_operator_override_wins_and_reports():
+    m = DegradationStateMachine()
+    m.set_override(LEXICAL_ONLY)
+    t = m.observe(DegradationSignal(NORMAL))
+    assert t.to_stage == LEXICAL_ONLY and t.trigger == "operator_override"
+    m.set_override(None)
+    t = m.observe(DegradationSignal(NORMAL))
+    # auto resumes: full is less severe → recovery path begins
+    assert t.trigger == "recovery"
+
+
+def test_quality_circuit_trigger_classification():
+    m = DegradationStateMachine()
+    t = m.observe(DegradationSignal(NORMAL, quality_circuit_open=True))
+    assert t.trigger == "quality_circuit_open"
+
+
+def test_stage_contracts_shed_in_order():
+    assert STAGE_CONTRACTS[FULL]["semantic_search"] is True
+    assert STAGE_CONTRACTS[EMBED_DEFERRED]["indexing_mode"] == "defer_embedding"
+    assert STAGE_CONTRACTS[LEXICAL_ONLY]["semantic_search"] is False
+    assert STAGE_CONTRACTS[LEXICAL_ONLY]["lexical_search"] is True
+    assert STAGE_CONTRACTS[METADATA_ONLY]["lexical_search"] is False
+    assert STAGE_CONTRACTS[METADATA_ONLY]["writes"] is True
+    assert STAGE_CONTRACTS[PAUSED]["writes"] is False
+
+
+# ─── progressive_search wiring ──────────────────────────────────────────
+
+
+def run_progressive(stage):
+    from fsray.searcher import progressive_search
+    lex = lambda: [(1, 2.0), (2, 1.0)]
+    sem = lambda: [(3, 0.9), (1, 0.8)]
+    qual = lambda ids: [0.5 for _ in ids]
+    return progressive_search(lex, sem, limit=5, quality_fn=qual,
+                              degradation_stage=stage)
+
+
+def test_progressive_full_refines():
+    res, m = run_progressive("full")
+    assert res.phase == "refined" and m.skip_reason is None
+
+
+def test_progressive_embed_deferred_serves_hybrid_without_rescore():
+    res, m = run_progressive("embed_deferred")
+    assert res.phase == "initial"
+    assert m.skip_reason == "degraded_embed_deferred"
+    assert {d for d, _ in res.results} == {1, 2, 3}  # both arms present
+
+
+def test_progressive_lexical_only_drops_semantic_arm():
+    res, m = run_progressive("lexical_only")
+    assert res.phase == "initial"
+    assert m.skip_reason == "degraded_lexical_only"
+    assert [d for d, _ in res.results] == [1, 2]  # lexical arm only
+    assert m.semantic_candidates == 0
+
+
+@pytest.mark.parametrize("stage", ["metadata_only", "paused"])
+def test_progressive_refuses_at_metadata_and_paused(stage):
+    res, m = run_progressive(stage)
+    assert res.results == [] and m.skip_reason == f"degraded_{stage}"
+
+
+def test_full_escalate_recover_cycle_through_progressive():
+    """End-to-end: controller observations drive the ladder, the ladder
+    drives the search surface."""
+    ctrl = PressureController(PressureControllerConfig(
+        ewma_alpha=1.0, consecutive_required=1))
+    ladder = DegradationStateMachine(consecutive_healthy_required=1)
+    served = []
+    for score in (50, 96, 88, 80, 50, 50, 50, 50):
+        p = ctrl.observe(sig(score))
+        t = ladder.observe(DegradationSignal(p["to"]))
+        res, m = run_progressive(t.to_stage)
+        served.append((t.to_stage, res.phase, len(res.results)))
+    assert served[0] == (FULL, "refined", 3)
+    assert served[1][0] == METADATA_ONLY and served[1][2] == 0
+    # pressure recedes (hysteresis-gated) → ladder steps back to full
+    assert served[-1] == (FULL, "refined", 3)
