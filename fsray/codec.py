@@ -219,6 +219,25 @@ class DecodedTerm:
     #: flat doc-major token positions (sum(tfs) values) — None when the
     #: index was built without positions (POSITIONS section analogue)
     positions: np.ndarray | None = None
+    #: lazily-built sorted ``(docid << 32) | pos`` keys over the whole
+    #: position stream — computed ONCE per decoded term on first phrase
+    #: use and reused across phrase queries (the per-query repeat+pack
+    #: was the 1M-doc worst-case phrase cost); doc-major input order
+    #: makes the packed array already sorted
+    packed_positions: np.ndarray | None = None
+
+    def packed_keys(self) -> np.ndarray:
+        if self.packed_positions is None:
+            # minimize 8-byte temporaries over the (large) position
+            # stream: one u64 widening of positions, shift the (small)
+            # per-doc ids in place, one repeat, one in-place OR
+            out = self.positions.astype(np.uint64)
+            doc_hi = self.docids.astype(np.uint64)
+            np.left_shift(doc_hi, np.uint64(32), out=doc_hi)
+            np.bitwise_or(out, np.repeat(doc_hi, self.tfs.astype(np.int64)),
+                          out=out)
+            self.packed_positions = out
+        return self.packed_positions
 
 
 def decode_term(df: int, doc_payload: bytes, doc_widths: bytes, tf_payload: bytes,

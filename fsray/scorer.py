@@ -334,45 +334,50 @@ def phrase_matches(decs: list, n_terms_hint: int = 0) -> tuple[np.ndarray, np.nd
     if len(common) == 0:
         return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
 
-    # stage 2: position verification.  The gather-by-intersection path wins
-    # when the phrase is selective; when nearly every doc survives stage 1
-    # (worst case: hot terms co-occurring everywhere) the segment gather is
-    # pure overhead — stream each term's full positions directly instead.
-    min_df = min(len(dec.docids) for dec in decs)
-    selective = len(common) < (min_df >> 1)
-    keys = None
-    for i, dec in enumerate(decs):
-        if selective:
-            rows = np.searchsorted(dec.docids, common)
-            tfs = dec.tfs.astype(np.int64)
-            offs = np.zeros(len(tfs) + 1, dtype=np.int64)
-            np.cumsum(tfs, out=offs[1:])
-            lens = tfs[rows]
-            total = int(lens.sum())
-            # gather the selected docs' position runs (variable-length
-            # segments)
-            seg_starts = offs[rows]
-            out_off = np.zeros(len(lens) + 1, dtype=np.int64)
-            np.cumsum(lens, out=out_off[1:])
-            gather = np.repeat(seg_starts, lens) + (np.arange(total, dtype=np.int64)
-                                                    - np.repeat(out_off[:-1], lens))
-            pos = dec.positions[gather].astype(np.uint64)
-            docrep = np.repeat(common.astype(np.uint64), lens)
-        else:
-            pos = dec.positions.astype(np.uint64)
-            docrep = np.repeat(dec.docids.astype(np.uint64), dec.tfs.astype(np.int64))
-        valid = pos >= i
-        k = (docrep[valid] << np.uint64(32)) | (pos[valid] - np.uint64(i))
-        if keys is None:
-            keys = k
-        elif len(k) == 0:
-            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
-        else:
-            idx = np.searchsorted(k, keys)
-            idx_c = np.minimum(idx, len(k) - 1)
-            keys = keys[k[idx_c] == keys]
+    # stage 2: position verification over CACHED packed (docid<<32|pos)
+    # streams (DecodedTerm.packed_keys — built once per term, reused
+    # across phrase queries; the per-query repeat+pack of every hot
+    # term's full stream was the measured 1M-doc worst-case cost).
+    # Seed from the term with the SMALLEST stream, normalize its keys to
+    # phrase position 0, then gallop each candidate set into the other
+    # terms' packed arrays (searchsorted: O(|keys| log P) — the needles
+    # shrink monotonically, the big streams are never re-packed).
+    empty = (np.zeros(0, np.uint32), np.zeros(0, np.uint32))
+    packs = [dec.packed_keys() for dec in decs]
+    order = sorted(range(len(decs)), key=lambda i: len(packs[i]))
+    j = order[0]
+    pj = packs[j]
+    if j > 0:
+        # normalize to phrase start: pos_j - j (drop pos < j underflows)
+        keys = pj[(pj & np.uint64(0xFFFFFFFF)) >= j] - np.uint64(j)
+    else:
+        keys = pj
+    # selective pre-filter: when stage 1 pruned well below the seed
+    # term's df, gather only the surviving docs' runs (contiguous in the
+    # doc-major packed array — two searchsorted calls bound each run)
+    if len(common) < (len(decs[j].docids) >> 1):
+        c64 = common.astype(np.uint64) << np.uint64(32)
+        starts = np.searchsorted(keys, c64)
+        ends = np.searchsorted(keys, c64 + (np.uint64(1) << np.uint64(32)))
+        lens = ends - starts
+        total = int(lens.sum())
+        out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        gather = np.repeat(starts, lens) + (np.arange(total, dtype=np.int64)
+                                            - np.repeat(out_off[:-1], lens))
+        keys = keys[gather]
+    for i in order[1:]:
         if len(keys) == 0:
-            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+            return empty
+        pi = packs[i]
+        if len(pi) == 0:
+            return empty
+        cand = keys + np.uint64(i)  # term i expects pos0 + i
+        idx = np.searchsorted(pi, cand)
+        idx_c = np.minimum(idx, len(pi) - 1)
+        keys = keys[pi[idx_c] == cand]
+    if len(keys) == 0:
+        return empty
     match_docids = (keys >> np.uint64(32)).astype(np.uint32)
     uniq, freq = np.unique(match_docids, return_counts=True)
     return uniq.astype(np.uint32), freq.astype(np.uint32)

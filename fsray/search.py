@@ -265,8 +265,11 @@ class ShardData:
             t["last_docs"][row].as_py(), t["blockmax"][row].as_py(),
         )
         if "positions" in t.column_names:
-            p = t["positions"][row].values
-            dec.positions = p.to_numpy(zero_copy_only=False).astype(np.uint32)
+            p = t["positions"][row].values.to_numpy(zero_copy_only=False)
+            # same-width int storage reinterprets for free; astype would
+            # copy the whole position stream on every decode
+            dec.positions = (p.view(np.uint32) if p.dtype == np.int32
+                             else p.astype(np.uint32))
         if len(self._decode_cache) >= self.DECODE_CACHE_SLOTS:
             self._decode_cache.pop(next(iter(self._decode_cache)))
         self._decode_cache[key] = dec
