@@ -1,0 +1,275 @@
+"""Document metadata store — the FrankenSQLite ``documents`` +
+``embedding_status`` table analogue, completing the storage triplet
+(doc store ↔ staleness ladder ↔ embedding job queue).
+
+Semantic anchors (reference frankensearch,
+crates/frankensearch-storage/src/document.rs):
+
+- ``DocumentRecord``: doc_id, optional source_path, content_preview
+  (≤ 400 chars), content_hash, content_length, created/updated
+  timestamps (updated ≥ created), optional JSON metadata:
+  document.rs:46-79, validate_document:612-631.
+- Upsert outcomes (Inserted / Updated / Unchanged): unchanged ⇔ the
+  content hash is identical; a CHANGED hash resets every embedder's
+  embedding status so stale vectors re-embed: document.rs:589-610.
+- Batch upsert rejects duplicate doc_ids in one payload (conflict) and
+  reports per-outcome counts: document.rs:459-505.
+- Per-(doc, embedder) embedding status pending/embedded/failed/skipped;
+  ``mark_failed`` bumps retry_count on conflict, ``mark_skipped``
+  leaves it; both demand the document exists: document.rs:81-109,
+  250-377.
+- ``list_pending_embeddings``: docs with NO status row or status
+  'pending' for the embedder, newest-updated first, bounded:
+  document.rs:202-249.  This is what feeds the staleness quick check
+  (staleness.rs:142-165) and, through
+  ``fsray.jobqueue.enqueue_stale_documents``, the job queue.
+- ``count_by_status`` / ``count_documents`` / ``list_document_ids`` /
+  ``delete_document`` (which drops the status rows too):
+  document.rs:378-505,556-586.
+
+Persistence is this engine's atomic-rename JSON manifest (DIV-R10) —
+the law-bearing single-writer unit.  At 100 TB the analogue is a
+partitioned columnar table (one store per index shard, exactly like
+the job queue's one-instance-per-shard law); the transition laws are
+shard-local and identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+PENDING = "pending"
+EMBEDDED = "embedded"
+FAILED = "failed"
+SKIPPED = "skipped"
+
+MAX_PREVIEW_CHARS = 400  # document.rs:614
+
+
+class DocStoreError(ValueError):
+    def __init__(self, kind: str, message: str):
+        super().__init__(f"{kind}: {message}")
+        self.kind = kind
+
+
+def _require(cond: bool, kind: str, msg: str) -> None:
+    if not cond:
+        raise DocStoreError(kind, msg)
+
+
+@dataclass
+class DocumentRecord:
+    doc_id: str
+    content_preview: str
+    content_hash: str
+    content_length: int
+    created_at: int
+    updated_at: int
+    source_path: str | None = None
+    metadata: dict | None = None
+
+    def validate(self) -> None:
+        _require(bool(self.doc_id.strip()), "validation",
+                 "doc_id must not be empty")
+        _require(len(self.content_preview) <= MAX_PREVIEW_CHARS, "validation",
+                 "content_preview must be 400 characters or fewer")
+        _require(self.updated_at >= self.created_at, "validation",
+                 "updated_at must be >= created_at")
+        if self.source_path is not None:
+            _require(bool(self.source_path.strip()), "validation",
+                     "source_path must not be empty")
+        _require(self.content_length >= 0, "validation",
+                 "content_length must be non-negative")
+
+    def to_value(self) -> dict:
+        return {"doc_id": self.doc_id, "source_path": self.source_path,
+                "content_preview": self.content_preview,
+                "content_hash": self.content_hash,
+                "content_length": self.content_length,
+                "created_at": self.created_at, "updated_at": self.updated_at,
+                "metadata": self.metadata}
+
+    @classmethod
+    def from_value(cls, v: dict) -> "DocumentRecord":
+        return cls(doc_id=v["doc_id"], source_path=v.get("source_path"),
+                   content_preview=v["content_preview"],
+                   content_hash=v["content_hash"],
+                   content_length=int(v["content_length"]),
+                   created_at=int(v["created_at"]),
+                   updated_at=int(v["updated_at"]),
+                   metadata=v.get("metadata"))
+
+
+@dataclass
+class StatusCounts:
+    pending: int = 0
+    embedded: int = 0
+    failed: int = 0
+    skipped: int = 0
+
+
+class DocumentStore:
+    """Single-writer persistent doc-metadata store over one
+    atomic-rename JSON manifest; construction replays committed state
+    (the crash-replay property the queue shares)."""
+
+    STATE_FILE = "documents.json"
+
+    def __init__(self, state_dir: str, now_ms=None):
+        self.state_dir = state_dir
+        self._now_ms = now_ms or _wall_ms
+        os.makedirs(state_dir, exist_ok=True)
+        self._path = os.path.join(state_dir, self.STATE_FILE)
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                state = json.load(f)
+            self._docs = {k: v for k, v in state["docs"].items()}
+            # status: {doc_id: {embedder_id: row}}
+            self._status = {k: dict(v) for k, v in state["status"].items()}
+        else:
+            self._docs: dict[str, dict] = {}
+            self._status: dict[str, dict] = {}
+            self._persist()
+
+    def _persist(self) -> None:
+        from fsray.manifest import atomic_write_json
+        atomic_write_json(self._path, {"docs": self._docs,
+                                       "status": self._status})
+
+    # -- documents ---------------------------------------------------------
+
+    def _upsert_inner(self, doc: DocumentRecord) -> str:
+        doc.validate()
+        prior = self._docs.get(doc.doc_id)
+        self._docs[doc.doc_id] = doc.to_value()
+        if prior is None:
+            return "inserted"
+        if prior["content_hash"] == doc.content_hash:
+            return "unchanged"  # metadata/preview/timestamps still updated
+        # content changed: every embedder's status resets so stale
+        # vectors re-embed (reset_embedding_status, document.rs:604)
+        self._status.pop(doc.doc_id, None)
+        return "updated"
+
+    def upsert_document(self, doc: DocumentRecord) -> bool:
+        outcome = self._upsert_inner(doc)
+        self._persist()
+        return outcome != "unchanged"
+
+    def upsert_batch(self, docs: list[DocumentRecord]) -> dict:
+        seen = set()
+        for d in docs:
+            _require(d.doc_id not in seen, "conflict",
+                     f"duplicate doc_id in batch payload: {d.doc_id}")
+            seen.add(d.doc_id)
+        result = {"inserted": 0, "updated": 0, "unchanged": 0}
+        for d in docs:
+            result[self._upsert_inner(d)] += 1
+        if docs:
+            self._persist()
+        return result
+
+    def get_document(self, doc_id: str) -> DocumentRecord | None:
+        v = self._docs.get(doc_id)
+        return None if v is None else DocumentRecord.from_value(v)
+
+    def delete_document(self, doc_id: str) -> bool:
+        """Drops the status rows with the document (document.rs:439)."""
+        existed = self._docs.pop(doc_id, None) is not None
+        self._status.pop(doc_id, None)
+        if existed:
+            self._persist()
+        return existed
+
+    def count_documents(self) -> int:
+        return len(self._docs)
+
+    def list_document_ids(self, limit: int) -> list[str]:
+        return sorted(self._docs)[:max(limit, 0)]
+
+    # -- embedding status --------------------------------------------------
+
+    def _require_doc(self, doc_id: str) -> None:
+        _require(doc_id in self._docs, "not_found", f"documents: {doc_id}")
+
+    def list_pending_embeddings(self, embedder_id: str,
+                                limit: int) -> list[str]:
+        """Docs with NO status row or status 'pending' for this
+        embedder, newest-updated first (document.rs:202-249)."""
+        _require(bool(embedder_id.strip()), "validation",
+                 "embedder_id must not be empty")
+        if limit <= 0:
+            return []
+        rows = []
+        for doc_id, doc in self._docs.items():
+            st = self._status.get(doc_id, {}).get(embedder_id)
+            if st is None or st["status"] == PENDING:
+                rows.append((doc["updated_at"], doc_id))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        return [doc_id for _, doc_id in rows[:limit]]
+
+    def mark_embedded(self, doc_id: str, embedder_id: str) -> None:
+        self._require_doc(doc_id)
+        self._status.setdefault(doc_id, {})[embedder_id] = {
+            "status": EMBEDDED, "embedded_at": self._now_ms(),
+            "error_message": None, "retry_count": 0}
+        self._persist()
+
+    def mark_failed(self, doc_id: str, embedder_id: str,
+                    error_message: str) -> None:
+        _require(bool(error_message.strip()), "validation",
+                 "error_message must not be empty")
+        self._require_doc(doc_id)
+        prior = self._status.get(doc_id, {}).get(embedder_id)
+        retry = (prior["retry_count"] + 1) if prior else 1
+        self._status.setdefault(doc_id, {})[embedder_id] = {
+            "status": FAILED, "embedded_at": None,
+            "error_message": error_message, "retry_count": retry}
+        self._persist()
+
+    def mark_skipped(self, doc_id: str, embedder_id: str,
+                     reason: str) -> None:
+        self._require_doc(doc_id)
+        prior = self._status.get(doc_id, {}).get(embedder_id)
+        self._status.setdefault(doc_id, {})[embedder_id] = {
+            "status": SKIPPED, "embedded_at": None, "error_message": reason,
+            "retry_count": prior["retry_count"] if prior else 0}
+        self._persist()
+
+    def count_by_status(self, embedder_id: str) -> StatusCounts:
+        """Docs with no status row for the embedder count as pending —
+        the implicit-pending law the staleness quick check relies on
+        (document.rs:378-438)."""
+        c = StatusCounts()
+        for doc_id in self._docs:
+            st = self._status.get(doc_id, {}).get(embedder_id)
+            status = PENDING if st is None else st["status"]
+            setattr(c, status, getattr(c, status) + 1)
+        return c
+
+    def embedding_status(self, doc_id: str, embedder_id: str) -> dict | None:
+        return self._status.get(doc_id, {}).get(embedder_id)
+
+    # -- bridges -----------------------------------------------------------
+
+    def quick_staleness_check(self, embedder_id: str) -> dict:
+        """staleness.rs:142-165: pending > 0 ⇒ stale."""
+        pending = self.count_by_status(embedder_id).pending
+        return {"pending_count": pending, "is_stale": pending > 0}
+
+    def enqueue_pending(self, queue, embedder_id: str, limit: int,
+                        priority: int = 0) -> dict:
+        """Feed pending docs into the embedding job queue with their
+        current content hashes — the incremental-update path."""
+        from fsray.jobqueue import enqueue_stale_documents
+        stale = [(doc_id, self._docs[doc_id]["content_hash"])
+                 for doc_id in self.list_pending_embeddings(embedder_id,
+                                                            limit)]
+        return enqueue_stale_documents(queue, embedder_id, stale, priority)
+
+
+def _wall_ms() -> int:
+    import time
+    return int(time.time() * 1000)

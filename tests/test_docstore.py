@@ -1,0 +1,147 @@
+"""Document metadata store laws, mirroring the reference's
+document.rs CRUD/status battery: upsert outcomes, hash-change status
+reset, batch dedup conflict, validation, pending listing order,
+mark transitions with retry accounting, implicit-pending counting,
+restart replay, and the staleness/job-queue bridges."""
+
+import pytest
+
+from fsray.docstore import DocStoreError, DocumentRecord, DocumentStore
+
+H1, H2 = "a" * 64, "b" * 64
+
+
+def rec(doc_id, h=H1, updated=1000, created=1000, **kw):
+    return DocumentRecord(doc_id=doc_id, content_preview=f"preview {doc_id}",
+                          content_hash=h, content_length=100,
+                          created_at=created, updated_at=updated, **kw)
+
+
+@pytest.fixture
+def store(tmp_path):
+    return DocumentStore(str(tmp_path / "s"), now_ms=lambda: 99)
+
+
+def test_upsert_outcomes_inserted_unchanged_updated(store):
+    assert store.upsert_document(rec("d1")) is True          # inserted
+    assert store.upsert_document(rec("d1")) is False         # unchanged
+    assert store.upsert_document(rec("d1", h=H2)) is True    # updated
+    assert store.count_documents() == 1
+
+
+def test_hash_change_resets_embedding_status(store):
+    store.upsert_document(rec("d1"))
+    store.mark_embedded("d1", "m")
+    # unchanged content keeps the status
+    store.upsert_document(rec("d1", updated=2000, created=1000))
+    assert store.embedding_status("d1", "m")["status"] == "embedded"
+    # changed content resets EVERY embedder's status → implicit pending
+    store.mark_embedded("d1", "m2")
+    store.upsert_document(rec("d1", h=H2, updated=3000, created=1000))
+    assert store.embedding_status("d1", "m") is None
+    assert store.count_by_status("m").pending == 1
+    assert store.count_by_status("m2").pending == 1
+
+
+def test_batch_upsert_counts_and_duplicate_conflict(store):
+    store.upsert_document(rec("d1"))
+    out = store.upsert_batch([rec("d1", h=H2), rec("d2"), rec("d2x"),
+                              rec("d1x")])
+    assert out == {"inserted": 3, "updated": 1, "unchanged": 0}
+    with pytest.raises(DocStoreError, match="duplicate doc_id"):
+        store.upsert_batch([rec("x"), rec("x")])
+
+
+def test_validation_laws(store):
+    with pytest.raises(DocStoreError, match="doc_id"):
+        store.upsert_document(rec(" "))
+    with pytest.raises(DocStoreError, match="400 characters"):
+        bad = rec("d"); bad.content_preview = "x" * 401
+        store.upsert_document(bad)
+    with pytest.raises(DocStoreError, match="updated_at"):
+        store.upsert_document(rec("d", updated=5, created=10))
+    with pytest.raises(DocStoreError, match="source_path"):
+        store.upsert_document(rec("d", source_path="  "))
+
+
+def test_list_pending_newest_first_and_bounded(store):
+    for i, upd in [(1, 100), (2, 300), (3, 200)]:
+        store.upsert_document(rec(f"d{i}", updated=upd, created=50))
+    assert store.list_pending_embeddings("m", 10) == ["d2", "d3", "d1"]
+    assert store.list_pending_embeddings("m", 2) == ["d2", "d3"]
+    assert store.list_pending_embeddings("m", 0) == []
+    store.mark_embedded("d2", "m")
+    assert store.list_pending_embeddings("m", 10) == ["d3", "d1"]
+    # per-embedder independence
+    assert store.list_pending_embeddings("other", 10) == ["d2", "d3", "d1"]
+
+
+def test_mark_transitions_and_retry_accounting(store):
+    store.upsert_document(rec("d1"))
+    store.mark_failed("d1", "m", "boom")
+    assert store.embedding_status("d1", "m")["retry_count"] == 1
+    store.mark_failed("d1", "m", "boom again")
+    st = store.embedding_status("d1", "m")
+    assert st["retry_count"] == 2 and st["status"] == "failed"
+    store.mark_skipped("d1", "m", "binary")
+    st = store.embedding_status("d1", "m")
+    assert st["status"] == "skipped" and st["retry_count"] == 2  # kept
+    store.mark_embedded("d1", "m")
+    st = store.embedding_status("d1", "m")
+    assert st["status"] == "embedded" and st["embedded_at"] == 99
+    with pytest.raises(DocStoreError, match="not_found"):
+        store.mark_embedded("ghost", "m")
+    with pytest.raises(DocStoreError, match="error_message"):
+        store.mark_failed("d1", "m", " ")
+
+
+def test_count_by_status_implicit_pending(store):
+    for i in range(4):
+        store.upsert_document(rec(f"d{i}"))
+    store.mark_embedded("d0", "m")
+    store.mark_failed("d1", "m", "x")
+    store.mark_skipped("d2", "m", "y")
+    c = store.count_by_status("m")
+    assert (c.pending, c.embedded, c.failed, c.skipped) == (1, 1, 1, 1)
+
+
+def test_delete_drops_status_rows(store):
+    store.upsert_document(rec("d1"))
+    store.mark_embedded("d1", "m")
+    assert store.delete_document("d1") is True
+    assert store.delete_document("d1") is False
+    assert store.get_document("d1") is None
+    # re-inserting starts with a clean (implicit-pending) slate
+    store.upsert_document(rec("d1"))
+    assert store.embedding_status("d1", "m") is None
+
+
+def test_restart_replays_committed_state(tmp_path):
+    d = str(tmp_path / "s")
+    s1 = DocumentStore(d, now_ms=lambda: 1)
+    s1.upsert_document(rec("d1"))
+    s1.mark_embedded("d1", "m")
+    del s1
+    s2 = DocumentStore(d, now_ms=lambda: 2)
+    assert s2.count_documents() == 1
+    assert s2.embedding_status("d1", "m")["status"] == "embedded"
+
+
+def test_quick_staleness_and_queue_bridge(store, tmp_path):
+    from fsray.jobqueue import EmbeddingJobQueue, JobQueueConfig
+    for i in range(3):
+        store.upsert_document(rec(f"d{i}", updated=100 + i, created=50))
+    store.mark_embedded("d0", "m")
+    assert store.quick_staleness_check("m") == {"pending_count": 2,
+                                               "is_stale": True}
+    q = EmbeddingJobQueue(str(tmp_path / "q"), JobQueueConfig(),
+                          now_ms=lambda: 1_000)
+    out = store.enqueue_pending(q, "m", limit=10, priority=3)
+    assert out["inserted"] == 2
+    jobs = q.jobs_snapshot()
+    assert {j["doc_id"] for j in jobs} == {"d1", "d2"}
+    assert all(j["content_hash"] == H1 for j in jobs)
+    store.mark_embedded("d1", "m")
+    store.mark_embedded("d2", "m")
+    assert store.quick_staleness_check("m") == {"pending_count": 0,
+                                               "is_stale": False}
