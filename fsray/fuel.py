@@ -1,0 +1,68 @@
+"""Deterministic query-work ("fuel") budget.
+
+Semantic anchors (reference frankensearch,
+crates/frankensearch-quill/src/{config.rs,argus.rs}):
+
+- ``DEFAULT_QUERY_FUEL_BUDGET = 10_000_000``: "one unit is charged per
+  segment transition, dictionary block, posting block, or phrase
+  candidate whose positions are verified.  Ten million keeps ordinary
+  and fixture-corpus queries on the zero-contention fast path while
+  bounding adversarial glob and phrase tails" (config.rs:34-40).
+- Zero budgets are rejected at configuration time (config.rs:160-166).
+- Exhaustion is a TYPED error naming consumed/budget
+  (argus.rs:178-181), raised at a coarse checkpoint — never mid-block.
+
+Adaptation to the vectorized execution model (the DIV-R05 argument):
+this engine scores whole posting lists columnar, not docid-at-a-time,
+so fuel is charged at the same COARSE granularity the kernels actually
+traverse — one unit per shard entered (segment transition), one per
+term-dictionary probe, ``ceil(df / 128)`` per decoded posting list
+(the 128-doc block count the codec stores), and one per phrase
+candidate document whose positions are verified (the stage-1
+intersection survivors).  Charges are independent of the decode cache
+state, so consumed units are DETERMINISTIC for a query regardless of
+warm/cold caches — the property the reference's replay tests pin.
+"""
+
+from __future__ import annotations
+
+DEFAULT_QUERY_FUEL_BUDGET = 10_000_000  # quill config.rs:40
+
+SEGMENT_TRANSITION = "segment_transition"
+DICTIONARY_BLOCK = "dictionary_block"
+POSTING_BLOCK = "posting_block"
+PHRASE_CANDIDATE = "phrase_candidate"
+
+
+class FuelExhausted(RuntimeError):
+    """argus.rs:178-181 — the typed exhaustion error."""
+
+    def __init__(self, consumed: int, budget: int, kind: str):
+        super().__init__(
+            f"query fuel exhausted after {consumed}/{budget} units "
+            f"(last charge: {kind})")
+        self.consumed = consumed
+        self.budget = budget
+        self.kind = kind
+
+
+class QueryFuel:
+    """Coarse work-unit accountant for ONE query."""
+
+    __slots__ = ("budget", "consumed", "by_kind")
+
+    def __init__(self, budget: int = DEFAULT_QUERY_FUEL_BUDGET):
+        if int(budget) <= 0:
+            raise ValueError("query_fuel_budget must be >= 1 "
+                             "(config.rs:160-166)")
+        self.budget = int(budget)
+        self.consumed = 0
+        self.by_kind: dict[str, int] = {}
+
+    def admit(self, kind: str, units: int) -> None:
+        if units <= 0:
+            return
+        self.consumed += int(units)
+        self.by_kind[kind] = self.by_kind.get(kind, 0) + int(units)
+        if self.consumed > self.budget:
+            raise FuelExhausted(self.consumed, self.budget, kind)

@@ -307,7 +307,8 @@ def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
     return TopK(docids_f, scores_f.astype(dtype))
 
 
-def phrase_matches(decs: list, n_terms_hint: int = 0) -> tuple[np.ndarray, np.ndarray]:
+def phrase_matches(decs: list, n_terms_hint: int = 0,
+                   fuel=None) -> tuple[np.ndarray, np.ndarray]:
     """Exact-adjacency phrase matching over decoded terms WITH positions.
 
     Two stages, mirroring the reference's galloping pre-filter + positions
@@ -333,6 +334,11 @@ def phrase_matches(decs: list, n_terms_hint: int = 0) -> tuple[np.ndarray, np.nd
         common = common[dec.docids[idx_c] == common]
     if len(common) == 0:
         return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+    if fuel is not None:
+        # one unit per candidate doc whose positions get verified
+        # (config.rs:34-40 "phrase candidate" charge class)
+        from fsray.fuel import PHRASE_CANDIDATE
+        fuel.admit(PHRASE_CANDIDATE, len(common))
 
     # stage 2: position verification over CACHED packed (docid<<32|pos)
     # streams (DecodedTerm.packed_keys — built once per term, reused

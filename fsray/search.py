@@ -362,9 +362,27 @@ class ShardData:
     def topk(self, clause_specs: list[dict], k: int, dtype=np.float32,
              mode: str = "auto", range_specs: list[dict] | None = None,
              tree: tuple | None = None, match_all: bool = False,
-             filter_leaf_specs: dict[int, dict] | None = None) -> TopK:
+             filter_leaf_specs: dict[int, dict] | None = None,
+             fuel=None) -> TopK:
         """Score this shard. ``clause_specs``: [{field_ord, term, weight,
-        avgdl, group}] in canonical order, plus must_not term keys."""
+        avgdl, group}] in canonical order, plus must_not term keys.
+        ``fuel``: optional :class:`fsray.fuel.QueryFuel` — charged one
+        unit per shard entered, per dictionary probe, per 128-doc
+        posting block and per verified phrase candidate (charges are
+        cache-state independent, so consumption is deterministic)."""
+        from fsray.fuel import (DICTIONARY_BLOCK, POSTING_BLOCK,
+                                SEGMENT_TRANSITION)
+        if fuel is not None:
+            fuel.admit(SEGMENT_TRANSITION, 1)
+
+        def fuel_decode(key):
+            if fuel is not None:
+                fuel.admit(DICTIONARY_BLOCK, 1)
+            d = self.decode(key)
+            if d is not None and fuel is not None:
+                fuel.admit(POSTING_BLOCK, -(-len(d.docids) // 128))
+            return d
+
         clauses: list[ScoringClause] = []
         must_not: list[np.ndarray] = []
         must_atom_ok: dict[int, bool] = {}
@@ -375,10 +393,10 @@ class ShardData:
         has_phrase = False
         for cs in clause_specs:
             if cs.get("kind") == "phrase":
-                decs = [self.decode((cs["field_ord"], t)) for t in cs["terms"]]
+                decs = [fuel_decode((cs["field_ord"], t)) for t in cs["terms"]]
                 if any(d is None for d in decs) or not cs.get("matchable", True):
                     continue
-                ph_docids, ph_freqs = phrase_matches(decs)
+                ph_docids, ph_freqs = phrase_matches(decs, fuel=fuel)
                 if len(ph_docids) == 0:
                     continue
                 if cs["group"] == "must_not":
@@ -395,7 +413,7 @@ class ShardData:
                     group=cs["group"], atom=cs.get("atom", -1), avgdl=cs["avgdl"],
                 ))
                 continue
-            dec = self.decode((cs["field_ord"], cs["term"]))
+            dec = fuel_decode((cs["field_ord"], cs["term"]))
             if dec is None:
                 continue
             if cs["group"] == "must":
@@ -574,11 +592,20 @@ class LocalIndex:
     #: cache, index.rs:278-280,7405-7441 — flat FIFO of the same size)
     CACHE_SLOTS = 256
 
-    def __init__(self, index_dir: str, warm_top_terms: int = 32):
+    def __init__(self, index_dir: str, warm_top_terms: int = 32,
+                 query_fuel_budget: int | None = None):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
+        from fsray.fuel import DEFAULT_QUERY_FUEL_BUDGET, QueryFuel
+        # validate at configuration time (config.rs:160-166); None ⇒
+        # the reference default (10M coarse units)
+        self.query_fuel_budget = (DEFAULT_QUERY_FUEL_BUDGET
+                                  if query_fuel_budget is None
+                                  else query_fuel_budget)
+        QueryFuel(self.query_fuel_budget)  # rejects <= 0 budgets
+        self.last_fuel: "QueryFuel | None" = None
         self._warm_top_terms = warm_top_terms
         self.shards = [ShardData(index_dir, int(s), self.manifest)
                        for s in sorted(self.manifest["shards"], key=int)]
@@ -711,10 +738,17 @@ class LocalIndex:
         leaf_specs = _leaf_specs(parsed)
         k = limit + offset
         eff_mode = "exhaustive" if exact_count else mode
+        # one deterministic work-unit accountant per executed query
+        # (cache hits above consume nothing — the reference's ranked
+        # cache likewise answers without traversal); exhaustion raises
+        # the typed FuelExhausted at a coarse checkpoint
+        from fsray.fuel import QueryFuel
+        fuel = QueryFuel(self.query_fuel_budget)
+        self.last_fuel = fuel
         per_shard = [sh.topk(specs, k, dtype=dtype, mode=eff_mode,
                              range_specs=range_specs, tree=parsed.tree,
                              match_all=parsed.match_all,
-                             filter_leaf_specs=leaf_specs)
+                             filter_leaf_specs=leaf_specs, fuel=fuel)
                      for sh in self.shards]
         docids, scores = _merge_topk(per_shard, k, dtype=dtype)
         docids, scores = docids[offset:], scores[offset:]

@@ -1,0 +1,103 @@
+"""Deterministic query-fuel budget laws (quill config.rs:34-40,160-166 +
+argus.rs:178-181): charge classes, typed exhaustion, zero-budget
+rejection, cache-independent determinism, and the adversarial-tail
+bound on a real index."""
+
+import numpy as np
+import pytest
+
+from fsray.fuel import (
+    DEFAULT_QUERY_FUEL_BUDGET,
+    DICTIONARY_BLOCK,
+    PHRASE_CANDIDATE,
+    POSTING_BLOCK,
+    SEGMENT_TRANSITION,
+    FuelExhausted,
+    QueryFuel,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_default_budget_is_the_reference_constant():
+    assert DEFAULT_QUERY_FUEL_BUDGET == 10_000_000
+    assert QueryFuel().budget == 10_000_000
+
+
+def test_zero_budget_rejected_at_config_time():
+    with pytest.raises(ValueError, match="query_fuel_budget"):
+        QueryFuel(0)
+    with pytest.raises(ValueError, match="query_fuel_budget"):
+        QueryFuel(-5)
+
+
+def test_admit_accumulates_by_kind_and_raises_typed_error():
+    f = QueryFuel(10)
+    f.admit(SEGMENT_TRANSITION, 1)
+    f.admit(POSTING_BLOCK, 4)
+    f.admit(POSTING_BLOCK, 5)  # exactly at budget: fine
+    assert f.consumed == 10
+    assert f.by_kind == {SEGMENT_TRANSITION: 1, POSTING_BLOCK: 9}
+    with pytest.raises(FuelExhausted) as ei:
+        f.admit(DICTIONARY_BLOCK, 1)
+    e = ei.value
+    assert (e.consumed, e.budget, e.kind) == (11, 10, DICTIONARY_BLOCK)
+    assert "query fuel exhausted after 11/10 units" in str(e)
+
+
+def test_nonpositive_units_are_free():
+    f = QueryFuel(1)
+    f.admit(POSTING_BLOCK, 0)
+    f.admit(POSTING_BLOCK, -3)
+    assert f.consumed == 0 and f.by_kind == {}
+
+
+@pytest.fixture(scope="module")
+def fuel_index(ray_session, tmp_path_factory):
+    # positions-enabled: the phrase charge class needs a phrase index
+    from fsray.pipelines import documents_index_pos
+    return documents_index_pos(SF_DIR)
+
+
+def test_ordinary_query_stays_on_fast_path_and_is_deterministic(fuel_index):
+    idx = fuel_index
+    hits = idx.search("spark window", k=10)
+    assert hits
+    first = idx.last_fuel
+    assert 0 < first.consumed < DEFAULT_QUERY_FUEL_BUDGET
+    assert first.by_kind[SEGMENT_TRANSITION] == len(idx.shards)
+    assert first.by_kind[DICTIONARY_BLOCK] >= 2 * len(idx.shards)
+    assert first.by_kind[POSTING_BLOCK] >= 1
+    # cache-independent determinism: identical consumption on an
+    # EXECUTED repeat (warm decode cache; result cache bypassed by a
+    # different limit)
+    idx.search("spark window", k=9)
+    assert idx.last_fuel.consumed > 0
+    idx2_consumed = idx.last_fuel.consumed
+    idx.search("spark window", k=8)
+    assert idx.last_fuel.consumed == idx2_consumed
+
+
+def test_phrase_candidates_are_charged(fuel_index):
+    idx = fuel_index
+    idx.search('"part window"', k=7)  # a co-occurring pair at sf0.001
+    f = idx.last_fuel
+    assert f.by_kind.get(PHRASE_CANDIDATE, 0) > 0
+
+
+def test_tiny_budget_exhausts_with_typed_error(ray_session):
+    from fsray.pipelines import documents_index
+    from fsray.search import LocalIndex
+    base = documents_index(SF_DIR)
+    idx = LocalIndex(base.index_dir, query_fuel_budget=3)
+    with pytest.raises(FuelExhausted, match="query fuel exhausted"):
+        idx.search("spark window customer vector", k=10)
+    # results are never partially wrong: the error surfaces instead
+
+
+def test_invalid_budget_rejected_at_index_construction(ray_session):
+    from fsray.pipelines import documents_index
+    from fsray.search import LocalIndex
+    base = documents_index(SF_DIR)
+    with pytest.raises(ValueError, match="query_fuel_budget"):
+        LocalIndex(base.index_dir, query_fuel_budget=0)
