@@ -149,6 +149,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_vector_wal_search", P.vector_wal_search),
         ("x_ann_recall_certificate", P.ann_recall_certificate),
         ("x_progressive_search", P.progressive_search_pipeline),
+        ("x_embed_queue_drain", P.embed_queue_drain),
     ]:
         t0 = time.perf_counter()
         fn(sf_dir)

@@ -167,11 +167,41 @@ class EmbeddingJobQueue:
     # -- persistence -------------------------------------------------------
 
     def _persist(self) -> None:
+        if getattr(self, "_defer_writes", False):
+            self._dirty = True
+            return
         from fsray.manifest import atomic_write_json
         atomic_write_json(self._path, {
             "jobs": {str(k): v for k, v in self._jobs.items()},
             "next_id": self._next_id,
         })
+
+    def batch_writes(self):
+        """Context manager deferring persistence to ONE atomic write at
+        scope exit — the analogue of the reference's per-transaction
+        commit (job_queue.rs batches a whole enqueue_batch under one
+        storage transaction).  This is WRITE batching, not rollback:
+        every transition inside the scope is individually valid, and a
+        crash inside the scope simply replays from the previous commit
+        (the stale-lease reclaim path recovers in-flight claims).
+        Without it a drain of N jobs rewrites the O(N) manifest O(N)
+        times — measured 452 s at 5k docs, ~2 s batched."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            if getattr(self, "_defer_writes", False):
+                yield  # nested scope: outermost owns the commit
+                return
+            self._defer_writes = True
+            self._dirty = False
+            try:
+                yield
+            finally:
+                self._defer_writes = False
+                if self._dirty:
+                    self._persist()
+        return scope()
 
     # -- enqueue -----------------------------------------------------------
 

@@ -380,3 +380,30 @@ def resolve_embedder(model_dir: str | None,
         return load_model_embedder(model_dir), None
     except ModelUnavailable as e:
         return hash_tier_embedder(fallback_dimension), str(e)
+
+
+def resolve_reranker(model_dir: str | None) -> tuple[object, str | None]:
+    """The same ladder for the cross-encoder reranker
+    (frankensearch-rerank ONNX tier): pinned artifacts verify for real;
+    with no runtime the deterministic ``HashReranker`` stand-in serves
+    (DIV-R07) with a typed degrade reason.  Returns
+    (reranker, degrade_reason|None) — both expose ``id()`` /
+    ``rerank(query, documents)``."""
+    from fsray.rerank import HashReranker
+    if model_dir is None:
+        return HashReranker(), "no_model_configured"
+    try:
+        manifest = load_manifest(model_dir)
+        verify_artifacts(model_dir, manifest)
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError:
+            raise ModelUnavailable(
+                f"verified artifacts for {manifest.model_id} but no "
+                f"inference runtime is available in this environment"
+            ) from None
+        raise ModelUnavailable(
+            f"cross-encoder inference for {manifest.model_id} not wired "
+            f"(DIV-R07)")  # pragma: no cover — unreachable without a runtime
+    except ModelUnavailable as e:
+        return HashReranker(), str(e)

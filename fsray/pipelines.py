@@ -2105,25 +2105,28 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
         attempted: set[int] = set()
         dims: dict[int, int] = {}
         while True:
-            q.reclaim_stale_jobs()
-            inflight = []
-            while True:
-                claims = q.claim_batch("drain-worker", 32)
-                if not claims:
-                    break
-                batch_ids = [int(c.doc_id) for c in claims]
-                inflight.append((claims, embed_claimed.remote(batch_ids)))
-            for claims, fut in inflight:
-                got = ray.get(fut)
-                for c in claims:
-                    d = int(c.doc_id)
-                    first = d not in attempted
-                    attempted.add(d)
-                    if first and d % EMBED_QUEUE_FAIL_MOD == EMBED_QUEUE_FAIL_REM:
-                        q.fail(c.job_id, "transient embed failure")
-                    else:
-                        dims[d] = got[d]
-                        q.complete(c.job_id)
+            # one atomic manifest commit per drain round (the
+            # per-transition rewrite was O(N²) bytes: 452 s at 5k docs)
+            with q.batch_writes():
+                q.reclaim_stale_jobs()
+                inflight = []
+                while True:
+                    claims = q.claim_batch("drain-worker", 32)
+                    if not claims:
+                        break
+                    batch_ids = [int(c.doc_id) for c in claims]
+                    inflight.append((claims, embed_claimed.remote(batch_ids)))
+                for claims, fut in inflight:
+                    got = ray.get(fut)
+                    for c in claims:
+                        d = int(c.doc_id)
+                        first = d not in attempted
+                        attempted.add(d)
+                        if first and d % EMBED_QUEUE_FAIL_MOD == EMBED_QUEUE_FAIL_REM:
+                            q.fail(c.job_id, "transient embed failure")
+                        else:
+                            dims[d] = got[d]
+                            q.complete(c.job_id)
             depth = q.queue_depth()
             if depth.pending == 0 and depth.processing == 0:
                 break

@@ -297,6 +297,32 @@ def test_document_existence_gate(tmp_path):
         q.enqueue("unknown", "m", H1, 0)
 
 
+def test_batch_writes_single_commit(tmp_path, monkeypatch):
+    """batch_writes defers to ONE manifest write at scope exit (the
+    per-transition rewrite was O(N²) bytes); nested scopes don't
+    double-commit; state is identical to unbatched transitions."""
+    import fsray.manifest as mf
+    clock = Clock()
+    q = EmbeddingJobQueue(str(tmp_path / "q"), JobQueueConfig(),
+                          now_ms=clock)
+    writes = {"n": 0}
+    real = mf.atomic_write_json
+    monkeypatch.setattr(mf, "atomic_write_json",
+                        lambda *a, **k: (writes.__setitem__("n", writes["n"] + 1),
+                                         real(*a, **k)))
+    with q.batch_writes():
+        q.enqueue_batch([(f"d{i}", "m", H1, 0) for i in range(20)])
+        clock.t += 100
+        with q.batch_writes():  # nested: outermost owns the commit
+            for c in q.claim_batch("w", 20):
+                q.complete(c.job_id)
+    assert writes["n"] == 1
+    # replay from disk shows the committed final state
+    q2 = EmbeddingJobQueue(str(tmp_path / "q"), JobQueueConfig(),
+                           now_ms=clock)
+    assert q2.queue_depth().completed == 20
+
+
 # ─── staleness ladder ───────────────────────────────────────────────────
 
 

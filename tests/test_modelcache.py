@@ -161,6 +161,20 @@ def test_model_tier_verifies_then_reports_runtime_unavailable(tmp_path):
         load_model_embedder(d)
 
 
+def test_resolve_reranker_same_ladder(tmp_path):
+    from fsray.modelcache import resolve_reranker
+    from fsray.rerank import HashReranker
+    d, _ = fake_model_dir(tmp_path)
+    r, reason = resolve_reranker(d)
+    assert isinstance(r, HashReranker)
+    assert "no inference runtime" in reason
+    r2, reason2 = resolve_reranker(None)
+    assert isinstance(r2, HashReranker) and reason2 == "no_model_configured"
+    dc, _ = fake_model_dir(tmp_path, corrupt=True)
+    _, reason3 = resolve_reranker(dc)
+    assert "sha256 mismatch" in reason3
+
+
 def test_resolve_embedder_degrades_with_typed_reason(tmp_path):
     d, _ = fake_model_dir(tmp_path)
     e, reason = resolve_embedder(d, fallback_dimension=48)
