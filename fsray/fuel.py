@@ -45,6 +45,11 @@ class FuelExhausted(RuntimeError):
         self.budget = budget
         self.kind = kind
 
+    def __reduce__(self):
+        # pickle-safe across Ray actor boundaries (a bare Exception
+        # reduce would replay __init__ with the formatted message only)
+        return (FuelExhausted, (self.consumed, self.budget, self.kind))
+
 
 class QueryFuel:
     """Coarse work-unit accountant for ONE query."""

@@ -838,12 +838,20 @@ class ShardSearcherActor:
              range_specs: list[dict] | None = None,
              tree: tuple | None = None, match_all: bool = False,
              filter_leaf_specs: dict[int, dict] | None = None,
-             dtype=np.float32) -> tuple[np.ndarray, np.ndarray, int]:
+             dtype=np.float32, fuel_budget: int | None = None,
+             ) -> tuple[np.ndarray, np.ndarray, int, int]:
+        # per-shard fuel accounting: on a cluster the coarse ceiling is
+        # enforced shard-locally (each actor bounds its OWN traversal by
+        # the full budget — total work <= budget x shards) and the
+        # driver reports the summed consumption; FuelExhausted
+        # propagates to the caller as the actor task's typed error
+        from fsray.fuel import QueryFuel
+        fuel = QueryFuel(fuel_budget) if fuel_budget else None
         t = self.shard.topk(specs, k, dtype=dtype, mode=mode,
                             range_specs=range_specs, tree=tree,
                             match_all=match_all,
-                            filter_leaf_specs=filter_leaf_specs)
-        return t.docids, t.scores, t.count
+                            filter_leaf_specs=filter_leaf_specs, fuel=fuel)
+        return t.docids, t.scores, t.count, (fuel.consumed if fuel else 0)
 
     def materialize(self, docids: np.ndarray) -> list[str]:
         return self.shard.materialize(docids)
@@ -857,7 +865,8 @@ class ShardSearcherActor:
 class RayIndex:
     """Actor-pool execution surface: one ShardSearcher actor per shard."""
 
-    def __init__(self, index_dir: str, num_cpus_per_actor: float = 1.0):
+    def __init__(self, index_dir: str, num_cpus_per_actor: float = 1.0,
+                 query_fuel_budget: int | None = None):
         import ray
         self.index_dir = index_dir
         self._num_cpus_per_actor = num_cpus_per_actor
@@ -865,6 +874,12 @@ class RayIndex:
         self.manifest = load_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
+        from fsray.fuel import DEFAULT_QUERY_FUEL_BUDGET, QueryFuel
+        self.query_fuel_budget = (DEFAULT_QUERY_FUEL_BUDGET
+                                  if query_fuel_budget is None
+                                  else query_fuel_budget)
+        QueryFuel(self.query_fuel_budget)  # rejects <= 0 at config time
+        self.last_fuel_consumed = 0
         self._spawn_actors()
         self._mstat = self._manifest_stat()
 
@@ -983,9 +998,11 @@ class RayIndex:
         range_specs = _range_specs(parsed)
         results = ray.get([a.topk.remote(specs, k, eff_mode, range_specs,
                                          parsed.tree, parsed.match_all,
-                                         _leaf_specs(parsed), dtype)
+                                         _leaf_specs(parsed), dtype,
+                                         self.query_fuel_budget)
                            for a in self.actors.values()])
-        per_shard = [TopK(d, s, count=c) for d, s, c in results]
+        per_shard = [TopK(d, s, count=c) for d, s, c, _ in results]
+        self.last_fuel_consumed = sum(f for _, _, _, f in results)
         total = sum(t.count for t in per_shard) if exact_count else None
         docids, scores = _merge_topk(per_shard, k, dtype=dtype)
         docids, scores = docids[offset:], scores[offset:]

@@ -95,6 +95,24 @@ def test_tiny_budget_exhausts_with_typed_error(ray_session):
     # results are never partially wrong: the error surfaces instead
 
 
+def test_ray_index_accounts_fuel_per_shard(ray_session, fuel_index):
+    """The actor surface enforces the coarse ceiling SHARD-LOCALLY and
+    the driver reports summed consumption; exhaustion arrives as the
+    typed error through the actor task."""
+    import ray
+
+    from fsray.fuel import FuelExhausted
+    from fsray.search import RayIndex
+    ridx = RayIndex(fuel_index.index_dir)
+    hits = ridx.search("spark window", k=10)
+    assert hits and ridx.last_fuel_consumed > 0
+    tiny = RayIndex(fuel_index.index_dir, query_fuel_budget=2)
+    with pytest.raises((FuelExhausted, ray.exceptions.RayTaskError)):
+        tiny.search("spark window customer vector", k=10)
+    with pytest.raises(ValueError, match="query_fuel_budget"):
+        RayIndex(fuel_index.index_dir, query_fuel_budget=-1)
+
+
 def test_invalid_budget_rejected_at_index_construction(ray_session):
     from fsray.pipelines import documents_index
     from fsray.search import LocalIndex
