@@ -3,13 +3,23 @@
 Images / audio / video are carried as opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 actor-pool ``map_batches`` stages (stateful setup once per actor in
-``__init__``).  The image/audio codec libraries are NOT available in this
-environment, so the decode kernels are STUBBED: with ``fake=True`` (the
-default, used by tests and the driver lane) they derive deterministic
-pseudo-metadata from the payload bytes; with ``fake=False`` they raise
-``NotImplementedError`` unless a real codec library is importable.  The
-Ray-side plumbing — schema, batch sizing, actor signature, output layout —
-is real and tested.
+``__init__``).
+
+Two decode tiers:
+
+- **REAL** — binary Netpbm images (P5 grayscale / P6 RGB:
+  ``encode_ppm``/``decode_ppm``/``resize_nearest``, pure numpy) and
+  RIFF/WAVE PCM audio (``encode_wav``/``decode_wav``, stdlib ``wave`` +
+  numpy), run end-to-end by the ``DecodeImage``/``DecodeAudio`` actor
+  stages and value-verified by the ``multimodal_image_decode`` /
+  ``multimodal_audio_decode`` driver lanes (actual payload bytes →
+  typed arrays → exact witnesses).
+- **STUB** (DIV-R07) — formats whose codec libraries are absent
+  (JPEG/PNG/MP4): ``DecodeMedia(fake=True)`` derives deterministic
+  pseudo-metadata from the payload bytes; ``fake=False`` refuses with
+  ``NotImplementedError``.  The Ray-side plumbing — schema, batch
+  sizing, actor signature, output layout — is real and tested either
+  way.
 
 Batch-size note for 100 TB: payload rows are MBs each, so these stages run
 with small ``batch_size`` (tens of rows) and ``concurrency`` sized to the
@@ -121,6 +131,154 @@ class SampleFrames:
             "media_id": pa.array(out_id, type=pa.int64()),
             "frame": pa.array(out_frame, type=pa.int64()),
             "byte_offset": pa.array(out_off, type=pa.int64()),
+        })
+
+
+# ─── REAL codecs: formats decodable with numpy / the stdlib ─────────────
+#
+# The stub contract above covers formats whose codec libraries are
+# absent (JPEG/PNG/MP4 — DIV-R07).  For Netpbm images (P5 grayscale /
+# P6 RGB, the classic uncompressed interchange format) and RIFF/WAVE
+# PCM audio the decode is implemented FOR REAL: header parse + numpy
+# pixel/sample matrix, no external dependency.  These run through the
+# same actor-pool stages, so at least one format per modality exercises
+# a genuine decode end-to-end (payload bytes → typed arrays → features).
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 matrix as
+    binary Netpbm (P5/P6, maxval 255)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        magic, (h, w) = b"P5", pixels.shape
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        magic, (h, w) = b"P6", pixels.shape[:2]
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> dict:
+    """Real binary-Netpbm decode: P5 (grayscale) / P6 (RGB), maxval
+    ≤ 255, '#' comments allowed between header tokens.  Returns
+    {width, height, n_channels, pixels} with ``pixels`` shaped
+    (h, w) or (h, w, 3) uint8."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary Netpbm payload: {data[:2]!r}")
+    channels = 3 if data[:2] == b"P6" else 1
+    # header tokenizer: whitespace-separated ints, '#'-to-EOL comments
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    w, h, maxval = tokens
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported Netpbm maxval {maxval}")
+    need = w * h * channels
+    raster = data[pos:pos + need]
+    if len(raster) != need:
+        raise ValueError(f"truncated Netpbm raster: {len(raster)}/{need}")
+    pixels = np.frombuffer(raster, dtype=np.uint8)
+    pixels = pixels.reshape((h, w) if channels == 1 else (h, w, 3))
+    return {"width": w, "height": h, "n_channels": channels,
+            "pixels": pixels}
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real nearest-neighbor resize (pure numpy index gather)."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return pixels[rows][:, cols]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 PCM mono/stereo samples as RIFF/WAVE (stdlib)."""
+    import io
+    import wave
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    n_channels = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(n_channels)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> dict:
+    """Real RIFF/WAVE PCM decode (stdlib ``wave`` + numpy): returns
+    {sample_rate, n_channels, n_samples, samples} with ``samples``
+    shaped (n,) or (n, channels) int16."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(data), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError(f"only 16-bit PCM supported, "
+                             f"got {8 * f.getsampwidth()}-bit")
+        rate, nch, n = f.getframerate(), f.getnchannels(), f.getnframes()
+        raw = f.readframes(n)
+    samples = np.frombuffer(raw, dtype=np.int16)
+    if nch > 1:
+        samples = samples.reshape(-1, nch)
+    return {"sample_rate": rate, "n_channels": nch,
+            "n_samples": len(samples), "samples": samples}
+
+
+class DecodeImage:
+    """Actor-pool REAL image decode (binary Netpbm): payload bytes →
+    width/height/channels + pixel sum (the cheap whole-raster witness a
+    value oracle can verify)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        w, h, ch, psum = [], [], [], []
+        for i in range(len(payloads)):
+            d = decode_ppm(payloads[i].as_py())
+            w.append(d["width"])
+            h.append(d["height"])
+            ch.append(d["n_channels"])
+            psum.append(int(d["pixels"].sum(dtype=np.int64)))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "width": pa.array(w, type=pa.int64()),
+            "height": pa.array(h, type=pa.int64()),
+            "n_channels": pa.array(ch, type=pa.int64()),
+            "pixel_sum": pa.array(psum, type=pa.int64()),
+        })
+
+
+class DecodeAudio:
+    """Actor-pool REAL audio decode (RIFF/WAVE PCM): payload bytes →
+    rate/channels/sample count + integer energy sum (Σ s², exact in
+    i64 — the value-oracle witness)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        rate, nch, n, energy = [], [], [], []
+        for i in range(len(payloads)):
+            d = decode_wav(payloads[i].as_py())
+            rate.append(d["sample_rate"])
+            nch.append(d["n_channels"])
+            n.append(d["n_samples"])
+            s = d["samples"].astype(np.int64)
+            energy.append(int((s * s).sum()))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "sample_rate": pa.array(rate, type=pa.int64()),
+            "n_channels": pa.array(nch, type=pa.int64()),
+            "n_samples": pa.array(n, type=pa.int64()),
+            "energy": pa.array(energy, type=pa.int64()),
         })
 
 

@@ -2041,6 +2041,86 @@ def multimodal_meta(sf_dir: str) -> pa.Table:
                      "height": pa.array(out["height"].astype("int64"), type=pa.int64())})
 
 
+def multimodal_image_decode(sf_dir: str) -> pa.Table:
+    """REAL image decode end-to-end: a synthesis stage renders each doc
+    a deterministic binary-Netpbm (P6) payload inside Ray, and the
+    ``DecodeImage`` actor pool decodes the ACTUAL bytes back — header
+    parse + numpy raster — emitting width/height/channels and the
+    whole-raster pixel sum.  Dimensions and fill value are closed-form
+    in doc_id, so the oracle value-verifies a genuine encode→decode
+    roundtrip (no stub anywhere on this lane)."""
+    from fsray.multimodal import MEDIA_SCHEMA, DecodeImage, encode_ppm
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        payloads = []
+        for d in ids:
+            w, h, v = 8 + d % 16, 8 + (d * 7) % 12, d % 251
+            payloads.append(encode_ppm(
+                np.full((int(h), int(w), 3), v, dtype=np.uint8)))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array(["image"] * len(ids), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "source": pa.array(["synth-ppm"] * len(ids), type=pa.string()),
+        }, schema=MEDIA_SCHEMA)
+
+    ds = (_docs_ds(sf_dir)
+          .map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(DecodeImage, batch_format="pyarrow", batch_size=64,
+                       concurrency=2))
+    out = ds.to_pandas().sort_values("media_id")
+    return pa.table({
+        "media_id": pa.array(out["media_id"].astype("int64"), type=pa.int64()),
+        "width": pa.array(out["width"].astype("int64"), type=pa.int64()),
+        "height": pa.array(out["height"].astype("int64"), type=pa.int64()),
+        "n_channels": pa.array(out["n_channels"].astype("int64"),
+                               type=pa.int64()),
+        "pixel_sum": pa.array(out["pixel_sum"].astype("int64"),
+                              type=pa.int64()),
+    })
+
+
+def multimodal_audio_decode(sf_dir: str) -> pa.Table:
+    """REAL audio decode end-to-end: deterministic RIFF/WAVE PCM
+    payloads synthesized inside Ray, decoded by the ``DecodeAudio``
+    actor pool via the stdlib wave reader + numpy — sample rate,
+    channel count, sample count and the exact integer energy Σs² all
+    closed-form in doc_id for the value oracle."""
+    from fsray.multimodal import MEDIA_SCHEMA, DecodeAudio, encode_wav
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        payloads = []
+        for d in ids:
+            rate = 8000 + int(d % 4) * 4000
+            n = 100 + int(d % 200)
+            amp = np.int16(100 + d % 1000)
+            payloads.append(encode_wav(np.full(n, amp, dtype=np.int16), rate))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array(["audio"] * len(ids), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "source": pa.array(["synth-wav"] * len(ids), type=pa.string()),
+        }, schema=MEDIA_SCHEMA)
+
+    ds = (_docs_ds(sf_dir)
+          .map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(DecodeAudio, batch_format="pyarrow", batch_size=64,
+                       concurrency=2))
+    out = ds.to_pandas().sort_values("media_id")
+    return pa.table({
+        "media_id": pa.array(out["media_id"].astype("int64"), type=pa.int64()),
+        "sample_rate": pa.array(out["sample_rate"].astype("int64"),
+                                type=pa.int64()),
+        "n_channels": pa.array(out["n_channels"].astype("int64"),
+                               type=pa.int64()),
+        "n_samples": pa.array(out["n_samples"].astype("int64"),
+                              type=pa.int64()),
+        "energy": pa.array(out["energy"].astype("int64"), type=pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # embedding job queue lane
 
@@ -2208,6 +2288,8 @@ def make_queries() -> dict:
         "multimodal_meta": multimodal_meta,
         "multimodal_frames": multimodal_frames,
         "embed_queue_drain": embed_queue_drain,
+        "multimodal_image_decode": multimodal_image_decode,
+        "multimodal_audio_decode": multimodal_audio_decode,
     })
     return q
 
@@ -2688,6 +2770,24 @@ SELECT doc_id, 'completed' AS status,
             THEN 1 ELSE 0 END AS BIGINT) AS retry_count,
        doc_id % 3 AS priority,
        CAST({EMBED_QUEUE_DIM} AS BIGINT) AS n_dims
+FROM documents ORDER BY doc_id"""
+
+    # REAL decode roundtrips: synthesis rules are closed-form in doc_id,
+    # the engine decodes actual P6/WAVE bytes
+    o["multimodal_image_decode"] = """
+SELECT doc_id AS media_id,
+       8 + doc_id % 16 AS width,
+       8 + (doc_id * 7) % 12 AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       (8 + doc_id % 16) * (8 + (doc_id * 7) % 12) * 3 * (doc_id % 251) AS pixel_sum
+FROM documents ORDER BY doc_id"""
+
+    o["multimodal_audio_decode"] = """
+SELECT doc_id AS media_id,
+       8000 + (doc_id % 4) * 4000 AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       100 + doc_id % 200 AS n_samples,
+       (100 + doc_id % 200) * (100 + doc_id % 1000) * (100 + doc_id % 1000) AS energy
 FROM documents ORDER BY doc_id"""
 
     o["multimodal_meta"] = """
