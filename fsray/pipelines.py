@@ -1965,22 +1965,38 @@ _FED_CACHE: dict[str, list] = {}
 
 
 def _federated_members(sf_dir: str) -> list:
-    """One LocalIndex per doc_id-parity partition of `documents`."""
+    """One LocalIndex per doc_id-parity partition of `documents`.
+
+    Member corpora are carved INSIDE Ray (a streaming filter +
+    ``write_parquet``, never a whole-table driver read) — at real scale
+    a federated deployment points at pre-existing indexes (the
+    `FederatedSearcher` API takes any index), so this synthesis stage
+    is the toy stand-in, but it still streams."""
     if sf_dir not in _FED_CACHE:
-        import pyarrow.parquet as pq
-        src_path = os.path.join(sf_dir, "documents.parquet")
         members = []
         for part in range(FEDERATED_PARTS):
             tag = hashlib.sha256(f"{sf_dir}:fed{part}".encode()).hexdigest()[:12]
             index_dir = os.path.join("/tmp", "fsray_index_cache", tag)
-            part_src = index_dir + ".src.parquet"
-            if not os.path.exists(part_src):
-                t = pq.read_table(src_path)
-                mask = pc.equal(pc.bit_wise_and(t["doc_id"], FEDERATED_PARTS - 1),
-                                part)
-                os.makedirs(os.path.dirname(part_src), exist_ok=True)
-                pq.write_table(t.filter(mask), part_src, row_group_size=1024)
-            build_index([part_src], index_dir, DOCUMENTS,
+            part_dir = index_dir + ".src"
+            done = os.path.join(part_dir, "_done")
+            if not os.path.exists(done):
+                import shutil
+                shutil.rmtree(part_dir, ignore_errors=True)  # partial write
+                os.makedirs(part_dir, exist_ok=True)
+                def keep_part(b: pa.Table, _p=part) -> pa.Table:
+                    ids = b["doc_id"].to_numpy()
+                    return b.filter(pa.array(ids % FEDERATED_PARTS == _p))
+
+                (_docs_ds(sf_dir)
+                 .map_batches(keep_part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .repartition(2)
+                 .write_parquet(part_dir))
+                open(done, "w").write("ok")
+            part_files = sorted(
+                os.path.join(part_dir, f) for f in os.listdir(part_dir)
+                if f.endswith(".parquet"))
+            build_index(part_files, index_dir, DOCUMENTS,
                         BuildConfig(partition_rows=1024, num_shards=2,
                                     num_buckets=8))
             members.append((f"part{part}", LocalIndex(index_dir)))
