@@ -1434,7 +1434,10 @@ def bm25_calibrated(sf_dir: str) -> pa.Table:
 def ann_mmr(sf_dir: str) -> pa.Table:
     """MMR diversification (mmr.rs:103-250) over the distributed cosine
     candidate pool of query vector 0: greedy lambda=0.7 relevance/diversity
-    re-rank of the top-30 pool down to 10.  Output is selection order."""
+    re-rank of the top-30 pool down to 10.  Output is selection order.
+    EXACT oracle: the whole chain is f64, so a recursive-CTE greedy
+    (argmax of 0.7·rel − 0.3·max-sim-to-selected per step, tie → first
+    pool index) reproduces the selection sequence in SQL."""
     from fsray.fuse import MMR_CANDIDATE_POOL, mmr_rerank
     _, ids, sims, vecs = _semantic_pool(sf_dir, 0, MMR_CANDIDATE_POOL)
     sel = mmr_rerank(sims, vecs, MMR_K)
@@ -2696,6 +2699,7 @@ cosq AS (SELECT vec_id,
                 ELSE dot / (dn * (SELECT qd FROM qd2)) END AS cos
          FROM adc)"""
     mrl_pool = 3 * MRL_K  # MrlConfig.effective_rescore_top_k default
+    from fsray.fuse import MMR_CANDIDATE_POOL as MMR_CANDIDATE_POOL_SQL
 
     o["ann_mrl"] = f"""
 WITH {nel_cte},
@@ -2787,6 +2791,49 @@ SELECT doc_id, 'completed' AS status,
        doc_id % 3 AS priority,
        CAST({EMBED_QUEUE_DIM} AS BIGINT) AS n_dims
 FROM documents ORDER BY doc_id"""
+
+    # MMR: the chain is f64 end-to-end, so greedy selection reproduces in
+    # SQL as a recursive CTE (argmax per step; (1 − λ) spelled as DOUBLE
+    # subtraction — the DECIMAL-literal trap)
+    o["ann_mmr"] = f"""
+WITH RECURSIVE
+{nel_cte},
+qf AS (SELECT i, xn FROM nfull WHERE vec_id = 0),
+cos0 AS (SELECT f.vec_id, sum(f.xn * q.xn) AS cos
+         FROM nfull f JOIN qf q USING (i)
+         WHERE f.vec_id <> 0 GROUP BY f.vec_id),
+pool AS (SELECT vec_id, cos,
+                row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rn
+         FROM cos0 QUALIFY rn <= {MMR_CANDIDATE_POOL_SQL}),
+mmx AS (SELECT min(cos) AS mn, max(cos) - min(cos) AS rng FROM pool),
+rel AS (SELECT rn, vec_id,
+          CASE WHEN (SELECT rng FROM mmx) < 2.220446049250313e-16 THEN 1.0
+               ELSE (cos - (SELECT mn FROM mmx)) / (SELECT rng FROM mmx)
+          END AS rel
+        FROM pool),
+pc2 AS (SELECT a.rn AS ri, b.rn AS rj, sum(fa.xn * fb.xn) AS cos
+        FROM pool a JOIN pool b ON a.rn <> b.rn
+        JOIN nfull fa ON fa.vec_id = a.vec_id
+        JOIN nfull fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+        GROUP BY a.rn, b.rn),
+sel AS (
+  SELECT 1 AS rank,
+         (SELECT rn FROM rel ORDER BY rel DESC, rn ASC LIMIT 1) AS pick_rn,
+         [(SELECT rn FROM rel ORDER BY rel DESC, rn ASC LIMIT 1)] AS picked
+  UNION ALL
+  SELECT s.rank + 1, nxt.rn, list_append(s.picked, nxt.rn)
+  FROM sel s, LATERAL (
+     SELECT r.rn,
+            CAST(0.7 AS DOUBLE) * r.rel
+            - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+              * (SELECT max(p.cos) FROM pc2 p
+                 WHERE p.ri = r.rn AND list_contains(s.picked, p.rj)) AS mmr
+     FROM rel r WHERE NOT list_contains(s.picked, r.rn)
+     ORDER BY mmr DESC, r.rn ASC LIMIT 1) nxt
+  WHERE s.rank < {MMR_K}
+)
+SELECT CAST(s.rank AS BIGINT) AS rank, p.vec_id AS doc_id
+FROM sel s JOIN pool p ON p.rn = s.pick_rn ORDER BY s.rank"""
 
     # REAL decode roundtrips: synthesis rules are closed-form in doc_id,
     # the engine decodes actual P6/WAVE bytes
