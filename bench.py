@@ -150,6 +150,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_ann_recall_certificate", P.ann_recall_certificate),
         ("x_progressive_search", P.progressive_search_pipeline),
         ("x_embed_queue_drain", P.embed_queue_drain),
+        ("x_multimodal_image_decode", P.multimodal_image_decode),
+        ("x_multimodal_audio_decode", P.multimodal_audio_decode),
     ]:
         t0 = time.perf_counter()
         fn(sf_dir)

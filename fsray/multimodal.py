@@ -282,6 +282,73 @@ class DecodeAudio:
         })
 
 
+class ExtractImageFeatures:
+    """Actor-pool REAL image feature extraction for Netpbm payloads:
+    grayscale 8×8 nearest-neighbor thumbnail, unit-scaled to [0, 1] —
+    a genuine 64-dim visual descriptor (the classic perceptual-hash
+    front half), no model runtime required."""
+
+    def __init__(self, thumb: int = 8):
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        feats = []
+        for i in range(len(payloads)):
+            d = decode_ppm(payloads[i].as_py())
+            px = d["pixels"]
+            if px.ndim == 3:  # luma: plain channel mean (uint16-safe)
+                px = (px.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+            tn = resize_nearest(px, self.thumb, self.thumb)
+            feats.append((tn.astype(np.float32) / np.float32(255.0)).ravel())
+        dim = self.thumb * self.thumb
+        offsets = pa.array(np.arange(0, (len(feats) + 1) * dim, dim,
+                                     dtype=np.int32))
+        values = pa.array(np.concatenate(feats) if feats
+                          else np.zeros(0, np.float32), type=pa.float32())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "features": pa.ListArray.from_arrays(offsets, values),
+        })
+
+
+class AudioFrames:
+    """Actor-pool REAL audio frame sampling for RIFF/WAVE payloads: fixed
+    sample-count windows with genuine per-window RMS energy and sample
+    offsets read from the decoded stream — the flat_map-shaped stage
+    (one payload row → many frame rows), real end-to-end."""
+
+    def __init__(self, frame_samples: int = 256):
+        if frame_samples <= 0:
+            raise ValueError("frame_samples must be positive")
+        self.frame_samples = frame_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        ids = batch["media_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_id, out_frame, out_off, out_n, out_rms = [], [], [], [], []
+        for i in range(len(payloads)):
+            d = decode_wav(payloads[i].as_py())
+            s = d["samples"]
+            if s.ndim > 1:
+                s = s.mean(axis=1)  # downmix for the energy census
+            s = s.astype(np.float64)
+            for f, lo in enumerate(range(0, len(s), self.frame_samples)):
+                seg = s[lo:lo + self.frame_samples]
+                out_id.append(int(ids[i]))
+                out_frame.append(f)
+                out_off.append(lo)
+                out_n.append(len(seg))
+                out_rms.append(float(np.sqrt(np.mean(seg * seg))))
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame": pa.array(out_frame, type=pa.int64()),
+            "sample_offset": pa.array(out_off, type=pa.int64()),
+            "n_samples": pa.array(out_n, type=pa.int64()),
+            "rms": pa.array(out_rms, type=pa.float64()),
+        })
+
+
 def text_as_media_batch(batch: pa.Table, text_column: str = "text",
                         id_column: str = "doc_id") -> pa.Table:
     """Adapter for tests/driver lane: utf-8 bytes of a text column as an

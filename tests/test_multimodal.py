@@ -107,6 +107,34 @@ def test_decode_audio_stage_emits_exact_energy():
     assert out["sample_rate"].to_pylist() == [44100]
 
 
+def test_extract_image_features_real_thumbnail():
+    from fsray.multimodal import ExtractImageFeatures
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[8:, :, :] = 255  # bottom half white
+    out = ExtractImageFeatures(thumb=8)(_media_batch([encode_ppm(img)]))
+    feats = np.asarray(out["features"][0].as_py(), dtype=np.float32)
+    assert feats.shape == (64,)
+    grid = feats.reshape(8, 8)
+    assert np.all(grid[:4] == 0.0) and np.all(grid[4:] == 1.0)
+    # grayscale payloads go straight through
+    out = ExtractImageFeatures(thumb=8)(_media_batch(
+        [encode_ppm(np.full((8, 8), 51, dtype=np.uint8))]))
+    assert np.allclose(out["features"][0].as_py(), 51 / 255)
+
+
+def test_audio_frames_real_windows():
+    from fsray.multimodal import AudioFrames
+    s = np.concatenate([np.full(256, 100, dtype=np.int16),
+                        np.full(100, -200, dtype=np.int16)])
+    out = AudioFrames(frame_samples=256)(_media_batch([encode_wav(s, 8000)]))
+    assert out["frame"].to_pylist() == [0, 1]
+    assert out["sample_offset"].to_pylist() == [0, 256]
+    assert out["n_samples"].to_pylist() == [256, 100]
+    assert out["rms"].to_pylist() == [100.0, 200.0]  # exact for constants
+    with pytest.raises(ValueError, match="frame_samples"):
+        AudioFrames(frame_samples=0)
+
+
 def test_stub_contract_unchanged_for_absent_codecs():
     with pytest.raises(NotImplementedError, match="stub contract"):
         DecodeMedia(fake=False)
