@@ -98,6 +98,79 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_status(args: argparse.Namespace) -> int:
+    """Index health summary (the fsfs ``status`` surface adapted to this
+    engine): manifest stats, shard layout, tombstone census, on-disk
+    footprint, the staleness sentinel verdict, and — when a job-queue
+    state dir is given — queue depth/backpressure."""
+    import os
+    import time
+    from datetime import datetime, timezone
+
+    from fsray.emit import (OutputEnvelope, OutputError, OutputMeta,
+                            emit_envelope_string)
+
+    t0 = time.perf_counter()
+    ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    meta = OutputMeta(command="status", format=args.format)
+
+    def _emit(env):
+        out = emit_envelope_string(env, args.format)
+        sys.stdout.write(out if out.endswith("\n") else out + "\n")
+
+    from fsray.manifest import load_manifest
+    manifest = load_manifest(args.index_dir)
+    if manifest is None:
+        meta.duration_ms = int((time.perf_counter() - t0) * 1000)
+        err = OutputError("index_not_found",
+                          f"no manifest in {args.index_dir}", exit_code=1,
+                          suggestion="build one with python -m fsray.cli "
+                                     "build --index-dir " + args.index_dir)
+        _emit(OutputEnvelope.failure(err, meta, ts))
+        return 1
+    shards = manifest.get("shards", {})
+    tombs = manifest.get("tombstones", {})
+    n_files = total_bytes = 0
+    for dirpath, _dirs, files in os.walk(args.index_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_files += 1
+                total_bytes += os.path.getsize(os.path.join(dirpath, f))
+    status = {
+        "index_dir": args.index_dir,
+        "doc_count": manifest.get("doc_count"),
+        "build_id": manifest.get("build_id"),
+        "generation": manifest.get("generation", 0),
+        "n_shards": len(shards),
+        "n_fields": len(manifest.get("fields", [])),
+        "fields": [f["name"] for f in manifest.get("fields", [])],
+        "avgdl": manifest.get("avgdl"),
+        "tombstoned_docs": sum(len(v) for v in tombs.values()),
+        "parquet_files": n_files,
+        "parquet_bytes": total_bytes,
+    }
+    from fsray.serving import SENTINEL_FILENAME
+    sentinel = os.path.join(args.index_dir, SENTINEL_FILENAME)
+    if os.path.exists(sentinel):
+        with open(sentinel) as f:
+            status["sentinel"] = json.load(f)
+    else:
+        status["sentinel"] = None  # conservative: no freshness witness
+    if args.queue_dir:
+        from fsray.jobqueue import EmbeddingJobQueue
+        q = EmbeddingJobQueue(args.queue_dir)
+        d = q.queue_depth()
+        status["queue"] = {
+            "pending": d.pending, "ready_pending": d.ready_pending,
+            "processing": d.processing, "completed": d.completed,
+            "failed": d.failed, "skipped": d.skipped,
+            "backpressured": q.is_backpressured(),
+        }
+    meta.duration_ms = int((time.perf_counter() - t0) * 1000)
+    _emit(OutputEnvelope.success(status, meta, ts))
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     import os
     os.environ["GRAFT_SF_DIR"] = args.sf_dir
@@ -155,6 +228,16 @@ def main(argv: list[str] | None = None) -> int:
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     be.set_defaults(fn=cmd_bench)
+
+    st = sub.add_parser("status", help="index health summary (manifest "
+                                       "stats, tombstones, footprint, "
+                                       "staleness sentinel, queue depth)")
+    st.add_argument("--index-dir", required=True)
+    st.add_argument("--queue-dir", default=None,
+                    help="optional embedding job-queue state dir to report")
+    st.add_argument("--format", choices=["json", "jsonl", "toon", "table",
+                                         "csv"], default="json")
+    st.set_defaults(fn=cmd_status)
 
     g = sub.add_parser("gc", help="grace-window garbage sweep of a "
                                   "published index directory")

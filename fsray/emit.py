@@ -475,8 +475,8 @@ def render_search_table(payload: SearchPayload,
     total_ms = duration_ms or 0
     if not payload.hits:
         out.append(f"No results for \"{payload.query}\". Try broadening "
-                   f"your search or rebuilding the index with "
-                   f"python -m fsray.cli build.")
+                   f"your search or checking the index with "
+                   f"python -m fsray.cli status.")
         out.append(f"{payload.returned_hits} results in {total_ms}ms")
         return "\n".join(out) + "\n"
     for hit in payload.hits:

@@ -1,0 +1,53 @@
+"""CLI surface smoke laws: the status subcommand's envelope (success
+fields, queue reporting, typed index-not-found failure) in a fresh
+process — the real user entry path."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    return subprocess.run([sys.executable, "-m", "fsray.cli", *args],
+                          capture_output=True, text=True, cwd=REPO,
+                          timeout=120)
+
+
+def test_status_reports_index_health(ray_session):
+    from fsray.pipelines import documents_index
+    idx = documents_index("/root/testdata/sf0.001")
+    out = run_cli("status", "--index-dir", idx.index_dir)
+    assert out.returncode == 0, out.stderr
+    env = json.loads(out.stdout)
+    assert env["ok"] is True and env["meta"]["command"] == "status"
+    d = env["data"]
+    assert d["doc_count"] == 500
+    assert d["parquet_files"] > 0 and d["parquet_bytes"] > 0
+    assert d["fields"] == ["content", "src_kw"]
+    assert d["tombstoned_docs"] == 0
+
+
+def test_status_reports_queue_depth(ray_session, tmp_path):
+    from fsray.jobqueue import EmbeddingJobQueue, JobQueueConfig
+    from fsray.pipelines import documents_index
+    idx = documents_index("/root/testdata/sf0.001")
+    q = EmbeddingJobQueue(str(tmp_path / "q"), JobQueueConfig(),
+                          now_ms=lambda: 1_000)
+    q.enqueue("d1", "m", "a" * 64, 0)
+    out = run_cli("status", "--index-dir", idx.index_dir,
+                  "--queue-dir", str(tmp_path / "q"))
+    env = json.loads(out.stdout)
+    assert env["data"]["queue"]["pending"] == 1
+    assert env["data"]["queue"]["backpressured"] is False
+
+
+def test_status_missing_index_typed_failure():
+    out = run_cli("status", "--index-dir", "/nonexistent/idx")
+    assert out.returncode == 1
+    env = json.loads(out.stdout)
+    assert env["ok"] is False
+    assert env["error"]["code"] == "index_not_found"
+    assert "fsray.cli build" in env["error"]["suggestion"]
