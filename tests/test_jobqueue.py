@@ -297,6 +297,30 @@ def test_document_existence_gate(tmp_path):
         q.enqueue("unknown", "m", H1, 0)
 
 
+def test_round_robin_multi_worker_claims_never_double_assign(q):
+    """job_queue.rs:1965-2023/2024-2107: many workers claiming through
+    the ONE shared instance (the single-instance law) never receive the
+    same job, and the union of their claims drains the queue exactly."""
+    n = 50
+    q.enqueue_batch([(f"d{i}", "m", H1, i % 5) for i in range(n)])
+    q.clock.t += 100
+    seen: set[int] = set()
+    workers = [f"w{k}" for k in range(4)]
+    rr = 0
+    while True:
+        claims = q.claim_batch(workers[rr % 4], 7)
+        rr += 1
+        if not claims:
+            break
+        ids = {c.job_id for c in claims}
+        assert not ids & seen, "double assignment"
+        seen |= ids
+        for c in claims:
+            q.complete(c.job_id)
+    assert len(seen) == n
+    assert q.queue_depth().completed == n
+
+
 def test_batch_writes_single_commit(tmp_path, monkeypatch):
     """batch_writes defers to ONE manifest write at scope exit (the
     per-transition rewrite was O(N²) bytes); nested scopes don't

@@ -83,6 +83,34 @@ def test_wav_refuses_unsupported_depth():
         decode_wav(buf.getvalue())
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.booleans(),
+       st.integers(0, 2**32 - 1))
+def test_ppm_roundtrip_property(h, w, rgb, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    d = decode_ppm(encode_ppm(px))
+    assert np.array_equal(d["pixels"], px)
+    assert (d["width"], d["height"]) == (w, h)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 2000), st.sampled_from([8000, 16000, 44100]),
+       st.booleans(), st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_property(n, rate, stereo, seed):
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    s = rng.integers(-32768, 32768, shape).astype(np.int16)
+    d = decode_wav(encode_wav(s, rate))
+    assert np.array_equal(d["samples"], s)
+    assert (d["sample_rate"], d["n_samples"]) == (rate, n)
+
+
 def _media_batch(payloads):
     return pa.table({
         "media_id": pa.array(range(len(payloads)), type=pa.int64()),
