@@ -158,6 +158,17 @@ def cmd_status(args: argparse.Namespace) -> int:
         status["sentinel"] = None  # conservative: no freshness witness
     if args.queue_dir:
         from fsray.jobqueue import EmbeddingJobQueue
+        qpath = os.path.join(args.queue_dir, EmbeddingJobQueue.STATE_FILE)
+        if not os.path.exists(qpath):
+            # status is READ-ONLY: constructing a queue would create the
+            # directory and an empty manifest, masking a typo'd path
+            meta.duration_ms = int((time.perf_counter() - t0) * 1000)
+            err = OutputError("queue_not_found",
+                              f"no queue manifest at {qpath}", exit_code=1,
+                              suggestion="check --queue-dir points at an "
+                                         "existing queue state directory")
+            _emit(OutputEnvelope.failure(err, meta, ts))
+            return 1
         q = EmbeddingJobQueue(args.queue_dir)
         d = q.queue_depth()
         status["queue"] = {

@@ -159,11 +159,16 @@ class DocumentStore:
         return outcome != "unchanged"
 
     def upsert_batch(self, docs: list[DocumentRecord]) -> dict:
+        # validate EVERY record before applying ANY (the reference runs
+        # the batch under one transaction, document.rs:459-505 — a
+        # mid-batch validation failure must not leave a half-applied
+        # in-memory state for a later persist to commit)
         seen = set()
         for d in docs:
             _require(d.doc_id not in seen, "conflict",
                      f"duplicate doc_id in batch payload: {d.doc_id}")
             seen.add(d.doc_id)
+            d.validate()
         result = {"inserted": 0, "updated": 0, "unchanged": 0}
         for d in docs:
             result[self._upsert_inner(d)] += 1
@@ -270,6 +275,4 @@ class DocumentStore:
         return enqueue_stale_documents(queue, embedder_id, stale, priority)
 
 
-def _wall_ms() -> int:
-    import time
-    return int(time.time() * 1000)
+from fsray.jobqueue import _wall_ms  # noqa: E402  (shared clock source)

@@ -163,6 +163,36 @@ class EmbeddingJobQueue:
             self._jobs: dict[int, dict] = {}
             self._next_id = 1
             self._persist()
+        # (doc_id, embedder_id) → {job_id} for ACTIVE (pending/processing)
+        # rows: every twin law reads this index instead of scanning all
+        # jobs (an N-job enqueue+drain was O(N²) Python otherwise)
+        self._active: dict[tuple, set[int]] = {}
+        for jid, j in self._jobs.items():
+            if j["status"] in (PENDING, PROCESSING):
+                self._active.setdefault(
+                    (j["doc_id"], j["embedder_id"]), set()).add(jid)
+
+    # -- active-twin index -------------------------------------------------
+
+    def _idx_add(self, jid: int) -> None:
+        j = self._jobs[jid]
+        self._active.setdefault((j["doc_id"], j["embedder_id"]), set()).add(jid)
+
+    def _idx_drop(self, jid: int, j: dict) -> None:
+        s = self._active.get((j["doc_id"], j["embedder_id"]))
+        if s is not None:
+            s.discard(jid)
+            if not s:
+                del self._active[(j["doc_id"], j["embedder_id"])]
+
+    def _active_jobs(self, doc_id: str, embedder_id: str,
+                     status: str | None = None) -> list[tuple[int, dict]]:
+        out = []
+        for jid in self._active.get((doc_id, embedder_id), ()):
+            j = self._jobs[jid]
+            if status is None or j["status"] == status:
+                out.append((jid, j))
+        return out
 
     # -- persistence -------------------------------------------------------
 
@@ -214,20 +244,16 @@ class EmbeddingJobQueue:
             raise QueueError("not_found", f"documents: {doc_id}")
         if is_hash_embedder(embedder_id):
             return HASH_EMBEDDER_SKIPPED
-        active = [j for j in self._jobs.values()
-                  if j["doc_id"] == doc_id and j["embedder_id"] == embedder_id
-                  and j["status"] in (PENDING, PROCESSING)]
-        for j in active:
+        active = self._active_jobs(doc_id, embedder_id)
+        for _, j in active:
             if j.get("content_hash") == content_hash:
                 return DEDUPLICATED
         replaced = False
         if active:
             # changed content: drop the (stale) pending twin; a processing
             # twin keeps running and resolves via the supersede laws
-            for jid in [k for k, j in self._jobs.items()
-                        if j["doc_id"] == doc_id
-                        and j["embedder_id"] == embedder_id
-                        and j["status"] == PENDING]:
+            for jid, j in self._active_jobs(doc_id, embedder_id, PENDING):
+                self._idx_drop(jid, j)
                 del self._jobs[jid]
             replaced = True
         self._jobs[self._next_id] = {
@@ -238,6 +264,7 @@ class EmbeddingJobQueue:
             "content_hash": content_hash, "worker_id": None,
             "started_at": None, "completed_at": None, "error_message": None,
         }
+        self._idx_add(self._next_id)
         self._next_id += 1
         return REPLACED if replaced else INSERTED
 
@@ -253,6 +280,13 @@ class EmbeddingJobQueue:
         """jobs: [(doc_id, embedder_id, content_hash, priority)].
         Per-job submitted_at = base + index (stable FIFO within a
         batch, job_queue.rs:283-292)."""
+        # validate EVERY request before applying ANY (the reference
+        # runs the whole batch under one transaction, job_queue.rs:283)
+        for doc_id, embedder_id, _h, _p in jobs:
+            _ensure_non_empty(doc_id, "doc_id")
+            _ensure_non_empty(embedder_id, "embedder_id")
+            if self._document_exists is not None                     and not self._document_exists(doc_id):
+                raise QueueError("not_found", f"documents: {doc_id}")
         summary = {INSERTED: 0, REPLACED: 0, DEDUPLICATED: 0,
                    HASH_EMBEDDER_SKIPPED: 0}
         base = self._now_ms()
@@ -279,16 +313,20 @@ class EmbeddingJobQueue:
             return []
         now = self._now_ms()
         limit = min(batch_size, self.config.batch_size)
-        processing_twins = {(j["doc_id"], j["embedder_id"])
-                            for j in self._jobs.values()
-                            if j["status"] == PROCESSING}
         ready = [(jid, j) for jid, j in self._jobs.items()
-                 if j["status"] == PENDING and j["submitted_at"] <= now
-                 and (j["doc_id"], j["embedder_id"]) not in processing_twins]
+                 if j["status"] == PENDING and j["submitted_at"] <= now]
         ready.sort(key=lambda kv: (-kv[1]["priority"], kv[1]["submitted_at"],
                                    kv[0]))
         claimed = []
-        for jid, j in ready[:limit]:
+        for jid, j in ready:
+            if len(claimed) >= limit:
+                break
+            # LIVE twin check: a claim earlier in this very batch counts
+            # (a stale snapshot would double-assign pending twins — e.g.
+            # after resurrect_terminal_failures races a re-enqueue)
+            if any(x["status"] == PROCESSING for _, x in
+                   self._active_jobs(j["doc_id"], j["embedder_id"])):
+                continue
             j["status"] = PROCESSING
             j["started_at"] = now
             j["worker_id"] = worker_id
@@ -329,6 +367,7 @@ class EmbeddingJobQueue:
     def complete(self, job_id: int) -> None:
         j = self._load_processing(job_id)
         self._drop_twin(j["doc_id"], j["embedder_id"], COMPLETED, job_id)
+        self._idx_drop(job_id, j)
         j["status"] = COMPLETED
         j["completed_at"] = self._now_ms()
         j["worker_id"] = None
@@ -348,14 +387,15 @@ class EmbeddingJobQueue:
             self._drop_twin(j["doc_id"], j["embedder_id"], FAILED, job_id)
             j.update(status=FAILED, retry_count=retry_count,
                      completed_at=now, error_message=error, worker_id=None)
+            self._idx_drop(job_id, j)
             self.metrics.total_failed += 1
             self._persist()
             return {"kind": "terminal_failed", "retry_count": retry_count}
-        pending_twin = any(
-            x["doc_id"] == j["doc_id"] and x["embedder_id"] == j["embedder_id"]
-            and x["status"] == PENDING for x in self._jobs.values())
+        pending_twin = bool(self._active_jobs(j["doc_id"], j["embedder_id"],
+                                              PENDING))
         if pending_twin:
             # superseded by a newer pending job: never retry the old one
+            self._idx_drop(job_id, j)
             del self._jobs[job_id]
             self.metrics.total_failed += 1
             self._persist()
@@ -381,6 +421,7 @@ class EmbeddingJobQueue:
                 "conflict",
                 f"job {job_id} cannot be skipped from status {j['status']}")
         self._drop_twin(j["doc_id"], j["embedder_id"], SKIPPED, job_id)
+        self._idx_drop(job_id, j)
         j.update(status=SKIPPED, completed_at=self._now_ms(),
                  worker_id=None, error_message=reason)
         self.metrics.total_skipped += 1
@@ -400,11 +441,10 @@ class EmbeddingJobQueue:
                  and (j["started_at"] is None or j["started_at"] <= cutoff)]
         reclaimed = 0
         for jid, j in stale:
-            pending_twin = any(
-                x["doc_id"] == j["doc_id"]
-                and x["embedder_id"] == j["embedder_id"]
-                and x["status"] == PENDING for x in self._jobs.values())
+            pending_twin = bool(self._active_jobs(j["doc_id"],
+                                                  j["embedder_id"], PENDING))
             if pending_twin:
+                self._idx_drop(jid, j)
                 del self._jobs[jid]
             else:
                 j.update(status=PENDING, submitted_at=now, started_at=None,
@@ -421,11 +461,19 @@ class EmbeddingJobQueue:
         fresh retry budget (job_queue.rs:821-860)."""
         now = self._now_ms()
         n = 0
-        for j in self._jobs.values():
-            if j["embedder_id"] == embedder_id and j["status"] == FAILED:
-                j.update(status=PENDING, retry_count=0, error_message=None,
-                         started_at=None, submitted_at=now)
-                n += 1
+        for jid, j in list(self._jobs.items()):
+            if j["embedder_id"] != embedder_id or j["status"] != FAILED:
+                continue
+            if self._active_jobs(j["doc_id"], embedder_id):
+                # a newer pending/processing twin supersedes the failed
+                # row — resurrecting it would create a duplicate active
+                # job for the same (doc, embedder) (the unique-pending
+                # invariant the reference enforces via its index)
+                continue
+            j.update(status=PENDING, retry_count=0, error_message=None,
+                     started_at=None, submitted_at=now)
+            self._idx_add(jid)
+            n += 1
         if n:
             self._persist()
         return n

@@ -344,18 +344,22 @@ def hash_tier_embedder(dimension: int = 256) -> EmbedderAdapter:
     """The always-available tier — the reference's own designated
     fallback (DIV-R07)."""
     from fsray.embed import HashEmbedder
+    # id carries the pinned "fnv1a-" hash-tier prefix so the job queue's
+    # is_hash_embedder() recognizes it (hash tiers never queue —
+    # job_queue.rs:1049-1053); a mismatched id would queue async jobs
+    # for the synchronous tier
     return EmbedderAdapter(
-        HashEmbedder(dimension=dimension), embedder_id=f"fnv-hash-{dimension}",
+        HashEmbedder(dimension=dimension), embedder_id=f"fnv1a-{dimension}",
         model_name="fnv1a-hash", revision="v1", semantic=False,
         category="hash")
 
 
-def load_model_embedder(model_dir: str) -> EmbedderAdapter:
-    """Verify pinned artifacts, then construct the model-tier embedder.
-    The inference RUNTIME is absent in this environment, so after the
-    (real) verification gate this raises ``ModelUnavailable`` unless an
-    ``onnxruntime`` import succeeds — the load path, cache layout and
-    manifest laws stay fully testable against fake weights."""
+def _verify_and_probe(model_dir: str, what: str) -> ModelArtifactManifest:
+    """The shared fail-closed load gate: verify pinned artifacts, then
+    probe for an inference runtime.  Raises ``ModelUnavailable`` with
+    the typed reason at whichever step fails — one implementation for
+    both the embedder and reranker ladders so the gates cannot
+    drift."""
     manifest = load_manifest(model_dir)
     verify_artifacts(model_dir, manifest)
     try:
@@ -365,8 +369,17 @@ def load_model_embedder(model_dir: str) -> EmbedderAdapter:
             f"verified artifacts for {manifest.model_id} but no inference "
             f"runtime is available in this environment") from None
     raise ModelUnavailable(
-        f"model-tier inference for {manifest.model_id} not wired "
+        f"{what} inference for {manifest.model_id} not wired "
         f"(DIV-R07)")  # pragma: no cover — unreachable without a runtime
+
+
+def load_model_embedder(model_dir: str) -> EmbedderAdapter:
+    """Verify pinned artifacts, then construct the model-tier embedder.
+    The inference RUNTIME is absent in this environment, so after the
+    (real) verification gate this raises ``ModelUnavailable`` — the
+    load path, cache layout and manifest laws stay fully testable
+    against fake weights."""
+    _verify_and_probe(model_dir, "model-tier")
 
 
 def resolve_embedder(model_dir: str | None,
@@ -393,17 +406,7 @@ def resolve_reranker(model_dir: str | None) -> tuple[object, str | None]:
     if model_dir is None:
         return HashReranker(), "no_model_configured"
     try:
-        manifest = load_manifest(model_dir)
-        verify_artifacts(model_dir, manifest)
-        try:
-            import onnxruntime  # noqa: F401
-        except ImportError:
-            raise ModelUnavailable(
-                f"verified artifacts for {manifest.model_id} but no "
-                f"inference runtime is available in this environment"
-            ) from None
-        raise ModelUnavailable(
-            f"cross-encoder inference for {manifest.model_id} not wired "
-            f"(DIV-R07)")  # pragma: no cover — unreachable without a runtime
+        _verify_and_probe(model_dir, "cross-encoder")
+        raise AssertionError("unreachable")  # pragma: no cover
     except ModelUnavailable as e:
         return HashReranker(), str(e)

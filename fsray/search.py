@@ -846,7 +846,9 @@ class ShardSearcherActor:
         # driver reports the summed consumption; FuelExhausted
         # propagates to the caller as the actor task's typed error
         from fsray.fuel import QueryFuel
-        fuel = QueryFuel(fuel_budget) if fuel_budget else None
+        # None disables accounting; 0/negative REJECTS (the zero-budget
+        # config law) — `if fuel_budget` would silently disable instead
+        fuel = None if fuel_budget is None else QueryFuel(fuel_budget)
         t = self.shard.topk(specs, k, dtype=dtype, mode=mode,
                             range_specs=range_specs, tree=tree,
                             match_all=match_all,

@@ -297,6 +297,51 @@ def test_document_existence_gate(tmp_path):
         q.enqueue("unknown", "m", H1, 0)
 
 
+def test_resurrect_skips_rows_with_an_active_twin(tmp_path):
+    """A terminally-failed row whose (doc, embedder) has since been
+    re-enqueued must NOT resurrect: flipping it back to pending would
+    create a second active twin and claim_batch could assign both —
+    embedding the doc twice, once with the STALE content hash."""
+    clock = Clock()
+    q = EmbeddingJobQueue(str(tmp_path), JobQueueConfig(max_retries=0),
+                          now_ms=clock)
+    q.enqueue("doc1", "m", H1, 0)
+    clock.t += 10
+    [c] = q.claim_batch("w", 1)
+    assert q.fail(c.job_id, "down")["kind"] == "terminal_failed"
+    q.enqueue("doc1", "m", H2, 0)  # newer content re-enqueued
+    assert q.resurrect_terminal_failures("m") == 0  # superseded: skipped
+    clock.t += 10
+    claims = q.claim_batch("w", 10)
+    assert len(claims) == 1 and claims[0].content_hash == H2
+    # an un-superseded failed row still resurrects
+    q2 = EmbeddingJobQueue(str(tmp_path / "q2"), JobQueueConfig(max_retries=0),
+                           now_ms=clock)
+    q2.enqueue("solo", "m", H1, 0)
+    clock.t += 10
+    [c] = q2.claim_batch("w", 1)
+    q2.fail(c.job_id, "down")
+    assert q2.resurrect_terminal_failures("m") == 1
+
+
+def test_enqueue_batch_is_atomic_on_partial_failure(tmp_path):
+    """job_queue.rs:1768-1791: a validation failure anywhere in the
+    batch applies NOTHING — no half-applied state waits for a later
+    persist to commit it."""
+    clock = Clock()
+    q = EmbeddingJobQueue(str(tmp_path), JobQueueConfig(), now_ms=clock,
+                          document_exists=lambda d: d != "ghost")
+    with pytest.raises(QueueError, match="not_found"):
+        q.enqueue_batch([("a", "m", H1, 0), ("ghost", "m", H1, 0)])
+    with pytest.raises(QueueError, match="validation"):
+        q.enqueue_batch([("b", "m", H1, 0), ("", "m", H1, 0)])
+    assert q.jobs_snapshot() == []
+    assert q.metrics.total_enqueued == 0
+    # replay from disk confirms nothing was committed either
+    q2 = EmbeddingJobQueue(str(tmp_path), JobQueueConfig(), now_ms=clock)
+    assert q2.jobs_snapshot() == []
+
+
 def test_round_robin_multi_worker_claims_never_double_assign(q):
     """job_queue.rs:1965-2023/2024-2107: many workers claiming through
     the ONE shared instance (the single-instance law) never receive the

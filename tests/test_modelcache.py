@@ -122,7 +122,7 @@ def test_hash_embedder_conforms_to_protocol():
     e = hash_tier_embedder(64)
     assert isinstance(e, Embedder)
     assert e.dimension == 64
-    assert e.id() == "fnv-hash-64"
+    assert e.id() == "fnv1a-64"
     assert e.is_semantic() is False and e.is_ready() is True
     assert e.category() == "hash" and e.tier() == "fast"
     # adapter output identical to the wrapped core
@@ -134,7 +134,7 @@ def test_hash_embedder_conforms_to_protocol():
 def test_embed_bound_carries_identity_and_fail_closes():
     e = hash_tier_embedder(32)
     b = e.embed_bound("hello")
-    assert b.identity.embedder_id == "fnv-hash-32"
+    assert b.identity.embedder_id == "fnv1a-32"
     assert b.identity.dimension == 32 and len(b.values) == 32
     batch = e.embed_texts_bound(["a", "b"])
     assert len(batch) == 2
