@@ -639,3 +639,46 @@ def cosine_pairs_block(ids_block: np.ndarray, block: np.ndarray,
     order = np.lexsort((b[keep], a[keep]))
     return pa.table({"a": pa.array(a[keep][order], type=pa.int64()),
                      "b": pa.array(b[keep][order], type=pa.int64())})
+
+
+def keep_decisions(pair_a: np.ndarray, pair_b: np.ndarray,
+                   all_ids: np.ndarray) -> pa.Table:
+    """Per-document keep/drop decisions from a near-duplicate pair set:
+    connected components over the dup graph (vectorized union-find with
+    path halving), keep = the MIN doc id of each component — the same
+    keep-first rule the exact-dedup lane applies per hash group
+    (content_hash.rs keep-min), lifted to transitive near-dup clusters.
+
+    This is the operator shape a 100 TB dedup actually emits: O(N)
+    keep/drop rows, not O(pairs) — pair lanes are the evidence, this is
+    the decision.  Returns (doc_id, keep, kept_as) sorted by doc_id,
+    where ``kept_as`` is the component representative every member maps
+    to (== doc_id for kept docs)."""
+    all_ids = np.asarray(all_ids, dtype=np.int64)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    parent = np.arange(len(uniq), dtype=np.int64)
+    a = np.searchsorted(uniq, np.asarray(pair_a, dtype=np.int64))
+    b = np.searchsorted(uniq, np.asarray(pair_b, dtype=np.int64))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for i in range(len(a)):
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra != rb:
+            # union by MIN root: the representative is always the
+            # smallest doc id seen so far, so no second pass is needed
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    roots = np.array([find(int(i)) for i in range(len(uniq))], dtype=np.int64)
+    kept_as = uniq[roots][inv]
+    keep = kept_as == all_ids
+    order = np.argsort(all_ids, kind="stable")
+    return pa.table({
+        "doc_id": pa.array(all_ids[order], type=pa.int64()),
+        "keep": pa.array(keep[order], type=pa.bool_()),
+        "kept_as": pa.array(kept_as[order], type=pa.int64()),
+    })

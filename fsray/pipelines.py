@@ -877,6 +877,25 @@ def dedup_embedding_lsh(sf_dir: str) -> pa.Table:
                      "b": pa.array(out["b"].astype("int64"), type=pa.int64())})
 
 
+def dedup_near_keep(sf_dir: str) -> pa.Table:
+    """Per-vector keep/drop DECISIONS from the exact embedding near-dup
+    pair set: connected components over the τ-cosine dup graph, keep =
+    min vec_id per component (the exact-dedup keep-first rule lifted to
+    transitive clusters).  This is the operator a 100 TB dedup actually
+    emits — O(N) decisions, not O(pairs); the pair lanes are the
+    evidence, this is the verdict.  EXACT oracle: the same pair set is
+    SQL-computable and a recursive CTE converges each vector to its
+    component minimum."""
+    import pyarrow.parquet as pq
+
+    from fsray.dedup import keep_decisions
+    pairs = dedup_embedding_cosine(sf_dir)
+    ids = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id"])["vec_id"].to_numpy()
+    return keep_decisions(pairs["a"].to_numpy(), pairs["b"].to_numpy(),
+                          ids.astype(np.int64))
+
+
 # ---------------------------------------------------------------------------
 # similarity search lane
 
@@ -2292,6 +2311,7 @@ def make_queries() -> dict:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_near_keep": dedup_near_keep,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
@@ -2518,6 +2538,25 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_TAU}
 ORDER BY a, b"""
+
+    # keep/drop decisions: transitive closure over the same exact pair
+    # set; each vector's representative is its component minimum
+    o["dedup_near_keep"] = f"""
+WITH RECURSIVE
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_TAU}),
+edges AS (SELECT a AS x, b AS y FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+reach(x, y) AS (
+    SELECT x, y FROM edges
+    UNION
+    SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+comp AS (SELECT e.vec_id AS doc_id,
+                LEAST(e.vec_id, COALESCE(min(r.y), e.vec_id)) AS kept_as
+         FROM embeddings e LEFT JOIN reach r ON r.x = e.vec_id
+         GROUP BY e.vec_id)
+SELECT doc_id, kept_as = doc_id AS keep, kept_as FROM comp ORDER BY doc_id"""
 
     ann_ids = ",".join(str(i) for i in ANN_QUERY_IDS)
     o["ann_bruteforce"] = f"""

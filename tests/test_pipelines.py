@@ -240,3 +240,39 @@ def test_rerank_search_rrf_properties():
     # RRF veto: the #1 result must sit in the upper half of the
     # retrieval window (1/(k+pre) caps how far rerank alone lifts it)
     assert pre_rank[out["doc_id"].iloc[0]] < RERANK_WINDOW // 2
+
+
+def test_keep_decisions_union_find_laws():
+    """Connected-component keep/drop: transitive chains collapse to one
+    component, keep = min id, isolated docs keep themselves."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fsray.dedup import keep_decisions
+    ids = np.array([1, 2, 3, 5, 7, 9])
+    # chain 3-2, 2-7 and pair 5-9: components {2,3,7}, {5,9}, {1}
+    t = keep_decisions(np.array([3, 2, 5]), np.array([2, 7, 9]), ids)
+    by = {d: (k, r) for d, k, r in zip(t["doc_id"].to_pylist(),
+                                       t["keep"].to_pylist(),
+                                       t["kept_as"].to_pylist())}
+    assert by[1] == (True, 1)
+    assert by[2] == (True, 2) and by[3] == (False, 2) and by[7] == (False, 2)
+    assert by[5] == (True, 5) and by[9] == (False, 5)
+    # no pairs: everything keeps itself
+    t = keep_decisions(np.array([]), np.array([]), ids)
+    assert all(t["keep"].to_pylist())
+
+
+def test_dedup_near_keep_consistent_with_pairs(ray_session):
+    """Every dropped vector shares a component with its representative
+    through the exact pair set; representatives are component minima."""
+    from fsray.pipelines import dedup_embedding_cosine, dedup_near_keep
+    pairs = dedup_embedding_cosine(SF_DIR).to_pandas()
+    keep = dedup_near_keep(SF_DIR).to_pandas()
+    dropped = keep[~keep["keep"]]
+    assert len(dropped) > 0
+    assert (dropped["kept_as"] < dropped["doc_id"]).all()
+    linked = set(pairs["a"]) | set(pairs["b"])
+    assert set(dropped["doc_id"]) <= linked
+    kept_docs = set(keep[keep["keep"]]["doc_id"])
+    assert set(dropped["kept_as"]) <= kept_docs
