@@ -13,7 +13,10 @@ a rows-only check.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import shutil
+import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -894,6 +897,124 @@ def dedup_near_keep(sf_dir: str) -> pa.Table:
                         columns=["vec_id"])["vec_id"].to_numpy()
     return keep_decisions(pairs["a"].to_numpy(), pairs["b"].to_numpy(),
                           ids.astype(np.int64))
+
+
+def export_deduped_corpus(sf_dir: str, out_dir: str,
+                          n_parts: int = 8) -> dict:
+    """Write the exact-deduplicated documents corpus as RESUMABLE
+    partitioned Parquet: one file per doc_id range with an atomic done
+    marker, so a failed run re-executes ONLY its missing partitions
+    (the prompt's resumable-output rule applied to a training-data
+    lane, same shape as the index build's per-partition markers).
+
+    The drop set (non-minimum members of each content-hash group) is
+    computed distributed: groupby(sha) → (min, count), only groups with
+    count > 1 leave Ray (dup-GROUP-sized, never corpus-sized), their
+    keep map is broadcast once (``ray.put``), and a second distributed
+    pass over the keyed rows emits the drop ids (dup-COUNT-sized).
+    Each partition task then does a doc_id-range pushdown read → drop
+    filter → atomic write.  Returns {written, skipped, kept_rows}."""
+    import ray
+
+    import pyarrow.parquet as pqt
+    from ray.data.aggregate import Count, Min
+    from fsray.dedup import exact_key_batch
+    from fsray.manifest import atomic_write_json
+    os.makedirs(out_dir, exist_ok=True)
+    src = os.path.join(sf_dir, "documents.parquet")
+    n_rows = pqt.ParquetFile(src).metadata.num_rows
+    # distributed drop-set: every doc whose content-hash group min is not
+    # itself (groupby(sha) keep-min — the dedup_exact rule)
+    keyed = _docs_ds(sf_dir).map_batches(exact_key_batch,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    dup_groups = (keyed.groupby("content_sha256")
+                       .aggregate(Min("doc_id"), Count())
+                       .map_batches(lambda b: b.filter(pc.greater(b["count()"], 1)),
+                                    batch_format="pyarrow")
+                       .to_pandas())
+    if len(dup_groups) == 0:
+        # corpus has no exact duplicates: nothing to drop, skip pass 2
+        drops = np.zeros(0, dtype=np.int64)
+    else:
+        keep_map = dict(zip(dup_groups["content_sha256"],
+                            dup_groups["min(doc_id)"].astype("int64")))
+        keep_ref = ray.put(keep_map)
+
+        class DropEmit:
+            """Emit ids to drop: dup-group members that are not the keeper.
+            keep_map fetched once per actor (``__init__``), not per batch."""
+
+            def __init__(self) -> None:
+                self.keep = ray.get(keep_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy()
+                shas = b["content_sha256"].to_pylist()
+                mask = np.fromiter(
+                    (self.keep.get(s, i) != i for s, i in zip(shas, ids)),
+                    dtype=bool, count=len(ids))
+                return pa.table(
+                    {"doc_id": pa.array(ids[mask], type=pa.int64())})
+
+        drop_df = keyed.map_batches(DropEmit, batch_format="pyarrow",
+                                    concurrency=2).to_pandas()
+        drops = (np.sort(drop_df["doc_id"].to_numpy().astype(np.int64))
+                 if len(drop_df) else np.zeros(0, dtype=np.int64))
+    drops_ref = ray.put(drops)
+    edges = np.linspace(0, n_rows, n_parts + 1).astype(np.int64)
+
+    @ray.remote
+    def write_part(part: int, lo: int, hi: int) -> tuple[int, int]:
+        import pyarrow.parquet as pq
+        t = pq.read_table(src, filters=[("doc_id", ">=", int(lo)),
+                                        ("doc_id", "<", int(hi))])
+        keep = ~np.isin(t["doc_id"].to_numpy(), ray.get(drops_ref))
+        t = t.filter(pa.array(keep))
+        path = os.path.join(out_dir, f"part-{part:05d}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic publish before the marker
+        atomic_write_json(path + ".done.json",
+                          {"rows": t.num_rows, "lo": int(lo), "hi": int(hi)})
+        return part, t.num_rows
+
+    futs, skipped = [], 0
+    for part, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+        marker = os.path.join(out_dir, f"part-{part:05d}.parquet.done.json")
+        if os.path.exists(marker):
+            skipped += 1  # resumable: finished partitions never re-run
+            continue
+        futs.append(write_part.remote(part, lo, hi))
+    written = ray.get(futs)
+    kept = sum(r for _, r in written)
+    for part in range(n_parts):  # count resumed partitions' rows too
+        marker = os.path.join(out_dir, f"part-{part:05d}.parquet.done.json")
+        if os.path.exists(marker) and part not in {p for p, _ in written}:
+            with open(marker) as f:
+                kept += json.load(f)["rows"]
+    return {"written": len(written), "skipped": skipped, "kept_rows": kept}
+
+
+def export_deduped(sf_dir: str) -> pa.Table:
+    """Driver lane over ``export_deduped_corpus``: run the resumable
+    partitioned export into a fresh temp dir (unique per invocation —
+    the vwal concurrency lesson), read the partitions back, and return
+    the kept doc_ids.  EXACT oracle: the kept set is each text group's
+    minimum doc_id."""
+    import pyarrow.parquet as pqt
+
+    out = tempfile.mkdtemp(prefix="fsray_export_")
+    try:
+        export_deduped_corpus(sf_dir, out, n_parts=8)
+        parts = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+        t = pa.concat_tables(
+            [pqt.read_table(os.path.join(out, f), columns=["doc_id"])
+             for f in parts])
+        ids = np.sort(t["doc_id"].to_numpy().astype(np.int64))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2312,6 +2433,7 @@ def make_queries() -> dict:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_near_keep": dedup_near_keep,
+        "export_deduped": export_deduped,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
@@ -2520,6 +2642,9 @@ ORDER BY event_id"""
 
     o["dedup_exact"] = """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id"""
+
+    o["export_deduped"] = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"""
 
     jaccard_sql = f"""
 WITH {_shingle_sql()},
