@@ -152,6 +152,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_embed_queue_drain", P.embed_queue_drain),
         ("x_multimodal_image_decode", P.multimodal_image_decode),
         ("x_multimodal_audio_decode", P.multimodal_audio_decode),
+        ("x_dedup_near_keep", P.dedup_near_keep),
+        ("x_export_deduped", P.export_deduped),
+        ("x_durability_fsck", P.durability_fsck),
+        ("x_privacy_preflight", P.privacy_preflight),
     ]:
         t0 = time.perf_counter()
         fn(sf_dir)

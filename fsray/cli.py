@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
 
 
@@ -95,7 +96,36 @@ def cmd_search(args: argparse.Namespace) -> int:
                                score=float(h.score))
               for i, h in enumerate(hits)])
     _emit(OutputEnvelope.success(payload, meta, ts))
+    if args.telemetry:
+        # redaction-before-emit: the query text is truncated for the
+        # log surface inside search_event (never raw in the JSONL)
+        from fsray.telemetry import (Correlation, InstanceIdentity,
+                                     JsonlTransport, search_event)
+        tr = JsonlTransport(args.telemetry)
+        ev = search_event(
+            InstanceIdentity(f"cli-{os.getpid()}", args.index_dir),
+            Correlation(f"ev-{os.getpid()}-{int(t0 * 1e6)}",
+                        f"req-{os.getpid()}"),
+            query_text=args.query,
+            query_class=_telemetry_query_class(args.query),
+            phase="initial", result_count=len(hits),
+            lexical_count=len(hits), semantic_count=0,
+            latency_us=int((time.perf_counter() - t0) * 1e6))
+        tr.emit(ev, ts)
+        tr.flush()
     return 0
+
+
+def _telemetry_query_class(query: str) -> str:
+    """telemetry.rs:19-25 QueryClass, the fsfs heuristic shape."""
+    q = query.strip()
+    if not q:
+        return "empty"
+    if len(q.split()) >= 3:
+        return "natural_language"
+    if any(c in q for c in "_./:") or (q.isidentifier() and len(q) > 2):
+        return "identifier"
+    return "short_keyword"
 
 
 def cmd_status(args: argparse.Namespace) -> int:
@@ -207,6 +237,30 @@ def cmd_gc(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_protect(args: argparse.Namespace) -> int:
+    from fsray.durability import DurabilityConfig, FileProtector
+    prot = FileProtector(DurabilityConfig(
+        symbol_size=args.symbol_size, k_source=args.k_source,
+        repair_overhead=args.repair_overhead))
+    rep = prot.protect_directory(args.index_dir, only_new=not args.force)
+    print(json.dumps(rep, indent=1))
+    return 0
+
+
+def cmd_fsck(args: argparse.Namespace) -> int:
+    from fsray.durability import FileProtector
+    prot = FileProtector()
+    rows = prot.verify_directory(args.index_dir, repair=not args.no_repair)
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+        if r["status"] not in ("intact", "unprotected"):
+            print(json.dumps(r))
+    print(json.dumps({"files": len(rows), **counts,
+                      "metrics": prot.metrics.snapshot()}, indent=1))
+    return 0 if not counts.get("unrecoverable") else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="fsray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -231,6 +285,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--ray-actors", action="store_true",
                    help="serve from a shard-actor pool instead of in-process")
     s.add_argument("--num-cpus", type=int, default=None)
+    s.add_argument("--telemetry", default=None, metavar="JSONL",
+                   help="append a redacted search telemetry frame to "
+                        "this JSONL file (fallback transport)")
     s.add_argument("--format", choices=["json", "jsonl", "toon", "table",
                                         "csv"], default="json",
                    help="output format (fsfs format_emitter parity)")
@@ -259,6 +316,23 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--resume-markers", action="store_true",
                    help="also reclaim stage resume markers")
     g.set_defaults(fn=cmd_gc)
+
+    pr = sub.add_parser("protect", help="write .fec erasure-coded repair "
+                                        "sidecars for every index file")
+    pr.add_argument("--index-dir", required=True)
+    pr.add_argument("--symbol-size", type=int, default=4096)
+    pr.add_argument("--k-source", type=int, default=32)
+    pr.add_argument("--repair-overhead", type=float, default=1.25)
+    pr.add_argument("--force", action="store_true",
+                    help="re-protect files that already have sidecars")
+    pr.set_defaults(fn=cmd_protect)
+
+    fk = sub.add_parser("fsck", help="verify every protected file and "
+                                     "repair bitrot in place")
+    fk.add_argument("--index-dir", required=True)
+    fk.add_argument("--no-repair", action="store_true",
+                    help="report health only, never rewrite files")
+    fk.set_defaults(fn=cmd_fsck)
 
     args = p.parse_args(argv)
     return args.fn(args)

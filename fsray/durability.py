@@ -1,0 +1,488 @@
+"""FEC durability sidecars: erasure-coded file protection + repair.
+
+The reference ships a RaptorQ-based durability crate
+(``crates/frankensearch-durability``): every published index file gets a
+``.fec`` sidecar of repair symbols plus integrity witnesses, and a
+verify→repair pipeline restores bit-rotted or truncated files in place
+(``file_protector.rs:426`` protect, ``:552`` verify, ``:736`` repair,
+``:1066`` verify_and_repair, ``:1258`` protect_directory).  This module
+re-expresses those semantics with a from-scratch systematic
+Reed–Solomon code over GF(256) (public textbook construction: Cauchy
+generator matrix, log/exp-table arithmetic — Plank's RS tutorial /
+zfec's public design), vectorized in numpy.
+
+Divergences from the reference, registered as DIV-R14:
+
+- **Codec**: RaptorQ (fountain) → systematic RS with a Cauchy matrix.
+  Any ``r`` erased symbols per block are recoverable from the ``r``
+  parity symbols (every square submatrix of a Cauchy matrix is
+  invertible), so the default 25% overhead protects 25% damage per
+  block — the reference needs ≥100% overhead for same-length bitrot
+  because RaptorQ treats ALL source symbols as erasures
+  (``config.rs:54-58`` bd-x7l7 contract).  We can do better because:
+- **Erasure localization**: the sidecar stores a CRC32 per source AND
+  parity symbol, so corrupt symbols are *located*, turning bitrot into
+  erasures.  A post-repair full-file witness check (CRC32 + SHA-256
+  prefix, standing in for the reference's crc32+xxh3 pair,
+  ``repair_trailer.rs:17-24``) guards against CRC-collision
+  mislocalization: repair only publishes bytes that match the witness.
+- **Witness hash**: xxh3 → SHA-256/128-prefix (no xxhash in this
+  environment; same role).
+
+Repair is atomic and never destroys evidence: the corrupt original is
+renamed to ``<name>.corrupt.<n>`` and the reconstruction is published
+with ``os.replace`` (the reference's backup+rename protocol,
+``file_protector.rs:388-400``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+SIDECAR_MAGIC = b"FSFE"
+SIDECAR_VERSION = 1
+SIDECAR_SUFFIX = ".fec"
+
+# ---------------------------------------------------------------------------
+# GF(256) arithmetic (AES polynomial 0x11d), table-based and vectorized
+
+
+def _build_tables() -> tuple[np.ndarray, np.ndarray]:
+    exp = np.zeros(512, dtype=np.uint8)
+    log = np.zeros(256, dtype=np.int32)
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x <<= 1
+        if x & 0x100:
+            x ^= 0x11D
+    exp[255:510] = exp[0:255]  # wraparound so exp[a+b] needs no mod
+    return exp, log
+
+
+GF_EXP, GF_LOG = _build_tables()
+
+
+def gf_mul(a, b):
+    """Elementwise GF(256) product of uint8 arrays/scalars."""
+    a = np.asarray(a, dtype=np.uint8)
+    b = np.asarray(b, dtype=np.uint8)
+    out = GF_EXP[GF_LOG[a] + GF_LOG[b]]
+    return np.where((a == 0) | (b == 0), np.uint8(0), out)
+
+
+def gf_inv(a: int) -> int:
+    if a == 0:
+        raise ZeroDivisionError("GF(256) inverse of 0")
+    return int(GF_EXP[255 - GF_LOG[a]])
+
+
+def _mul_table(c: int) -> np.ndarray:
+    """256-entry lookup table for y = c ⊗ x — one ``np.take`` per
+    (parity row, source column) pair makes the encoder r full-file
+    passes of table lookups total, not r×k."""
+    return gf_mul(np.uint8(c), np.arange(256, dtype=np.uint8))
+
+
+def cauchy_matrix(r: int, k: int) -> np.ndarray:
+    """r×k Cauchy matrix C[i,j] = 1/(x_i ⊕ y_j), x_i = k+i, y_j = j.
+    x and y are disjoint so every entry is defined; every square
+    submatrix of a Cauchy matrix is invertible, which is exactly the
+    any-r-erasures guarantee."""
+    if r + k > 256:
+        raise ValueError(f"k+r must be <= 256 over GF(256), got {k}+{r}")
+    xi = np.arange(k, k + r, dtype=np.uint8)[:, None]
+    yj = np.arange(k, dtype=np.uint8)[None, :]
+    denom = xi ^ yj
+    inv = GF_EXP[255 - GF_LOG[denom]]
+    return inv.astype(np.uint8)
+
+
+def gf_solve(a: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+    """Solve A·x = rhs over GF(256) by Gaussian elimination.
+
+    ``a`` is (m, m) uint8; ``rhs`` is (m, S) uint8 (one column per
+    symbol byte, vectorized).  Used on ≤r×r erasure systems only."""
+    m = a.shape[0]
+    a = a.astype(np.uint8).copy()
+    rhs = rhs.astype(np.uint8).copy()
+    for col in range(m):
+        piv = col + int(np.nonzero(a[col:, col])[0][0])  # Cauchy ⇒ exists
+        if piv != col:
+            a[[col, piv]] = a[[piv, col]]
+            rhs[[col, piv]] = rhs[[piv, col]]
+        pinv = np.uint8(gf_inv(int(a[col, col])))
+        a[col] = gf_mul(a[col], pinv)
+        rhs[col] = gf_mul(rhs[col], pinv)
+        for row in range(m):
+            if row != col and a[row, col]:
+                f = a[row, col]
+                a[row] ^= gf_mul(np.uint8(f), a[col])
+                rhs[row] ^= gf_mul(np.uint8(f), rhs[col])
+    return rhs
+
+
+# ---------------------------------------------------------------------------
+# config + result types (mirroring file_protector.rs:24-170)
+
+
+@dataclass(frozen=True)
+class DurabilityConfig:
+    """``config.rs:10-42`` analogue.  ``repair_overhead`` 1.25 ⇒ r =
+    ceil(0.25·k) parity symbols per k-source block."""
+    symbol_size: int = 4096
+    k_source: int = 32
+    repair_overhead: float = 1.25
+    verify_on_open: bool = True
+
+    @property
+    def r_parity(self) -> int:
+        r = int(np.ceil((self.repair_overhead - 1.0) * self.k_source))
+        return max(1, r)
+
+    def validate(self) -> None:
+        if not 256 <= self.symbol_size <= 64 * 1024:
+            raise ValueError(f"symbol_size out of range: {self.symbol_size}")
+        if self.repair_overhead < 1.0:
+            raise ValueError("repair_overhead must be >= 1.0")
+        if self.k_source + self.r_parity > 256:
+            raise ValueError("k_source + r_parity must be <= 256")
+
+
+@dataclass(frozen=True)
+class FileVerifyResult:
+    healthy: bool
+    expected_crc32: int
+    actual_crc32: int
+    expected_len: int
+    actual_len: int
+    bad_source_symbols: int = 0
+    bad_parity_symbols: int = 0
+
+
+@dataclass(frozen=True)
+class RepairOutcome:
+    """FileRepairOutcome (file_protector.rs:78-90): status is one of
+    not_needed | repaired | unrecoverable | unprotected."""
+    status: str
+    bytes_written: int = 0
+    symbols_used: int = 0
+    reason: str = ""
+
+
+@dataclass
+class DurabilityMetrics:
+    """metrics.rs counters (subset that this engine acts on)."""
+    files_protected: int = 0
+    files_verified: int = 0
+    files_repaired: int = 0
+    files_unrecoverable: int = 0
+    source_bytes: int = 0
+    repair_bytes: int = 0
+    symbols_recovered: int = 0
+
+    def snapshot(self) -> dict:
+        return dict(self.__dict__)
+
+
+class SidecarCorrupt(Exception):
+    """Typed failure: the .fec sidecar itself fails its trailer CRC or
+    structural checks (repair_trailer.rs trailer_corruption)."""
+
+
+# ---------------------------------------------------------------------------
+# sidecar format
+
+_HEADER = struct.Struct("<4sHIIIIQI16s")
+# magic, version, symbol_size, k, r, n_blocks, source_len, source_crc32,
+# sha256[:16]
+
+
+def sidecar_path(path: str) -> str:
+    """file_protector.rs:382: sidecar lives next to the file."""
+    return path + SIDECAR_SUFFIX
+
+
+def _pad_symbols(data: bytes, s: int, k: int) -> np.ndarray:
+    """(n_blocks, k, S) uint8 view of the zero-padded source."""
+    block_bytes = s * k
+    n_blocks = max(1, -(-len(data) // block_bytes))
+    buf = np.zeros(n_blocks * block_bytes, dtype=np.uint8)
+    buf[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+    return buf.reshape(n_blocks, k, s)
+
+
+def _symbol_crcs(arr: np.ndarray) -> np.ndarray:
+    """CRC32 per symbol over (..., S) — zlib.crc32 is C; the loop is
+    per 4 KiB symbol, not per byte."""
+    flat = arr.reshape(-1, arr.shape[-1])
+    return np.fromiter((zlib.crc32(row.tobytes()) for row in flat),
+                       dtype=np.uint32, count=flat.shape[0])
+
+
+def encode_sidecar(data: bytes, cfg: DurabilityConfig) -> bytes:
+    """Compute parity + witnesses and serialize the sidecar
+    (codec.rs:477 compute_repair_symbols + repair_trailer.rs:34
+    serialize, one container)."""
+    cfg.validate()
+    k, r = cfg.k_source, cfg.r_parity
+    src = _pad_symbols(data, cfg.symbol_size, k)       # (B, k, S)
+    n_blocks = src.shape[0]
+    cmat = cauchy_matrix(r, k)
+    parity = np.zeros((n_blocks, r, cfg.symbol_size), dtype=np.uint8)
+    for i in range(r):
+        acc = parity[:, i, :]
+        for j in range(k):
+            acc ^= _mul_table(int(cmat[i, j]))[src[:, j, :]]
+    src_crcs = _symbol_crcs(src)                       # (B*k,)
+    par_crcs = _symbol_crcs(parity)                    # (B*r,)
+    header = _HEADER.pack(
+        SIDECAR_MAGIC, SIDECAR_VERSION, cfg.symbol_size, k, r, n_blocks,
+        len(data), zlib.crc32(data), hashlib.sha256(data).digest()[:16])
+    body = b"".join([header, src_crcs.tobytes(), par_crcs.tobytes(),
+                     parity.tobytes()])
+    return body + struct.pack("<I", zlib.crc32(body))
+
+
+def decode_sidecar(raw: bytes) -> dict:
+    """Parse + validate a sidecar (repair_trailer.rs:81 deserialize:
+    trailer CRC first, then magic/version/shape)."""
+    if len(raw) < _HEADER.size + 4:
+        raise SidecarCorrupt("sidecar too short")
+    body, (crc,) = raw[:-4], struct.unpack("<I", raw[-4:])
+    if zlib.crc32(body) != crc:
+        raise SidecarCorrupt("sidecar trailer crc mismatch")
+    magic, version, s, k, r, n_blocks, source_len, source_crc, sha16 = \
+        _HEADER.unpack_from(body, 0)
+    if magic != SIDECAR_MAGIC:
+        raise SidecarCorrupt("bad sidecar magic")
+    if version != SIDECAR_VERSION:
+        raise SidecarCorrupt(f"unsupported sidecar version {version}")
+    off = _HEADER.size
+    n_src, n_par = n_blocks * k, n_blocks * r
+    src_crcs = np.frombuffer(body, dtype=np.uint32, count=n_src, offset=off)
+    off += 4 * n_src
+    par_crcs = np.frombuffer(body, dtype=np.uint32, count=n_par, offset=off)
+    off += 4 * n_par
+    parity = np.frombuffer(body, dtype=np.uint8, offset=off)
+    if parity.size != n_blocks * r * s:
+        raise SidecarCorrupt("parity payload size mismatch")
+    return {
+        "symbol_size": s, "k": k, "r": r, "n_blocks": n_blocks,
+        "source_len": source_len, "source_crc32": source_crc,
+        "source_sha16": sha16, "src_crcs": src_crcs, "par_crcs": par_crcs,
+        "parity": parity.reshape(n_blocks, r, s),
+    }
+
+
+# ---------------------------------------------------------------------------
+# file protector
+
+
+class FileProtector:
+    """protect / verify / repair over real files
+    (file_protector.rs:326-1120), plus directory sweeps."""
+
+    def __init__(self, config: DurabilityConfig | None = None) -> None:
+        self.config = config or DurabilityConfig()
+        self.config.validate()
+        self.metrics = DurabilityMetrics()
+
+    # -- protect ----------------------------------------------------------
+
+    def protect_file(self, path: str) -> dict:
+        with open(path, "rb") as f:
+            data = f.read()
+        raw = encode_sidecar(data, self.config)
+        side = sidecar_path(path)
+        tmp = side + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, side)
+        self.metrics.files_protected += 1
+        self.metrics.source_bytes += len(data)
+        self.metrics.repair_bytes += len(raw)
+        return {"source_bytes": len(data), "sidecar_bytes": len(raw)}
+
+    # -- verify -----------------------------------------------------------
+
+    def _load(self, path: str) -> tuple[bytes, dict]:
+        with open(sidecar_path(path), "rb") as f:
+            meta = decode_sidecar(f.read())
+        data = b""
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                data = f.read()
+        return data, meta
+
+    def verify_file(self, path: str) -> FileVerifyResult:
+        data, meta = self._load(path)
+        self.metrics.files_verified += 1
+        actual_crc = zlib.crc32(data)
+        # truncated/grown files still get symbol-level localization:
+        # pad/cut to the protected geometry before per-symbol CRCs
+        src = _pad_symbols(data[: meta["source_len"]],
+                           meta["symbol_size"], meta["k"])
+        if src.shape[0] != meta["n_blocks"]:  # shorter than one block unit
+            fixed = np.zeros((meta["n_blocks"], meta["k"],
+                              meta["symbol_size"]), dtype=np.uint8)
+            fixed[: src.shape[0]] = src
+            src = fixed
+        bad_src = int(np.sum(_symbol_crcs(src) != meta["src_crcs"]))
+        healthy = (len(data) == meta["source_len"]
+                   and actual_crc == meta["source_crc32"] and bad_src == 0)
+        return FileVerifyResult(
+            healthy=healthy, expected_crc32=meta["source_crc32"],
+            actual_crc32=actual_crc, expected_len=meta["source_len"],
+            actual_len=len(data), bad_source_symbols=bad_src)
+
+    # -- repair -----------------------------------------------------------
+
+    def recover_file_bytes(self, path: str) -> tuple[str, bytes, int]:
+        """Reconstruct without touching the filesystem
+        (file_protector.rs:757 FileRecoveryOutcome): returns
+        (status, bytes, symbols_used)."""
+        data, meta = self._load(path)
+        if (len(data) == meta["source_len"]
+                and zlib.crc32(data) == meta["source_crc32"]):
+            return "not_needed", b"", 0
+        k, r, s = meta["k"], meta["r"], meta["symbol_size"]
+        src = _pad_symbols(data[: meta["source_len"]], s, k)
+        if src.shape[0] != meta["n_blocks"]:
+            fixed = np.zeros((meta["n_blocks"], k, s), dtype=np.uint8)
+            fixed[: min(src.shape[0], meta["n_blocks"])] = \
+                src[: meta["n_blocks"]]
+            src = fixed
+        src = src.copy()
+        src_bad = (_symbol_crcs(src).reshape(meta["n_blocks"], k)
+                   != meta["src_crcs"].reshape(meta["n_blocks"], k))
+        par_bad = (_symbol_crcs(meta["parity"]).reshape(meta["n_blocks"], r)
+                   != meta["par_crcs"].reshape(meta["n_blocks"], r))
+        cmat = cauchy_matrix(r, k)
+        symbols_used = 0
+        for b in np.nonzero(src_bad.any(axis=1))[0]:
+            erased = np.nonzero(src_bad[b])[0]
+            good_par = np.nonzero(~par_bad[b])[0]
+            if len(erased) > len(good_par):
+                self.metrics.files_unrecoverable += 1
+                return (f"unrecoverable: block {b} has {len(erased)} "
+                        f"erasures, {len(good_par)} parity symbols", b"", 0)
+            rows = good_par[: len(erased)]
+            good_src = np.nonzero(~src_bad[b])[0]
+            # rhs_i = parity_i ⊕ Σ_{j good} C[i,j]·d_j
+            rhs = meta["parity"][b, rows, :].copy()
+            for i_pos, i in enumerate(rows):
+                for j in good_src:
+                    rhs[i_pos] ^= _mul_table(int(cmat[i, j]))[src[b, j]]
+            solved = gf_solve(cmat[np.ix_(rows, erased)], rhs)
+            src[b, erased] = solved
+            symbols_used += len(erased) + len(good_src)
+        out = src.reshape(-1)[: meta["source_len"]].tobytes()
+        if (zlib.crc32(out) != meta["source_crc32"]
+                or hashlib.sha256(out).digest()[:16] != meta["source_sha16"]):
+            self.metrics.files_unrecoverable += 1
+            return ("unrecoverable: reconstruction fails witness "
+                    "(mislocalized corruption)", b"", 0)
+        self.metrics.symbols_recovered += symbols_used
+        return "recovered", out, symbols_used
+
+    def repair_file(self, path: str) -> RepairOutcome:
+        """Verify → reconstruct → backup corrupt original → atomic
+        publish (file_protector.rs:736 + :388 backup protocol)."""
+        if not os.path.exists(sidecar_path(path)):
+            return RepairOutcome("unprotected")
+        try:
+            status, out, used = self.recover_file_bytes(path)
+        except SidecarCorrupt as exc:
+            return RepairOutcome("unrecoverable", reason=str(exc))
+        if status == "not_needed":
+            return RepairOutcome("not_needed")
+        if status != "recovered":
+            return RepairOutcome("unrecoverable", reason=status)
+        n = 0
+        while os.path.exists(f"{path}.corrupt.{n}"):
+            n += 1
+        if os.path.exists(path):
+            os.replace(path, f"{path}.corrupt.{n}")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(out)
+        os.replace(tmp, path)
+        self.metrics.files_repaired += 1
+        return RepairOutcome("repaired", bytes_written=len(out),
+                             symbols_used=used)
+
+    def verify_and_repair_file(self, path: str) -> RepairOutcome:
+        """file_protector.rs:1066: the health-check pipeline for one
+        file — intact files short-circuit."""
+        if not os.path.exists(sidecar_path(path)):
+            return RepairOutcome("unprotected")
+        try:
+            if self.verify_file(path).healthy:
+                return RepairOutcome("not_needed")
+        except SidecarCorrupt as exc:
+            return RepairOutcome("unrecoverable", reason=str(exc))
+        return self.repair_file(path)
+
+    # -- directory sweeps --------------------------------------------------
+
+    @staticmethod
+    def _skip(name: str) -> bool:
+        """file_protector.rs:416-424: never protect sidecars, dotfiles,
+        or quarantined corrupt copies."""
+        return (name.endswith(SIDECAR_SUFFIX) or name.startswith(".")
+                or ".corrupt." in name or ".tmp" in name)
+
+    def _walk(self, root: str) -> list[str]:
+        out = []
+        for base, _dirs, files in os.walk(root):
+            for name in sorted(files):
+                if not self._skip(name):
+                    out.append(os.path.join(base, name))
+        return sorted(out)
+
+    def protect_directory(self, root: str, only_new: bool = True) -> dict:
+        protected = skipped = src_bytes = rep_bytes = 0
+        for path in self._walk(root):
+            if only_new and os.path.exists(sidecar_path(path)):
+                skipped += 1
+                continue
+            res = self.protect_file(path)
+            protected += 1
+            src_bytes += res["source_bytes"]
+            rep_bytes += res["sidecar_bytes"]
+        return {"files_protected": protected,
+                "files_already_protected": skipped,
+                "total_source_bytes": src_bytes,
+                "total_repair_bytes": rep_bytes}
+
+    def verify_directory(self, root: str, repair: bool = True) -> list[dict]:
+        """DirectoryHealthReport rows: one per file, sorted by path."""
+        rows = []
+        for path in self._walk(root):
+            if repair:
+                out = self.verify_and_repair_file(path)
+            elif not os.path.exists(sidecar_path(path)):
+                out = RepairOutcome("unprotected")
+            else:
+                try:
+                    healthy = self.verify_file(path).healthy
+                    out = RepairOutcome(
+                        "not_needed" if healthy else "corrupt",
+                        reason="" if healthy else "verify-only sweep")
+                except SidecarCorrupt as exc:
+                    out = RepairOutcome("unrecoverable", reason=str(exc))
+            status = {"not_needed": "intact"}.get(out.status, out.status)
+            rows.append({"path": os.path.relpath(path, root),
+                         "status": status,
+                         "bytes_written": out.bytes_written,
+                         "symbols_used": out.symbols_used,
+                         "reason": out.reason})
+        return rows

@@ -1,0 +1,364 @@
+"""Privacy: redaction policy engine + corpus privacy preflight.
+
+Re-expresses the reference's scope-privacy machinery
+(``fsfs/src/redaction.rs``, ``fsfs/src/privacy.rs``) for this engine:
+
+- **Redaction policy** (redaction.rs:39-913): the 11-class data
+  taxonomy in severity order, the 5 transforms, the 5 output surfaces,
+  the default v1 rule matrix (all 55 cells pinned verbatim),
+  deterministic mask/hash/truncate (seeded FNV-1a 64; same constants,
+  same output formats), fail-closed ``Drop`` for unlisted pairs, the
+  artifact retention schedule (hot/warm/cold tiers, max-age expiry).
+- **Path classification** (redaction.rs:915-988): the hard-deny
+  pattern list and ``classify_path`` severity sets, pinned verbatim.
+- **Corpus privacy preflight** (privacy.rs:87-316): the 6 signal
+  kinds, 3 decisions, 4 redaction actions and the canonical v1 rule
+  matrix; ``preflight_batch`` runs the scan VECTORIZED over an Arrow
+  batch of (path, text) so it drops into ``map_batches`` as an
+  ingest-side gate — at 100 TB the preflight IS a pipeline stage, not
+  a per-file loop.
+
+Content detectors are deliberately regex-light (credential tokens,
+private-key armor, emails) and RE2-compatible so the driver lane's
+DuckDB oracle can evaluate the identical patterns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+REDACTION_POLICY_VERSION = "v1"
+
+# ---------------------------------------------------------------------------
+# data classes / transforms / surfaces (redaction.rs:53-172)
+
+#: Severity order, highest first (redaction.rs:98-111 DataClass::ALL).
+DATA_CLASSES = (
+    "private_key", "credential", "cloud_secret", "session_artifact",
+    "health_data", "financial_data", "personal_data",
+    "sensitive_file_content", "user_path", "query_text", "operational",
+)
+
+TRANSFORMS = ("drop", "mask", "hash", "truncate", "passthrough")
+SURFACES = ("log", "evidence", "explain", "display", "repro_pack")
+
+#: Default v1 rule matrix (redaction.rs:195-496), every cell verbatim.
+_M = {
+    "credential": ("drop", "mask", "drop", "drop", "mask"),
+    "private_key": ("drop", "drop", "drop", "drop", "drop"),
+    "cloud_secret": ("drop", "mask", "drop", "drop", "mask"),
+    "session_artifact": ("drop", "drop", "drop", "drop", "drop"),
+    "personal_data": ("hash", "hash", "truncate", "truncate", "hash"),
+    "financial_data": ("hash", "hash", "drop", "drop", "hash"),
+    "health_data": ("hash", "hash", "drop", "drop", "hash"),
+    "sensitive_file_content": ("drop", "mask", "drop", "drop", "mask"),
+    "user_path": ("hash", "hash", "truncate", "passthrough", "hash"),
+    "query_text": ("truncate", "truncate", "passthrough", "passthrough",
+                   "truncate"),
+    "operational": ("passthrough",) * 5,
+}
+
+
+def default_rule_matrix() -> dict[tuple[str, str], str]:
+    return {(cls, surf): tr
+            for cls, row in _M.items()
+            for surf, tr in zip(SURFACES, row)}
+
+
+# ---------------------------------------------------------------------------
+# deterministic transforms (redaction.rs:660-728)
+
+DEFAULT_MASK_SEED = 0xF5F5_CAFE_BABE_D00D
+_FNV_PRIME = 0x0100_0000_01B3
+_U64 = (1 << 64) - 1
+
+
+def _fnv1a_seeded(seed: int, value: str) -> int:
+    h = seed & _U64
+    for b in value.encode("utf-8"):
+        h ^= b
+        h = (h * _FNV_PRIME) & _U64
+    return h
+
+
+def deterministic_mask(seed: int, value: str) -> str:
+    """``<MASKED:xxxxxxxx>`` — low 32 bits of the seeded FNV-1a hash
+    (redaction.rs:685-696): same seed+input → same mask, enabling
+    correlation across evidence events without exposure."""
+    return f"<MASKED:{_fnv1a_seeded(seed, value) & 0xFFFFFFFF:08x}>"
+
+
+def deterministic_hash(seed: int, value: str) -> str:
+    """``<HASH:16hex>`` (redaction.rs:702-710)."""
+    return f"<HASH:{_fnv1a_seeded(seed, value):016x}>"
+
+
+def deterministic_truncate(value: str, max_len: int) -> str:
+    """First ``max_len`` CHARACTERS + ``...`` only if actually cut
+    (redaction.rs:717-729)."""
+    if len(value) <= max_len:
+        return value
+    return value[:max_len] + "..."
+
+
+# ---------------------------------------------------------------------------
+# artifact retention (redaction.rs:498-666)
+
+#: type → (max_age_days [0 = forever], hot, warm, cold)
+DEFAULT_ARTIFACT_RETENTION = {
+    "evidence_log": (90, True, True, False),
+    "tracing_span": (7, True, False, False),
+    "explain_payload": (7, True, False, False),
+    "repro_manifest": (0, True, True, True),
+    "repro_evidence": (90, True, True, False),
+    "repro_config": (90, True, True, False),
+    "repro_env": (7, True, False, False),
+    "repro_model": (90, True, True, False),
+    "repro_checksums": (0, True, True, True),
+    "repro_replay": (90, True, True, False),
+    "telemetry_metrics": (90, True, True, False),
+    "anomaly_alert": (0, True, True, True),
+}
+
+_TIER_IDX = {"hot": 1, "warm": 2, "cold": 3}
+
+
+class RedactionPolicy:
+    """Policy engine (redaction.rs:736-913): (class, surface) →
+    transform, fail-closed to ``drop`` for unlisted pairs."""
+
+    def __init__(self, seed: int = DEFAULT_MASK_SEED,
+                 truncate_max_len: int = 64) -> None:
+        self.version = REDACTION_POLICY_VERSION
+        self.seed = seed
+        self.truncate_max_len = truncate_max_len
+        self.rules = default_rule_matrix()
+        self.artifact_retention = dict(DEFAULT_ARTIFACT_RETENTION)
+
+    def transform_for(self, data_class: str, surface: str) -> str:
+        return self.rules.get((data_class, surface), "drop")
+
+    def apply(self, data_class: str, surface: str,
+              value: str) -> str | None:
+        """None ⇔ drop (content must not be emitted at all)."""
+        tr = self.transform_for(data_class, surface)
+        if tr == "drop":
+            return None
+        if tr == "mask":
+            return deterministic_mask(self.seed, value)
+        if tr == "hash":
+            return deterministic_hash(self.seed, value)
+        if tr == "truncate":
+            return deterministic_truncate(value, self.truncate_max_len)
+        return value
+
+    def set_rule(self, data_class: str, surface: str,
+                 transform: str) -> None:
+        if transform not in TRANSFORMS:
+            raise ValueError(f"unknown transform {transform!r}")
+        self.rules[(data_class, surface)] = transform
+
+    def is_retained(self, artifact_type: str, tier: str) -> bool:
+        entry = self.artifact_retention.get(artifact_type)
+        return bool(entry and entry[_TIER_IDX[tier]])
+
+    def max_age_days(self, artifact_type: str) -> int:
+        entry = self.artifact_retention.get(artifact_type)
+        return entry[0] if entry else 0
+
+    def expired_artifacts(self, age_days: int) -> list[str]:
+        return [t for t, (max_age, *_t) in self.artifact_retention.items()
+                if max_age > 0 and age_days > max_age]
+
+
+# ---------------------------------------------------------------------------
+# path classification (redaction.rs:915-988)
+
+HARD_DENY_PATH_PATTERNS = (
+    ".ssh/", ".gnupg/", ".aws/credentials", ".config/gcloud/", ".azure/",
+    ".kube/config", ".docker/config.json", ".npmrc", ".pypirc", ".netrc",
+    ".env", "id_rsa", "id_ed25519", "id_ecdsa",
+)
+
+
+def is_hard_deny_path(path: str) -> bool:
+    norm = path.replace("\\", "/")
+    return any(pat in norm for pat in HARD_DENY_PATH_PATTERNS)
+
+
+def classify_path(path: str) -> list[str]:
+    """Data classes present in a path, severity-ordered + deduped
+    (redaction.rs:945-988 — substring sets pinned verbatim)."""
+    lower = path.replace("\\", "/").lower()
+    classes = []
+    if any(p in lower for p in (".ssh/", "id_rsa", "id_ed25519",
+                                "id_ecdsa", ".gnupg/")):
+        classes.append("private_key")
+    if any(p in lower for p in (".aws/credentials", ".config/gcloud/",
+                                ".azure/")):
+        classes.append("cloud_secret")
+    if any(p in lower for p in (".env", ".npmrc", ".pypirc", ".netrc",
+                                ".docker/config.json")):
+        classes.append("credential")
+    if "cookie" in lower or "session" in lower:
+        classes.append("session_artifact")
+    if not classes and "/" in path.replace("\\", "/"):
+        classes.append("user_path")
+    return sorted(set(classes), key=DATA_CLASSES.index)
+
+
+# ---------------------------------------------------------------------------
+# corpus privacy preflight (privacy.rs:87-316)
+
+PREFLIGHT_SCHEMA_VERSION = 1
+PREFLIGHT_REDACTION_PROFILE = "privacy-preflight-v1-default"
+
+#: Content detectors — RE2-compatible so the driver oracle can run the
+#: IDENTICAL pattern through DuckDB ``regexp_matches``.
+CREDENTIAL_TOKEN_RE = (
+    r"(AKIA[0-9A-Z]{16}|api[_-]?key\s*[:=]\s*[A-Za-z0-9_\-]{8,}"
+    r"|bearer [A-Za-z0-9._\-]{8,})")
+PRIVATE_KEY_RE = r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+PERSONAL_DATA_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+GENERATED_ARTIFACT_PARTS = ("node_modules/", "/target/", "/dist/",
+                            "/build/", ".min.js", ".lock")
+OVERSIZED_BINARY_BYTES = 8 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class PreflightRule:
+    rule_id: str
+    signal: str
+    default_decision: str
+    reason_code: str
+    redaction_action: str
+    override_allowed: bool
+    false_positive_suppressions: tuple[str, ...] = ()
+
+
+#: Canonical v1 rule matrix (privacy.rs:236-304, verbatim), evaluated
+#: in this severity order: the first triggered signal wins.
+PREFLIGHT_RULES = (
+    PreflightRule("private-key", "private_key", "skip",
+                  "privacy.secret.private_key", "drop_content", False),
+    PreflightRule("credential-token", "credential_token", "skip",
+                  "privacy.secret.token", "mask_excerpt", True,
+                  ("documented-placeholder", "test-fixture-token")),
+    PreflightRule("sensitive-path", "sensitive_path", "skip",
+                  "privacy.path.sensitive", "hash_path", False),
+    PreflightRule("personal-data", "personal_data", "skip",
+                  "privacy.personal_data.detected", "mask_excerpt", True,
+                  ("public-contact-page",)),
+    PreflightRule("oversized-binary", "oversized_binary", "defer",
+                  "privacy.artifact.oversized_binary", "metadata_only",
+                  False),
+    PreflightRule("generated-artifact", "generated_artifact", "defer",
+                  "privacy.artifact.generated", "metadata_only", True,
+                  ("checked-in-golden",)),
+)
+
+#: Suppressed credential tokens Include instead of Skip
+#: (privacy.rs:296-304 token-doc-false-positive rule).
+SUPPRESSED_REASON = "privacy.false_positive.suppressed"
+
+
+def preflight_batch(paths, texts,
+                    suppressions: dict[int, str] | None = None,
+                    sizes=None) -> dict[str, np.ndarray]:
+    """Vectorized preflight over parallel (path, text) arrays.
+
+    Returns columns: decision, reason_code, redaction_action, signals
+    (comma-joined, severity order), lexical_index_allowed.  Designed to
+    be called from ``map_batches``: the detectors run as Arrow RE2 /
+    substring kernels over the whole batch, not a per-row rule walk."""
+    import pyarrow.compute as pc
+
+    path_arr = (paths if isinstance(paths, (pa.Array, pa.ChunkedArray))
+                else pa.array(list(paths), type=pa.string()))
+    text_arr = (texts if isinstance(texts, (pa.Array, pa.ChunkedArray))
+                else pa.array(list(texts), type=pa.string()))
+    n = len(path_arr)
+
+    def _regex(arr, pattern):
+        return pc.match_substring_regex(arr, pattern).to_numpy(
+            zero_copy_only=False).astype(bool)
+
+    def _contains_any(arr, parts):
+        out = np.zeros(n, dtype=bool)
+        for p in parts:
+            out |= pc.match_substring(arr, p).to_numpy(
+                zero_copy_only=False).astype(bool)
+        return out
+
+    # backslash paths normalize before the deny-pattern match
+    # (redaction.rs:936 `replace('\\', "/")`)
+    norm_paths = pc.replace_substring(path_arr, "\\", "/")
+    sig = {
+        "private_key": _regex(text_arr, PRIVATE_KEY_RE),
+        "credential_token": _regex(text_arr, CREDENTIAL_TOKEN_RE),
+        "sensitive_path": _contains_any(norm_paths,
+                                        HARD_DENY_PATH_PATTERNS),
+        "personal_data": _regex(text_arr, PERSONAL_DATA_RE),
+        "oversized_binary": (
+            np.asarray(sizes, dtype=np.int64) > OVERSIZED_BINARY_BYTES
+            if sizes is not None else np.zeros(n, dtype=bool)),
+        "generated_artifact": _contains_any(path_arr,
+                                            GENERATED_ARTIFACT_PARTS),
+    }
+    decision = np.full(n, "include", dtype=object)
+    reason = np.full(n, "privacy.clean", dtype=object)
+    action = np.full(n, "none", dtype=object)
+    decided = np.zeros(n, dtype=bool)
+    suppressions = suppressions or {}
+    for rule in PREFLIGHT_RULES:
+        hit = sig[rule.signal] & ~decided
+        for i in np.nonzero(hit)[0]:
+            supp = suppressions.get(int(i))
+            if supp and supp in rule.false_positive_suppressions:
+                decision[i] = "include"
+                reason[i] = SUPPRESSED_REASON
+            else:
+                decision[i] = rule.default_decision
+                reason[i] = rule.reason_code
+            action[i] = rule.redaction_action
+        decided |= hit
+    signals = [",".join(r.signal for r in PREFLIGHT_RULES
+                        if sig[r.signal][i]) for i in range(n)]
+    return {
+        "decision": decision, "reason_code": reason,
+        "redaction_action": action,
+        "signals": np.array(signals, dtype=object),
+        "lexical_index_allowed": np.array(
+            [d == "include" for d in decision], dtype=bool),
+    }
+
+
+def preflight_summary(decisions) -> dict:
+    """CorpusPreflightSummary (privacy.rs:172-181)."""
+    arr = np.asarray(list(decisions), dtype=object)
+    return {
+        "included": int(np.sum(arr == "include")),
+        "skipped": int(np.sum(arr == "skip")),
+        "deferred": int(np.sum(arr == "defer")),
+        "raw_content_present": False,
+        "destructive_cleanup_allowed": False,
+    }
+
+
+def scan_decision_record(path: str, decision: str, reason_code: str,
+                         classes: list[str]) -> dict:
+    """fsfs_scope_scan_decision envelope (privacy.rs:72-85): per-path
+    persist/emit/display gates derived from the hard-deny contract."""
+    deny = is_hard_deny_path(path)
+    return {
+        "kind": "fsfs_scope_scan_decision", "v": 1, "path": path,
+        "decision": decision, "reason_code": reason_code,
+        "sensitive_classes": classes,
+        "persist_allowed": not deny and decision == "include",
+        "emit_allowed": not deny,
+        "display_allowed": not deny,
+        "redaction_profile": PREFLIGHT_REDACTION_PROFILE,
+    }

@@ -1,0 +1,261 @@
+"""Telemetry: typed event envelopes + redaction-before-emit + the
+drop-not-block JSONL transport.
+
+Re-expresses ``fsfs/src/telemetry.rs`` (the five event payload kinds
+and the v1 envelope) and ``fsfs/src/telemetry_transport.rs`` (the
+fallback JSONL transport with drop-not-block backpressure, sequence
+numbers and drop accounting).  The privacy contract
+(``privacy.rs:41-46`` TelemetryEmissionRules) is enforced structurally:
+``raw_content_allowed = False`` — every free-text field passes through
+the RedactionPolicy for the ``log`` surface BEFORE an event is
+accepted, and events that would carry dropped content carry the
+sentinel ``<DROPPED>`` instead, with a reason code.
+
+The primary unix-domain-socket transport is out of scope for a Ray
+batch engine (no daemon here); the JSONL fallback is the real
+transport, matching the reference's own fallback contract
+(``telemetry_transport.rs:15-19``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from fsray.privacy import RedactionPolicy
+
+TELEMETRY_SCHEMA_VERSION = 1
+
+#: privacy.rs:41-46 TelemetryEmissionRules — structural invariants.
+EMISSION_RULES = {
+    "raw_content_allowed": False,
+    "reason_code_required": True,
+    "redaction_version": "v1",
+}
+
+QUERY_CLASSES = ("empty", "identifier", "short_keyword",
+                 "natural_language")
+SEARCH_PHASES = ("initial", "refined", "refinement_failed")
+EMBEDDING_STATUS = ("queued", "running", "completed", "failed",
+                    "cancelled")
+INDEX_OPERATIONS = ("build", "rebuild", "append", "compact", "repair",
+                    "snapshot")
+INDEX_STATUS = ("started", "completed", "failed")
+LIFECYCLE_STATES = ("started", "stopped", "healthy", "degraded", "stale",
+                    "recovering")
+SEVERITIES = ("info", "warn", "error")
+
+DROPPED = "<DROPPED>"
+
+
+def _require(value: str, allowed: tuple, name: str) -> str:
+    if value not in allowed:
+        raise ValueError(f"{name} must be one of {allowed}, got {value!r}")
+    return value
+
+
+@dataclass(frozen=True)
+class InstanceIdentity:
+    """telemetry.rs:4-9."""
+    instance_id: str
+    project_key: str
+    host_name: str = "local"
+    pid: int | None = None
+
+    def to_dict(self) -> dict:
+        return {"instance_id": self.instance_id,
+                "project_key": self.project_key,
+                "host_name": self.host_name, "pid": self.pid}
+
+
+@dataclass(frozen=True)
+class Correlation:
+    """telemetry.rs:12-16: event / root-request / parent chain."""
+    event_id: str
+    root_request_id: str
+    parent_event_id: str | None = None
+
+    def to_dict(self) -> dict:
+        return {"event_id": self.event_id,
+                "root_request_id": self.root_request_id,
+                "parent_event_id": self.parent_event_id}
+
+
+def search_event(instance: InstanceIdentity, corr: Correlation, *,
+                 query_text: str, query_class: str, phase: str,
+                 result_count: int, lexical_count: int,
+                 semantic_count: int, latency_us: int,
+                 policy: RedactionPolicy | None = None) -> dict:
+    """SearchEvent (telemetry.rs:55-64) with the query text redacted
+    for the log surface (query_text class → truncate) before the
+    event exists — raw content never enters the envelope."""
+    policy = policy or RedactionPolicy()
+    redacted = policy.apply("query_text", "log", query_text)
+    return {
+        "type": "search",
+        "instance": instance.to_dict(),
+        "correlation": corr.to_dict(),
+        "query": {
+            "text": DROPPED if redacted is None else redacted,
+            "class": _require(query_class, QUERY_CLASSES, "query_class"),
+            "phase": _require(phase, SEARCH_PHASES, "phase"),
+        },
+        "results": {"result_count": int(result_count),
+                    "lexical_count": int(lexical_count),
+                    "semantic_count": int(semantic_count)},
+        "metrics": {"latency_us": int(latency_us)},
+    }
+
+
+def embedding_event(instance: InstanceIdentity, corr: Correlation, *,
+                    job_id: str, queue_depth: int, doc_count: int,
+                    stage: str, embedder_id: str, tier: str,
+                    dimension: int, status: str,
+                    duration_ms: int) -> dict:
+    """EmbeddingEvent (telemetry.rs:108-118)."""
+    return {
+        "type": "embedding",
+        "instance": instance.to_dict(),
+        "correlation": corr.to_dict(),
+        "job": {"job_id": job_id, "queue_depth": int(queue_depth),
+                "doc_count": int(doc_count),
+                "stage": _require(stage, ("fast", "quality", "background"),
+                                  "stage")},
+        "embedder": {"id": embedder_id,
+                     "tier": _require(tier, ("hash", "fast", "quality"),
+                                      "tier"),
+                     "dimension": int(dimension)},
+        "status": _require(status, EMBEDDING_STATUS, "status"),
+        "duration_ms": int(duration_ms),
+    }
+
+
+def index_event(instance: InstanceIdentity, corr: Correlation, *,
+                operation: str, words: int, tokens: int, lines: int,
+                bytes_: int, docs: int, dimension: int = 0,
+                quantization: str = "none", status: str = "completed",
+                duration_ms: int = 0) -> dict:
+    """IndexEvent (telemetry.rs:149-162)."""
+    return {
+        "type": "index",
+        "instance": instance.to_dict(),
+        "correlation": corr.to_dict(),
+        "operation": _require(operation, INDEX_OPERATIONS, "operation"),
+        "inventory": {"words": int(words), "tokens": int(tokens),
+                      "lines": int(lines), "bytes": int(bytes_),
+                      "docs": int(docs)},
+        "dimension": int(dimension),
+        "quantization": quantization,
+        "status": _require(status, INDEX_STATUS, "status"),
+        "duration_ms": int(duration_ms),
+    }
+
+
+def lifecycle_event(instance: InstanceIdentity, corr: Correlation, *,
+                    state: str, severity: str, reason: str | None = None,
+                    uptime_ms: int | None = None,
+                    policy: RedactionPolicy | None = None) -> dict:
+    """LifecycleEvent (telemetry.rs:185-210).  ``reason`` is free text
+    → redacted as query_text-class content for the log surface (the
+    reason_code_required rule means a None reason is rejected for
+    degraded/stale states)."""
+    if state in ("degraded", "stale") and not reason:
+        raise ValueError("reason_code_required: degraded/stale lifecycle "
+                         "events must carry a reason")
+    policy = policy or RedactionPolicy()
+    red = policy.apply("query_text", "log", reason) if reason else None
+    return {
+        "type": "lifecycle",
+        "instance": instance.to_dict(),
+        "correlation": corr.to_dict(),
+        "state": _require(state, LIFECYCLE_STATES, "state"),
+        "severity": _require(severity, SEVERITIES, "severity"),
+        "reason": red,
+        "uptime_ms": uptime_ms,
+    }
+
+
+def envelope(event: dict, ts: str) -> dict:
+    """TelemetryEnvelope (telemetry.rs:221-226).  ``ts`` is supplied by
+    the caller (RFC3339) so emission is deterministic under test."""
+    return {"v": TELEMETRY_SCHEMA_VERSION, "ts": ts, "event": event}
+
+
+class JsonlTransport:
+    """The fallback JSONL transport (telemetry_transport.rs:15-19)
+    with drop-not-block backpressure (``BackpressureConfig``: strategy
+    drop_not_block, drop counter REQUIRED — every stream frame carries
+    ``dropped_since_last``) and per-connection sequence numbers."""
+
+    def __init__(self, path: str, max_inflight: int = 256) -> None:
+        self.path = path
+        self.max_inflight = max(1, max_inflight)
+        self.sequence = 0
+        self.dropped_since_last = 0
+        self.total_dropped = 0
+        self._buffer: list[str] = []
+
+    def emit(self, event: dict, ts: str) -> bool:
+        """Buffer one envelope; False ⇔ dropped (never blocks)."""
+        if len(self._buffer) >= self.max_inflight:
+            self.dropped_since_last += 1
+            self.total_dropped += 1
+            return False
+        self.sequence += 1
+        frame = {
+            "kind": "telemetry_transport_stream_frame",
+            "v": 1,
+            "frame_type": "event",
+            "transport": "jsonl_fallback",
+            "sequence": self.sequence,
+            "producer_ts": ts,
+            "dropped_since_last": self.dropped_since_last,
+            "payload": envelope(event, ts),
+        }
+        self.dropped_since_last = 0
+        self._buffer.append(json.dumps(frame, separators=(",", ":"),
+                                       allow_nan=False))
+        return True
+
+    def flush(self) -> int:
+        """Append buffered frames to the JSONL file; returns count."""
+        if not self._buffer:
+            return 0
+        lines, self._buffer = self._buffer, []
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "a", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        return len(lines)
+
+
+@dataclass
+class TelemetryCounters:
+    """TelemetryMetrics artifact: monotonic counters, snapshot-able."""
+    searches: int = 0
+    embeddings: int = 0
+    index_ops: int = 0
+    events_emitted: int = 0
+    events_dropped: int = 0
+    by_type: dict = field(default_factory=dict)
+
+    def record(self, event: dict, emitted: bool) -> None:
+        kind = event.get("type", "unknown")
+        self.by_type[kind] = self.by_type.get(kind, 0) + 1
+        if kind == "search":
+            self.searches += 1
+        elif kind == "embedding":
+            self.embeddings += 1
+        elif kind == "index":
+            self.index_ops += 1
+        if emitted:
+            self.events_emitted += 1
+        else:
+            self.events_dropped += 1
+
+    def snapshot(self) -> dict:
+        return {"searches": self.searches, "embeddings": self.embeddings,
+                "index_ops": self.index_ops,
+                "events_emitted": self.events_emitted,
+                "events_dropped": self.events_dropped,
+                "by_type": dict(self.by_type)}

@@ -1,0 +1,299 @@
+"""FEC durability laws (fsray/durability.py).
+
+Mirrors the reference durability crate's contract surface
+(file_protector.rs / repair_trailer.rs / codec.rs tests): protect →
+verify healthy; bitrot within the parity budget repairs byte-identical
+with the corrupt original quarantined; damage past the budget is a
+typed unrecoverable; sidecar corruption is detected by the trailer CRC;
+directory sweeps skip sidecars and quarantine copies.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fsray.durability import (DurabilityConfig, FileProtector,
+                              SidecarCorrupt, cauchy_matrix, decode_sidecar,
+                              encode_sidecar, gf_inv, gf_mul, gf_solve,
+                              sidecar_path)
+
+CFG = DurabilityConfig(symbol_size=256, k_source=8, repair_overhead=1.25)
+# r = ceil(0.25 * 8) = 2 parity symbols per 8-source block
+
+
+# ---------------------------------------------------------------------------
+# GF(256) algebra laws
+
+
+def test_gf_field_laws():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, 200).astype(np.uint8)
+    b = rng.integers(0, 256, 200).astype(np.uint8)
+    c = rng.integers(0, 256, 200).astype(np.uint8)
+    np.testing.assert_array_equal(gf_mul(a, b), gf_mul(b, a))
+    np.testing.assert_array_equal(gf_mul(gf_mul(a, b), c),
+                                  gf_mul(a, gf_mul(b, c)))
+    # distributivity over XOR (the field addition)
+    np.testing.assert_array_equal(gf_mul(a, b ^ c),
+                                  gf_mul(a, b) ^ gf_mul(a, c))
+    # multiplicative identity and zero
+    np.testing.assert_array_equal(gf_mul(a, np.uint8(1)), a)
+    assert not gf_mul(a, np.uint8(0)).any()
+
+
+def test_gf_inverse():
+    for v in range(1, 256):
+        assert int(gf_mul(np.uint8(v), np.uint8(gf_inv(v)))) == 1
+    with pytest.raises(ZeroDivisionError):
+        gf_inv(0)
+
+
+def test_gf_solve_roundtrip():
+    rng = np.random.default_rng(3)
+    a = cauchy_matrix(4, 9)[:, :4]  # square Cauchy submatrix: invertible
+    x = rng.integers(0, 256, (4, 16)).astype(np.uint8)
+    rhs = np.zeros_like(x)
+    for i in range(4):
+        for j in range(4):
+            rhs[i] ^= gf_mul(a[i, j], x[j])
+    np.testing.assert_array_equal(gf_solve(a, rhs), x)
+
+
+def test_cauchy_every_submatrix_invertible():
+    """The any-r-erasures guarantee: random square submatrices of the
+    generator solve uniquely (gf_solve finds a pivot at every step)."""
+    c = cauchy_matrix(8, 32)
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        m = int(rng.integers(1, 9))
+        rows = np.sort(rng.choice(8, m, replace=False))
+        cols = np.sort(rng.choice(32, m, replace=False))
+        sub = c[np.ix_(rows, cols)]
+        x = rng.integers(0, 256, (m, 4)).astype(np.uint8)
+        rhs = np.zeros_like(x)
+        for i in range(m):
+            for j in range(m):
+                rhs[i] ^= gf_mul(sub[i, j], x[j])
+        np.testing.assert_array_equal(gf_solve(sub, rhs), x)
+
+
+# ---------------------------------------------------------------------------
+# sidecar codec
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=5000))
+def test_sidecar_roundtrip_any_size(data):
+    meta = decode_sidecar(encode_sidecar(data, CFG))
+    assert meta["source_len"] == len(data)
+    assert meta["k"] == 8 and meta["r"] == 2
+
+
+def test_sidecar_trailer_crc_detects_corruption():
+    raw = bytearray(encode_sidecar(b"hello world" * 50, CFG))
+    raw[len(raw) // 2] ^= 0xFF
+    with pytest.raises(SidecarCorrupt):
+        decode_sidecar(bytes(raw))
+    with pytest.raises(SidecarCorrupt):
+        decode_sidecar(b"oops")
+
+
+# ---------------------------------------------------------------------------
+# file protect / verify / repair
+
+
+def _mkfile(tmp, name, data):
+    path = os.path.join(tmp, name)
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def _corrupt(path, offsets):
+    with open(path, "r+b") as f:
+        for off in offsets:
+            f.seek(off)
+            byte = f.read(1)
+            f.seek(off)
+            f.write(bytes([byte[0] ^ 0xA5]))
+
+
+def test_protect_then_verify_healthy():
+    tmp = tempfile.mkdtemp(prefix="fsdur_")
+    data = np.random.default_rng(1).bytes(10_000)
+    path = _mkfile(tmp, "seg.bin", data)
+    prot = FileProtector(CFG)
+    prot.protect_file(path)
+    assert os.path.exists(sidecar_path(path))
+    v = prot.verify_file(path)
+    assert v.healthy and v.actual_len == 10_000
+
+
+def test_bitrot_within_budget_repairs_byte_identical():
+    tmp = tempfile.mkdtemp(prefix="fsdur_")
+    data = np.random.default_rng(2).bytes(20_000)
+    path = _mkfile(tmp, "seg.bin", data)
+    prot = FileProtector(CFG)
+    prot.protect_file(path)
+    # r=2 per 8-symbol block of 256 B: hit 2 symbols in block 0,
+    # 1 symbol in block 3 — all within budget
+    _corrupt(path, [10, 300, 3 * 2048 + 5])
+    assert not prot.verify_file(path).healthy
+    out = prot.repair_file(path)
+    assert out.status == "repaired"
+    with open(path, "rb") as f:
+        assert f.read() == data
+    # evidence preserved: the corrupt original was quarantined
+    assert os.path.exists(path + ".corrupt.0")
+    assert prot.verify_file(path).healthy
+
+
+def test_bitrot_past_budget_is_typed_unrecoverable():
+    tmp = tempfile.mkdtemp(prefix="fsdur_")
+    data = np.random.default_rng(3).bytes(20_000)
+    path = _mkfile(tmp, "seg.bin", data)
+    prot = FileProtector(CFG)
+    prot.protect_file(path)
+    # 3 distinct symbols of block 0 > r=2
+    _corrupt(path, [5, 300, 600])
+    out = prot.repair_file(path)
+    assert out.status == "unrecoverable"
+    assert "erasures" in out.reason
+    # the damaged file is left in place (no destructive failure path)
+    assert os.path.getsize(path) == 20_000
+
+
+def test_truncated_file_recovers():
+    """A torn write (tail lost) is erasures on the tail symbols."""
+    tmp = tempfile.mkdtemp(prefix="fsdur_")
+    data = np.random.default_rng(4).bytes(4096)  # 2 blocks of 8×256
+    path = _mkfile(tmp, "seg.bin", data)
+    prot = FileProtector(CFG)
+    prot.protect_file(path)
+    with open(path, "r+b") as f:
+        f.truncate(4096 - 2 * 256)  # lose the last 2 symbols (= r)
+    out = prot.repair_file(path)
+    assert out.status == "repaired"
+    with open(path, "rb") as f:
+        assert f.read() == data
+
+
+def test_parity_corruption_tolerated_when_budget_allows():
+    """One bad parity + one erased source in a block: still solvable
+    from the remaining good parity symbol."""
+    tmp = tempfile.mkdtemp(prefix="fsdur_")
+    data = np.random.default_rng(5).bytes(2048)  # exactly 1 block
+    path = _mkfile(tmp, "seg.bin", data)
+    prot = FileProtector(CFG)
+    prot.protect_file(path)
+    # corrupt parity symbol 0 in the sidecar payload region (after the
+    # header + crc arrays), re-wrapping the trailer crc so only the
+    # symbol-level damage remains
+    side = sidecar_path(path)
+    with open(side, "rb") as f:
+        raw = bytearray(f.read())
+    meta = decode_sidecar(bytes(raw))
+    parity_off = len(raw) - 4 - meta["parity"].size
+    raw[parity_off] ^= 0xFF
+    import struct
+    import zlib
+    raw[-4:] = struct.pack("<I", zlib.crc32(bytes(raw[:-4])))
+    with open(side, "wb") as f:
+        f.write(raw)
+    _corrupt(path, [100])  # one source erasure
+    out = prot.repair_file(path)
+    assert out.status == "repaired"
+    with open(path, "rb") as f:
+        assert f.read() == data
+
+
+def test_unprotected_and_missing_sidecar():
+    tmp = tempfile.mkdtemp(prefix="fsdur_")
+    path = _mkfile(tmp, "seg.bin", b"x" * 100)
+    prot = FileProtector(CFG)
+    assert prot.repair_file(path).status == "unprotected"
+    assert prot.verify_and_repair_file(path).status == "unprotected"
+
+
+def test_grown_file_restored_to_protected_length():
+    tmp = tempfile.mkdtemp(prefix="fsdur_")
+    data = np.random.default_rng(6).bytes(3000)
+    path = _mkfile(tmp, "seg.bin", data)
+    prot = FileProtector(CFG)
+    prot.protect_file(path)
+    with open(path, "ab") as f:
+        f.write(b"junk appended after protection")
+    out = prot.repair_file(path)
+    assert out.status == "repaired"
+    with open(path, "rb") as f:
+        assert f.read() == data
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 6000), st.integers(0, 2**32 - 1))
+def test_random_single_bitrot_always_repairs(size, seed):
+    rng = np.random.default_rng(seed)
+    data = rng.bytes(size)
+    tmp = tempfile.mkdtemp(prefix="fsdur_h_")
+    path = _mkfile(tmp, "f.bin", data)
+    prot = FileProtector(CFG)
+    prot.protect_file(path)
+    if size:
+        _corrupt(path, [int(rng.integers(0, size))])
+        out = prot.repair_file(path)
+        assert out.status == "repaired"
+    with open(path, "rb") as f:
+        assert f.read() == data
+
+
+# ---------------------------------------------------------------------------
+# directory sweeps
+
+
+def test_directory_protect_verify_repair_report():
+    tmp = tempfile.mkdtemp(prefix="fsdur_dir_")
+    rng = np.random.default_rng(9)
+    paths = [_mkfile(tmp, f"seg{i}.bin", rng.bytes(5000)) for i in range(4)]
+    _mkfile(tmp, ".hidden", b"skip me")  # dotfiles never protected
+    prot = FileProtector(CFG)
+    rep = prot.protect_directory(tmp)
+    assert rep["files_protected"] == 4
+    # idempotent: second sweep protects nothing new
+    rep2 = prot.protect_directory(tmp)
+    assert rep2["files_protected"] == 0
+    assert rep2["files_already_protected"] == 4
+
+    datas = {}
+    for p in paths:
+        with open(p, "rb") as f:
+            datas[p] = f.read()
+    _corrupt(paths[1], [50])          # repairable
+    _corrupt(paths[2], [5, 300, 600])  # 3 bad symbols in block 0: not
+    unprot = _mkfile(tmp, "late.bin", b"no sidecar")
+
+    rows = prot.verify_directory(tmp, repair=True)
+    by = {r["path"]: r["status"] for r in rows}
+    assert by["seg0.bin"] == "intact" and by["seg3.bin"] == "intact"
+    assert by["seg1.bin"] == "repaired"
+    assert by["seg2.bin"] == "unrecoverable"
+    assert by["late.bin"] == "unprotected"
+    # sidecars and the quarantined corrupt copy are not themselves rows
+    assert all(not p.endswith(".fec") and ".corrupt." not in p for p in by)
+    with open(paths[1], "rb") as f:
+        assert f.read() == datas[paths[1]]
+    assert prot.metrics.files_repaired == 1
+    assert prot.metrics.files_unrecoverable >= 1
+    assert unprot  # silence lint
+
+
+def test_empty_file_roundtrip():
+    tmp = tempfile.mkdtemp(prefix="fsdur_")
+    path = _mkfile(tmp, "empty.bin", b"")
+    prot = FileProtector(CFG)
+    prot.protect_file(path)
+    assert prot.verify_file(path).healthy
+    assert prot.verify_and_repair_file(path).status == "not_needed"
