@@ -3223,6 +3223,93 @@ sel AS (
 SELECT CAST(s.rank AS BIGINT) AS rank, p.vec_id AS doc_id
 FROM sel s JOIN pool p ON p.rn = s.pick_rn ORDER BY s.rank"""
 
+    # ---- graph post-processing oracles (smooth / pagerank) ---------------
+    # Shared scaffolding: the engine's f32 candidate pool (`_f32_pool`) and
+    # the pool-local Similar edges (`_pool_knn_order`), reproduced with f32
+    # elements (nel.x32) and f64 ACCUMULATION — the engine accumulates in
+    # f32, so these lanes compare ranks, never raw scores (the
+    # ann_hubness/prf_search pattern; output columns are int-only by
+    # design).  MATERIALIZED hints keep DuckDB from re-inlining the pool
+    # CTEs into every iteration (each inline re-scans the parquet file).
+    graph_pool_cte = f"""{nel_cte.replace("nel AS (", "nel AS MATERIALIZED (")},
+q32 AS (SELECT i, x32 FROM nel WHERE vec_id = 0),
+cos0 AS (SELECT n.vec_id, sum(CAST(n.x32 AS DOUBLE) * CAST(t.x32 AS DOUBLE)) AS cos
+         FROM nel n JOIN q32 t USING (i) WHERE n.vec_id <> 0 GROUP BY n.vec_id),
+pool AS MATERIALIZED (SELECT vec_id, cos FROM cos0
+                      ORDER BY cos DESC, vec_id ASC LIMIT {SMOOTH_POOL}),
+ps AS MATERIALIZED (SELECT a.vec_id AS da, b.vec_id AS db,
+              sum(CAST(fa.x32 AS DOUBLE) * CAST(fb.x32 AS DOUBLE)) AS sim
+       FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+       JOIN nel fa ON fa.vec_id = a.vec_id
+       JOIN nel fb ON fb.vec_id = b.vec_id AND fb.i = fa.i
+       GROUP BY a.vec_id, b.vec_id),
+nbr AS MATERIALIZED (SELECT da, db, sim,
+               row_number() OVER (PARTITION BY da ORDER BY sim DESC, db ASC) AS rn
+        FROM ps)"""
+
+    # smooth.rs:83-115: smoothed = (1−α)s + α·mean(in-pool m-NN scores);
+    # a member with no in-pool neighbors keeps its score (COALESCE arm)
+    o["ann_smooth"] = f"""
+WITH {graph_pool_cte},
+sm AS (SELECT p.vec_id,
+              (1.0 - {SMOOTH_ALPHA}) * p.cos + {SMOOTH_ALPHA} * COALESCE(
+                 (SELECT avg(p2.cos) FROM nbr n JOIN pool p2 ON p2.vec_id = n.db
+                  WHERE n.da = p.vec_id AND n.rn <= {SMOOTH_M}), p.cos) AS s
+       FROM pool p)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id AS neighbor_id
+FROM sm ORDER BY s DESC, vec_id ASC LIMIT {SMOOTH_K}"""
+
+    # graph_rank.rs:120-260 power iteration, unrolled (recursive CTEs
+    # cannot aggregate over the recursive reference): 20 f64 iterations
+    # with per-step L1 deltas, then the state at the FIRST delta < tol is
+    # selected — exactly the engine's early-exit.  Dangling mass
+    # redistributes to the seeds; edges with w ≤ 0 are dropped at build;
+    # final ties order by the doc-id STRING (GraphRanker sorts node keys).
+    pr_eps = "2.220446049250313e-16"
+    pr_walk, pr_tel, pr_tol, pr_iters = 0.85, 0.15, 1e-6, 20
+    pr_parts = [f"""
+edges AS MATERIALIZED (SELECT da AS u, db AS v, sim AS w FROM nbr
+                       WHERE rn <= {SMOOTH_M} AND sim > 0),
+outs AS MATERIALIZED (SELECT u, sum(w) AS osum FROM edges GROUP BY u),
+stot AS (SELECT sum(cos) AS t FROM pool WHERE cos > 0),
+seed AS MATERIALIZED (SELECT p.vec_id AS node,
+                CASE WHEN p.cos > 0 THEN p.cos / (SELECT t FROM stot) ELSE 0.0 END AS sw
+         FROM pool p),
+it0 AS MATERIALIZED (SELECT node, sw AS r FROM seed)"""]
+    for _j in range(1, pr_iters + 1):
+        _p = _j - 1
+        pr_parts.append(f"""
+dang{_j} AS (SELECT COALESCE(sum(p.r), 0.0) AS dm FROM it{_p} p
+            LEFT JOIN outs o ON o.u = p.node
+            WHERE o.u IS NULL OR o.osum <= {pr_eps}),
+it{_j} AS MATERIALIZED (SELECT s.node,
+                 {pr_tel} * s.sw + {pr_walk} * (SELECT dm FROM dang{_j}) * s.sw
+                 + COALESCE(ag.inc, 0.0) AS r
+          FROM seed s LEFT JOIN
+            (SELECT e.v AS node, sum({pr_walk} * p.r / o.osum * e.w) AS inc
+             FROM edges e JOIN it{_p} p ON p.node = e.u
+             JOIN outs o ON o.u = e.u AND o.osum > {pr_eps}
+             GROUP BY e.v) ag ON ag.node = s.node),
+dl{_j} AS (SELECT sum(abs(p.r - c.r)) AS delta FROM it{_p} p JOIN it{_j} c USING (node))""")
+    pr_fin = " UNION ALL ".join(
+        f"SELECT {j} AS it, node, r FROM it{j}" for j in range(1, pr_iters + 1))
+    pr_dls = " UNION ALL ".join(
+        f"SELECT {j} AS it, delta FROM dl{j}" for j in range(1, pr_iters + 1))
+    pr_parts.append(f"""
+fin AS MATERIALIZED ({pr_fin}),
+dls AS ({pr_dls}),
+stop AS (SELECT COALESCE(min(it), {pr_iters}) AS it FROM dls WHERE delta < {pr_tol}),
+ranksel AS MATERIALIZED (SELECT node, r FROM fin WHERE it = (SELECT it FROM stop)),
+tot AS (SELECT sum(r) AS t FROM ranksel)""")
+    o["graph_pagerank"] = f"""
+WITH {graph_pool_cte},{",".join(pr_parts)}
+SELECT CAST(row_number() OVER (
+         ORDER BY r / (SELECT t FROM tot) DESC, CAST(node AS VARCHAR) ASC) AS BIGINT) AS rank,
+       node AS neighbor_id
+FROM ranksel WHERE r / (SELECT t FROM tot) > 0
+ORDER BY r / (SELECT t FROM tot) DESC, CAST(node AS VARCHAR) ASC LIMIT {SMOOTH_K}"""
+
     # REAL decode roundtrips: synthesis rules are closed-form in doc_id,
     # the engine decodes actual P6/WAVE bytes
     o["multimodal_image_decode"] = """
