@@ -1,0 +1,379 @@
+"""Pure-Python subset of the HuggingFace `tokenizer.json` contract.
+
+The reference's fast embedding tier loads a frozen tokenizer via the
+`tokenizers` crate (crates/frankensearch-embed/src/model2vec_embedder.rs:21,
+"tokenizer.json (HuggingFace BPE tokenizer)").  That runtime is absent
+here, so this module implements the subset of the `tokenizer.json`
+schema the model2vec tier actually exercises — enough to run REAL
+inference from a real artifact directory:
+
+- normalizers: ``Lowercase``, ``NFC``/``NFD``/``NFKC``/``NFKD``,
+  ``Strip``, ``Sequence``
+- pre-tokenizers: ``Whitespace`` (the ``\\w+|[^\\w\\s]+`` rule),
+  ``WhitespaceSplit``, ``ByteLevel`` (GPT-2 byte→unicode table + the
+  exact GPT-2 split pattern, hand-scanned so no ``\\p{{L}}`` regex
+  support is needed), ``Sequence``
+- models: ``WordLevel``, ``WordPiece``, ``BPE`` (rank-ordered merges)
+- added tokens (longest-first literal match, id passthrough)
+
+Anything outside the subset (``Unigram`` models, BPE dropout /
+byte-fallback / subword affixes, template post-processors at
+``add_special_tokens=True``) raises the typed
+:class:`TokenizerUnsupported` instead of silently mis-tokenizing.
+Encoding is always ``encode(text, add_special_tokens=False)`` — the
+pinned model2vec execution contract
+(model_manifest.rs: ``encode-special-tokens=false``), so
+post-processors never apply.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import re
+import unicodedata
+
+
+class TokenizationError(ValueError):
+    """Tokenization failed (maps to the reference's EmbeddingFailed)."""
+
+
+class TokenizerUnsupported(TokenizationError):
+    """tokenizer.json uses a feature outside the supported subset."""
+
+
+# ─── GPT-2 ByteLevel machinery ──────────────────────────────────────────
+
+
+@functools.lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 reversible byte→unicode table (public constant used by
+    every ByteLevel tokenizer): printable bytes map to themselves,
+    the rest shift into U+0100.."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def _is_letter(c: str) -> bool:
+    return unicodedata.category(c)[0] == "L"
+
+
+def _is_number(c: str) -> bool:
+    return unicodedata.category(c)[0] == "N"
+
+
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def gpt2_split(text: str) -> list[str]:
+    """The exact GPT-2 pre-tokenization pattern
+    ``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+``
+    as a hand scanner (Python ``re`` has no ``\\p`` classes).  Matches
+    the alternation's backtracking semantics: a whitespace run followed
+    by a word donates its LAST space to that word's optional-space."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            hit = next((s for s in _CONTRACTIONS if text.startswith(s, i)), None)
+            if hit is not None:
+                out.append(hit)
+                i += len(hit)
+                continue
+        # " ?X+" branches — the optional prefix is a LITERAL space only
+        j = i + 1 if (c == " " and i + 1 < n and not text[i + 1].isspace()) else i
+        if j < n and not text[j].isspace():
+            k = j
+            if _is_letter(text[k]):
+                while k < n and _is_letter(text[k]):
+                    k += 1
+            elif _is_number(text[k]):
+                while k < n and _is_number(text[k]):
+                    k += 1
+            else:
+                while (k < n and not text[k].isspace()
+                       and not _is_letter(text[k]) and not _is_number(text[k])):
+                    k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        # whitespace runs: \s+(?!\S) backtracks to leave one space for
+        # the following word; at end-of-text the whole run matches
+        k = i
+        while k < n and text[k].isspace():
+            k += 1
+        if k >= n:
+            out.append(text[i:k])
+        elif k - i > 1:
+            out.append(text[i:k - 1])
+            k -= 1
+        else:  # single non-' ' whitespace char before a non-space
+            out.append(text[i:k])
+        i = k
+    return out
+
+
+# ─── normalizers ────────────────────────────────────────────────────────
+
+
+def _build_normalizer(spec: dict | None):
+    if spec is None:
+        return lambda s: s
+    typ = spec.get("type")
+    if typ == "Sequence":
+        steps = [_build_normalizer(s) for s in spec.get("normalizers", [])]
+
+        def run(s: str) -> str:
+            for step in steps:
+                s = step(s)
+            return s
+        return run
+    if typ == "Lowercase":
+        return str.lower
+    if typ in ("NFC", "NFD", "NFKC", "NFKD"):
+        return lambda s, _f=typ: unicodedata.normalize(_f, s)
+    if typ == "Strip":
+        left, right = spec.get("strip_left", True), spec.get("strip_right", True)
+        if left and right:
+            return str.strip
+        return str.lstrip if left else str.rstrip
+    raise TokenizerUnsupported(f"normalizer type {typ!r} outside the subset")
+
+
+# ─── pre-tokenizers ─────────────────────────────────────────────────────
+
+# HF Whitespace: \w+|[^\w\s]+ with Unicode \w — Python re matches that
+_WHITESPACE_RULE = re.compile(r"\w+|[^\w\s]+", re.UNICODE)
+
+
+def _build_pretokenizer(spec: dict | None):
+    """Returns (split_fn, byte_level: bool).  ``split_fn`` maps the
+    normalized text to the word sequence handed to the model; ByteLevel
+    additionally remaps each word through the byte→unicode table."""
+    if spec is None:
+        return (lambda s: [s] if s else []), False
+    typ = spec.get("type")
+    if typ == "Sequence":
+        subs = spec.get("pretokenizers", [])
+        if len(subs) == 1:
+            return _build_pretokenizer(subs[0])
+        raise TokenizerUnsupported(
+            "pre-tokenizer Sequence with multiple members outside the subset")
+    if typ == "Whitespace":
+        return (lambda s: _WHITESPACE_RULE.findall(s)), False
+    if typ == "WhitespaceSplit":
+        return (lambda s: s.split()), False
+    if typ == "ByteLevel":
+        add_prefix = spec.get("add_prefix_space", True)
+        use_regex = spec.get("use_regex", True)
+        table = bytes_to_unicode()
+
+        def run(s: str) -> list[str]:
+            if add_prefix and s and not s.startswith(" "):
+                s = " " + s
+            pieces = gpt2_split(s) if use_regex else ([s] if s else [])
+            return ["".join(table[b] for b in p.encode("utf-8")) for p in pieces]
+        return run, True
+    raise TokenizerUnsupported(f"pre-tokenizer type {typ!r} outside the subset")
+
+
+# ─── models ─────────────────────────────────────────────────────────────
+
+
+class _WordLevel:
+    def __init__(self, spec: dict):
+        self.vocab: dict[str, int] = spec["vocab"]
+        self.unk = spec.get("unk_token")
+
+    def tokenize(self, word: str) -> list[int]:
+        tid = self.vocab.get(word)
+        if tid is not None:
+            return [tid]
+        if self.unk is None or self.unk not in self.vocab:
+            raise TokenizationError(
+                f"WordLevel has no [UNK] fallback for {word!r}")
+        return [self.vocab[self.unk]]
+
+
+class _WordPiece:
+    def __init__(self, spec: dict):
+        self.vocab: dict[str, int] = spec["vocab"]
+        self.unk = spec.get("unk_token", "[UNK]")
+        self.prefix = spec.get("continuing_subword_prefix", "##")
+        self.max_chars = spec.get("max_input_chars_per_word", 100)
+
+    def tokenize(self, word: str) -> list[int]:
+        unk_id = self.vocab.get(self.unk)
+        if unk_id is None:
+            raise TokenizationError("WordPiece vocab is missing its unk_token")
+        if len(word) > self.max_chars:
+            return [unk_id]
+        ids: list[int] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = self.prefix + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [unk_id]  # whole-word fallback, the HF rule
+            ids.append(cur)
+            start = end
+        return ids
+
+
+class _BPE:
+    def __init__(self, spec: dict):
+        self.vocab: dict[str, int] = spec["vocab"]
+        self.unk = spec.get("unk_token")
+        self.fuse_unk = bool(spec.get("fuse_unk", False))
+        if spec.get("dropout"):
+            raise TokenizerUnsupported("BPE dropout outside the subset")
+        if spec.get("byte_fallback"):
+            raise TokenizerUnsupported("BPE byte_fallback outside the subset")
+        if spec.get("continuing_subword_prefix") or spec.get("end_of_word_suffix"):
+            raise TokenizerUnsupported(
+                "BPE subword affixes outside the subset")
+        self.ranks: dict[tuple[str, str], int] = {}
+        for r, m in enumerate(spec.get("merges", [])):
+            a, b = m.split(" ", 1) if isinstance(m, str) else (m[0], m[1])
+            self.ranks[(a, b)] = r
+        self._cache: dict[str, tuple[str, ...]] = {}
+
+    def _bpe(self, word: str) -> tuple[str, ...]:
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            merged = syms[best_i] + syms[best_i + 1]
+            # merge EVERY occurrence of the chosen pair left-to-right
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == syms[best_i]
+                        and syms[i + 1] == syms[best_i + 1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        result = tuple(syms)
+        if len(self._cache) < 65536:
+            self._cache[word] = result
+        return result
+
+    def tokenize(self, word: str) -> list[int]:
+        ids: list[int] = []
+        prev_unk = False
+        unk_id = self.vocab.get(self.unk) if self.unk is not None else None
+        for piece in self._bpe(word):
+            tid = self.vocab.get(piece)
+            if tid is None:
+                if unk_id is None:
+                    prev_unk = False
+                    continue  # the HF rule: no unk configured → drop
+                if self.fuse_unk and prev_unk:
+                    continue
+                ids.append(unk_id)
+                prev_unk = True
+            else:
+                ids.append(tid)
+                prev_unk = False
+        return ids
+
+
+def _build_model(spec: dict):
+    typ = spec.get("type")
+    if typ == "WordLevel":
+        return _WordLevel(spec)
+    if typ == "WordPiece":
+        return _WordPiece(spec)
+    if typ == "BPE":
+        return _BPE(spec)
+    raise TokenizerUnsupported(f"model type {typ!r} outside the subset "
+                               "(Unigram needs the tokenizers runtime)")
+
+
+# ─── the tokenizer ──────────────────────────────────────────────────────
+
+
+class HFTokenizer:
+    """Subset loader for `tokenizer.json`; ``encode`` mirrors the
+    reference call shape ``Tokenizer::encode(text, false)``."""
+
+    def __init__(self, config: dict):
+        self.normalize = _build_normalizer(config.get("normalizer"))
+        self.pretokenize, self.byte_level = _build_pretokenizer(
+            config.get("pre_tokenizer"))
+        self.model = _build_model(config.get("model") or {})
+        # added tokens match LITERALLY in the raw text, longest first
+        self.added = sorted(
+            ((t["content"], int(t["id"]))
+             for t in config.get("added_tokens", []) if t.get("content")),
+            key=lambda p: -len(p[0]))
+        self.vocab_size = (max(self.model.vocab.values(), default=-1) + 1
+                           if self.model.vocab else 0)
+
+    @classmethod
+    def from_file(cls, path: str) -> "HFTokenizer":
+        with open(path, encoding="utf-8") as f:
+            return cls(json.load(f))
+
+    def _split_added(self, text: str) -> list[tuple[str, int | None]]:
+        """Segments of (text, added_id|None) — added tokens are literal
+        islands the pipeline never normalizes."""
+        if not self.added:
+            return [(text, None)]
+        segs: list[tuple[str, int | None]] = [(text, None)]
+        for content, tid in self.added:
+            nxt: list[tuple[str, int | None]] = []
+            for seg, sid in segs:
+                if sid is not None or content not in seg:
+                    nxt.append((seg, sid))
+                    continue
+                parts = seg.split(content)
+                for pi, part in enumerate(parts):
+                    if pi:
+                        nxt.append((content, tid))
+                    if part:
+                        nxt.append((part, None))
+            segs = nxt
+        return segs
+
+    def encode(self, text: str) -> list[int]:
+        """Token ids with ``add_special_tokens=False`` (the pinned
+        model2vec sequence policy — no padding, no template)."""
+        ids: list[int] = []
+        for seg, sid in self._split_added(text):
+            if sid is not None:
+                ids.append(sid)
+                continue
+            normalized = self.normalize(seg)
+            for word in self.pretokenize(normalized):
+                ids.extend(self.model.tokenize(word))
+        return ids

@@ -1,0 +1,186 @@
+"""Model2Vec static-token-embedding fast tier — REAL inference.
+
+Reimplements `crates/frankensearch-embed/src/model2vec_embedder.rs`:
+the fast tier is NOT a transformer — it looks up pre-computed per-token
+embedding rows and mean-pools them, so the full inference path
+(tokenize → static-row gather → mean-pool → L2-normalize) runs here in
+numpy from the same two artifacts the reference requires
+(model2vec_embedder.rs:34 ``REQUIRED_FILES``):
+
+- ``tokenizer.json`` — loaded by the :mod:`fsray.hftok` subset
+- ``model.safetensors`` — parsed by the pure-Python loader below
+
+Pinned execution contract (model_manifest.rs:82-89):
+
+- ``encode-special-tokens=false`` — no template/padding tokens
+- ``discard-oov=true`` — token ids ≥ the matrix row count are skipped
+- ``empty-or-all-oov=zero-vector``
+- pooling ``mean-in-vocabulary-token-rows-v1`` (f32 accumulate, f32
+  ``1/count`` multiply)
+- output normalization ``l2-f32-zero-on-degenerate-v1`` (f32 norm²;
+  non-finite or ≤ f32 epsilon → zero vector)
+
+A user who drops a converted potion artifact pair in the model cache
+gets real semantic embeddings; the hash tier remains the fallback when
+no model directory verifies (DIV-R07 now covers only the ONNX
+cross-encoder / fastembed quality tier).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+
+from fsray.hftok import HFTokenizer, TokenizationError
+
+#: model2vec_embedder.rs:34 — the only two files inference needs.
+REQUIRED_FILES = ("tokenizer.json", "model.safetensors")
+
+#: model2vec_embedder.rs:44-45 — tensor names tried in order when
+#: discovering the embedding matrix.
+TENSOR_NAME_CANDIDATES = ("embeddings", "embedding", "word_embeddings",
+                          "embed", "emb")
+
+_F32_EPS = np.float32(1.1920928955078125e-07)
+
+
+class ModelNotFound(FileNotFoundError):
+    """Required artifact files are missing (SearchError::ModelNotFound)."""
+
+
+class ModelLoadFailed(ValueError):
+    """Artifacts exist but cannot be parsed (SearchError::ModelLoadFailed)."""
+
+
+class EmbeddingFailed(ValueError):
+    """Tokenization failed at embed time (SearchError::EmbeddingFailed)."""
+
+
+def load_safetensors_f32(path: str) -> dict[str, np.ndarray]:
+    """Minimal safetensors reader (the public format: 8-byte LE header
+    length, JSON header with per-tensor dtype/shape/data_offsets, then
+    the raw buffer).  Returns every F32 tensor as a numpy view copy;
+    non-F32 tensors are left out (the reference requires F32 for the
+    embedding matrix and rejects anything else)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if len(raw) < 8:
+        raise ModelLoadFailed(f"{path}: truncated safetensors header")
+    (hlen,) = struct.unpack("<Q", raw[:8])
+    if 8 + hlen > len(raw):
+        raise ModelLoadFailed(f"{path}: header length {hlen} exceeds file")
+    try:
+        header = json.loads(raw[8:8 + hlen])
+    except json.JSONDecodeError as e:
+        raise ModelLoadFailed(f"{path}: bad safetensors JSON header: {e}") from e
+    buf = raw[8 + hlen:]
+    out: dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__" or meta.get("dtype") != "F32":
+            continue
+        shape = tuple(int(s) for s in meta["shape"])
+        b, e = meta["data_offsets"]
+        want = int(np.prod(shape, dtype=np.int64)) * 4 if shape else 4
+        if e - b != want or e > len(buf):
+            raise ModelLoadFailed(
+                f"{path}: tensor {name!r} data length {e - b} != "
+                f"expected {want} for shape {shape}")
+        out[name] = np.frombuffer(buf[b:e], dtype="<f4").reshape(shape)
+    return out
+
+
+def write_safetensors_f32(path: str, tensors: dict[str, np.ndarray]) -> None:
+    """Minimal safetensors WRITER (the inverse of the loader above) —
+    used by the synthetic driver-lane model and the test corpus; also
+    the install path for converting real potion weights locally."""
+    header: dict[str, dict] = {}
+    buf = b""
+    off = 0
+    for name, arr in tensors.items():
+        data = np.ascontiguousarray(arr, dtype="<f4").tobytes()
+        header[name] = {"dtype": "F32", "shape": list(arr.shape),
+                        "data_offsets": [off, off + len(data)]}
+        buf += data
+        off += len(data)
+    hj = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hj)) + hj + buf)
+
+
+class Model2VecEmbedder:
+    """Static token-embedding model (Model2Vec / potion), numpy lane.
+
+    Conforms to the :class:`fsray.modelcache.Embedder` core shape
+    (``dimension`` / ``embed`` / ``embed_texts``) so
+    ``EmbedderAdapter`` wraps it unchanged."""
+
+    def __init__(self, tokenizer: HFTokenizer, matrix: np.ndarray,
+                 name: str, model_dir: str):
+        self.tokenizer = tokenizer
+        self.matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+        self.vocab_size, self.dimension = self.matrix.shape
+        self.name = name
+        self.model_dir = model_dir
+
+    # ── loading (model2vec_embedder.rs load / load_with_name) ─────────
+
+    @classmethod
+    def load(cls, model_dir: str,
+             name: str = "potion-multilingual-128M") -> "Model2VecEmbedder":
+        missing = [f for f in REQUIRED_FILES
+                   if not os.path.exists(os.path.join(model_dir, f))]
+        if missing:
+            raise ModelNotFound(
+                f"model2vec artifacts missing from {model_dir}: {missing}")
+        try:
+            tok = HFTokenizer.from_file(os.path.join(model_dir, "tokenizer.json"))
+        except (ValueError, KeyError, TypeError) as e:
+            raise ModelLoadFailed(f"tokenizer.json: {e}") from e
+        tensors = load_safetensors_f32(os.path.join(model_dir, "model.safetensors"))
+        mat = next((tensors[c] for c in TENSOR_NAME_CANDIDATES if c in tensors),
+                   None)
+        if mat is None:
+            raise ModelLoadFailed(
+                f"model.safetensors has no F32 tensor named one of "
+                f"{TENSOR_NAME_CANDIDATES} (found {sorted(tensors)})")
+        if mat.ndim != 2:
+            raise ModelLoadFailed(
+                f"embedding tensor must be 2-D, got shape {mat.shape}")
+        return cls(tok, mat, name, model_dir)
+
+    # ── inference (model2vec_embedder.rs embed_sync) ───────────────────
+
+    def embed(self, text: str) -> np.ndarray:
+        """tokenize → in-vocab row gather → f32 mean → f32 L2 norm."""
+        zero = np.zeros(self.dimension, dtype=np.float32)
+        if not text:
+            return zero
+        try:
+            ids = np.asarray(self.tokenizer.encode(text), dtype=np.int64)
+        except TokenizationError as e:
+            raise EmbeddingFailed(f"{self.name}: tokenization failed: {e}") from e
+        ids = ids[(ids >= 0) & (ids < self.vocab_size)]  # discard-oov=true
+        if ids.size == 0:
+            return zero
+        acc = np.add.reduce(self.matrix[ids], axis=0, dtype=np.float32)
+        mean = acc * (np.float32(1.0) / np.float32(ids.size))
+        norm_sq = np.float32(np.dot(mean, mean))
+        if not np.isfinite(norm_sq) or norm_sq <= _F32_EPS:
+            return zero
+        return mean * (np.float32(1.0) / np.sqrt(norm_sq))
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        """Batch lane: per-document embeds stacked (the reference's
+        Rayon fan-out is order-preserving, so batch ≡ serial by
+        construction — here the Ray actor pool IS the fan-out)."""
+        if not texts:
+            return np.zeros((0, self.dimension), dtype=np.float32)
+        return np.stack([self.embed(t or "") for t in texts])
+
+    def token_ids(self, text: str) -> np.ndarray:
+        """The raw (pre-OOV-filter) id stream — exposed for the driver
+        lane's exact oracle over tokenizer behavior."""
+        return np.asarray(self.tokenizer.encode(text or ""), dtype=np.int64)

@@ -1,8 +1,12 @@
 """Pluggable embedder protocol + pinned model-artifact cache.
 
-The model TIERS themselves stay DIV-R07 stand-ins (no ONNX/model2vec
-runtimes or downloads exist in this environment), but everything AROUND
-a real model is implemented and tested against fake weights files:
+The model2vec FAST tier runs REAL inference here (it is a static
+token-embedding lookup, not a transformer — :mod:`fsray.model2vec`
+implements tokenize → row gather → mean-pool → L2-normalize from the
+same two artifacts the reference loads).  Only the ONNX quality tier
+(fastembed / cross-encoder) stays a DIV-R07 stand-in — no ONNX runtime
+or downloads exist in this environment — but everything AROUND it is
+implemented and tested against fake weights files:
 
 Semantic anchors (reference frankensearch):
 - ``Embedder`` trait surface (embed / embed_batch / identity-bound
@@ -153,6 +157,12 @@ class EmbedderAdapter:
     @property
     def dimension(self) -> int:
         return int(self._core.dimension)
+
+    @property
+    def core(self):
+        """The wrapped model core (tier-specific extras like
+        ``Model2VecEmbedder.token_ids`` live there)."""
+        return self._core
 
     def id(self) -> str:
         return self._id
@@ -375,10 +385,35 @@ def _verify_and_probe(model_dir: str, what: str) -> ModelArtifactManifest:
 
 def load_model_embedder(model_dir: str) -> EmbedderAdapter:
     """Verify pinned artifacts, then construct the model-tier embedder.
-    The inference RUNTIME is absent in this environment, so after the
-    (real) verification gate this raises ``ModelUnavailable`` — the
-    load path, cache layout and manifest laws stay fully testable
-    against fake weights."""
+
+    The model2vec FAST tier needs no inference runtime — it is a static
+    token-embedding lookup (model2vec_embedder.rs: "No transformer
+    inference") — so a verified directory carrying the two model2vec
+    artifacts (``tokenizer.json`` + ``model.safetensors``) loads the
+    REAL :class:`fsray.model2vec.Model2VecEmbedder`.  Directories
+    shaped for the ONNX quality tier still verify for real and then
+    raise ``ModelUnavailable`` (DIV-R07: no ONNX runtime here)."""
+    from fsray.model2vec import (REQUIRED_FILES, Model2VecEmbedder,
+                                 ModelLoadFailed, ModelNotFound)
+    if all(os.path.exists(os.path.join(model_dir, f)) for f in REQUIRED_FILES):
+        manifest = load_manifest(model_dir)
+        verify_artifacts(model_dir, manifest)
+        try:
+            core = Model2VecEmbedder.load(model_dir, name=manifest.model_id)
+        except (ModelNotFound, ModelLoadFailed) as e:
+            raise ModelUnavailable(
+                f"verified artifacts for {manifest.model_id} but the "
+                f"model2vec loader rejected them: {e}") from e
+        if core.dimension != manifest.dimension:
+            raise ModelUnavailable(
+                f"parsed tensor width {core.dimension} disagrees with the "
+                f"attested manifest dimension {manifest.dimension} for "
+                f"{manifest.model_id}")  # load_preverified dimension-drift law
+        return EmbedderAdapter(
+            core,
+            embedder_id=f"model2vec-{manifest.model_id}-{manifest.revision}",
+            model_name=manifest.model_id, revision=manifest.revision,
+            semantic=True, category="fast")
     _verify_and_probe(model_dir, "model-tier")
 
 

@@ -2041,6 +2041,104 @@ def hash_embed_ann(sf_dir: str) -> pa.Table:
     })
 
 
+# ── model2vec fast tier (REAL inference — fsray/model2vec.py) ──────────
+# The synthetic artifact pair mirrors the reference's own test model
+# (model2vec_embedder.rs create_test_model): Lowercase + Whitespace
+# WordLevel tokenizer, matrix row r / col c = f32(r*0.1 + c*0.01).
+# Vocab words are the corpus's ten most common tokens so the lane
+# exercises real lookups, not just the [UNK] row.
+
+M2V_VOCAB_WORDS = ("filter", "batch", "scan", "hash", "customer",
+                   "merge", "stream", "slow", "column", "value")
+M2V_DIM = 8
+
+
+def _m2v_model_dir() -> str:
+    """Write + sha256-pin the deterministic model2vec artifact pair in a
+    fresh ``mkdtemp`` (per-invocation — no shared-dir races)."""
+    import tempfile
+
+    from fsray.model2vec import write_safetensors_f32
+    from fsray.modelcache import pin_directory
+    d = tempfile.mkdtemp(prefix="fsray_m2v_")
+    vocab = {"[UNK]": 0, **{w: i + 1 for i, w in enumerate(M2V_VOCAB_WORDS)}}
+    with open(os.path.join(d, "tokenizer.json"), "w") as f:
+        json.dump({
+            "version": "1.0",
+            "added_tokens": [{"id": 0, "content": "[UNK]", "special": True}],
+            "normalizer": {"type": "Lowercase"},
+            "pre_tokenizer": {"type": "Whitespace"},
+            "model": {"type": "WordLevel", "vocab": vocab,
+                      "unk_token": "[UNK]"},
+        }, f)
+    mat = np.add.outer(np.arange(len(vocab)) * 0.1,
+                       np.arange(M2V_DIM) * 0.01).astype(np.float32)
+    write_safetensors_f32(os.path.join(d, "model.safetensors"),
+                          {"embeddings": mat})
+    pin_directory(d, "potion-test", "v1", M2V_DIM)
+    return d
+
+
+class Model2VecEmbedStats:
+    """Actor-pool embed stage: the verified model loads ONCE per actor
+    in ``__init__`` (at scale each node reads its local model cache);
+    ``__call__`` runs real mean-pool inference per batch and emits the
+    oracle-checkable integer witness per document (token count, id sum,
+    zero-vector flag — the floats are f32 and compare by rank lanes)."""
+
+    def __init__(self, model_dir: str):
+        from fsray.modelcache import resolve_embedder
+        emb, reason = resolve_embedder(model_dir)
+        if reason is not None:  # the REAL tier must load — no silent hash
+            raise RuntimeError(f"model2vec tier failed to load: {reason}")
+        self.emb = emb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        mat = self.emb.embed_texts(texts)
+        core = self.emb.core
+        n_tok = np.empty(len(texts), dtype=np.int64)
+        id_sum = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):  # tokenizer = per-doc state machine
+            ids = core.token_ids(t)
+            n_tok[i] = ids.size
+            id_sum[i] = int(ids.sum())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "id_sum": pa.array(id_sum, type=pa.int64()),
+            "is_zero": pa.array(~mat.any(axis=1)),
+        })
+
+
+def model2vec_embed(sf_dir: str) -> pa.Table:
+    """REAL model-tier embedding over `documents` (model2vec_embedder.rs
+    semantics end-to-end): pinned artifacts → verified load in each
+    actor's ``__init__`` → tokenize/gather/mean-pool/normalize per
+    batch.  The integer witness columns make the whole chain (tokenizer
+    subset + OOV policy + zero-vector law) exactly SQL-checkable."""
+    import shutil
+
+    import ray.data as rd
+    model_dir = _m2v_model_dir()
+    try:
+        out = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+               .map_batches(Model2VecEmbedStats, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=2,
+                            fn_constructor_kwargs={"model_dir": model_dir})
+               .to_pandas())
+    finally:
+        shutil.rmtree(model_dir, ignore_errors=True)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64"), type=pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+        "id_sum": pa.array(out["id_sum"], type=pa.int64()),
+        "is_zero": pa.array(out["is_zero"].astype(bool)),
+    })
+
+
 PROG_ARM_K = 30
 PROG_K = 10
 
@@ -2592,6 +2690,7 @@ def make_queries() -> dict:
         "ann_smooth": ann_smooth,
         "graph_pagerank": graph_pagerank,
         "hash_embed_ann": hash_embed_ann,
+        "model2vec_embed": model2vec_embed,
         "classify_files": classify_files,
         "hybrid_blend": hybrid_blend,
         "bm25_calibrated": bm25_calibrated,
@@ -3333,4 +3432,27 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        64 + octet_length(encode(text)) % 577 AS width,
        64 + (octet_length(encode(text)) * 31) % 419 AS height
 FROM documents ORDER BY doc_id"""
+
+    # model2vec REAL-inference witness: the HF Whitespace pre-tokenizer
+    # rule \w+|[^\w\s]+ is exact in RE2 on this all-ASCII corpus
+    # (Python re \w == RE2 \w for ASCII); vocab ids are the pinned
+    # M2V_VOCAB_WORDS order; mean-pool of >=1 synthetic matrix row is
+    # never the zero vector, so is_zero <=> no tokens.
+    vocab_case = " ".join(
+        f"WHEN '{w}' THEN {i + 1}" for i, w in enumerate(M2V_VOCAB_WORDS))
+    o["model2vec_embed"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\\w+|[^\\w\\s]+')) AS tok
+  FROM documents)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(t.id_sum, 0) AS BIGINT) AS id_sum,
+       coalesce(t.n_tokens, 0) = 0 AS is_zero
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE tok {vocab_case} ELSE 0 END) AS id_sum
+  FROM toks GROUP BY doc_id) t USING (doc_id)
+ORDER BY d.doc_id"""
     return o

@@ -1,0 +1,370 @@
+"""Model2Vec fast tier — REAL inference laws.
+
+Mirrors the reference's own test corpus
+(crates/frankensearch-embed/src/model2vec_embedder.rs tests): the
+synthetic model is the SAME one the reference builds — a
+Lowercase+Whitespace WordLevel tokenizer over ["[UNK]", "hello",
+"world", ...] and an embedding matrix with row r, col c =
+r*0.1 + c*0.01 — serialized through a real safetensors file.
+"""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from fsray.hftok import (HFTokenizer, TokenizationError,
+                         TokenizerUnsupported, bytes_to_unicode, gpt2_split)
+from fsray.model2vec import (EmbeddingFailed, Model2VecEmbedder,
+                             ModelLoadFailed, ModelNotFound,
+                             load_safetensors_f32)
+
+TEST_WORDS = ["hello", "world", "test", "rust", "search",
+              "embed", "vector", "model", "fast", "query"]
+
+
+def write_safetensors(path, tensors):
+    """Real safetensors writer (format is public: LE u64 header length +
+    JSON header + raw buffer)."""
+    header, buf, off = {}, b"", 0
+    for name, arr in tensors.items():
+        data = np.ascontiguousarray(arr, dtype="<f4").tobytes()
+        header[name] = {"dtype": "F32", "shape": list(arr.shape),
+                        "data_offsets": [off, off + len(data)]}
+        buf += data
+        off += len(data)
+    hj = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hj)) + hj + buf)
+
+
+def make_test_model(dirpath, vocab_size=12, dimensions=8,
+                    tensor_name="embeddings"):
+    """model2vec_embedder.rs create_test_model, byte-compatible."""
+    vocab = {"[UNK]": 0}
+    for i, w in enumerate(TEST_WORDS):
+        if i + 1 < vocab_size:
+            vocab[w] = i + 1
+    tok = {
+        "version": "1.0",
+        "added_tokens": [{"id": 0, "content": "[UNK]", "special": True}],
+        "normalizer": {"type": "Lowercase"},
+        "pre_tokenizer": {"type": "Whitespace"},
+        "model": {"type": "WordLevel", "vocab": vocab, "unk_token": "[UNK]"},
+    }
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, "tokenizer.json"), "w") as f:
+        json.dump(tok, f)
+    mat = np.add.outer(np.arange(vocab_size) * 0.1,
+                       np.arange(dimensions) * 0.01).astype(np.float32)
+    write_safetensors(os.path.join(dirpath, "model.safetensors"),
+                      {tensor_name: mat})
+    return mat
+
+
+# ─── safetensors loader ─────────────────────────────────────────────────
+
+
+def test_safetensors_roundtrip(tmp_path):
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "t.safetensors")
+    write_safetensors(p, {"embeddings": a})
+    out = load_safetensors_f32(p)
+    assert np.array_equal(out["embeddings"], a)
+
+
+def test_safetensors_rejects_wrong_data_length(tmp_path):
+    p = str(tmp_path / "bad.safetensors")
+    hdr = json.dumps({"embeddings": {"dtype": "F32", "shape": [2, 2],
+                                     "data_offsets": [0, 12]}}).encode()
+    with open(p, "wb") as f:  # 12 bytes ≠ 2*2*4
+        f.write(struct.pack("<Q", len(hdr)) + hdr + b"\x00" * 12)
+    with pytest.raises(ModelLoadFailed):
+        load_safetensors_f32(p)
+
+
+def test_safetensors_rejects_truncated_header(tmp_path):
+    p = str(tmp_path / "trunc.safetensors")
+    with open(p, "wb") as f:
+        f.write(b"\x01\x02")
+    with pytest.raises(ModelLoadFailed):
+        load_safetensors_f32(p)
+
+
+# ─── loading (model2vec_embedder.rs Loading tests) ──────────────────────
+
+
+def test_load_valid_model(tmp_path):
+    make_test_model(str(tmp_path), 12, 8)
+    e = Model2VecEmbedder.load(str(tmp_path), name="test-model")
+    assert e.dimension == 8
+    assert e.vocab_size == 12
+    assert e.name == "test-model"
+
+
+def test_load_missing_files_is_model_not_found(tmp_path):
+    with pytest.raises(ModelNotFound):
+        Model2VecEmbedder.load(str(tmp_path))
+
+
+def test_load_tensor_name_fallback_chain(tmp_path):
+    make_test_model(str(tmp_path), 12, 8, tensor_name="word_embeddings")
+    assert Model2VecEmbedder.load(str(tmp_path)).dimension == 8
+
+
+def test_load_unknown_tensor_name_fails(tmp_path):
+    make_test_model(str(tmp_path), 12, 8, tensor_name="weights")
+    with pytest.raises(ModelLoadFailed):
+        Model2VecEmbedder.load(str(tmp_path))
+
+
+# ─── embed semantics (pinned execution contract) ────────────────────────
+
+
+def expected_embed(mat, ids):
+    """Independent f32 walk of the pinned contract."""
+    if not ids:
+        return np.zeros(mat.shape[1], dtype=np.float32)
+    acc = np.add.reduce(mat[np.asarray(ids)], axis=0, dtype=np.float32)
+    mean = acc * (np.float32(1.0) / np.float32(len(ids)))
+    nsq = np.float32(np.dot(mean, mean))
+    if not np.isfinite(nsq) or nsq <= np.float32(1.1920928955078125e-07):
+        return np.zeros(mat.shape[1], dtype=np.float32)
+    return mean * (np.float32(1.0) / np.sqrt(nsq))
+
+
+def test_embed_known_values_bitwise(tmp_path):
+    mat = make_test_model(str(tmp_path), 12, 8)
+    e = Model2VecEmbedder.load(str(tmp_path))
+    got = e.embed("Hello WORLD")  # lowercased → ids [1, 2]
+    want = expected_embed(mat, [1, 2])
+    assert got.dtype == np.float32
+    assert np.array_equal(got, want)
+    # unit length in f32 tolerance
+    assert abs(float(np.linalg.norm(got.astype(np.float64))) - 1.0) < 1e-6
+
+
+def test_embed_empty_is_zero_vector(tmp_path):
+    make_test_model(str(tmp_path), 12, 8)
+    e = Model2VecEmbedder.load(str(tmp_path))
+    assert np.array_equal(e.embed(""), np.zeros(8, dtype=np.float32))
+
+
+def test_unknown_words_pool_the_unk_row(tmp_path):
+    mat = make_test_model(str(tmp_path), 12, 8)
+    e = Model2VecEmbedder.load(str(tmp_path))
+    got = e.embed("zzz hello")  # → [UNK]=0, hello=1
+    assert np.array_equal(got, expected_embed(mat, [0, 1]))
+
+
+def test_oov_ids_above_matrix_rows_are_discarded(tmp_path):
+    """discard-oov=true: a tokenizer id ≥ the matrix row count is
+    skipped; if every token is OOV the result is the zero vector."""
+    make_test_model(str(tmp_path), 12, 8)
+    # shrink the matrix to 2 rows while the tokenizer still emits ids up
+    # to 10 — ids ≥ 2 are out of the matrix
+    mat = np.add.outer(np.arange(2) * 0.1,
+                       np.arange(8) * 0.01).astype(np.float32)
+    write_safetensors(os.path.join(str(tmp_path), "model.safetensors"),
+                      {"embeddings": mat})
+    e = Model2VecEmbedder.load(str(tmp_path))
+    assert e.vocab_size == 2
+    # "world"=2 "test"=3: both OOV → zero vector
+    assert np.array_equal(e.embed("world test"), np.zeros(8, dtype=np.float32))
+    # mixed: only hello=1 survives
+    assert np.array_equal(e.embed("world hello"), expected_embed(mat, [1]))
+
+
+def test_zero_unk_row_all_unknown_is_degenerate_zero(tmp_path):
+    """l2-f32-zero-on-degenerate-v1: mean over the all-zero [UNK] row
+    has norm² ≤ ε → zero vector, not NaN."""
+    make_test_model(str(tmp_path), 12, 8)
+    mat = np.add.outer(np.arange(12) * 0.1,
+                       np.arange(8) * 0.01).astype(np.float32)
+    mat[0] = 0.0
+    write_safetensors(os.path.join(str(tmp_path), "model.safetensors"),
+                      {"embeddings": mat})
+    e = Model2VecEmbedder.load(str(tmp_path))
+    assert np.array_equal(e.embed("zzz qqq"), np.zeros(8, dtype=np.float32))
+
+
+def test_embed_texts_matches_serial(tmp_path):
+    make_test_model(str(tmp_path), 12, 8)
+    e = Model2VecEmbedder.load(str(tmp_path))
+    texts = ["hello world", "", "rust search FAST", "zzz", "Model Query"]
+    batch = e.embed_texts(texts)
+    assert batch.shape == (5, 8)
+    for row, t in zip(batch, texts):
+        assert np.array_equal(row, e.embed(t))
+
+
+def test_adapter_and_resolve_ladder_pick_the_real_tier(tmp_path):
+    """resolve_embedder on a pinned model2vec dir returns the REAL model
+    tier with NO degrade reason; tampering degrades to hash with one."""
+    from fsray.modelcache import pin_directory, resolve_embedder
+    d = str(tmp_path / "potion")
+    make_test_model(d, 12, 8)
+    pin_directory(d, "potion-test", "v1", 8)
+    emb, reason = resolve_embedder(d)
+    assert reason is None
+    assert emb.is_semantic() and emb.category() == "fast"
+    assert emb.id() == "model2vec-potion-test-v1"
+    assert emb.dimension == 8
+    b = emb.embed_bound("hello world")
+    assert b.identity.dimension == 8
+    # tamper: same-length corruption → sha gate trips → hash tier
+    with open(os.path.join(d, "model.safetensors"), "r+b") as f:
+        f.seek(16)
+        f.write(b"\xff")
+    emb2, reason2 = resolve_embedder(d)
+    assert reason2 is not None and not emb2.is_semantic()
+
+
+def test_manifest_dimension_drift_refuses(tmp_path):
+    """load_preverified_rejects_tensor_dimension_drift: the parsed
+    tensor width must agree with the attested manifest dimension."""
+    from fsray.modelcache import (ModelUnavailable, load_model_embedder,
+                                  pin_directory)
+    d = str(tmp_path / "drift")
+    make_test_model(d, 12, 8)
+    pin_directory(d, "potion-test", "v1", 7)  # attested 7 ≠ parsed 8
+    with pytest.raises(ModelUnavailable, match="disagrees"):
+        load_model_embedder(d)
+
+
+# ─── tokenizer subset laws ──────────────────────────────────────────────
+
+
+def test_whitespace_rule_splits_words_and_punct():
+    t = HFTokenizer({"normalizer": {"type": "Lowercase"},
+                     "pre_tokenizer": {"type": "Whitespace"},
+                     "model": {"type": "WordLevel",
+                               "vocab": {"[UNK]": 0, "hello": 1, ",": 2,
+                                         "world": 3, "!!": 4},
+                               "unk_token": "[UNK]"}})
+    # \w+|[^\w\s]+ keeps punctuation RUNS as one pre-token ("!!")
+    assert t.encode("Hello, world!!") == [1, 2, 3, 4]
+
+
+def test_wordlevel_without_unk_raises_typed():
+    t = HFTokenizer({"pre_tokenizer": {"type": "WhitespaceSplit"},
+                     "model": {"type": "WordLevel", "vocab": {"a": 0}}})
+    with pytest.raises(TokenizationError):
+        t.encode("a b")
+
+
+def test_wordpiece_greedy_longest_match():
+    vocab = {"[UNK]": 0, "un": 1, "##aff": 2, "##able": 3, "##ably": 4}
+    t = HFTokenizer({"pre_tokenizer": {"type": "WhitespaceSplit"},
+                     "model": {"type": "WordPiece", "vocab": vocab,
+                               "unk_token": "[UNK]"}})
+    assert t.encode("unaffable") == [1, 2, 3]
+    assert t.encode("unaffably") == [1, 2, 4]
+    assert t.encode("xyz unaff") == [0, 1, 2]
+
+
+def test_bpe_rank_ordered_merges():
+    vocab = {"l": 0, "o": 1, "w": 2, "e": 3, "r": 4,
+             "lo": 5, "low": 6, "er": 7, "lower": 8}
+    merges = ["l o", "lo w", "e r", "low er"]
+    t = HFTokenizer({"pre_tokenizer": {"type": "WhitespaceSplit"},
+                     "model": {"type": "BPE", "vocab": vocab,
+                               "merges": merges}})
+    assert t.encode("lower") == [8]
+    assert t.encode("low er") == [6, 7]
+    assert t.encode("we") == [2, 3]  # no merge available → chars
+
+
+def test_bpe_unknown_piece_without_unk_is_dropped():
+    t = HFTokenizer({"pre_tokenizer": {"type": "WhitespaceSplit"},
+                     "model": {"type": "BPE", "vocab": {"a": 0},
+                               "merges": []}})
+    assert t.encode("ab a") == [0, 0]  # 'b' dropped (HF no-unk rule)
+
+
+def test_bpe_fuse_unk_collapses_runs():
+    t = HFTokenizer({"pre_tokenizer": {"type": "WhitespaceSplit"},
+                     "model": {"type": "BPE",
+                               "vocab": {"<unk>": 9, "a": 0}, "merges": [],
+                               "unk_token": "<unk>", "fuse_unk": True}})
+    assert t.encode("bbba") == [9, 0]
+
+
+def test_unigram_model_is_typed_unsupported():
+    with pytest.raises(TokenizerUnsupported):
+        HFTokenizer({"model": {"type": "Unigram", "vocab": []}})
+
+
+def test_added_tokens_match_literally_longest_first():
+    t = HFTokenizer({"added_tokens": [{"id": 50, "content": "<doc>"},
+                                      {"id": 51, "content": "<doc-end>"}],
+                     "normalizer": {"type": "Lowercase"},
+                     "pre_tokenizer": {"type": "WhitespaceSplit"},
+                     "model": {"type": "WordLevel",
+                               "vocab": {"[UNK]": 0, "x": 1},
+                               "unk_token": "[UNK]"}})
+    assert t.encode("<doc>X<doc-end>") == [50, 1, 51]
+
+
+# ─── GPT-2 ByteLevel laws ───────────────────────────────────────────────
+
+
+def test_bytes_to_unicode_is_the_public_table():
+    table = bytes_to_unicode()
+    assert len(table) == 256 and len(set(table.values())) == 256
+    assert table[ord("A")] == "A"
+    assert table[ord(" ")] == "Ġ"  # the famous Ġ
+    assert table[10] == "Ċ"        # newline → Ċ
+
+
+def test_gpt2_split_known_cases():
+    # the canonical GPT-2 pre-tokenization examples
+    assert gpt2_split("Hello world") == ["Hello", " world"]
+    assert gpt2_split("it's 2 a.m.!") == ["it", "'s", " 2", " a", ".",
+                                          "m", ".!"]
+    assert gpt2_split("  leading") == [" ", " leading"]
+    assert gpt2_split("tab\tx") == ["tab", "\t", "x"]
+    assert gpt2_split("trail  ") == ["trail", "  "]
+    # the optional word prefix is a LITERAL space — '\n' never attaches
+    assert gpt2_split("a\n\nb") == ["a", "\n", "\n", "b"]
+
+
+def test_byte_level_bpe_end_to_end():
+    table = bytes_to_unicode()
+    hw = "".join(table[b] for b in b"hello")
+    sp_w = "".join(table[b] for b in b" world")
+    vocab = {hw: 7, sp_w: 8}
+    for piece in set(hw + sp_w):
+        vocab.setdefault(piece, len(vocab) + 10)
+    # merges that assemble exactly our two words, rank order = build order
+    merges = []
+    for word in ("hello", " world"):
+        syms = ["".join(table[b] for b in word[:1].encode())]
+        acc = syms[0]
+        for ch in word[1:]:
+            u = "".join(table[b] for b in ch.encode())
+            merges.append(f"{acc} {u}")
+            acc += u
+            vocab.setdefault(acc, len(vocab) + 100)
+    t = HFTokenizer({"pre_tokenizer": {"type": "ByteLevel",
+                                       "add_prefix_space": False},
+                     "model": {"type": "BPE", "vocab": vocab,
+                               "merges": merges}})
+    assert t.encode("hello world") == [7, 8]
+
+
+def test_embedding_failed_is_typed(tmp_path):
+    """A tokenizer failure at embed time maps to EmbeddingFailed."""
+    make_test_model(str(tmp_path), 12, 8)
+    # swap in a WordLevel with no unk: unknown words raise
+    with open(os.path.join(str(tmp_path), "tokenizer.json")) as f:
+        cfg = json.load(f)
+    del cfg["model"]["unk_token"]
+    cfg["added_tokens"] = []
+    with open(os.path.join(str(tmp_path), "tokenizer.json"), "w") as f:
+        json.dump(cfg, f)
+    e = Model2VecEmbedder.load(str(tmp_path))
+    with pytest.raises(EmbeddingFailed):
+        e.embed("zzz")
