@@ -142,6 +142,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_ann_smooth", P.ann_smooth),
         ("x_graph_pagerank", P.graph_pagerank),
         ("x_hash_embed_ann", P.hash_embed_ann),
+        ("x_model2vec_embed", P.model2vec_embed),
         ("x_rerank_search", P.rerank_search),
         ("x_ann_mrl", P.ann_mrl),
         ("x_ann_quantized", P.ann_quantized),

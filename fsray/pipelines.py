@@ -2527,10 +2527,10 @@ def multimodal_audio_decode(sf_dir: str) -> pa.Table:
 # embedding job queue lane
 
 #: NOT a hash-tier id — hash embedders never queue (job_queue.rs
-#: ``is_hash_embedder``); the model WORK is the DIV-R07 hash stand-in,
-#: the queue transitions around it are the real subject
-EMBED_QUEUE_EMBEDDER = "model2vec-potion-base-8M"
-EMBED_QUEUE_DIM = 64
+#: ``is_hash_embedder``); the embed work runs the REAL model2vec tier
+#: over the pinned synthetic artifacts (fsray/model2vec.py)
+EMBED_QUEUE_EMBEDDER = "model2vec-potion-test-v1"
+EMBED_QUEUE_DIM = M2V_DIM
 #: deterministic transient failure: these docs fail their FIRST embed
 #: attempt and succeed on the backoff retry
 EMBED_QUEUE_FAIL_MOD, EMBED_QUEUE_FAIL_REM = 97, 13
@@ -2540,8 +2540,8 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
     """Enqueue every document into the persistent embedding job queue
     and drain it to completion with Ray embed workers
     (storage/src/job_queue.rs end-to-end: enqueue_batch → claim_batch →
-    remote hash-embed → complete, with a deterministic transient
-    failure class exercising fail→backoff→retry).  The queue itself is
+    remote REAL model2vec embed → complete, with a deterministic
+    transient failure class exercising fail→backoff→retry).  The queue itself is
     a single driver-side manifest instance — the reference's own law
     (claims MUST route through one instance; at cluster scale one
     queue per index shard) — while the EMBED work runs as Ray tasks
@@ -2554,7 +2554,6 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
     import ray
 
     from fsray.dedup import exact_key_batch
-    from fsray.embed import HashEmbedder
     from fsray.jobqueue import EmbeddingJobQueue, JobQueueConfig
     import shutil
     import tempfile
@@ -2567,6 +2566,10 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
     clock = {"t": 1_000_000}
     state_dir = tempfile.mkdtemp(prefix="fsray_jobq_")
     doc_path = os.path.join(sf_dir, "documents.parquet")
+    # at cluster scale the model cache is a per-node local dir
+    # (model_cache.rs resolution chain); here one /tmp dir serves all
+    # tasks on this single node
+    model_dir = _m2v_model_dir()
 
     @ray.remote
     def embed_claimed(ids: list[int]) -> dict[int, int]:
@@ -2580,7 +2583,10 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
                                    ("doc_id", "<=", max(ids))])
         keep = np.isin(t["doc_id"].to_numpy(), np.asarray(ids, np.int64))
         t = t.filter(pa.array(keep))
-        emb = HashEmbedder(dimension=EMBED_QUEUE_DIM)
+        from fsray.modelcache import resolve_embedder
+        emb, reason = resolve_embedder(model_dir)
+        if reason is not None:  # the queued tier must be real
+            raise RuntimeError(f"model2vec tier failed to load: {reason}")
         mat = emb.embed_texts([x or "" for x in t["text"].to_pylist()])
         return {int(d): int(mat.shape[1])
                 for d in t["doc_id"].to_numpy()}
@@ -2627,6 +2633,7 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
         rows = q.jobs_snapshot()
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(model_dir, ignore_errors=True)
     rows.sort(key=lambda j: int(j["doc_id"]))
     return pa.table({
         "doc_id": pa.array([int(j["doc_id"]) for j in rows], type=pa.int64()),
