@@ -73,13 +73,31 @@ def _is_number(c: str) -> bool:
 
 _CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
 
+# The GPT-2 pattern restricted to ASCII inputs: within ASCII,
+# \p{L} == [A-Za-z], \p{N} == [0-9], and the punct class is the
+# remaining non-whitespace ASCII — so on any `str.isascii()` input this
+# compiled regex (Python re DOES support the (?!\S) lookahead) produces
+# exactly gpt2_split's output, ~30x faster than the char scanner.
+_GPT2_ASCII_RULE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    r"|\s+(?!\S)|\s+", re.ASCII)
+
 
 def gpt2_split(text: str) -> list[str]:
     """The exact GPT-2 pre-tokenization pattern
     ``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+``
     as a hand scanner (Python ``re`` has no ``\\p`` classes).  Matches
     the alternation's backtracking semantics: a whitespace run followed
-    by a word donates its LAST space to that word's optional-space."""
+    by a word donates its LAST space to that word's optional-space.
+    ASCII inputs take the compiled-regex fast path (identical output —
+    pinned by ``test_gpt2_ascii_rule_matches_scanner``)."""
+    if text.isascii():
+        return _GPT2_ASCII_RULE.findall(text)
+    return _gpt2_scan(text)
+
+
+def _gpt2_scan(text: str) -> list[str]:
+    """The hand scanner itself (full Unicode \\p classes)."""
     out: list[str] = []
     i, n = 0, len(text)
     while i < n:

@@ -2139,6 +2139,78 @@ def model2vec_embed(sf_dir: str) -> pa.Table:
     })
 
 
+# ── ByteLevel BPE token counting (real fsray/hftok.py encode) ───────────
+# The training-data "token budget" op: count GPT-2-style subword tokens
+# per document with a REAL ByteLevel BPE encode (byte→unicode remap,
+# GPT-2 split, rank-ordered merges) over a pinned synthetic tokenizer:
+# vocab = the 256 byte units + the merged token 'er', one merge rule.
+
+
+def _bytelevel_bpe_config() -> dict:
+    from fsray.hftok import bytes_to_unicode
+    table = bytes_to_unicode()
+    vocab = {table[b]: b for b in range(256)}
+    vocab["er"] = 256
+    return {"pre_tokenizer": {"type": "ByteLevel"},
+            "model": {"type": "BPE", "vocab": vocab, "merges": ["e r"]}}
+
+
+class BpeTokenCounter:
+    """Actor-pool counting stage: tokenizer built once per actor.
+
+    Emits per document: ``n_bytes`` (utf-8), ``n_pieces`` (GPT-2
+    pre-tokenization pieces of the prefixed text) and ``n_bpe_tokens``
+    (real BPE encode length).  The oracle is closed-form BECAUSE the
+    merge pair ('e','r') has distinct symbols: one merge pass suffices
+    and the merge count equals the left-to-right disjoint-occurrence
+    count of "er", i.e. ``(len(x) - len(replace(x,'er','')))/2`` — so
+    ``n_bpe_tokens = bytes(prefixed) - er_count``.  The piece-count
+    oracle needs RE2 (no lookahead): dropping ``\\s+(?!\\S)`` preserves
+    COUNTS whenever every whitespace char directly before a word is a
+    plain space and no whitespace run precedes an apostrophe — both
+    verified properties of this corpus (it contains only ' ' whitespace
+    and no quotes; asserted in tests)."""
+
+    def __init__(self):
+        from fsray.hftok import HFTokenizer
+        self.tok = HFTokenizer(_bytelevel_bpe_config())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pre, model = self.tok.pretokenize, self.tok.model
+        n_bytes, n_pieces, n_tok = [], [], []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            pieces = pre(t)  # prefixed + remapped + GPT-2 split
+            n_bytes.append(len(t.encode("utf-8")))
+            n_pieces.append(len(pieces))
+            n_tok.append(sum(len(model.tokenize(w)) for w in pieces))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, type=pa.int64()),
+            "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "n_bpe_tokens": pa.array(n_tok, type=pa.int64()),
+        })
+
+
+def bpe_token_counts(sf_dir: str) -> pa.Table:
+    """Per-document GPT-2-style subword token counts over `documents` —
+    the budget-accounting op of a training-data pipeline, with the real
+    ByteLevel BPE encode and an exact closed-form oracle."""
+    import ray.data as rd
+    out = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+           .map_batches(BpeTokenCounter, batch_format="pyarrow",
+                        zero_copy_batch=True, concurrency=2)
+           .to_pandas())
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64"), type=pa.int64()),
+        "n_bytes": pa.array(out["n_bytes"], type=pa.int64()),
+        "n_pieces": pa.array(out["n_pieces"], type=pa.int64()),
+        "n_bpe_tokens": pa.array(out["n_bpe_tokens"], type=pa.int64()),
+    })
+
+
 PROG_ARM_K = 30
 PROG_K = 10
 
@@ -2698,6 +2770,7 @@ def make_queries() -> dict:
         "graph_pagerank": graph_pagerank,
         "hash_embed_ann": hash_embed_ann,
         "model2vec_embed": model2vec_embed,
+        "bpe_token_counts": bpe_token_counts,
         "classify_files": classify_files,
         "hybrid_blend": hybrid_blend,
         "bm25_calibrated": bm25_calibrated,
@@ -3462,4 +3535,22 @@ LEFT JOIN (
          sum(CASE tok {vocab_case} ELSE 0 END) AS id_sum
   FROM toks GROUP BY doc_id) t USING (doc_id)
 ORDER BY d.doc_id"""
+
+    # ByteLevel BPE counts, closed-form (see BpeTokenCounter's docstring
+    # for the two parity proofs): prefixed = ' ' || text unless it
+    # already starts with a space; er merges = disjoint 'er' occurrences
+    o["bpe_token_counts"] = """
+WITH pre AS (
+  SELECT doc_id, text,
+         CASE WHEN text LIKE ' %' THEN text ELSE ' ' || text END AS p
+  FROM documents)
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(len(regexp_extract_all(p,
+            ' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')) AS BIGINT)
+         AS n_pieces,
+       CAST(octet_length(encode(p))
+            - (octet_length(encode(p)) - octet_length(encode(replace(p, 'er', '')))) / 2
+         AS BIGINT) AS n_bpe_tokens
+FROM pre ORDER BY doc_id"""
     return o

@@ -331,6 +331,38 @@ def test_gpt2_split_known_cases():
     assert gpt2_split("a\n\nb") == ["a", "\n", "\n", "b"]
 
 
+def test_gpt2_ascii_rule_matches_scanner():
+    """The compiled ASCII fast path in gpt2_split must produce the
+    EXACT output of the full-Unicode hand scanner on every ASCII input
+    (the pin the fast path's docstring promises)."""
+    from hypothesis import given, settings, strategies as st
+
+    from fsray.hftok import _GPT2_ASCII_RULE, _gpt2_scan
+
+    cases = [
+        "", " ", "  ", "Hello world", "it's 2 a.m.!", "  leading",
+        "tab\tx", "trail  ", "a\n\nb", "we're", "we'rere", "don't stop",
+        "'s", "x'samba", "a  b   c", " 'll", "12ab!?34", "...", "a \t b",
+        "\t\t", "\r\n", "e r er ere erer", "I'm, I'll; I'd I've",
+    ]
+    for s in cases:
+        assert s.isascii()
+        got = _GPT2_ASCII_RULE.findall(s)
+        want = _gpt2_scan(s)
+        assert got == want, (s, got, want)
+        assert "".join(got) == s  # the split is a partition
+
+    alphabet = st.sampled_from(list(
+        "abcERZ019 '.,!?-_\t\n\r\x0b\x0c~#\\\"/"))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def check(s):
+        assert _GPT2_ASCII_RULE.findall(s) == _gpt2_scan(s)
+
+    check()
+
+
 def test_byte_level_bpe_end_to_end():
     table = bytes_to_unicode()
     hw = "".join(table[b] for b in b"hello")

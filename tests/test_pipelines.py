@@ -276,3 +276,46 @@ def test_dedup_near_keep_consistent_with_pairs(ray_session):
     assert set(dropped["doc_id"]) <= linked
     kept_docs = set(keep[keep["keep"]]["doc_id"])
     assert set(dropped["kept_as"]) <= kept_docs
+
+
+def test_bpe_count_closed_form_identity():
+    """The bpe_token_counts oracle's two closed forms hold against the
+    REAL encode on adversarial strings satisfying the corpus
+    preconditions (printable ASCII, no apostrophes):
+    n_bpe_tokens == utf8_bytes(prefixed) - disjoint_er_count(prefixed)
+    and n_pieces == lookahead-free piece-regex count."""
+    import re
+
+    from fsray.hftok import HFTokenizer
+    from fsray.pipelines import _bytelevel_bpe_config
+
+    tok = HFTokenizer(_bytelevel_bpe_config())
+    count_rule = re.compile(
+        r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+", re.ASCII)
+    cases = [
+        "", "er", "erer", "eer", "err", "rere", "e r", "her cover",
+        "winter ermine verge", "123er er123", "er!er", "  er", "er  ",
+        "a  b   er", "ER Er eR er", "...er...", "e", "r", "re",
+        "perseverance never errs", "x" * 200 + "er",
+    ]
+    for s in cases:
+        p = s if s.startswith(" ") else (" " + s if s else s)
+        pieces = tok.pretokenize(s)
+        n_tok = sum(len(tok.model.tokenize(w)) for w in pieces)
+        er = (len(p) - len(p.replace("er", ""))) // 2
+        assert n_tok == len(p.encode()) - er, (s, n_tok)
+        assert len(pieces) == len(count_rule.findall(p)), (s, pieces)
+
+
+def test_bpe_oracle_corpus_preconditions():
+    """The SQL oracle for bpe_token_counts is exact only on printable-
+    ASCII, apostrophe-free, space-only-whitespace text; pin that the
+    driver corpus satisfies it (the docstring's 'asserted in tests')."""
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                          columns=["text"])["text"].to_pylist()
+    assert texts and all(t is not None for t in texts)
+    for t in texts:
+        assert t.isascii() and "'" not in t
+        assert all(" " <= c <= "~" for c in t)
