@@ -157,6 +157,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_export_deduped", P.export_deduped),
         ("x_durability_fsck", P.durability_fsck),
         ("x_privacy_preflight", P.privacy_preflight),
+        ("x_bpe_token_counts", P.bpe_token_counts),
+        ("x_rerank_model_search", P.rerank_model_search),
     ]:
         t0 = time.perf_counter()
         fn(sf_dir)

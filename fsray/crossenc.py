@@ -1,0 +1,332 @@
+"""Native cross-encoder reranker — REAL BERT inference in numpy.
+
+Reimplements the reference's pure-Rust no-ONNX reranker
+(crates/frankensearch-rerank/src/native.rs: "Reimplements the
+`cross-encoder/ms-marco-MiniLM-L6-v2` `BertForSequenceClassification`
+forward pass (6 layers, hidden 384, 12 heads, exact GELU, LayerNorm
+eps 1e-12, [CLS] pooler + classifier, sigmoid(logit))") as a numpy
+forward over the same HF weight names, loaded from the pinned
+model-cache artifact format:
+
+- ``tokenizer.json`` — the :mod:`fsray.hftok` subset (BertNormalizer +
+  BertPreTokenizer + WordPiece for MiniLM-family tokenizers)
+- ``config.json`` — HF BertConfig subset (hidden_size,
+  num_hidden_layers, num_attention_heads, intermediate_size,
+  layer_norm_eps, max_position_embeddings)
+- ``model.safetensors`` — f32 tensors under the HF
+  ``BertForSequenceClassification`` names (``bert.embeddings.*``,
+  ``bert.encoder.layer.{i}.*``, ``bert.pooler.dense.*``,
+  ``classifier.*``)
+
+DIV note: the reference's *fastembed* tier requires ``model.onnx``
+(fastembed_reranker.rs required_model_files) — this engine carries the
+weights in the safetensors container instead (the same loader the
+model2vec fast tier uses); the native.rs forward-pass semantics are
+the parity target, tensor names included.
+
+Pinned execution contract (native.rs):
+
+- pair encoding ``[CLS] q [SEP] d [SEP]`` with token_type 0 for the
+  query segment (CLS + first SEP included) and 1 for the doc segment
+  (the public BERT pair template) — then truncation keeps the FIRST
+  ``max_length`` ids of the encoded pair (lib.rs:44-55
+  ``ids_to_truncated_i64``: take(max_length), never re-balanced)
+- f32 forward throughout (native.rs forward: "Runs entirely in f32")
+- exact GELU via the Abramowitz–Stegun 7.1.26 erf polynomial — the
+  reference's own vectorized choice (native.rs:203-208 "A–S erf keeps
+  the result within ~1e-7 of exact, so the ranking is" [unchanged])
+- attention scale ``1/sqrt(head_dim)`` as f32 (ATTN_SCALE_F32)
+- pooler ``tanh(cls @ W.T + b)`` then classifier → 1 logit
+  (native.rs:912-930)
+- ``score = sigmoid(logit)``; non-finite logit → score 0.0, no raw
+  logit (native.rs:1694-1700)
+- batched chunks bounded by a token budget; batch output matches
+  per-document forwards (native.rs ``forward_batch_matches_per_doc``).
+  DIV: the reference's fixed-order kernels make that law bit-exact; here
+  masking/padding contribute exact zeros but numpy's BLAS varies its
+  reduction order with the batch shape, so the pinned law is
+  ``|batch − single| ≤ 1e-6`` (the same logit-tolerance stance the
+  reference takes vs its numpy/ONNX reference, native.rs:143) — and
+  each call is fully deterministic for a given input order
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+
+from fsray.hftok import HFTokenizer, TokenizationError
+from fsray.rerank import RerankDocument, RerankError, RerankScore
+
+#: fastembed_reranker.rs required_model_files, with the DIV-noted
+#: safetensors container in place of model.onnx.
+REQUIRED_FILES = ("tokenizer.json", "config.json", "model.safetensors")
+
+#: native.rs:45 DEFAULT_MAX_LENGTH
+DEFAULT_MAX_LENGTH = 512
+
+#: native.rs MAX_BATCH_TOKENS — token budget per batched forward so the
+#: attention intermediates stay memory-bounded.
+MAX_BATCH_TOKENS = 8192
+
+
+class CrossEncoderLoadFailed(ValueError):
+    """Artifacts present but not a loadable BERT classifier."""
+
+
+# ─── exact GELU (the reference's A–S erf) ────────────────────────────────
+
+# Abramowitz–Stegun 7.1.26 erf coefficients (public constants) — the
+# same approximation native.rs:170-208 vectorizes; |err| ≤ 1.5e-7.
+_AS_P = np.float32(0.3275911)
+_AS_A = (np.float32(0.254829592), np.float32(-0.284496736),
+         np.float32(1.421413741), np.float32(-1.453152027),
+         np.float32(1.061405429))
+_INV_SQRT2 = np.float32(0.7071067811865476)
+
+
+def _erf_f32(x: np.ndarray) -> np.ndarray:
+    sign = np.sign(x)
+    ax = np.abs(x)
+    t = np.float32(1.0) / (np.float32(1.0) + _AS_P * ax)
+    a1, a2, a3, a4, a5 = _AS_A
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = np.float32(1.0) - poly * np.exp(-ax * ax)
+    return (sign * y).astype(np.float32)
+
+
+def gelu_f32(x: np.ndarray) -> np.ndarray:
+    """Exact-form GELU ``0.5·x·(1+erf(x/√2))`` with the A–S erf
+    (native.rs fast_gelu contract)."""
+    return (np.float32(0.5) * x
+            * (np.float32(1.0) + _erf_f32(x * _INV_SQRT2))).astype(np.float32)
+
+
+def _layer_norm(x: np.ndarray, w: np.ndarray, b: np.ndarray,
+                eps: np.float32) -> np.ndarray:
+    """Row LayerNorm in f32 (native.rs add_layer_norm semantics; the
+    residual add happens at the call sites)."""
+    mu = x.mean(axis=-1, keepdims=True, dtype=np.float32)
+    xc = x - mu
+    var = np.mean(xc * xc, axis=-1, keepdims=True, dtype=np.float32)
+    return (xc / np.sqrt(var + eps)) * w + b
+
+
+class CrossEncoderReranker:
+    """numpy ``BertForSequenceClassification`` cross-encoder with the
+    reranker interface (``id()`` / ``rerank(query, documents)``) —
+    drop-in for :class:`fsray.rerank.HashReranker` in ``rerank_step``."""
+
+    def __init__(self, tokenizer: HFTokenizer, tensors: dict[str, np.ndarray],
+                 config: dict, name: str = "native-cross-encoder",
+                 max_length: int | None = None):
+        self.tok = tokenizer
+        self.name = name
+        self.h = int(config["hidden_size"])
+        self.layers = int(config["num_hidden_layers"])
+        self.heads = int(config["num_attention_heads"])
+        self.inter = int(config.get("intermediate_size", 4 * self.h))
+        self.eps = np.float32(config.get("layer_norm_eps", 1e-12))
+        self.max_pos = int(config.get("max_position_embeddings",
+                                      DEFAULT_MAX_LENGTH))
+        self.max_length = min(max_length or DEFAULT_MAX_LENGTH, self.max_pos)
+        if self.h % self.heads:
+            raise CrossEncoderLoadFailed(
+                f"hidden_size {self.h} not divisible by "
+                f"num_attention_heads {self.heads}")
+        self.head_dim = self.h // self.heads
+        self.scale = np.float32(1.0 / math.sqrt(self.head_dim))
+
+        def g(n: str, shape: tuple) -> np.ndarray:
+            t = tensors.get(n)
+            if t is None:
+                raise CrossEncoderLoadFailed(f"missing tensor {n!r}")
+            if tuple(t.shape) != shape:
+                raise CrossEncoderLoadFailed(
+                    f"tensor {n!r} has shape {tuple(t.shape)}, "
+                    f"expected {shape}")
+            return np.ascontiguousarray(t, dtype=np.float32)
+
+        H, I = self.h, self.inter
+        we = tensors.get("bert.embeddings.word_embeddings.weight")
+        if we is None or we.ndim != 2 or we.shape[1] != H:
+            raise CrossEncoderLoadFailed(
+                "bert.embeddings.word_embeddings.weight must be [V, H]")
+        self.we = np.ascontiguousarray(we, dtype=np.float32)
+        self.pe = g("bert.embeddings.position_embeddings.weight",
+                    (self.max_pos, H))
+        self.te = g("bert.embeddings.token_type_embeddings.weight", (2, H))
+        self.eln_w = g("bert.embeddings.LayerNorm.weight", (H,))
+        self.eln_b = g("bert.embeddings.LayerNorm.bias", (H,))
+        self.layer_w = []
+        for i in range(self.layers):
+            p = f"bert.encoder.layer.{i}"
+            self.layer_w.append({
+                "q_w": g(f"{p}.attention.self.query.weight", (H, H)),
+                "q_b": g(f"{p}.attention.self.query.bias", (H,)),
+                "k_w": g(f"{p}.attention.self.key.weight", (H, H)),
+                "k_b": g(f"{p}.attention.self.key.bias", (H,)),
+                "v_w": g(f"{p}.attention.self.value.weight", (H, H)),
+                "v_b": g(f"{p}.attention.self.value.bias", (H,)),
+                "ao_w": g(f"{p}.attention.output.dense.weight", (H, H)),
+                "ao_b": g(f"{p}.attention.output.dense.bias", (H,)),
+                "aln_w": g(f"{p}.attention.output.LayerNorm.weight", (H,)),
+                "aln_b": g(f"{p}.attention.output.LayerNorm.bias", (H,)),
+                "i_w": g(f"{p}.intermediate.dense.weight", (I, H)),
+                "i_b": g(f"{p}.intermediate.dense.bias", (I,)),
+                "o_w": g(f"{p}.output.dense.weight", (H, I)),
+                "o_b": g(f"{p}.output.dense.bias", (H,)),
+                "oln_w": g(f"{p}.output.LayerNorm.weight", (H,)),
+                "oln_b": g(f"{p}.output.LayerNorm.bias", (H,)),
+            })
+        self.pool_w = g("bert.pooler.dense.weight", (H, H))
+        self.pool_b = g("bert.pooler.dense.bias", (H,))
+        self.cls_w = g("classifier.weight", (1, H))
+        self.cls_b = g("classifier.bias", (1,))
+
+        vocab = self.tok.model.vocab
+        try:
+            self.cls_id = vocab["[CLS]"]
+            self.sep_id = vocab["[SEP]"]
+        except KeyError as e:
+            raise CrossEncoderLoadFailed(
+                f"tokenizer vocab lacks special token {e}") from None
+        self.pad_id = vocab.get("[PAD]", 0)
+
+    # ── loading ─────────────────────────────────────────────────────────
+
+    @classmethod
+    def load(cls, model_dir: str, name: str | None = None,
+             max_length: int | None = None) -> "CrossEncoderReranker":
+        from fsray.model2vec import load_safetensors_f32
+        for f in REQUIRED_FILES:
+            if not os.path.exists(os.path.join(model_dir, f)):
+                raise FileNotFoundError(
+                    f"model files missing: {f} not in {model_dir}")
+        tok = HFTokenizer.from_file(os.path.join(model_dir, "tokenizer.json"))
+        with open(os.path.join(model_dir, "config.json")) as f:
+            config = json.load(f)
+        for key in ("hidden_size", "num_hidden_layers",
+                    "num_attention_heads"):
+            if key not in config:
+                raise CrossEncoderLoadFailed(f"config.json lacks {key!r}")
+        tensors = load_safetensors_f32(
+            os.path.join(model_dir, "model.safetensors"))
+        return cls(tok, tensors, config,
+                   name=name or os.path.basename(model_dir.rstrip("/")),
+                   max_length=max_length)
+
+    def id(self) -> str:
+        return f"native-crossenc-{self.name}"
+
+    # ── encoding ────────────────────────────────────────────────────────
+
+    def encode_pair(self, query: str, doc: str) -> tuple[np.ndarray, np.ndarray]:
+        """``[CLS] q [SEP] d [SEP]`` ids + BERT segment ids, truncated to
+        the FIRST ``max_length`` positions (lib.rs ids_to_truncated_i64)."""
+        q_ids = self.tok.encode(query)
+        d_ids = self.tok.encode(doc)
+        ids = [self.cls_id, *q_ids, self.sep_id, *d_ids, self.sep_id]
+        typ = [0] * (len(q_ids) + 2) + [1] * (len(d_ids) + 1)
+        m = self.max_length
+        return (np.asarray(ids[:m], dtype=np.int64),
+                np.asarray(typ[:m], dtype=np.int64))
+
+    # ── forward ─────────────────────────────────────────────────────────
+
+    def _forward_padded(self, ids: np.ndarray, typ: np.ndarray,
+                        lens: np.ndarray) -> np.ndarray:
+        """Batched BERT forward over padded ``[N, S]`` ids.  Returns the
+        ``[N]`` f32 logits.  Masked keys get exact ``-inf`` scores
+        (softmax weight exactly 0.0) and padded value rows contribute
+        exact ``+0.0`` to every context sum, so each document's logit
+        matches its unpadded single-pair forward to BLAS reduction-order
+        noise (≤ 1e-6; the forward_batch_matches_per_doc law under the
+        module-docstring DIV)."""
+        n, s = ids.shape
+        key_pad = np.arange(s)[None, :] >= lens[:, None]  # [N, S] True=pad
+        x = (self.we[ids] + self.pe[:s][None, :, :]
+             + self.te[typ]).astype(np.float32)
+        x = _layer_norm(x, self.eln_w, self.eln_b, self.eps)
+        neg_inf = np.float32(-np.inf)
+        for lw in self.layer_w:
+            q = x @ lw["q_w"].T + lw["q_b"]
+            k = x @ lw["k_w"].T + lw["k_b"]
+            v = x @ lw["v_w"].T + lw["v_b"]
+            # [N, heads, S, head_dim]
+            def split(t):
+                return t.reshape(n, s, self.heads, self.head_dim) \
+                        .transpose(0, 2, 1, 3)
+            qh, kh, vh = split(q), split(k), split(v)
+            scores = np.matmul(qh, kh.transpose(0, 1, 3, 2)) * self.scale
+            scores = np.where(key_pad[:, None, None, :], neg_inf, scores)
+            scores -= scores.max(axis=-1, keepdims=True)
+            w = np.exp(scores, dtype=np.float32)
+            w /= w.sum(axis=-1, keepdims=True, dtype=np.float32)
+            ctx = np.matmul(w, vh)  # padded keys: weight exactly 0.0
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(n, s, self.h)
+            attn = ctx @ lw["ao_w"].T + lw["ao_b"]
+            x = _layer_norm(x + attn, lw["aln_w"], lw["aln_b"], self.eps)
+            inter = gelu_f32(x @ lw["i_w"].T + lw["i_b"])
+            ffn = inter @ lw["o_w"].T + lw["o_b"]
+            x = _layer_norm(x + ffn, lw["oln_w"], lw["oln_b"], self.eps)
+        cls = x[:, 0, :]  # [N, H] — the pooler reads [CLS] only
+        pooled = np.tanh(cls @ self.pool_w.T + self.pool_b,
+                         dtype=np.float32)
+        return (pooled @ self.cls_w.T + self.cls_b)[:, 0].astype(np.float32)
+
+    def forward_pair(self, query: str, doc: str) -> float:
+        """Single-pair logit (the per-document reference the batched
+        path is checked against — native.rs:857-861)."""
+        ids, typ = self.encode_pair(query, doc)
+        lens = np.asarray([len(ids)])
+        return float(self._forward_padded(ids[None, :], typ[None, :], lens)[0])
+
+    def logits(self, query: str, texts: list[str]) -> np.ndarray:
+        """Batched logits in input order, chunked by the token budget
+        (native.rs rerank_sync chunking: grow until the next doc would
+        exceed MAX_BATCH_TOKENS; an over-budget doc runs alone)."""
+        encoded = [self.encode_pair(query, t) for t in texts]
+        out = np.empty(len(texts), dtype=np.float32)
+        start = 0
+        while start < len(encoded):
+            end = start + 1
+            budget = len(encoded[start][0])
+            while (end < len(encoded)
+                   and budget + len(encoded[end][0]) <= MAX_BATCH_TOKENS):
+                budget += len(encoded[end][0])
+                end += 1
+            chunk = encoded[start:end]
+            lens = np.asarray([len(ids) for ids, _ in chunk])
+            s = int(lens.max())
+            ids = np.full((len(chunk), s), self.pad_id, dtype=np.int64)
+            typ = np.zeros((len(chunk), s), dtype=np.int64)
+            for j, (i_, t_) in enumerate(chunk):
+                ids[j, :len(i_)] = i_
+                typ[j, :len(t_)] = t_
+            out[start:end] = self._forward_padded(ids, typ, lens)
+            start = end
+        return out
+
+    # ── the reranker interface (SyncRerank shape) ───────────────────────
+
+    def rerank(self, query: str,
+               documents: list[RerankDocument]) -> list[RerankScore]:
+        if not documents:
+            return []
+        try:
+            logits = self.logits(query, [d.text for d in documents])
+        except TokenizationError as e:
+            raise RerankError(f"cross-encoder tokenize failed: {e}") from e
+        out = []
+        for rank, (doc, logit) in enumerate(zip(documents, logits)):
+            lf = float(logit)
+            if math.isfinite(lf):
+                out.append(RerankScore(doc.doc_id, 1.0 / (1.0 + math.exp(-lf)),
+                                       rank, lf))
+            else:  # native.rs:1694-1700
+                out.append(RerankScore(doc.doc_id, 0.0, rank, None))
+        return out

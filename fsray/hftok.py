@@ -8,11 +8,13 @@ schema the model2vec tier actually exercises — enough to run REAL
 inference from a real artifact directory:
 
 - normalizers: ``Lowercase``, ``NFC``/``NFD``/``NFKC``/``NFKD``,
-  ``Strip``, ``Sequence``
+  ``Strip``, ``BertNormalizer`` (clean_text / handle_chinese_chars /
+  strip_accents / lowercase), ``Sequence``
 - pre-tokenizers: ``Whitespace`` (the ``\\w+|[^\\w\\s]+`` rule),
-  ``WhitespaceSplit``, ``ByteLevel`` (GPT-2 byte→unicode table + the
-  exact GPT-2 split pattern, hand-scanned so no ``\\p{{L}}`` regex
-  support is needed), ``Sequence``
+  ``WhitespaceSplit``, ``BertPreTokenizer`` (whitespace split +
+  punctuation isolation with BERT's punct predicate), ``ByteLevel``
+  (GPT-2 byte→unicode table + the exact GPT-2 split pattern,
+  hand-scanned so no ``\\p{{L}}`` regex support is needed), ``Sequence``
 - models: ``WordLevel``, ``WordPiece``, ``BPE`` (rank-ordered merges)
 - added tokens (longest-first literal match, id passthrough)
 
@@ -144,10 +146,56 @@ def _gpt2_scan(text: str) -> list[str]:
 # ─── normalizers ────────────────────────────────────────────────────────
 
 
+def _bert_clean_char(c: str) -> str | None:
+    """BertNormalizer clean_text: drop NUL/replacement/control chars,
+    map all whitespace to a plain space (the public BERT rule)."""
+    cp = ord(c)
+    if cp == 0 or cp == 0xFFFD:
+        return None
+    if c.isspace():  # whitespace (incl. \t \n \r \x0b…) → plain space
+        return " "
+    if unicodedata.category(c).startswith("C"):
+        return None
+    return c
+
+
+def _is_cjk(cp: int) -> bool:
+    """The CJK ideograph ranges BertNormalizer pads with spaces
+    (the public BERT handle_chinese_chars table)."""
+    return ((0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF)
+            or (0x20000 <= cp <= 0x2A6DF) or (0x2A700 <= cp <= 0x2B73F)
+            or (0x2B740 <= cp <= 0x2B81F) or (0x2B820 <= cp <= 0x2CEAF)
+            or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
+
+
+def _build_bert_normalizer(spec: dict):
+    clean = spec.get("clean_text", True)
+    chinese = spec.get("handle_chinese_chars", True)
+    lower = spec.get("lowercase", True)
+    strip_acc = spec.get("strip_accents")
+    if strip_acc is None:  # the HF default: follow lowercase
+        strip_acc = lower
+
+    def run(s: str) -> str:
+        if clean:
+            s = "".join(c for c in map(_bert_clean_char, s) if c is not None)
+        if chinese:
+            s = "".join(f" {c} " if _is_cjk(ord(c)) else c for c in s)
+        if strip_acc:
+            s = "".join(c for c in unicodedata.normalize("NFD", s)
+                        if unicodedata.category(c) != "Mn")
+        if lower:
+            s = s.lower()
+        return s
+    return run
+
+
 def _build_normalizer(spec: dict | None):
     if spec is None:
         return lambda s: s
     typ = spec.get("type")
+    if typ == "BertNormalizer":
+        return _build_bert_normalizer(spec)
     if typ == "Sequence":
         steps = [_build_normalizer(s) for s in spec.get("normalizers", [])]
 
@@ -174,6 +222,35 @@ def _build_normalizer(spec: dict | None):
 _WHITESPACE_RULE = re.compile(r"\w+|[^\w\s]+", re.UNICODE)
 
 
+def _bert_is_punct(c: str) -> bool:
+    """BERT's punctuation predicate (the public rule): the four ASCII
+    non-alphanumeric ranges plus every Unicode P* char.  NOT the same
+    as ``[^\\w\\s]`` — symbols like ``€`` (Sc) are not punctuation and
+    stay attached to adjacent word chars."""
+    cp = ord(c)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) \
+            or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(c).startswith("P")
+
+
+def _bert_pretokenize(s: str) -> list[str]:
+    """HF ``BertPreTokenizer``: whitespace split, then each punctuation
+    char becomes its own token and the runs between them stay whole."""
+    out: list[str] = []
+    for chunk in s.split():
+        start = 0
+        for i, c in enumerate(chunk):
+            if _bert_is_punct(c):
+                if start < i:
+                    out.append(chunk[start:i])
+                out.append(c)
+                start = i + 1
+        if start < len(chunk):
+            out.append(chunk[start:])
+    return out
+
+
 def _build_pretokenizer(spec: dict | None):
     """Returns (split_fn, byte_level: bool).  ``split_fn`` maps the
     normalized text to the word sequence handed to the model; ByteLevel
@@ -189,6 +266,8 @@ def _build_pretokenizer(spec: dict | None):
             "pre-tokenizer Sequence with multiple members outside the subset")
     if typ == "Whitespace":
         return (lambda s: _WHITESPACE_RULE.findall(s)), False
+    if typ == "BertPreTokenizer":
+        return _bert_pretokenize, False
     if typ == "WhitespaceSplit":
         return (lambda s: s.split()), False
     if typ == "ByteLevel":

@@ -430,18 +430,43 @@ def resolve_embedder(model_dir: str | None,
         return hash_tier_embedder(fallback_dimension), str(e)
 
 
+def load_model_reranker(model_dir: str):
+    """Verify pinned artifacts, then construct the model-tier reranker.
+
+    A verified directory carrying the native cross-encoder artifact
+    triple (``tokenizer.json`` + ``config.json`` + ``model.safetensors``
+    — fastembed_reranker.rs required files with the DIV-noted
+    safetensors container) loads the REAL numpy BERT forward
+    (:class:`fsray.crossenc.CrossEncoderReranker` ≡ native.rs, which is
+    itself the reference's no-ONNX reranker).  Directories shaped for
+    the ONNX tier (``model.onnx``) still verify for real and then raise
+    ``ModelUnavailable`` (DIV-R07: no ONNX runtime here)."""
+    from fsray.crossenc import (REQUIRED_FILES, CrossEncoderLoadFailed,
+                                CrossEncoderReranker)
+    if all(os.path.exists(os.path.join(model_dir, f)) for f in REQUIRED_FILES):
+        manifest = load_manifest(model_dir)
+        verify_artifacts(model_dir, manifest)
+        try:
+            return CrossEncoderReranker.load(model_dir,
+                                             name=manifest.model_id)
+        except (FileNotFoundError, CrossEncoderLoadFailed, ValueError) as e:
+            raise ModelUnavailable(
+                f"verified artifacts for {manifest.model_id} but the "
+                f"cross-encoder loader rejected them: {e}") from e
+    _verify_and_probe(model_dir, "cross-encoder")
+
+
 def resolve_reranker(model_dir: str | None) -> tuple[object, str | None]:
-    """The same ladder for the cross-encoder reranker
-    (frankensearch-rerank ONNX tier): pinned artifacts verify for real;
-    with no runtime the deterministic ``HashReranker`` stand-in serves
-    (DIV-R07) with a typed degrade reason.  Returns
+    """The same ladder for the cross-encoder reranker: try the model
+    tier (real numpy BERT when the native artifact triple verifies),
+    degrade to the deterministic ``HashReranker`` stand-in with a typed
+    reason instead of failing the pipeline (auto_detect.rs).  Returns
     (reranker, degrade_reason|None) — both expose ``id()`` /
     ``rerank(query, documents)``."""
     from fsray.rerank import HashReranker
     if model_dir is None:
         return HashReranker(), "no_model_configured"
     try:
-        _verify_and_probe(model_dir, "cross-encoder")
-        raise AssertionError("unreachable")  # pragma: no cover
+        return load_model_reranker(model_dir), None
     except ModelUnavailable as e:
         return HashReranker(), str(e)

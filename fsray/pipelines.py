@@ -1809,6 +1809,164 @@ def rerank_search(sf_dir: str) -> pa.Table:
     })
 
 
+# ── REAL-model cross-encoder rerank (fsray/crossenc.py ≡ native.rs) ─────
+
+#: the synthetic corpus' own vocabulary, so the tiny model sees real
+#: tokens (everything else WordPiece-falls to [UNK])
+CROSSENC_WORDS = ("scan", "column", "window", "order", "sort", "part",
+                  "agg", "value", "line", "key", "join", "merge", "query",
+                  "group", "a", "vector", "hash", "slow", "stream",
+                  "filter", "fast", "the", "spark", "batch", "table",
+                  "data", "row", "customer", "small", "big", "dup")
+CROSSENC_H, CROSSENC_L, CROSSENC_NH, CROSSENC_I, CROSSENC_P = 32, 2, 4, 64, 128
+
+
+def _crossenc_model_dir() -> str:
+    """Write + sha256-pin a deterministic tiny BertForSequenceClassification
+    artifact triple in a fresh ``mkdtemp`` (per-invocation, no shared-dir
+    races) — the converted-model stand-in a user would install."""
+    import tempfile
+
+    from fsray.model2vec import write_safetensors_f32
+    from fsray.modelcache import pin_directory
+    d = tempfile.mkdtemp(prefix="fsray_ce_")
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3}
+    for w in CROSSENC_WORDS:
+        vocab[w] = len(vocab)
+    with open(os.path.join(d, "tokenizer.json"), "w") as f:
+        json.dump({"normalizer": {"type": "BertNormalizer"},
+                   "pre_tokenizer": {"type": "BertPreTokenizer"},
+                   "model": {"type": "WordPiece", "vocab": vocab,
+                             "unk_token": "[UNK]"}}, f)
+    H, L, NH, I, P = (CROSSENC_H, CROSSENC_L, CROSSENC_NH, CROSSENC_I,
+                      CROSSENC_P)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"hidden_size": H, "num_hidden_layers": L,
+                   "num_attention_heads": NH, "intermediate_size": I,
+                   "layer_norm_eps": 1e-12,
+                   "max_position_embeddings": P}, f)
+    rs = np.random.RandomState(11)
+
+    def t(*s):
+        return (rs.standard_normal(s) * 0.15).astype(np.float32)
+
+    T = {"bert.embeddings.word_embeddings.weight": t(len(vocab), H),
+         "bert.embeddings.position_embeddings.weight": t(P, H),
+         "bert.embeddings.token_type_embeddings.weight": t(2, H),
+         "bert.embeddings.LayerNorm.weight": np.ones(H, np.float32),
+         "bert.embeddings.LayerNorm.bias": np.zeros(H, np.float32)}
+    for i in range(L):
+        p = f"bert.encoder.layer.{i}"
+        for nm, shape in (("attention.self.query", (H, H)),
+                          ("attention.self.key", (H, H)),
+                          ("attention.self.value", (H, H)),
+                          ("attention.output.dense", (H, H)),
+                          ("intermediate.dense", (I, H)),
+                          ("output.dense", (H, I))):
+            T[f"{p}.{nm}.weight"] = t(*shape)
+            T[f"{p}.{nm}.bias"] = t(shape[0])
+        for ln in ("attention.output.LayerNorm", "output.LayerNorm"):
+            T[f"{p}.{ln}.weight"] = np.ones(H, np.float32)
+            T[f"{p}.{ln}.bias"] = np.zeros(H, np.float32)
+    T.update({"bert.pooler.dense.weight": t(H, H),
+              "bert.pooler.dense.bias": t(H),
+              "classifier.weight": t(1, H),
+              "classifier.bias": t(1)})
+    write_safetensors_f32(os.path.join(d, "model.safetensors"), T)
+    pin_directory(d, "tiny-minilm-crossenc", "v1", H)
+    return d
+
+
+class CrossEncoderRerankStage:
+    """Actor-pool rerank stage: the verified REAL model loads ONCE per
+    actor in ``__init__`` (fail-closed — no silent hash fallback);
+    ``__call__`` runs the batched BERT forward per batch.  Input
+    columns: ``query``, ``doc_id``, ``text``; output appends
+    ``rerank_logit``/``rerank_score`` (native.rs sigmoid contract)."""
+
+    def __init__(self, model_dir: str):
+        from fsray.modelcache import resolve_reranker
+        r, reason = resolve_reranker(model_dir)
+        if reason is not None:
+            raise RuntimeError(f"cross-encoder tier failed to load: {reason}")
+        self.r = r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        queries = batch["query"].to_pylist()
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        logits = np.zeros(len(texts), dtype=np.float32)
+        for q in set(queries):
+            rows = [i for i, s in enumerate(queries) if s == q]
+            logits[rows] = self.r.logits(q, [texts[i] for i in rows])
+        with np.errstate(over="ignore"):
+            scores = np.where(np.isfinite(logits),
+                              1.0 / (1.0 + np.exp(-logits.astype(np.float64))),
+                              0.0)
+        return (batch
+                .append_column("rerank_logit",
+                               pa.array(logits.astype(np.float64),
+                                        type=pa.float64()))
+                .append_column("rerank_score",
+                               pa.array(scores, type=pa.float64())))
+
+
+def rerank_model_search(sf_dir: str) -> pa.Table:
+    """REAL cross-encoder rerank over the BM25 top-``RERANK_WINDOW``:
+    the numpy BertForSequenceClassification forward (fsray/crossenc.py ≡
+    reference native.rs — 2-layer pinned synthetic weights, real
+    attention/GELU/pooler/classifier math) scores (query, doc) pairs in
+    a Ray actor-pool stage (model loads once per actor), then the pure
+    reorder of the window (pipeline.rs PureReorder).  Transformer logits
+    aren't SQL-expressible → rows-only driver check; the forward laws
+    are pinned in tests/test_crossenc.py."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    query = BM25_QUERIES["bm25_topk_wide"][0]
+    idx = documents_index(sf_dir)
+    hits = idx.search(query, k=RERANK_WINDOW, dtype=np.float64)
+    pre = {int(h.doc_id): (rank + 1, float(h.score))
+           for rank, h in enumerate(hits)}
+    tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "in", list(pre))])
+    cand = pa.table({
+        "query": pa.array([query] * len(tt)),
+        "doc_id": tt["doc_id"].cast(pa.int64()),
+        "pre_rank": pa.array([pre[int(d)][0] for d in tt["doc_id"].to_pylist()],
+                             type=pa.int64()),
+        "retrieval_score": pa.array(
+            [pre[int(d)][1] for d in tt["doc_id"].to_pylist()],
+            type=pa.float64()),
+        "text": tt["text"],
+    })
+    model_dir = _crossenc_model_dir()
+    try:
+        # the window is one small block — one actor; at corpus scale this
+        # same stage fans out (per-query groups × concurrency)
+        out = (rd.from_arrow(cand)
+               .map_batches(CrossEncoderRerankStage, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=1,
+                            fn_constructor_kwargs={"model_dir": model_dir})
+               .to_pandas())
+    finally:
+        shutil.rmtree(model_dir, ignore_errors=True)
+    # PureReorder: rerank score desc, doc_id asc tiebreak; top-RERANK_K
+    out = out.sort_values(["rerank_score", "doc_id"],
+                          ascending=[False, True]).head(RERANK_K)
+    return pa.table({
+        "rank": pa.array(range(1, len(out) + 1), type=pa.int64()),
+        "doc_id": pa.array(out["doc_id"].astype("int64"), type=pa.int64()),
+        "pre_rank": pa.array(out["pre_rank"], type=pa.int64()),
+        "retrieval_score": pa.array(out["retrieval_score"],
+                                    type=pa.float64()),
+        "rerank_logit": pa.array(out["rerank_logit"], type=pa.float64()),
+        "rerank_score": pa.array(out["rerank_score"], type=pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # hubness / smoothing lanes (reference fusion/src/{hubness,smooth}.rs)
 
@@ -2771,6 +2929,7 @@ def make_queries() -> dict:
         "hash_embed_ann": hash_embed_ann,
         "model2vec_embed": model2vec_embed,
         "bpe_token_counts": bpe_token_counts,
+        "rerank_model_search": rerank_model_search,
         "classify_files": classify_files,
         "hybrid_blend": hybrid_blend,
         "bm25_calibrated": bm25_calibrated,

@@ -1,0 +1,262 @@
+"""Native numpy cross-encoder laws (reference native.rs / pipeline.rs).
+
+Builds a tiny deterministic BertForSequenceClassification artifact and
+pins: load gates, the pair-encoding template, truncation semantics,
+batch-vs-single logit tolerance, the sigmoid/non-finite score contract,
+rerank_step integration, and the modelcache resolution ladder.
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from fsray.crossenc import (MAX_BATCH_TOKENS, CrossEncoderLoadFailed,
+                            CrossEncoderReranker, gelu_f32)
+from fsray.rerank import RerankDocument, ScoredResult, rerank_step
+
+H, L, NH, INTER, MAXP = 16, 2, 4, 32, 32
+
+WORDS = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+         "search", "engine", "index", "query", "data", "model", "rank",
+         "score", "test", "doc", "word", "text"]
+
+
+def _vocab() -> dict:
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3}
+    for w in WORDS:
+        vocab[w] = len(vocab)
+    for w in WORDS:
+        vocab["##" + w[:2]] = len(vocab)
+    return vocab
+
+
+def make_test_crossenc(model_dir: str, seed: int = 7,
+                       pin: bool = True) -> dict:
+    """Deterministic tiny BERT artifact triple; returns the tensors."""
+    from fsray.model2vec import write_safetensors_f32
+    from fsray.modelcache import pin_directory
+    os.makedirs(model_dir, exist_ok=True)
+    vocab = _vocab()
+    with open(os.path.join(model_dir, "tokenizer.json"), "w") as f:
+        json.dump({"normalizer": {"type": "BertNormalizer"},
+                   "pre_tokenizer": {"type": "BertPreTokenizer"},
+                   "model": {"type": "WordPiece", "vocab": vocab,
+                             "unk_token": "[UNK]"}}, f)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump({"hidden_size": H, "num_hidden_layers": L,
+                   "num_attention_heads": NH, "intermediate_size": INTER,
+                   "layer_norm_eps": 1e-12,
+                   "max_position_embeddings": MAXP}, f)
+    rs = np.random.RandomState(seed)
+
+    def t(*s):
+        return (rs.standard_normal(s) * 0.2).astype(np.float32)
+
+    T = {"bert.embeddings.word_embeddings.weight": t(len(vocab), H),
+         "bert.embeddings.position_embeddings.weight": t(MAXP, H),
+         "bert.embeddings.token_type_embeddings.weight": t(2, H),
+         "bert.embeddings.LayerNorm.weight": np.ones(H, np.float32),
+         "bert.embeddings.LayerNorm.bias": np.zeros(H, np.float32)}
+    for i in range(L):
+        p = f"bert.encoder.layer.{i}"
+        T.update({
+            f"{p}.attention.self.query.weight": t(H, H),
+            f"{p}.attention.self.query.bias": t(H),
+            f"{p}.attention.self.key.weight": t(H, H),
+            f"{p}.attention.self.key.bias": t(H),
+            f"{p}.attention.self.value.weight": t(H, H),
+            f"{p}.attention.self.value.bias": t(H),
+            f"{p}.attention.output.dense.weight": t(H, H),
+            f"{p}.attention.output.dense.bias": t(H),
+            f"{p}.attention.output.LayerNorm.weight": np.ones(H, np.float32),
+            f"{p}.attention.output.LayerNorm.bias": np.zeros(H, np.float32),
+            f"{p}.intermediate.dense.weight": t(INTER, H),
+            f"{p}.intermediate.dense.bias": t(INTER),
+            f"{p}.output.dense.weight": t(H, INTER),
+            f"{p}.output.dense.bias": t(H),
+            f"{p}.output.LayerNorm.weight": np.ones(H, np.float32),
+            f"{p}.output.LayerNorm.bias": np.zeros(H, np.float32),
+        })
+    T.update({"bert.pooler.dense.weight": t(H, H),
+              "bert.pooler.dense.bias": t(H),
+              "classifier.weight": t(1, H),
+              "classifier.bias": t(1)})
+    write_safetensors_f32(os.path.join(model_dir, "model.safetensors"), T)
+    if pin:
+        pin_directory(model_dir, "tiny-crossenc", "v1", H)
+    return T
+
+
+DOCS = ["the quick brown fox", "search engine index data",
+        "lazy dog over the fox jumps", "model rank score", "text",
+        "query " * 20 + "doc"]
+QUERY = "quick fox search"
+
+
+def test_load_and_deterministic_logits(tmp_path):
+    make_test_crossenc(str(tmp_path))
+    a = CrossEncoderReranker.load(str(tmp_path))
+    b = CrossEncoderReranker.load(str(tmp_path))
+    la, lb = a.logits(QUERY, DOCS), b.logits(QUERY, DOCS)
+    assert np.array_equal(la.view(np.int32), lb.view(np.int32))  # bitwise
+    assert np.isfinite(la).all()
+    assert len(set(np.round(la, 7))) > 1  # discriminative, not constant
+
+
+def test_batch_matches_per_doc_within_tolerance(tmp_path):
+    """native.rs forward_batch_matches_per_doc, under the module DIV:
+    |batch − single| ≤ 1e-6 and identical ranking."""
+    make_test_crossenc(str(tmp_path))
+    ce = CrossEncoderReranker.load(str(tmp_path))
+    batch = ce.logits(QUERY, DOCS)
+    single = np.array([ce.forward_pair(QUERY, t) for t in DOCS], np.float32)
+    assert np.max(np.abs(batch - single)) <= 1e-6
+    assert list(np.argsort(-batch)) == list(np.argsort(-single))
+
+
+def test_pair_encoding_template_and_truncation(tmp_path):
+    make_test_crossenc(str(tmp_path))
+    ce = CrossEncoderReranker.load(str(tmp_path))
+    ids, typ = ce.encode_pair("quick fox", "lazy dog")
+    v = _vocab()
+    assert list(ids) == [v["[CLS]"], v["quick"], v["fox"], v["[SEP]"],
+                         v["lazy"], v["dog"], v["[SEP]"]]
+    assert list(typ) == [0, 0, 0, 0, 1, 1, 1]
+    # truncation keeps the FIRST max_length ids (lib.rs take(max_length))
+    ids2, typ2 = ce.encode_pair("quick fox", "dog " * 100)
+    assert len(ids2) == len(typ2) == ce.max_length == MAXP
+    assert list(ids2[:4]) == list(ids)[:4]
+    assert ids2[-1] == v["dog"]  # no re-balancing, the tail SEP is gone
+
+
+def test_rerank_interface_contract(tmp_path):
+    make_test_crossenc(str(tmp_path))
+    ce = CrossEncoderReranker.load(str(tmp_path))
+    assert ce.rerank(QUERY, []) == []
+    docs = [RerankDocument(str(i), t) for i, t in enumerate(DOCS)]
+    out = ce.rerank(QUERY, docs)
+    logits = ce.logits(QUERY, DOCS)
+    for rank, (s, lg) in enumerate(zip(out, logits)):
+        assert s.original_rank == rank and s.doc_id == str(rank)
+        assert s.raw_logit == pytest.approx(float(lg))
+        assert s.score == pytest.approx(1.0 / (1.0 + math.exp(-float(lg))))
+    assert ce.id().startswith("native-crossenc-")
+
+
+def test_rerank_step_integration(tmp_path):
+    """The real model flows through the pipeline step: scores land,
+    order follows rerank scores; the min-candidates skip law holds."""
+    make_test_crossenc(str(tmp_path))
+    ce = CrossEncoderReranker.load(str(tmp_path))
+    cands = [ScoredResult(str(i), 1.0 - 0.01 * i) for i in range(len(DOCS))]
+    texts = {str(i): t for i, t in enumerate(DOCS)}
+    res = rerank_step(ce, QUERY, cands, lambda d: texts.get(d),
+                      combine=("pure",))
+    assert res == {"reranked": len(DOCS), "skipped": None}
+    assert all(c.rerank_score is not None and c.source == "reranked"
+               for c in cands)
+    scores = [c.rerank_score for c in cands]
+    assert scores == sorted(scores, reverse=True)
+    # skip law: fewer than min_candidates → step skipped
+    res2 = rerank_step(ce, QUERY, cands[:2], lambda d: texts.get(d))
+    assert res2 == {"reranked": 0, "skipped": "too_few_candidates"}
+
+
+def test_resolution_ladder_picks_real_tier(tmp_path):
+    from fsray.modelcache import resolve_reranker
+    d = str(tmp_path / "m")
+    make_test_crossenc(d)
+    r, reason = resolve_reranker(d)
+    assert reason is None
+    assert r.id().startswith("native-crossenc-")
+    # tampered tensor file → fail-closed hash fallback with typed reason
+    with open(os.path.join(d, "model.safetensors"), "r+b") as f:
+        f.seek(-1, os.SEEK_END)
+        f.write(b"\x00")
+    r2, reason2 = resolve_reranker(d)
+    assert r2.id() == "hash-reranker" and reason2
+
+
+def test_onnx_shaped_dir_still_degrades(tmp_path):
+    """A dir with model.onnx (the reference's fastembed triple) verifies
+    but degrades: no ONNX runtime here (DIV-R07)."""
+    from fsray.modelcache import pin_directory, resolve_reranker
+    d = str(tmp_path / "onnx")
+    os.makedirs(d)
+    for name in ("model.onnx", "tokenizer.json", "config.json"):
+        with open(os.path.join(d, name), "w") as f:
+            f.write("{}")
+    pin_directory(d, "ms-marco-minilm", "v1", 384)
+    r, reason = resolve_reranker(d)
+    assert r.id() == "hash-reranker"
+    assert reason and "runtime" in reason
+
+
+def test_load_gates(tmp_path):
+    d = str(tmp_path)
+    with pytest.raises(FileNotFoundError, match="model files missing"):
+        CrossEncoderReranker.load(d)  # fastembed_reranker.rs message law
+    T = make_test_crossenc(d)
+    # missing required config key
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"hidden_size": H, "num_hidden_layers": L}, f)
+    with pytest.raises(CrossEncoderLoadFailed, match="num_attention_heads"):
+        CrossEncoderReranker.load(d)
+    # missing tensor
+    from fsray.model2vec import write_safetensors_f32
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"hidden_size": H, "num_hidden_layers": L,
+                   "num_attention_heads": NH, "intermediate_size": INTER,
+                   "max_position_embeddings": MAXP}, f)
+    T.pop("bert.pooler.dense.weight")
+    write_safetensors_f32(os.path.join(d, "model.safetensors"), T)
+    with pytest.raises(CrossEncoderLoadFailed, match="pooler"):
+        CrossEncoderReranker.load(d)
+
+
+def test_chunking_by_token_budget(tmp_path):
+    """Chunk boundaries never change results beyond the tolerance law;
+    a doc set crossing MAX_BATCH_TOKENS still returns input order."""
+    make_test_crossenc(str(tmp_path))
+    ce = CrossEncoderReranker.load(str(tmp_path))
+    ce_small = CrossEncoderReranker.load(str(tmp_path))
+    many = DOCS * 3
+    full = ce.logits(QUERY, many)
+    import fsray.crossenc as m
+    old = m.MAX_BATCH_TOKENS
+    m.MAX_BATCH_TOKENS = 1  # force one-doc chunks
+    try:
+        per_doc = ce_small.logits(QUERY, many)
+    finally:
+        m.MAX_BATCH_TOKENS = old
+    assert np.max(np.abs(full - per_doc)) <= 1e-6
+    assert old == MAX_BATCH_TOKENS
+
+
+def test_gelu_matches_exact_erf():
+    """A–S 7.1.26 stays within ~1.5e-7 of libm erf (native.rs:206)."""
+    xs = np.linspace(-6, 6, 2001).astype(np.float32)
+    got = gelu_f32(xs)
+    want = np.array([0.5 * x * (1.0 + math.erf(x / math.sqrt(2.0)))
+                     for x in xs.astype(np.float64)])
+    assert np.max(np.abs(got - want)) < 5e-7
+    assert gelu_f32(np.zeros(1, np.float32))[0] == 0.0
+
+
+def test_bert_normalizer_and_pretokenizer():
+    from fsray.hftok import HFTokenizer, _bert_pretokenize
+    tok = HFTokenizer({"normalizer": {"type": "BertNormalizer"},
+                       "pre_tokenizer": {"type": "BertPreTokenizer"},
+                       "model": {"type": "WordLevel",
+                                 "vocab": {"a": 0}, "unk_token": "a"}})
+    # clean_text: control chars dropped, whitespace → space; lowercase;
+    # strip_accents follows lowercase; CJK padded
+    assert tok.normalize("Café\x00 \x0bB") == "cafe  b"
+    assert tok.normalize("a中b") == "a 中 b"
+    # punctuation isolation, symbol (€, Sc) NOT split (BERT's predicate)
+    assert _bert_pretokenize("don't stop!") == ["don", "'", "t", "stop", "!"]
+    assert _bert_pretokenize("a€b c") == ["a€b", "c"]
+    assert _bert_pretokenize("...") == [".", ".", "."]

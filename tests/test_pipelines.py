@@ -319,3 +319,19 @@ def test_bpe_oracle_corpus_preconditions():
     for t in texts:
         assert t.isascii() and "'" not in t
         assert all(" " <= c <= "~" for c in t)
+
+
+def test_rerank_model_search_laws(ray_session):
+    """The REAL cross-encoder lane: deterministic across runs, sorted by
+    rerank score (PureReorder), scores == sigmoid(logits), and the
+    pre-rank ordering is actually changed by the model (it reranks)."""
+    from fsray.pipelines import RERANK_K, rerank_model_search
+    t = rerank_model_search(SF_DIR).to_pandas()
+    assert len(t) == RERANK_K
+    assert list(t["rank"]) == list(range(1, RERANK_K + 1))
+    assert list(t["rerank_score"]) == sorted(t["rerank_score"], reverse=True)
+    sig = 1.0 / (1.0 + np.exp(-t["rerank_logit"].to_numpy()))
+    assert np.allclose(t["rerank_score"], sig, atol=1e-12)
+    assert list(t["pre_rank"]) != sorted(t["pre_rank"])  # model moved ranks
+    t2 = rerank_model_search(SF_DIR).to_pandas()
+    assert t.equals(t2)
