@@ -2400,16 +2400,24 @@ def _prf_centroid_quality_fn(emb_path: str, sink: dict | None = None):
     return quality_fn
 
 
-def _run_progressive(sf_dir: str, explain: bool = False):
+def _run_progressive(sf_dir: str, explain: bool = False,
+                     rerank_model_dir: str | None = None):
     """ONE implementation of the progressive product flow (used by the
     driver lane and the explained variant — identical budgets, arms,
     quality and rerank, so an explanation always describes the ranking
     the product lane actually produces).  Returns
-    (result, metrics, explanations | None)."""
+    (result, metrics, explanations | None).
+
+    ``rerank_model_dir`` flows through the reranker resolution ladder
+    (auto_detect.rs): a verified native cross-encoder artifact dir runs
+    REAL numpy BERT rerank; ``None``/unverifiable degrades to the hash
+    stand-in with a typed reason — the reference's default."""
     import pyarrow.parquet as pq
 
-    from fsray.rerank import HashReranker, ScoredResult, rerank_step
+    from fsray.modelcache import resolve_reranker
+    from fsray.rerank import ScoredResult, rerank_step
     from fsray.searcher import QueryClass, progressive_search
+    reranker, _degrade = resolve_reranker(rerank_model_dir)
     query = BM25_QUERIES["bm25_topk_wide"][0]
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     # per-source candidate budgets from the query class
@@ -2474,7 +2482,7 @@ def _run_progressive(sf_dir: str, explain: bool = False):
             cands.append(ScoredResult(str(d), float(sc), explanation=exp))
         # the rerank step appends its component to each explanation
         # (pipeline.rs:1682-1700)
-        rerank_step(HashReranker(), query, cands,
+        rerank_step(reranker, query, cands,
                     lambda d: texts.get(int(d)), combine=("rrf",))
         # order is the authoritative ranking; scores keep the single
         # blend scale (SearchPhaseResult contract)

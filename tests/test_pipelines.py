@@ -335,3 +335,32 @@ def test_rerank_model_search_laws(ray_session):
     assert list(t["pre_rank"]) != sorted(t["pre_rank"])  # model moved ranks
     t2 = rerank_model_search(SF_DIR).to_pandas()
     assert t.equals(t2)
+
+
+def test_progressive_with_real_crossenc_tier(ray_session):
+    """The resolution ladder flows end-to-end through the product flow:
+    a verified native cross-encoder artifact dir makes the progressive
+    rerank run REAL numpy BERT inference (the rerank explanation
+    component records the native tier's model id), and with no model
+    configured the flow degrades to the hash stand-in."""
+    import shutil
+
+    from fsray.pipelines import _crossenc_model_dir, _run_progressive
+
+    def rerank_models(exps):
+        return [c.source.detail["model"] for e in exps.values()
+                for c in e.components
+                if getattr(c.source, "kind", None) == "rerank"]
+
+    d = _crossenc_model_dir()
+    try:
+        result, _m, exps = _run_progressive(SF_DIR, explain=True,
+                                            rerank_model_dir=d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert result.results
+    real = rerank_models(exps)
+    assert real and all(m.startswith("native-crossenc-") for m in real)
+    _r2, _m2, exps2 = _run_progressive(SF_DIR, explain=True)
+    hashm = rerank_models(exps2)
+    assert hashm and all(m == "hash-reranker" for m in hashm)
