@@ -159,6 +159,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_privacy_preflight", P.privacy_preflight),
         ("x_bpe_token_counts", P.bpe_token_counts),
         ("x_rerank_model_search", P.rerank_model_search),
+        ("x_quality_embed_ann", P.quality_embed_ann),
     ]:
         t0 = time.perf_counter()
         fn(sf_dir)

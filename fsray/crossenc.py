@@ -77,6 +77,16 @@ class CrossEncoderLoadFailed(ValueError):
     """Artifacts present but not a loadable BERT classifier."""
 
 
+def _sigmoid_stable(x: float) -> float:
+    """Overflow-safe sigmoid: a finite logit below ~-709 must score ~0.0
+    (never raise) so ``rerank_step``'s never-raises contract holds for
+    arbitrary user-installed weights."""
+    if x >= 0.0:
+        return 1.0 / (1.0 + math.exp(-x))
+    e = math.exp(x)  # underflows to 0.0, never overflows
+    return e / (1.0 + e)
+
+
 # ─── exact GELU (the reference's A–S erf) ────────────────────────────────
 
 # Abramowitz–Stegun 7.1.26 erf coefficients (public constants) — the
@@ -115,14 +125,33 @@ def _layer_norm(x: np.ndarray, w: np.ndarray, b: np.ndarray,
     return (xc / np.sqrt(var + eps)) * w + b
 
 
-class CrossEncoderReranker:
-    """numpy ``BertForSequenceClassification`` cross-encoder with the
-    reranker interface (``id()`` / ``rerank(query, documents)``) —
-    drop-in for :class:`fsray.rerank.HashReranker` in ``rerank_step``."""
+def normalize_bert_keys(tensors: dict[str, np.ndarray]
+                        ) -> dict[str, np.ndarray]:
+    """Normalize bare ``embeddings.*``/``encoder.*``/``pooler.*`` keys
+    (the standard ``sentence-transformers/all-MiniLM-L6-v2`` safetensors
+    layout) to the shared ``bert.``-prefixed scheme — native_embedder.rs
+    load: "bare embeddings.*/encoder.* keys are normalized to the shared
+    bert.-prefixed scheme during parse"."""
+    if any(k.startswith("bert.") for k in tensors):
+        return tensors
+    out = {}
+    for k, v in tensors.items():
+        if k.startswith(("embeddings.", "encoder.", "pooler.")):
+            out["bert." + k] = v
+        else:
+            out[k] = v
+    return out
+
+
+class BertEncoder:
+    """The shared numpy BERT encoder (embeddings build + L attention/FFN
+    layers) — native.rs uses ONE validated encoder for both the reranker
+    and the sentence embedder; the two heads subclass this."""
 
     def __init__(self, tokenizer: HFTokenizer, tensors: dict[str, np.ndarray],
                  config: dict, name: str = "native-cross-encoder",
                  max_length: int | None = None):
+        tensors = normalize_bert_keys(tensors)
         self.tok = tokenizer
         self.name = name
         self.h = int(config["hidden_size"])
@@ -182,10 +211,7 @@ class CrossEncoderReranker:
                 "oln_w": g(f"{p}.output.LayerNorm.weight", (H,)),
                 "oln_b": g(f"{p}.output.LayerNorm.bias", (H,)),
             })
-        self.pool_w = g("bert.pooler.dense.weight", (H, H))
-        self.pool_b = g("bert.pooler.dense.bias", (H,))
-        self.cls_w = g("classifier.weight", (1, H))
-        self.cls_b = g("classifier.bias", (1,))
+        self._g = g  # subclass heads load their own tensors through this
 
         vocab = self.tok.model.vocab
         try:
@@ -200,7 +226,7 @@ class CrossEncoderReranker:
 
     @classmethod
     def load(cls, model_dir: str, name: str | None = None,
-             max_length: int | None = None) -> "CrossEncoderReranker":
+             max_length: int | None = None):
         from fsray.model2vec import load_safetensors_f32
         for f in REQUIRED_FILES:
             if not os.path.exists(os.path.join(model_dir, f)):
@@ -219,33 +245,17 @@ class CrossEncoderReranker:
                    name=name or os.path.basename(model_dir.rstrip("/")),
                    max_length=max_length)
 
-    def id(self) -> str:
-        return f"native-crossenc-{self.name}"
+    # ── the shared encoder forward ──────────────────────────────────────
 
-    # ── encoding ────────────────────────────────────────────────────────
-
-    def encode_pair(self, query: str, doc: str) -> tuple[np.ndarray, np.ndarray]:
-        """``[CLS] q [SEP] d [SEP]`` ids + BERT segment ids, truncated to
-        the FIRST ``max_length`` positions (lib.rs ids_to_truncated_i64)."""
-        q_ids = self.tok.encode(query)
-        d_ids = self.tok.encode(doc)
-        ids = [self.cls_id, *q_ids, self.sep_id, *d_ids, self.sep_id]
-        typ = [0] * (len(q_ids) + 2) + [1] * (len(d_ids) + 1)
-        m = self.max_length
-        return (np.asarray(ids[:m], dtype=np.int64),
-                np.asarray(typ[:m], dtype=np.int64))
-
-    # ── forward ─────────────────────────────────────────────────────────
-
-    def _forward_padded(self, ids: np.ndarray, typ: np.ndarray,
-                        lens: np.ndarray) -> np.ndarray:
-        """Batched BERT forward over padded ``[N, S]`` ids.  Returns the
-        ``[N]`` f32 logits.  Masked keys get exact ``-inf`` scores
-        (softmax weight exactly 0.0) and padded value rows contribute
-        exact ``+0.0`` to every context sum, so each document's logit
-        matches its unpadded single-pair forward to BLAS reduction-order
-        noise (≤ 1e-6; the forward_batch_matches_per_doc law under the
-        module-docstring DIV)."""
+    def _hidden_padded(self, ids: np.ndarray, typ: np.ndarray,
+                       lens: np.ndarray) -> np.ndarray:
+        """Batched BERT encoder over padded ``[N, S]`` ids → the final
+        hidden states ``[N, S, H]`` (f32).  Masked keys get exact
+        ``-inf`` scores (softmax weight exactly 0.0) and padded value
+        rows contribute exact ``+0.0`` to every context sum, so each
+        input's rows match its unpadded single-input forward to BLAS
+        reduction-order noise (≤ 1e-6; the forward_batch_matches_per_doc
+        law under the module-docstring DIV)."""
         n, s = ids.shape
         key_pad = np.arange(s)[None, :] >= lens[:, None]  # [N, S] True=pad
         x = (self.we[ids] + self.pe[:s][None, :, :]
@@ -273,6 +283,51 @@ class CrossEncoderReranker:
             inter = gelu_f32(x @ lw["i_w"].T + lw["i_b"])
             ffn = inter @ lw["o_w"].T + lw["o_b"]
             x = _layer_norm(x + ffn, lw["oln_w"], lw["oln_b"], self.eps)
+        return x
+
+
+class CrossEncoderReranker(BertEncoder):
+    """numpy ``BertForSequenceClassification`` cross-encoder with the
+    reranker interface (``id()`` / ``rerank(query, documents)``) —
+    drop-in for :class:`fsray.rerank.HashReranker` in ``rerank_step``."""
+
+    def __init__(self, tokenizer: HFTokenizer, tensors: dict[str, np.ndarray],
+                 config: dict, name: str = "native-cross-encoder",
+                 max_length: int | None = None):
+        super().__init__(tokenizer, tensors, config, name=name,
+                         max_length=max_length)
+        H = self.h
+        self.pool_w = self._g("bert.pooler.dense.weight", (H, H))
+        self.pool_b = self._g("bert.pooler.dense.bias", (H,))
+        self.cls_w = self._g("classifier.weight", (1, H))
+        self.cls_b = self._g("classifier.bias", (1,))
+
+    def id(self) -> str:
+        return f"native-crossenc-{self.name}"
+
+    # ── encoding ────────────────────────────────────────────────────────
+
+    def encode_pair(self, query: str, doc: str) -> tuple[np.ndarray, np.ndarray]:
+        """``[CLS] q [SEP] d [SEP]`` ids + BERT segment ids, truncated to
+        the FIRST ``max_length`` positions (lib.rs ids_to_truncated_i64)."""
+        return self._pair_from_ids(self.tok.encode(query), doc)
+
+    def _pair_from_ids(self, q_ids: list[int], doc: str
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        d_ids = self.tok.encode(doc)
+        ids = [self.cls_id, *q_ids, self.sep_id, *d_ids, self.sep_id]
+        typ = [0] * (len(q_ids) + 2) + [1] * (len(d_ids) + 1)
+        m = self.max_length
+        return (np.asarray(ids[:m], dtype=np.int64),
+                np.asarray(typ[:m], dtype=np.int64))
+
+    # ── forward ─────────────────────────────────────────────────────────
+
+    def _forward_padded(self, ids: np.ndarray, typ: np.ndarray,
+                        lens: np.ndarray) -> np.ndarray:
+        """Batched BERT forward over padded ``[N, S]`` ids → ``[N]`` f32
+        logits ([CLS] pooler tanh + classifier head, native.rs:912-930)."""
+        x = self._hidden_padded(ids, typ, lens)
         cls = x[:, 0, :]  # [N, H] — the pooler reads [CLS] only
         pooled = np.tanh(cls @ self.pool_w.T + self.pool_b,
                          dtype=np.float32)
@@ -289,7 +344,8 @@ class CrossEncoderReranker:
         """Batched logits in input order, chunked by the token budget
         (native.rs rerank_sync chunking: grow until the next doc would
         exceed MAX_BATCH_TOKENS; an over-budget doc runs alone)."""
-        encoded = [self.encode_pair(query, t) for t in texts]
+        q_ids = self.tok.encode(query)  # tokenize the query ONCE
+        encoded = [self._pair_from_ids(q_ids, t) for t in texts]
         out = np.empty(len(texts), dtype=np.float32)
         start = 0
         while start < len(encoded):
@@ -313,6 +369,7 @@ class CrossEncoderReranker:
 
     # ── the reranker interface (SyncRerank shape) ───────────────────────
 
+
     def rerank(self, query: str,
                documents: list[RerankDocument]) -> list[RerankScore]:
         if not documents:
@@ -325,8 +382,159 @@ class CrossEncoderReranker:
         for rank, (doc, logit) in enumerate(zip(documents, logits)):
             lf = float(logit)
             if math.isfinite(lf):
-                out.append(RerankScore(doc.doc_id, 1.0 / (1.0 + math.exp(-lf)),
+                out.append(RerankScore(doc.doc_id, _sigmoid_stable(lf),
                                        rank, lf))
             else:  # native.rs:1694-1700
                 out.append(RerankScore(doc.doc_id, 0.0, rank, None))
         return out
+
+# ─── the sentence-embedder head (native_embedder.rs) ────────────────────
+
+#: native_embedder.rs:37 — token budget per batched embed forward.
+EMBED_MAX_BATCH_TOKENS = 2048
+
+#: native_embedder.rs identity strings (the attested execution contract)
+IDENTITY_SEQUENCE_POLICY = "max-length=512;longest-first;no-padding"
+IDENTITY_POOLING = "mean-all-returned-tokens-including-specials-no-padding-v1"
+IDENTITY_OUTPUT_NORMALIZATION = "l2-f32-if-norm-gt-zero-else-unchanged-v1"
+
+
+class NativeQualityEmbedder(BertEncoder):
+    """numpy ``all-MiniLM-L6-v2``-style sentence embedder — the QUALITY
+    embedding tier (native_embedder.rs): the SAME shared BERT encoder as
+    the reranker, with the ``[CLS]`` pooler + classifier replaced by
+    **mean-pooling over every returned token (specials included, no
+    padding) + L2-normalize if norm > 0** (the sentence-transformers
+    head).  Single-text tokenization ``[CLS] t [SEP]``, token-type ids
+    all 0, truncation keeps the first ``max_length`` ids.  No pooler /
+    classifier tensors are required — the standard bi-encoder artifact
+    carries bare ``embeddings.*``/``encoder.*`` keys
+    (``normalize_bert_keys``)."""
+
+    def id(self) -> str:
+        return f"native-minilm-{self.name}"
+
+    @property
+    def dimension(self) -> int:
+        return self.h
+
+    def token_ids(self, text: str) -> np.ndarray:
+        """``[CLS] t [SEP]`` truncated to the first ``max_length`` ids
+        (native_embedder.rs tokenize: encode(text, true) then
+        ids_to_truncated_i64)."""
+        ids = [self.cls_id, *self.tok.encode(text), self.sep_id]
+        return np.asarray(ids[:self.max_length], dtype=np.int64)
+
+    def _pool(self, hidden: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Mean over each input's real rows, then L2-normalize rows with
+        norm > 0 (zero rows pass through unchanged — the reference's
+        ``l2-f32-if-norm-gt-zero`` law)."""
+        n, s, _ = hidden.shape
+        mask = (np.arange(s)[None, :] < lens[:, None]).astype(np.float32)
+        summed = (hidden * mask[:, :, None]).sum(axis=1, dtype=np.float32)
+        mean = summed / lens[:, None].astype(np.float32)
+        norm = np.sqrt((mean * mean).sum(axis=1, dtype=np.float32))
+        safe = np.where(norm > 0.0, norm, np.float32(1.0))
+        return np.where(norm[:, None] > 0.0, mean / safe[:, None],
+                        mean).astype(np.float32)
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        """Batched unit vectors in input order, chunked by the embed
+        token budget (native_embedder.rs embed_batch_sync chunking)."""
+        if not texts:
+            return np.zeros((0, self.h), dtype=np.float32)
+        encoded = [self.token_ids(t or "") for t in texts]
+        out = np.empty((len(texts), self.h), dtype=np.float32)
+        start = 0
+        while start < len(encoded):
+            end = start + 1
+            budget = max(len(encoded[start]), 1)
+            while (end < len(encoded)
+                   and budget + max(len(encoded[end]), 1)
+                   <= EMBED_MAX_BATCH_TOKENS):
+                budget += max(len(encoded[end]), 1)
+                end += 1
+            chunk = encoded[start:end]
+            lens = np.asarray([len(i_) for i_ in chunk])
+            s = int(lens.max())
+            ids = np.full((len(chunk), s), self.pad_id, dtype=np.int64)
+            for j, i_ in enumerate(chunk):
+                ids[j, :len(i_)] = i_
+            typ = np.zeros((len(chunk), s), dtype=np.int64)  # single text
+            out[start:end] = self._pool(self._hidden_padded(ids, typ, lens),
+                                        lens)
+            start = end
+        return out
+
+    def embed(self, text: str) -> np.ndarray:
+        return self.embed_texts([text])[0]
+
+
+# ─── synthetic artifact builder (tests + driver lanes) ──────────────────
+
+
+def write_synthetic_artifact(model_dir: str, vocab_words: tuple | list, *,
+                             hidden: int = 32, layers: int = 2,
+                             heads: int = 4, inter: int = 64,
+                             max_pos: int = 128, seed: int = 11,
+                             scale: float = 0.15,
+                             model_id: str = "tiny-crossenc",
+                             head: str = "classifier",
+                             bare_keys: bool = False,
+                             pin: bool = True) -> dict[str, np.ndarray]:
+    """Write a deterministic tiny ``BertForSequenceClassification``
+    artifact triple (tokenizer.json + config.json + model.safetensors)
+    — the converted-model stand-in a user would install.  ONE builder
+    serves the repo tests and the driver lane so the tensor-name schema
+    cannot drift between them.  Returns the written tensors."""
+    from fsray.model2vec import write_safetensors_f32
+    from fsray.modelcache import pin_directory
+    os.makedirs(model_dir, exist_ok=True)
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3}
+    for w in vocab_words:
+        vocab[w] = len(vocab)
+    with open(os.path.join(model_dir, "tokenizer.json"), "w") as f:
+        json.dump({"normalizer": {"type": "BertNormalizer"},
+                   "pre_tokenizer": {"type": "BertPreTokenizer"},
+                   "model": {"type": "WordPiece", "vocab": vocab,
+                             "unk_token": "[UNK]"}}, f)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump({"hidden_size": hidden, "num_hidden_layers": layers,
+                   "num_attention_heads": heads,
+                   "intermediate_size": inter, "layer_norm_eps": 1e-12,
+                   "max_position_embeddings": max_pos}, f)
+    rs = np.random.RandomState(seed)
+    h, inter_ = hidden, inter
+
+    def t(*s):
+        return (rs.standard_normal(s) * scale).astype(np.float32)
+
+    T = {"bert.embeddings.word_embeddings.weight": t(len(vocab), h),
+         "bert.embeddings.position_embeddings.weight": t(max_pos, h),
+         "bert.embeddings.token_type_embeddings.weight": t(2, h),
+         "bert.embeddings.LayerNorm.weight": np.ones(h, np.float32),
+         "bert.embeddings.LayerNorm.bias": np.zeros(h, np.float32)}
+    for i in range(layers):
+        p = f"bert.encoder.layer.{i}"
+        for nm, shape in (("attention.self.query", (h, h)),
+                          ("attention.self.key", (h, h)),
+                          ("attention.self.value", (h, h)),
+                          ("attention.output.dense", (h, h)),
+                          ("intermediate.dense", (inter_, h)),
+                          ("output.dense", (h, inter_))):
+            T[f"{p}.{nm}.weight"] = t(*shape)
+            T[f"{p}.{nm}.bias"] = t(shape[0])
+        for ln in ("attention.output.LayerNorm", "output.LayerNorm"):
+            T[f"{p}.{ln}.weight"] = np.ones(h, np.float32)
+            T[f"{p}.{ln}.bias"] = np.zeros(h, np.float32)
+    if head == "classifier":  # the cross-encoder head; "none" = bi-encoder
+        T.update({"bert.pooler.dense.weight": t(h, h),
+                  "bert.pooler.dense.bias": t(h),
+                  "classifier.weight": t(1, h),
+                  "classifier.bias": t(1)})
+    if bare_keys:  # the standard bi-encoder layout (no "bert." prefix)
+        T = {(k[5:] if k.startswith("bert.") else k): v for k, v in T.items()}
+    write_safetensors_f32(os.path.join(model_dir, "model.safetensors"), T)
+    if pin:
+        pin_directory(model_dir, model_id, "v1", hidden)
+    return T

@@ -147,15 +147,20 @@ def _gpt2_scan(text: str) -> list[str]:
 
 
 def _bert_clean_char(c: str) -> str | None:
-    """BertNormalizer clean_text: drop NUL/replacement/control chars,
-    map all whitespace to a plain space (the public BERT rule)."""
+    """BertNormalizer clean_text (the public BERT rule, control check
+    FIRST): drop NUL/replacement chars and every control char except
+    ``\\t \\n \\r`` (so ``\\x0b \\x0c \\x85`` are REMOVED, not spaced);
+    map the surviving whitespace (``\\t \\n \\r`` + Zs) to a plain
+    space."""
     cp = ord(c)
     if cp == 0 or cp == 0xFFFD:
         return None
-    if c.isspace():  # whitespace (incl. \t \n \r \x0b…) → plain space
+    if c in ("\t", "\n", "\r"):
         return " "
     if unicodedata.category(c).startswith("C"):
         return None
+    if c.isspace():
+        return " "
     return c
 
 

@@ -383,6 +383,19 @@ def _verify_and_probe(model_dir: str, what: str) -> ModelArtifactManifest:
         f"(DIV-R07)")  # pragma: no cover — unreachable without a runtime
 
 
+def _is_bert_config(cfg_path: str) -> bool:
+    """True when config.json carries transformer-encoder dims (the
+    native quality tier's shape) — malformed json is NOT a BERT config
+    (the other ladders report their own typed errors)."""
+    try:
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        return ("num_hidden_layers" in cfg and "hidden_size" in cfg
+                and "num_attention_heads" in cfg)
+    except (OSError, ValueError):
+        return False
+
+
 def load_model_embedder(model_dir: str) -> EmbedderAdapter:
     """Verify pinned artifacts, then construct the model-tier embedder.
 
@@ -395,6 +408,36 @@ def load_model_embedder(model_dir: str) -> EmbedderAdapter:
     raise ``ModelUnavailable`` (DIV-R07: no ONNX runtime here)."""
     from fsray.model2vec import (REQUIRED_FILES, Model2VecEmbedder,
                                  ModelLoadFailed, ModelNotFound)
+    # BERT-shaped artifact triple (tokenizer.json + config.json with
+    # encoder dims + model.safetensors) → the native QUALITY tier: real
+    # numpy MiniLM-style transformer inference (native_embedder.rs —
+    # mean-pool + L2 head over the shared encoder).  The config.json
+    # encoder keys are the discriminator vs the model2vec FAST tier
+    # (static lookup, no transformer config).
+    from fsray.crossenc import (CrossEncoderLoadFailed, NativeQualityEmbedder)
+    from fsray.crossenc import REQUIRED_FILES as _CE_FILES
+    cfg_path = os.path.join(model_dir, "config.json")
+    if (all(os.path.exists(os.path.join(model_dir, f)) for f in _CE_FILES)
+            and _is_bert_config(cfg_path)):
+        manifest = load_manifest(model_dir)
+        verify_artifacts(model_dir, manifest)
+        try:
+            core = NativeQualityEmbedder.load(model_dir,
+                                              name=manifest.model_id)
+        except (FileNotFoundError, CrossEncoderLoadFailed, ValueError) as e:
+            raise ModelUnavailable(
+                f"verified artifacts for {manifest.model_id} but the "
+                f"native embedder loader rejected them: {e}") from e
+        if core.dimension != manifest.dimension:
+            raise ModelUnavailable(
+                f"parsed hidden size {core.dimension} disagrees with the "
+                f"attested manifest dimension {manifest.dimension} for "
+                f"{manifest.model_id}")
+        return EmbedderAdapter(
+            core,
+            embedder_id=f"minilm-native-{manifest.model_id}-{manifest.revision}",
+            model_name=manifest.model_id, revision=manifest.revision,
+            semantic=True, category="quality")
     if all(os.path.exists(os.path.join(model_dir, f)) for f in REQUIRED_FILES):
         manifest = load_manifest(model_dir)
         verify_artifacts(model_dir, manifest)

@@ -1774,6 +1774,21 @@ RERANK_WINDOW = 50
 RERANK_K = 10
 
 
+def _bm25_window_texts(sf_dir: str, query: str, k: int):
+    """BM25 top-``k`` hits + doc_id-filtered text hydration (the shared
+    candidate-window input of the rerank lanes — the ``text_fn``
+    hydration of the reference, via row-filter pushdown)."""
+    import pyarrow.parquet as pq
+    idx = documents_index(sf_dir)
+    hits = idx.search(query, k=k, dtype=np.float64)
+    want = [int(h.doc_id) for h in hits]
+    tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "in", want)])
+    texts = dict(zip(tt["doc_id"].to_pylist(), tt["text"].to_pylist()))
+    return hits, texts
+
+
 def rerank_search(sf_dir: str) -> pa.Table:
     """Cross-encoder rerank step over the BM25 top-``RERANK_WINDOW`` for
     the wide query (rerank pipeline.rs:125-283 semantics, RrfCombine):
@@ -1784,19 +1799,10 @@ def rerank_search(sf_dir: str) -> pa.Table:
     rerank order, top-``RERANK_K``.  Hash-embedding scores aren't
     SQL-expressible → rows-only driver check; the step laws are pinned in
     tests/test_rerank.py and the end-to-end lane in test_pipelines.py."""
-    import pyarrow.parquet as pq
-
     from fsray.rerank import HashReranker, ScoredResult, rerank_step
-    idx = documents_index(sf_dir)
-    hits = idx.search(BM25_QUERIES["bm25_topk_wide"][0], k=RERANK_WINDOW,
-                      dtype=np.float64)
+    hits, texts = _bm25_window_texts(sf_dir, BM25_QUERIES["bm25_topk_wide"][0],
+                                     RERANK_WINDOW)
     cands = [ScoredResult(str(h.doc_id), float(h.score)) for h in hits]
-    want = [int(c.doc_id) for c in cands]
-    tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                       columns=["doc_id", "text"],
-                       filters=[("doc_id", "in", want)])
-    texts = dict(zip(tt["doc_id"].to_pylist(),
-                     tt["text"].to_pylist()))
     rerank_step(HashReranker(), BM25_QUERIES["bm25_topk_wide"][0], cands,
                 lambda d: texts.get(int(d)), combine=("rrf",))
     top = cands[:RERANK_K]
@@ -1824,56 +1830,15 @@ CROSSENC_H, CROSSENC_L, CROSSENC_NH, CROSSENC_I, CROSSENC_P = 32, 2, 4, 64, 128
 def _crossenc_model_dir() -> str:
     """Write + sha256-pin a deterministic tiny BertForSequenceClassification
     artifact triple in a fresh ``mkdtemp`` (per-invocation, no shared-dir
-    races) — the converted-model stand-in a user would install."""
-    import tempfile
-
-    from fsray.model2vec import write_safetensors_f32
-    from fsray.modelcache import pin_directory
+    races) — the converted-model stand-in a user would install.  ONE
+    builder is shared with the repo tests (fsray.crossenc)."""
+    from fsray.crossenc import write_synthetic_artifact
     d = tempfile.mkdtemp(prefix="fsray_ce_")
-    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3}
-    for w in CROSSENC_WORDS:
-        vocab[w] = len(vocab)
-    with open(os.path.join(d, "tokenizer.json"), "w") as f:
-        json.dump({"normalizer": {"type": "BertNormalizer"},
-                   "pre_tokenizer": {"type": "BertPreTokenizer"},
-                   "model": {"type": "WordPiece", "vocab": vocab,
-                             "unk_token": "[UNK]"}}, f)
-    H, L, NH, I, P = (CROSSENC_H, CROSSENC_L, CROSSENC_NH, CROSSENC_I,
-                      CROSSENC_P)
-    with open(os.path.join(d, "config.json"), "w") as f:
-        json.dump({"hidden_size": H, "num_hidden_layers": L,
-                   "num_attention_heads": NH, "intermediate_size": I,
-                   "layer_norm_eps": 1e-12,
-                   "max_position_embeddings": P}, f)
-    rs = np.random.RandomState(11)
-
-    def t(*s):
-        return (rs.standard_normal(s) * 0.15).astype(np.float32)
-
-    T = {"bert.embeddings.word_embeddings.weight": t(len(vocab), H),
-         "bert.embeddings.position_embeddings.weight": t(P, H),
-         "bert.embeddings.token_type_embeddings.weight": t(2, H),
-         "bert.embeddings.LayerNorm.weight": np.ones(H, np.float32),
-         "bert.embeddings.LayerNorm.bias": np.zeros(H, np.float32)}
-    for i in range(L):
-        p = f"bert.encoder.layer.{i}"
-        for nm, shape in (("attention.self.query", (H, H)),
-                          ("attention.self.key", (H, H)),
-                          ("attention.self.value", (H, H)),
-                          ("attention.output.dense", (H, H)),
-                          ("intermediate.dense", (I, H)),
-                          ("output.dense", (H, I))):
-            T[f"{p}.{nm}.weight"] = t(*shape)
-            T[f"{p}.{nm}.bias"] = t(shape[0])
-        for ln in ("attention.output.LayerNorm", "output.LayerNorm"):
-            T[f"{p}.{ln}.weight"] = np.ones(H, np.float32)
-            T[f"{p}.{ln}.bias"] = np.zeros(H, np.float32)
-    T.update({"bert.pooler.dense.weight": t(H, H),
-              "bert.pooler.dense.bias": t(H),
-              "classifier.weight": t(1, H),
-              "classifier.bias": t(1)})
-    write_safetensors_f32(os.path.join(d, "model.safetensors"), T)
-    pin_directory(d, "tiny-minilm-crossenc", "v1", H)
+    write_synthetic_artifact(d, CROSSENC_WORDS, hidden=CROSSENC_H,
+                             layers=CROSSENC_L, heads=CROSSENC_NH,
+                             inter=CROSSENC_I, max_pos=CROSSENC_P,
+                             seed=11, scale=0.15,
+                             model_id="tiny-minilm-crossenc")
     return d
 
 
@@ -1892,7 +1857,7 @@ class CrossEncoderRerankStage:
         self.r = r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        queries = batch["query"].to_pylist()
+        queries = [q or "" for q in batch["query"].to_pylist()]
         texts = [t or "" for t in batch["text"].to_pylist()]
         logits = np.zeros(len(texts), dtype=np.float32)
         for q in set(queries):
@@ -1919,28 +1884,18 @@ def rerank_model_search(sf_dir: str) -> pa.Table:
     reorder of the window (pipeline.rs PureReorder).  Transformer logits
     aren't SQL-expressible → rows-only driver check; the forward laws
     are pinned in tests/test_crossenc.py."""
-    import shutil
-
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     query = BM25_QUERIES["bm25_topk_wide"][0]
-    idx = documents_index(sf_dir)
-    hits = idx.search(query, k=RERANK_WINDOW, dtype=np.float64)
-    pre = {int(h.doc_id): (rank + 1, float(h.score))
-           for rank, h in enumerate(hits)}
-    tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                       columns=["doc_id", "text"],
-                       filters=[("doc_id", "in", list(pre))])
+    hits, texts = _bm25_window_texts(sf_dir, query, RERANK_WINDOW)
+    ids = [int(h.doc_id) for h in hits]
     cand = pa.table({
-        "query": pa.array([query] * len(tt)),
-        "doc_id": tt["doc_id"].cast(pa.int64()),
-        "pre_rank": pa.array([pre[int(d)][0] for d in tt["doc_id"].to_pylist()],
-                             type=pa.int64()),
-        "retrieval_score": pa.array(
-            [pre[int(d)][1] for d in tt["doc_id"].to_pylist()],
-            type=pa.float64()),
-        "text": tt["text"],
+        "query": pa.array([query] * len(ids)),
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "pre_rank": pa.array(range(1, len(ids) + 1), type=pa.int64()),
+        "retrieval_score": pa.array([float(h.score) for h in hits],
+                                    type=pa.float64()),
+        "text": pa.array([texts.get(d, "") for d in ids], type=pa.string()),
     })
     model_dir = _crossenc_model_dir()
     try:
@@ -2294,6 +2249,91 @@ def model2vec_embed(sf_dir: str) -> pa.Table:
         "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
         "id_sum": pa.array(out["id_sum"], type=pa.int64()),
         "is_zero": pa.array(out["is_zero"].astype(bool)),
+    })
+
+
+# ── REAL quality-tier embedding ANN (fsray/crossenc.py ≡ native_embedder.rs)
+
+QUALITY_EMBED_K = 10
+QUALITY_EMBED_H, QUALITY_EMBED_L, QUALITY_EMBED_NH = 32, 2, 4
+
+
+def _quality_model_dir() -> str:
+    """Pinned tiny MiniLM-style bi-encoder artifact (bare safetensors
+    keys — the standard sentence-transformers layout) in a fresh
+    ``mkdtemp``."""
+    from fsray.crossenc import write_synthetic_artifact
+    d = tempfile.mkdtemp(prefix="fsray_qemb_")
+    write_synthetic_artifact(d, CROSSENC_WORDS, hidden=QUALITY_EMBED_H,
+                             layers=QUALITY_EMBED_L, heads=QUALITY_EMBED_NH,
+                             inter=2 * QUALITY_EMBED_H, max_pos=256,
+                             seed=13, scale=0.15, head="none",
+                             bare_keys=True, model_id="tiny-minilm-quality")
+    return d
+
+
+class QualityEmbedStage:
+    """Actor-pool embed stage: the verified QUALITY-tier transformer
+    loads once per actor (fail-closed), the query embeds once per actor,
+    and each batch runs the real mean-pool forward and emits a
+    per-batch cosine top-k partial — the corpus embedding matrix never
+    materializes anywhere."""
+
+    def __init__(self, model_dir: str, query: str, k: int):
+        from fsray.modelcache import resolve_embedder
+        emb, reason = resolve_embedder(model_dir)
+        if reason is not None or emb.category() != "quality":
+            raise RuntimeError(
+                f"quality tier failed to load: {reason or emb.category()}")
+        self.emb = emb
+        self.qv = emb.embed(query).astype(np.float32)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        mat = self.emb.embed_texts(texts)  # unit rows (L2 head)
+        cos = (mat @ self.qv).astype(np.float64)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -cos))[:self.k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "cos": pa.array(cos[order], type=pa.float64()),
+        })
+
+
+def quality_embed_ann(sf_dir: str) -> pa.Table:
+    """Dense top-k over `documents` with the REAL quality embedding tier
+    (numpy MiniLM-style transformer, mean-pool + L2 head ≡
+    native_embedder.rs) — model loads once per actor, per-batch top-k
+    partials, associative driver merge.  Transformer cosines aren't
+    SQL-expressible → rows-only; the forward laws are pinned in
+    tests/test_crossenc.py."""
+    import shutil
+
+    import ray.data as rd
+    query = BM25_QUERIES["bm25_topk_wide"][0]
+    model_dir = _quality_model_dir()
+    try:
+        parts = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+                 # autoscaling (1, 4): a FIXED pool equal to the session's
+                 # CPU count starves the upstream read tasks of slots and
+                 # stalls the whole pipeline on small clusters (seen under
+                 # the 4-cpu test session); min 1 actor always leaves room
+                 .map_batches(QualityEmbedStage, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 4),
+                              fn_constructor_kwargs={
+                                  "model_dir": model_dir, "query": query,
+                                  "k": QUALITY_EMBED_K})
+                 .to_pandas())
+    finally:
+        shutil.rmtree(model_dir, ignore_errors=True)
+    top = parts.sort_values(["cos", "doc_id"],
+                            ascending=[False, True]).head(QUALITY_EMBED_K)
+    return pa.table({
+        "rank": pa.array(range(1, len(top) + 1), type=pa.int64()),
+        "doc_id": pa.array(top["doc_id"].astype("int64"), type=pa.int64()),
+        "cos": pa.array(top["cos"], type=pa.float64()),
     })
 
 
@@ -2938,6 +2978,7 @@ def make_queries() -> dict:
         "model2vec_embed": model2vec_embed,
         "bpe_token_counts": bpe_token_counts,
         "rerank_model_search": rerank_model_search,
+        "quality_embed_ann": quality_embed_ann,
         "classify_files": classify_files,
         "hybrid_blend": hybrid_blend,
         "bm25_calibrated": bm25_calibrated,

@@ -35,59 +35,15 @@ def _vocab() -> dict:
 
 def make_test_crossenc(model_dir: str, seed: int = 7,
                        pin: bool = True) -> dict:
-    """Deterministic tiny BERT artifact triple; returns the tensors."""
-    from fsray.model2vec import write_safetensors_f32
-    from fsray.modelcache import pin_directory
-    os.makedirs(model_dir, exist_ok=True)
-    vocab = _vocab()
-    with open(os.path.join(model_dir, "tokenizer.json"), "w") as f:
-        json.dump({"normalizer": {"type": "BertNormalizer"},
-                   "pre_tokenizer": {"type": "BertPreTokenizer"},
-                   "model": {"type": "WordPiece", "vocab": vocab,
-                             "unk_token": "[UNK]"}}, f)
-    with open(os.path.join(model_dir, "config.json"), "w") as f:
-        json.dump({"hidden_size": H, "num_hidden_layers": L,
-                   "num_attention_heads": NH, "intermediate_size": INTER,
-                   "layer_norm_eps": 1e-12,
-                   "max_position_embeddings": MAXP}, f)
-    rs = np.random.RandomState(seed)
-
-    def t(*s):
-        return (rs.standard_normal(s) * 0.2).astype(np.float32)
-
-    T = {"bert.embeddings.word_embeddings.weight": t(len(vocab), H),
-         "bert.embeddings.position_embeddings.weight": t(MAXP, H),
-         "bert.embeddings.token_type_embeddings.weight": t(2, H),
-         "bert.embeddings.LayerNorm.weight": np.ones(H, np.float32),
-         "bert.embeddings.LayerNorm.bias": np.zeros(H, np.float32)}
-    for i in range(L):
-        p = f"bert.encoder.layer.{i}"
-        T.update({
-            f"{p}.attention.self.query.weight": t(H, H),
-            f"{p}.attention.self.query.bias": t(H),
-            f"{p}.attention.self.key.weight": t(H, H),
-            f"{p}.attention.self.key.bias": t(H),
-            f"{p}.attention.self.value.weight": t(H, H),
-            f"{p}.attention.self.value.bias": t(H),
-            f"{p}.attention.output.dense.weight": t(H, H),
-            f"{p}.attention.output.dense.bias": t(H),
-            f"{p}.attention.output.LayerNorm.weight": np.ones(H, np.float32),
-            f"{p}.attention.output.LayerNorm.bias": np.zeros(H, np.float32),
-            f"{p}.intermediate.dense.weight": t(INTER, H),
-            f"{p}.intermediate.dense.bias": t(INTER),
-            f"{p}.output.dense.weight": t(H, INTER),
-            f"{p}.output.dense.bias": t(H),
-            f"{p}.output.LayerNorm.weight": np.ones(H, np.float32),
-            f"{p}.output.LayerNorm.bias": np.zeros(H, np.float32),
-        })
-    T.update({"bert.pooler.dense.weight": t(H, H),
-              "bert.pooler.dense.bias": t(H),
-              "classifier.weight": t(1, H),
-              "classifier.bias": t(1)})
-    write_safetensors_f32(os.path.join(model_dir, "model.safetensors"), T)
-    if pin:
-        pin_directory(model_dir, "tiny-crossenc", "v1", H)
-    return T
+    """Deterministic tiny BERT artifact triple via the ONE shared
+    builder (fsray.crossenc.write_synthetic_artifact — also used by the
+    driver lane, so the tensor-name schema cannot drift)."""
+    from fsray.crossenc import write_synthetic_artifact
+    words = list(WORDS) + ["##" + w[:2] for w in WORDS]
+    return write_synthetic_artifact(model_dir, words, hidden=H, layers=L,
+                                    heads=NH, inter=INTER, max_pos=MAXP,
+                                    seed=seed, scale=0.2,
+                                    model_id="tiny-crossenc", pin=pin)
 
 
 DOCS = ["the quick brown fox", "search engine index data",
@@ -254,9 +210,90 @@ def test_bert_normalizer_and_pretokenizer():
                                  "vocab": {"a": 0}, "unk_token": "a"}})
     # clean_text: control chars dropped, whitespace → space; lowercase;
     # strip_accents follows lowercase; CJK padded
-    assert tok.normalize("Café\x00 \x0bB") == "cafe  b"
+    # \x00 and \x0b (control, not \t\n\r) are REMOVED; \t maps to space
+    assert tok.normalize("Café\x00 \x0bB") == "cafe b"
+    assert tok.normalize("a\tb\x0cc\x85d") == "a bcd"
     assert tok.normalize("a中b") == "a 中 b"
     # punctuation isolation, symbol (€, Sc) NOT split (BERT's predicate)
     assert _bert_pretokenize("don't stop!") == ["don", "'", "t", "stop", "!"]
     assert _bert_pretokenize("a€b c") == ["a€b", "c"]
     assert _bert_pretokenize("...") == [".", ".", "."]
+
+
+def test_extreme_logit_never_raises(tmp_path):
+    """rerank_step's never-raises contract survives pathological
+    user-installed weights: a finite logit beyond exp()'s range must
+    score ~0/1, not raise OverflowError."""
+    from fsray.crossenc import _sigmoid_stable
+    assert _sigmoid_stable(-1000.0) == 0.0
+    assert _sigmoid_stable(1000.0) == 1.0
+    assert _sigmoid_stable(0.0) == 0.5
+    make_test_crossenc(str(tmp_path))
+    ce = CrossEncoderReranker.load(str(tmp_path))
+    ce.logits = lambda q, t: np.array([-1e6, 1e6, 0.0], dtype=np.float64)
+    out = ce.rerank("q", [RerankDocument(str(i), "x") for i in range(3)])
+    assert [s.score for s in out] == [0.0, 1.0, 0.5]
+
+
+def test_native_quality_embedder_laws(tmp_path):
+    """The bi-encoder head (native_embedder.rs): mean-pool over every
+    returned token (specials included) + L2-normalize; unit norms;
+    batch matches single within the tolerance DIV; bare safetensors
+    keys (the standard all-MiniLM layout) load identically to
+    bert.-prefixed ones."""
+    from fsray.crossenc import (IDENTITY_OUTPUT_NORMALIZATION,
+                                IDENTITY_POOLING, IDENTITY_SEQUENCE_POLICY,
+                                NativeQualityEmbedder,
+                                write_synthetic_artifact)
+    d1, d2 = str(tmp_path / "bare"), str(tmp_path / "prefixed")
+    for d, bare in ((d1, True), (d2, False)):
+        write_synthetic_artifact(d, WORDS, hidden=H, layers=L, heads=NH,
+                                 inter=INTER, max_pos=MAXP, seed=5,
+                                 head="none", bare_keys=bare,
+                                 model_id="tiny-minilm")
+    a = NativeQualityEmbedder.load(d1)
+    b = NativeQualityEmbedder.load(d2)
+    texts = ["the quick brown fox", "search engine", "fox", ""]
+    ma, mb = a.embed_texts(texts), b.embed_texts(texts)
+    assert np.array_equal(ma, mb)  # key normalization is content-neutral
+    assert ma.dtype == np.float32 and ma.shape == (4, H)
+    assert np.allclose(np.linalg.norm(ma, axis=1), 1.0, atol=1e-6)
+    # batch vs single within the tolerance law
+    singles = np.stack([a.embed(t) for t in texts])
+    assert np.max(np.abs(ma - singles)) <= 1e-6
+    # mean-pool law: recompute the head by hand from the shared encoder
+    ids = a.token_ids(texts[0])
+    lens = np.asarray([len(ids)])
+    hid = a._hidden_padded(ids[None, :], np.zeros((1, len(ids)), np.int64),
+                           lens)[0]
+    mean = hid.mean(axis=0, dtype=np.float32)
+    want = mean / np.float32(np.sqrt((mean * mean).sum(dtype=np.float32)))
+    assert np.max(np.abs(a.embed(texts[0]) - want)) <= 1e-6
+    # identity strings pinned to native_embedder.rs
+    assert IDENTITY_SEQUENCE_POLICY == "max-length=512;longest-first;no-padding"
+    assert IDENTITY_POOLING == \
+        "mean-all-returned-tokens-including-specials-no-padding-v1"
+    assert IDENTITY_OUTPUT_NORMALIZATION == \
+        "l2-f32-if-norm-gt-zero-else-unchanged-v1"
+    assert a.id() == "native-minilm-bare"
+
+
+def test_embedder_ladder_discriminates_tiers(tmp_path):
+    """BERT-shaped config.json routes to the native QUALITY tier;
+    model2vec-shaped dirs still route to the FAST tier; no config →
+    fast; tampered quality artifacts fail closed to hash."""
+    from fsray.crossenc import write_synthetic_artifact
+    from fsray.modelcache import resolve_embedder
+    d = str(tmp_path / "q")
+    write_synthetic_artifact(d, WORDS, hidden=H, layers=L, heads=NH,
+                             inter=INTER, max_pos=MAXP, seed=5,
+                             head="none", model_id="tiny-minilm")
+    emb, reason = resolve_embedder(d)
+    assert reason is None and emb.category() == "quality"
+    assert emb.is_semantic() and emb.id().startswith("minilm-native-")
+    assert emb.dimension == H
+    with open(os.path.join(d, "model.safetensors"), "r+b") as f:
+        f.seek(-1, os.SEEK_END)
+        f.write(b"\xff")
+    emb2, reason2 = resolve_embedder(d)
+    assert reason2 and emb2.category() == "hash"
