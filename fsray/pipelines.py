@@ -2440,24 +2440,60 @@ def _prf_centroid_quality_fn(emb_path: str, sink: dict | None = None):
     return quality_fn
 
 
+def _quality_tier_fn(sf_dir: str, query: str, embedder, sink: dict | None = None):
+    """REAL quality-tier rescore: embed the fused candidates' TEXTS with
+    the verified quality transformer and score cosine against the query
+    embedding (the reference's quality-tier refinement; the PRF-centroid
+    path below is the model-free stand-in)."""
+    qv = embedder.embed(query).astype(np.float32)
+
+    def quality_fn(doc_ids):
+        import pyarrow.parquet as pq
+        want = [int(d) for d in doc_ids]
+        tt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"],
+                           filters=[("doc_id", "in", want)])
+        texts = dict(zip(tt["doc_id"].to_pylist(), tt["text"].to_pylist()))
+        rows = [texts.get(int(d)) for d in doc_ids]
+        present = [i for i, t in enumerate(rows) if t is not None]
+        out: list = [None] * len(doc_ids)
+        if present:
+            mat = embedder.embed_texts([rows[i] for i in present])
+            sims = (mat @ qv).astype(np.float64)
+            for i, s in zip(present, sims):
+                out[i] = float(s)
+        if sink is not None:
+            sink.update({int(d): s for d, s in zip(doc_ids, out)
+                         if s is not None})
+        return out
+    return quality_fn
+
+
 def _run_progressive(sf_dir: str, explain: bool = False,
-                     rerank_model_dir: str | None = None):
+                     rerank_model_dir: str | None = None,
+                     quality_model_dir: str | None = None):
     """ONE implementation of the progressive product flow (used by the
     driver lane and the explained variant — identical budgets, arms,
     quality and rerank, so an explanation always describes the ranking
     the product lane actually produces).  Returns
     (result, metrics, explanations | None).
 
-    ``rerank_model_dir`` flows through the reranker resolution ladder
-    (auto_detect.rs): a verified native cross-encoder artifact dir runs
-    REAL numpy BERT rerank; ``None``/unverifiable degrades to the hash
-    stand-in with a typed reason — the reference's default."""
+    ``rerank_model_dir`` / ``quality_model_dir`` flow through the
+    resolution ladders (auto_detect.rs): verified native artifact dirs
+    run REAL numpy BERT rerank / quality-tier text rescore;
+    ``None``/unverifiable degrades to the hash / PRF-centroid stand-ins
+    with typed reasons — the reference's default."""
     import pyarrow.parquet as pq
 
-    from fsray.modelcache import resolve_reranker
+    from fsray.modelcache import resolve_embedder, resolve_reranker
     from fsray.rerank import ScoredResult, rerank_step
     from fsray.searcher import QueryClass, progressive_search
     reranker, _degrade = resolve_reranker(rerank_model_dir)
+    quality_embedder = None
+    if quality_model_dir is not None:
+        emb, q_reason = resolve_embedder(quality_model_dir)
+        if q_reason is None and emb.category() == "quality":
+            quality_embedder = emb
     query = BM25_QUERIES["bm25_topk_wide"][0]
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     # per-source candidate budgets from the query class
@@ -2480,8 +2516,15 @@ def _run_progressive(sf_dir: str, explain: bool = False,
         return out
 
     quality_map: dict[int, float] = {}
-    quality_fn = _prf_centroid_quality_fn(
-        emb_path, sink=quality_map if explain else None)
+    if quality_embedder is not None:
+        quality_label = quality_embedder.id()
+        quality_fn = _quality_tier_fn(
+            sf_dir, query, quality_embedder,
+            sink=quality_map if explain else None)
+    else:
+        quality_label = "prf-centroid"
+        quality_fn = _prf_centroid_quality_fn(
+            emb_path, sink=quality_map if explain else None)
 
     phases: list = []
     explanations: dict[int, object] = {}
@@ -2502,7 +2545,7 @@ def _run_progressive(sf_dir: str, explain: bool = False,
         if d in quality_map:
             comps.append(ScoreComponent(
                 ExplainedSource("semantic_quality", {
-                    "embedder": "prf-centroid",
+                    "embedder": quality_label,
                     "cosine_sim": quality_map[d]}),
                 raw_score=quality_map[d],
                 normalized_score=quality_map[d], weight=0.7))

@@ -364,3 +364,32 @@ def test_progressive_with_real_crossenc_tier(ray_session):
     _r2, _m2, exps2 = _run_progressive(SF_DIR, explain=True)
     hashm = rerank_models(exps2)
     assert hashm and all(m == "hash-reranker" for m in hashm)
+
+
+def test_progressive_with_real_quality_tier(ray_session):
+    """With BOTH model dirs configured, the progressive flow runs real
+    transformer inference in both refinement arms: the quality
+    components record the native embedder id and the rerank components
+    the native cross-encoder id."""
+    import shutil
+
+    from fsray.pipelines import (_crossenc_model_dir, _quality_model_dir,
+                                 _run_progressive)
+    qd, rd_ = _quality_model_dir(), _crossenc_model_dir()
+    try:
+        result, _m, exps = _run_progressive(
+            SF_DIR, explain=True, rerank_model_dir=rd_,
+            quality_model_dir=qd)
+    finally:
+        shutil.rmtree(qd, ignore_errors=True)
+        shutil.rmtree(rd_, ignore_errors=True)
+    assert result.results
+    kinds = {}
+    for e in exps.values():
+        for c in e.components:
+            kinds.setdefault(c.source.kind, set()).add(
+                c.source.detail.get("embedder") or c.source.detail.get("model"))
+    assert any(m and m.startswith("minilm-native-")
+               for m in kinds.get("semantic_quality", ()))
+    assert any(m and m.startswith("native-crossenc-")
+               for m in kinds.get("rerank", ()))
