@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -252,33 +253,48 @@ def encode_sidecar(data: bytes, cfg: DurabilityConfig) -> bytes:
 
 
 def decode_sidecar(raw: bytes) -> dict:
-    """Parse + validate a sidecar (repair_trailer.rs:81 deserialize:
-    trailer CRC first, then magic/version/shape)."""
+    """Parse + validate a sidecar (repair_trailer.rs:81 deserialize).
+
+    A trailer-CRC mismatch does NOT hard-fail the parse: the whole
+    point of the per-parity-symbol CRCs is to LOCALIZE damage inside
+    the sidecar itself, so a bit-flip in the parity payload must leave
+    the file repairable from the surviving parity (the ``par_bad``
+    path).  The degraded parse is safe because every reconstruction is
+    gated by the independent full-file witness (CRC32 + SHA-256/128):
+    damage to the header/CRC-array region either fails the shape
+    checks below or mislocalizes and is rejected by the witness.  The
+    flag is surfaced as ``sidecar_degraded`` so sweeps can re-protect."""
     if len(raw) < _HEADER.size + 4:
         raise SidecarCorrupt("sidecar too short")
     body, (crc,) = raw[:-4], struct.unpack("<I", raw[-4:])
-    if zlib.crc32(body) != crc:
-        raise SidecarCorrupt("sidecar trailer crc mismatch")
+    degraded = zlib.crc32(body) != crc
     magic, version, s, k, r, n_blocks, source_len, source_crc, sha16 = \
         _HEADER.unpack_from(body, 0)
     if magic != SIDECAR_MAGIC:
         raise SidecarCorrupt("bad sidecar magic")
     if version != SIDECAR_VERSION:
         raise SidecarCorrupt(f"unsupported sidecar version {version}")
+    # shape sanity (load-bearing under the degraded parse: a corrupted
+    # header must fail HERE, not allocate garbage-sized arrays)
+    if not (0 < s <= 1 << 24 and 0 < k <= 255 and 0 < r <= 255
+            and k + r <= 255 and 0 < n_blocks <= 1 << 32):
+        raise SidecarCorrupt("sidecar header shape out of bounds")
     off = _HEADER.size
     n_src, n_par = n_blocks * k, n_blocks * r
+    expect = off + 4 * n_src + 4 * n_par + n_blocks * r * s
+    if len(body) != expect:
+        raise SidecarCorrupt("sidecar body size mismatch")
     src_crcs = np.frombuffer(body, dtype=np.uint32, count=n_src, offset=off)
     off += 4 * n_src
     par_crcs = np.frombuffer(body, dtype=np.uint32, count=n_par, offset=off)
     off += 4 * n_par
     parity = np.frombuffer(body, dtype=np.uint8, offset=off)
-    if parity.size != n_blocks * r * s:
-        raise SidecarCorrupt("parity payload size mismatch")
     return {
         "symbol_size": s, "k": k, "r": r, "n_blocks": n_blocks,
         "source_len": source_len, "source_crc32": source_crc,
         "source_sha16": sha16, "src_crcs": src_crcs, "par_crcs": par_crcs,
         "parity": parity.reshape(n_blocks, r, s),
+        "sidecar_degraded": degraded,
     }
 
 
@@ -419,26 +435,69 @@ class FileProtector:
         return RepairOutcome("repaired", bytes_written=len(out),
                              symbols_used=used)
 
+    def _sidecar_degraded(self, path: str) -> bool:
+        try:
+            with open(sidecar_path(path), "rb") as f:
+                return bool(decode_sidecar(f.read())["sidecar_degraded"])
+        except (OSError, SidecarCorrupt):
+            return False
+
     def verify_and_repair_file(self, path: str) -> RepairOutcome:
         """file_protector.rs:1066: the health-check pipeline for one
-        file — intact files short-circuit."""
+        file — intact files short-circuit.  A degraded sidecar (damage
+        inside the sidecar itself, survivable per-symbol) is REWRITTEN
+        from the healthy/repaired file so the sweep restores full
+        parity coverage instead of leaving it eroded."""
         if not os.path.exists(sidecar_path(path)):
             return RepairOutcome("unprotected")
         try:
-            if self.verify_file(path).healthy:
-                return RepairOutcome("not_needed")
+            healthy = self.verify_file(path).healthy
         except SidecarCorrupt as exc:
             return RepairOutcome("unrecoverable", reason=str(exc))
-        return self.repair_file(path)
+        out = (RepairOutcome("not_needed") if healthy
+               else self.repair_file(path))
+        if (out.status in ("not_needed", "repaired")
+                and self._sidecar_degraded(path)):
+            self.protect_file(path)
+            out = RepairOutcome(out.status, bytes_written=out.bytes_written,
+                                symbols_used=out.symbols_used,
+                                reason=(out.reason + "; " if out.reason
+                                        else "") + "sidecar re-protected")
+        return out
 
     # -- directory sweeps --------------------------------------------------
 
     @staticmethod
     def _skip(name: str) -> bool:
         """file_protector.rs:416-424: never protect sidecars, dotfiles,
-        or quarantined corrupt copies."""
+        quarantined corrupt copies, or in-flight temp files.  The temp
+        check is anchored to the exact ``.tmp<pid>`` pattern this module
+        and the manifest writers produce — a bare ``'.tmp' in name``
+        would silently exclude legitimate files like ``render.tmpl``."""
         return (name.endswith(SIDECAR_SUFFIX) or name.startswith(".")
-                or ".corrupt." in name or ".tmp" in name)
+                or ".corrupt." in name
+                or re.search(r"\.tmp\d*$", name) is not None)
+
+    @staticmethod
+    def _sidecar_current(path: str) -> bool:
+        """True when a sidecar exists, parses to a healthy header, and
+        records the file's current length (header-only read — no parity
+        IO).  A degraded/corrupt/stale-length sidecar returns False so
+        the sweep re-protects."""
+        side = sidecar_path(path)
+        try:
+            with open(side, "rb") as f:
+                hdr = f.read(_HEADER.size)
+            magic, version, _s, _k, _r, _nb, source_len, _crc, _sha = \
+                _HEADER.unpack(hdr)
+        except (OSError, struct.error):
+            return False
+        if magic != SIDECAR_MAGIC or version != SIDECAR_VERSION:
+            return False
+        try:
+            return os.path.getsize(path) == source_len
+        except OSError:
+            return False
 
     def _walk(self, root: str) -> list[str]:
         out = []
@@ -449,9 +508,17 @@ class FileProtector:
         return sorted(out)
 
     def protect_directory(self, root: str, only_new: bool = True) -> dict:
+        """Sweep-protect a tree.  ``only_new`` assumes the tree holds
+        IMMUTABLE published files (this engine's index layout: new
+        content arrives under new names via atomic rename) — but a
+        length change is detected cheaply from the sidecar header and
+        re-protects, so the common mutate-in-place mistake never leaves
+        a stale sidecar that a later repair would roll the file back
+        to.  Same-length in-place edits of a protected file are
+        indistinguishable from corruption by design; don't do that."""
         protected = skipped = src_bytes = rep_bytes = 0
         for path in self._walk(root):
-            if only_new and os.path.exists(sidecar_path(path)):
+            if only_new and self._sidecar_current(path):
                 skipped += 1
                 continue
             res = self.protect_file(path)

@@ -3257,8 +3257,8 @@ s AS (
     regexp_matches(scan_text,
                    '-----BEGIN [A-Z ]*PRIVATE KEY-----') AS pk,
     regexp_matches(scan_text,
-      '(AKIA[0-9A-Z]{{16}}|api[_-]?key\s*[:=]\s*[A-Za-z0-9_\-]{{8,}}'
-      || '|bearer [A-Za-z0-9._\-]{{8,}})') AS ct,
+      '(AKIA[0-9A-Z]{{16}}|(?i:api[_-]?key)\s*[:=]\s*[A-Za-z0-9_\-]{{8,}}'
+      || '|(?i:bearer) [A-Za-z0-9._\-]{{8,}})') AS ct,
     ({deny_sql}) AS sp,
     regexp_matches(scan_text,
       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}') AS pd,

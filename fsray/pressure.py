@@ -112,6 +112,14 @@ class PressureControllerConfig:
             raise ValueError("pressure.ewma_alpha must be in [0, 1]")
         if self.hysteresis_pct < 0:
             raise ValueError("pressure.hysteresis_pct must be >= 0")
+        if (self.profile in _PROFILES
+                and self.hysteresis_pct >= min(_PROFILES[self.profile])):
+            # a margin at/above the lowest threshold makes the downward
+            # band reach 0.0: score >= 0 would hold CONSTRAINED forever
+            # and the controller could never recover to NORMAL
+            raise ValueError(
+                "pressure.hysteresis_pct must be below the profile's "
+                f"lowest threshold ({min(_PROFILES[self.profile])})")
         if self.consecutive_required < 1:
             raise ValueError("pressure.consecutive_required must be >= 1")
         if self.profile not in _PROFILES:

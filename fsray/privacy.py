@@ -219,8 +219,10 @@ PREFLIGHT_REDACTION_PROFILE = "privacy-preflight-v1-default"
 #: Content detectors — RE2-compatible so the driver oracle can run the
 #: IDENTICAL pattern through DuckDB ``regexp_matches``.
 CREDENTIAL_TOKEN_RE = (
-    r"(AKIA[0-9A-Z]{16}|api[_-]?key\s*[:=]\s*[A-Za-z0-9_\-]{8,}"
-    r"|bearer [A-Za-z0-9._\-]{8,})")
+    r"(AKIA[0-9A-Z]{16}|(?i:api[_-]?key)\s*[:=]\s*[A-Za-z0-9_\-]{8,}"
+    r"|(?i:bearer) [A-Za-z0-9._\-]{8,})")  # AKIA ids ARE uppercase;
+# 'Bearer'/'API_KEY' match case-insensitively (the canonical HTTP/env
+# capitalizations) via RE2-compatible inline groups
 PRIVATE_KEY_RE = r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
 PERSONAL_DATA_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 GENERATED_ARTIFACT_PARTS = ("node_modules/", "/target/", "/dist/",
@@ -305,34 +307,50 @@ def preflight_batch(paths, texts,
         "oversized_binary": (
             np.asarray(sizes, dtype=np.int64) > OVERSIZED_BINARY_BYTES
             if sizes is not None else np.zeros(n, dtype=bool)),
-        "generated_artifact": _contains_any(path_arr,
+        # generated-artifact parts match the NORMALIZED path, same as
+        # the sensitive-path deny patterns (redaction.rs:936)
+        "generated_artifact": _contains_any(norm_paths,
                                             GENERATED_ARTIFACT_PARTS),
     }
     decision = np.full(n, "include", dtype=object)
     reason = np.full(n, "privacy.clean", dtype=object)
     action = np.full(n, "none", dtype=object)
-    decided = np.zeros(n, dtype=bool)
+    # fail-closed: a row the scanner could not inspect (null path/text)
+    # is never 'verified clean' — it skips with its own typed reason,
+    # matching the RedactionPolicy's drop-for-unlisted posture
+    unreadable = (pc.is_null(path_arr).to_numpy(zero_copy_only=False)
+                  | pc.is_null(text_arr).to_numpy(zero_copy_only=False)
+                  ).astype(bool)
+    decision[unreadable] = "skip"
+    reason[unreadable] = "privacy.unreadable"
+    action[unreadable] = "drop_content"
+    decided = unreadable.copy()
     suppressions = suppressions or {}
     for rule in PREFLIGHT_RULES:
         hit = sig[rule.signal] & ~decided
-        for i in np.nonzero(hit)[0]:
-            supp = suppressions.get(int(i))
-            if supp and supp in rule.false_positive_suppressions:
-                decision[i] = "include"
-                reason[i] = SUPPRESSED_REASON
-            else:
-                decision[i] = rule.default_decision
-                reason[i] = rule.reason_code
-            action[i] = rule.redaction_action
+        decision[hit] = rule.default_decision
+        reason[hit] = rule.reason_code
+        action[hit] = rule.redaction_action
+        if suppressions:  # rare caller-supplied overrides only
+            for i in np.nonzero(hit)[0]:
+                supp = suppressions.get(int(i))
+                if supp and supp in rule.false_positive_suppressions:
+                    decision[i] = "include"
+                    reason[i] = SUPPRESSED_REASON
         decided |= hit
-    signals = [",".join(r.signal for r in PREFLIGHT_RULES
-                        if sig[r.signal][i]) for i in range(n)]
+    # severity-ordered comma join, vectorized over object arrays
+    signals = np.full(n, "", dtype=object)
+    sep = np.full(n, "", dtype=object)
+    for r in PREFLIGHT_RULES:
+        m = sig[r.signal] & ~unreadable
+        signals[m] = signals[m] + sep[m] + r.signal
+        sep[m] = ","
+    signals[unreadable] = "unreadable"
     return {
         "decision": decision, "reason_code": reason,
         "redaction_action": action,
-        "signals": np.array(signals, dtype=object),
-        "lexical_index_allowed": np.array(
-            [d == "include" for d in decision], dtype=bool),
+        "signals": signals,
+        "lexical_index_allowed": decision == "include",
     }
 
 

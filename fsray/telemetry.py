@@ -165,6 +165,11 @@ def lifecycle_event(instance: InstanceIdentity, corr: Correlation, *,
                          "events must carry a reason")
     policy = policy or RedactionPolicy()
     red = policy.apply("query_text", "log", reason) if reason else None
+    if reason and red is None:
+        # the policy dropped the text: keep the reason-was-supplied fact
+        # visible (same sentinel search_event uses) so the
+        # reason_code_required invariant survives redaction
+        red = "<DROPPED>"
     return {
         "type": "lifecycle",
         "instance": instance.to_dict(),
@@ -202,20 +207,28 @@ class JsonlTransport:
             self.dropped_since_last += 1
             self.total_dropped += 1
             return False
-        self.sequence += 1
         frame = {
             "kind": "telemetry_transport_stream_frame",
             "v": 1,
             "frame_type": "event",
             "transport": "jsonl_fallback",
-            "sequence": self.sequence,
+            "sequence": self.sequence + 1,
             "producer_ts": ts,
             "dropped_since_last": self.dropped_since_last,
             "payload": envelope(event, ts),
         }
+        # serialize BEFORE mutating state: an unserializable event must
+        # count as a drop, not burn a sequence number and silently zero
+        # the pending drop accounting
+        try:
+            line = json.dumps(frame, separators=(",", ":"), allow_nan=False)
+        except (TypeError, ValueError):
+            self.dropped_since_last += 1
+            self.total_dropped += 1
+            return False
+        self.sequence += 1
         self.dropped_since_last = 0
-        self._buffer.append(json.dumps(frame, separators=(",", ":"),
-                                       allow_nan=False))
+        self._buffer.append(line)
         return True
 
     def flush(self) -> int:

@@ -4,7 +4,8 @@ Mirrors the reference durability crate's contract surface
 (file_protector.rs / repair_trailer.rs / codec.rs tests): protect →
 verify healthy; bitrot within the parity budget repairs byte-identical
 with the corrupt original quarantined; damage past the budget is a
-typed unrecoverable; sidecar corruption is detected by the trailer CRC;
+typed unrecoverable; sidecar damage degrades (per-symbol localization
+keeps working; sweeps re-protect) while structural damage raises;
 directory sweeps skip sidecars and quarantine copies.
 """
 
@@ -93,13 +94,52 @@ def test_sidecar_roundtrip_any_size(data):
     assert meta["k"] == 8 and meta["r"] == 2
 
 
-def test_sidecar_trailer_crc_detects_corruption():
-    raw = bytearray(encode_sidecar(b"hello world" * 50, CFG))
-    raw[len(raw) // 2] ^= 0xFF
+def test_sidecar_damage_degrades_instead_of_hard_failing():
+    """A bit-flip inside the sidecar no longer voids the whole sidecar:
+    the parse is flagged degraded and the per-parity-symbol CRCs keep
+    localizing (the par_bad path stays reachable in real life, not just
+    with a hand-rewrapped trailer).  Structural damage still raises."""
+    clean = encode_sidecar(b"hello world" * 50, CFG)
+    assert decode_sidecar(clean)["sidecar_degraded"] is False
+    raw = bytearray(clean)
+    raw[len(raw) // 2] ^= 0xFF  # lands in the parity payload here
+    meta = decode_sidecar(bytes(raw))
+    assert meta["sidecar_degraded"] is True
     with pytest.raises(SidecarCorrupt):
-        decode_sidecar(bytes(raw))
+        decode_sidecar(b"oops")  # too short
     with pytest.raises(SidecarCorrupt):
-        decode_sidecar(b"oops")
+        decode_sidecar(clean[: len(clean) - 10])  # body size mismatch
+    bad_hdr = bytearray(clean)
+    bad_hdr[0] ^= 0xFF  # magic
+    with pytest.raises(SidecarCorrupt):
+        decode_sidecar(bytes(bad_hdr))
+
+
+def test_parity_bitrot_without_trailer_rewrap_still_repairs(tmp_path):
+    """End-to-end: real bitrot in BOTH the file and its sidecar's parity
+    region (no hand-fixed trailer) — the damaged parity symbol is
+    localized by its CRC and the file repairs from the survivors."""
+    data = bytes(range(256)) * 40
+    path = os.path.join(str(tmp_path), "seg.bin")
+    with open(path, "wb") as f:
+        f.write(data)
+    prot = FileProtector(CFG)
+    prot.protect_file(path)
+    side = sidecar_path(path)
+    with open(side, "rb") as f:
+        raw = bytearray(f.read())
+    meta = decode_sidecar(bytes(raw))
+    parity_off = len(raw) - 4 - meta["parity"].size
+    raw[parity_off] ^= 0xFF  # parity symbol 0 rots; trailer now stale
+    with open(side, "wb") as f:
+        f.write(raw)
+    with open(path, "r+b") as f:  # one source erasure
+        f.seek(100)
+        f.write(b"\x00" * 3)
+    out = prot.repair_file(path)
+    assert out.status == "repaired"
+    with open(path, "rb") as f:
+        assert f.read() == data
 
 
 # ---------------------------------------------------------------------------
@@ -297,3 +337,49 @@ def test_empty_file_roundtrip():
     prot.protect_file(path)
     assert prot.verify_file(path).healthy
     assert prot.verify_and_repair_file(path).status == "not_needed"
+
+
+def test_sweep_reprotects_degraded_sidecar(tmp_path):
+    """verify_directory heals eroded parity: after parity bitrot the
+    sweep repairs the file AND rewrites the sidecar, so a second hit
+    within budget is survivable again."""
+    data = bytes(range(256)) * 40
+    path = os.path.join(str(tmp_path), "seg.bin")
+    with open(path, "wb") as f:
+        f.write(data)
+    prot = FileProtector(CFG)
+    prot.protect_file(path)
+    side = sidecar_path(path)
+    with open(side, "rb") as f:
+        raw = bytearray(f.read())
+    raw[-100] ^= 0xFF  # parity region rots
+    with open(side, "wb") as f:
+        f.write(raw)
+    rows = prot.verify_directory(str(tmp_path), repair=True)
+    assert [r["status"] for r in rows] == ["intact"]
+    assert "sidecar re-protected" in rows[0]["reason"]
+    with open(side, "rb") as f:
+        assert decode_sidecar(f.read())["sidecar_degraded"] is False
+
+
+def test_protect_only_new_reprotects_on_length_change(tmp_path):
+    """A republished (longer) file is re-protected by the only_new
+    sweep — no stale sidecar survives to roll the file back."""
+    path = os.path.join(str(tmp_path), "seg.bin")
+    with open(path, "wb") as f:
+        f.write(b"v1 content" * 100)
+    prot = FileProtector(CFG)
+    assert prot.protect_directory(str(tmp_path))["files_protected"] == 1
+    assert prot.protect_directory(str(tmp_path))["files_protected"] == 0
+    with open(path, "wb") as f:
+        f.write(b"v2 content, longer than before" * 100)
+    assert prot.protect_directory(str(tmp_path))["files_protected"] == 1
+    assert prot.verify_file(path).healthy  # sidecar tracks v2 now
+
+
+def test_skip_is_anchored_to_tmp_pattern(tmp_path):
+    """'.tmpl' and '.tmp.bak' files are protected; real '.tmp<pid>'
+    in-flight files are not."""
+    assert FileProtector._skip("x.tmp123") and FileProtector._skip("y.tmp")
+    assert not FileProtector._skip("render.tmpl")
+    assert not FileProtector._skip("schema.tmp.bak")
