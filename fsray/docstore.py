@@ -140,8 +140,10 @@ class DocumentStore:
 
     # -- documents ---------------------------------------------------------
 
-    def _upsert_inner(self, doc: DocumentRecord) -> str:
-        doc.validate()
+    def _upsert_inner(self, doc: DocumentRecord,
+                      pre_validated: bool = False) -> str:
+        if not pre_validated:
+            doc.validate()
         prior = self._docs.get(doc.doc_id)
         self._docs[doc.doc_id] = doc.to_value()
         if prior is None:
@@ -171,7 +173,7 @@ class DocumentStore:
             d.validate()
         result = {"inserted": 0, "updated": 0, "unchanged": 0}
         for d in docs:
-            result[self._upsert_inner(d)] += 1
+            result[self._upsert_inner(d, pre_validated=True)] += 1
         if docs:
             self._persist()
         return result
@@ -236,6 +238,10 @@ class DocumentStore:
 
     def mark_skipped(self, doc_id: str, embedder_id: str,
                      reason: str) -> None:
+        # same non-empty rule as mark_failed / jobqueue.skip: no
+        # unexplained terminal rows in the persisted status table
+        _require(bool(reason and reason.strip()), "validation",
+                 "skip reason must not be empty")
         self._require_doc(doc_id)
         prior = self._status.get(doc_id, {}).get(embedder_id)
         self._status.setdefault(doc_id, {})[embedder_id] = {

@@ -65,6 +65,14 @@ def bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, map(chr, cs)))
 
 
+def _is_regex_ws(c: str) -> bool:
+    """The ``\\s`` predicate of the GPT-2 pattern (Unicode White_Space).
+    NOT ``str.isspace()``: Python counts U+001C–U+001F (file/record
+    separators) as space while White_Space — and hence the tokenizers
+    crate's ``\\s`` — does not; they belong to the punct-run class."""
+    return c.isspace() and not ("\x1c" <= c <= "\x1f")
+
+
 def _is_letter(c: str) -> bool:
     return unicodedata.category(c)[0] == "L"
 
@@ -111,8 +119,8 @@ def _gpt2_scan(text: str) -> list[str]:
                 i += len(hit)
                 continue
         # " ?X+" branches — the optional prefix is a LITERAL space only
-        j = i + 1 if (c == " " and i + 1 < n and not text[i + 1].isspace()) else i
-        if j < n and not text[j].isspace():
+        j = i + 1 if (c == " " and i + 1 < n and not _is_regex_ws(text[i + 1])) else i
+        if j < n and not _is_regex_ws(text[j]):
             k = j
             if _is_letter(text[k]):
                 while k < n and _is_letter(text[k]):
@@ -121,7 +129,7 @@ def _gpt2_scan(text: str) -> list[str]:
                 while k < n and _is_number(text[k]):
                     k += 1
             else:
-                while (k < n and not text[k].isspace()
+                while (k < n and not _is_regex_ws(text[k])
                        and not _is_letter(text[k]) and not _is_number(text[k])):
                     k += 1
             out.append(text[i:k])
@@ -130,7 +138,7 @@ def _gpt2_scan(text: str) -> list[str]:
         # whitespace runs: \s+(?!\S) backtracks to leave one space for
         # the following word; at end-of-text the whole run matches
         k = i
-        while k < n and text[k].isspace():
+        while k < n and _is_regex_ws(text[k]):
             k += 1
         if k >= n:
             out.append(text[i:k])
@@ -433,7 +441,16 @@ class HFTokenizer:
         self.pretokenize, self.byte_level = _build_pretokenizer(
             config.get("pre_tokenizer"))
         self.model = _build_model(config.get("model") or {})
-        # added tokens match LITERALLY in the raw text, longest first
+        # added tokens match LITERALLY in the raw text, longest first.
+        # Options that change match semantics (normalized-text matching,
+        # word-boundary constraints, whitespace stripping) are OUTSIDE
+        # the subset — raise, never silently mis-tokenize (module law)
+        for t in config.get("added_tokens", []):
+            for opt in ("normalized", "lstrip", "rstrip", "single_word"):
+                if t.get(opt):
+                    raise TokenizerUnsupported(
+                        f"added token {t.get('content')!r} uses "
+                        f"{opt}=true, outside the literal-match subset")
         self.added = sorted(
             ((t["content"], int(t["id"]))
              for t in config.get("added_tokens", []) if t.get("content")),

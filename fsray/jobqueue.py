@@ -127,6 +127,7 @@ class Metrics:
     total_skipped: int = 0
     total_retried: int = 0
     total_deduplicated: int = 0
+    total_hash_skipped: int = 0
     total_batches_processed: int = 0
 
 
@@ -245,11 +246,13 @@ class EmbeddingJobQueue:
 
     def _enqueue_inner(self, doc_id: str, embedder_id: str,
                        content_hash: str, priority: int,
-                       submitted_at: int) -> str:
-        _ensure_non_empty(doc_id, "doc_id")
-        _ensure_non_empty(embedder_id, "embedder_id")
-        if self._document_exists is not None and not self._document_exists(doc_id):
-            raise QueueError("not_found", f"documents: {doc_id}")
+                       submitted_at: int, pre_validated: bool = False) -> str:
+        if not pre_validated:
+            _ensure_non_empty(doc_id, "doc_id")
+            _ensure_non_empty(embedder_id, "embedder_id")
+            if (self._document_exists is not None
+                    and not self._document_exists(doc_id)):
+                raise QueueError("not_found", f"documents: {doc_id}")
         if is_hash_embedder(embedder_id):
             return HASH_EMBEDDER_SKIPPED
         active = self._active_jobs(doc_id, embedder_id)
@@ -300,7 +303,8 @@ class EmbeddingJobQueue:
         base = self._now_ms()
         for i, (doc_id, embedder_id, content_hash, priority) in enumerate(jobs):
             outcome = self._enqueue_inner(doc_id, embedder_id, content_hash,
-                                          priority, base + i)
+                                          priority, base + i,
+                                          pre_validated=True)
             summary[outcome] += 1
             self._record_enqueue(outcome)
         if jobs:
@@ -310,6 +314,10 @@ class EmbeddingJobQueue:
     def _record_enqueue(self, outcome: str) -> None:
         if outcome in (INSERTED, REPLACED):
             self.metrics.total_enqueued += 1
+        elif outcome == HASH_EMBEDDER_SKIPPED:
+            # hash-tier skips are NOT dedup hits — distinct outcomes in
+            # the reference (Deduplicated vs HashEmbedderSkipped)
+            self.metrics.total_hash_skipped += 1
         else:
             self.metrics.total_deduplicated += 1
 
@@ -475,7 +483,7 @@ class EmbeddingJobQueue:
                 # invariant the reference enforces via its index)
                 continue
             j.update(status=PENDING, retry_count=0, error_message=None,
-                     started_at=None, submitted_at=now)
+                     started_at=None, completed_at=None, submitted_at=now)
             n += 1
         if n:
             self._persist()

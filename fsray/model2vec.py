@@ -79,12 +79,21 @@ def load_safetensors_f32(path: str) -> dict[str, np.ndarray]:
     buf = raw[8 + hlen:]
     out: dict[str, np.ndarray] = {}
     for name, meta in header.items():
-        if name == "__metadata__" or meta.get("dtype") != "F32":
+        if name == "__metadata__" or not isinstance(meta, dict) \
+                or meta.get("dtype") != "F32":
             continue
-        shape = tuple(int(s) for s in meta["shape"])
-        b, e = meta["data_offsets"]
+        # malformed header entries must surface as the TYPED load
+        # failure so the resolve ladder degrades instead of crashing
+        try:
+            shape = tuple(int(s) for s in meta["shape"])
+            b, e = (int(x) for x in meta["data_offsets"])
+        except (KeyError, TypeError, ValueError) as exc:
+            raise ModelLoadFailed(
+                f"{path}: tensor {name!r} has a malformed header entry: "
+                f"{exc!r}") from exc
         want = int(np.prod(shape, dtype=np.int64)) * 4 if shape else 4
-        if e - b != want or e > len(buf):
+        if any(s < 0 for s in shape) or b < 0 or e < b \
+                or e - b != want or e > len(buf):
             raise ModelLoadFailed(
                 f"{path}: tensor {name!r} data length {e - b} != "
                 f"expected {want} for shape {shape}")

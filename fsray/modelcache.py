@@ -326,7 +326,13 @@ def verify_artifacts(model_dir: str,
         if not os.path.isfile(p):
             raise ModelUnavailable(
                 f"artifact {f['name']!r} missing from {model_dir}")
-        if os.path.getsize(p) != f.get("bytes", os.path.getsize(p)):
+        size = os.path.getsize(p)
+        if "bytes" not in f:
+            # a manifest without the pinned size can't fast-fail partial
+            # downloads — treat as a manifest defect, don't skip the gate
+            raise ModelUnavailable(
+                f"artifact {f['name']!r} manifest entry lacks 'bytes'")
+        if size != int(f["bytes"]):
             raise ModelUnavailable(
                 f"artifact {f['name']!r} size mismatch (partial download?)")
         h = hashlib.sha256()
@@ -469,7 +475,11 @@ def resolve_embedder(model_dir: str | None,
         return hash_tier_embedder(fallback_dimension), "no_model_configured"
     try:
         return load_model_embedder(model_dir), None
-    except ModelUnavailable as e:
+    except ModelCacheError as e:
+        # ModelUnavailable AND corrupt-manifest/artifact errors both
+        # degrade (the ladder's whole point); crashing on a garbled
+        # manifest.json would fail the pipeline a bad copy should not
+
         return hash_tier_embedder(fallback_dimension), str(e)
 
 
@@ -511,5 +521,9 @@ def resolve_reranker(model_dir: str | None) -> tuple[object, str | None]:
         return HashReranker(), "no_model_configured"
     try:
         return load_model_reranker(model_dir), None
-    except ModelUnavailable as e:
+    except ModelCacheError as e:
+        # ModelUnavailable AND corrupt-manifest/artifact errors both
+        # degrade (the ladder's whole point); crashing on a garbled
+        # manifest.json would fail the pipeline a bad copy should not
+
         return HashReranker(), str(e)

@@ -93,6 +93,8 @@ def test_mark_transitions_and_retry_accounting(store):
         store.mark_embedded("ghost", "m")
     with pytest.raises(DocStoreError, match="error_message"):
         store.mark_failed("d1", "m", " ")
+    with pytest.raises(DocStoreError, match="reason"):
+        store.mark_skipped("d1", "m", " ")  # same non-empty rule
 
 
 def test_count_by_status_implicit_pending(store):

@@ -435,3 +435,23 @@ def test_enqueue_stale_documents_bridge(q):
                                       priority=7)
     assert summary[INSERTED] == 2
     assert all(j["priority"] == 7 for j in q.jobs_snapshot())
+
+
+def test_hash_skip_is_not_a_dedup_metric(q):
+    assert q.enqueue("doc1", "fnv1a-256", "h" * 8) is False
+    assert q.metrics.total_hash_skipped == 1
+    assert q.metrics.total_deduplicated == 0
+
+
+def test_resurrect_clears_completed_at(tmp_path):
+    clock = Clock()
+    q = EmbeddingJobQueue(str(tmp_path / "r"),
+                          JobQueueConfig(max_retries=0), now_ms=clock)
+    q.enqueue("doc1", "model2vec-x", "h" * 8)
+    [job] = q.claim_batch("w1", 1)
+    q.fail(job.job_id, "boom")
+    row = q.jobs_snapshot()[0]
+    assert row["status"] == "failed" and row["completed_at"] is not None
+    assert q.resurrect_terminal_failures("model2vec-x") == 1
+    row = q.jobs_snapshot()[0]
+    assert row["status"] == "pending" and row["completed_at"] is None

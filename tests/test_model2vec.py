@@ -344,6 +344,8 @@ def test_gpt2_ascii_rule_matches_scanner():
         "tab\tx", "trail  ", "a\n\nb", "we're", "we'rere", "don't stop",
         "'s", "x'samba", "a  b   c", " 'll", "12ab!?34", "...", "a \t b",
         "\t\t", "\r\n", "e r er ere erer", "I'm, I'll; I'd I've",
+        # U+001C-U+001F are NOT \s (White_Space) — they are punct runs
+        "e\x1c\x1cb", "a \x1c b", "\x1c", "x\x1dy\x1ez\x1f",
     ]
     for s in cases:
         assert s.isascii()
@@ -353,7 +355,7 @@ def test_gpt2_ascii_rule_matches_scanner():
         assert "".join(got) == s  # the split is a partition
 
     alphabet = st.sampled_from(list(
-        "abcERZ019 '.,!?-_\t\n\r\x0b\x0c~#\\\"/"))
+        "abcERZ019 '.,!?-_\t\n\r\x0b\x0c\x1c\x1d\x1e\x1f~#\\\"/"))
 
     @settings(max_examples=300, deadline=None)
     @given(st.text(alphabet=alphabet, max_size=40))
@@ -400,3 +402,40 @@ def test_embedding_failed_is_typed(tmp_path):
     e = Model2VecEmbedder.load(str(tmp_path))
     with pytest.raises(EmbeddingFailed):
         e.embed("zzz")
+
+
+def test_malformed_safetensors_header_is_typed_load_failure(tmp_path):
+    """Malformed-but-pinned headers raise ModelLoadFailed (the ladder's
+    degrade trigger), never raw KeyError/ValueError."""
+    import struct
+
+    from fsray.model2vec import ModelLoadFailed, load_safetensors_f32
+    for header in (
+        {"t": {"dtype": "F32", "data_offsets": [0, 16]}},     # no shape
+        {"t": {"dtype": "F32", "shape": [2, 2]}},             # no offsets
+        {"t": {"dtype": "F32", "shape": [2, 2],
+               "data_offsets": [-16, 0]}},                    # negative
+        {"t": {"dtype": "F32", "shape": [-4],
+               "data_offsets": [0, 16]}},                     # neg shape
+    ):
+        hj = json.dumps(header).encode()
+        raw = struct.pack("<Q", len(hj)) + hj + b"\x00" * 64
+        p = str(tmp_path / "m.safetensors")
+        with open(p, "wb") as f:
+            f.write(raw)
+        with pytest.raises(ModelLoadFailed):
+            load_safetensors_f32(p)
+
+
+def test_added_token_match_options_are_typed_unsupported():
+    """normalized/lstrip/rstrip/single_word change match semantics —
+    outside the literal-match subset, they raise instead of silently
+    mis-tokenizing; absent/false options stay supported."""
+    base = {"model": {"type": "WordLevel", "vocab": {"a": 0},
+                      "unk_token": "a"}}
+    HFTokenizer({**base, "added_tokens": [
+        {"id": 1, "content": "[X]", "special": True, "normalized": False}]})
+    for opt in ("normalized", "lstrip", "rstrip", "single_word"):
+        with pytest.raises(TokenizerUnsupported, match=opt):
+            HFTokenizer({**base, "added_tokens": [
+                {"id": 1, "content": "[X]", opt: True}]})

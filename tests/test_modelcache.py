@@ -187,3 +187,42 @@ def test_resolve_embedder_degrades_with_typed_reason(tmp_path):
     dc, _ = fake_model_dir(tmp_path, corrupt=True)
     e3, reason3 = resolve_embedder(dc)
     assert "sha256 mismatch" in reason3 and e3.category() == "hash"
+
+
+def test_corrupt_manifest_degrades_not_crashes(tmp_path):
+    """A garbled manifest.json (interrupted copy) degrades both ladders
+    to the hash tier with a typed reason instead of raising."""
+    import os
+
+    from fsray.modelcache import resolve_embedder, resolve_reranker
+    d = str(tmp_path)
+    with open(os.path.join(d, "tokenizer.json"), "w") as f:
+        f.write("{}")
+    with open(os.path.join(d, "model.safetensors"), "wb") as f:
+        f.write(b"\x00" * 16)
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        f.write('{"model_id": "x", "rev')  # truncated json
+    emb, reason = resolve_embedder(d)
+    assert reason and emb.category() == "hash"
+    rer, reason2 = resolve_reranker(d)
+    assert reason2 and rer.id() == "hash-reranker"
+
+
+def test_manifest_entry_without_bytes_fails_closed(tmp_path):
+    import json
+    import os
+
+    from fsray.modelcache import (ModelUnavailable, pin_directory,
+                                  verify_artifacts)
+    d = str(tmp_path)
+    with open(os.path.join(d, "a.bin"), "wb") as f:
+        f.write(b"payload")
+    pin_directory(d, "m", "v1", 4)
+    mp = os.path.join(d, "manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    del m["files"][0]["bytes"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ModelUnavailable, match="bytes"):
+        verify_artifacts(d)
