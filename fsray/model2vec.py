@@ -164,13 +164,19 @@ class Model2VecEmbedder:
 
     def embed(self, text: str) -> np.ndarray:
         """tokenize → in-vocab row gather → f32 mean → f32 L2 norm."""
-        zero = np.zeros(self.dimension, dtype=np.float32)
         if not text:
-            return zero
+            return np.zeros(self.dimension, dtype=np.float32)
         try:
             ids = np.asarray(self.tokenizer.encode(text), dtype=np.int64)
         except TokenizationError as e:
             raise EmbeddingFailed(f"{self.name}: tokenization failed: {e}") from e
+        return self.embed_ids(ids)
+
+    def embed_ids(self, ids: np.ndarray) -> np.ndarray:
+        """The post-tokenize inference path (gather → mean → L2) —
+        callers that already hold the id stream (e.g. witness-emitting
+        stages) avoid tokenizing the same text twice."""
+        zero = np.zeros(self.dimension, dtype=np.float32)
         ids = ids[(ids >= 0) & (ids < self.vocab_size)]  # discard-oov=true
         if ids.size == 0:
             return zero

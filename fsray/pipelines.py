@@ -47,12 +47,19 @@ LANG_SETS_SQL = {
 }
 
 
+def index_cache_dir(sf_dir: str) -> str:
+    """The one place the cross-run index cache location is derived —
+    lanes that need the on-disk tree (fsck) share it with
+    ``documents_index`` so the recipe cannot drift."""
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join("/tmp", "fsray_index_cache", tag)
+
+
 def documents_index(sf_dir: str) -> LocalIndex:
     """Build (once, cached, resumable) the inverted index over the
     ``documents`` table of one sf dir."""
     if sf_dir not in _INDEX_CACHE:
-        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-        index_dir = os.path.join("/tmp", "fsray_index_cache", tag)
+        index_dir = index_cache_dir(sf_dir)
         build_index([os.path.join(sf_dir, "documents.parquet")], index_dir, DOCUMENTS,
                     BuildConfig(partition_rows=1024, num_shards=4, num_buckets=16))
         _INDEX_CACHE[sf_dir] = LocalIndex(index_dir)
@@ -240,6 +247,20 @@ def _docs_ds(sf_dir: str):
     return (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
               .map_batches(lambda b: b.replace_schema_metadata(None),
                            batch_format="pyarrow", zero_copy_batch=True))
+
+
+def _parquet_int_bounds(path: str, column: str) -> tuple[int, int]:
+    """(min, max) of an integer column from parquet row-group statistics
+    — footer-only, no data IO.  The leaf is resolved by
+    ``path_in_schema`` (parquet LEAF indexes diverge from Arrow field
+    indexes once any nested column precedes the target)."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    leaf = next(i for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == column)
+    stats = [md.row_group(g).column(leaf).statistics
+             for g in range(md.num_row_groups)]
+    return (min(int(s.min) for s in stats), max(int(s.max) for s in stats))
 
 
 def _embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -811,11 +832,8 @@ def dedup_embedding_cosine(sf_dir: str) -> pa.Table:
     from fsray.dedup import cosine_pairs_block, normalize_rows
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     md = pq.ParquetFile(emb_path).metadata
-    vid_idx = md.schema.to_arrow_schema().get_field_index("vec_id")
-    stats = [md.row_group(i).column(vid_idx).statistics
-             for i in range(md.num_row_groups)]
-    lo = min(s.min for s in stats)
-    hi = max(s.max for s in stats) + 1
+    lo, hi = _parquet_int_bounds(emb_path, "vec_id")
+    hi += 1
     n_blocks = max(1, -(-md.num_rows // COSINE_BLOCK_ROWS))
     edges = np.unique(np.linspace(lo, hi, n_blocks + 1).astype(np.int64))
     ranges = list(zip(edges[:-1], edges[1:]))
@@ -828,6 +846,8 @@ def dedup_embedding_cosine(sf_dir: str) -> pa.Table:
                           filters=[("vec_id", ">=", r_lo),
                                    ("vec_id", "<", r_hi)])
         rids = t["vec_id"].to_numpy().astype(np.int64)
+        if len(rids) == 0:  # a vec_id gap swallowed the whole range —
+            return rids, np.zeros((0, 1))  # reshape(0, -1) would raise
         flat = t["embedding"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False)
         return rids, flat.astype(np.float64).reshape(len(rids), -1)
@@ -962,7 +982,11 @@ def export_deduped_corpus(sf_dir: str, out_dir: str,
         drops = (np.sort(drop_df["doc_id"].to_numpy().astype(np.int64))
                  if len(drop_df) else np.zeros(0, dtype=np.int64))
     drops_ref = ray.put(drops)
-    edges = np.linspace(0, n_rows, n_parts + 1).astype(np.int64)
+    # partition edges come from the FILE's doc_id bounds, not [0, n_rows)
+    # — ordinal edges silently drop every doc whose id falls outside the
+    # row-count range (1-based or sparse id spaces)
+    id_lo, id_hi = _parquet_int_bounds(src, "doc_id")
+    edges = np.linspace(id_lo, id_hi + 1, n_parts + 1).astype(np.int64)
 
     @ray.remote
     def write_part(part: int, lo: int, hi: int) -> tuple[int, int]:
@@ -979,12 +1003,25 @@ def export_deduped_corpus(sf_dir: str, out_dir: str,
                           {"rows": t.num_rows, "lo": int(lo), "hi": int(hi)})
         return part, t.num_rows
 
+    # orphans from a previous run with MORE partitions would be
+    # double-counted by any consumer globbing *.parquet — remove them
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and name.split(".")[0][5:].isdigit() \
+                and int(name.split(".")[0][5:]) >= n_parts:
+            os.remove(os.path.join(out_dir, name))
     futs, skipped = [], 0
     for part, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
         marker = os.path.join(out_dir, f"part-{part:05d}.parquet.done.json")
         if os.path.exists(marker):
-            skipped += 1  # resumable: finished partitions never re-run
-            continue
+            # resumable — but only if the finished partition still means
+            # the same range: a marker from a run with different edges
+            # (changed n_parts, regenerated corpus) must NOT be trusted
+            with open(marker) as f:
+                m = json.load(f)
+            if m.get("lo") == int(lo) and m.get("hi") == int(hi):
+                skipped += 1
+                continue
+            os.remove(marker)  # stale geometry: redo this partition
         futs.append(write_part.remote(part, lo, hi))
     written = ray.get(futs)
     kept = sum(r for _, r in written)
@@ -1033,8 +1070,7 @@ def durability_fsck(sf_dir: str) -> pa.Table:
     from fsray.durability import DurabilityConfig, FileProtector, sidecar_path
 
     documents_index(sf_dir)  # ensure the index exists on disk
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    index_dir = os.path.join("/tmp", "fsray_index_cache", tag)
+    index_dir = index_cache_dir(sf_dir)
     work = tempfile.mkdtemp(prefix="fsray_fsck_")
     try:
         dst = os.path.join(work, "index")
@@ -1049,23 +1085,29 @@ def durability_fsck(sf_dir: str) -> pa.Table:
 
         ray.get([protect_one.remote(p) for p in files])
 
-        # deterministic bitrot: every 3rd file gets 2 in-budget flips;
-        # every 7th gets 6 flips inside ONE 16-symbol block (> r=4)
+        # deterministic bitrot: every 3rd file gets 2 in-budget flips at
+        # DISTINCT offsets (coinciding flips would XOR-cancel); the
+        # past-budget victim is the LARGEST file — it is guaranteed to
+        # hold 6 distinct 1-KiB-symbol offsets inside block 0 (> r=4),
+        # where a small file's clamped offsets would collapse onto one
+        # byte and cancel to in-budget (or zero) damage
+        sizes = [os.path.getsize(p) for p in files]
+        victim = int(np.argmax(sizes))
+        assert sizes[victim] >= 6 * 1024, "index has no file ≥ 6 KiB"
         for i, path in enumerate(files):
-            size = os.path.getsize(path)
+            size = sizes[i]
             if size == 0:
                 continue
             seed = int.from_bytes(
                 hashlib.sha256(os.path.basename(path).encode()).digest()[:4],
                 "little")
             rng = np.random.default_rng(seed)
-            if i % 7 == 3:
-                block = min(int(rng.integers(0, max(1, size // 16384))),
-                            size // 16384)
-                base = block * 16384
-                offs = [min(base + s * 1024, size - 1) for s in range(6)]
+            if i == victim:
+                offs = [s * 1024 for s in range(6)]
             elif i % 3 == 0:
-                offs = sorted(int(v) for v in rng.integers(0, size, 2))
+                offs = ([int(rng.integers(0, size))] if size == 1 else
+                        sorted(int(v) for v in
+                               rng.choice(size, 2, replace=False)))
             else:
                 continue
             with open(path, "r+b") as f:
@@ -2208,14 +2250,18 @@ class Model2VecEmbedStats:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch["text"].to_pylist()]
-        mat = self.emb.embed_texts(texts)
         core = self.emb.core
+        # tokenize ONCE per doc: the id stream feeds both the witness
+        # columns and the gather/mean/normalize inference (tokenization
+        # dominates the static tier's cost)
+        mat = np.empty((len(texts), core.dimension), dtype=np.float32)
         n_tok = np.empty(len(texts), dtype=np.int64)
         id_sum = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):  # tokenizer = per-doc state machine
             ids = core.token_ids(t)
             n_tok[i] = ids.size
             id_sum[i] = int(ids.sum())
+            mat[i] = core.embed_ids(ids)
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(n_tok, type=pa.int64()),
@@ -2488,12 +2534,18 @@ def _run_progressive(sf_dir: str, explain: bool = False,
     from fsray.modelcache import resolve_embedder, resolve_reranker
     from fsray.rerank import ScoredResult, rerank_step
     from fsray.searcher import QueryClass, progressive_search
-    reranker, _degrade = resolve_reranker(rerank_model_dir)
-    quality_embedder = None
+    reranker, rerank_degrade = resolve_reranker(rerank_model_dir)
+    quality_embedder, quality_degrade = None, None
     if quality_model_dir is not None:
         emb, q_reason = resolve_embedder(quality_model_dir)
         if q_reason is None and emb.category() == "quality":
             quality_embedder = emb
+        else:  # keep the TYPED reason — operators debug from it
+            quality_degrade = (q_reason or
+                               f"resolved category {emb.category()!r} "
+                               f"is not the quality tier")
+    elif quality_model_dir is None:
+        quality_degrade = "no_model_configured"
     query = BM25_QUERIES["bm25_topk_wide"][0]
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     # per-source candidate budgets from the query class
@@ -2575,6 +2627,8 @@ def _run_progressive(sf_dir: str, explain: bool = False,
         lexical_fn, fast_semantic_fn, PROG_K,
         quality_fn=quality_fn, rerank_fn=rerank_fn, query=query,
         on_phase=phases.append)
+    metrics.rerank_degrade_reason = rerank_degrade
+    metrics.quality_degrade_reason = quality_degrade
     if not explain:
         return result, metrics, None
 

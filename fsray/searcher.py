@@ -187,6 +187,10 @@ class ProgressiveMetrics:
     semantic_candidates: int = 0
     incomplete_embeddings: int = 0
     degraded_stage: str | None = None
+    #: typed reasons the model tiers degraded to their stand-ins
+    #: (auto_detect.rs reasons; None ⇔ the real tier ran)
+    rerank_degrade_reason: str | None = None
+    quality_degrade_reason: str | None = None
 
 
 def progressive_search(lexical_fn, fast_semantic_fn, limit: int,

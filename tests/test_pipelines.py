@@ -393,3 +393,49 @@ def test_progressive_with_real_quality_tier(ray_session):
                for m in kinds.get("semantic_quality", ()))
     assert any(m and m.startswith("native-crossenc-")
                for m in kinds.get("rerank", ()))
+
+
+def test_progressive_metrics_record_degrade_reasons(ray_session):
+    """The typed tier-degrade reasons land in metrics (the operator
+    signal the docstring promises): default run = both stand-ins with
+    reasons; real model dirs = None reasons."""
+    import shutil
+
+    from fsray.pipelines import (_crossenc_model_dir, _quality_model_dir,
+                                 _run_progressive)
+    _r, m, _ = _run_progressive(SF_DIR)
+    assert m.rerank_degrade_reason == "no_model_configured"
+    assert m.quality_degrade_reason == "no_model_configured"
+    qd, rd_ = _quality_model_dir(), _crossenc_model_dir()
+    try:
+        _r2, m2, _ = _run_progressive(SF_DIR, rerank_model_dir=rd_,
+                                      quality_model_dir=qd)
+    finally:
+        shutil.rmtree(qd, ignore_errors=True)
+        shutil.rmtree(rd_, ignore_errors=True)
+    assert m2.rerank_degrade_reason is None
+    assert m2.quality_degrade_reason is None
+
+
+def test_export_resume_rejects_stale_geometry(ray_session, tmp_path):
+    """A done marker from a run with different partition edges is NOT
+    trusted: the partition re-runs and the export stays complete."""
+    from fsray.pipelines import export_deduped_corpus
+    out = str(tmp_path / "exp")
+    r1 = export_deduped_corpus(SF_DIR, out, n_parts=8)
+    assert r1["written"] == 8 and r1["skipped"] == 0
+    # same geometry resumes fully
+    r2 = export_deduped_corpus(SF_DIR, out, n_parts=8)
+    assert r2["written"] == 0 and r2["skipped"] == 8
+    # different geometry: every stale marker is rejected and re-run
+    r3 = export_deduped_corpus(SF_DIR, out, n_parts=4)
+    assert r3["written"] == 4 and r3["skipped"] == 0
+    assert r3["kept_rows"] == r1["kept_rows"]
+    # orphan partitions from the 8-part run were removed: a consumer
+    # globbing *.parquet sees exactly the 4 live partitions
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert parts == [f"part-0000{i}.parquet" for i in range(4)]
+    import pyarrow.parquet as pqt
+    n = sum(pqt.ParquetFile(os.path.join(out, f)).metadata.num_rows
+            for f in parts)
+    assert n == r1["kept_rows"]
