@@ -247,6 +247,36 @@ def cmd_protect(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pin_model(args: argparse.Namespace) -> int:
+    """The local model-install path (model_download.rs post-fetch
+    step): sha256-pin every artifact in the directory, verify the pins,
+    and report which tier each resolution ladder would load — so "did
+    my converted model actually install as the real tier?" is one
+    command."""
+    from fsray.modelcache import (ModelCacheError, pin_directory,
+                                  resolve_embedder, resolve_reranker,
+                                  verify_artifacts)
+    try:
+        manifest = pin_directory(args.model_dir, args.model_id,
+                                 args.revision, args.dimension)
+        verify_artifacts(args.model_dir, manifest)
+    except (OSError, ModelCacheError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    emb, emb_reason = resolve_embedder(args.model_dir)
+    rer, rer_reason = resolve_reranker(args.model_dir)
+    print(json.dumps({
+        "model_id": manifest.model_id, "revision": manifest.revision,
+        "dimension": manifest.dimension,
+        "files": [{"name": f["name"], "bytes": f["bytes"]}
+                  for f in manifest.files],
+        "embedder": {"id": emb.id(), "category": emb.category(),
+                     "degrade_reason": emb_reason},
+        "reranker": {"id": rer.id(), "degrade_reason": rer_reason},
+    }, indent=1))
+    return 0
+
+
 def cmd_fsck(args: argparse.Namespace) -> int:
     from fsray.durability import FileProtector
     prot = FileProtector()
@@ -333,6 +363,14 @@ def main(argv: list[str] | None = None) -> int:
     fk.add_argument("--no-repair", action="store_true",
                     help="report health only, never rewrite files")
     fk.set_defaults(fn=cmd_fsck)
+
+    pm = sub.add_parser("pin-model", help="sha256-pin a model artifact "
+                        "directory and report which tier it resolves to")
+    pm.add_argument("model_dir")
+    pm.add_argument("--model-id", required=True)
+    pm.add_argument("--revision", default="v1")
+    pm.add_argument("--dimension", type=int, required=True)
+    pm.set_defaults(fn=cmd_pin_model)
 
     args = p.parse_args(argv)
     return args.fn(args)

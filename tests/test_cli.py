@@ -51,3 +51,26 @@ def test_status_missing_index_typed_failure():
     assert env["ok"] is False
     assert env["error"]["code"] == "index_not_found"
     assert "fsray.cli build" in env["error"]["suggestion"]
+
+
+def test_cli_pin_model_reports_resolved_tiers(tmp_path, capsys):
+    """pin-model pins + verifies and reports the ladder outcome: a
+    BERT-shaped dir resolves both real tiers; a missing dir errors."""
+    import json as _json
+
+    from fsray.cli import main
+    from fsray.crossenc import write_synthetic_artifact
+    d = str(tmp_path / "m")
+    write_synthetic_artifact(d, ("alpha", "beta"), hidden=16, layers=1,
+                             heads=2, inter=32, max_pos=32,
+                             model_id="t", pin=False)
+    rc = main(["pin-model", d, "--model-id", "tiny-bert",
+               "--dimension", "16"])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["embedder"]["category"] == "quality"
+    assert out["embedder"]["degrade_reason"] is None
+    assert out["reranker"]["id"].startswith("native-crossenc-")
+    assert out["reranker"]["degrade_reason"] is None
+    assert main(["pin-model", str(tmp_path / "nope"), "--model-id", "x",
+                 "--dimension", "4"]) == 1
