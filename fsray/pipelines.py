@@ -2362,12 +2362,13 @@ def quality_embed_ann(sf_dir: str) -> pa.Table:
     try:
         parts = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                  columns=["doc_id", "text"])
-                 # autoscaling (1, 4): a FIXED pool equal to the session's
+                 # autoscaling (2, 4): a FIXED pool equal to the session's
                  # CPU count starves the upstream read tasks of slots and
                  # stalls the whole pipeline on small clusters (seen under
-                 # the 4-cpu test session); min 1 actor always leaves room
+                 # the 4-cpu test session); min 2 leaves reads room there
+                 # while warming two actors immediately on big hosts
                  .map_batches(QualityEmbedStage, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4),
+                              zero_copy_batch=True, concurrency=(2, 4),
                               fn_constructor_kwargs={
                                   "model_dir": model_dir, "query": query,
                                   "k": QUALITY_EMBED_K})
