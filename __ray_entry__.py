@@ -28,9 +28,12 @@ def entry() -> Any:
     The full progressive product flow (fusion/searcher.rs): lexical
     BM25 + distributed hash-embed semantic arm → RRF (Phase 1) →
     quality-tier rescore of the fused candidates → blend →
-    cross-encoder rerank step (Phase 2)."""
+    cross-encoder rerank step (Phase 2) — with BOTH refinement arms on
+    the REAL model tiers (numpy MiniLM-style quality embedder + numpy
+    BERT cross-encoder from pinned artifacts, fsray/crossenc.py)."""
     from fsray.pipelines import progressive_search_pipeline
-    return progressive_search_pipeline("/root/testdata/sf0.001")
+    return progressive_search_pipeline("/root/testdata/sf0.001",
+                                       use_real_models=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -2655,7 +2655,8 @@ def _run_progressive(sf_dir: str, explain: bool = False,
     return result, metrics, out
 
 
-def progressive_search_pipeline(sf_dir: str) -> pa.Table:
+def progressive_search_pipeline(sf_dir: str,
+                                use_real_models: bool = False) -> pa.Table:
     """The reference's END-TO-END product flow as one composed pipeline
     (fusion/searcher.rs phase flow; README architecture): Phase 1 =
     lexical BM25 arm + fast hash-embed semantic arm (distributed
@@ -2664,8 +2665,23 @@ def progressive_search_pipeline(sf_dir: str) -> pa.Table:
     embeddings read; PRF-centroid quality query stand-in) → two-tier
     blend → cross-encoder rerank step (hash model, RRF-combine), with
     arm budgets sized by the query class.  Rows-only driver check; laws
-    pinned in ``tests/test_searcher.py``."""
-    result, _metrics, _ = _run_progressive(sf_dir, explain=False)
+    pinned in ``tests/test_searcher.py``.
+
+    ``use_real_models=True`` (the ``entry()`` flagship) installs the
+    pinned synthetic model artifacts and routes BOTH refinement arms
+    through the resolution ladders: real numpy transformer quality
+    rescore + real cross-encoder rerank, end to end."""
+    q_dir = r_dir = None
+    try:
+        if use_real_models:
+            q_dir, r_dir = _quality_model_dir(), _crossenc_model_dir()
+        result, _metrics, _ = _run_progressive(
+            sf_dir, explain=False, rerank_model_dir=r_dir,
+            quality_model_dir=q_dir)
+    finally:
+        for d in (q_dir, r_dir):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
     return pa.table({
         "rank": pa.array(range(1, len(result.results) + 1),
                          type=pa.int64()),
