@@ -22,6 +22,17 @@ candidate document whose positions are verified (the stage-1
 intersection survivors).  Charges are independent of the decode cache
 state, so consumed units are DETERMINISTIC for a query regardless of
 warm/cold caches — the property the reference's replay tests pin.
+
+Enforcement scope: ``LocalIndex`` shares ONE accountant across its
+shards (a query-global ceiling); ``RayIndex`` gives each shard actor
+its own accountant with the full budget — the ceiling is PER WORKER
+(total work ≤ budget × shards), which is the cluster-correct reading
+(the budget bounds what any one worker spends on a query) — and the
+driver reports the summed consumption.  String range/set filters charge
+through the same dictionary/posting rates as scored terms; glob
+expansion is bounded by its own expansion cap (``glob_terms`` limit,
+16,384 terms) before fuel exists, and the expanded terms then charge
+normally.
 """
 
 from __future__ import annotations

@@ -307,8 +307,7 @@ def topk_pruned(clauses: list[ScoringClause], must_not_docids: list[np.ndarray],
     return TopK(docids_f, scores_f.astype(dtype))
 
 
-def phrase_matches(decs: list, n_terms_hint: int = 0,
-                   fuel=None) -> tuple[np.ndarray, np.ndarray]:
+def phrase_matches(decs: list, fuel=None) -> tuple[np.ndarray, np.ndarray]:
     """Exact-adjacency phrase matching over decoded terms WITH positions.
 
     Two stages, mirroring the reference's galloping pre-filter + positions
@@ -364,7 +363,10 @@ def phrase_matches(decs: list, n_terms_hint: int = 0,
     if len(common) < (len(decs[j].docids) >> 1):
         c64 = common.astype(np.uint64) << np.uint64(32)
         starts = np.searchsorted(keys, c64)
-        ends = np.searchsorted(keys, c64 + (np.uint64(1) << np.uint64(32)))
+        # run end = last key of the doc, side='right' — adding 1<<32
+        # would WRAP to 0 for docid 0xFFFFFFFF and emit negative lens
+        ends = np.searchsorted(keys, c64 | np.uint64(0xFFFFFFFF),
+                               side="right")
         lens = ends - starts
         total = int(lens.sum())
         out_off = np.zeros(len(lens) + 1, dtype=np.int64)

@@ -266,16 +266,18 @@ class ShardData:
         )
         if "positions" in t.column_names:
             p = t["positions"][row].values.to_numpy(zero_copy_only=False)
-            # same-width int storage reinterprets for free; astype would
-            # copy the whole position stream on every decode
-            dec.positions = (p.view(np.uint32) if p.dtype == np.int32
-                             else p.astype(np.uint32))
+            # same-width int storage reinterprets for free (the index
+            # writes uint32, so the itemsize-4 branch is the live one);
+            # copy=False keeps the no-op cast allocation-free too
+            dec.positions = (p.view(np.uint32) if p.dtype.itemsize == 4
+                             else p.astype(np.uint32, copy=False))
         if len(self._decode_cache) >= self.DECODE_CACHE_SLOTS:
             self._decode_cache.pop(next(iter(self._decode_cache)))
         self._decode_cache[key] = dec
         return dec
 
-    def filter_mask(self, range_specs: list[dict]) -> np.ndarray | None:
+    def filter_mask(self, range_specs: list[dict],
+                    fuel=None) -> np.ndarray | None:
         """Dense bool mask over this shard's docid range from numeric
         range/set filters (NUMERIC column scan → doc filter, PLAN.md §9.4)
         and manifest tombstones (excluded at collection, not at scoring —
@@ -286,11 +288,11 @@ class ShardData:
         if len(self.tombstones):
             mask[self.tombstones.astype(np.int64) - self.lo] = False
         for rs in range_specs:
-            m = self.spec_mask(rs)
+            m = self.spec_mask(rs, fuel=fuel)
             mask &= ~m if rs.get("negate") else m
         return mask
 
-    def spec_mask(self, rs: dict) -> np.ndarray:
+    def spec_mask(self, rs: dict, fuel=None) -> np.ndarray:
         """Membership mask of ONE range/set spec over this shard's docid
         range (negation not applied; unknown field matches nothing).
 
@@ -300,13 +302,25 @@ class ShardData:
         RangeStr/SetStr semantics (docs holding ANY matching term)."""
         kind = rs["kind"]
         if kind in ("str_range", "str_set"):
+            # string specs decode dictionary terms — the adversarial
+            # dictionary-range tail the fuel budget exists to bound, so
+            # every decode here charges like the scoring path's
+            def _decode_charged(key):
+                if fuel is not None:
+                    from fsray.fuel import DICTIONARY_BLOCK, POSTING_BLOCK
+                    fuel.admit(DICTIONARY_BLOCK, 1)
+                d = self.decode(key)
+                if d is not None and fuel is not None:
+                    fuel.admit(POSTING_BLOCK, -(-len(d.docids) // 128))
+                return d
+
             mask = np.zeros(self.size, dtype=bool)
             ordn = self.fields.get(rs["field"])
             if ordn is None or self.term_table is None:
                 return mask
             if kind == "str_set":
                 for v in rs["values"]:
-                    dec = self.decode((ordn, v))
+                    dec = _decode_charged((ordn, v))
                     if dec is not None:
                         mask[dec.docids.astype(np.int64) - self.lo] = True
                 return mask
@@ -320,7 +334,7 @@ class ShardData:
                    self._term_bound(ordn, rs["hi"],
                                     "right" if rs["hi_inc"] else "left"))
             for row in range(start, end):
-                dec = self.decode((ordn, self._tt_terms[row].as_py()))
+                dec = _decode_charged((ordn, self._tt_terms[row].as_py()))
                 if dec is not None:
                     mask[dec.docids.astype(np.int64) - self.lo] = True
             return mask
@@ -436,14 +450,14 @@ class ShardData:
             # only (no block-max bound across a boolean tree).  Typed
             # range/set leaves evaluate as ("filter", ridx) nodes with
             # ConstScorer 1.0 (query.rs:849-850,1223).
-            leaf_masks = {ridx: self.spec_mask(rs)
+            leaf_masks = {ridx: self.spec_mask(rs, fuel=fuel)
                           for ridx, rs in (filter_leaf_specs or {}).items()}
             if not clauses and not leaf_masks:
                 return TopK(np.zeros(0, np.uint32), np.zeros(0, dtype), count=0)
             from fsray.scorer import topk_boolean
             return topk_boolean(clauses, tree, must_not, self.lo, self.size, k,
                                 dtype=dtype,
-                                filter_mask=self.filter_mask(range_specs or []),
+                                filter_mask=self.filter_mask(range_specs or [], fuel=fuel),
                                 filter_leaves=leaf_masks)
         if not clauses and all(must_atom_ok.values()) and (
                 match_all or any(not rs.get("negate")
@@ -452,7 +466,7 @@ class ShardData:
             # non-negated range/set filter — constant-score scan at 1.0
             # (Tantivy FastFieldRangeWeight ConstScorer; fixture
             # score-cass-fast-range-constant), tombstones excluded
-            mask = self.filter_mask(range_specs or [])
+            mask = self.filter_mask(range_specs or [], fuel=fuel)
             if mask is None:
                 mask = np.ones(self.size, dtype=bool)
             for mn in must_not:
@@ -474,7 +488,7 @@ class ShardData:
             and cost >= PRUNE_MIN_COST and self.size >= 16 * WINDOW))
         kern = topk_pruned if use_pruned else topk_exhaustive
         return kern(clauses, must_not, self.lo, self.size, k, dtype=dtype,
-                    filter_mask=self.filter_mask(range_specs or []))
+                    filter_mask=self.filter_mask(range_specs or [], fuel=fuel))
 
     def materialize(self, docids: np.ndarray) -> list[str]:
         idx = pa.array(docids.astype(np.int64) - self.lo)
@@ -717,6 +731,9 @@ class LocalIndex:
         grammar (or-tighter precedence, implicit conjunction, prefix-field
         expansion); fields the index lacks are skipped leniently."""
         self._refresh_if_stale()
+        # fuel telemetry never carries over: a cache hit / empty parse
+        # reports None, not some earlier query's consumption
+        self.last_fuel = None
         key = (text, limit, offset, exact_count, mode, np.dtype(dtype).name, parser)
         cached = self._cache.get(key)
         if cached is not None:
@@ -973,6 +990,7 @@ class RayIndex:
                          dtype=np.float32) -> tuple[list[Hit], int | None]:
         ray = self._ray
         self._refresh_if_stale()
+        self.last_fuel_consumed = 0  # never a previous query's number
         if parser == "cass":
             from fsray.query import parse_cass_query
             parsed = parse_cass_query(text)

@@ -119,3 +119,28 @@ def test_invalid_budget_rejected_at_index_construction(ray_session):
     base = documents_index(SF_DIR)
     with pytest.raises(ValueError, match="query_fuel_budget"):
         LocalIndex(base.index_dir, query_fuel_budget=0)
+
+
+def test_string_range_filters_charge_fuel(ray_session):
+    """The adversarial dictionary-range tail is billed: a string range
+    over the source keyword field decodes terms through the charged
+    path and exhausts a tiny budget; a sane budget records the
+    charges."""
+    from fsray.pipelines import documents_index
+    from fsray.search import LocalIndex
+    base = documents_index(SF_DIR)
+    idx = LocalIndex(base.index_dir, query_fuel_budget=2)
+    with pytest.raises(FuelExhausted):
+        idx.search("src_kw:[a TO z]", k=5)
+    ok = LocalIndex(base.index_dir)
+    ok.search("src_kw:[a TO z]", k=5)
+    assert ok.last_fuel is not None
+    assert ok.last_fuel.by_kind.get(DICTIONARY_BLOCK, 0) >= 1
+
+
+def test_fuel_telemetry_never_reports_a_previous_query(fuel_index):
+    idx = fuel_index
+    idx.search("vector merge filter", k=7)
+    assert idx.last_fuel is not None and idx.last_fuel.consumed > 0
+    idx.search("vector merge filter", k=7)  # ranked-cache hit: no traversal
+    assert idx.last_fuel is None

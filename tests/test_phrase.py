@@ -233,3 +233,32 @@ def test_fragment_phrase_matches_quoted_phrase(pos_index):
     hits = idx.search("parse/merge", k=10)  # '/' splits -> same phrase
     assert [(h.docid, h.score) for h in hits] == \
         [(h.docid, h.score) for h in quoted]
+
+
+def test_phrase_selective_prefilter_survives_max_docid():
+    """docid 0xFFFFFFFF must not wrap the selective pre-filter's run-end
+    key (c64 + 1<<32 overflowed uint64 to 0 and raised on negative run
+    lengths); the boundary doc's phrase match is found."""
+    import numpy as np
+
+    from fsray.codec import DecodedTerm
+    from fsray.scorer import phrase_matches
+
+    def mk(docids, positions, tfs):
+        docids = np.asarray(docids, np.uint32)
+        tfs = np.asarray(tfs, np.uint32)
+        nb = -(-len(docids) // 128)
+        return DecodedTerm(
+            docids=docids, tfs=tfs,
+            max_tf_code=np.zeros(nb, np.uint8),
+            min_fieldnorm_id=np.zeros(nb, np.uint8),
+            first_docs=docids[:1], last_docs=docids[-1:],
+            positions=np.asarray(positions, np.uint32))
+
+    top = 0xFFFFFFFF
+    # seed term df=8 so len(common)=1 < df>>1 → selective branch taken
+    a = mk([1, 2, 3, 4, 5, 6, 7, top],
+           [0, 0, 0, 0, 0, 0, 0, 5], [1] * 8)
+    b = mk([top], [6], [1])  # adjacent: pos 5 then 6 in the top doc
+    docids, freqs = phrase_matches([a, b])
+    assert list(docids) == [top] and list(freqs) == [1]
