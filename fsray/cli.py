@@ -98,34 +98,35 @@ def cmd_search(args: argparse.Namespace) -> int:
     _emit(OutputEnvelope.success(payload, meta, ts))
     if args.telemetry:
         # redaction-before-emit: the query text is truncated for the
-        # log surface inside search_event (never raw in the JSONL)
+        # log surface inside search_event (never raw in the JSONL).
+        # drop-not-block extends to the sink itself: a failing
+        # telemetry file must never fail a successful search
         from fsray.telemetry import (Correlation, InstanceIdentity,
                                      JsonlTransport, search_event)
-        tr = JsonlTransport(args.telemetry)
-        ev = search_event(
-            InstanceIdentity(f"cli-{os.getpid()}", args.index_dir),
-            Correlation(f"ev-{os.getpid()}-{int(t0 * 1e6)}",
-                        f"req-{os.getpid()}"),
-            query_text=args.query,
-            query_class=_telemetry_query_class(args.query),
-            phase="initial", result_count=len(hits),
-            lexical_count=len(hits), semantic_count=0,
-            latency_us=int((time.perf_counter() - t0) * 1e6))
-        tr.emit(ev, ts)
-        tr.flush()
+        try:
+            tr = JsonlTransport(args.telemetry)
+            ev = search_event(
+                InstanceIdentity(f"cli-{os.getpid()}", args.index_dir),
+                Correlation(f"ev-{os.getpid()}-{int(t0 * 1e6)}",
+                            f"req-{os.getpid()}"),
+                query_text=args.query,
+                query_class=_telemetry_query_class(args.query),
+                phase="initial", result_count=len(hits),
+                lexical_count=len(hits), semantic_count=0,
+                latency_us=int((time.perf_counter() - t0) * 1e6))
+            tr.emit(ev, ts)
+            tr.flush()
+        except OSError as exc:
+            print(f"warning: telemetry sink failed (dropped): {exc}",
+                  file=sys.stderr)
     return 0
 
 
 def _telemetry_query_class(query: str) -> str:
-    """telemetry.rs:19-25 QueryClass, the fsfs heuristic shape."""
-    q = query.strip()
-    if not q:
-        return "empty"
-    if len(q.split()) >= 3:
-        return "natural_language"
-    if any(c in q for c in "_./:") or (q.isidentifier() and len(q) > 2):
-        return "identifier"
-    return "short_keyword"
+    """The CANONICAL classifier — telemetry must log the same class
+    that drives the search budgets, never a parallel heuristic."""
+    from fsray.searcher import QueryClass
+    return QueryClass.classify(query)
 
 
 def cmd_status(args: argparse.Namespace) -> int:
@@ -288,7 +289,11 @@ def cmd_fsck(args: argparse.Namespace) -> int:
             print(json.dumps(r))
     print(json.dumps({"files": len(rows), **counts,
                       "metrics": prot.metrics.snapshot()}, indent=1))
-    return 0 if not counts.get("unrecoverable") else 1
+    # health-check semantics: ANY unhealthy state is a nonzero exit —
+    # --no-repair reports 'corrupt' rows that repair mode would fix, and
+    # a monitoring cron must fire on those too
+    return 0 if not (counts.get("unrecoverable")
+                     or counts.get("corrupt")) else 1
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -644,8 +644,9 @@ def cosine_pairs_block(ids_block: np.ndarray, block: np.ndarray,
 def keep_decisions(pair_a: np.ndarray, pair_b: np.ndarray,
                    all_ids: np.ndarray) -> pa.Table:
     """Per-document keep/drop decisions from a near-duplicate pair set:
-    connected components over the dup graph (vectorized union-find with
-    path halving), keep = the MIN doc id of each component — the same
+    connected components over the dup graph (vectorized min-label
+    propagation with pointer jumping — every pass is a numpy kernel
+    over the edge arrays), keep = the MIN doc id of each component — the same
     keep-first rule the exact-dedup lane applies per hash group
     (content_hash.rs keep-min), lifted to transitive near-dup clusters.
 
@@ -656,25 +657,33 @@ def keep_decisions(pair_a: np.ndarray, pair_b: np.ndarray,
     to (== doc_id for kept docs)."""
     all_ids = np.asarray(all_ids, dtype=np.int64)
     uniq, inv = np.unique(all_ids, return_inverse=True)
-    parent = np.arange(len(uniq), dtype=np.int64)
-    a = np.searchsorted(uniq, np.asarray(pair_a, dtype=np.int64))
-    b = np.searchsorted(uniq, np.asarray(pair_b, dtype=np.int64))
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for i in range(len(a)):
-        ra, rb = find(int(a[i])), find(int(b[i]))
-        if ra != rb:
-            # union by MIN root: the representative is always the
-            # smallest doc id seen so far, so no second pass is needed
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    roots = np.array([find(int(i)) for i in range(len(uniq))], dtype=np.int64)
-    kept_as = uniq[roots][inv]
+    pa_ = np.asarray(pair_a, dtype=np.int64)
+    pb_ = np.asarray(pair_b, dtype=np.int64)
+    a = np.searchsorted(uniq, pa_)
+    b = np.searchsorted(uniq, pb_)
+    # membership is load-bearing: searchsorted returns INSERTION points,
+    # so an id absent from the census would silently alias its sorted
+    # neighbor (wrong doc dropped) or index past the end
+    for idx, vals in ((a, pa_), (b, pb_)):
+        bad = (idx >= len(uniq)) | (uniq[np.minimum(idx, len(uniq) - 1)]
+                                    != vals)
+        if bad.any():
+            raise ValueError(
+                f"pair references doc ids absent from all_ids: "
+                f"{np.unique(vals[bad])[:5].tolist()}")
+    # components by vectorized min-label propagation with pointer
+    # jumping: every pass is pure numpy over the edge arrays; converges
+    # in O(log n) passes (dup clusters are shallow in practice)
+    labels = np.arange(len(uniq), dtype=np.int64)
+    while len(a):
+        before = labels.copy()
+        m = np.minimum(labels[a], labels[b])
+        np.minimum.at(labels, a, m)
+        np.minimum.at(labels, b, m)
+        labels = np.minimum(labels, labels[labels])  # pointer jumping
+        if np.array_equal(labels, before):
+            break
+    kept_as = uniq[labels][inv]
     keep = kept_as == all_ids
     order = np.argsort(all_ids, kind="stable")
     return pa.table({

@@ -476,7 +476,13 @@ class FileProtector:
         would silently exclude legitimate files like ``render.tmpl``."""
         return (name.endswith(SIDECAR_SUFFIX) or name.startswith(".")
                 or ".corrupt." in name
-                or re.search(r"\.tmp\d*$", name) is not None)
+                or re.search(r"\.tmp\d*$", name) is not None
+                # the manifest is the MUTABLE publish pointer (rewritten
+                # in place under the same name on every append/delete/
+                # seal, with its own checksum story — DIV-R10): snapshot
+                # protection would false-alarm after any mutation and a
+                # repair could roll the pointer back to a stale epoch
+                or name == "manifest.json")
 
     @staticmethod
     def _sidecar_current(path: str) -> bool:

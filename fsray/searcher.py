@@ -232,14 +232,17 @@ def progressive_search(lexical_fn, fast_semantic_fn, limit: int,
     from fsray.fuse import blend_two_tier, rrf_fuse
     m = ProgressiveMetrics()
     if degradation_stage in ("metadata_only", "paused"):
-        # query serving disabled at these rungs (contract query_mode)
+        # query serving disabled at these rungs (contract query_mode) —
+        # the most-degraded stages record degraded_stage too, like the
+        # serving rungs below (consumers key on this field)
         m.skip_reason = f"degraded_{degradation_stage}"
+        m.degraded_stage = degradation_stage
         refused = SearchPhaseResult("initial", [])
         if on_phase is not None:
             on_phase(refused)
         return refused, m
     if degradation_stage == "lexical_only":
-        fast_semantic_fn = (lambda _orig=fast_semantic_fn: [])
+        fast_semantic_fn = (lambda: [])
         fast_only, m.degraded_stage = True, degradation_stage
     elif degradation_stage == "embed_deferred":
         fast_only, m.degraded_stage = True, degradation_stage

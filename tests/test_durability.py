@@ -383,3 +383,22 @@ def test_skip_is_anchored_to_tmp_pattern(tmp_path):
     assert FileProtector._skip("x.tmp123") and FileProtector._skip("y.tmp")
     assert not FileProtector._skip("render.tmpl")
     assert not FileProtector._skip("schema.tmp.bak")
+
+
+def test_manifest_is_never_snapshot_protected(tmp_path):
+    """manifest.json is the mutable publish pointer: protect sweeps skip
+    it, so a post-mutation fsck can neither false-alarm on it nor roll
+    it back to a stale epoch."""
+    assert FileProtector._skip("manifest.json")
+    d = str(tmp_path)
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        f.write('{"epoch": 1}')
+    with open(os.path.join(d, "seg.bin"), "wb") as f:
+        f.write(b"x" * 4096)
+    prot = FileProtector(CFG)
+    rep = prot.protect_directory(d)
+    assert rep["files_protected"] == 1  # seg.bin only
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        f.write('{"epoch": 2, "more": true}')  # in-place republish
+    rows = prot.verify_directory(d, repair=True)
+    assert [r["path"] for r in rows] == ["seg.bin"]  # manifest not swept

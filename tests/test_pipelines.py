@@ -439,3 +439,17 @@ def test_export_resume_rejects_stale_geometry(ray_session, tmp_path):
     n = sum(pqt.ParquetFile(os.path.join(out, f)).metadata.num_rows
             for f in parts)
     assert n == r1["kept_rows"]
+
+
+def test_keep_decisions_rejects_unknown_pair_ids():
+    """searchsorted insertion points must never alias a neighbor: a
+    pair id absent from the census raises instead of dropping an
+    unrelated document."""
+    import pytest
+
+    from fsray.dedup import keep_decisions
+    ids = np.array([1, 3, 5])
+    with pytest.raises(ValueError, match="absent"):
+        keep_decisions(np.array([2]), np.array([5]), ids)
+    with pytest.raises(ValueError, match="absent"):
+        keep_decisions(np.array([1]), np.array([9]), ids)
