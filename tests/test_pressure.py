@@ -251,3 +251,25 @@ def test_full_escalate_recover_cycle_through_progressive():
     assert served[1][0] == METADATA_ONLY and served[1][2] == 0
     # pressure recedes (hysteresis-gated) → ladder steps back to full
     assert served[-1] == (FULL, "refined", 3)
+
+
+def test_pressure_ladder_lane_trace_exercises_every_transition_class():
+    """The driver lane's pinned trace must cover the full behavior
+    surface: applied/pending controller transitions (incl. a multi-level
+    downward jump through the hysteresis band), every escalation trigger,
+    and gated stepwise recovery — otherwise the exact-transition oracle
+    proves less than it appears to."""
+    from fsray.pipelines import pressure_ladder
+    df = pressure_ladder("unused").to_pandas()
+    assert (df.p_reason == "pressure.transition.applied").sum() >= 4
+    assert (df.p_reason == "pressure.transition.pending").any()
+    applied = df[df.p_changed == 1]
+    assert list(applied.p_to) == ["constrained", "degraded", "emergency",
+                                  "normal"]  # incl. emergency→normal jump
+    for trig in ("pressure_escalation", "quality_circuit_open",
+                 "hard_pause", "recovery"):
+        assert (df.d_trigger == trig).any(), trig
+    assert (df.d_reason == "degrade.recovered").sum() == 8
+    assert (df.d_reason == "degrade.recovery_pending").any()
+    # ends fully recovered with both machines settled
+    assert df.iloc[-1].p_to == "normal" and df.iloc[-1].d_to == "full"

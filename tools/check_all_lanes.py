@@ -1,0 +1,161 @@
+"""Local full-registry correctness harness.
+
+The driver verifies only the FIRST 50 ``queries()`` entries per round
+(observed in CORRECTNESS_r{2,3}.json), so lanes past the window get no
+driver row.  This harness replays the driver's compare over EVERY
+registered lane — run the Ray lane and its DuckDB oracle side by side,
+check row count, schema (column names), and exact values with columns
+sorted by name (the driver's documented hashing order) — and writes a
+JSON artifact (default ``CORRECTNESS_LOCAL_r04.json``).
+
+Usage:
+    python tools/check_all_lanes.py [--sf /root/testdata/sf0.01]
+                                    [--only lane1,lane2] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    if isinstance(obj, pd.DataFrame):
+        return obj.reset_index(drop=True)
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas().reset_index(drop=True)
+    # ray Dataset
+    return obj.to_pandas().reset_index(drop=True)
+
+
+def _norm_col(s: pd.Series) -> np.ndarray:
+    a = s.to_numpy()
+    if a.dtype.kind in "iu":
+        return a.astype(np.int64)
+    if a.dtype.kind == "f":
+        return a  # exact float compare — the oracles are pinned bit-exact
+    if a.dtype.kind == "b":
+        return a.astype(np.int64)
+    return np.asarray([None if x is None else str(x) for x in a], dtype=object)
+
+
+def compare(lane_df: pd.DataFrame, orc_df: pd.DataFrame) -> dict:
+    res = {"rows_match": len(lane_df) == len(orc_df),
+           "schema_match": sorted(lane_df.columns) == sorted(orc_df.columns),
+           "hash_match": False,
+           "spark_rows": len(lane_df), "oracle_rows": len(orc_df),
+           "err": None}
+    if not (res["rows_match"] and res["schema_match"]):
+        res["err"] = (f"cols lane={sorted(lane_df.columns)} "
+                      f"oracle={sorted(orc_df.columns)}"
+                      if not res["schema_match"] else "row count")
+        return res
+    # the driver's hash is row-order-insensitive (distributed lanes emit
+    # blocks in nondeterministic order): canonicalize row order both sides
+    cols = sorted(lane_df.columns)
+    lane_df = lane_df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    orc_df = orc_df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    for c in sorted(lane_df.columns):
+        a, b = _norm_col(lane_df[c]), _norm_col(orc_df[c])
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            ok = np.array_equal(a.astype(np.float64), b.astype(np.float64),
+                                equal_nan=True)
+        else:
+            ok = bool(np.all(a == b))
+        if not ok:
+            bad = next(i for i in range(len(a))
+                       if not (a[i] == b[i]
+                               or (isinstance(a[i], float) and np.isnan(a[i])
+                                   and np.isnan(b[i]))))
+            res["err"] = (f"column {c!r} first mismatch at row {bad}: "
+                          f"lane={a[bad]!r} oracle={b[bad]!r}")
+            return res
+    res["hash_match"] = True
+    return res
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+
+    from fsray.pipelines import make_oracle_sql, make_queries
+    queries, oracles = make_queries(), make_oracle_sql()
+    only = {s for s in args.only.split(",") if s}
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(args.sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    out: dict = {}
+    n_pass = n_rows_only = n_fail = 0
+    for i, (name, fn) in enumerate(queries.items()):
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            lane_df = _to_pandas(fn(args.sf))
+            if name in oracles:
+                orc_df = con.sql(oracles[name]).df().reset_index(drop=True)
+                row = compare(lane_df, orc_df)
+            else:
+                row = {"rows_match": True, "schema_match": True,
+                       "hash_match": False, "spark_rows": len(lane_df),
+                       "oracle_rows": None, "err": "no_oracle"}
+        except Exception:
+            row = {"rows_match": False, "schema_match": False,
+                   "hash_match": False, "spark_rows": None,
+                   "oracle_rows": None,
+                   "err": traceback.format_exc(limit=3)}
+        row["pos"] = i
+        row["sec"] = round(time.monotonic() - t0, 3)
+        out[name] = row
+        status = ("PASS" if row["hash_match"] else
+                  "rows-only" if row["err"] == "no_oracle" else "FAIL")
+        n_pass += status == "PASS"
+        n_rows_only += status == "rows-only"
+        n_fail += status == "FAIL"
+        print(f"[{i:2d}] {name:28s} {status:9s} {row['sec']:7.2f}s "
+              f"{'' if status != 'FAIL' else row['err']}", flush=True)
+
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} FAIL "
+          f"over {len(out)} lanes at {args.sf}")
+    if args.out or not only:
+        path = args.out or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_LOCAL_r04.json")
+        with open(path, "w") as f:
+            json.dump({"sf": args.sf, "lanes": out,
+                       "summary": {"pass": n_pass, "rows_only": n_rows_only,
+                                   "fail": n_fail}}, f, indent=1)
+        print(f"wrote {path}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
