@@ -325,9 +325,23 @@ def jaccard_combine_bucket(g: pa.Table, tau: float) -> pa.Table:
                      "jaccard": pa.array(jac[keep], type=pa.float64())})
 
 
-def simhash_bucket_pairs(g: pa.Table, max_hamming: int = 3) -> pa.Table:
+#: hot-group cap for the simhash pigeonhole join (mirrors DIV-R13's
+#: JACCARD_MAX_DF): a (chunk, chunk_val) group of n docs emits O(n²)
+#: candidate pairs from ONE task, so one boilerplate-hot 16-bit chunk
+#: value is a memory bomb at corpus scale.  The cap exceeds every
+#: test-corpus group size (max 4 at sf0.1), so the driver lane stays
+#: behaviorally capless there; capless is available (max_df=None) and
+#: capped≡capless is pinned at toy scale.  Documented recall lever: docs
+#: whose ONLY shared chunk value is boilerplate-hot lose that candidate
+#: route (they keep their other 3 pigeonhole chances).
+SIMHASH_MAX_DF = 256
+
+
+def simhash_bucket_pairs(g: pa.Table, max_hamming: int = 3,
+                         max_df: int | None = SIMHASH_MAX_DF) -> pa.Table:
     """(a, b, hamming ≤ max) pairs over ALL (chunk, chunk_val) groups in
-    one bucket — sorted-run iteration, xor-popcount per group."""
+    one bucket — sorted-run iteration, xor-popcount per group; groups
+    hotter than ``max_df`` are skipped (SIMHASH_MAX_DF rationale)."""
     empty = pa.table({"a": pa.array([], type=pa.int64()),
                       "b": pa.array([], type=pa.int64()),
                       "hamming": pa.array([], type=pa.int64())})
@@ -344,7 +358,7 @@ def simhash_bucket_pairs(g: pa.Table, max_hamming: int = 3) -> pa.Table:
     for gi in range(len(bounds) - 1):
         lo, hi = bounds[gi], bounds[gi + 1]
         n = hi - lo
-        if n < 2:
+        if n < 2 or (max_df is not None and n > max_df):
             continue
         iu, ju = np.triu_indices(n, k=1)
         ham = _popcount64(s_s[lo:hi][iu] ^ s_s[lo:hi][ju])

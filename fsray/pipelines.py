@@ -787,22 +787,27 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
         cand_pd["b"].to_numpy().astype(np.int64), JACCARD_TAU)
 
 
-def dedup_simhash(sf_dir: str) -> pa.Table:
+def dedup_simhash(sf_dir: str, max_df: int | None = "default") -> pa.Table:
     """SimHash near-dup pairs (Hamming ≤ 3) — approximate, rows-only check.
 
     Fully distributed banded join: signatures → 4×16-bit chunk rows →
     ``groupby((chunk, chunk_val))`` pair emit (pigeonhole guarantees every
     ≤3-distance pair shares a chunk) → output-sized dedupe.  No driver
-    materialization of the signature table."""
-    from fsray.dedup import (add_group_bucket, simhash_batch,
+    materialization of the signature table.  Hot (chunk, chunk_val)
+    groups are capped at SIMHASH_MAX_DF docs (DIV-R16, the DIV-R13
+    pattern) — invisible on the driver corpus, the O(n²)-pair lever on
+    boilerplate-heavy ones; ``max_df=None`` runs capless."""
+    from fsray.dedup import (SIMHASH_MAX_DF, add_group_bucket, simhash_batch,
                              simhash_bucket_pairs, simhash_chunk_batch)
+    df_cap = SIMHASH_MAX_DF if max_df == "default" else max_df
     pairs = (_docs_ds(sf_dir)
              .map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
              .map_batches(simhash_chunk_batch, batch_format="pyarrow")
              .map_batches(lambda b: add_group_bucket(b, ["chunk", "chunk_val"]),
                           batch_format="pyarrow")
              .groupby("bucket")
-             .map_groups(simhash_bucket_pairs, batch_format="pyarrow"))
+             .map_groups(lambda g: simhash_bucket_pairs(g, max_df=df_cap),
+                         batch_format="pyarrow"))
     out = pairs.to_pandas().drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
     return pa.table({"a": pa.array(out["a"].astype("int64"), type=pa.int64()),
                      "b": pa.array(out["b"].astype("int64"), type=pa.int64()),
@@ -902,23 +907,43 @@ def dedup_embedding_lsh(sf_dir: str) -> pa.Table:
                      "b": pa.array(out["b"].astype("int64"), type=pa.int64())})
 
 
-def dedup_near_keep(sf_dir: str) -> pa.Table:
-    """Per-vector keep/drop DECISIONS from the exact embedding near-dup
-    pair set: connected components over the τ-cosine dup graph, keep =
-    min vec_id per component (the exact-dedup keep-first rule lifted to
-    transitive clusters).  This is the operator a 100 TB dedup actually
-    emits — O(N) decisions, not O(pairs); the pair lanes are the
-    evidence, this is the verdict.  EXACT oracle: the same pair set is
-    SQL-computable and a recursive CTE converges each vector to its
-    component minimum."""
-    import pyarrow.parquet as pq
-
+def _near_keep(sf_dir: str, pairs: pa.Table) -> pa.Table:
     from fsray.dedup import keep_decisions
-    pairs = dedup_embedding_cosine(sf_dir)
+    import pyarrow.parquet as pq
     ids = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["vec_id"])["vec_id"].to_numpy()
     return keep_decisions(pairs["a"].to_numpy(), pairs["b"].to_numpy(),
                           ids.astype(np.int64))
+
+
+def dedup_near_keep(sf_dir: str) -> pa.Table:
+    """Per-vector keep/drop DECISIONS from the exact embedding near-dup
+    pair set: connected components over the τ-cosine dup graph, keep =
+    min vec_id per component (the exact-dedup keep-first rule lifted to
+    transitive clusters).  EXACT oracle: the same pair set is
+    SQL-computable and a recursive CTE converges each vector to its
+    component minimum.  This lane inherits the pair source's declared
+    O(N²/2) block-pair cost — it is the oracle sibling;
+    ``dedup_near_keep_lsh`` is the production decision operator at
+    corpus scale (same decision kernel over the banded-LSH pair lane).
+    The two stay split rather than rewired because LSH recall on
+    threshold-SKIMMING pairs is genuinely < 1 on this corpus (measured:
+    6/7 exact pairs at sf0.001, 142/144 at sf0.1 — every miss a pair
+    with cosine barely above τ=0.45), so an LSH-fed lane cannot carry
+    the exact SQL oracle honestly at every scale."""
+    return _near_keep(sf_dir, dedup_embedding_cosine(sf_dir))
+
+
+def dedup_near_keep_lsh(sf_dir: str) -> pa.Table:
+    """The production keep/drop decision operator: the same
+    connected-components + keep-min kernel over the banded-LSH pair lane
+    (``dedup_embedding_lsh``) — no quadratic task set anywhere, so this
+    is the lane a 100 TB dedup runs.  Recall bounded by the banding
+    probability exactly as the pair lane documents (misses only
+    threshold-skimming pairs; planted true duplicates land at recall
+    1.0) → rows-only driver check; decisions-vs-exact agreement law
+    pinned in tests."""
+    return _near_keep(sf_dir, dedup_embedding_lsh(sf_dir))
 
 
 def export_deduped_corpus(sf_dir: str, out_dir: str,
@@ -2958,6 +2983,11 @@ EMBED_QUEUE_DIM = M2V_DIM
 #: deterministic transient failure: these docs fail their FIRST embed
 #: attempt and succeed on the backoff retry
 EMBED_QUEUE_FAIL_MOD, EMBED_QUEUE_FAIL_REM = 97, 13
+#: drain actor-pool width: claims dispatch round-robin over this many
+#: persistent EmbedWorker actors (model loaded once each); sized like the
+#: quality-embed stage's pool — enough to overlap read+embed with the
+#: driver-side queue bookkeeping without starving other lanes
+EMBED_DRAIN_WORKERS = 4
 
 
 def embed_queue_drain(sf_dir: str) -> pa.Table:
@@ -2996,25 +3026,40 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
     model_dir = _m2v_model_dir()
 
     @ray.remote
-    def embed_claimed(ids: list[int]) -> dict[int, int]:
-        import pyarrow.parquet as pq
-        # range pushdown + exact isin: an in-list filter of B ids costs
-        # O(rows × B) in the reader; the claimed ids are priority-ordered
-        # (doc_id % 3 strides), so their min..max range covers only ~3×
-        # the batch and the residual mask is one vectorized isin
-        t = pq.read_table(doc_path, columns=["doc_id", "text"],
-                          filters=[("doc_id", ">=", min(ids)),
-                                   ("doc_id", "<=", max(ids))])
-        keep = np.isin(t["doc_id"].to_numpy(), np.asarray(ids, np.int64))
-        t = t.filter(pa.array(keep))
-        from fsray.modelcache import resolve_embedder
-        emb, reason = resolve_embedder(model_dir)
-        if reason is not None:  # the queued tier must be real
-            raise RuntimeError(f"model2vec tier failed to load: {reason}")
-        mat = emb.embed_texts([x or "" for x in t["text"].to_pylist()])
-        return {int(d): int(mat.shape[1])
-                for d in t["doc_id"].to_numpy()}
+    class EmbedWorker:
+        """Queue-drain embed stage as an ACTOR: artifact verify +
+        safetensors parse + model build happen ONCE per worker
+        (``__init__``), claims stream through ``embed_claimed`` — the
+        actor-pool rule every other model stage follows (a per-claim
+        ``resolve_embedder`` re-verified the artifacts for every
+        512-doc batch)."""
 
+        def __init__(self, model_dir: str, doc_path: str):
+            from fsray.modelcache import resolve_embedder
+            emb, reason = resolve_embedder(model_dir)
+            if reason is not None:  # the queued tier must be real
+                raise RuntimeError(f"model2vec tier failed to load: {reason}")
+            self.emb = emb
+            self.doc_path = doc_path
+
+        def embed_claimed(self, ids: list[int]) -> dict[int, int]:
+            import pyarrow.parquet as pq
+            # range pushdown + exact isin: an in-list filter of B ids
+            # costs O(rows × B) in the reader; the claimed ids are
+            # priority-ordered (doc_id % 3 strides), so their min..max
+            # range covers only ~3× the batch and the residual mask is
+            # one vectorized isin
+            t = pq.read_table(self.doc_path, columns=["doc_id", "text"],
+                              filters=[("doc_id", ">=", min(ids)),
+                                       ("doc_id", "<=", max(ids))])
+            keep = np.isin(t["doc_id"].to_numpy(), np.asarray(ids, np.int64))
+            t = t.filter(pa.array(keep))
+            mat = self.emb.embed_texts([x or "" for x in t["text"].to_pylist()])
+            return {int(d): int(mat.shape[1])
+                    for d in t["doc_id"].to_numpy()}
+
+    pool = [EmbedWorker.remote(model_dir, doc_path)
+            for _ in range(EMBED_DRAIN_WORKERS)]
     try:
         # bulk-backfill claim width: the reference's batch_size=32 is the
         # INTERACTIVE default; a drain over the whole corpus claims in
@@ -3038,7 +3083,9 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
                     if not claims:
                         break
                     batch_ids = [int(c.doc_id) for c in claims]
-                    inflight.append((claims, embed_claimed.remote(batch_ids)))
+                    actor = pool[len(inflight) % len(pool)]
+                    inflight.append(
+                        (claims, actor.embed_claimed.remote(batch_ids)))
                 for claims, fut in inflight:
                     got = ray.get(fut)
                     for c in claims:
@@ -3056,6 +3103,8 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
             clock["t"] += 200  # ride past the retry backoff window
         rows = q.jobs_snapshot()
     finally:
+        for a in pool:
+            ray.kill(a)
         shutil.rmtree(state_dir, ignore_errors=True)
         shutil.rmtree(model_dir, ignore_errors=True)
     rows.sort(key=lambda j: int(j["doc_id"]))
@@ -3149,6 +3198,7 @@ def make_queries() -> dict:
         "doc_fingerprints": doc_fingerprints,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_near_keep_lsh": dedup_near_keep_lsh,
         "durability_fsck": durability_fsck,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,

@@ -88,30 +88,62 @@ def tumbling_window_agg(sf_dir: str, width_sec: int = 3600) -> pa.Table:
 def sessionize(sf_dir: str, gap_sec: int = 1800) -> pa.Table:
     """Sessions per user: gap > ``gap_sec`` starts a new session.
 
-    ``groupby(user_id).map_groups`` — the stateful-per-key stage the
-    Dataset API expresses as a keyed group transform."""
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = np.sort(g["ts"].combine_chunks().cast(pa.int64()).to_numpy())
-        uid = int(g["user_id"][0].as_py())
-        gaps = np.diff(ts) > gap_sec * US_PER_SEC
-        sess_of = np.concatenate(([0], np.cumsum(gaps)))
-        n_sessions = int(sess_of[-1]) + 1 if len(ts) else 0
-        starts = np.zeros(n_sessions, dtype=np.int64)
-        ends = np.zeros(n_sessions, dtype=np.int64)
-        counts = np.zeros(n_sessions, dtype=np.int64)
-        starts[:] = ts[np.concatenate(([0], np.flatnonzero(gaps) + 1))] if len(ts) else starts
-        ends[:] = ts[np.concatenate((np.flatnonzero(gaps), [len(ts) - 1]))] if len(ts) else ends
-        np.add.at(counts, sess_of, 1)
+    Bucketed vectorized reduce (the ``range_join_recent_events`` shape):
+    rows are pre-hashed by user into group buckets and ONE numpy kernel
+    per bucket computes every user's session boundaries from run edges —
+    no per-user ``map_groups`` (at 10⁸ users that was 10⁸ Python
+    invocations; now it is #buckets).  Partitioning assumption: one
+    user's events land in one bucket (true by construction of the keyed
+    bucket hash)."""
+    from fsray.dedup import add_group_bucket
+    gap_us = np.int64(gap_sec) * US_PER_SEC
+
+    def tag(b: pa.Table) -> pa.Table:
         return pa.table({
-            "user_id": pa.array(np.full(n_sessions, uid), type=pa.int64()),
-            "session": pa.array(np.arange(n_sessions), type=pa.int64()),
-            "start_s": pa.array(starts // US_PER_SEC, type=pa.int64()),
-            "end_s": pa.array(ends // US_PER_SEC, type=pa.int64()),
+            "user_id": b["user_id"].combine_chunks().cast(pa.int64()),
+            "t": b["ts"].combine_chunks().cast(pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        user = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        if len(user) == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "session": pa.array([], type=pa.int64()),
+                "start_s": pa.array([], type=pa.int64()),
+                "end_s": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64())})
+        order = np.lexsort((t, user))
+        u_s, t_s = user[order], t[order]
+        n = len(u_s)
+        # a session opens at each user's first event and at every
+        # same-user gap > gap_us; sessions are contiguous runs
+        newsess = np.ones(n, dtype=bool)
+        newsess[1:] = (u_s[1:] != u_s[:-1]) | (t_s[1:] - t_s[:-1] > gap_us)
+        starts_idx = np.flatnonzero(newsess)
+        ends_idx = np.concatenate((starts_idx[1:] - 1, [n - 1]))
+        counts = np.diff(np.concatenate((starts_idx, [n])))
+        sess_user = u_s[starts_idx]
+        # per-user session ordinal: position minus the user's first
+        # session position (vectorized run-relative arange)
+        first_of_user = np.ones(len(sess_user), dtype=bool)
+        first_of_user[1:] = sess_user[1:] != sess_user[:-1]
+        pos = np.arange(len(sess_user), dtype=np.int64)
+        ordinal = pos - np.maximum.accumulate(np.where(first_of_user, pos, 0))
+        return pa.table({
+            "user_id": pa.array(sess_user, type=pa.int64()),
+            "session": pa.array(ordinal, type=pa.int64()),
+            "start_s": pa.array(t_s[starts_idx] // US_PER_SEC, type=pa.int64()),
+            "end_s": pa.array(t_s[ends_idx] // US_PER_SEC, type=pa.int64()),
             "n_events": pa.array(counts, type=pa.int64()),
         })
 
-    ds = _events_ds(sf_dir).groupby("user_id").map_groups(per_user,
-                                                          batch_format="pyarrow")
+    ds = (_events_ds(sf_dir)
+          .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(lambda b: add_group_bucket(b, ["user_id"]),
+                       batch_format="pyarrow")
+          .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow"))
     out = ds.to_pandas().sort_values(["user_id", "session"])
     return pa.Table.from_pandas(out, preserve_index=False)
 

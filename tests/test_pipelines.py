@@ -126,6 +126,29 @@ def test_jaccard_capped_lane_equals_capless(ray_session):
     assert jaccard_pair_counts(sh, max_shingle_df=2).num_rows == 0
 
 
+def test_simhash_capped_lane_equals_capless(ray_session):
+    """DIV-R16 (the DIV-R13 pattern on the pigeonhole join): the simhash
+    hot-group cap (SIMHASH_MAX_DF=256) is invisible on the driver corpus
+    — capped ≡ capless — while a tight synthetic cap demonstrably skips
+    a hot (chunk, chunk_val) group (the O(n²)-pair lever)."""
+    import pyarrow as pa
+
+    from fsray.dedup import simhash_bucket_pairs
+    from fsray.pipelines import dedup_simhash
+    capped = _canon(_to_table(dedup_simhash(SF_DIR)))
+    capless = _canon(_to_table(dedup_simhash(SF_DIR, max_df=None)))
+    assert capped.equals(capless)
+
+    # cap semantics: 3 docs sharing one chunk value emit no pairs at
+    # max_df=2, all 3 pairs capless (identical signatures, hamming 0)
+    g = pa.table({"chunk": pa.array([0, 0, 0], type=pa.int64()),
+                  "chunk_val": pa.array([9, 9, 9], type=pa.int64()),
+                  "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "simhash": pa.array([42, 42, 42], type=pa.int64())})
+    assert simhash_bucket_pairs(g, max_df=None).num_rows == 3
+    assert simhash_bucket_pairs(g, max_df=2).num_rows == 0
+
+
 def test_ann_ivf_recall_vs_bruteforce():
     from fsray.pipelines import ann_bruteforce, ann_ivf
     bf = _to_table(ann_bruteforce(SF_DIR)).to_pandas()
@@ -276,6 +299,26 @@ def test_dedup_near_keep_consistent_with_pairs(ray_session):
     assert set(dropped["doc_id"]) <= linked
     kept_docs = set(keep[keep["keep"]]["doc_id"])
     assert set(dropped["kept_as"]) <= kept_docs
+
+
+def test_dedup_near_keep_lsh_refines_exact_decisions(ray_session):
+    """The production LSH decision lane's drop set is a SUBSET of the
+    exact lane's (LSH pairs ⊆ exact pairs ⇒ LSH components refine exact
+    components ⇒ any non-minimum in an LSH component is a non-minimum of
+    the containing exact component), and every LSH keeper it demotes a
+    vector to is ≤ the exact keeper."""
+    from fsray.pipelines import dedup_near_keep, dedup_near_keep_lsh
+    exact = dedup_near_keep(SF_DIR).to_pandas().set_index("doc_id")
+    lsh = dedup_near_keep_lsh(SF_DIR).to_pandas().set_index("doc_id")
+    assert set(lsh.index) == set(exact.index)
+    drop_lsh = set(lsh[~lsh["keep"]].index)
+    drop_exact = set(exact[~exact["keep"]].index)
+    assert drop_lsh <= drop_exact
+    # recall misses are threshold-skimming pairs only: the decision sets
+    # agree on all but at most a few borderline vectors at this scale
+    assert len(drop_exact - drop_lsh) <= 2
+    for d in drop_lsh:
+        assert exact.loc[d, "kept_as"] <= lsh.loc[d, "kept_as"]
 
 
 def test_bpe_count_closed_form_identity():
