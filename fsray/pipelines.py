@@ -3192,10 +3192,10 @@ def make_queries() -> dict:
         #    if the driver window ever widens), then declared rows-only --
         "search_snippets": search_snippets,
         "pressure_ladder": pressure_ladder,
+        "doc_fingerprints": doc_fingerprints,
         "ann_mmr": ann_mmr,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
-        "doc_fingerprints": doc_fingerprints,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "dedup_near_keep_lsh": dedup_near_keep_lsh,
@@ -3465,6 +3465,56 @@ SELECT g.doc_id,
        END AS snippet
 FROM fragt g LEFT JOIN pieces p USING (doc_id)
 ORDER BY g.rk"""
+
+
+def fingerprint_oracle_sql() -> str:
+    """Exact oracle for ``doc_fingerprints``: the polynomial rolling hash
+    ``Σ fnv1a64(tok_i)·31^i (mod 2^64)`` replayed in SQL.  FNV-1a is a
+    pinned PUBLIC hash, so the fold runs as a recursive CTE over byte
+    positions (``(h ⊕ byte)·prime mod 2^64``; the corpus is pure ASCII so
+    ``ascii(char) == byte``); mod-2^64 products are computed in HUGEINT
+    with a 32-bit split (h·p < 2^128 overflows HUGEINT; (h_hi·(p·2^32
+    mod 2^64) + h_lo·p) < 2^97 does not)."""
+    M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
+    return f"""
+WITH RECURSIVE
+docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '{SPLIT_SQL}'),
+                x -> x <> '') AS arr
+  FROM documents),
+tok2 AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i,
+                unnest(arr) AS tok
+         FROM docs_arr),
+fnv(doc_id, i, k, tok, h) AS (
+  SELECT doc_id, i, 0, tok, CAST('14695981039346656037' AS HUGEINT)
+  FROM tok2
+  UNION ALL
+  SELECT f.doc_id, f.i, f.k + 1, f.tok,
+         ((f.h - (f.h % 256)
+           + CAST(xor(CAST(f.h % 256 AS BIGINT),
+                      CAST(ascii(substr(f.tok, CAST(f.k + 1 AS INT), 1))
+                           AS BIGINT)) AS HUGEINT))
+          * CAST(1099511628211 AS HUGEINT)) % {M}
+  FROM fnv f WHERE f.k < length(f.tok)
+),
+hfin AS (SELECT doc_id, i, h FROM fnv WHERE k = length(tok)),
+maxn AS (SELECT COALESCE(max(len(arr)), 1) AS m FROM docs_arr),
+pw(i, p) AS (
+  SELECT 1, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT i + 1, (p * 31) % {M} FROM pw WHERE i < (SELECT m FROM maxn)
+),
+fp0 AS (SELECT h.doc_id,
+          CAST(sum((
+            (h.h // 4294967296) * ((pw.p * 4294967296) % {M})
+            + (h.h % 4294967296) * pw.p) % {M}) % {M} AS HUGEINT) AS fp
+        FROM hfin h JOIN pw ON pw.i = h.i GROUP BY h.doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(f.fp, 0) >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN COALESCE(f.fp, 0) - {M}
+                 ELSE COALESCE(f.fp, 0) END AS BIGINT) AS fingerprint
+FROM documents d LEFT JOIN fp0 f USING (doc_id)
+ORDER BY d.doc_id"""
 
 
 def make_oracle_sql() -> dict:
@@ -4001,6 +4051,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
 
     o["search_snippets"] = snippet_oracle_sql()
     o["pressure_ladder"] = pressure_ladder_oracle_sql()
+    o["doc_fingerprints"] = fingerprint_oracle_sql()
 
     # job-queue drain: every job completes; the deterministic transient
     # failure class carries exactly one retry; priority is doc_id % 3

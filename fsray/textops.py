@@ -46,6 +46,35 @@ def _hash_tokens(tokens: pa.Array) -> np.ndarray:
     return pl.from_arrow(tokens).hash(seed=0).to_numpy().astype(np.uint64)
 
 
+FNV64_OFFSET = np.uint64(14695981039346656037)
+FNV64_PRIME = np.uint64(1099511628211)
+
+
+def _fnv1a64_tokens(tokens: pa.Array) -> np.ndarray:
+    """FNV-1a 64 over each token's UTF-8 bytes — a PUBLIC, pinned hash an
+    independent oracle can replay (unlike polars' internal xxhash), used
+    by the fingerprint lane.  Vectorized column-at-a-time: one masked
+    ``(h ^ byte) * prime`` pass per byte POSITION (max-token-length
+    iterations of whole-column numpy ops, not a per-token loop)."""
+    if len(tokens) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    arr = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    if pa.types.is_large_string(arr.type) or pa.types.is_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            count=len(arr) + arr.offset + 1)[arr.offset:]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, ends = buf_off[:-1], buf_off[1:]
+    lens = ends - starts
+    h = np.full(len(arr), FNV64_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(int(lens.max()) if len(lens) else 0):
+            m = lens > k
+            b = data[starts[m] + k].astype(np.uint64)
+            h[m] = (h[m] ^ b) * FNV64_PRIME
+    return h
+
+
 def _doc_segments(tokens: pa.ListArray) -> tuple[np.ndarray, np.ndarray]:
     """(counts per doc, exclusive-scan starts) for a tokenized list column."""
     counts = pc.list_value_length(tokens).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -138,17 +167,19 @@ def fingerprint_batch(batch: pa.Table, text_column: str = "text",
                       id_column: str = "doc_id") -> pa.Table:
     """64-bit order-sensitive document fingerprint (polynomial rolling hash):
 
-    ``fp(doc) = Σ_i hash64(tok_i) * 31^i  (mod 2^64)``
+    ``fp(doc) = Σ_i fnv1a64(tok_i) * 31^i  (mod 2^64)``
 
-    Vectorized: token hashes via xxhash, per-position powers by wraparound
-    cumprod, per-doc segment sums.  Order-sensitive (unlike a bag hash) so
-    it distinguishes permuted near-duplicates.
+    Vectorized: FNV-1a 64 token hashes (a pinned PUBLIC hash, so the
+    whole fingerprint replays exactly in SQL — mod-2^64 HUGEINT
+    arithmetic), per-position powers by wraparound cumprod, per-doc
+    segment sums.  Order-sensitive (unlike a bag hash) so it
+    distinguishes permuted near-duplicates.
     """
     toks = tokenize_column(batch[text_column].combine_chunks().cast(pa.string()).fill_null(""))
     counts, starts = _doc_segments(toks)
     flat = toks.flatten()
     n = len(counts)
-    h = _hash_tokens(flat)
+    h = _fnv1a64_tokens(flat)
     pos = np.arange(len(h), dtype=np.int64) - np.repeat(starts[:-1], counts)
     max_len = int(counts.max()) if n else 0
     with np.errstate(over="ignore"):
