@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from fsray.textops import _doc_segments, _hash_tokens
+from fsray.textops import _doc_segments, _fnv1a64_tokens, _hash_tokens
 from fsray.tokenizer import tokenize_column
 
 SHINGLE_K = 3
@@ -460,12 +460,17 @@ def candidate_pairs_from_buckets(tbl: pa.Table) -> pa.Table:
 
 def simhash_batch(batch: pa.Table, text_column: str = "text",
                   id_column: str = "doc_id") -> pa.Table:
-    """64-bit SimHash per doc (tf-weighted signed bit votes on token hashes)."""
+    """64-bit SimHash per doc (tf-weighted signed bit votes on token hashes).
+
+    Token hashes are FNV-1a 64 (a pinned PUBLIC hash) so the whole
+    signature — votes, bit pack, banded join — replays exactly in SQL
+    (``simhash_oracle_sql``), the same choice the fingerprint lane made.
+    """
     toks = tokenize_column(batch[text_column].combine_chunks().cast(pa.string()).fill_null(""))
     counts, starts = _doc_segments(toks)
     flat = toks.flatten()
     n = len(counts)
-    h = _hash_tokens(flat)
+    h = _fnv1a64_tokens(flat)
     votes = np.zeros((n, 64), dtype=np.int64)
     if len(h):
         bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")

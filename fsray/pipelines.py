@@ -788,7 +788,10 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
 
 
 def dedup_simhash(sf_dir: str, max_df: int | None = "default") -> pa.Table:
-    """SimHash near-dup pairs (Hamming ≤ 3) — approximate, rows-only check.
+    """SimHash near-dup pairs (Hamming ≤ 3) — EXACT oracle (r4): the
+    token hash is FNV-1a and Hamming ≤ 3 over 4 chunks is pigeonhole-
+    lossless, so ``simhash_oracle_sql`` replays signature, banding and
+    df cap bit-for-bit in SQL.
 
     Fully distributed banded join: signatures → 4×16-bit chunk rows →
     ``groupby((chunk, chunk_val))`` pair emit (pigeonhole guarantees every
@@ -3196,7 +3199,7 @@ def make_queries() -> dict:
         "ann_mmr": ann_mmr,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
-        "dedup_simhash": dedup_simhash,
+        "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "dedup_near_keep_lsh": dedup_near_keep_lsh,
         "durability_fsck": durability_fsck,
@@ -3515,6 +3518,79 @@ SELECT d.doc_id,
                  ELSE COALESCE(f.fp, 0) END AS BIGINT) AS fingerprint
 FROM documents d LEFT JOIN fp0 f USING (doc_id)
 ORDER BY d.doc_id"""
+
+
+def simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Exact oracle for ``dedup_simhash``: the 64-bit SimHash signature,
+    the 4×16-bit pigeonhole banding AND the ``SIMHASH_MAX_DF`` hot-group
+    cap all replayed in SQL.  Feasible because the token hash is FNV-1a
+    (pinned PUBLIC — same recursive byte-fold CTE as the fingerprint
+    oracle) and every downstream step is integer arithmetic: per-bit
+    tf-weighted ±1 votes (bit k of the HUGEINT hash via a 2^k table),
+    ``votes > 0`` bit pack, banded self-join on equal 16-bit chunks with
+    the df ≤ SIMHASH_MAX_DF group skip, Hamming via ``bit_count(xor())``
+    on the sign-wrapped BIGINT signatures.  Banding is lossless here by
+    pigeonhole (Hamming ≤ 3 over 4 chunks ⇒ one chunk equal), so the
+    oracle is exhaustive-exact, not approximate."""
+    from fsray.dedup import SIMHASH_MAX_DF
+    M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
+    return f"""
+WITH RECURSIVE
+docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '{SPLIT_SQL}'),
+                x -> x <> '') AS arr
+  FROM documents),
+tokc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT doc_id, unnest(arr) AS tok FROM docs_arr)
+         GROUP BY doc_id, tok),
+toku AS (SELECT DISTINCT tok FROM tokc),
+fnv(tok, k, h) AS (
+  SELECT tok, 0, CAST('14695981039346656037' AS HUGEINT) FROM toku
+  UNION ALL
+  SELECT f.tok, f.k + 1,
+         ((f.h - (f.h % 256)
+           + CAST(xor(CAST(f.h % 256 AS BIGINT),
+                      CAST(ascii(substr(f.tok, CAST(f.k + 1 AS INT), 1))
+                           AS BIGINT)) AS HUGEINT))
+          * CAST(1099511628211 AS HUGEINT)) % {M}
+  FROM fnv f WHERE f.k < length(f.tok)
+),
+hfin AS (SELECT tok, h FROM fnv WHERE k = length(tok)),
+pw2(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, p * 2 FROM pw2 WHERE k < 63
+),
+votes AS (SELECT t.doc_id, b.k,
+            sum(CASE WHEN (h.h // b.p) % 2 = 1 THEN t.cnt ELSE -t.cnt END) AS v
+          FROM tokc t JOIN hfin h USING (tok) CROSS JOIN pw2 b
+          GROUP BY t.doc_id, b.k),
+sig0 AS (SELECT v.doc_id,
+           CAST(sum(CASE WHEN v.v > 0 THEN b.p ELSE 0 END) AS HUGEINT) AS usig
+         FROM votes v JOIN pw2 b USING (k) GROUP BY v.doc_id),
+sigs AS (SELECT d.doc_id, COALESCE(s.usig, CAST(0 AS HUGEINT)) AS usig,
+           CAST(CASE WHEN COALESCE(s.usig, 0) >= CAST('9223372036854775808' AS HUGEINT)
+                THEN COALESCE(s.usig, 0) - {M}
+                ELSE COALESCE(s.usig, 0) END AS BIGINT) AS sig
+         FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+chunks AS (SELECT s.doc_id, c.j,
+             CAST((s.usig // c.cp) % 65536 AS BIGINT) AS chunk_val
+           FROM sigs s CROSS JOIN (VALUES
+             (0, CAST(1 AS HUGEINT)),
+             (1, CAST(65536 AS HUGEINT)),
+             (2, CAST(4294967296 AS HUGEINT)),
+             (3, CAST('281474976710656' AS HUGEINT))) c(j, cp)),
+grp AS (SELECT j, chunk_val, count(*) AS df FROM chunks GROUP BY j, chunk_val),
+cand AS (SELECT DISTINCT c1.doc_id AS a, c2.doc_id AS b
+         FROM chunks c1
+         JOIN chunks c2 ON c1.j = c2.j AND c1.chunk_val = c2.chunk_val
+                        AND c1.doc_id < c2.doc_id
+         JOIN grp g ON g.j = c1.j AND g.chunk_val = c1.chunk_val
+         WHERE g.df <= {SIMHASH_MAX_DF})
+SELECT c.a, c.b, bit_count(xor(sa.sig, sb.sig)) AS hamming
+FROM cand c JOIN sigs sa ON sa.doc_id = c.a JOIN sigs sb ON sb.doc_id = c.b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
+ORDER BY c.a, c.b"""
 
 
 def make_oracle_sql() -> dict:
@@ -4052,6 +4128,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["search_snippets"] = snippet_oracle_sql()
     o["pressure_ladder"] = pressure_ladder_oracle_sql()
     o["doc_fingerprints"] = fingerprint_oracle_sql()
+    o["dedup_simhash"] = simhash_oracle_sql()
 
     # job-queue drain: every job completes; the deterministic transient
     # failure class carries exactly one retry; priority is doc_id % 3
