@@ -194,9 +194,12 @@ class HashEmbedder:
 
     # -- vectorized batch --------------------------------------------------
 
-    def embed_texts(self, texts: list[str]) -> np.ndarray:
-        """(len(texts), dimension) f32 matrix, bit-identical to per-text
-        :meth:`embed` (±1 integer accumulation is order-exact)."""
+    def accumulate_texts(self, texts: list[str]) -> np.ndarray:
+        """(len(texts), dimension) RAW ±1-vote accumulators, f32 but
+        integer-valued (exact below 2^24) — the pre-normalization stage
+        of :meth:`embed_texts`, exposed so exact-scoring consumers
+        (``HashEmbedScorer``'s f64 cosine, the SQL oracle) can avoid the
+        f32 normalization rounding entirely."""
         n = len(texts)
         out = np.zeros((n, self.dimension), dtype=np.float32)
         try:
@@ -224,6 +227,13 @@ class HashEmbedder:
                 sign = np.where((state & _U64(1)) == 0, np.float32(1.0),
                                 np.float32(-1.0))
                 np.add.at(out[:, dim], doc, sign)
+        return out
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        """(len(texts), dimension) f32 matrix, bit-identical to per-text
+        :meth:`embed` (±1 integer accumulation is order-exact)."""
+        n = len(texts)
+        out = self.accumulate_texts(texts)
         norm_sq = (out * out).sum(axis=1, dtype=np.float32)
         bad = ~np.isfinite(norm_sq) | (norm_sq < F32_EPSILON)
         inv = np.zeros(n, dtype=np.float32)
@@ -254,12 +264,22 @@ class HashEmbedScorer:
     Module-level on purpose: a locally-defined callable class cloudpickles
     by value (class + captured closure) into the actor's constructor
     arguments, which Ray promotes to the object store and then warns about
-    restart safety; a named class ships as a tiny import reference."""
+    restart safety; a named class ships as a tiny import reference.
+
+    Scores are cosine in f64 over the RAW integer vote accumulators
+    (``accumulate_texts``), not the f32-normalized embeddings: the dot
+    and both squared norms are exact integers in f64, so the only
+    rounding is one sqrt·mul·div chain — reproducible bit-for-bit by an
+    independent SQL oracle (and strictly more precise than the f32
+    path).  Tie-break: score desc, doc_id asc (associative across
+    per-batch partials)."""
 
     def __init__(self, query: str, dimension: int, k: int,
                  text_column: str = "text", id_column: str = "doc_id"):
         self.emb = HashEmbedder(dimension=dimension)
-        self.qv = self.emb.embed(query)
+        qacc = self.emb.accumulate_texts([query])[0].astype(np.float64)
+        self.qv = qacc
+        self.qn = float(np.sqrt((qacc * qacc).sum()))
         self.k = k
         self.text_column = text_column
         self.id_column = id_column
@@ -267,12 +287,16 @@ class HashEmbedScorer:
     def __call__(self, batch):
         import pyarrow as pa
         ids = batch[self.id_column].to_numpy().astype(np.int64)
-        mat = self.emb.embed_texts(
-            [t or "" for t in batch[self.text_column].to_pylist()])
-        cos = mat @ self.qv
+        acc = self.emb.accumulate_texts(
+            [t or "" for t in batch[self.text_column].to_pylist()]
+        ).astype(np.float64)
+        dot = acc @ self.qv
+        sd = (acc * acc).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(sd > 0, dot / (np.sqrt(sd) * self.qn), 0.0)
         o = np.lexsort((ids, -cos))[:self.k]
         return pa.table({"doc_id": pa.array(ids[o], type=pa.int64()),
-                         "cos": pa.array(cos[o].astype(np.float64))})
+                         "cos": pa.array(cos[o], type=pa.float64())})
 
 
 #: the reference's pinned conformance probe texts

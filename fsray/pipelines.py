@@ -891,8 +891,12 @@ def dedup_embedding_lsh(sf_dir: str) -> pa.Table:
     """Embedding near-dup via sign-band LSH buckets — the scale path for
     ``dedup_embedding_cosine`` (no broadcast of the corpus: band keys
     shuffle vectors into buckets, per-bucket matmuls verify exactly).
-    Approximate recall (banding); emitted pairs exact — rows-only driver
-    check, recall vs the exact lane asserted in tests."""
+    Approximate recall (banding) by design, but the OPERATOR is fully
+    deterministic, so it carries an exact oracle (r4):
+    ``embedding_lsh_oracle_sql`` replays the pinned Gaussian planes (as
+    literals), the sign-band keys and the τ verify in SQL — exact given
+    the sign/threshold margins asserted in the lsh-margin law test.
+    Recall vs the exact lane additionally asserted in tests."""
     from fsray.dedup import (add_group_bucket, embedding_band_batch,
                              embedding_bucket_pairs)
     import ray.data as rd
@@ -944,8 +948,9 @@ def dedup_near_keep_lsh(sf_dir: str) -> pa.Table:
     is the lane a 100 TB dedup runs.  Recall bounded by the banding
     probability exactly as the pair lane documents (misses only
     threshold-skimming pairs; planted true duplicates land at recall
-    1.0) → rows-only driver check; decisions-vs-exact agreement law
-    pinned in tests."""
+    1.0).  Exact oracle (r4): ``near_keep_lsh_oracle_sql`` — the
+    components CTE over the SQL-replayed LSH pair set;
+    decisions-vs-exact agreement law pinned in tests."""
     return _near_keep(sf_dir, dedup_embedding_lsh(sf_dir))
 
 
@@ -2218,7 +2223,11 @@ def hash_embed_ann(sf_dir: str) -> pa.Table:
     model-free fallback, hash_embedder.rs): hash-embed every document in
     a stateful ``map_batches`` stage, hash-embed the query text, emit
     per-batch cosine top-k partials, merge on the driver.  The as-you-type
-    LexicalPlusHash strategy's dense arm (serving.py strategy ladder)."""
+    LexicalPlusHash strategy's dense arm (serving.py strategy ladder).
+
+    EXACT oracle (r4): scoring is f64 cosine over raw integer vote
+    accumulators (HashEmbedScorer), so ``hash_embed_oracle_sql`` replays
+    the FNV-1a bucketing and the whole ranking bit-for-bit in SQL."""
     ids, cos = _hash_embed_topk(sf_dir, HASH_EMBED_QUERY, HASH_EMBED_K)
     return pa.table({
         "rank": pa.array(range(1, len(ids) + 1), type=pa.int64()),
@@ -3200,13 +3209,13 @@ def make_queries() -> dict:
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
-        "dedup_embedding_lsh": dedup_embedding_lsh,
-        "dedup_near_keep_lsh": dedup_near_keep_lsh,
+        "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
+        "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
+        "dedup_near_keep_lsh": dedup_near_keep_lsh,  # exact oracle (r4)
         "durability_fsck": durability_fsck,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_hnsw": ann_hnsw,
-        "hash_embed_ann": hash_embed_ann,
         "rerank_model_search": rerank_model_search,
         "quality_embed_ann": quality_embed_ann,
         "rerank_search": rerank_search,
@@ -3591,6 +3600,136 @@ SELECT c.a, c.b, bit_count(xor(sa.sig, sb.sig)) AS hamming
 FROM cand c JOIN sigs sa ON sa.doc_id = c.a JOIN sigs sb ON sb.doc_id = c.b
 WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
 ORDER BY c.a, c.b"""
+
+
+def hash_embed_oracle_sql() -> str:
+    """Exact oracle for ``hash_embed_ann``: the fnv_modular hash embedding
+    and the f64 cosine top-k replayed in SQL.  The lane scores from RAW
+    integer vote accumulators (``HashEmbedScorer``), so dot and both
+    squared norms are exact integers in f64 on both sides; the only
+    rounding is the identical ``sqrt · mul · div`` chain.  Token hash is
+    FNV-1a over CASE-PRESERVED ≥2-byte alnum runs (hash_tokenize
+    semantics; corpus is pure ASCII so the byte filter is a char
+    filter); the query-side accumulator is a pinned constant of the
+    lane, inlined as literals."""
+    from fsray.embed import HashEmbedder
+    emb = HashEmbedder(dimension=HASH_EMBED_DIM)
+    q = emb.accumulate_texts([HASH_EMBED_QUERY])[0]
+    nz = np.flatnonzero(q)
+    qvals = ",".join(f"({int(b)}, CAST({int(q[b])} AS BIGINT))" for b in nz)
+    sq = int((q.astype(np.float64) ** 2).sum())
+    M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
+    return f"""
+WITH RECURSIVE
+docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '{SPLIT_SQL}'),
+                x -> length(x) >= 2) AS arr
+  FROM documents),
+tokc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT doc_id, unnest(arr) AS tok FROM docs_arr)
+         GROUP BY doc_id, tok),
+toku AS (SELECT DISTINCT tok FROM tokc),
+fnv(tok, k, h) AS (
+  SELECT tok, 0, CAST('14695981039346656037' AS HUGEINT) FROM toku
+  UNION ALL
+  SELECT f.tok, f.k + 1,
+         ((f.h - (f.h % 256)
+           + CAST(xor(CAST(f.h % 256 AS BIGINT),
+                      CAST(ascii(substr(f.tok, CAST(f.k + 1 AS INT), 1))
+                           AS BIGINT)) AS HUGEINT))
+          * CAST(1099511628211 AS HUGEINT)) % {M}
+  FROM fnv f WHERE f.k < length(f.tok)
+),
+hfin AS (SELECT tok,
+           CAST(h % {HASH_EMBED_DIM} AS BIGINT) AS bucket,
+           CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                THEN 1 ELSE -1 END AS sign
+         FROM fnv WHERE k = length(tok)),
+acc AS (SELECT t.doc_id, h.bucket,
+          sum(h.sign * t.cnt) AS v
+        FROM tokc t JOIN hfin h USING (tok)
+        GROUP BY t.doc_id, h.bucket),
+qv(bucket, w) AS (VALUES {qvals}),
+dots AS (SELECT a.doc_id,
+           sum(a.v * q.w) AS dot
+         FROM acc a JOIN qv q USING (bucket) GROUP BY a.doc_id),
+norms AS (SELECT doc_id, sum(v * v) AS sd FROM acc GROUP BY doc_id),
+scored AS (SELECT d.doc_id,
+             CASE WHEN COALESCE(n.sd, 0) = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(COALESCE(t.dot, 0) AS DOUBLE)
+                       / (sqrt(CAST(n.sd AS DOUBLE))
+                          * sqrt(CAST({sq} AS DOUBLE))) END AS score
+           FROM documents d
+           LEFT JOIN norms n USING (doc_id)
+           LEFT JOIN dots t USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {HASH_EMBED_K}"""
+
+
+def _emb_lsh_pairs_sql() -> str:
+    """Shared CTE body for the embedding-LSH oracles: sign-band keys from
+    the INLINED plane matrix (the lane's ``default_rng(42)`` Gaussian
+    planes, a pinned constant of the operator, emitted as literals — the
+    same move the pressure trace and ANN query vectors make), candidate
+    pairs on equal (band, key), exact f64 cosine verify at τ.  Ends with
+    a ``pairs(a, b)`` CTE.  Exactness is conditional on sign/threshold
+    margins ≫ f64 summation-order noise — asserted against this corpus
+    in tests (test_pipelines: lsh margin law)."""
+    from fsray.dedup import EMB_LSH_BANDS, EMB_LSH_BITS
+    rng = np.random.default_rng(42)
+    # dim is fixed by the testdata contract (embeddings: list<float>[64])
+    dim = 64
+    planes = rng.standard_normal((dim, EMB_LSH_BANDS * EMB_LSH_BITS))
+    vals = ",".join(f"({i + 1},{p},{planes[i, p]!r})"
+                    for i in range(dim)
+                    for p in range(EMB_LSH_BANDS * EMB_LSH_BITS))
+    return f"""
+dims AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+el AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+       FROM embeddings e, dims d),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id),
+nfull AS (SELECT e.vec_id, e.i,
+                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS xn
+          FROM el e JOIN nrm n USING (vec_id)),
+pl(i, p, w) AS (VALUES {vals}),
+dots AS (SELECT n.vec_id, l.p, sum(n.xn * l.w) AS s
+         FROM nfull n JOIN pl l USING (i) GROUP BY n.vec_id, l.p),
+keys AS (SELECT vec_id, CAST(p // {EMB_LSH_BITS} AS BIGINT) AS band,
+                CAST(sum(CASE WHEN s > 0
+                         THEN (1 << (p % {EMB_LSH_BITS})) ELSE 0 END) AS BIGINT) AS key
+         FROM dots GROUP BY vec_id, p // {EMB_LSH_BITS}),
+cand AS (SELECT DISTINCT k1.vec_id AS a, k2.vec_id AS b
+         FROM keys k1 JOIN keys k2 ON k1.band = k2.band AND k1.key = k2.key
+              AND k1.vec_id < k2.vec_id),
+cosv AS (SELECT c.a, c.b, sum(na.xn * nb.xn) AS cs
+         FROM cand c JOIN nfull na ON na.vec_id = c.a
+                     JOIN nfull nb ON nb.vec_id = c.b AND nb.i = na.i
+         GROUP BY c.a, c.b),
+pairs AS (SELECT a, b FROM cosv WHERE cs >= {COSINE_TAU})"""
+
+
+def embedding_lsh_oracle_sql() -> str:
+    """Exact oracle for ``dedup_embedding_lsh`` (see _emb_lsh_pairs_sql)."""
+    return f"WITH {_emb_lsh_pairs_sql()}\nSELECT a, b FROM pairs ORDER BY a, b"
+
+
+def near_keep_lsh_oracle_sql() -> str:
+    """Exact oracle for ``dedup_near_keep_lsh``: connected components +
+    keep-min (the dedup_near_keep recursive CTE) over the LSH pair set."""
+    return f"""
+WITH RECURSIVE {_emb_lsh_pairs_sql()},
+edges AS (SELECT a AS x, b AS y FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+reach(x, y) AS (
+    SELECT x, y FROM edges
+    UNION
+    SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+comp AS (SELECT e.vec_id AS doc_id,
+                LEAST(e.vec_id, COALESCE(min(r.y), e.vec_id)) AS kept_as
+         FROM embeddings e LEFT JOIN reach r ON r.x = e.vec_id
+         GROUP BY e.vec_id)
+SELECT doc_id, kept_as = doc_id AS keep, kept_as FROM comp ORDER BY doc_id"""
 
 
 def make_oracle_sql() -> dict:
@@ -4129,6 +4268,9 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["pressure_ladder"] = pressure_ladder_oracle_sql()
     o["doc_fingerprints"] = fingerprint_oracle_sql()
     o["dedup_simhash"] = simhash_oracle_sql()
+    o["hash_embed_ann"] = hash_embed_oracle_sql()
+    o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
+    o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()
 
     # job-queue drain: every job completes; the deterministic transient
     # failure class carries exactly one retry; priority is doc_id % 3

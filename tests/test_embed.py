@@ -121,11 +121,24 @@ def test_hash_embed_ann_lane_matches_direct(sf_dir):
     lane = hash_embed_ann(sf_dir).to_pandas()
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     emb = HashEmbedder(dimension=HASH_EMBED_DIM)
-    mat = emb.embed_texts([x or "" for x in t["text"].to_pylist()])
+    # the scorer's exact f64 path: raw integer accumulators, not the
+    # f32-normalized embedding (HashEmbedScorer docstring)
+    acc = emb.accumulate_texts(
+        [x or "" for x in t["text"].to_pylist()]).astype(np.float64)
+    qacc = emb.accumulate_texts([HASH_EMBED_QUERY])[0].astype(np.float64)
     ids = t["doc_id"].to_numpy().astype(np.int64)
-    cos = mat @ emb.embed(HASH_EMBED_QUERY)
+    dot = acc @ qacc
+    sd = (acc * acc).sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = np.where(sd > 0, dot / (np.sqrt(sd) * np.sqrt((qacc * qacc).sum())), 0.0)
     o = np.lexsort((ids, -cos))[:HASH_EMBED_K]
     assert list(lane["doc_id"]) == list(ids[o])
+    # and the f32-normalized ranking agrees on this corpus (no near-tie
+    # flips between the exact path and the embedding-tier f32 path)
+    mat = emb.embed_texts([x or "" for x in t["text"].to_pylist()])
+    cos32 = mat @ emb.embed(HASH_EMBED_QUERY)
+    o32 = np.lexsort((ids, -cos32))[:HASH_EMBED_K]
+    assert list(ids[o32]) == list(ids[o])
 
 
 # ---- batch coalescer (batch_coalescer.rs laws) ----------------------------

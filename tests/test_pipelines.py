@@ -126,6 +126,30 @@ def test_jaccard_capped_lane_equals_capless(ray_session):
     assert jaccard_pair_counts(sh, max_shingle_df=2).num_rows == 0
 
 
+def test_embedding_lsh_oracle_margins():
+    """The embedding-LSH SQL oracle is exact CONDITIONAL on two margins
+    dwarfing f64 summation-order noise (~1e-15): every (vector, plane)
+    dot is far from the sign boundary, and every pairwise cosine is far
+    from τ.  Pin both on the driver corpus (measured ~1e-5 / ~5e-4) so a
+    corpus change that voids the oracle's exactness fails loudly here
+    instead of flaking in the driver compare."""
+    import pyarrow.parquet as pq
+
+    from fsray.dedup import EMB_LSH_BANDS, EMB_LSH_BITS, normalize_rows
+    from fsray.pipelines import COSINE_TAU
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    mat = normalize_rows(
+        t["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64).reshape(len(ids), -1))
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((mat.shape[1], EMB_LSH_BANDS * EMB_LSH_BITS))
+    assert np.abs(mat @ planes).min() > 1e-9
+    iu, ju = np.triu_indices(len(ids), k=1)
+    sims = (mat @ mat.T)[iu, ju]
+    assert np.abs(sims - COSINE_TAU).min() > 1e-6
+
+
 def test_simhash_capped_lane_equals_capless(ray_session):
     """DIV-R16 (the DIV-R13 pattern on the pigeonhole join): the simhash
     hot-group cap (SIMHASH_MAX_DF=256) is invisible on the driver corpus
