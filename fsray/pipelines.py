@@ -1629,20 +1629,29 @@ def _ann_sharded(sf_dir: str, kind: str) -> pa.Table:
 
 
 def ann_ivf(sf_dir: str) -> pa.Table:
-    """IVF ANN (k-means coarse quantizer), sharded construction —
-    approximate, rows-only check; recall vs brute force asserted in tests."""
+    """IVF ANN (k-means coarse quantizer), sharded construction.
+    Exact oracle (r4): at the driver corpus nprobe == n_lists per shard
+    (structural — see ann_sharded_exact_oracle_sql), so the lane is
+    exhaustive and replays as f64 cosine top-k in SQL; recall vs brute
+    force additionally asserted in tests."""
     return _ann_sharded(sf_dir, "ivf")
 
 
 def ann_hnsw(sf_dir: str) -> pa.Table:
-    """HNSW graph ANN, per-shard graphs built in actors — approximate,
-    rows-only check; recall vs brute force asserted in tests."""
+    """HNSW graph ANN, per-shard graphs built in actors — approximate.
+    Exact oracle (r4): recall@5 is exactly 1.0 at the driver corpus
+    (corpus-conditional, pinned by the ann-degeneracy law test), so the
+    exhaustive f64 SQL oracle reproduces the lane; recall vs brute force
+    asserted in tests."""
     return _ann_sharded(sf_dir, "hnsw")
 
 
 def ann_lsh(sf_dir: str) -> pa.Table:
-    """LSH-bucketed ANN (the scale path), sharded construction —
-    approximate, rows-only check; recall vs brute force asserted in tests."""
+    """LSH-bucketed ANN (the scale path), sharded construction.
+    Exact oracle (r4): per-shard n_bits=2 ≤ probe_hamming=2 at the
+    driver corpus (structural — every code probed), so the lane is
+    exhaustive and replays as f64 cosine top-k in SQL; recall vs brute
+    force additionally asserted in tests."""
     return _ann_sharded(sf_dir, "lsh")
 
 
@@ -1873,14 +1882,17 @@ def rerank_search(sf_dir: str) -> pa.Table:
     doc_id-filtered parquet read (the ``text_fn`` closure of the
     reference), hash-reranker logits (the deterministic model-free
     stand-in, see fsray/rerank.py), RRF rank-fusion of pre-rerank and
-    rerank order, top-``RERANK_K``.  Hash-embedding scores aren't
-    SQL-expressible → rows-only driver check; the step laws are pinned in
-    tests/test_rerank.py and the end-to-end lane in test_pipelines.py."""
-    from fsray.rerank import HashReranker, ScoredResult, rerank_step
+    rerank order, top-``RERANK_K``.  EXACT oracle (r4): the reranker is
+    ``ExactHashReranker`` (f64 cosine over raw integer accumulators +
+    libm sigmoid), so the BM25 window, the logits, both rank orders and
+    the RRF fuse replay bit-for-bit in ``rerank_oracle_sql`` — including
+    the STRING doc_id tie-breaks of pipeline.rs.  The step laws stay
+    pinned in tests/test_rerank.py."""
+    from fsray.rerank import ExactHashReranker, ScoredResult, rerank_step
     hits, texts = _bm25_window_texts(sf_dir, BM25_QUERIES["bm25_topk_wide"][0],
                                      RERANK_WINDOW)
     cands = [ScoredResult(str(h.doc_id), float(h.score)) for h in hits]
-    rerank_step(HashReranker(), BM25_QUERIES["bm25_topk_wide"][0], cands,
+    rerank_step(ExactHashReranker(), BM25_QUERIES["bm25_topk_wide"][0], cands,
                 lambda d: texts.get(int(d)), combine=("rrf",))
     top = cands[:RERANK_K]
     return pa.table({
@@ -3213,12 +3225,12 @@ def make_queries() -> dict:
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
         "dedup_near_keep_lsh": dedup_near_keep_lsh,  # exact oracle (r4)
         "durability_fsck": durability_fsck,
-        "ann_lsh": ann_lsh,
-        "ann_ivf": ann_ivf,
-        "ann_hnsw": ann_hnsw,
+        "ann_lsh": ann_lsh,    # exact oracle (r4): probe-exhaustive here
+        "ann_ivf": ann_ivf,    # exact oracle (r4): nprobe==n_lists here
+        "ann_hnsw": ann_hnsw,  # exact oracle (r4): recall 1.0 law-pinned
         "rerank_model_search": rerank_model_search,
         "quality_embed_ann": quality_embed_ann,
-        "rerank_search": rerank_search,
+        "rerank_search": rerank_search,  # exact oracle (r4): rerank_oracle_sql
         "ann_recall_certificate": ann_recall_certificate,
         "progressive_search": progressive_search_pipeline,
     })
@@ -3665,6 +3677,125 @@ scored AS (SELECT d.doc_id,
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {HASH_EMBED_K}"""
+
+
+def rerank_oracle_sql() -> str:
+    """Exact oracle for ``rerank_search``: the full RrfCombine rerank
+    pipeline replayed in SQL — BM25 f64 top-``RERANK_WINDOW`` window
+    (the pinned bm25 oracle as a subquery, pre_rank = window index),
+    ``ExactHashReranker`` logits (FNV-1a bucketed integer accumulators,
+    f64 cosine, libm-parity ``1/(1+exp(-x))`` sigmoid), the rerank rank
+    order and the RRF fuse ``1/(60+pre) + 1/(60+rr)`` with pipeline.rs's
+    STRING doc_id tie-breaks (``CAST(doc_id AS VARCHAR)``)."""
+    from fsray.embed import DEFAULT_DIMENSION, HashEmbedder
+    query, _ = BM25_QUERIES["bm25_topk_wide"]
+    emb = HashEmbedder(dimension=DEFAULT_DIMENSION)
+    q = emb.accumulate_texts([query])[0]
+    nz = np.flatnonzero(q)
+    qvals = ",".join(f"({int(b)}, CAST({int(q[b])} AS BIGINT))" for b in nz)
+    sq = int((q.astype(np.float64) ** 2).sum())
+    bm25 = bm25_oracle_sql(query, RERANK_WINDOW)
+    M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
+    return f"""
+WITH RECURSIVE
+bmw AS (SELECT doc_id, score,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) - 1 AS pre_rank
+        FROM ({bm25}) b),
+wdocs AS (SELECT d.doc_id, d.text FROM documents d
+          WHERE d.doc_id IN (SELECT doc_id FROM bmw)),
+docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '{SPLIT_SQL}'),
+                x -> length(x) >= 2) AS arr
+  FROM wdocs),
+tokc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT doc_id, unnest(arr) AS tok FROM docs_arr)
+         GROUP BY doc_id, tok),
+toku AS (SELECT DISTINCT tok FROM tokc),
+fnv(tok, k, h) AS (
+  SELECT tok, 0, CAST('14695981039346656037' AS HUGEINT) FROM toku
+  UNION ALL
+  SELECT f.tok, f.k + 1,
+         ((f.h - (f.h % 256)
+           + CAST(xor(CAST(f.h % 256 AS BIGINT),
+                      CAST(ascii(substr(f.tok, CAST(f.k + 1 AS INT), 1))
+                           AS BIGINT)) AS HUGEINT))
+          * CAST(1099511628211 AS HUGEINT)) % {M}
+  FROM fnv f WHERE f.k < length(f.tok)
+),
+hfin AS (SELECT tok,
+           CAST(h % {DEFAULT_DIMENSION} AS BIGINT) AS bucket,
+           CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                THEN 1 ELSE -1 END AS sign
+         FROM fnv WHERE k = length(tok)),
+acc AS (SELECT t.doc_id, h.bucket, sum(h.sign * t.cnt) AS v
+        FROM tokc t JOIN hfin h USING (tok) GROUP BY t.doc_id, h.bucket),
+qv(bucket, w) AS (VALUES {qvals}),
+dots AS (SELECT a.doc_id, sum(a.v * q.w) AS dot
+         FROM acc a JOIN qv q USING (bucket) GROUP BY a.doc_id),
+norms AS (SELECT doc_id, sum(v * v) AS sd FROM acc GROUP BY doc_id),
+logits AS (SELECT b.doc_id,
+             CASE WHEN COALESCE(n.sd, 0) = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(COALESCE(t.dot, 0) AS DOUBLE)
+                       / (sqrt(CAST(n.sd AS DOUBLE))
+                          * sqrt(CAST({sq} AS DOUBLE))) END AS logit
+           FROM bmw b
+           LEFT JOIN norms n USING (doc_id)
+           LEFT JOIN dots t USING (doc_id)),
+rr AS (SELECT doc_id, 1.0 / (1.0 + exp(-logit)) AS score_r FROM logits),
+rrk AS (SELECT doc_id, score_r,
+          CAST(row_number() OVER (ORDER BY score_r DESC,
+               CAST(doc_id AS VARCHAR) ASC) AS BIGINT) - 1 AS rerank_rank
+        FROM rr),
+fused AS (SELECT b.doc_id, b.score AS retrieval_score, r.score_r AS rerank_score,
+            1.0 / (60.0 + b.pre_rank) + 1.0 / (60.0 + r.rerank_rank) AS fkey
+          FROM bmw b JOIN rrk r USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY fkey DESC, CAST(doc_id AS VARCHAR) ASC) AS BIGINT) AS rank,
+       doc_id, retrieval_score, rerank_score
+FROM fused ORDER BY fkey DESC, CAST(doc_id AS VARCHAR) ASC LIMIT {RERANK_K}"""
+
+
+def ann_sharded_exact_oracle_sql() -> str:
+    """Exact oracle shared by ``ann_lsh`` / ``ann_ivf`` / ``ann_hnsw``:
+    exhaustive f64 cosine top-k excluding self, (cos desc, id asc)
+    tie-break — BECAUSE all three approximate kinds are provably or
+    measurably exhaustive at the driver corpus (500 vectors, 4 shards of
+    125):
+
+    - LSH: per-shard ``n_bits = clip(log2(125)-5, 2, 16) = 2`` and the
+      worker probes Hamming ≤ 2 — the whole 2-bit code space, so every
+      shard vector is a candidate (structural).
+    - IVF: ``n_lists = clip(sqrt(125), 4, 4096) = 11 ≤ 32`` so the
+      worker sets ``nprobe = n_lists`` — every list scanned (structural).
+    - HNSW: beam ef=96 on a 125-vector shard; recall@5 measured exactly
+      1.0 (equality law pinned in tests — corpus-conditional, stated).
+
+    Per-shard top-k + associative merge ≡ global top-k over the candidate
+    union, so the exhaustive SQL reproduces all three lanes; the
+    ann-degeneracy law test asserts the preconditions so a corpus change
+    that breaks them fails loudly in pytest, not in the driver."""
+    ids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH
+dims AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+el AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+       FROM embeddings e, dims d),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id),
+nfull AS (SELECT e.vec_id, e.i,
+                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS xn
+          FROM el e JOIN nrm n USING (vec_id)),
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id IN ({ids})),
+sims AS (SELECT nq_q.query_id, nv.vec_id AS neighbor_id,
+                sum(nq.xn * nv.xn) AS cos
+         FROM q nq_q
+         JOIN nfull nq ON nq.vec_id = nq_q.query_id
+         JOIN nfull nv ON nv.i = nq.i AND nv.vec_id <> nq_q.query_id
+         GROUP BY nq_q.query_id, nv.vec_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM sims)
+SELECT query_id, neighbor_id FROM ranked WHERE rn <= {ANN_K}
+ORDER BY query_id, neighbor_id"""
 
 
 def _emb_lsh_pairs_sql() -> str:
@@ -4271,6 +4402,11 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()
+    o["rerank_search"] = rerank_oracle_sql()
+    ann_exact = ann_sharded_exact_oracle_sql()
+    o["ann_lsh"] = ann_exact
+    o["ann_ivf"] = ann_exact
+    o["ann_hnsw"] = ann_exact
 
     # job-queue drain: every job completes; the deterministic transient
     # failure class carries exactly one retry; priority is doc_id % 3

@@ -106,6 +106,45 @@ class HashReranker:
         return out
 
 
+class ExactHashReranker:
+    """SQL-replayable variant of :class:`HashReranker`: the logit is the
+    f64 cosine over RAW integer vote accumulators (``accumulate_texts``)
+    instead of the f32-normalized embedding matmul, and the sigmoid runs
+    through libm ``math.exp`` per element (numpy's SIMD exp rounds
+    differently).  Dot and both squared norms are exact integers in f64,
+    so every op — sqrt, mul, div, exp — is a correctly-rounded scalar op
+    an independent DuckDB oracle reproduces bit-for-bit (the same
+    precision ladder ``HashEmbedScorer`` uses).  Same rerank contract:
+    score = sigmoid(logit), input order preserved, zero-norm docs score
+    sigmoid(0) = 0.5."""
+
+    def __init__(self, dimension: int | None = None):
+        from fsray.embed import DEFAULT_DIMENSION, HashEmbedder
+        self._embedder = HashEmbedder(dimension or DEFAULT_DIMENSION)
+
+    def id(self) -> str:
+        return "exact-hash-reranker"
+
+    def rerank(self, query: str, documents: list[RerankDocument]
+               ) -> list[RerankScore]:
+        if not documents:
+            return []
+        qacc = self._embedder.accumulate_texts([query])[0].astype(np.float64)
+        qn = math.sqrt(float((qacc * qacc).sum()))
+        acc = self._embedder.accumulate_texts(
+            [d.text for d in documents]).astype(np.float64)
+        dot = acc @ qacc
+        sd = (acc * acc).sum(axis=1)
+        out = []
+        for rank, doc in enumerate(documents):
+            if sd[rank] > 0 and qn > 0:
+                logit = float(dot[rank]) / (math.sqrt(float(sd[rank])) * qn)
+            else:
+                logit = 0.0
+            out.append(RerankScore(doc.doc_id, sigmoid(logit), rank, logit))
+        return out
+
+
 def _finite_rerank_sort_score(c: ScoredResult) -> float:
     """pipeline.rs:290-295: missing / non-finite rerank score sorts to
     the worst rank."""

@@ -150,6 +150,49 @@ def test_embedding_lsh_oracle_margins():
     assert np.abs(sims - COSINE_TAU).min() > 1e-6
 
 
+def test_ann_degeneracy_preconditions(ray_session):
+    """The exact SQL oracle shared by ann_lsh / ann_ivf / ann_hnsw is
+    honest only while the approximate kinds are exhaustive at the driver
+    corpus.  Pin every precondition so a corpus change fails here, not
+    in the driver compare:
+
+    - shard geometry: 4 equal shards; per-shard LSH n_bits ≤ the
+      worker's probe_hamming (2) → every code probed;
+    - per-shard IVF n_lists ≤ 32 → the worker probes all lists;
+    - HNSW (no structural guarantee): lane output ≡ exhaustive f64
+      brute force, and the rank-5/6 cosine boundary gap dwarfs f64
+      summation noise."""
+    import pyarrow.parquet as pq
+
+    from fsray.dedup import normalize_rows
+    from fsray.pipelines import ANN_K, ANN_QUERY_IDS, ann_hnsw
+    n = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
+    bounds = np.linspace(0, n, 5).astype(np.int64)
+    sizes = np.diff(bounds)
+    for sz in sizes:
+        n_bits = int(np.clip(np.log2(max(int(sz), 2)) - 5, 2, 16))
+        assert n_bits <= 2, f"LSH probe no longer exhaustive at shard size {sz}"
+        n_lists = int(np.clip(np.sqrt(int(sz)), 4, 4096))
+        assert n_lists <= 32, f"IVF nprobe < n_lists at shard size {sz}"
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    mat = normalize_rows(
+        t["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64).reshape(len(ids), -1))
+    lane = ann_hnsw(SF_DIR).to_pandas()
+    for q in ANN_QUERY_IDS:
+        qi = np.flatnonzero(ids == int(q))[0]
+        sims = mat @ mat[qi]
+        mask = ids != int(q)
+        o = np.lexsort((ids[mask], -sims[mask]))
+        expect = list(ids[mask][o][:ANN_K])
+        got = list(lane[lane.query_id == int(q)]["neighbor_id"])
+        assert got == expect, f"HNSW recall < 1.0 for query {q}"
+        s_sorted = sims[mask][o]
+        assert s_sorted[ANN_K - 1] - s_sorted[ANN_K] > 1e-9
+
+
 def test_simhash_capped_lane_equals_capless(ray_session):
     """DIV-R16 (the DIV-R13 pattern on the pigeonhole join): the simhash
     hot-group cap (SIMHASH_MAX_DF=256) is invisible on the driver corpus
