@@ -10,10 +10,13 @@ here (or in the fsray library) calls ``ray.init()`` / ``ray.shutdown()``.
   the training-data operator families: dedup, similarity search, text
   analysis, multimodal plumbing).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  entry.  The BM25 oracles reproduce the engine's pinned float64 scoring
-  contract bit-exactly (fieldnorm table inlined, f32-rounded avgdl,
-  pinned op order).  Approximate/hash-specific ops (LSH, simhash,
-  fingerprints) are intentionally omitted → rows-only checks.
+  entry (65 of 70).  The BM25 + rerank oracles reproduce the engine's
+  pinned float64 scoring contracts bit-exactly (fieldnorm table inlined,
+  f32-rounded avgdl, pinned op order, libm sigmoid parity); hash-based
+  ops (simhash, fingerprints, hash-embed, LSH) replay through the pinned
+  PUBLIC FNV-1a / literal-plane constructions.  The 5 omitted lanes are
+  non-SQL by mechanism (erasure decode, transformer inference, graph
+  traversal, orchestration) → rows-only checks.
 """
 
 from __future__ import annotations

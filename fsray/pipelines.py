@@ -817,6 +817,101 @@ def dedup_simhash(sf_dir: str, max_df: int | None = "default") -> pa.Table:
                      "hamming": pa.array(out["hamming"].astype("int64"), type=pa.int64())})
 
 
+#: synthetic "benchmark" split for the decontamination lane: every 50th doc
+EVAL_HOLDOUT_MOD = 50
+
+
+def decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination — the training-data hygiene step every
+    LLM pipeline runs before the dedup'd export: flag every training
+    document that shares ANY 3-token shingle with a held-out evaluation
+    split (here the deterministic synthetic split ``doc_id %
+    EVAL_HOLDOUT_MOD == 0``), so eval-set leakage is dropped or audited
+    before training.
+
+    Ray shape (the 100-TB contract): the SMALL side — the eval split's
+    distinct shingle hashes — is computed distributed, uniqued on the
+    driver (eval-set-sized, not corpus-sized) and broadcast ONCE via
+    ``ray.put``; the flag stage is an embarrassingly parallel vectorized
+    ``np.isin`` inside ``map_batches`` — NO shuffle anywhere, which is
+    the whole point vs a shingle-join formulation.  A doc's shingles
+    never split across batches (``shingle_batch`` emits per input doc),
+    so per-doc overlap counts complete in-batch.  If the eval shingle
+    set outgrows worker heaps, the documented swap is a Bloom filter
+    behind the same broadcast.
+
+    EXACT oracle: string-shingle replay over the same split arithmetic
+    (hash-collision-free on this corpus exactly as the green Jaccard
+    lanes assume)."""
+    import ray
+
+    from fsray.dedup import shingle_batch
+
+    def eval_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return b.filter(pa.array(ids % EVAL_HOLDOUT_MOD == 0))
+
+    eval_sh = (_docs_ds(sf_dir)
+               .map_batches(eval_only, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .map_batches(shingle_batch, batch_format="pyarrow")
+               .select_columns(["shingle"])
+               .to_pandas())
+    banned_ref = ray.put(np.unique(eval_sh["shingle"].to_numpy()))
+
+    def flag_batch(b: pa.Table) -> pa.Table:
+        sh = b["shingle"].to_numpy()
+        doc = b["doc_id"].to_numpy()
+        train = doc % EVAL_HOLDOUT_MOD != 0
+        sh, doc = sh[train], doc[train]
+        hit = np.isin(sh, ray.get(banned_ref))
+        docs_u, inv = np.unique(doc, return_inverse=True)
+        n_overlap = np.zeros(len(docs_u), dtype=np.int64)
+        np.add.at(n_overlap, inv, hit.astype(np.int64))
+        return pa.table({
+            "doc_id": pa.array(docs_u, type=pa.int64()),
+            "n_overlap": pa.array(n_overlap, type=pa.int64()),
+        })
+
+    parts = (_docs_ds(sf_dir)
+             .map_batches(shingle_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .map_batches(flag_batch, batch_format="pyarrow")
+             .to_pandas())
+    # docs with < 3 tokens emit no shingle rows: LEFT-join the id space
+    import pyarrow.parquet as pq
+    all_ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])["doc_id"].to_numpy()
+    all_ids = np.sort(all_ids[all_ids % EVAL_HOLDOUT_MOD != 0])
+    n = np.zeros(len(all_ids), dtype=np.int64)
+    pos = np.searchsorted(all_ids, parts["doc_id"].to_numpy())
+    n[pos] = parts["n_overlap"].to_numpy()
+    return pa.table({
+        "doc_id": pa.array(all_ids, type=pa.int64()),
+        "n_overlap": pa.array(n, type=pa.int64()),
+        "contaminated": pa.array(n > 0, type=pa.bool_()),
+    })
+
+
+def decontaminate_oracle_sql() -> str:
+    """Exact oracle for ``decontaminate``: distinct string 3-shingles per
+    doc (the `_shingle_sql` CTE), banned = the eval split's shingles,
+    per-training-doc overlap count via one join."""
+    return f"""
+WITH {_shingle_sql()},
+banned AS (SELECT DISTINCT shingle FROM sh
+           WHERE doc_id % {EVAL_HOLDOUT_MOD} = 0),
+cnt AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM sh s JOIN banned b USING (shingle)
+        WHERE s.doc_id % {EVAL_HOLDOUT_MOD} <> 0
+        GROUP BY s.doc_id)
+SELECT d.doc_id, COALESCE(c.n_overlap, 0) AS n_overlap,
+       COALESCE(c.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN cnt c USING (doc_id)
+WHERE d.doc_id % {EVAL_HOLDOUT_MOD} <> 0
+ORDER BY d.doc_id"""
+
+
 COSINE_TAU = 0.45
 
 
@@ -1648,9 +1743,11 @@ def ann_hnsw(sf_dir: str) -> pa.Table:
 
 def ann_lsh(sf_dir: str) -> pa.Table:
     """LSH-bucketed ANN (the scale path), sharded construction.
-    Exact oracle (r4): per-shard n_bits=2 ≤ probe_hamming=2 at the
-    driver corpus (structural — every code probed), so the lane is
-    exhaustive and replays as f64 cosine top-k in SQL; recall vs brute
+    Exact PROBE-FAITHFUL oracle (r4): ``ann_lsh_oracle_sql`` replays the
+    actual semantics — corpus-size-derived n_bits (selector evaluated in
+    SQL over inlined per-n_bits plane literals), sign codes, Hamming ≤ 2
+    candidate ball, f64 cosine top-k — so it stays exact even where
+    probing is NOT exhaustive (sf0.1's 3-bit shards); recall vs brute
     force additionally asserted in tests."""
     return _ann_sharded(sf_dir, "lsh")
 
@@ -3220,12 +3317,13 @@ def make_queries() -> dict:
         "ann_mmr": ann_mmr,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
+        "decontaminate": decontaminate,  # exact oracle (r4), new operator
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
         "dedup_near_keep_lsh": dedup_near_keep_lsh,  # exact oracle (r4)
         "durability_fsck": durability_fsck,
-        "ann_lsh": ann_lsh,    # exact oracle (r4): probe-exhaustive here
+        "ann_lsh": ann_lsh,    # exact oracle (r4): probe-faithful replay
         "ann_ivf": ann_ivf,    # exact oracle (r4): nprobe==n_lists here
         "ann_hnsw": ann_hnsw,  # exact oracle (r4): recall 1.0 law-pinned
         "rerank_model_search": rerank_model_search,
@@ -3755,22 +3853,23 @@ FROM fused ORDER BY fkey DESC, CAST(doc_id AS VARCHAR) ASC LIMIT {RERANK_K}"""
 
 
 def ann_sharded_exact_oracle_sql() -> str:
-    """Exact oracle shared by ``ann_lsh`` / ``ann_ivf`` / ``ann_hnsw``:
-    exhaustive f64 cosine top-k excluding self, (cos desc, id asc)
-    tie-break — BECAUSE all three approximate kinds are provably or
-    measurably exhaustive at the driver corpus (500 vectors, 4 shards of
-    125):
+    """Exact oracle shared by ``ann_ivf`` / ``ann_hnsw``: exhaustive f64
+    cosine top-k excluding self, (cos desc, id asc) tie-break — BECAUSE
+    both kinds are provably or measurably exhaustive at the driver
+    corpora (≤ 2000 vectors, 4 equal shards):
 
-    - LSH: per-shard ``n_bits = clip(log2(125)-5, 2, 16) = 2`` and the
-      worker probes Hamming ≤ 2 — the whole 2-bit code space, so every
-      shard vector is a candidate (structural).
-    - IVF: ``n_lists = clip(sqrt(125), 4, 4096) = 11 ≤ 32`` so the
-      worker sets ``nprobe = n_lists`` — every list scanned (structural).
-    - HNSW: beam ef=96 on a 125-vector shard; recall@5 measured exactly
-      1.0 (equality law pinned in tests — corpus-conditional, stated).
+    - IVF: per-shard ``n_lists = clip(sqrt(shard), 4, 4096) ≤ 32`` so
+      the worker sets ``nprobe = n_lists`` — every list scanned
+      (structural through sf0.1's 500-vector shards).
+    - HNSW: beam ef=96; recall@5 measured exactly 1.0 (equality law
+      pinned in tests — corpus-conditional, stated).
+
+    (``ann_lsh`` outgrows exhaustiveness at sf0.1 — shard 500 → 3-bit
+    codes vs Hamming-2 probes — so it carries its own probe-faithful
+    oracle, ``ann_lsh_oracle_sql``.)
 
     Per-shard top-k + associative merge ≡ global top-k over the candidate
-    union, so the exhaustive SQL reproduces all three lanes; the
+    union, so the exhaustive SQL reproduces both lanes; the
     ann-degeneracy law test asserts the preconditions so a corpus change
     that breaks them fails loudly in pytest, not in the driver."""
     ids = ",".join(str(i) for i in ANN_QUERY_IDS)
@@ -3790,6 +3889,61 @@ sims AS (SELECT nq_q.query_id, nv.vec_id AS neighbor_id,
          JOIN nfull nq ON nq.vec_id = nq_q.query_id
          JOIN nfull nv ON nv.i = nq.i AND nv.vec_id <> nq_q.query_id
          GROUP BY nq_q.query_id, nv.vec_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM sims)
+SELECT query_id, neighbor_id FROM ranked WHERE rn <= {ANN_K}
+ORDER BY query_id, neighbor_id"""
+
+
+def ann_lsh_oracle_sql() -> str:
+    """Exact PROBE-FAITHFUL oracle for ``ann_lsh``: replays the actual
+    LSH semantics instead of assuming exhaustiveness — per-shard
+    ``n_bits = clip(trunc(log2(n/4) - 5), 2, 16)`` (4 equal shards
+    asserted in the law test), the seeded Gaussian planes for EVERY
+    n_bits in 2..8 inlined as literals with the corpus-size-derived
+    selector evaluated IN SQL, sign-bit codes, candidates = Hamming ≤ 2
+    code ball (the worker's probe_hamming), exact f64 cosine top-k.
+    Shard-independence: equal shards ⇒ same n_bits ⇒ same planes ⇒ a
+    vector's code is shard-free, and per-shard top-k + merge ≡ global
+    top-k over the candidate union."""
+    ids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    rows = []
+    for nb in range(2, 9):
+        planes = np.random.default_rng(42).standard_normal((64, nb))
+        rows.extend(f"({nb},{i + 1},{p},{planes[i, p]!r})"
+                    for i in range(64) for p in range(nb))
+    vals = ",".join(rows)
+    return f"""
+WITH
+dims AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+el AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+       FROM embeddings e, dims d),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id),
+nfull AS (SELECT e.vec_id, e.i,
+                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS xn
+          FROM el e JOIN nrm n USING (vec_id)),
+nbv AS (SELECT CAST(LEAST(GREATEST(trunc(log2(CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / 4.0)
+                                   - 5), 2), 16) AS BIGINT) AS nb),
+pl(nb, i, p, w) AS (VALUES {vals}),
+plsel AS (SELECT i, p, w FROM pl WHERE nb = (SELECT nb FROM nbv)),
+dots AS (SELECT n.vec_id, l.p, sum(n.xn * l.w) AS s
+         FROM nfull n JOIN plsel l USING (i) GROUP BY n.vec_id, l.p),
+codes AS (SELECT vec_id,
+                 CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS code
+          FROM dots GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, code AS qcode FROM codes
+      WHERE vec_id IN ({ids})),
+cand AS (SELECT q.query_id, c.vec_id
+         FROM q JOIN codes c
+           ON bit_count(xor(c.code, q.qcode)) <= 2 AND c.vec_id <> q.query_id),
+sims AS (SELECT ca.query_id, ca.vec_id AS neighbor_id,
+                sum(nq.xn * nv.xn) AS cos
+         FROM cand ca
+         JOIN nfull nq ON nq.vec_id = ca.query_id
+         JOIN nfull nv ON nv.vec_id = ca.vec_id AND nv.i = nq.i
+         GROUP BY ca.query_id, ca.vec_id),
 ranked AS (SELECT query_id, neighbor_id,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -4399,12 +4553,13 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["pressure_ladder"] = pressure_ladder_oracle_sql()
     o["doc_fingerprints"] = fingerprint_oracle_sql()
     o["dedup_simhash"] = simhash_oracle_sql()
+    o["decontaminate"] = decontaminate_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()
     o["rerank_search"] = rerank_oracle_sql()
     ann_exact = ann_sharded_exact_oracle_sql()
-    o["ann_lsh"] = ann_exact
+    o["ann_lsh"] = ann_lsh_oracle_sql()
     o["ann_ivf"] = ann_exact
     o["ann_hnsw"] = ann_exact
 

@@ -156,8 +156,10 @@ def test_ann_degeneracy_preconditions(ray_session):
     corpus.  Pin every precondition so a corpus change fails here, not
     in the driver compare:
 
-    - shard geometry: 4 equal shards; per-shard LSH n_bits ≤ the
-      worker's probe_hamming (2) → every code probed;
+    - shard geometry: 4 EQUAL shards (n % 4 == 0) — the LSH oracle's
+      in-SQL n_bits selector assumes per-shard size n/4 — and the
+      selected n_bits sits inside the oracle's inlined plane set (2..8)
+      with every (vector, plane) sign margin ≫ f64 noise;
     - per-shard IVF n_lists ≤ 32 → the worker probes all lists;
     - HNSW (no structural guarantee): lane output ≡ exhaustive f64
       brute force, and the rank-5/6 cosine boundary gap dwarfs f64
@@ -167,11 +169,12 @@ def test_ann_degeneracy_preconditions(ray_session):
     from fsray.dedup import normalize_rows
     from fsray.pipelines import ANN_K, ANN_QUERY_IDS, ann_hnsw
     n = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
+    assert n % 4 == 0, "unequal ANN shards: the LSH oracle selector breaks"
     bounds = np.linspace(0, n, 5).astype(np.int64)
     sizes = np.diff(bounds)
     for sz in sizes:
         n_bits = int(np.clip(np.log2(max(int(sz), 2)) - 5, 2, 16))
-        assert n_bits <= 2, f"LSH probe no longer exhaustive at shard size {sz}"
+        assert 2 <= n_bits <= 8, f"LSH n_bits {n_bits} outside the oracle's plane set"
         n_lists = int(np.clip(np.sqrt(int(sz)), 4, 4096))
         assert n_lists <= 32, f"IVF nprobe < n_lists at shard size {sz}"
 
@@ -191,6 +194,11 @@ def test_ann_degeneracy_preconditions(ray_session):
         assert got == expect, f"HNSW recall < 1.0 for query {q}"
         s_sorted = sims[mask][o]
         assert s_sorted[ANN_K - 1] - s_sorted[ANN_K] > 1e-9
+
+    # LSH sign margins for the corpus-selected plane set
+    nb = int(np.clip(np.log2(max(int(sizes[0]), 2)) - 5, 2, 16))
+    planes = np.random.default_rng(42).standard_normal((mat.shape[1], nb))
+    assert np.abs(mat @ planes).min() > 1e-9
 
 
 def test_simhash_capped_lane_equals_capless(ray_session):
