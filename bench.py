@@ -205,6 +205,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_search_snippets", P.search_snippets),
         ("x_pressure_ladder", P.pressure_ladder),
         ("x_events_sessionize", P.events_sessionize),
+        ("x_decontaminate", P.decontaminate),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

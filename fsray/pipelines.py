@@ -847,13 +847,14 @@ def decontaminate(sf_dir: str) -> pa.Table:
 
     from fsray.dedup import shingle_batch
 
-    def eval_only(b: pa.Table) -> pa.Table:
+    def split_filter(b: pa.Table, keep_eval: bool) -> pa.Table:
         ids = b["doc_id"].to_numpy()
-        return b.filter(pa.array(ids % EVAL_HOLDOUT_MOD == 0))
+        m = ids % EVAL_HOLDOUT_MOD == 0
+        return b.filter(pa.array(m if keep_eval else ~m))
 
     eval_sh = (_docs_ds(sf_dir)
-               .map_batches(eval_only, batch_format="pyarrow",
-                            zero_copy_batch=True)
+               .map_batches(lambda b: split_filter(b, True),
+                            batch_format="pyarrow", zero_copy_batch=True)
                .map_batches(shingle_batch, batch_format="pyarrow")
                .select_columns(["shingle"])
                .to_pandas())
@@ -862,8 +863,6 @@ def decontaminate(sf_dir: str) -> pa.Table:
     def flag_batch(b: pa.Table) -> pa.Table:
         sh = b["shingle"].to_numpy()
         doc = b["doc_id"].to_numpy()
-        train = doc % EVAL_HOLDOUT_MOD != 0
-        sh, doc = sh[train], doc[train]
         hit = np.isin(sh, ray.get(banned_ref))
         docs_u, inv = np.unique(doc, return_inverse=True)
         n_overlap = np.zeros(len(docs_u), dtype=np.int64)
@@ -874,18 +873,21 @@ def decontaminate(sf_dir: str) -> pa.Table:
         })
 
     parts = (_docs_ds(sf_dir)
-             .map_batches(shingle_batch, batch_format="pyarrow",
-                          zero_copy_batch=True)
+             .map_batches(lambda b: split_filter(b, False),
+                          batch_format="pyarrow", zero_copy_batch=True)
+             .map_batches(shingle_batch, batch_format="pyarrow")
              .map_batches(flag_batch, batch_format="pyarrow")
              .to_pandas())
-    # docs with < 3 tokens emit no shingle rows: LEFT-join the id space
+    # docs with < 3 tokens emit no shingle rows: LEFT-join the id space.
+    # ACCUMULATE (np.add.at), never assign: Ray may split a large doc's
+    # shingle rows across output blocks, yielding two partials per doc
     import pyarrow.parquet as pq
     all_ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id"])["doc_id"].to_numpy()
     all_ids = np.sort(all_ids[all_ids % EVAL_HOLDOUT_MOD != 0])
     n = np.zeros(len(all_ids), dtype=np.int64)
     pos = np.searchsorted(all_ids, parts["doc_id"].to_numpy())
-    n[pos] = parts["n_overlap"].to_numpy()
+    np.add.at(n, pos, parts["n_overlap"].to_numpy())
     return pa.table({
         "doc_id": pa.array(all_ids, type=pa.int64()),
         "n_overlap": pa.array(n, type=pa.int64()),
@@ -3663,17 +3665,7 @@ tokc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
          FROM (SELECT doc_id, unnest(arr) AS tok FROM docs_arr)
          GROUP BY doc_id, tok),
 toku AS (SELECT DISTINCT tok FROM tokc),
-fnv(tok, k, h) AS (
-  SELECT tok, 0, CAST('14695981039346656037' AS HUGEINT) FROM toku
-  UNION ALL
-  SELECT f.tok, f.k + 1,
-         ((f.h - (f.h % 256)
-           + CAST(xor(CAST(f.h % 256 AS BIGINT),
-                      CAST(ascii(substr(f.tok, CAST(f.k + 1 AS INT), 1))
-                           AS BIGINT)) AS HUGEINT))
-          * CAST(1099511628211 AS HUGEINT)) % {M}
-  FROM fnv f WHERE f.k < length(f.tok)
-),
+{_FNV_SQL},
 hfin AS (SELECT tok, h FROM fnv WHERE k = length(tok)),
 pw2(k, p) AS (
   SELECT 0, CAST(1 AS HUGEINT)
@@ -3728,7 +3720,6 @@ def hash_embed_oracle_sql() -> str:
     nz = np.flatnonzero(q)
     qvals = ",".join(f"({int(b)}, CAST({int(q[b])} AS BIGINT))" for b in nz)
     sq = int((q.astype(np.float64) ** 2).sum())
-    M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
     return f"""
 WITH RECURSIVE
 docs_arr AS (SELECT doc_id,
@@ -3739,26 +3730,8 @@ tokc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
          FROM (SELECT doc_id, unnest(arr) AS tok FROM docs_arr)
          GROUP BY doc_id, tok),
 toku AS (SELECT DISTINCT tok FROM tokc),
-fnv(tok, k, h) AS (
-  SELECT tok, 0, CAST('14695981039346656037' AS HUGEINT) FROM toku
-  UNION ALL
-  SELECT f.tok, f.k + 1,
-         ((f.h - (f.h % 256)
-           + CAST(xor(CAST(f.h % 256 AS BIGINT),
-                      CAST(ascii(substr(f.tok, CAST(f.k + 1 AS INT), 1))
-                           AS BIGINT)) AS HUGEINT))
-          * CAST(1099511628211 AS HUGEINT)) % {M}
-  FROM fnv f WHERE f.k < length(f.tok)
-),
-hfin AS (SELECT tok,
-           CAST(h % {HASH_EMBED_DIM} AS BIGINT) AS bucket,
-           CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
-                THEN 1 ELSE -1 END AS sign
-         FROM fnv WHERE k = length(tok)),
-acc AS (SELECT t.doc_id, h.bucket,
-          sum(h.sign * t.cnt) AS v
-        FROM tokc t JOIN hfin h USING (tok)
-        GROUP BY t.doc_id, h.bucket),
+{_FNV_SQL},
+{_hash_acc_sql(HASH_EMBED_DIM)},
 qv(bucket, w) AS (VALUES {qvals}),
 dots AS (SELECT a.doc_id,
            sum(a.v * q.w) AS dot
@@ -3777,6 +3750,49 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {HASH_EMBED_K}"""
 
 
+#: shared recursive FNV-1a 64 byte-fold CTE over a ``toku(tok)`` CTE of
+#: DISTINCT tokens (pure-ASCII corpus ⇒ ascii(char) == byte); every
+#: hash-lane oracle (simhash, hash-embed, rerank) embeds this verbatim so
+#: a fix lands once.  The fingerprint oracle keeps its own per-occurrence
+#: variant (it carries the token position through the fold).
+_FNV_SQL = """fnv(tok, k, h) AS (
+  SELECT tok, 0, CAST('14695981039346656037' AS HUGEINT) FROM toku
+  UNION ALL
+  SELECT f.tok, f.k + 1,
+         ((f.h - (f.h % 256)
+           + CAST(xor(CAST(f.h % 256 AS BIGINT),
+                      CAST(ascii(substr(f.tok, CAST(f.k + 1 AS INT), 1))
+                           AS BIGINT)) AS HUGEINT))
+          * CAST(1099511628211 AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+  FROM fnv f WHERE f.k < length(f.tok)
+)"""
+
+#: shared normalized-embedding CTE block: (vec_id, i, xn) in f64 with the
+#: zero-norm guard — the vector-lane oracles (ann exact, ann_lsh,
+#: embedding-LSH pairs) embed this verbatim.
+_NFULL_SQL = """dims AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+el AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+       FROM embeddings e, dims d),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id),
+nfull AS (SELECT e.vec_id, e.i,
+                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS xn
+          FROM el e JOIN nrm n USING (vec_id))"""
+
+
+def _hash_acc_sql(dimension: int) -> str:
+    """Shared fnv_modular accumulator chain: ``hfin`` (bucket + sign from
+    the folded hash) and ``acc`` (per-doc integer vote sums) over a
+    ``tokc(doc_id, tok, cnt)`` CTE — the SQL twin of
+    ``HashEmbedder.accumulate_texts``."""
+    return f"""hfin AS (SELECT tok,
+           CAST(h % {dimension} AS BIGINT) AS bucket,
+           CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                THEN 1 ELSE -1 END AS sign
+         FROM fnv WHERE k = length(tok)),
+acc AS (SELECT t.doc_id, h.bucket, sum(h.sign * t.cnt) AS v
+        FROM tokc t JOIN hfin h USING (tok) GROUP BY t.doc_id, h.bucket)"""
+
+
 def rerank_oracle_sql() -> str:
     """Exact oracle for ``rerank_search``: the full RrfCombine rerank
     pipeline replayed in SQL — BM25 f64 top-``RERANK_WINDOW`` window
@@ -3793,7 +3809,6 @@ def rerank_oracle_sql() -> str:
     qvals = ",".join(f"({int(b)}, CAST({int(q[b])} AS BIGINT))" for b in nz)
     sq = int((q.astype(np.float64) ** 2).sum())
     bm25 = bm25_oracle_sql(query, RERANK_WINDOW)
-    M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
     return f"""
 WITH RECURSIVE
 bmw AS (SELECT doc_id, score,
@@ -3809,24 +3824,8 @@ tokc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
          FROM (SELECT doc_id, unnest(arr) AS tok FROM docs_arr)
          GROUP BY doc_id, tok),
 toku AS (SELECT DISTINCT tok FROM tokc),
-fnv(tok, k, h) AS (
-  SELECT tok, 0, CAST('14695981039346656037' AS HUGEINT) FROM toku
-  UNION ALL
-  SELECT f.tok, f.k + 1,
-         ((f.h - (f.h % 256)
-           + CAST(xor(CAST(f.h % 256 AS BIGINT),
-                      CAST(ascii(substr(f.tok, CAST(f.k + 1 AS INT), 1))
-                           AS BIGINT)) AS HUGEINT))
-          * CAST(1099511628211 AS HUGEINT)) % {M}
-  FROM fnv f WHERE f.k < length(f.tok)
-),
-hfin AS (SELECT tok,
-           CAST(h % {DEFAULT_DIMENSION} AS BIGINT) AS bucket,
-           CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
-                THEN 1 ELSE -1 END AS sign
-         FROM fnv WHERE k = length(tok)),
-acc AS (SELECT t.doc_id, h.bucket, sum(h.sign * t.cnt) AS v
-        FROM tokc t JOIN hfin h USING (tok) GROUP BY t.doc_id, h.bucket),
+{_FNV_SQL},
+{_hash_acc_sql(DEFAULT_DIMENSION)},
 qv(bucket, w) AS (VALUES {qvals}),
 dots AS (SELECT a.doc_id, sum(a.v * q.w) AS dot
          FROM acc a JOIN qv q USING (bucket) GROUP BY a.doc_id),
@@ -3875,13 +3874,7 @@ def ann_sharded_exact_oracle_sql() -> str:
     ids = ",".join(str(i) for i in ANN_QUERY_IDS)
     return f"""
 WITH
-dims AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
-el AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
-       FROM embeddings e, dims d),
-nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id),
-nfull AS (SELECT e.vec_id, e.i,
-                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS xn
-          FROM el e JOIN nrm n USING (vec_id)),
+{_NFULL_SQL},
 q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id IN ({ids})),
 sims AS (SELECT nq_q.query_id, nv.vec_id AS neighbor_id,
                 sum(nq.xn * nv.xn) AS cos
@@ -3912,18 +3905,13 @@ def ann_lsh_oracle_sql() -> str:
     rows = []
     for nb in range(2, 9):
         planes = np.random.default_rng(42).standard_normal((64, nb))
-        rows.extend(f"({nb},{i + 1},{p},{planes[i, p]!r})"
+        # float() before !r: numpy>=2 reprs np.float64 as 'np.float64(x)'
+        rows.extend(f"({nb},{i + 1},{p},{float(planes[i, p])!r})"
                     for i in range(64) for p in range(nb))
     vals = ",".join(rows)
     return f"""
 WITH
-dims AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
-el AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
-       FROM embeddings e, dims d),
-nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id),
-nfull AS (SELECT e.vec_id, e.i,
-                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS xn
-          FROM el e JOIN nrm n USING (vec_id)),
+{_NFULL_SQL},
 nbv AS (SELECT CAST(LEAST(GREATEST(trunc(log2(CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / 4.0)
                                    - 5), 2), 16) AS BIGINT) AS nb),
 pl(nb, i, p, w) AS (VALUES {vals}),
@@ -3966,17 +3954,12 @@ def _emb_lsh_pairs_sql() -> str:
     # dim is fixed by the testdata contract (embeddings: list<float>[64])
     dim = 64
     planes = rng.standard_normal((dim, EMB_LSH_BANDS * EMB_LSH_BITS))
-    vals = ",".join(f"({i + 1},{p},{planes[i, p]!r})"
+    # float() before !r: numpy>=2 reprs np.float64 as 'np.float64(x)'
+    vals = ",".join(f"({i + 1},{p},{float(planes[i, p])!r})"
                     for i in range(dim)
                     for p in range(EMB_LSH_BANDS * EMB_LSH_BITS))
     return f"""
-dims AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
-el AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
-       FROM embeddings e, dims d),
-nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id),
-nfull AS (SELECT e.vec_id, e.i,
-                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS xn
-          FROM el e JOIN nrm n USING (vec_id)),
+{_NFULL_SQL},
 pl(i, p, w) AS (VALUES {vals}),
 dots AS (SELECT n.vec_id, l.p, sum(n.xn * l.w) AS s
          FROM nfull n JOIN pl l USING (i) GROUP BY n.vec_id, l.p),

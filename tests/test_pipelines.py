@@ -195,10 +195,23 @@ def test_ann_degeneracy_preconditions(ray_session):
         s_sorted = sims[mask][o]
         assert s_sorted[ANN_K - 1] - s_sorted[ANN_K] > 1e-9
 
-    # LSH sign margins for the corpus-selected plane set
+    # LSH sign margins for the corpus-selected plane set, and the rank-K
+    # boundary gap WITHIN the Hamming<=2 candidate ball the lane actually
+    # ranks (the global gap above does not cover it)
     nb = int(np.clip(np.log2(max(int(sizes[0]), 2)) - 5, 2, 16))
     planes = np.random.default_rng(42).standard_normal((mat.shape[1], nb))
-    assert np.abs(mat @ planes).min() > 1e-9
+    dots = mat @ planes
+    assert np.abs(dots).min() > 1e-9
+    from fsray.dedup import _popcount64
+    codes = ((dots > 0).astype(np.uint32)
+             * (1 << np.arange(nb, dtype=np.uint32))).sum(axis=1)
+    for q in ANN_QUERY_IDS:
+        qi = np.flatnonzero(ids == int(q))[0]
+        ham = _popcount64((codes ^ codes[qi]).astype(np.uint64))
+        cm = (ham <= 2) & (ids != int(q))
+        s = np.sort(mat[cm] @ mat[qi])[::-1]
+        if len(s) > ANN_K:
+            assert s[ANN_K - 1] - s[ANN_K] > 1e-9
 
 
 def test_simhash_capped_lane_equals_capless(ray_session):
