@@ -206,6 +206,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_pressure_ladder", P.pressure_ladder),
         ("x_events_sessionize", P.events_sessionize),
         ("x_decontaminate", P.decontaminate),
+        ("x_cluster_embeddings", P.cluster_embeddings),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

@@ -1,0 +1,145 @@
+"""Spherical k-means over an embedding column — distributed Lloyd.
+
+The clustering operator a training-data pipeline runs for cluster-based
+curation (cluster→sample/balance, semantic-dedup pre-grouping, topic
+audits).  Same math as the IVF coarse quantizer (`fsray/ann.py:IvfIndex`)
+but as a standalone Dataset operator in the shape that quantizer's
+docstring promises at cluster scale: per-iteration `map_batches` assign +
+partial (sum, count) per cluster, a driver-side reduce over k×d floats,
+centroids re-broadcast via `ray.put` — the corpus is never materialized
+and each iteration moves exactly one small (k, d) matrix through the
+object store.
+
+Determinism: init = the k smallest vec_ids' normalized vectors (a
+deterministic, oracle-replayable choice), argmax ties break to the
+lowest cluster id, empty clusters keep their previous centroid.  The
+assignments are stable against f64 summation-order noise only while
+every (vector, iteration) best-vs-second-best margin dwarfs ~1e-15 —
+asserted against the corpus by the kmeans margin law test, which is what
+licenses the exact unrolled-Lloyd SQL oracle (`kmeans_oracle_sql`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from fsray.dedup import normalize_rows
+
+CLUSTER_K = 8
+CLUSTER_ITERS = 10
+
+
+def _batch_mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy().astype(np.int64)
+    flat = batch["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 1))
+    mat = normalize_rows(flat.astype(np.float64).reshape(len(ids), -1))
+    return ids, mat
+
+
+class AssignPartials:
+    """One Lloyd half-step per batch: argmax-cosine assign against the
+    broadcast centroids, emit per-cluster (count, sum-vector) partials."""
+
+    def __init__(self, cent_ref):
+        self.cent_ref = cent_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+        cent = ray.get(self.cent_ref)
+        k, d = cent.shape
+        ids, mat = _batch_mat(batch)
+        if len(ids) == 0:
+            return pa.table({"c": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "sv": pa.array([], type=pa.list_(pa.float64(), d))})
+        asg = np.argmax(mat @ cent.T, axis=1)
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, asg, mat)
+        cnt = np.bincount(asg, minlength=k).astype(np.int64)
+        return pa.table({
+            "c": pa.array(np.arange(k, dtype=np.int64)),
+            "cnt": pa.array(cnt),
+            "sv": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.reshape(-1), type=pa.float64()), d),
+        })
+
+
+def lloyd_iterations(ds_factory, init_cent: np.ndarray,
+                     iters: int = CLUSTER_ITERS) -> np.ndarray:
+    """Run ``iters`` distributed Lloyd steps; returns the final (k, d)
+    centroid matrix.  ``ds_factory()`` must yield a fresh Dataset over
+    (vec_id, embedding) per iteration (Datasets are single-consumption
+    once executed)."""
+    import ray
+    cent = init_cent
+    k, d = cent.shape
+    for _ in range(iters):
+        cref = ray.put(cent)
+        parts = (ds_factory()
+                 .map_batches(AssignPartials(cref), batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .to_pandas())
+        sums = np.zeros((k, d), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        c_col = parts["c"].to_numpy()
+        cnt_col = parts["cnt"].to_numpy()
+        sv = np.stack(parts["sv"].to_numpy())
+        np.add.at(sums, c_col, sv)
+        np.add.at(cnt, c_col, cnt_col)
+        nonempty = cnt > 0
+        new = cent.copy()
+        new[nonempty] = sums[nonempty] / cnt[nonempty, None]
+        new[nonempty] = normalize_rows(new[nonempty])
+        cent = new
+    return cent
+
+
+def kmeans_reference(ids: np.ndarray, vecs: np.ndarray, k: int = CLUSTER_K,
+                     iters: int = CLUSTER_ITERS) -> tuple[np.ndarray, np.ndarray]:
+    """Single-process reference with identical semantics (law tests).
+    Returns (assignments aligned to ids order, final centroids)."""
+    mat = normalize_rows(vecs.astype(np.float64))
+    # init = the k SMALLEST vec_ids' vectors, in vec_id order
+    smallest = np.argsort(ids)[:k]
+    cent = mat[smallest].copy()
+    for _ in range(iters):
+        asg = np.argmax(mat @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, asg, mat)
+        cnt = np.bincount(asg, minlength=k)
+        nonempty = cnt > 0
+        cent[nonempty] = sums[nonempty] / cnt[nonempty, None]
+        cent[nonempty] = normalize_rows(cent[nonempty])
+    return np.argmax(mat @ cent.T, axis=1), cent
+
+
+def assignment_margins(ids: np.ndarray, vecs: np.ndarray, k: int = CLUSTER_K,
+                       iters: int = CLUSTER_ITERS) -> tuple[float, float]:
+    """(min best-vs-second-best similarity gap across every vector and
+    every iteration incl. the final assign, min centroid norm before
+    normalize) — the two margins that license the exact SQL oracle."""
+    mat = normalize_rows(vecs.astype(np.float64))
+    smallest = np.argsort(ids)[:k]
+    cent = mat[smallest].copy()
+    min_gap, min_norm = np.inf, np.inf
+    for _ in range(iters + 1):  # the last loop measures the final assign
+        sims = mat @ cent.T
+        top2 = np.partition(sims, -2, axis=1)[:, -2:]
+        min_gap = min(min_gap, float((top2[:, 1] - top2[:, 0]).min()))
+        asg = np.argmax(sims, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, asg, mat)
+        cnt = np.bincount(asg, minlength=k)
+        nonempty = cnt > 0
+        mean = sums[nonempty] / cnt[nonempty, None]
+        norms = np.linalg.norm(mean, axis=1)
+        if len(norms):
+            min_norm = min(min_norm, float(norms.min()))
+        cent[nonempty] = normalize_rows(mean)
+    return min_gap, min_norm

@@ -817,6 +817,114 @@ def dedup_simhash(sf_dir: str, max_df: int | None = "default") -> pa.Table:
                      "hamming": pa.array(out["hamming"].astype("int64"), type=pa.int64())})
 
 
+def cluster_embeddings(sf_dir: str) -> pa.Table:
+    """Spherical k-means clustering over the embedding column — the
+    cluster-based-curation operator (cluster→balance/sample, semantic
+    pre-grouping) a training-data pipeline runs alongside dedup.
+
+    Distributed Lloyd in the exact shape `IvfIndex`'s docstring promises
+    at cluster scale: per iteration, centroids broadcast once via
+    ``ray.put`` and every batch emits per-cluster (count, sum-vector)
+    partials from a vectorized argmax assign — the driver reduces k×d
+    floats per iteration and the corpus never materializes anywhere.
+    At 100 TB the documented variant is fit-on-sample / assign-once:
+    run the Lloyd loop over a bounded sample (one ``random_shuffle``-free
+    ``limit`` read), then a single full-corpus assignment pass — this
+    lane runs the full-corpus loop because the driver corpus IS
+    sample-sized and the oracle must see every row.
+
+    Deterministic: init = the ``CLUSTER_K`` smallest vec_ids' normalized
+    vectors, ties to the lowest cluster id, empty clusters keep their
+    centroid.  EXACT oracle (r4): ``kmeans_oracle_sql`` unrolls all
+    ``CLUSTER_ITERS`` Lloyd steps as literal CTE stages (the PageRank
+    power-iteration move) — exact while every per-iteration assignment
+    margin dwarfs f64 summation noise, pinned by the kmeans margin law
+    test."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from fsray.cluster import (CLUSTER_K, _batch_mat, lloyd_iterations)
+    from fsray.dedup import normalize_rows
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ids_only = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
+    init_ids = np.sort(ids_only.astype(np.int64))[:CLUSTER_K]
+    init_t = pq.read_table(path, columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "in",
+                                     [int(x) for x in init_ids])])
+    iid = init_t["vec_id"].to_numpy().astype(np.int64)
+    flat = init_t["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    cent = normalize_rows(flat.astype(np.float64).reshape(len(iid), -1)
+                          )[np.argsort(iid)]
+
+    def factory():
+        return (rd.read_parquet(path, columns=["vec_id", "embedding"])
+                .map_batches(lambda b: b.replace_schema_metadata(None),
+                             batch_format="pyarrow", zero_copy_batch=True))
+
+    cent = lloyd_iterations(factory, cent)
+    cref = ray.put(cent)
+
+    def assign_rows(b: pa.Table) -> pa.Table:
+        ids, mat = _batch_mat(b)
+        asg = (np.argmax(mat @ ray.get(cref).T, axis=1).astype(np.int64)
+               if len(ids) else np.zeros(0, np.int64))
+        return pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                         "cluster": pa.array(asg, type=pa.int64())})
+
+    out = (factory().map_batches(assign_rows, batch_format="pyarrow")
+           .to_pandas().sort_values("vec_id"))
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].to_numpy(), type=pa.int64()),
+        "cluster": pa.array(out["cluster"].to_numpy(), type=pa.int64()),
+    })
+
+
+def kmeans_oracle_sql() -> str:
+    """Exact oracle for ``cluster_embeddings``: every Lloyd step unrolled
+    as literal CTE stages (dots→argmax-assign→per-cluster mean→normalize,
+    empty clusters carried forward), final assignment against the last
+    centroids.  The iterative-algorithm analogue of the PageRank
+    unrolled-power-iteration oracle; exactness is margin-gated (kmeans
+    law test) because f64 sums are order-sensitive at ~1e-16 while every
+    assignment margin on this corpus is ≫ that."""
+    from fsray.cluster import CLUSTER_ITERS, CLUSTER_K
+    parts = [f"""
+WITH {_NFULL_SQL.replace("nfull AS (", "nfull AS MATERIALIZED (")},
+init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {CLUSTER_K})),
+cent0 AS (SELECT i0.c, n.i, n.xn AS v FROM init i0 JOIN nfull n USING (vec_id))"""]
+    for t in range(1, CLUSTER_ITERS + 1):
+        p = t - 1
+        parts.append(f""",
+dots{t} AS (SELECT n.vec_id, c.c, sum(n.xn * c.v) AS s
+            FROM nfull n JOIN cent{p} c USING (i) GROUP BY n.vec_id, c.c),
+asg{t} AS (SELECT vec_id, c FROM (
+             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY s DESC, c ASC) AS rn FROM dots{t})
+           WHERE rn = 1),
+sums{t} AS MATERIALIZED (SELECT a.c, n.i, sum(n.xn) AS sv, CAST(count(*) AS BIGINT) AS cnt
+            FROM asg{t} a JOIN nfull n USING (vec_id) GROUP BY a.c, n.i),
+mnrm{t} AS (SELECT c, sqrt(sum((sv / cnt) * (sv / cnt))) AS nr
+            FROM sums{t} GROUP BY c),
+cent{t} AS MATERIALIZED (SELECT s.c, s.i,
+              (s.sv / s.cnt) / (CASE WHEN r.nr = 0 THEN 1.0 ELSE r.nr END) AS v
+            FROM sums{t} s JOIN mnrm{t} r USING (c)
+            UNION ALL
+            SELECT p2.c, p2.i, p2.v FROM cent{p} p2
+            WHERE p2.c NOT IN (SELECT c FROM sums{t}))""")
+    T = CLUSTER_ITERS
+    parts.append(f""",
+dotsF AS (SELECT n.vec_id, c.c, sum(n.xn * c.v) AS s
+          FROM nfull n JOIN cent{T} c USING (i) GROUP BY n.vec_id, c.c)
+SELECT vec_id, c AS cluster FROM (
+  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+         ORDER BY s DESC, c ASC) AS rn FROM dotsF)
+WHERE rn = 1 ORDER BY vec_id""")
+    return "".join(parts)
+
+
 #: synthetic "benchmark" split for the decontamination lane: every 50th doc
 EVAL_HOLDOUT_MOD = 50
 
@@ -3320,6 +3428,7 @@ def make_queries() -> dict:
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
         "decontaminate": decontaminate,  # exact oracle (r4), new operator
+        "cluster_embeddings": cluster_embeddings,  # exact oracle (r4), new operator
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -4537,6 +4646,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["doc_fingerprints"] = fingerprint_oracle_sql()
     o["dedup_simhash"] = simhash_oracle_sql()
     o["decontaminate"] = decontaminate_oracle_sql()
+    o["cluster_embeddings"] = kmeans_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

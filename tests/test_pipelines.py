@@ -214,6 +214,31 @@ def test_ann_degeneracy_preconditions(ray_session):
             assert s[ANN_K - 1] - s[ANN_K] > 1e-9
 
 
+def test_kmeans_oracle_margins(ray_session):
+    """The unrolled-Lloyd SQL oracle for cluster_embeddings is exact
+    only while every per-iteration best-vs-second-best assignment margin
+    and every pre-normalize centroid norm dwarf f64 summation-order
+    noise (~1e-15) — a single boundary flip cascades through later
+    iterations.  Pin both margins (measured ~1e-5 / ~0.2) and the
+    distributed lane ≡ single-process reference equality."""
+    import pyarrow.parquet as pq
+
+    from fsray.cluster import assignment_margins, kmeans_reference
+    from fsray.pipelines import cluster_embeddings
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    vecs = t["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.float64).reshape(len(ids), -1)
+    gap, nrm = assignment_margins(ids, vecs)
+    assert gap > 1e-9, f"assignment margin {gap} too small for the SQL oracle"
+    assert nrm > 1e-9, f"centroid norm {nrm} too small for the SQL oracle"
+    ref_asg, _ = kmeans_reference(ids, vecs)
+    lane = cluster_embeddings(SF_DIR).to_pandas()
+    assert list(lane["cluster"]) == list(ref_asg[np.argsort(ids)])
+    # non-degenerate clustering: more than one cluster in use
+    assert lane["cluster"].nunique() > 1
+
+
 def test_simhash_capped_lane_equals_capless(ray_session):
     """DIV-R16 (the DIV-R13 pattern on the pigeonhole join): the simhash
     hot-group cap (SIMHASH_MAX_DF=256) is invisible on the driver corpus
