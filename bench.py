@@ -207,6 +207,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_events_sessionize", P.events_sessionize),
         ("x_decontaminate", P.decontaminate),
         ("x_cluster_embeddings", P.cluster_embeddings),
+        ("x_sample_stratified", P.sample_stratified),
+        ("x_ngram_counts", P.ngram_counts),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

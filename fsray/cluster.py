@@ -100,22 +100,39 @@ def lloyd_iterations(ds_factory, init_cent: np.ndarray,
     return cent
 
 
+def _lloyd_step(mat: np.ndarray, cent: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray, float]:
+    """ONE Lloyd step with the operator's pinned semantics — argmax
+    assign (ties → lowest cluster), per-cluster mean, empty clusters
+    keep their centroid, normalize.  Shared by the single-process
+    reference AND the margin measurement so the tie-break/empty-cluster
+    semantics the SQL oracle matches cannot drift between them.
+    Returns (assignments, new centroids, min pre-normalize mean norm)."""
+    asg = np.argmax(mat @ cent.T, axis=1)
+    sums = np.zeros_like(cent)
+    np.add.at(sums, asg, mat)
+    cnt = np.bincount(asg, minlength=len(cent))
+    nonempty = cnt > 0
+    new = cent.copy()
+    mean = sums[nonempty] / cnt[nonempty, None]
+    norms = np.linalg.norm(mean, axis=1)
+    new[nonempty] = normalize_rows(mean)
+    return asg, new, float(norms.min()) if len(norms) else np.inf
+
+
+def _init_centroids(ids: np.ndarray, mat: np.ndarray, k: int) -> np.ndarray:
+    """Init = the k SMALLEST vec_ids' normalized vectors, in vec_id order."""
+    return mat[np.argsort(ids)[:k]].copy()
+
+
 def kmeans_reference(ids: np.ndarray, vecs: np.ndarray, k: int = CLUSTER_K,
                      iters: int = CLUSTER_ITERS) -> tuple[np.ndarray, np.ndarray]:
     """Single-process reference with identical semantics (law tests).
     Returns (assignments aligned to ids order, final centroids)."""
     mat = normalize_rows(vecs.astype(np.float64))
-    # init = the k SMALLEST vec_ids' vectors, in vec_id order
-    smallest = np.argsort(ids)[:k]
-    cent = mat[smallest].copy()
+    cent = _init_centroids(ids, mat, k)
     for _ in range(iters):
-        asg = np.argmax(mat @ cent.T, axis=1)
-        sums = np.zeros_like(cent)
-        np.add.at(sums, asg, mat)
-        cnt = np.bincount(asg, minlength=k)
-        nonempty = cnt > 0
-        cent[nonempty] = sums[nonempty] / cnt[nonempty, None]
-        cent[nonempty] = normalize_rows(cent[nonempty])
+        _, cent, _ = _lloyd_step(mat, cent)
     return np.argmax(mat @ cent.T, axis=1), cent
 
 
@@ -123,23 +140,20 @@ def assignment_margins(ids: np.ndarray, vecs: np.ndarray, k: int = CLUSTER_K,
                        iters: int = CLUSTER_ITERS) -> tuple[float, float]:
     """(min best-vs-second-best similarity gap across every vector and
     every iteration incl. the final assign, min centroid norm before
-    normalize) — the two margins that license the exact SQL oracle."""
+    normalize across the ``iters`` real updates) — the two margins that
+    license the exact SQL oracle.  The final-assign pass measures its
+    gap only: no phantom (iters+1)-th update is folded in."""
     mat = normalize_rows(vecs.astype(np.float64))
-    smallest = np.argsort(ids)[:k]
-    cent = mat[smallest].copy()
+    cent = _init_centroids(ids, mat, k)
     min_gap, min_norm = np.inf, np.inf
-    for _ in range(iters + 1):  # the last loop measures the final assign
-        sims = mat @ cent.T
-        top2 = np.partition(sims, -2, axis=1)[:, -2:]
-        min_gap = min(min_gap, float((top2[:, 1] - top2[:, 0]).min()))
-        asg = np.argmax(sims, axis=1)
-        sums = np.zeros_like(cent)
-        np.add.at(sums, asg, mat)
-        cnt = np.bincount(asg, minlength=k)
-        nonempty = cnt > 0
-        mean = sums[nonempty] / cnt[nonempty, None]
-        norms = np.linalg.norm(mean, axis=1)
-        if len(norms):
-            min_norm = min(min_norm, float(norms.min()))
-        cent[nonempty] = normalize_rows(mean)
+
+    def gap(c: np.ndarray) -> float:
+        top2 = np.partition(mat @ c.T, -2, axis=1)[:, -2:]
+        return float((top2[:, 1] - top2[:, 0]).min())
+
+    for _ in range(iters):
+        min_gap = min(min_gap, gap(cent))
+        _, cent, nrm = _lloyd_step(mat, cent)
+        min_norm = min(min_norm, nrm)
+    min_gap = min(min_gap, gap(cent))  # the final assignment pass
     return min_gap, min_norm

@@ -817,6 +817,131 @@ def dedup_simhash(sf_dir: str, max_df: int | None = "default") -> pa.Table:
                      "hamming": pa.array(out["hamming"].astype("int64"), type=pa.int64())})
 
 
+#: per-language sampling rates (permille) for the stratified sampler —
+#: deliberately unequal so the lane exercises real stratification
+SAMPLE_RATES_PERMILLE = {"en": 200, "de": 500, "fr": 800}
+SAMPLE_DEFAULT_PERMILLE = 350
+#: Knuth multiplicative hash: deterministic, split-invariant, and
+#: trivially SQL-replayable — the scale-safe sampler (no RNG state, no
+#: reservoir coordination; every worker decides per row independently)
+SAMPLE_HASH_MULT = 2654435761
+
+
+def sample_stratified(sf_dir: str) -> pa.Table:
+    """Deterministic stratified sampling — the corpus-downsampling /
+    data-mixing operator (per-language rates here; per-source or
+    per-quality-bucket identically).  Keep iff
+    ``(doc_id · 2654435761) mod 2³² mod 1000 < rate[lang]``: pure
+    per-row arithmetic, so the stage is an embarrassingly parallel
+    vectorized ``map_batches`` filter with NO shuffle and NO RNG state —
+    rerunnable, split-invariant, and exactly replayable in SQL (the
+    hash-sampling shape a 100-TB mixer actually uses)."""
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.uint64)
+        langs = b["lang"].to_pylist()
+        rate = np.array([SAMPLE_RATES_PERMILLE.get(lg, SAMPLE_DEFAULT_PERMILLE)
+                         for lg in langs], dtype=np.uint64)
+        h = (ids * np.uint64(SAMPLE_HASH_MULT)) % np.uint64(2**32)
+        return b.filter(pa.array((h % np.uint64(1000)) < rate))
+
+    out = (ds.map_batches(keep_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .to_pandas().sort_values("doc_id"))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+        "lang": pa.array(out["lang"], type=pa.string()),
+    })
+
+
+def sample_oracle_sql() -> str:
+    """Exact oracle for ``sample_stratified`` (same integer arithmetic)."""
+    cases = " ".join(f"WHEN '{lg}' THEN {r}"
+                     for lg, r in SAMPLE_RATES_PERMILLE.items())
+    # HUGEINT product (the FNV-oracle discipline): BIGINT would overflow
+    # at doc_id > 2^63 / MULT, where the engine's uint64 wrap is fine —
+    # and mod 2^32 of the exact product equals the wrapped result since
+    # 2^32 divides 2^64
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * CAST({SAMPLE_HASH_MULT} AS HUGEINT)) % 4294967296) % 1000
+      < (CASE lang {cases} ELSE {SAMPLE_DEFAULT_PERMILLE} END)
+ORDER BY doc_id"""
+
+
+NGRAM_TOP_K = 50
+
+
+def ngram_counts(sf_dir: str) -> pa.Table:
+    """Corpus bigram statistics (the n-gram LM building block quality
+    filters train on): top-``NGRAM_TOP_K`` token bigrams by total count
+    (count desc, bigram asc).  Partial bigram counts are combined INSIDE
+    ``map_batches`` (the combiner pattern), so the groupby shuffles
+    vocab²-bounded aggregates, never one row per occurrence — the same
+    pre-aggregation discipline as ``top_terms``.  Bigram adjacency is
+    over ADMITTED tokens (survivors of the >MAX_TOKEN_BYTES drop count
+    as adjacent — the index's own view of the doc; the oracle applies
+    the identical drop)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from fsray.tokenizer import tokenize_column
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        toks = tokenize_column(b["text"].combine_chunks().cast(pa.string()).fill_null(""))
+        counts = np.diff(np.asarray(toks.offsets))
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        # bigram validity: both tokens inside the same doc
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        valid = doc_of[:-1] == doc_of[1:]
+        left, right = flat[:-1][valid], flat[1:][valid]
+        s = pd.Series(np.char.add(np.char.add(left.astype(str), " "),
+                                  right.astype(str)))
+        vc = s.value_counts()
+        return pa.table({"bigram": pa.array(vc.index, type=pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    ds = (_docs_ds(sf_dir)
+          .map_batches(bigram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .repartition(_stats_blocks())
+          .groupby("bigram").aggregate(Sum("n")).to_pandas())
+    ds = ds.sort_values(["sum(n)", "bigram"],
+                        ascending=[False, True]).head(NGRAM_TOP_K)
+    return pa.table({
+        "bigram": pa.array(ds["bigram"], type=pa.string()),
+        "n": pa.array(ds["sum(n)"].astype("int64"), type=pa.int64()),
+    })
+
+
+def ngram_oracle_sql() -> str:
+    """Exact oracle for ``ngram_counts``: positional bigrams per doc via
+    list ops (order-exact, mirrors `_shingle_sql`'s k=2 shape without
+    the per-doc DISTINCT — counts are per occurrence).  Bigrams are over
+    ADMITTED tokens: the oracle drops >MAX_TOKEN_BYTES tokens exactly
+    like the engine tokenizer, so survivors on either side of a dropped
+    token count as adjacent on BOTH sides (byte==char on the pure-ASCII
+    corpus)."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    return f"""
+WITH docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '{SPLIT_SQL}'),
+                x -> x <> '' AND length(x) <= {MAX_TOKEN_BYTES}) AS arr
+  FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(arr)),
+                                    i -> arr[i] || ' ' || arr[i+1])) AS bigram
+       FROM docs_arr WHERE len(arr) >= 2),
+cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
+SELECT bigram, n FROM cnt ORDER BY n DESC, bigram ASC LIMIT {NGRAM_TOP_K}"""
+
+
 def cluster_embeddings(sf_dir: str) -> pa.Table:
     """Spherical k-means clustering over the embedding column — the
     cluster-based-curation operator (cluster→balance/sample, semantic
@@ -844,19 +969,17 @@ def cluster_embeddings(sf_dir: str) -> pa.Table:
     import ray
     import ray.data as rd
 
-    from fsray.cluster import (CLUSTER_K, _batch_mat, lloyd_iterations)
-    from fsray.dedup import normalize_rows
+    from fsray.cluster import CLUSTER_K, _batch_mat, lloyd_iterations
     path = os.path.join(sf_dir, "embeddings.parquet")
     ids_only = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
     init_ids = np.sort(ids_only.astype(np.int64))[:CLUSTER_K]
     init_t = pq.read_table(path, columns=["vec_id", "embedding"],
                            filters=[("vec_id", "in",
                                      [int(x) for x in init_ids])])
-    iid = init_t["vec_id"].to_numpy().astype(np.int64)
-    flat = init_t["embedding"].combine_chunks().flatten().to_numpy(
-        zero_copy_only=False)
-    cent = normalize_rows(flat.astype(np.float64).reshape(len(iid), -1)
-                          )[np.argsort(iid)]
+    # same decode+normalize kernel as every per-batch pass — the init
+    # parity the oracle's cent0 CTE depends on
+    iid, mat0 = _batch_mat(init_t)
+    cent = mat0[np.argsort(iid)]
 
     def factory():
         return (rd.read_parquet(path, columns=["vec_id", "embedding"])
@@ -3429,6 +3552,8 @@ def make_queries() -> dict:
         "multimodal_audio_decode": multimodal_audio_decode,
         "decontaminate": decontaminate,  # exact oracle (r4), new operator
         "cluster_embeddings": cluster_embeddings,  # exact oracle (r4), new operator
+        "sample_stratified": sample_stratified,  # exact oracle (r4), new operator
+        "ngram_counts": ngram_counts,  # exact oracle (r4), new operator
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -4647,6 +4772,8 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["dedup_simhash"] = simhash_oracle_sql()
     o["decontaminate"] = decontaminate_oracle_sql()
     o["cluster_embeddings"] = kmeans_oracle_sql()
+    o["sample_stratified"] = sample_oracle_sql()
+    o["ngram_counts"] = ngram_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

@@ -214,6 +214,35 @@ def test_ann_degeneracy_preconditions(ray_session):
             assert s[ANN_K - 1] - s[ANN_K] > 1e-9
 
 
+def test_ngram_counts_oversized_token_adjacency(ray_session, tmp_path):
+    """Bigram adjacency is over ADMITTED tokens: a >MAX_TOKEN_BYTES token
+    is dropped by the engine tokenizer and its neighbors become adjacent
+    — and the SQL oracle applies the identical drop, so lane and oracle
+    agree on exactly this corpus class (the review scenario that would
+    otherwise diverge silently)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from fsray.contract import MAX_TOKEN_BYTES
+    from fsray.pipelines import ngram_counts, ngram_oracle_sql
+    big = "z" * (MAX_TOKEN_BYTES + 1)
+    texts = [f"alpha {big} beta", "alpha beta", "gamma delta gamma"]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    lane = ngram_counts(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    orc = con.sql(ngram_oracle_sql()).df()
+    assert list(lane["bigram"]) == list(orc["bigram"])
+    assert list(lane["n"]) == list(orc["n"])
+    # the dropped token's neighbors count as adjacent: 'alpha beta' x2
+    row = lane[lane.bigram == "alpha beta"]
+    assert not row.empty and int(row["n"].iloc[0]) == 2
+
+
 def test_kmeans_oracle_margins(ray_session):
     """The unrolled-Lloyd SQL oracle for cluster_embeddings is exact
     only while every per-iteration best-vs-second-best assignment margin
