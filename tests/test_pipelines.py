@@ -214,6 +214,25 @@ def test_ann_degeneracy_preconditions(ray_session):
             assert s[ANN_K - 1] - s[ANN_K] > 1e-9
 
 
+def test_two_sf_dirs_one_process(ray_session):
+    """The verify-skill probe as a pinned law: running the same BM25
+    lane over TWO different sf_dirs in one process returns each corpus'
+    own exact answer — the per-sf index cache must key by directory, not
+    leak the first corpus into the second."""
+    import duckdb
+
+    q = entrymod.queries()["bm25_topk_single"]
+    sql = entrymod.oracle_sql()["bm25_topk_single"]
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        got = _to_table(q(sf)).to_pandas()
+        con = duckdb.connect()
+        for tbl in ("documents",):
+            con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf}/{tbl}.parquet'")
+        exp = con.sql(sql).df()
+        assert list(got["doc_id"]) == list(exp["doc_id"]), sf
+        con.close()
+
+
 def test_ngram_counts_oversized_token_adjacency(ray_session, tmp_path):
     """Bigram adjacency is over ADMITTED tokens: a >MAX_TOKEN_BYTES token
     is dropped by the engine tokenizer and its neighbors become adjacent
