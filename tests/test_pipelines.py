@@ -219,15 +219,13 @@ def test_two_sf_dirs_one_process(ray_session):
     lane over TWO different sf_dirs in one process returns each corpus'
     own exact answer — the per-sf index cache must key by directory, not
     leak the first corpus into the second."""
-    import duckdb
-
     q = entrymod.queries()["bm25_topk_single"]
     sql = entrymod.oracle_sql()["bm25_topk_single"]
-    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+    second = ("/root/testdata/sf0.01" if SF_DIR != "/root/testdata/sf0.01"
+              else "/root/testdata/sf0.001")  # never collapse to one dir
+    for sf in (SF_DIR, second):
         got = _to_table(q(sf)).to_pandas()
-        con = duckdb.connect()
-        for tbl in ("documents",):
-            con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf}/{tbl}.parquet'")
+        con = _duck(sf)
         exp = con.sql(sql).df()
         assert list(got["doc_id"]) == list(exp["doc_id"]), sf
         con.close()
