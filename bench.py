@@ -209,6 +209,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_cluster_embeddings", P.cluster_embeddings),
         ("x_sample_stratified", P.sample_stratified),
         ("x_ngram_counts", P.ngram_counts),
+        ("x_winnow_fingerprints", P.winnow_fingerprints),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

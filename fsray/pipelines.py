@@ -942,6 +942,94 @@ cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
 SELECT bigram, n FROM cnt ORDER BY n DESC, bigram ASC LIMIT {NGRAM_TOP_K}"""
 
 
+def winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing fingerprints per document (Schleimer/Wilkerson/Aiken
+    2003 — the MOSS code-similarity scheme, squarely the CODE-payload
+    fingerprint this engine's corpus calls for): token 3-gram rolling
+    hashes, rightmost-minimum selection over every 4-window, distinct
+    selected (pos, fp) rows.  Guarantee: any two docs sharing a run of
+    ≥ k+w-1 tokens share at least one selected fingerprint — the basis
+    for code-clone candidate generation (``groupby(fp)``) without any
+    pairwise work.  Embarrassingly parallel ``map_batches`` (no
+    shuffle); EXACT oracle: FNV-1a + FNV-prime positional mix replayed
+    in HUGEINT SQL with the identical window/tie rules
+    (``winnow_oracle_sql``).  Fingerprints are over ADMITTED tokens
+    (the >MAX_TOKEN_BYTES drop applies on both sides)."""
+    from fsray.textops import winnow_batch
+    ds = _docs_ds(sf_dir).map_batches(winnow_batch, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = ds.to_pandas().sort_values(["doc_id", "pos"])
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+        "pos": pa.array(out["pos"].to_numpy(), type=pa.int64()),
+        "fp": pa.array(out["fp"].to_numpy(), type=pa.int64()),
+    })
+
+
+def winnow_oracle_sql() -> str:
+    """Exact oracle for ``winnow_fingerprints``: per-occurrence FNV-1a
+    (the fingerprint oracle's positional byte-fold), the k=3 rolling mix
+    ``(h₁·P + h₂)·P + h₃ mod 2^64`` via the 32-bit-split HUGEINT
+    multiply, full 4-windows only, min with RIGHTMOST tie-break,
+    distinct selected positions."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    from fsray.textops import WINNOW_K, WINNOW_W  # noqa: F401 (K pinned at 3 below)
+    M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
+    P = 1099511628211
+    PHI = (P << 32) % (2 ** 64)                      # (P·2^32) mod 2^64
+
+    def mulp(x: str) -> str:
+        return (f"(({x}) // 4294967296) * CAST('{PHI}' AS HUGEINT)"
+                f" + (({x}) % 4294967296) * {P}")
+
+    wm1 = WINNOW_W - 1
+    return f"""
+WITH RECURSIVE
+docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '{SPLIT_SQL}'),
+                x -> x <> '' AND length(x) <= {MAX_TOKEN_BYTES}) AS arr
+  FROM documents),
+tok2 AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i,
+                unnest(arr) AS tok
+         FROM docs_arr),
+fnv(doc_id, i, k, tok, h) AS (
+  SELECT doc_id, i, 0, tok, CAST('14695981039346656037' AS HUGEINT)
+  FROM tok2
+  UNION ALL
+  SELECT f.doc_id, f.i, f.k + 1, f.tok,
+         ((f.h - (f.h % 256)
+           + CAST(xor(CAST(f.h % 256 AS BIGINT),
+                      CAST(ascii(substr(f.tok, CAST(f.k + 1 AS INT), 1))
+                           AS BIGINT)) AS HUGEINT))
+          * CAST({P} AS HUGEINT)) % {M}
+  FROM fnv f WHERE f.k < length(f.tok)
+),
+hfin AS (SELECT doc_id, i, h FROM fnv WHERE k = length(tok)),
+kg1 AS (SELECT a.doc_id, a.i, ({mulp('a.h')} + b.h) % {M} AS c1, b.i AS i2
+        FROM hfin a JOIN hfin b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+kg AS MATERIALIZED (SELECT g.doc_id, g.i, ({mulp('g.c1')} + d.h) % {M} AS c
+       FROM kg1 g JOIN hfin d ON d.doc_id = g.doc_id AND d.i = g.i + 2),
+nkg AS (SELECT doc_id, count(*) AS m FROM kg GROUP BY doc_id),
+win AS (SELECT g.doc_id, g.i AS wstart, min(mm.c) AS wmin
+        FROM kg g
+        JOIN nkg ON nkg.doc_id = g.doc_id
+        JOIN kg mm ON mm.doc_id = g.doc_id
+                   AND mm.i BETWEEN g.i AND g.i + {wm1}
+        WHERE g.i <= nkg.m - {wm1}
+        GROUP BY g.doc_id, g.i),
+sel AS (SELECT DISTINCT w.doc_id,
+          (SELECT max(m2.i) FROM kg m2
+           WHERE m2.doc_id = w.doc_id
+             AND m2.i BETWEEN w.wstart AND w.wstart + {wm1}
+             AND m2.c = w.wmin) AS j,
+          w.wmin AS c
+        FROM win w)
+SELECT doc_id, j - 1 AS pos,
+       CAST(CASE WHEN c >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN c - {M} ELSE c END AS BIGINT) AS fp
+FROM sel ORDER BY doc_id, pos"""
+
+
 def cluster_embeddings(sf_dir: str) -> pa.Table:
     """Spherical k-means clustering over the embedding column — the
     cluster-based-curation operator (cluster→balance/sample, semantic
@@ -3554,6 +3642,7 @@ def make_queries() -> dict:
         "cluster_embeddings": cluster_embeddings,  # exact oracle (r4), new operator
         "sample_stratified": sample_stratified,  # exact oracle (r4), new operator
         "ngram_counts": ngram_counts,  # exact oracle (r4), new operator
+        "winnow_fingerprints": winnow_fingerprints,  # exact oracle (r4), new operator
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -4774,6 +4863,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["cluster_embeddings"] = kmeans_oracle_sql()
     o["sample_stratified"] = sample_oracle_sql()
     o["ngram_counts"] = ngram_oracle_sql()
+    o["winnow_fingerprints"] = winnow_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

@@ -194,6 +194,74 @@ def fingerprint_batch(batch: pa.Table, text_column: str = "text",
                      "fingerprint": pa.array(fp.astype(np.int64), type=pa.int64())})
 
 
+WINNOW_K = 3   # token k-gram width
+WINNOW_W = 4   # winnowing window (guarantee: matches ≥ k+w-1 tokens share a print)
+
+
+def winnow_batch(batch: pa.Table, k: int = WINNOW_K, w: int = WINNOW_W,
+                 text_column: str = "text", id_column: str = "doc_id"
+                 ) -> pa.Table:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    code-similarity scheme) per document: token k-gram rolling hashes,
+    then from every length-``w`` window of consecutive k-gram hashes
+    select the minimum (RIGHTMOST minimum on ties — the robust-winnowing
+    rule), emit the distinct selected (position, fingerprint) pairs.
+
+    All arithmetic is pinned-public (FNV-1a token hashes + the FNV-prime
+    positional mix, mod 2^64), so the whole selection replays exactly in
+    SQL (``winnow_oracle_sql``).  Vectorized: the window minimum and the
+    rightmost-tie argmin run as w shifted whole-column views — no per-doc
+    or per-window Python.  Docs with fewer than ``k + w - 1`` tokens
+    have no full window and emit nothing (the strict winnowing
+    definition).  Output rows: (doc_id, pos, fp) where pos is the
+    0-based k-gram start within the doc."""
+    toks = tokenize_column(batch[text_column].combine_chunks()
+                           .cast(pa.string()).fill_null(""))
+    counts, starts = _doc_segments(toks)
+    flat = toks.flatten()
+    ids = batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
+    h = _fnv1a64_tokens(flat)
+    empty = pa.table({id_column: pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64()),
+                      "fp": pa.array([], type=pa.int64())})
+    if len(h) == 0:
+        return empty
+    # k-gram rolling hash at each token position (same fold as
+    # shingle_hashes: comb = (...(h_i·P + h_{i+1})·P + ...) mod 2^64)
+    with np.errstate(over="ignore"):
+        comb = h.copy()
+        for j in range(1, k):
+            lim = len(h) - j
+            comb[:lim] = comb[:lim] * FNV64_PRIME + h[j:]
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    tok_pos = np.arange(len(h), dtype=np.int64) - np.repeat(starts[:-1], counts)
+    kg_counts = np.maximum(counts - (k - 1), 0)
+    kg_valid = tok_pos < np.repeat(kg_counts, counts)
+    c = comb[kg_valid]
+    cdoc = doc_of[kg_valid]
+    cpos = tok_pos[kg_valid]
+    if len(c) < w:
+        return empty
+    # full windows only: start index i with all w members in one doc
+    n_win = len(c) - w + 1
+    win_ok = cdoc[:n_win] == cdoc[w - 1:]
+    if not win_ok.any():
+        return empty
+    S = np.stack([c[j:j + n_win] for j in range(w)])          # (w, n_win)
+    wmin = S.min(axis=0)
+    # rightmost tie: first match scanning the REVERSED shift stack
+    jsel = (w - 1) - np.argmax(S[::-1] == wmin[None, :], axis=0)
+    # a k-gram's flat index IS its (doc, pos) identity, and the flat
+    # array is already (doc, pos)-ordered — dedupe on indexes, stay
+    # vectorized, come out sorted
+    sel_idx = np.unique(np.flatnonzero(win_ok) + jsel[win_ok])
+    return pa.table({
+        id_column: pa.array(ids[cdoc[sel_idx]], type=pa.int64()),
+        "pos": pa.array(cpos[sel_idx], type=pa.int64()),
+        "fp": pa.array(c[sel_idx].astype(np.int64), type=pa.int64()),
+    })
+
+
 def term_stats_partial(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Per-batch (term, tf_partial, df_partial) — combiner before the tiny
     ``groupby(term)`` shuffle (the STATS/doc_freq rollup discipline,

@@ -260,6 +260,40 @@ def test_ngram_counts_oversized_token_adjacency(ray_session, tmp_path):
     assert not row.empty and int(row["n"].iloc[0]) == 2
 
 
+def test_winnowing_guarantee(ray_session, tmp_path):
+    """The winnowing property (Schleimer 2003): two documents sharing a
+    run of ≥ k+w-1 (= 6) tokens share at least one selected fingerprint
+    — the basis for groupby(fp) clone-candidate generation.  Also pins
+    the rightmost-min tie rule end-to-end via the SQL oracle on a
+    synthetic corpus with repeated k-grams (forced hash ties)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import winnow_fingerprints, winnow_oracle_sql
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 shared tokens
+    texts = [f"one two {shared} three four",
+             f"five six seven {shared} eight",
+             "rep rep rep rep rep rep rep rep",       # identical k-grams: ties
+             "unrelated words only here now maybe"]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = winnow_fingerprints(str(tmp_path)).to_pandas()
+    fp0 = set(out[out.doc_id == 0]["fp"])
+    fp1 = set(out[out.doc_id == 1]["fp"])
+    assert fp0 & fp1, "shared 6-token run must share a fingerprint"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    orc = con.sql(winnow_oracle_sql()).df()
+    assert list(out["doc_id"]) == list(orc["doc_id"])
+    assert list(out["pos"]) == list(orc["pos"])
+    assert list(out["fp"]) == list(orc["fp"])
+    # the all-equal doc selects via the rightmost-tie rule: one distinct
+    # fp, selected at every window's last slot → positions w-1 .. n_kg-1
+    d2 = out[out.doc_id == 2]
+    assert d2["fp"].nunique() == 1 and list(d2["pos"]) == [3, 4, 5]
+
+
 def test_kmeans_oracle_margins(ray_session):
     """The unrolled-Lloyd SQL oracle for cluster_embeddings is exact
     only while every per-iteration best-vs-second-best assignment margin
