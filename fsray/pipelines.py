@@ -1030,6 +1030,238 @@ SELECT doc_id, j - 1 AS pos,
 FROM sel ORDER BY doc_id, pos"""
 
 
+#: exact-substring window length in tokens.  Lee et al. use 50 BPE tokens
+#: at corpus scale; 8 here so the synthetic corpus (docs ~60 tokens)
+#: exercises the operator non-trivially — the knob, not the shape.
+SUBSTR_L = 8
+#: flag a doc when ≥ this permille of its tokens sit inside a window that
+#: also occurs in another document
+SUBSTR_FLAG_PERMILLE = 200
+
+
+def dedup_substring(sf_dir: str) -> pa.Table:
+    """Exact-substring duplication census (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr signal,
+    expressed window-wise instead of suffix-array-wise): for every doc,
+    how many ``SUBSTR_L``-token window starts also occur in ANOTHER doc,
+    the interval-union token coverage of those windows, and the
+    ≥``SUBSTR_FLAG_PERMILLE``‰-covered flag a cleaning pass drops on.
+
+    Ray shape (the 100-TB contract): pass 1 emits per-doc-DISTINCT
+    window-hash rows (``map_batches``, no positions) and the only
+    all-to-all is ``groupby(win).count()`` over those pre-deduped hashes;
+    the DUPLICATED window set — bounded by duplicated content, the small
+    side by dedup's own premise — returns to the driver once and is
+    broadcast via ``ray.put``; pass 2 re-derives windows per batch and
+    computes coverage fully vectorized (diff-array cumsum in flat token
+    space), one output row per doc.  If the dup set ever outgrows worker
+    heaps the documented swap is a partition-wise semi-join
+    (hash-partition both sides by window hash) — same census, one more
+    shuffle.  EXACT oracle conditional on FNV-mix collision-freeness over
+    the corpus windows (the green Jaccard/decontaminate precedent;
+    law-pinned by ``test_substring_hash_collision_free``)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from fsray.textops import substring_coverage_batch, window_doc_rows
+
+    dup = (_docs_ds(sf_dir)
+           .map_batches(lambda b: window_doc_rows(b, SUBSTR_L),
+                        batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("win").aggregate(Count())
+           .map_batches(lambda b: b.filter(pc.greater_equal(b["count()"], 2)),
+                        batch_format="pyarrow")
+           .select_columns(["win"])
+           .to_pandas())
+    dup_ref = ray.put(np.sort(dup["win"].to_numpy().astype(np.int64)))
+    out = (_docs_ds(sf_dir)
+           .map_batches(lambda b: substring_coverage_batch(
+               b, ray.get(dup_ref), SUBSTR_L),
+               batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas().sort_values("doc_id"))
+    nt = out["n_tokens"].to_numpy()
+    cov = out["dup_tokens"].to_numpy()
+    flagged = (nt > 0) & (cov * 1000 >= nt * SUBSTR_FLAG_PERMILLE)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+        "n_tokens": pa.array(nt, type=pa.int64()),
+        "dup_starts": pa.array(out["dup_starts"].to_numpy(), type=pa.int64()),
+        "dup_tokens": pa.array(cov, type=pa.int64()),
+        "flagged": pa.array(flagged, type=pa.bool_()),
+    })
+
+
+def substring_oracle_sql() -> str:
+    """Exact oracle for ``dedup_substring``: string windows over ADMITTED
+    tokens (the ngram_counts drop discipline), duplicated = seen in ≥2
+    distinct docs, coverage = count of DISTINCT unnested positions —
+    interval union replayed set-wise."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    g = " || ' ' || ".join(
+        "arr[i]" if j == 0 else f"arr[i+{j}]" for j in range(SUBSTR_L))
+    return f"""
+WITH docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '{SPLIT_SQL}'),
+                x -> x <> '' AND length(x) <= {MAX_TOKEN_BYTES}) AS arr
+  FROM documents),
+win AS (SELECT doc_id, i AS s, {g} AS g
+        FROM docs_arr, unnest(range(1, len(arr) - {SUBSTR_L} + 2)) AS t(i)
+        WHERE len(arr) >= {SUBSTR_L}),
+dup AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, s FROM win WHERE g IN (SELECT g FROM dup)),
+cov AS (SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS dup_starts,
+               CAST(count(DISTINCT p) AS BIGINT) AS dup_tokens
+        FROM hits, unnest(range(s, s + {SUBSTR_L})) AS u(p) GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM docs_arr)
+SELECT nt.doc_id, nt.n_tokens,
+       COALESCE(c.dup_starts, 0) AS dup_starts,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       nt.n_tokens > 0 AND COALESCE(c.dup_tokens, 0) * 1000
+           >= nt.n_tokens * {SUBSTR_FLAG_PERMILLE} AS flagged
+FROM nt LEFT JOIN cov c USING (doc_id)
+ORDER BY nt.doc_id"""
+
+
+#: flag when the most frequent bigram covers ≥ this permille of tokens
+#: (Gopher/MassiveText's top-2-gram-fraction rule, token-wise)
+REP_TOP2_PERMILLE = 200
+#: flag when tokens inside within-doc-repeated 3-grams ≥ this permille
+REP_3G_PERMILLE = 100
+
+
+def quality_repetition(sf_dir: str) -> pa.Table:
+    """Within-doc repetition quality filter (Rae et al. 2021 §A1.1 — the
+    Gopher/MassiveText repetition rules, token-wise): per doc the count of
+    its most frequent bigram, the token coverage of 3-grams repeated ≥2×
+    within the doc, and the two integer-permille flags.  Embarrassingly
+    parallel vectorized ``map_batches`` — repetition is a WITHIN-doc
+    property, so there is NO shuffle at any scale (the cheapest quality
+    gate a 100-TB pipeline runs, upstream of every dedup).  EXACT oracle
+    under the same FNV collision-freeness precondition as
+    ``dedup_substring``."""
+    from fsray.textops import repetition_batch
+    out = (_docs_ds(sf_dir)
+           .map_batches(lambda b: repetition_batch(
+               b, REP_TOP2_PERMILLE, REP_3G_PERMILLE),
+               batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas().sort_values("doc_id"))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(), type=pa.int64()),
+        "top2_n": pa.array(out["top2_n"].to_numpy(), type=pa.int64()),
+        "rep3_tokens": pa.array(out["rep3_tokens"].to_numpy(), type=pa.int64()),
+        "top2_flag": pa.array(out["top2_flag"].to_numpy(), type=pa.bool_()),
+        "rep3_flag": pa.array(out["rep3_flag"].to_numpy(), type=pa.bool_()),
+    })
+
+
+def repetition_oracle_sql() -> str:
+    """Exact oracle for ``quality_repetition``: per-(doc, gram) counts over
+    string grams, max for top2, HAVING ≥2 + distinct-position unnest for
+    the repeated-3-gram coverage."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    return f"""
+WITH docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '{SPLIT_SQL}'),
+                x -> x <> '' AND length(x) <= {MAX_TOKEN_BYTES}) AS arr
+  FROM documents),
+bg AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
+       FROM docs_arr, unnest(range(1, len(arr))) AS t(i) WHERE len(arr) >= 2),
+top2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_n
+         FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+         GROUP BY doc_id),
+tg0 AS (SELECT doc_id, i AS s, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+        FROM docs_arr, unnest(range(1, len(arr) - 1)) AS t(i)
+        WHERE len(arr) >= 3),
+rep AS (SELECT a.doc_id, a.s FROM tg0 a
+        JOIN (SELECT doc_id, g FROM tg0 GROUP BY doc_id, g
+              HAVING count(*) >= 2) d
+          ON a.doc_id = d.doc_id AND a.g = d.g),
+cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS rep3_tokens
+        FROM rep, unnest(range(s, s + 3)) AS u(p) GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM docs_arr)
+SELECT nt.doc_id, nt.n_tokens,
+       COALESCE(top2.top2_n, 0) AS top2_n,
+       COALESCE(cov.rep3_tokens, 0) AS rep3_tokens,
+       nt.n_tokens > 0 AND COALESCE(top2.top2_n, 0) * 2000
+           >= nt.n_tokens * {REP_TOP2_PERMILLE} AS top2_flag,
+       nt.n_tokens > 0 AND COALESCE(cov.rep3_tokens, 0) * 1000
+           >= nt.n_tokens * {REP_3G_PERMILLE} AS rep3_flag
+FROM nt LEFT JOIN top2 USING (doc_id) LEFT JOIN cov USING (doc_id)
+ORDER BY nt.doc_id"""
+
+
+#: quantile grid (permille) for the length-distribution rollup
+QUANTILE_PERMILLES = (250, 500, 750, 900)
+
+
+def length_quantiles(sf_dir: str) -> pa.Table:
+    """Per-language EXACT n_chars quantiles WITHOUT a distributed sort —
+    the length-distribution audit every corpus-curation pass starts with.
+
+    Ray shape: the shuffle carries a (lang, value) HISTOGRAM — per-batch
+    ``value_counts`` partials combined inside ``map_batches``, then a
+    groupby whose input is bounded by DISTINCT (lang, value) pairs, never
+    by rows; the driver reduces quantile picks from the cumsum
+    (|langs|×|grid| ints, the centroid-reduce discipline).  n_chars is
+    bounded, so the exact histogram IS the 100-TB path; for
+    unbounded-cardinality value columns the documented swap is fixed-width
+    binning (or a mergeable quantile sketch) behind the same combiner.
+    Discrete quantile definition pinned: the value at 1-based ascending
+    index ``ceil(q·n/1000)`` — replayed verbatim by the SQL window
+    oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "n_chars"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"lang": b["lang"].to_pylist(),
+                           "n_chars": b["n_chars"].to_numpy()})
+        vc = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="n")
+        return pa.table({"lang": pa.array(vc["lang"], type=pa.string()),
+                         "n_chars": pa.array(vc["n_chars"].to_numpy(), type=pa.int64()),
+                         "n": pa.array(vc["n"].to_numpy().astype(np.int64))})
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(_stats_blocks())
+            .groupby(["lang", "n_chars"]).aggregate(Sum("n"))
+            .to_pandas())
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        cum = g["sum(n)"].to_numpy().cumsum()
+        ntot = int(cum[-1])
+        for q in QUANTILE_PERMILLES:
+            idx = (q * ntot + 999) // 1000
+            rows.append((lang, q, int(vals[np.searchsorted(cum, idx, side="left")])))
+    rows.sort()
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], type=pa.string()),
+        "q_permille": pa.array([r[1] for r in rows], type=pa.int64()),
+        "value": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+def length_quantiles_oracle_sql() -> str:
+    """Exact oracle for ``length_quantiles``: the same discrete-quantile
+    definition as a row_number window pick."""
+    qs = ", ".join(f"({q})" for q in QUANTILE_PERMILLES)
+    return f"""
+WITH r AS (SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents),
+qs(q) AS (VALUES {qs})
+SELECT lang, CAST(q AS BIGINT) AS q_permille, CAST(n_chars AS BIGINT) AS value
+FROM r JOIN qs ON rn = (q * n + 999) // 1000
+ORDER BY lang, q_permille"""
+
+
 def cluster_embeddings(sf_dir: str) -> pa.Table:
     """Spherical k-means clustering over the embedding column — the
     cluster-based-curation operator (cluster→balance/sample, semantic
@@ -3643,6 +3875,9 @@ def make_queries() -> dict:
         "sample_stratified": sample_stratified,  # exact oracle (r4), new operator
         "ngram_counts": ngram_counts,  # exact oracle (r4), new operator
         "winnow_fingerprints": winnow_fingerprints,  # exact oracle (r4), new operator
+        "dedup_substring": dedup_substring,  # exact oracle (r4), new operator
+        "quality_repetition": quality_repetition,  # exact oracle (r4), new operator
+        "length_quantiles": length_quantiles,  # exact oracle (r4), new operator
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -4864,6 +5099,9 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["sample_stratified"] = sample_oracle_sql()
     o["ngram_counts"] = ngram_oracle_sql()
     o["winnow_fingerprints"] = winnow_oracle_sql()
+    o["dedup_substring"] = substring_oracle_sql()
+    o["quality_repetition"] = repetition_oracle_sql()
+    o["length_quantiles"] = length_quantiles_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

@@ -194,6 +194,38 @@ def fingerprint_batch(batch: pa.Table, text_column: str = "text",
                      "fingerprint": pa.array(fp.astype(np.int64), type=pa.int64())})
 
 
+def _kgram_occurrences(toks: pa.ListArray, k: int
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray, np.ndarray]:
+    """Per-OCCURRENCE k-gram rolling hashes with their (doc, pos) identity.
+
+    Returns ``(gram_hash, doc_index, pos_in_doc, token_counts, token_starts)``
+    where gram_hash is the pinned-public FNV-1a + FNV-prime positional fold
+    (``(...(h_i·P + h_{i+1})·P + ...) mod 2^64`` — the same mix as
+    ``shingle_hashes`` / ``winnow_batch``, so every consumer replays in
+    HUGEINT SQL).  Unlike ``shingle_hashes`` this keeps EVERY occurrence
+    and its start position — the form the coverage/repetition kernels
+    need.  Grams never cross doc boundaries."""
+    counts, starts = _doc_segments(toks)
+    flat = toks.flatten()
+    h = _fnv1a64_tokens(flat)
+    if len(h) == 0:
+        z64 = np.zeros(0, dtype=np.uint64)
+        zi = np.zeros(0, dtype=np.int64)
+        return z64, zi, zi, counts, starts
+    with np.errstate(over="ignore"):
+        comb = h.copy()
+        for j in range(1, k):
+            lim = len(h) - j
+            comb[:lim] = comb[:lim] * FNV64_PRIME + h[j:]
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    tok_pos = np.arange(len(h), dtype=np.int64) - np.repeat(starts[:-1], counts)
+    kg_counts = np.maximum(counts - (k - 1), 0)
+    kg_valid = tok_pos < np.repeat(kg_counts, counts)
+    return (comb[kg_valid], doc_of[kg_valid].astype(np.int64),
+            tok_pos[kg_valid], counts, starts)
+
+
 WINNOW_K = 3   # token k-gram width
 WINNOW_W = 4   # winnowing window (guarantee: matches ≥ k+w-1 tokens share a print)
 
@@ -217,29 +249,11 @@ def winnow_batch(batch: pa.Table, k: int = WINNOW_K, w: int = WINNOW_W,
     0-based k-gram start within the doc."""
     toks = tokenize_column(batch[text_column].combine_chunks()
                            .cast(pa.string()).fill_null(""))
-    counts, starts = _doc_segments(toks)
-    flat = toks.flatten()
     ids = batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
-    h = _fnv1a64_tokens(flat)
     empty = pa.table({id_column: pa.array([], type=pa.int64()),
                       "pos": pa.array([], type=pa.int64()),
                       "fp": pa.array([], type=pa.int64())})
-    if len(h) == 0:
-        return empty
-    # k-gram rolling hash at each token position (same fold as
-    # shingle_hashes: comb = (...(h_i·P + h_{i+1})·P + ...) mod 2^64)
-    with np.errstate(over="ignore"):
-        comb = h.copy()
-        for j in range(1, k):
-            lim = len(h) - j
-            comb[:lim] = comb[:lim] * FNV64_PRIME + h[j:]
-    doc_of = np.repeat(np.arange(len(counts)), counts)
-    tok_pos = np.arange(len(h), dtype=np.int64) - np.repeat(starts[:-1], counts)
-    kg_counts = np.maximum(counts - (k - 1), 0)
-    kg_valid = tok_pos < np.repeat(kg_counts, counts)
-    c = comb[kg_valid]
-    cdoc = doc_of[kg_valid]
-    cpos = tok_pos[kg_valid]
+    c, cdoc, cpos, _, _ = _kgram_occurrences(toks, k)
     if len(c) < w:
         return empty
     # full windows only: start index i with all w members in one doc
@@ -280,3 +294,134 @@ def term_stats_partial(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return pa.table({"term": agg["term"],
                      "tf": agg["doc_count_sum"].cast(pa.int64()),
                      "df": agg["doc_count"].cast(pa.int64())})
+
+
+def window_doc_rows(batch: pa.Table, length: int,
+                    text_column: str = "text",
+                    id_column: str = "doc_id") -> pa.Table:
+    """(win, doc_id) rows, DISTINCT per doc, for ``length``-token windows —
+    pass 1 of the exact-substring dedup census: the groupby input whose
+    per-window row count IS the window's distinct-doc frequency (each doc
+    contributes each window hash at most once, and a doc's rows are all
+    emitted by the one batch that holds the doc, so no cross-batch
+    double-count is possible)."""
+    toks = tokenize_column(batch[text_column].combine_chunks()
+                           .cast(pa.string()).fill_null(""))
+    ids = batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
+    c, cdoc, _, _, _ = _kgram_occurrences(toks, length)
+    if len(c) == 0:
+        return pa.table({"win": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64())})
+    order = np.lexsort((c, cdoc))
+    sd, sv = cdoc[order], c[order]
+    keep = np.ones(len(sv), dtype=bool)
+    if len(sv) > 1:
+        keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+    return pa.table({
+        "win": pa.array(sv[keep].astype(np.int64), type=pa.int64()),
+        "doc_id": pa.array(ids[sd[keep]], type=pa.int64()),
+    })
+
+
+def _covered_positions(hit_doc: np.ndarray, hit_pos: np.ndarray, length: int,
+                       counts: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-doc count of token positions inside ANY hit interval
+    ``[pos, pos+length)`` — interval union as a diff-array cumsum over the
+    batch's flat token space (windows never cross docs, so one flat array
+    serves every doc; no per-doc Python)."""
+    n = len(counts)
+    total = int(starts[-1])
+    out = np.zeros(n, dtype=np.int64)
+    if len(hit_doc) == 0 or total == 0:
+        return out
+    flat_start = starts[:-1][hit_doc] + hit_pos
+    diff = np.zeros(total + length, dtype=np.int64)
+    np.add.at(diff, flat_start, 1)
+    np.add.at(diff, flat_start + length, -1)
+    covered = (np.cumsum(diff[:total]) > 0).astype(np.int64)
+    doc_of = np.repeat(np.arange(n), counts)
+    np.add.at(out, doc_of, covered)
+    return out
+
+
+def substring_coverage_batch(batch: pa.Table, dup_wins: np.ndarray,
+                             length: int, text_column: str = "text",
+                             id_column: str = "doc_id") -> pa.Table:
+    """Pass 2 of the exact-substring dedup census: per input doc, the
+    number of window STARTS whose hash is in the broadcast duplicated-window
+    set plus the interval-union token coverage.  One output row per input
+    doc (so no left-join repair downstream).  ``dup_wins`` must be a SORTED
+    int64 array (searchsorted membership — the broadcast small side)."""
+    toks = tokenize_column(batch[text_column].combine_chunks()
+                           .cast(pa.string()).fill_null(""))
+    ids = batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
+    c, cdoc, cpos, counts, starts = _kgram_occurrences(toks, length)
+    n = len(counts)
+    dup_starts = np.zeros(n, dtype=np.int64)
+    if len(c):
+        cs = c.astype(np.int64)
+        idx = np.searchsorted(dup_wins, cs)
+        hit = np.zeros(len(cs), dtype=bool)
+        inb = idx < len(dup_wins)
+        hit[inb] = dup_wins[idx[inb]] == cs[inb]
+        np.add.at(dup_starts, cdoc[hit], 1)
+        dup_tokens = _covered_positions(cdoc[hit], cpos[hit], length,
+                                        counts, starts)
+    else:
+        dup_tokens = np.zeros(n, dtype=np.int64)
+    return pa.table({
+        id_column: pa.array(ids, type=pa.int64()),
+        "n_tokens": pa.array(counts, type=pa.int64()),
+        "dup_starts": pa.array(dup_starts, type=pa.int64()),
+        "dup_tokens": pa.array(dup_tokens, type=pa.int64()),
+    })
+
+
+def repetition_batch(batch: pa.Table, top2_permille: int, rep3_permille: int,
+                     text_column: str = "text",
+                     id_column: str = "doc_id") -> pa.Table:
+    """Gopher-style within-doc repetition metrics (Rae et al. 2021 §A1.1,
+    the MassiveText repetition filters, token-wise): per doc the count of
+    the most frequent bigram (``top2_n``), the token positions covered by
+    any 3-gram occurring ≥2× WITHIN the doc (``rep3_tokens``, interval
+    union), and the two integer-permille flags a quality gate drops on.
+    Fully vectorized: gram identity via the pinned FNV positional mix,
+    per-(doc, gram) run lengths from one lexsort, coverage via the shared
+    diff-array kernel — no per-doc Python."""
+    toks = tokenize_column(batch[text_column].combine_chunks()
+                           .cast(pa.string()).fill_null(""))
+    ids = batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
+    c2, d2, _, counts, starts = _kgram_occurrences(toks, 2)
+    n = len(counts)
+    top2 = np.zeros(n, dtype=np.int64)
+    if len(c2):
+        order = np.lexsort((c2, d2))
+        sd, sv = d2[order], c2[order]
+        run_start = np.ones(len(sv), dtype=bool)
+        run_start[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        run_idx = np.flatnonzero(run_start)
+        run_len = np.diff(np.append(run_idx, len(sv)))
+        np.maximum.at(top2, sd[run_idx], run_len)
+    c3, d3, p3, _, _ = _kgram_occurrences(toks, 3)
+    rep3 = np.zeros(n, dtype=np.int64)
+    if len(c3):
+        order = np.lexsort((c3, d3))
+        sd, sv = d3[order], c3[order]
+        run_start = np.ones(len(sv), dtype=bool)
+        run_start[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        run_idx = np.flatnonzero(run_start)
+        run_len = np.diff(np.append(run_idx, len(sv)))
+        member_repeated = np.repeat(run_len >= 2, run_len)
+        hit = order[member_repeated]
+        rep3 = _covered_positions(d3[hit], p3[hit], 3, counts, starts)
+    nz = counts > 0
+    top2_flag = nz & (top2 * 2000 >= counts * top2_permille)
+    rep3_flag = nz & (rep3 * 1000 >= counts * rep3_permille)
+    return pa.table({
+        id_column: pa.array(ids, type=pa.int64()),
+        "n_tokens": pa.array(counts, type=pa.int64()),
+        "top2_n": pa.array(top2, type=pa.int64()),
+        "rep3_tokens": pa.array(rep3, type=pa.int64()),
+        "top2_flag": pa.array(top2_flag, type=pa.bool_()),
+        "rep3_flag": pa.array(rep3_flag, type=pa.bool_()),
+    })

@@ -689,3 +689,36 @@ def test_keep_decisions_rejects_unknown_pair_ids():
         keep_decisions(np.array([2]), np.array([5]), ids)
     with pytest.raises(ValueError, match="absent"):
         keep_decisions(np.array([1]), np.array([9]), ids)
+
+
+def test_substring_hash_collision_free():
+    """The dedup_substring / quality_repetition oracles compare string
+    grams while the engine groups FNV-mix hashes — exact iff the hash is
+    injective over the corpus's grams (the Jaccard/decontaminate
+    precedent).  Pin the bijection at every gram width the lanes use so a
+    corpus change that introduces a collision fails loudly here."""
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import SUBSTR_L
+    from fsray.textops import _kgram_occurrences
+    from fsray.tokenizer import tokenize_column
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["text"])
+    toks = tokenize_column(t["text"].combine_chunks().cast(pa.string()))
+    flat = toks.flatten().to_pylist()
+    counts = [len(x) for x in toks.to_pylist()]
+    for k in (2, 3, SUBSTR_L):
+        h, hdoc, hpos, _, _ = _kgram_occurrences(toks, k)
+        strings = []
+        off = 0
+        for c in counts:
+            doc = flat[off:off + c]
+            strings.extend(" ".join(doc[i:i + k]) for i in range(max(c - k + 1, 0)))
+            off += c
+        assert len(strings) == len(h)
+        n_str = len(set(strings))
+        n_hash = len(set(h.tolist()))
+        assert n_str == n_hash, (k, n_str, n_hash)
+        # injective the strong way: every (string, hash) pairing is 1:1
+        assert len(set(zip(strings, h.tolist()))) == n_str
