@@ -1,0 +1,74 @@
+"""Deterministic 10×-driver-scale DENSE stress corpus generator.
+
+Reconstructs the `/tmp/fsray_sf1x*` corpus used for BASELINE.md's 10×
+stress cells (the /tmp copies don't survive host cleanup; this pins the
+recipe in-repo): 50k docs over a 32-word vocabulary (so every n-gram is
+hot — a deliberately DENSER corpus than the driver testdata, the
+boilerplate-heavy worst case), ~5% planted near-duplicates, plus
+20k × 64d unit vectors with ~5% planted near-dup pairs.  Same table
+shapes/column names as /root/testdata so every lane runs unmodified.
+
+Usage: python tools/gen_dense_corpus.py [--out /tmp/fsray_sf1x_r4] [--seed 11]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = ("key agg row scan slow fast table value part hash merge batch "
+         "spark line sort window filter stream column group customer order "
+         "join small data vector the a index shard block").split()
+LANGS = ("en", "de", "fr", "es", "zh")
+LANG_P = (0.44, 0.14, 0.13, 0.14, 0.15)
+
+
+def gen(out: str, seed: int, n_docs: int = 50_000, n_vecs: int = 20_000,
+        dim: int = 64) -> None:
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+    lens = rng.integers(40, 80, size=n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        if i > 0 and rng.random() < 0.05:
+            # planted near-duplicate: copy an earlier doc, perturb one token
+            src = list(texts[int(rng.integers(0, i))].split())
+            src[int(rng.integers(0, len(src)))] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            texts.append(" ".join(src))
+        else:
+            texts.append(" ".join(VOCAB[j] for j in rng.integers(0, len(VOCAB), size=lens[i])))
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs.tolist(), type=pa.string()),
+        "source": pa.array([f"src{i % 20}" for i in range(n_docs)], type=pa.string()),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    }), os.path.join(out, "documents.parquet"))
+
+    v = rng.standard_normal((n_vecs, dim))
+    dup = rng.random(n_vecs) < 0.05
+    dup[0] = False
+    src_idx = rng.integers(0, np.maximum(np.arange(n_vecs), 1))
+    v[dup] = v[src_idx[dup]] + 0.02 * rng.standard_normal((int(dup.sum()), dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64)),
+        "embedding": pa.array(v.astype(np.float32).tolist(),
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 8, size=n_vecs).astype(np.int32)),
+    }), os.path.join(out, "embeddings.parquet"))
+    print(f"wrote {out}: {n_docs} docs, {n_vecs}×{dim} vectors, seed {seed}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/fsray_sf1x_r4")
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--vecs", type=int, default=20_000)
+    args = ap.parse_args()
+    gen(args.out, args.seed, args.docs, args.vecs)
