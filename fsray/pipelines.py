@@ -1293,6 +1293,201 @@ FROM r JOIN qs ON rn = (q * n + 999) // 1000
 ORDER BY lang, q_permille"""
 
 
+#: keywords emitted per document by the TF-IDF extractor
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(sf_dir: str) -> pa.Table:
+    """Per-document keyword extraction: the top-``TFIDF_TOP_K`` terms by
+    tf·idf with ``idf = ln((N+1)/(df+1))`` — the per-doc feature a
+    curation pipeline derives for topic bucketing / near-dup triage.
+
+    Ray shape: global (term → df) comes from the same combiner-pattern
+    partials as ``top_terms`` (``term_stats_partial`` → vocab-bounded
+    groupby), returns to the driver vocab-sized and is broadcast ONCE via
+    ``ray.put`` as a sorted array pair; the scoring pass is shuffle-free
+    ``map_batches`` — per-(doc, term) counts, a searchsorted df lookup,
+    one vectorized multiply, and a lexsort top-k per doc.  At 100 TB the
+    vocab broadcast is the documented knob (a web-scale term table is
+    10⁷–10⁸ rows ≈ GBs): swap to a df-floor-pruned vocab or a
+    partition-wise semi-join on the term.  EXACT oracle: idf uses libm
+    ``math.log`` — bit-equal to DuckDB's ``ln`` (same glibc; the BM25/
+    rerank-sigmoid precedent), division-before-log pinned on both sides."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fsray.textops import term_stats_partial, tokenize_column
+
+    import pyarrow.parquet as pq
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    stats = (_docs_ds(sf_dir)
+             .map_batches(term_stats_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .repartition(_stats_blocks())
+             .groupby("term").aggregate(Sum("df"))
+             .to_pandas())
+    terms_sorted = np.sort(stats["term"].to_numpy().astype(str))
+    order = np.argsort(stats["term"].to_numpy().astype(str))
+    df_sorted = stats["sum(df)"].to_numpy().astype(np.int64)[order]
+    vocab_ref = ray.put((terms_sorted, df_sorted))
+    # idf per DISTINCT df via libm math.log (np.log breaks f64 parity —
+    # fsray/contract.py idf precedent)
+    idf_by_df = {int(d): math.log((float(n_docs) + 1.0) / (float(d) + 1.0))
+                 for d in np.unique(df_sorted)}
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        terms_s, df_s = ray.get(vocab_ref)
+        toks = tokenize_column(b["text"].combine_chunks()
+                               .cast(pa.string()).fill_null(""))
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(toks).fill_null(0)\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(str)
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        g = pd.DataFrame({"doc": doc_of, "term": flat})\
+            .groupby(["doc", "term"], sort=False).size().reset_index(name="tf")
+        termv = g["term"].to_numpy().astype(str)
+        dfv = df_s[np.searchsorted(terms_s, termv)]
+        idf = np.array([idf_by_df[int(d)] for d in dfv], dtype=np.float64)
+        score = g["tf"].to_numpy().astype(np.float64) * idf
+        docv = g["doc"].to_numpy()
+        sel = np.lexsort((termv, -score, docv))
+        sd = docv[sel]
+        first = np.ones(len(sd), dtype=bool)
+        first[1:] = sd[1:] != sd[:-1]
+        rank = np.arange(len(sd)) - np.repeat(
+            np.flatnonzero(first),
+            np.diff(np.append(np.flatnonzero(first), len(sd))))
+        keep = rank < TFIDF_TOP_K
+        k = sel[keep]
+        return pa.table({
+            "doc_id": pa.array(ids[docv[k]], type=pa.int64()),
+            "rank": pa.array(rank[keep] + 1, type=pa.int64()),
+            "term": pa.array(termv[k], type=pa.string()),
+            "tf": pa.array(g["tf"].to_numpy()[k].astype(np.int64)),
+            "df": pa.array(dfv[k], type=pa.int64()),
+            "score": pa.array(score[k], type=pa.float64()),
+        })
+
+    out = (_docs_ds(sf_dir)
+           .map_batches(score_batch, batch_format="pyarrow")
+           .to_pandas().sort_values(["doc_id", "rank"]))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+        "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+        "term": pa.array(out["term"], type=pa.string()),
+        "tf": pa.array(out["tf"].to_numpy(), type=pa.int64()),
+        "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
+        "score": pa.array(out["score"].to_numpy(), type=pa.float64()),
+    })
+
+
+def tfidf_oracle_sql() -> str:
+    """Exact oracle for ``tfidf_top_terms``: per-(doc, term) counts,
+    global df, ``tf · ln((N+1)/(df+1))`` in f64 (division before log,
+    both sides), row_number top-k with the (score DESC, term ASC) tie
+    rule."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    return f"""
+WITH toks AS (SELECT doc_id,
+       unnest(regexp_split_to_array(lower(text), '{SPLIT_SQL}')) AS tok
+     FROM documents),
+toks2 AS (SELECT doc_id, tok FROM toks
+          WHERE tok <> '' AND length(tok) <= {MAX_TOKEN_BYTES}),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+       FROM toks2 GROUP BY doc_id, tok),
+dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfv.df,
+             CAST(tf.tf AS DOUBLE)
+             * ln((CAST(nn.n AS DOUBLE) + 1.0) / (CAST(dfv.df AS DOUBLE) + 1.0))
+             AS score
+           FROM tf JOIN dfv USING (term) CROSS JOIN nn),
+ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+           FROM scored)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank"""
+
+
+#: keep docs whose n_chars sits inside the per-language
+#: [q_low, q_high] permille band
+LENGTH_FILTER_BAND = (250, 900)
+
+
+def filter_length_outliers(sf_dir: str) -> pa.Table:
+    """Length-outlier filter — the curation gate downstream of
+    ``length_quantiles``: keep a doc iff its ``n_chars`` lies inside its
+    language's [q250, q900] band.  Composition shape: the quantile table
+    (|langs|×2 ints) is computed by the histogram operator and broadcast
+    as a dict; the filter is an embarrassingly parallel ``map_batches``
+    over (doc_id, lang, n_chars) — column-pruned read, NO shuffle.
+    EXACT oracle: the quantile subquery reuses the pinned discrete
+    definition, the band check is pure integer comparison."""
+    import ray
+    import ray.data as rd
+
+    lo_q, hi_q = LENGTH_FILTER_BAND
+    qt = length_quantiles(sf_dir).to_pandas()
+    band = {}
+    for lang, g in qt.groupby("lang"):
+        m = dict(zip(g["q_permille"], g["value"]))
+        band[lang] = (int(m[lo_q]), int(m[hi_q]))
+    band_ref = ray.put(band)
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        bd = ray.get(band_ref)
+        langs = b["lang"].to_pylist()
+        nc = b["n_chars"].to_numpy()
+        lo = np.array([bd[lg][0] for lg in langs], dtype=np.int64)
+        hi = np.array([bd[lg][1] for lg in langs], dtype=np.int64)
+        return b.filter(pa.array((nc >= lo) & (nc <= hi)))
+
+    out = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "n_chars"])
+           .map_batches(keep_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .to_pandas().sort_values("doc_id"))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "n_chars": pa.array(out["n_chars"].to_numpy(), type=pa.int64()),
+    })
+
+
+def filter_length_oracle_sql() -> str:
+    """Exact oracle for ``filter_length_outliers``: the discrete-quantile
+    window pick at both band edges, then an integer band filter."""
+    lo_q, hi_q = LENGTH_FILTER_BAND
+    return f"""
+WITH r AS (SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents),
+band AS (SELECT lang,
+           max(CASE WHEN rn = ({lo_q} * n + 999) // 1000 THEN n_chars END) AS lo,
+           max(CASE WHEN rn = ({hi_q} * n + 999) // 1000 THEN n_chars END) AS hi
+         FROM r GROUP BY lang)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN band b USING (lang)
+WHERE d.n_chars BETWEEN b.lo AND b.hi
+ORDER BY d.doc_id"""
+
+
 def cluster_embeddings(sf_dir: str) -> pa.Table:
     """Spherical k-means clustering over the embedding column — the
     cluster-based-curation operator (cluster→balance/sample, semantic
@@ -3909,6 +4104,8 @@ def make_queries() -> dict:
         "dedup_substring": dedup_substring,  # exact oracle (r4), new operator
         "quality_repetition": quality_repetition,  # exact oracle (r4), new operator
         "length_quantiles": length_quantiles,  # exact oracle (r4), new operator
+        "tfidf_top_terms": tfidf_top_terms,  # exact oracle (r4), new operator
+        "filter_length_outliers": filter_length_outliers,  # exact oracle (r4), new operator
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -5133,6 +5330,8 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["dedup_substring"] = substring_oracle_sql()
     o["quality_repetition"] = repetition_oracle_sql()
     o["length_quantiles"] = length_quantiles_oracle_sql()
+    o["tfidf_top_terms"] = tfidf_oracle_sql()
+    o["filter_length_outliers"] = filter_length_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()
