@@ -210,6 +210,15 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_sample_stratified", P.sample_stratified),
         ("x_ngram_counts", P.ngram_counts),
         ("x_winnow_fingerprints", P.winnow_fingerprints),
+        ("x_dedup_substring", P.dedup_substring),
+        ("x_quality_repetition", P.quality_repetition),
+        ("x_length_quantiles", P.length_quantiles),
+        ("x_tfidf_top_terms", P.tfidf_top_terms),
+        ("x_filter_length_outliers", P.filter_length_outliers),
+        ("x_sketch_hll", P.sketch_hll),
+        ("x_join_revenue_by_nation", P.join_revenue_by_nation),
+        ("x_source_jsonl", P.source_jsonl),
+        ("x_source_csv", P.source_csv),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

@@ -1488,6 +1488,308 @@ WHERE d.n_chars BETWEEN b.lo AND b.hi
 ORDER BY d.doc_id"""
 
 
+def _source_roundtrip(sf_dir: str, fmt: str) -> pa.Table:
+    """Shared body for the source-format lanes: export the documents
+    table to ``fmt`` with Ray's distributed writer (one file per block —
+    the partitioned-output contract), read it back with the matching
+    distributed reader, and return the canonical column set.  The oracle
+    is the PARQUET truth itself, so the compared claim is exact
+    roundtrip fidelity of the format path (ids, unicode text incl. CJK,
+    ints) — the ingestion story for corpora that arrive as JSONL/CSV
+    instead of parquet.  Scratch dirs go under /tmp and are removed
+    after the read materializes."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=cols)
+    out_dir = tempfile.mkdtemp(prefix=f"fsray_src_{fmt}_")
+    try:
+        if fmt == "jsonl":
+            ds.write_json(out_dir)
+            back = rd.read_json(out_dir)
+        else:
+            ds.write_csv(out_dir)
+            back = rd.read_csv(out_dir)
+        df = back.to_pandas().sort_values("doc_id")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), type=pa.int64()),
+        "text": pa.array(df["text"], type=pa.string()),
+        "lang": pa.array(df["lang"], type=pa.string()),
+        "n_chars": pa.array(df["n_chars"].to_numpy(), type=pa.int64()),
+    })
+
+
+def source_jsonl(sf_dir: str) -> pa.Table:
+    """JSONL source format: distributed write → distributed read →
+    bit-exact vs the parquet truth (reference: fsfs ingests JSONL/CSV
+    corpora; crates/frankensearch-fsfs file_classification.rs routes
+    them)."""
+    return _source_roundtrip(sf_dir, "jsonl")
+
+
+def source_csv(sf_dir: str) -> pa.Table:
+    """CSV source format roundtrip — see ``source_jsonl``."""
+    return _source_roundtrip(sf_dir, "csv")
+
+
+def source_oracle_sql() -> str:
+    return """
+SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id"""
+
+
+#: fact⋈orders exchange width (2^bits buckets — the SUBSTR census knob)
+JOIN_BUCKET_BITS = 6
+
+
+def join_revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Distributed star join over the relational tables — per-nation
+    line-item rollup (items, quantity, revenue cents) through
+    lineitem ⋈ orders ⋈ customer ⋈ nation.
+
+    Ray shape (the standard star-join contract, built from Ray
+    primitives since Dataset has no join operator): the FACT side is
+    pre-aggregated per batch to (orderkey → partials) — the combiner —
+    and co-partitioned with the orders key map via ONE pre-bucketed hash
+    exchange (both sides tagged and ``union``ed, ``groupby`` on the
+    orderkey's multiplicative-hash top bits, a vectorized searchsorted
+    join per bucket); the DIMENSION chain customer⋈nation is
+    dimension-sized, folded to a (custkey → nationkey) array pair on the
+    driver and broadcast ONCE via ``ray.put``.  The second shuffle is
+    nation-cardinality partials.  Facts joining no order fail loudly
+    (referential contract).  Money stays exact: per-row bankers-rounded
+    cents (``np.rint`` ≡ DuckDB ``roundbankers``, the multimodal
+    precedent), integer sums thereafter — no float accumulation
+    anywhere, so the compared surface is order-insensitive."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    nb = 1 << JOIN_BUCKET_BITS
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy()
+    cn = cust["c_nationkey"].to_numpy().astype(np.int64)
+    order_c = np.argsort(ck)
+    dim_ref = ray.put((ck[order_c], cn[order_c]))
+
+    def _bucket(keys: np.ndarray) -> np.ndarray:
+        h = (keys.astype(np.uint64) * np.uint64(SAMPLE_HASH_MULT)) \
+            % np.uint64(2**32)
+        return (h >> np.uint64(32 - JOIN_BUCKET_BITS)).astype(np.int64)
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        okey = b["l_orderkey"].to_numpy()
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"k": okey, "q": qty, "c": cents})
+             .groupby("k", sort=False)
+             .agg(n=("q", "size"), q=("q", "sum"), c=("c", "sum"))
+             .reset_index())
+        kk = g["k"].to_numpy()
+        return pa.table({
+            "bucket": pa.array(_bucket(kk), type=pa.int64()),
+            "orderkey": pa.array(kk, type=pa.int64()),
+            "custkey": pa.array(np.full(len(kk), -1, dtype=np.int64)),
+            "n_items": pa.array(g["n"].to_numpy().astype(np.int64)),
+            "sum_qty": pa.array(g["q"].to_numpy().astype(np.int64)),
+            "cents": pa.array(g["c"].to_numpy().astype(np.int64)),
+        })
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        okey = b["o_orderkey"].to_numpy()
+        z = np.zeros(len(okey), dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(_bucket(okey), type=pa.int64()),
+            "orderkey": pa.array(okey, type=pa.int64()),
+            "custkey": pa.array(b["o_custkey"].to_numpy().astype(np.int64)),
+            "n_items": pa.array(z), "sum_qty": pa.array(z),
+            "cents": pa.array(z),
+        })
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        is_dim = g["custkey"].to_numpy() >= 0
+        dk = g["orderkey"].to_numpy()[is_dim]
+        dc = g["custkey"].to_numpy()[is_dim]
+        do = np.argsort(dk)
+        dk, dc = dk[do], dc[do]
+        fk = g["orderkey"].to_numpy()[~is_dim]
+        pos = np.searchsorted(dk, fk)
+        if len(fk) and not np.all((pos < len(dk)) & (dk[np.minimum(pos, len(dk) - 1)] == fk)):
+            raise ValueError("lineitem orderkey with no matching order")
+        custs = dc[pos] if len(fk) else np.zeros(0, dtype=np.int64)
+        ck_s, cn_s = ray.get(dim_ref)
+        cpos = np.searchsorted(ck_s, custs)
+        nk = cn_s[cpos] if len(fk) else np.zeros(0, dtype=np.int64)
+        out = np.zeros((25 if len(nk) == 0 else int(nk.max()) + 1, 3),
+                       dtype=np.int64)
+        for col, name in ((0, "n_items"), (1, "sum_qty"), (2, "cents")):
+            np.add.at(out[:, col], nk, g[name].to_numpy()[~is_dim])
+        used = np.flatnonzero(out.any(axis=1))
+        return pa.table({
+            "nationkey": pa.array(used, type=pa.int64()),
+            "n_items": pa.array(out[used, 0]),
+            "sum_qty": pa.array(out[used, 1]),
+            "cents": pa.array(out[used, 2]),
+        })
+
+    fact = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_orderkey", "l_quantity",
+                                     "l_extendedprice"])
+            .map_batches(fact_partial, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    dims = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderkey", "o_custkey"])
+            .map_batches(order_rows, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    agg = (fact.union(dims)
+           .groupby("bucket").map_groups(bucket_join, batch_format="pyarrow")
+           .groupby("nationkey")
+           .aggregate(Sum("n_items"), Sum("sum_qty"), Sum("cents"))
+           .to_pandas())
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    names = dict(zip(nat["n_nationkey"].to_numpy().astype(np.int64),
+                     nat["n_name"].to_pylist()))
+    agg["nation"] = [names[int(k)] for k in agg["nationkey"]]
+    agg = agg.sort_values("nation")
+    return pa.table({
+        "nation": pa.array(agg["nation"], type=pa.string()),
+        "n_items": pa.array(agg["sum(n_items)"].to_numpy().astype(np.int64)),
+        "sum_qty": pa.array(agg["sum(sum_qty)"].to_numpy().astype(np.int64)),
+        "revenue_cents": pa.array(agg["sum(cents)"].to_numpy().astype(np.int64)),
+    })
+
+
+def join_revenue_oracle_sql() -> str:
+    """Exact oracle for ``join_revenue_by_nation``: the four-table join
+    with per-row bankers-rounded cents (``roundbankers`` ≡ ``np.rint``)
+    and integer sums."""
+    return """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(roundbankers(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS sum_qty,
+       CAST(sum(CAST(roundbankers(l.l_extendedprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name"""
+
+
+#: HyperLogLog precision: 2^p registers
+HLL_P = 8
+
+
+def sketch_hll(sf_dir: str) -> pa.Table:
+    """HyperLogLog register table over the corpus's distinct tokens
+    (Flajolet et al. 2007) — the MERGEABLE-SKETCH operator class: the
+    cardinality audit a 100-TB pipeline runs where an exact
+    ``count(DISTINCT)`` would shuffle the vocabulary.
+
+    Ray shape: each batch computes its own 2^p register partial fully
+    vectorized (FNV-1a token hashes; bucket = top p bits; rank = leading
+    zeros of the low 64-p bits + 1, via an INTEGER 6-step binary-search
+    bitlength — float ``log2`` misplaces the MSB for ints above 2^53) and
+    emits at most 2^p rows; the combine is ``groupby(bucket).max()`` over
+    batch-count × 2^p rows — constant per batch regardless of corpus
+    size, the textbook mergeable-sketch contract (register tables from
+    different corpora/partitions union the same way).  The output is the
+    REGISTER table (pure integers, exactly replayable in SQL via a
+    HUGEINT powers-table bitlength); the ±1.04/√2^p estimate is a pure
+    driver-side formula documented in the test, kept out of the compared
+    surface so the lane stays bit-deterministic."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from fsray.textops import _fnv1a64_tokens
+    from fsray.tokenizer import tokenize_column
+
+    m = 1 << HLL_P
+    wbits = 64 - HLL_P
+
+    def reg_partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"].combine_chunks()
+                               .cast(pa.string()).fill_null(""))
+        h = _fnv1a64_tokens(toks.flatten())
+        regs = np.zeros(m, dtype=np.int64)
+        if len(h):
+            bucket = (h >> np.uint64(wbits)).astype(np.int64)
+            w = h & np.uint64((1 << wbits) - 1)
+            # integer bitlength: 6-step vectorized binary search
+            bl = np.zeros(len(w), dtype=np.int64)
+            v = w.copy()
+            for s in (32, 16, 8, 4, 2, 1):
+                big = v >= np.uint64(1 << s)
+                bl[big] += s
+                v[big] >>= np.uint64(s)
+            bl += (w > 0).astype(np.int64)
+            rank = wbits + 1 - bl
+            np.maximum.at(regs, bucket, rank)
+        nz = np.flatnonzero(regs)
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "register": pa.array(regs[nz], type=pa.int64())})
+
+    got = (_docs_ds(sf_dir)
+           .map_batches(reg_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("bucket").aggregate(Max("register"))
+           .to_pandas())
+    regs = np.zeros(m, dtype=np.int64)
+    regs[got["bucket"].to_numpy()] = got["max(register)"].to_numpy()
+    return pa.table({
+        "bucket": pa.array(np.arange(m, dtype=np.int64)),
+        "register": pa.array(regs, type=pa.int64()),
+    })
+
+
+def hll_oracle_sql() -> str:
+    """Exact oracle for ``sketch_hll``: FNV-1a over DISTINCT admitted
+    tokens (the shared recursive byte-fold), bucket/rank via HUGEINT
+    arithmetic with a powers-table bitlength (no float log anywhere),
+    all 2^p buckets left-joined."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    m = 1 << HLL_P
+    wbits = 64 - HLL_P
+    wmod = 1 << wbits
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT unnest(regexp_split_to_array(lower(text), '{SPLIT_SQL}')) AS tok
+         FROM documents),
+toku AS (SELECT DISTINCT tok FROM toks
+         WHERE tok <> '' AND length(tok) <= {MAX_TOKEN_BYTES}),
+{_FNV_SQL},
+hfin AS (SELECT tok, h FROM fnv WHERE k = length(tok)),
+powers(i, v) AS (SELECT 0, CAST(1 AS HUGEINT)
+                 UNION ALL SELECT i + 1, v * 2 FROM powers WHERE i < {wbits - 1}),
+parts AS (SELECT CAST(h // CAST('{wmod}' AS HUGEINT) AS BIGINT) AS bucket,
+                 h % CAST('{wmod}' AS HUGEINT) AS w
+          FROM hfin),
+ranked AS (SELECT bucket,
+             {wbits} + 1 - COALESCE(
+               (SELECT max(i) + 1 FROM powers WHERE v <= parts.w), 0) AS rank
+           FROM parts),
+regs AS (SELECT bucket, CAST(max(rank) AS BIGINT) AS register
+         FROM ranked GROUP BY bucket),
+buckets AS (SELECT unnest(range(0, {m})) AS bucket)
+SELECT b.bucket, COALESCE(r.register, 0) AS register
+FROM buckets b LEFT JOIN regs r USING (bucket)
+ORDER BY b.bucket"""
+
+
 def cluster_embeddings(sf_dir: str) -> pa.Table:
     """Spherical k-means clustering over the embedding column — the
     cluster-based-curation operator (cluster→balance/sample, semantic
@@ -4106,6 +4408,10 @@ def make_queries() -> dict:
         "length_quantiles": length_quantiles,  # exact oracle (r4), new operator
         "tfidf_top_terms": tfidf_top_terms,  # exact oracle (r4), new operator
         "filter_length_outliers": filter_length_outliers,  # exact oracle (r4), new operator
+        "sketch_hll": sketch_hll,  # exact oracle (r4), new operator
+        "join_revenue_by_nation": join_revenue_by_nation,  # exact oracle (r4), new operator
+        "source_jsonl": source_jsonl,  # exact oracle (r4), new source format
+        "source_csv": source_csv,  # exact oracle (r4), new source format
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -5332,6 +5638,10 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["length_quantiles"] = length_quantiles_oracle_sql()
     o["tfidf_top_terms"] = tfidf_oracle_sql()
     o["filter_length_outliers"] = filter_length_oracle_sql()
+    o["sketch_hll"] = hll_oracle_sql()
+    o["join_revenue_by_nation"] = join_revenue_oracle_sql()
+    o["source_jsonl"] = source_oracle_sql()
+    o["source_csv"] = source_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

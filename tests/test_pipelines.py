@@ -722,3 +722,32 @@ def test_substring_hash_collision_free():
         assert n_str == n_hash, (k, n_str, n_hash)
         # injective the strong way: every (string, hash) pairing is 1:1
         assert len(set(zip(strings, h.tolist()))) == n_str
+
+
+def test_hll_estimate_tracks_truth():
+    """The register table IS the compared surface; the cardinality
+    estimate is a pure driver-side formula over it.  Pin that the
+    standard bias-corrected estimate (with Flajolet's small-range
+    linear-counting switch) lands within 3·(1.04/√m) of the true
+    distinct-token count — the sketch's advertised error contract."""
+    import duckdb
+    import math
+
+    from fsray.pipelines import HLL_P, sketch_hll
+
+    regs = sketch_hll(SF_DIR).to_pandas()["register"].to_numpy()
+    m = 1 << HLL_P
+    assert len(regs) == m
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    con = duckdb.connect()
+    truth = con.sql(f"""
+        SELECT count(DISTINCT tok) FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+')) AS tok
+          FROM read_parquet('{SF_DIR}/documents.parquet')) WHERE tok <> ''
+    """).fetchone()[0]
+    rel_err = abs(est - truth) / truth
+    assert rel_err <= 3 * 1.04 / math.sqrt(m), (est, truth, rel_err)
