@@ -1330,18 +1330,22 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
              .repartition(_stats_blocks())
              .groupby("term").aggregate(Sum("df"))
              .to_pandas())
-    terms_sorted = np.sort(stats["term"].to_numpy().astype(str))
-    order = np.argsort(stats["term"].to_numpy().astype(str))
+    tarr = stats["term"].to_numpy().astype(str)
+    order = np.argsort(tarr)
+    terms_sorted = tarr[order]
     df_sorted = stats["sum(df)"].to_numpy().astype(np.int64)[order]
-    vocab_ref = ray.put((terms_sorted, df_sorted))
     # idf per DISTINCT df via libm math.log (np.log breaks f64 parity —
-    # fsray/contract.py idf precedent)
-    idf_by_df = {int(d): math.log((float(n_docs) + 1.0) / (float(d) + 1.0))
-                 for d in np.unique(df_sorted)}
+    # fsray/contract.py idf precedent); shipped WITH the vocab broadcast
+    # so the scoring pass does a pure searchsorted gather, no per-row
+    # Python and no closure re-pickling per task
+    uniq_dfs = np.unique(df_sorted)
+    idf_arr = np.array([math.log((float(n_docs) + 1.0) / (float(d) + 1.0))
+                        for d in uniq_dfs], dtype=np.float64)
+    vocab_ref = ray.put((terms_sorted, df_sorted, uniq_dfs, idf_arr))
 
     def score_batch(b: pa.Table) -> pa.Table:
         import pandas as pd
-        terms_s, df_s = ray.get(vocab_ref)
+        terms_s, df_s, udf_s, idf_s = ray.get(vocab_ref)
         toks = tokenize_column(b["text"].combine_chunks()
                                .cast(pa.string()).fill_null(""))
         ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1360,7 +1364,7 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
             .groupby(["doc", "term"], sort=False).size().reset_index(name="tf")
         termv = g["term"].to_numpy().astype(str)
         dfv = df_s[np.searchsorted(terms_s, termv)]
-        idf = np.array([idf_by_df[int(d)] for d in dfv], dtype=np.float64)
+        idf = idf_s[np.searchsorted(udf_s, dfv)]
         score = g["tf"].to_numpy().astype(np.float64) * idf
         docv = g["doc"].to_numpy()
         sel = np.lexsort((termv, -score, docv))
@@ -1451,11 +1455,15 @@ def filter_length_outliers(sf_dir: str) -> pa.Table:
 
     def keep_batch(b: pa.Table) -> pa.Table:
         bd = ray.get(band_ref)
-        langs = b["lang"].to_pylist()
+        # dictionary-encode the lang column so the Python dict lookup is
+        # |langs|-sized; the per-row path is a pure numpy gather
+        d = b["lang"].combine_chunks().dictionary_encode()
+        dl = d.dictionary.to_pylist()
+        lo_d = np.array([bd[lg][0] for lg in dl], dtype=np.int64)
+        hi_d = np.array([bd[lg][1] for lg in dl], dtype=np.int64)
+        idx = d.indices.to_numpy(zero_copy_only=False)
         nc = b["n_chars"].to_numpy()
-        lo = np.array([bd[lg][0] for lg in langs], dtype=np.int64)
-        hi = np.array([bd[lg][1] for lg in langs], dtype=np.int64)
-        return b.filter(pa.array((nc >= lo) & (nc <= hi)))
+        return b.filter(pa.array((nc >= lo_d[idx]) & (nc <= hi_d[idx])))
 
     out = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "lang", "n_chars"])
@@ -1512,8 +1520,13 @@ def _source_roundtrip(sf_dir: str, fmt: str) -> pa.Table:
             ds.write_json(out_dir)
             back = rd.read_json(out_dir)
         else:
+            from pyarrow import csv as pacsv
             ds.write_csv(out_dir)
-            back = rd.read_csv(out_dir)
+            # pin column types: Arrow CSV inference would read an
+            # all-numeric-looking text column back as int64/double
+            back = rd.read_csv(out_dir, convert_options=pacsv.ConvertOptions(
+                column_types={"doc_id": pa.int64(), "text": pa.string(),
+                              "lang": pa.string(), "n_chars": pa.int64()}))
         df = back.to_pandas().sort_values("doc_id")
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -1630,6 +1643,10 @@ def join_revenue_by_nation(sf_dir: str) -> pa.Table:
         custs = dc[pos] if len(fk) else np.zeros(0, dtype=np.int64)
         ck_s, cn_s = ray.get(dim_ref)
         cpos = np.searchsorted(ck_s, custs)
+        if len(custs) and not np.all(
+                (cpos < len(ck_s))
+                & (ck_s[np.minimum(cpos, len(ck_s) - 1)] == custs)):
+            raise ValueError("order custkey with no matching customer")
         nk = cn_s[cpos] if len(fk) else np.zeros(0, dtype=np.int64)
         out = np.zeros((25 if len(nk) == 0 else int(nk.max()) + 1, 3),
                        dtype=np.int64)

@@ -217,6 +217,11 @@ def _kgram_occurrences(toks: pa.ListArray, k: int
         comb = h.copy()
         for j in range(1, k):
             lim = len(h) - j
+            if lim <= 0:
+                # fewer tokens than k in the whole batch: no position has a
+                # full gram (kg_valid below is all-False), and a negative
+                # lim would mis-broadcast — stop folding
+                break
             comb[:lim] = comb[:lim] * FNV64_PRIME + h[j:]
     doc_of = np.repeat(np.arange(len(counts)), counts)
     tok_pos = np.arange(len(h), dtype=np.int64) - np.repeat(starts[:-1], counts)

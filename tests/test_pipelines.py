@@ -744,10 +744,33 @@ def test_hll_estimate_tracks_truth():
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     con = duckdb.connect()
+    from fsray.contract import MAX_TOKEN_BYTES
     truth = con.sql(f"""
         SELECT count(DISTINCT tok) FROM (
           SELECT unnest(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+')) AS tok
-          FROM read_parquet('{SF_DIR}/documents.parquet')) WHERE tok <> ''
+          FROM read_parquet('{SF_DIR}/documents.parquet'))
+        WHERE tok <> '' AND length(tok) <= {MAX_TOKEN_BYTES}
     """).fetchone()[0]
     rel_err = abs(est - truth) / truth
     assert rel_err <= 3 * 1.04 / math.sqrt(m), (est, truth, rel_err)
+
+
+def test_kgram_short_batch_no_crash():
+    """Review regression: a batch whose TOTAL flat token count is below k
+    used to mis-broadcast in the rolling fold (`comb[:negative]`).  Short
+    batches must yield zero grams, and the window/coverage kernels must
+    survive them."""
+    from fsray.pipelines import SUBSTR_L
+    from fsray.textops import (_kgram_occurrences, substring_coverage_batch,
+                               window_doc_rows)
+    from fsray.tokenizer import tokenize_column
+
+    b = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta", ""])})
+    toks = tokenize_column(b["text"].combine_chunks().cast(pa.string()))
+    c, cdoc, cpos, counts, _ = _kgram_occurrences(toks, SUBSTR_L)
+    assert len(c) == 0 and list(counts) == [4, 0]
+    assert window_doc_rows(b, SUBSTR_L).num_rows == 0
+    cov = substring_coverage_batch(b, np.zeros(0, dtype=np.int64), SUBSTR_L)
+    assert cov["dup_tokens"].to_pylist() == [0, 0]
+    assert cov["n_tokens"].to_pylist() == [4, 0]

@@ -52,8 +52,12 @@ def gen(out: str, seed: int, n_docs: int = 50_000, n_vecs: int = 20_000,
     v = rng.standard_normal((n_vecs, dim))
     dup = rng.random(n_vecs) < 0.05
     dup[0] = False
-    src_idx = rng.integers(0, np.maximum(np.arange(n_vecs), 1))
-    v[dup] = v[src_idx[dup]] + 0.02 * rng.standard_normal((int(dup.sum()), dim))
+    # sources come from the NON-dup rows only: the vectorized assignment
+    # reads pre-assignment values, so a dup-of-a-dup would pair with a
+    # vector that no longer exists in the table
+    orig = np.flatnonzero(~dup)
+    src = orig[rng.integers(0, len(orig), size=int(dup.sum()))]
+    v[dup] = v[src] + 0.02 * rng.standard_normal((int(dup.sum()), dim))
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     pq.write_table(pa.table({
         "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64)),
