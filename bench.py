@@ -219,6 +219,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_join_revenue_by_nation", P.join_revenue_by_nation),
         ("x_source_jsonl", P.source_jsonl),
         ("x_source_csv", P.source_csv),
+        ("x_events_hopping_window", P.events_hopping_window),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

@@ -495,6 +495,11 @@ def events_tumbling_window(sf_dir: str) -> pa.Table:
     return tumbling_window_agg(sf_dir)
 
 
+def events_hopping_window(sf_dir: str) -> pa.Table:
+    from fsray.windows import hopping_window_agg
+    return hopping_window_agg(sf_dir)
+
+
 def events_sessionize(sf_dir: str) -> pa.Table:
     from fsray.windows import sessionize
     return sessionize(sf_dir)
@@ -4429,6 +4434,7 @@ def make_queries() -> dict:
         "join_revenue_by_nation": join_revenue_by_nation,  # exact oracle (r4), new operator
         "source_jsonl": source_jsonl,  # exact oracle (r4), new source format
         "source_csv": source_csv,  # exact oracle (r4), new source format
+        "events_hopping_window": events_hopping_window,  # exact oracle (r4), new operator
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -5221,6 +5227,14 @@ SELECT event_type, (epoch_us(ts) // CAST(3600000000 AS BIGINT)) * 3600 AS window
        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
        count(*) AS n_events
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    o["events_hopping_window"] = """
+SELECT event_type,
+       ((epoch_us(ts) // CAST(900000000 AS BIGINT)) - j.j) * 900 AS window_start_s,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
+       count(*) AS n_events
+FROM events, (SELECT unnest(range(0, 4)) AS j) j
+GROUP BY 1, 2 ORDER BY 1, 2"""
 
     o["events_sessionize"] = """
 WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),

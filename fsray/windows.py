@@ -85,6 +85,64 @@ def tumbling_window_agg(sf_dir: str, width_sec: int = 3600) -> pa.Table:
     })
 
 
+def hopping_partial(batch: pa.Table, width_sec: int = 3600,
+                    hop_sec: int = 900) -> pa.Table:
+    """Per-batch partial for the HOPPING (sliding) window: every event is
+    replicated into its width/hop overlapping windows (vectorized
+    np.repeat — the flat-map shape), then the same in-batch combiner as
+    ``tumbling_partial``.  The replication factor is the constant
+    width/hop, so the shuffle grows by exactly that factor and no more —
+    the documented cost of overlap."""
+    k = width_sec // hop_sec
+    ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()  # µs epoch
+    base = ts // (hop_sec * US_PER_SEC)
+    offs = np.arange(k, dtype=np.int64)
+    win = ((np.repeat(base, k) - np.tile(offs, len(ts))) * hop_sec)
+    vcol = batch["value"].combine_chunks()
+    val = vcol.to_numpy(zero_copy_only=False)
+    if vcol.null_count:
+        val = np.where(np.asarray(vcol.is_null()), 0.0, val)
+    micros = np.repeat(np.floor(val * 1e6).astype(np.int64), k)
+    etype = pa.array(np.repeat(
+        batch["event_type"].combine_chunks().to_numpy(zero_copy_only=False), k),
+        type=pa.string())
+    t = pa.table({
+        "event_type": etype,
+        "window_start_s": pa.array(win, type=pa.int64()),
+        "micros": pa.array(micros, type=pa.int64()),
+    })
+    agg = t.group_by(["event_type", "window_start_s"]).aggregate(
+        [("micros", "sum"), ("micros", "count")])
+    return pa.table({
+        "event_type": agg["event_type"],
+        "window_start_s": agg["window_start_s"],
+        "sum_value_micros": agg["micros_sum"].cast(pa.int64()),
+        "n_events": agg["micros_count"].cast(pa.int64()),
+    })
+
+
+def hopping_window_agg(sf_dir: str, width_sec: int = 3600,
+                       hop_sec: int = 900) -> pa.Table:
+    """Hopping-window aggregate over events — the overlapping-window
+    operator the Dataset API lacks: windows of ``width_sec`` starting
+    every ``hop_sec`` (an event lands in width/hop of them).  Same
+    partial → groupby-merge discipline as the tumbling lane; integer
+    micro-units keep the merge order-independent."""
+    from ray.data.aggregate import Sum
+    ds = _events_ds(sf_dir).map_batches(
+        lambda b: hopping_partial(b, width_sec, hop_sec),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = (ds.groupby(["event_type", "window_start_s"])
+             .aggregate(Sum("sum_value_micros"), Sum("n_events")).to_pandas())
+    out = out.sort_values(["event_type", "window_start_s"])
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "window_start_s": pa.array(out["window_start_s"].astype("int64"), type=pa.int64()),
+        "sum_value_micros": pa.array(out["sum(sum_value_micros)"].astype("int64"), type=pa.int64()),
+        "n_events": pa.array(out["sum(n_events)"].astype("int64"), type=pa.int64()),
+    })
+
+
 def sessionize(sf_dir: str, gap_sec: int = 1800) -> pa.Table:
     """Sessions per user: gap > ``gap_sec`` starts a new session.
 
