@@ -220,6 +220,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_source_jsonl", P.source_jsonl),
         ("x_source_csv", P.source_csv),
         ("x_events_hopping_window", P.events_hopping_window),
+        ("x_antijoin_customers_no_orders", P.antijoin_customers_no_orders),
+        ("x_suppliers_per_region", P.suppliers_per_region),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

@@ -1712,6 +1712,125 @@ GROUP BY n.n_name
 ORDER BY n.n_name"""
 
 
+def antijoin_customers_no_orders(sf_dir: str) -> pa.Table:
+    """Relational ANTI-JOIN: customers with no orders (the
+    orphan/retention audit).  Ray shape: the probe side's DISTINCT keys
+    (o_custkey, customer-bounded by definition) are reduced via a
+    per-batch-unique ``map_batches`` partial + one vocab-style groupby,
+    broadcast once, and the anti filter is a vectorized ``np.isin``
+    inside ``map_batches`` — the broadcast-anti-join plan every engine
+    picks when the distinct key set fits memory; the documented swap at
+    larger key sets is the bucket exchange (`join_revenue_by_nation`'s
+    shape) with a per-bucket anti filter."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    keys = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_custkey"])
+            .map_batches(lambda b: pa.table({
+                "k": pa.array(np.unique(b["o_custkey"].to_numpy()))}),
+                batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k").aggregate(Count())
+            .to_pandas())
+    have = ray.put(np.sort(keys["k"].to_numpy().astype(np.int64)))
+
+    def anti(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy()
+        hv = ray.get(have)
+        pos = np.searchsorted(hv, ck)
+        hit = (pos < len(hv)) & (hv[np.minimum(pos, max(len(hv) - 1, 0))] == ck)
+        return b.filter(pa.array(~hit))
+
+    out = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+           .map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas())
+    if len(out) == 0:
+        # an all-matched corpus yields an empty Dataset whose pandas view
+        # loses the schema — pin the contract columns explicitly
+        return pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                         "c_mktsegment": pa.array([], type=pa.string())})
+    out = out.sort_values("c_custkey")
+    return pa.table({
+        "c_custkey": pa.array(out["c_custkey"].to_numpy(), type=pa.int64()),
+        "c_mktsegment": pa.array(out["c_mktsegment"], type=pa.string()),
+    })
+
+
+def antijoin_oracle_sql() -> str:
+    return """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey"""
+
+
+def suppliers_per_region(sf_dir: str) -> pa.Table:
+    """Dimension rollup exercising the remaining relational tables:
+    supplier count and total account balance (integer cents) per region,
+    through supplier ⋈ nation ⋈ region.  Both dimension maps are tiny
+    (nation 25, region 5) and broadcast; the supplier scan is one
+    column-pruned ``map_batches`` emitting per-batch per-region partials
+    — shuffle bounded by |regions| × batches."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nr = nat["n_regionkey"].to_numpy().astype(np.int64)
+    n2r = np.zeros(int(nk.max()) + 1, dtype=np.int64)
+    n2r[nk] = nr
+    dim_ref = ray.put(n2r)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rk = ray.get(dim_ref)[b["s_nationkey"].to_numpy().astype(np.int64)]
+        cents = np.rint(b["s_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        nreg = int(rk.max()) + 1 if len(rk) else 0
+        cnt = np.zeros(nreg, dtype=np.int64)
+        tot = np.zeros(nreg, dtype=np.int64)
+        np.add.at(cnt, rk, 1)
+        np.add.at(tot, rk, cents)
+        used = np.flatnonzero(cnt)
+        return pa.table({
+            "regionkey": pa.array(used, type=pa.int64()),
+            "n_suppliers": pa.array(cnt[used]),
+            "acctbal_cents": pa.array(tot[used]),
+        })
+
+    agg = (rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                           columns=["s_nationkey", "s_acctbal"])
+           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("regionkey")
+           .aggregate(Sum("n_suppliers"), Sum("acctbal_cents"))
+           .to_pandas())
+    names = dict(zip(reg["r_regionkey"].to_numpy().astype(np.int64),
+                     reg["r_name"].to_pylist()))
+    agg["region"] = [names[int(k)] for k in agg["regionkey"]]
+    agg = agg.sort_values("region")
+    return pa.table({
+        "region": pa.array(agg["region"], type=pa.string()),
+        "n_suppliers": pa.array(agg["sum(n_suppliers)"].to_numpy().astype(np.int64)),
+        "acctbal_cents": pa.array(agg["sum(acctbal_cents)"].to_numpy().astype(np.int64)),
+    })
+
+
+def suppliers_region_oracle_sql() -> str:
+    return """
+SELECT r.r_name AS region,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(roundbankers(s.s_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name"""
+
+
 #: HyperLogLog precision: 2^p registers
 HLL_P = 8
 
@@ -4435,6 +4554,8 @@ def make_queries() -> dict:
         "source_jsonl": source_jsonl,  # exact oracle (r4), new source format
         "source_csv": source_csv,  # exact oracle (r4), new source format
         "events_hopping_window": events_hopping_window,  # exact oracle (r4), new operator
+        "antijoin_customers_no_orders": antijoin_customers_no_orders,  # exact oracle (r4)
+        "suppliers_per_region": suppliers_per_region,  # exact oracle (r4)
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -5673,6 +5794,8 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["join_revenue_by_nation"] = join_revenue_oracle_sql()
     o["source_jsonl"] = source_oracle_sql()
     o["source_csv"] = source_oracle_sql()
+    o["antijoin_customers_no_orders"] = antijoin_oracle_sql()
+    o["suppliers_per_region"] = suppliers_region_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()
