@@ -222,6 +222,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_events_hopping_window", P.events_hopping_window),
         ("x_antijoin_customers_no_orders", P.antijoin_customers_no_orders),
         ("x_suppliers_per_region", P.suppliers_per_region),
+        ("x_grouped_topk_parts", P.grouped_topk_parts),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

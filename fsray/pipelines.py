@@ -1831,6 +1831,83 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name ORDER BY r.r_name"""
 
 
+#: parts kept per brand by the grouped top-k lane
+PARTS_TOP_K = 3
+
+
+def grouped_topk_parts(sf_dir: str) -> pa.Table:
+    """Grouped TOP-K — the distributed top-k-per-key pattern over the
+    part table (top-``PARTS_TOP_K`` parts per brand by retail price):
+    each batch keeps only its per-brand top-k (a bounded |brands|×k
+    combiner, so the shuffle never carries the table), then one
+    per-brand merge re-applies the identical selection.  The selection
+    is associative exactly like the search tier's packed top-k collector
+    — batch-level truncation can never evict a global winner.  Tie rule
+    pinned on both sides: price DESC, partkey ASC.  The price column is
+    compared as raw f64 (copied, never computed), so the oracle is
+    bit-exact by construction."""
+    import ray.data as rd
+
+    def topk_kernel(brand, price, pkey):
+        sel = np.lexsort((pkey, -price, brand))
+        sb = brand[sel]
+        first = np.ones(len(sb), dtype=bool)
+        first[1:] = sb[1:] != sb[:-1]
+        seg = np.flatnonzero(first)
+        rank = np.arange(len(sb)) - np.repeat(
+            seg, np.diff(np.append(seg, len(sb))))
+        keep = rank < PARTS_TOP_K
+        return sel[keep], rank[keep] + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"].to_numpy(zero_copy_only=False).astype(str)
+        price = b["p_retailprice"].to_numpy()
+        pkey = b["p_partkey"].to_numpy()
+        k, _ = topk_kernel(brand, price, pkey)
+        return pa.table({
+            "p_brand": pa.array(brand[k], type=pa.string()),
+            "p_partkey": pa.array(pkey[k], type=pa.int64()),
+            "p_retailprice": pa.array(price[k], type=pa.float64()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        brand = g["p_brand"].to_numpy(zero_copy_only=False).astype(str)
+        price = g["p_retailprice"].to_numpy()
+        pkey = g["p_partkey"].to_numpy()
+        k, rank = topk_kernel(brand, price, pkey)
+        return pa.table({
+            "p_brand": pa.array(brand[k], type=pa.string()),
+            "rank": pa.array(rank, type=pa.int64()),
+            "p_partkey": pa.array(pkey[k], type=pa.int64()),
+            "p_retailprice": pa.array(price[k], type=pa.float64()),
+        })
+
+    out = (rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_brand", "p_retailprice"])
+           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("p_brand").map_groups(merge, batch_format="pyarrow")
+           .to_pandas().sort_values(["p_brand", "rank"]))
+    return pa.table({
+        "p_brand": pa.array(out["p_brand"], type=pa.string()),
+        "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+        "p_partkey": pa.array(out["p_partkey"].to_numpy(), type=pa.int64()),
+        "p_retailprice": pa.array(out["p_retailprice"].to_numpy(),
+                                  type=pa.float64()),
+    })
+
+
+def grouped_topk_oracle_sql() -> str:
+    return f"""
+SELECT p_brand, CAST(rank AS BIGINT) AS rank, p_partkey, p_retailprice
+FROM (SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey ASC)
+               AS rank
+      FROM part)
+WHERE rank <= {PARTS_TOP_K}
+ORDER BY p_brand, rank"""
+
+
 #: HyperLogLog precision: 2^p registers
 HLL_P = 8
 
@@ -4556,6 +4633,7 @@ def make_queries() -> dict:
         "events_hopping_window": events_hopping_window,  # exact oracle (r4), new operator
         "antijoin_customers_no_orders": antijoin_customers_no_orders,  # exact oracle (r4)
         "suppliers_per_region": suppliers_per_region,  # exact oracle (r4)
+        "grouped_topk_parts": grouped_topk_parts,  # exact oracle (r4)
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -5796,6 +5874,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["source_csv"] = source_oracle_sql()
     o["antijoin_customers_no_orders"] = antijoin_oracle_sql()
     o["suppliers_per_region"] = suppliers_region_oracle_sql()
+    o["grouped_topk_parts"] = grouped_topk_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()
