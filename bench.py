@@ -223,6 +223,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_antijoin_customers_no_orders", P.antijoin_customers_no_orders),
         ("x_suppliers_per_region", P.suppliers_per_region),
         ("x_grouped_topk_parts", P.grouped_topk_parts),
+        ("x_pack_sequences", P.pack_sequences),
+        ("x_perplexity_score", P.perplexity_score),
+        ("x_pricing_summary", P.pricing_summary),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

@@ -880,6 +880,31 @@ ORDER BY doc_id"""
 NGRAM_TOP_K = 50
 
 
+def _bigram_partial(b: pa.Table) -> pa.Table:
+    """In-batch bigram-count combiner (shared by ``ngram_counts`` and the
+    perplexity LM fit): per-doc adjacency over ADMITTED tokens, combined
+    to (bigram, n) partials so the downstream groupby shuffles
+    vocab²-bounded aggregates, never one row per occurrence."""
+    import pandas as pd
+
+    from fsray.tokenizer import tokenize_column
+    toks = tokenize_column(b["text"].combine_chunks().cast(pa.string()).fill_null(""))
+    counts = np.diff(np.asarray(toks.offsets))
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) < 2:
+        return pa.table({"bigram": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    # bigram validity: both tokens inside the same doc
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    valid = doc_of[:-1] == doc_of[1:]
+    left, right = flat[:-1][valid], flat[1:][valid]
+    s = pd.Series(np.char.add(np.char.add(left.astype(str), " "),
+                              right.astype(str)))
+    vc = s.value_counts()
+    return pa.table({"bigram": pa.array(vc.index, type=pa.string()),
+                     "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+
 def ngram_counts(sf_dir: str) -> pa.Table:
     """Corpus bigram statistics (the n-gram LM building block quality
     filters train on): top-``NGRAM_TOP_K`` token bigrams by total count
@@ -893,28 +918,8 @@ def ngram_counts(sf_dir: str) -> pa.Table:
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from fsray.tokenizer import tokenize_column
-
-    def bigram_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-        toks = tokenize_column(b["text"].combine_chunks().cast(pa.string()).fill_null(""))
-        counts = np.diff(np.asarray(toks.offsets))
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        if len(flat) < 2:
-            return pa.table({"bigram": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        # bigram validity: both tokens inside the same doc
-        doc_of = np.repeat(np.arange(len(counts)), counts)
-        valid = doc_of[:-1] == doc_of[1:]
-        left, right = flat[:-1][valid], flat[1:][valid]
-        s = pd.Series(np.char.add(np.char.add(left.astype(str), " "),
-                                  right.astype(str)))
-        vc = s.value_counts()
-        return pa.table({"bigram": pa.array(vc.index, type=pa.string()),
-                         "n": pa.array(vc.to_numpy().astype(np.int64))})
-
     ds = (_docs_ds(sf_dir)
-          .map_batches(bigram_partial, batch_format="pyarrow",
+          .map_batches(_bigram_partial, batch_format="pyarrow",
                        zero_copy_batch=True)
           .repartition(_stats_blocks())
           .groupby("bigram").aggregate(Sum("n")).to_pandas())
@@ -945,6 +950,393 @@ bg AS (SELECT unnest(list_transform(range(1, len(arr)),
        FROM docs_arr WHERE len(arr) >= 2),
 cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
 SELECT bigram, n FROM cnt ORDER BY n DESC, bigram ASC LIMIT {NGRAM_TOP_K}"""
+
+
+#: context-window length (tokens) for pretraining sequence packing
+PACK_SEQ_LEN = 2048
+#: doc_id-range width of one prefix-sum bucket (the per-task unit of the
+#: distributed ordered scan; raise at scale to bound the offsets table)
+PACK_BUCKET_DOCS = 2048
+
+
+def pack_sequences(sf_dir: str) -> pa.Table:
+    """Concat-and-split sequence packing — the tokenize-and-pack step a
+    pretraining pipeline runs after curation: every document's admitted-
+    token stream (lexical_pipeline.rs:212-330 admission) is conceptually
+    concatenated in doc_id order and split into fixed ``PACK_SEQ_LEN``-
+    token training sequences; each document maps to
+    ``(global_start, seq_first, seq_last, seq_offset)``.
+
+    Ray shape — a DISTRIBUTED ORDERED PREFIX SUM (the one scan-shaped
+    operator the Dataset API lacks): docs are tagged into CONTIGUOUS
+    doc_id-range buckets (``doc_id // PACK_BUCKET_DOCS`` — a range
+    partition, not a hash, so bucket order IS corpus order); pass 1
+    reduces per-bucket token totals via in-batch combiners (one row per
+    (batch, bucket) into a tiny groupby); the driver cumsum-folds the
+    bucket totals into exclusive bucket offsets (#buckets rows — corpus-
+    size / PACK_BUCKET_DOCS, never per-doc) and broadcasts them once via
+    ``ray.put``; pass 2 computes each bucket's in-bucket cumulative sum
+    with ONE vectorized numpy kernel per bucket
+    (``groupby(bucket).map_groups`` — the sessionize bucket discipline)
+    and adds the bucket offset.  No per-doc state ever lands on the
+    driver; the only all-to-all is the bucket-keyed exchange.  EXACT
+    integer oracle: a SQL window cumsum replays the identical
+    arithmetic (empty docs pin ``seq_last = seq_first`` via the
+    ``greatest(n, 1)`` rule on both sides)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fsray.textops import token_count_batch
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        t = token_count_batch(b)
+        bk = t["doc_id"].to_numpy() // PACK_BUCKET_DOCS
+        g = pd.DataFrame({"bucket": bk, "n": t["n_tokens"].to_numpy()}) \
+            .groupby("bucket", sort=False)["n"].sum()
+        return pa.table({"bucket": pa.array(g.index.to_numpy(), type=pa.int64()),
+                         "total": pa.array(g.to_numpy().astype(np.int64))})
+
+    totals = (_docs_ds(sf_dir)
+              .map_batches(bucket_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .repartition(_stats_blocks())
+              .groupby("bucket").aggregate(Sum("total")).to_pandas())
+    bk = totals["bucket"].to_numpy().astype(np.int64)
+    order = np.argsort(bk)
+    bk_sorted = bk[order]
+    tot_sorted = totals["sum(total)"].to_numpy().astype(np.int64)[order]
+    offs_sorted = np.cumsum(tot_sorted) - tot_sorted  # exclusive
+    offsets_ref = ray.put((bk_sorted, offs_sorted))
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        return t.append_column(
+            "bucket", pa.array(t["doc_id"].to_numpy() // PACK_BUCKET_DOCS,
+                               type=pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("doc_id", "n_tokens", "global_start",
+                                       "seq_first", "seq_last", "seq_offset")})
+        bks, offs = ray.get(offsets_ref)
+        ids = g["doc_id"].to_numpy()
+        n = g["n_tokens"].to_numpy()
+        order = np.argsort(ids)
+        ids, n = ids[order], n[order]
+        base = offs[np.searchsorted(bks, int(g["bucket"][0].as_py()))]
+        start = base + np.cumsum(n) - n
+        seq_first = start // PACK_SEQ_LEN
+        seq_last = (start + np.maximum(n, 1) - 1) // PACK_SEQ_LEN
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "global_start": pa.array(start, type=pa.int64()),
+            "seq_first": pa.array(seq_first, type=pa.int64()),
+            "seq_last": pa.array(seq_last, type=pa.int64()),
+            "seq_offset": pa.array(start % PACK_SEQ_LEN, type=pa.int64()),
+        })
+
+    out = (_docs_ds(sf_dir)
+           .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id"))
+    return pa.table({c: pa.array(out[c].to_numpy(), type=pa.int64())
+                     for c in ("doc_id", "n_tokens", "global_start",
+                               "seq_first", "seq_last", "seq_offset")})
+
+
+def pack_oracle_sql() -> str:
+    """Exact integer oracle for ``pack_sequences``: admitted-token counts
+    + a window cumsum in doc_id order, the same floor-division sequence
+    arithmetic (byte==char on the pure-ASCII corpus)."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    return f"""
+WITH docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '{SPLIT_SQL}'),
+                x -> x <> '' AND length(x) <= {MAX_TOKEN_BYTES}) AS arr
+  FROM documents),
+cnt AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM docs_arr),
+pre AS (SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS global_start
+        FROM cnt)
+SELECT doc_id, n_tokens, global_start,
+       global_start // {PACK_SEQ_LEN} AS seq_first,
+       (global_start + greatest(n_tokens, 1) - 1) // {PACK_SEQ_LEN} AS seq_last,
+       global_start % {PACK_SEQ_LEN} AS seq_offset
+FROM pre ORDER BY doc_id"""
+
+
+#: 2^32 fixed-point scale for quantized log-probabilities
+PPL_QSCALE = 4294967296
+
+
+def perplexity_score(sf_dir: str) -> pa.Table:
+    """Bigram-LM per-document scoring — the KenLM-style perplexity
+    quality filter (CCNet / Gopher pipelines): an add-one-smoothed
+    bigram model ``p(v|u) = (c(uv)+1) / (c_left(u)+V)`` is fitted on the
+    corpus (``c_left(u)`` = count of bigrams with left token u; V =
+    distinct admitted-token vocabulary), and each document scores the
+    mean negative log-probability of its bigrams — high score = unusual
+    token transitions = low-quality text.
+
+    The f64 SUM-ORDER hazard is removed by the integer-accumulator
+    discipline (the hash-embed-scorer precedent): each model bigram's
+    ``ln p`` is quantized ONCE on the driver to
+    ``q = rint(ln(p) · 2^32)`` (libm ``math.log`` == DuckDB ``ln``,
+    ``np.rint`` == ``roundbankers`` — both pinned), and int64 sums are
+    associative, so batch/shuffle order cannot perturb the result; the
+    per-doc f64 score is derived by two PINNED single divisions.
+
+    Ray shape: model = two combiner-pattern rollups (bigram counts +
+    the vocab rollup for V — both vocab-bounded shuffles); the
+    quantized model is broadcast ONCE via ``ray.put`` as sorted
+    key/value arrays; the scoring pass is shuffle-free ``map_batches``
+    (tokenize → bigram keys → one searchsorted gather → cumsum-
+    difference per-doc sums).  100-TB knob (documented): fit on a
+    sample and/or prune count-1 bigrams before broadcast — here the fit
+    is exact over the corpus so the oracle can replay it."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fsray.textops import term_stats_partial
+    from fsray.tokenizer import tokenize_column
+
+    bg = (_docs_ds(sf_dir)
+          .map_batches(_bigram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .repartition(_stats_blocks())
+          .groupby("bigram").aggregate(Sum("n")).to_pandas())
+    vocab = (_docs_ds(sf_dir)
+             .map_batches(term_stats_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .repartition(_stats_blocks())
+             .groupby("term").aggregate(Sum("df")).count())
+    V = int(vocab)
+
+    bigr = bg["bigram"].to_numpy().astype(str)
+    cuv = bg["sum(n)"].to_numpy().astype(np.int64)
+    # c_left(u): tokens contain no spaces (the tokenizer splits on
+    # non-alphanumerics), so the bigram key splits unambiguously
+    left = np.array([s.split(" ", 1)[0] for s in bigr])
+    import pandas as pd
+    cl = pd.Series(cuv).groupby(pd.Series(left)).sum()
+    cleft = cl.reindex(left).to_numpy().astype(np.int64)
+    ratio = (cuv.astype(np.float64) + 1.0) / (cleft + V).astype(np.float64)
+    # libm log per DISTINCT ratio (np.log breaks f64 parity — the
+    # contract.py idf / tfidf precedent)
+    uniq, inv = np.unique(ratio, return_inverse=True)
+    lnu = np.array([math.log(float(r)) for r in uniq], dtype=np.float64)
+    q = np.rint(lnu[inv] * float(PPL_QSCALE)).astype(np.int64)
+    order = np.argsort(bigr)
+    model_ref = ray.put((bigr[order], q[order]))
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        keys, qv = ray.get(model_ref)
+        toks = tokenize_column(b["text"].combine_chunks()
+                               .cast(pa.string()).fill_null(""))
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        counts = np.diff(np.asarray(toks.offsets))
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        ndocs = len(counts)
+        if len(flat) < 2:
+            nb = np.zeros(ndocs, dtype=np.int64)
+            nll = np.zeros(ndocs, dtype=np.int64)
+        else:
+            doc_of = np.repeat(np.arange(ndocs), counts)
+            valid = doc_of[:-1] == doc_of[1:]
+            bgk = np.char.add(np.char.add(flat[:-1][valid].astype(str), " "),
+                              flat[1:][valid].astype(str))
+            pos = np.searchsorted(keys, bgk)
+            if len(bgk) and not np.array_equal(keys[pos], bgk):
+                raise ValueError("bigram missing from the broadcast model "
+                                 "(model must be fitted on this corpus)")
+            qrow = qv[pos] if len(bgk) else np.zeros(0, dtype=np.int64)
+            nb = np.bincount(doc_of[:-1][valid], minlength=ndocs).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(qrow)])
+            ends = np.cumsum(nb)
+            nll = -(csum[ends] - csum[ends - nb])
+        score = np.zeros(ndocs, dtype=np.float64)
+        nz = nb > 0
+        score[nz] = (nll[nz].astype(np.float64) / float(PPL_QSCALE)) / nb[nz]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_bigrams": pa.array(nb, type=pa.int64()),
+            "nll_q": pa.array(nll, type=pa.int64()),
+            "ppl_score": pa.array(score, type=pa.float64()),
+        })
+
+    out = (_docs_ds(sf_dir)
+           .map_batches(score_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id"))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+        "n_bigrams": pa.array(out["n_bigrams"].to_numpy(), type=pa.int64()),
+        "nll_q": pa.array(out["nll_q"].to_numpy(), type=pa.int64()),
+        "ppl_score": pa.array(out["ppl_score"].to_numpy(), type=pa.float64()),
+    })
+
+
+def perplexity_oracle_sql() -> str:
+    """Exact oracle for ``perplexity_score``: the same add-one bigram LM
+    fitted in SQL, per-bigram ``rint(ln(p)·2^32)`` quantization
+    (``roundbankers`` == ``np.rint``; DuckDB ``ln`` == libm), integer
+    nll sums, and the identical two pinned divisions for the f64
+    score."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    return f"""
+WITH docs_arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '{SPLIT_SQL}'),
+                x -> x <> '' AND length(x) <= {MAX_TOKEN_BYTES}) AS arr
+  FROM documents),
+v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(arr) AS tok FROM docs_arr)),
+bg AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(arr)),
+                               i -> arr[i] || ' ' || arr[i+1])) AS bigram
+       FROM docs_arr WHERE len(arr) >= 2),
+cb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cuv FROM bg GROUP BY bigram),
+clft AS (SELECT split_part(bigram, ' ', 1) AS l, CAST(sum(cuv) AS BIGINT) AS cu
+         FROM cb GROUP BY 1),
+q AS (SELECT cb.bigram,
+        CAST(roundbankers(ln((cb.cuv + 1.0) / CAST(clft.cu + v.v AS DOUBLE))
+                          * {float(PPL_QSCALE)}, 0) AS BIGINT) AS q
+      FROM cb JOIN clft ON split_part(cb.bigram, ' ', 1) = clft.l CROSS JOIN v),
+scored AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(-sum(q.q) AS BIGINT) AS nll_q
+           FROM bg b JOIN q ON b.bigram = q.bigram GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.nll_q, 0) AS BIGINT) AS nll_q,
+       CASE WHEN s.n_bigrams IS NULL THEN 0.0
+            ELSE (CAST(s.nll_q AS DOUBLE) / {float(PPL_QSCALE)}) / s.n_bigrams
+       END AS ppl_score
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id"""
+
+
+#: pricing-summary shipdate cutoff (inclusive) — keeps ~all sf rows while
+#: exercising the read-side predicate
+PRICING_CUTOFF = "2001-09-02 00:00:00"
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-shaped pricing summary over ``lineitem``: per
+    (returnflag, linestatus), row count plus sums of quantity, base
+    price, discounted price and charge, with derived averages — the
+    canonical WIDE AGGREGATE whose Ray shape is an in-batch combiner
+    (each batch folds to ≤ |flag×status| ≈ 6 rows) followed by a
+    6-row groupby merge: the shuffle moves O(batches × 6) rows no
+    matter the corpus size.
+
+    Money rides the integer-cents discipline (``np.rint`` ==
+    ``roundbankers``; the star-join precedent): base price in cents,
+    discounted price in cents×percent (10⁻⁴ $), charge in
+    cents×percent² (10⁻⁶ $) — int64 sums are exact and associative
+    (≈10¹¹/row: overflow headroom to ~10⁷ rows per group; the 100-TB
+    form splits the sum into (hi, lo) int64 pairs or a HUGEINT-capable
+    reducer).  The f64 outputs derive from the integer sums by PINNED
+    single divisions.  Reads prune to the 7 needed columns of the
+    16-column table; the shipdate predicate applies in-batch (and maps
+    to a row-group filter at the read on a real corpus)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cutoff_us = int(np.datetime64(PRICING_CUTOFF.replace(" ", "T"), "us")
+                    .astype(np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        ship = b["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy()
+        keep = ship <= cutoff_us
+        qty = np.rint(b["l_quantity"].to_numpy()[keep]).astype(np.int64)
+        cents = np.rint(b["l_extendedprice"].to_numpy()[keep] * 100.0).astype(np.int64)
+        disc = np.rint(b["l_discount"].to_numpy()[keep] * 100.0).astype(np.int64)
+        tax = np.rint(b["l_tax"].to_numpy()[keep] * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": np.asarray(b["l_returnflag"].to_pandas())[keep],
+            "l_linestatus": np.asarray(b["l_linestatus"].to_pandas())[keep],
+            "sum_qty": qty,
+            "sum_base_cents": cents,
+            "sum_disc_units": cents * (100 - disc),
+            "sum_charge_units": cents * (100 - disc) * (100 + tax),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False) \
+              .agg(sum_qty=("sum_qty", "sum"),
+                   sum_base_cents=("sum_base_cents", "sum"),
+                   sum_disc_units=("sum_disc_units", "sum"),
+                   sum_charge_units=("sum_charge_units", "sum"),
+                   n_rows=("sum_qty", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                 .replace_schema_metadata(None)
+
+    ds = (rd.read_parquet(
+              os.path.join(sf_dir, "lineitem.parquet"),
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_tax",
+                       "l_shipdate"])
+          .map_batches(lambda b: b.replace_schema_metadata(None),
+                       batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+          .groupby(["l_returnflag", "l_linestatus"])
+          .aggregate(Sum("sum_qty"), Sum("sum_base_cents"),
+                     Sum("sum_disc_units"), Sum("sum_charge_units"),
+                     Sum("n_rows"))
+          .to_pandas())
+    ds = ds.sort_values(["l_returnflag", "l_linestatus"])
+    sq = ds["sum(sum_qty)"].to_numpy().astype(np.int64)
+    sb = ds["sum(sum_base_cents)"].to_numpy().astype(np.int64)
+    sd = ds["sum(sum_disc_units)"].to_numpy().astype(np.int64)
+    sc = ds["sum(sum_charge_units)"].to_numpy().astype(np.int64)
+    n = ds["sum(n_rows)"].to_numpy().astype(np.int64)
+    return pa.table({
+        "l_returnflag": pa.array(ds["l_returnflag"], type=pa.string()),
+        "l_linestatus": pa.array(ds["l_linestatus"], type=pa.string()),
+        "n_rows": pa.array(n, type=pa.int64()),
+        "sum_qty": pa.array(sq, type=pa.int64()),
+        "sum_base_cents": pa.array(sb, type=pa.int64()),
+        "sum_disc_units": pa.array(sd, type=pa.int64()),
+        "sum_charge_units": pa.array(sc, type=pa.int64()),
+        "avg_qty": pa.array(sq.astype(np.float64) / n, type=pa.float64()),
+        "avg_price": pa.array((sb.astype(np.float64) / 100.0) / n,
+                              type=pa.float64()),
+        "disc_price_total": pa.array(sd.astype(np.float64) / 10000.0,
+                                     type=pa.float64()),
+        "charge_total": pa.array(sc.astype(np.float64) / 1000000.0,
+                                 type=pa.float64()),
+    })
+
+
+def pricing_oracle_sql() -> str:
+    """Exact oracle for ``pricing_summary``: per-row bankers-rounded
+    integer units, HUGEINT sums cast to BIGINT, and the identical
+    pinned divisions for the f64 columns."""
+    return f"""
+WITH rows_f AS (SELECT l_returnflag, l_linestatus,
+    CAST(roundbankers(l_quantity, 0) AS BIGINT) AS qty,
+    CAST(roundbankers(l_extendedprice * 100.0, 0) AS BIGINT) AS cents,
+    CAST(roundbankers(l_discount * 100.0, 0) AS BIGINT) AS disc,
+    CAST(roundbankers(l_tax * 100.0, 0) AS BIGINT) AS tax
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'),
+agg AS (SELECT l_returnflag, l_linestatus,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(qty) AS BIGINT) AS sum_qty,
+    CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+    CAST(sum(cents * (100 - disc)) AS BIGINT) AS sum_disc_units,
+    CAST(sum(cents * (100 - disc) * (100 + tax)) AS BIGINT) AS sum_charge_units
+  FROM rows_f GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, n_rows, sum_qty, sum_base_cents,
+       sum_disc_units, sum_charge_units,
+       CAST(sum_qty AS DOUBLE) / n_rows AS avg_qty,
+       (CAST(sum_base_cents AS DOUBLE) / 100.0) / n_rows AS avg_price,
+       CAST(sum_disc_units AS DOUBLE) / 10000.0 AS disc_price_total,
+       CAST(sum_charge_units AS DOUBLE) / 1000000.0 AS charge_total
+FROM agg ORDER BY l_returnflag, l_linestatus"""
 
 
 def winnow_fingerprints(sf_dir: str) -> pa.Table:
@@ -4634,6 +5026,9 @@ def make_queries() -> dict:
         "antijoin_customers_no_orders": antijoin_customers_no_orders,  # exact oracle (r4)
         "suppliers_per_region": suppliers_per_region,  # exact oracle (r4)
         "grouped_topk_parts": grouped_topk_parts,  # exact oracle (r4)
+        "pack_sequences": pack_sequences,  # exact oracle (r4): distributed prefix sum
+        "perplexity_score": perplexity_score,  # exact oracle (r4): bigram-LM filter
+        "pricing_summary": pricing_summary,  # exact oracle (r4): wide aggregate
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -5875,6 +6270,9 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["antijoin_customers_no_orders"] = antijoin_oracle_sql()
     o["suppliers_per_region"] = suppliers_region_oracle_sql()
     o["grouped_topk_parts"] = grouped_topk_oracle_sql()
+    o["pack_sequences"] = pack_oracle_sql()
+    o["perplexity_score"] = perplexity_oracle_sql()
+    o["pricing_summary"] = pricing_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

@@ -774,3 +774,100 @@ def test_kgram_short_batch_no_crash():
     cov = substring_coverage_batch(b, np.zeros(0, dtype=np.int64), SUBSTR_L)
     assert cov["dup_tokens"].to_pylist() == [0, 0]
     assert cov["n_tokens"].to_pylist() == [4, 0]
+
+
+def test_pack_sequences_laws(ray_session, tmp_path):
+    """Sequence-packing contract on a crafted corpus: (a) the global
+    token stream is CONTIGUOUS across documents, buckets and doc_id gaps
+    (start[i+1] == start[i] + n[i] in doc_id order); (b) an empty doc
+    occupies zero tokens and pins seq_last == seq_first via the
+    greatest(n,1) rule; (c) a doc longer than PACK_SEQ_LEN spans
+    multiple sequences; (d) the SQL oracle replays it exactly.  doc_ids
+    straddle the PACK_BUCKET_DOCS boundary with gaps, so the bucket-
+    offset exchange is exercised, not just the single-bucket path."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import (PACK_BUCKET_DOCS, PACK_SEQ_LEN,
+                                 pack_oracle_sql, pack_sequences)
+    long_doc = " ".join(f"t{i}" for i in range(PACK_SEQ_LEN + 50))
+    ids = [0, 3, PACK_BUCKET_DOCS - 1, PACK_BUCKET_DOCS, 3 * PACK_BUCKET_DOCS + 7]
+    texts = [long_doc, "", "alpha beta gamma", "delta", "eps zeta"]
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "text": pa.array(texts, type=pa.string())}),
+                   str(tmp_path / "documents.parquet"))
+    lane = pack_sequences(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    orc = con.sql(pack_oracle_sql()).df()
+    for col in lane.columns:
+        assert list(lane[col]) == list(orc[col]), col
+    st, n = lane["global_start"].to_numpy(), lane["n_tokens"].to_numpy()
+    assert (st[1:] == st[:-1] + n[:-1]).all()          # contiguity
+    empty = lane[lane.doc_id == 3].iloc[0]
+    assert empty.n_tokens == 0 and empty.seq_first == empty.seq_last
+    longr = lane[lane.doc_id == 0].iloc[0]
+    assert longr.seq_last > longr.seq_first            # spans sequences
+    assert (lane["seq_offset"] == lane["global_start"] % PACK_SEQ_LEN).all()
+
+
+def test_perplexity_hand_computed(ray_session, tmp_path):
+    """The bigram-LM score equals an independently hand-rolled
+    computation (own count dicts + libm log, no shared kernels): add-one
+    smoothing over c_left/V, 2^32 quantization, and the two pinned
+    divisions; a bigram-free doc scores (0, 0, 0.0); rarer transitions
+    score strictly higher."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import PPL_QSCALE, perplexity_score
+    texts = ["a b", "a b a c", "z"]
+    pq.write_table(pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                             "text": pa.array(texts, type=pa.string())}),
+                   str(tmp_path / "documents.parquet"))
+    lane = perplexity_score(str(tmp_path)).to_pandas().set_index("doc_id")
+    V = 4  # {a, b, c, z}
+    cuv = {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+    cleft = {"a": 3, "b": 1}
+
+    def q(u, v):
+        return int(np.rint(math.log((cuv[(u, v)] + 1.0) / (cleft[u] + V))
+                           * float(PPL_QSCALE)))
+
+    nll0 = -q("a", "b")
+    nll1 = -(q("a", "b") + q("b", "a") + q("a", "c"))
+    assert int(lane.loc[0, "nll_q"]) == nll0
+    assert int(lane.loc[1, "nll_q"]) == nll1
+    assert lane.loc[0, "ppl_score"] == (float(nll0) / PPL_QSCALE) / 1
+    assert lane.loc[1, "ppl_score"] == (float(nll1) / PPL_QSCALE) / 3
+    assert int(lane.loc[2, "n_bigrams"]) == 0 and lane.loc[2, "ppl_score"] == 0.0
+    assert lane.loc[1, "ppl_score"] > lane.loc[0, "ppl_score"]
+
+
+def test_pricing_summary_independent_arithmetic(ray_session):
+    """The wide aggregate equals a single-process numpy replay (no Ray,
+    no combiners, no SQL): integer-cents rounding, the shipdate cutoff,
+    and the pinned derived divisions."""
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import PRICING_CUTOFF, pricing_summary
+    lane = pricing_summary(SF_DIR).to_pandas()
+    t = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet")).to_pandas()
+    cutoff = np.datetime64(PRICING_CUTOFF.replace(" ", "T"), "us")
+    t = t[t["l_shipdate"].to_numpy() <= cutoff]
+    qty = np.rint(t["l_quantity"].to_numpy()).astype(np.int64)
+    cents = np.rint(t["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+    disc = np.rint(t["l_discount"].to_numpy() * 100.0).astype(np.int64)
+    tax = np.rint(t["l_tax"].to_numpy() * 100.0).astype(np.int64)
+    for _, row in lane.iterrows():
+        m = ((t["l_returnflag"] == row.l_returnflag)
+             & (t["l_linestatus"] == row.l_linestatus)).to_numpy()
+        assert row.n_rows == int(m.sum())
+        assert row.sum_qty == int(qty[m].sum())
+        assert row.sum_base_cents == int(cents[m].sum())
+        assert row.sum_disc_units == int((cents[m] * (100 - disc[m])).sum())
+        assert row.sum_charge_units == int(
+            (cents[m] * (100 - disc[m]) * (100 + tax[m])).sum())
+        assert row.avg_qty == float(row.sum_qty) / row.n_rows
+    assert lane["n_rows"].sum() == len(t)
