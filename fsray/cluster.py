@@ -3,12 +3,13 @@
 The clustering operator a training-data pipeline runs for cluster-based
 curation (cluster→sample/balance, semantic-dedup pre-grouping, topic
 audits).  Same math as the IVF coarse quantizer (`fsray/ann.py:IvfIndex`)
-but as a standalone Dataset operator in the shape that quantizer's
-docstring promises at cluster scale: per-iteration `map_batches` assign +
-partial (sum, count) per cluster, a driver-side reduce over k×d floats,
-centroids re-broadcast via `ray.put` — the corpus is never materialized
-and each iteration moves exactly one small (k, d) matrix through the
-object store.
+but as a standalone distributed operator: blocks are decoded +
+normalized ONCE into object-store refs, then each iteration runs one
+raw Ray task per block against the re-broadcast centroids and the
+driver folds the (k, d) sum + count partials in fixed block order.
+Iterative loops are the one place raw tasks beat a Dataset pipeline —
+a Dataset is single-consumption, so a Lloyd loop over it pays a full
+read + decode + pipeline startup per iteration.
 
 Determinism: init = the k smallest vec_ids' normalized vectors (a
 deterministic, oracle-replayable choice), argmax ties break to the
@@ -42,62 +43,92 @@ def _batch_mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
-class AssignPartials:
-    """One Lloyd half-step per batch: argmax-cosine assign against the
-    broadcast centroids, emit per-cluster (count, sum-vector) partials."""
+def corpus_block_refs(ds) -> list:
+    """Decode + normalize every block of a (vec_id, embedding) Dataset
+    ONCE into object-store ``(ids, mat)`` pairs; returns their refs.
 
-    def __init__(self, cent_ref):
-        self.cent_ref = cent_ref
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
-        cent = ray.get(self.cent_ref)
-        k, d = cent.shape
-        ids, mat = _batch_mat(batch)
-        if len(ids) == 0:
-            return pa.table({"c": pa.array([], type=pa.int64()),
-                             "cnt": pa.array([], type=pa.int64()),
-                             "sv": pa.array([], type=pa.list_(pa.float64(), d))})
-        asg = np.argmax(mat @ cent.T, axis=1)
-        sums = np.zeros((k, d), dtype=np.float64)
-        np.add.at(sums, asg, mat)
-        cnt = np.bincount(asg, minlength=k).astype(np.int64)
-        return pa.table({
-            "c": pa.array(np.arange(k, dtype=np.int64)),
-            "cnt": pa.array(cnt),
-            "sv": pa.FixedSizeListArray.from_arrays(
-                pa.array(sums.reshape(-1), type=pa.float64()), d),
-        })
-
-
-def lloyd_iterations(ds_factory, init_cent: np.ndarray,
-                     iters: int = CLUSTER_ITERS) -> np.ndarray:
-    """Run ``iters`` distributed Lloyd steps; returns the final (k, d)
-    centroid matrix.  ``ds_factory()`` must yield a fresh Dataset over
-    (vec_id, embedding) per iteration (Datasets are single-consumption
-    once executed)."""
+    Lloyd is an ITERATIVE algorithm — the one case where the Dataset
+    API's single-consumption streaming shape genuinely doesn't fit
+    (each iteration is a full pass over the same data against new
+    broadcast state), so this drops to raw Ray tasks over the
+    materialized blocks: one decode per block for the WHOLE loop
+    instead of one per (block, iteration), and no per-iteration
+    pipeline startup.  Object-store footprint = the normalized f64
+    corpus (spillable); at 100 TB the documented variant is
+    fit-on-sample (bounded refs) + one streaming assign pass."""
     import ray
+
+    @ray.remote
+    def prep(blk: pa.Table):
+        return _batch_mat(blk)
+
+    mds = ds.materialize()
+    try:
+        block_refs = [br for bundle in mds.iter_internal_ref_bundles()
+                      for br in bundle.block_refs]
+    except AttributeError:  # older Ray: the deprecated accessor
+        block_refs = mds.get_internal_block_refs()
+    return [prep.remote(b) for b in block_refs]
+
+
+def lloyd_iterations(prep_refs: list, init_cent: np.ndarray,
+                     iters: int = CLUSTER_ITERS) -> np.ndarray:
+    """Run ``iters`` distributed Lloyd steps over ``corpus_block_refs``
+    output; returns the final (k, d) centroid matrix.  Per iteration:
+    centroids broadcast once via ``ray.put``, one task per block emits
+    its (k, d) sum + count partials, the driver folds them in FIXED
+    block order (k×d floats per block — the corpus never moves)."""
+    import ray
+
+    @ray.remote
+    def part(pair, cent_ref):
+        ids, mat = pair
+        cent = cent_ref
+        if len(ids) == 0:
+            return None
+        asg = np.argmax(mat @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, asg, mat)
+        return sums, np.bincount(asg, minlength=len(cent)).astype(np.int64)
+
     cent = init_cent
     k, d = cent.shape
     for _ in range(iters):
         cref = ray.put(cent)
-        parts = (ds_factory()
-                 .map_batches(AssignPartials(cref), batch_format="pyarrow",
-                              zero_copy_batch=True)
-                 .to_pandas())
+        outs = [o for o in ray.get([part.remote(p, cref) for p in prep_refs])
+                if o is not None]
         sums = np.zeros((k, d), dtype=np.float64)
         cnt = np.zeros(k, dtype=np.int64)
-        c_col = parts["c"].to_numpy()
-        cnt_col = parts["cnt"].to_numpy()
-        sv = np.stack(parts["sv"].to_numpy())
-        np.add.at(sums, c_col, sv)
-        np.add.at(cnt, c_col, cnt_col)
+        for s, c in outs:  # fixed block order — deterministic fold
+            sums += s
+            cnt += c
         nonempty = cnt > 0
         new = cent.copy()
         new[nonempty] = sums[nonempty] / cnt[nonempty, None]
         new[nonempty] = normalize_rows(new[nonempty])
         cent = new
     return cent
+
+
+def assign_block_refs(prep_refs: list, cent: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Final assignment pass over the same decoded blocks: one task per
+    block, small (ids, cluster) results, concatenated in block order."""
+    import ray
+
+    @ray.remote
+    def assign(pair, cent_ref):
+        ids, mat = pair
+        asg = (np.argmax(mat @ cent_ref.T, axis=1).astype(np.int64)
+               if len(ids) else np.zeros(0, dtype=np.int64))
+        return ids, asg
+
+    cref = ray.put(cent)
+    outs = ray.get([assign.remote(p, cref) for p in prep_refs])
+    if not outs:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return (np.concatenate([o[0] for o in outs]),
+            np.concatenate([o[1] for o in outs]))
 
 
 def _lloyd_step(mat: np.ndarray, cent: np.ndarray

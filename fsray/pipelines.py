@@ -2405,16 +2405,19 @@ def cluster_embeddings(sf_dir: str) -> pa.Table:
     cluster-based-curation operator (cluster→balance/sample, semantic
     pre-grouping) a training-data pipeline runs alongside dedup.
 
-    Distributed Lloyd in the exact shape `IvfIndex`'s docstring promises
-    at cluster scale: per iteration, centroids broadcast once via
-    ``ray.put`` and every batch emits per-cluster (count, sum-vector)
-    partials from a vectorized argmax assign — the driver reduces k×d
-    floats per iteration and the corpus never materializes anywhere.
+    Distributed Lloyd over object-store block refs (the ITERATIVE-
+    algorithm exception to Dataset-first): each block is decoded +
+    normalized ONCE into the object store, then every iteration is one
+    raw Ray task per block against the freshly broadcast centroids,
+    emitting (k, d) sum + count partials the driver folds in fixed
+    block order — no per-iteration Dataset startup, no repeated decode
+    (was 11 full read+decode passes).  The per-iteration traffic is
+    k×d floats per block; the resident normalized corpus is spillable.
     At 100 TB the documented variant is fit-on-sample / assign-once:
-    run the Lloyd loop over a bounded sample (one ``random_shuffle``-free
-    ``limit`` read), then a single full-corpus assignment pass — this
-    lane runs the full-corpus loop because the driver corpus IS
-    sample-sized and the oracle must see every row.
+    run the Lloyd loop over a bounded sample (bounded refs), then a
+    single streaming full-corpus assignment pass — this lane runs the
+    full-corpus loop because the driver corpus IS sample-sized and the
+    oracle must see every row.
 
     Deterministic: init = the ``CLUSTER_K`` smallest vec_ids' normalized
     vectors, ties to the lowest cluster id, empty clusters keep their
@@ -2424,41 +2427,35 @@ def cluster_embeddings(sf_dir: str) -> pa.Table:
     margin dwarfs f64 summation noise, pinned by the kmeans margin law
     test."""
     import pyarrow.parquet as pq
-    import ray
     import ray.data as rd
 
-    from fsray.cluster import CLUSTER_K, _batch_mat, lloyd_iterations
+    from fsray.cluster import (CLUSTER_K, _batch_mat, assign_block_refs,
+                               corpus_block_refs, lloyd_iterations)
     path = os.path.join(sf_dir, "embeddings.parquet")
     ids_only = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
     init_ids = np.sort(ids_only.astype(np.int64))[:CLUSTER_K]
     init_t = pq.read_table(path, columns=["vec_id", "embedding"],
                            filters=[("vec_id", "in",
                                      [int(x) for x in init_ids])])
-    # same decode+normalize kernel as every per-batch pass — the init
-    # parity the oracle's cent0 CTE depends on
+    # same decode+normalize kernel as every per-block prep task — the
+    # init parity the oracle's cent0 CTE depends on
     iid, mat0 = _batch_mat(init_t)
     cent = mat0[np.argsort(iid)]
 
-    def factory():
-        return (rd.read_parquet(path, columns=["vec_id", "embedding"])
-                .map_batches(lambda b: b.replace_schema_metadata(None),
-                             batch_format="pyarrow", zero_copy_batch=True))
-
-    cent = lloyd_iterations(factory, cent)
-    cref = ray.put(cent)
-
-    def assign_rows(b: pa.Table) -> pa.Table:
-        ids, mat = _batch_mat(b)
-        asg = (np.argmax(mat @ ray.get(cref).T, axis=1).astype(np.int64)
-               if len(ids) else np.zeros(0, np.int64))
-        return pa.table({"vec_id": pa.array(ids, type=pa.int64()),
-                         "cluster": pa.array(asg, type=pa.int64())})
-
-    out = (factory().map_batches(assign_rows, batch_format="pyarrow")
-           .to_pandas().sort_values("vec_id"))
+    # decode + normalize each block ONCE into the object store, then run
+    # every Lloyd step and the final assign as raw Ray tasks over the
+    # same refs (the iterative-algorithm exception — was 11 full
+    # Dataset read+decode passes, each paying pipeline startup)
+    refs = corpus_block_refs(
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+          .map_batches(lambda b: b.replace_schema_metadata(None),
+                       batch_format="pyarrow", zero_copy_batch=True))
+    cent = lloyd_iterations(refs, cent)
+    ids, asg = assign_block_refs(refs, cent)
+    order = np.argsort(ids)
     return pa.table({
-        "vec_id": pa.array(out["vec_id"].to_numpy(), type=pa.int64()),
-        "cluster": pa.array(out["cluster"].to_numpy(), type=pa.int64()),
+        "vec_id": pa.array(ids[order], type=pa.int64()),
+        "cluster": pa.array(asg[order], type=pa.int64()),
     })
 
 
