@@ -884,7 +884,11 @@ def _bigram_partial(b: pa.Table) -> pa.Table:
     """In-batch bigram-count combiner (shared by ``ngram_counts`` and the
     perplexity LM fit): per-doc adjacency over ADMITTED tokens, combined
     to (bigram, n) partials so the downstream groupby shuffles
-    vocab²-bounded aggregates, never one row per occurrence."""
+    vocab²-bounded aggregates, never one row per occurrence.  Tokens are
+    hash-factorized once per batch and pairs counted as packed int64
+    codes — strings materialize only for the UNIQUE bigrams (per-
+    occurrence concat + string hashing was the hot cost on dense
+    corpora)."""
     import pandas as pd
 
     from fsray.tokenizer import tokenize_column
@@ -897,12 +901,18 @@ def _bigram_partial(b: pa.Table) -> pa.Table:
     # bigram validity: both tokens inside the same doc
     doc_of = np.repeat(np.arange(len(counts)), counts)
     valid = doc_of[:-1] == doc_of[1:]
-    left, right = flat[:-1][valid], flat[1:][valid]
-    s = pd.Series(np.char.add(np.char.add(left.astype(str), " "),
-                              right.astype(str)))
-    vc = s.value_counts()
-    return pa.table({"bigram": pa.array(vc.index, type=pa.string()),
-                     "n": pa.array(vc.to_numpy().astype(np.int64))})
+    codes, uniq = pd.factorize(flat)
+    packed = (codes[:-1][valid].astype(np.int64) * np.int64(len(uniq))
+              + codes[1:][valid])
+    if len(packed) == 0:
+        return pa.table({"bigram": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    pu, n = np.unique(packed, return_counts=True)
+    us = uniq.astype(str)
+    bigrams = np.char.add(np.char.add(us[pu // len(uniq)], " "),
+                          us[pu % len(uniq)])
+    return pa.table({"bigram": pa.array(bigrams, type=pa.string()),
+                     "n": pa.array(n.astype(np.int64))})
 
 
 def ngram_counts(sf_dir: str) -> pa.Table:
@@ -1112,18 +1122,20 @@ def perplexity_score(sf_dir: str) -> pa.Table:
                        zero_copy_batch=True)
           .repartition(_stats_blocks())
           .groupby("bigram").aggregate(Sum("n")).to_pandas())
-    vocab = (_docs_ds(sf_dir)
-             .map_batches(term_stats_partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-             .repartition(_stats_blocks())
-             .groupby("term").aggregate(Sum("df")).count())
-    V = int(vocab)
+    vocab_df = (_docs_ds(sf_dir)
+                .map_batches(term_stats_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .repartition(_stats_blocks())
+                .groupby("term").aggregate(Sum("df")).to_pandas())
+    terms = np.sort(vocab_df["term"].to_numpy().astype(str))
+    V = len(terms)
 
     bigr = bg["bigram"].to_numpy().astype(str)
     cuv = bg["sum(n)"].to_numpy().astype(np.int64)
     # c_left(u): tokens contain no spaces (the tokenizer splits on
     # non-alphanumerics), so the bigram key splits unambiguously
     left = np.array([s.split(" ", 1)[0] for s in bigr])
+    right = np.array([s.split(" ", 1)[1] for s in bigr])
     import pandas as pd
     cl = pd.Series(cuv).groupby(pd.Series(left)).sum()
     cleft = cl.reindex(left).to_numpy().astype(np.int64)
@@ -1133,11 +1145,17 @@ def perplexity_score(sf_dir: str) -> pa.Table:
     uniq, inv = np.unique(ratio, return_inverse=True)
     lnu = np.array([math.log(float(r)) for r in uniq], dtype=np.float64)
     q = np.rint(lnu[inv] * float(PPL_QSCALE)).astype(np.int64)
-    order = np.argsort(bigr)
-    model_ref = ray.put((bigr[order], q[order]))
+    # model keys packed as vocab-index pairs (li·V + ri) so the scoring
+    # pass does ONE string searchsorted per TOKEN and integer packs per
+    # bigram — no per-occurrence string concat (was the hot cost on
+    # dense corpora)
+    packed = (np.searchsorted(terms, left) * np.int64(V)
+              + np.searchsorted(terms, right))
+    order = np.argsort(packed)
+    model_ref = ray.put((terms, packed[order], q[order]))
 
     def score_batch(b: pa.Table) -> pa.Table:
-        keys, qv = ray.get(model_ref)
+        vterms, keys, qv = ray.get(model_ref)
         toks = tokenize_column(b["text"].combine_chunks()
                                .cast(pa.string()).fill_null(""))
         ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1150,9 +1168,16 @@ def perplexity_score(sf_dir: str) -> pa.Table:
         else:
             doc_of = np.repeat(np.arange(ndocs), counts)
             valid = doc_of[:-1] == doc_of[1:]
-            bgk = np.char.add(np.char.add(flat[:-1][valid].astype(str), " "),
-                              flat[1:][valid].astype(str))
+            flat_s = flat.astype(str)
+            tok_ix = np.searchsorted(vterms, flat_s)
+            np.minimum(tok_ix, len(vterms) - 1, out=tok_ix)
+            if not np.array_equal(vterms[tok_ix], flat_s):
+                raise ValueError("token missing from the broadcast vocab "
+                                 "(model must be fitted on this corpus)")
+            bgk = (tok_ix[:-1][valid] * np.int64(len(vterms))
+                   + tok_ix[1:][valid])
             pos = np.searchsorted(keys, bgk)
+            np.minimum(pos, len(keys) - 1, out=pos)
             if len(bgk) and not np.array_equal(keys[pos], bgk):
                 raise ValueError("bigram missing from the broadcast model "
                                  "(model must be fitted on this corpus)")
