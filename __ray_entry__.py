@@ -10,7 +10,7 @@ here (or in the fsray library) calls ``ray.init()`` / ``ray.shutdown()``.
   the training-data operator families: dedup, similarity search, text
   analysis, multimodal plumbing).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  entry (85 of 90).  The BM25 + rerank oracles reproduce the engine's
+  entry (87 of 92).  The BM25 + rerank oracles reproduce the engine's
   pinned float64 scoring contracts bit-exactly (fieldnorm table inlined,
   f32-rounded avgdl, pinned op order, libm sigmoid parity); hash-based
   ops (simhash, fingerprints, hash-embed, LSH) replay through the pinned

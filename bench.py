@@ -226,6 +226,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_pack_sequences", P.pack_sequences),
         ("x_perplexity_score", P.perplexity_score),
         ("x_pricing_summary", P.pricing_summary),
+        ("x_events_running_total", P.events_running_total),
+        ("x_orders_rollup", P.orders_rollup),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

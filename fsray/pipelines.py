@@ -515,6 +515,27 @@ def events_range_join(sf_dir: str) -> pa.Table:
     return range_join_recent_events(sf_dir)
 
 
+def events_running_total(sf_dir: str) -> pa.Table:
+    from fsray.windows import running_total
+    return running_total(sf_dir)
+
+
+def running_total_oracle_sql() -> str:
+    """Exact oracle for ``events_running_total``: integer-micros window
+    cumsum with the pinned (ts, event_id) total order."""
+    return """
+WITH ev AS (SELECT event_id, user_id, ts,
+                   CAST(roundbankers(value * 1000000.0, 0) AS BIGINT) AS micros
+            FROM events)
+SELECT event_id, user_id,
+       CAST(sum(micros) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_micros,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS running_n
+FROM ev ORDER BY event_id"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis lane
 
@@ -1362,6 +1383,81 @@ SELECT l_returnflag, l_linestatus, n_rows, sum_qty, sum_base_cents,
        CAST(sum_disc_units AS DOUBLE) / 10000.0 AS disc_price_total,
        CAST(sum_charge_units AS DOUBLE) / 1000000.0 AS charge_total
 FROM agg ORDER BY l_returnflag, l_linestatus"""
+
+
+#: rollup sentinel for subtotal rows (the corpus keys are never this)
+ROLLUP_ALL = "(all)"
+
+
+def orders_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP over orders (priority → status → grand total) —
+    the multi-level aggregate of reporting pipelines.  Ray shape: the
+    detail level reduces through in-batch combiners (each batch folds to
+    ≤ |priority×status| rows) and ONE tiny groupby; the coarser rollup
+    levels then derive on the driver from the REDUCED detail table —
+    integer-cents sums are associative, so subtotals of subtotals are
+    exact and no second corpus pass exists.  Subtotal rows carry the
+    ``(all)`` sentinel (never a corpus value) on the rolled-up key.
+    EXACT oracle: SQL ROLLUP with coalesce to the same sentinel."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "o_orderpriority": np.asarray(b["o_orderpriority"].to_pandas()),
+            "o_orderstatus": np.asarray(b["o_orderstatus"].to_pandas()),
+            "sum_cents": cents})
+        g = df.groupby(["o_orderpriority", "o_orderstatus"], sort=False) \
+              .agg(sum_cents=("sum_cents", "sum"),
+                   n_orders=("sum_cents", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                 .replace_schema_metadata(None)
+
+    detail = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderpriority", "o_orderstatus",
+                                       "o_totalprice"])
+              .map_batches(lambda b: b.replace_schema_metadata(None),
+                           batch_format="pyarrow", zero_copy_batch=True)
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["o_orderpriority", "o_orderstatus"])
+              .aggregate(Sum("sum_cents"), Sum("n_orders"))
+              .to_pandas())
+    detail = detail.rename(columns={"sum(sum_cents)": "sum_cents",
+                                    "sum(n_orders)": "n_orders"})
+    import pandas as pd
+    lvl1 = detail.groupby("o_orderpriority", as_index=False) \
+                 .agg(sum_cents=("sum_cents", "sum"),
+                      n_orders=("n_orders", "sum"))
+    lvl1["o_orderstatus"] = ROLLUP_ALL
+    lvl0 = pd.DataFrame({"o_orderpriority": [ROLLUP_ALL],
+                         "o_orderstatus": [ROLLUP_ALL],
+                         "sum_cents": [detail["sum_cents"].sum()],
+                         "n_orders": [detail["n_orders"].sum()]})
+    allr = pd.concat([detail, lvl1, lvl0], ignore_index=True) \
+             .sort_values(["o_orderpriority", "o_orderstatus"])
+    return pa.table({
+        "o_orderpriority": pa.array(allr["o_orderpriority"], type=pa.string()),
+        "o_orderstatus": pa.array(allr["o_orderstatus"], type=pa.string()),
+        "n_orders": pa.array(allr["n_orders"].to_numpy().astype(np.int64)),
+        "sum_cents": pa.array(allr["sum_cents"].to_numpy().astype(np.int64)),
+    })
+
+
+def rollup_oracle_sql() -> str:
+    """Exact oracle for ``orders_rollup``: SQL ROLLUP, bankers-cents,
+    subtotal keys coalesced to the same sentinel."""
+    return f"""
+SELECT coalesce(o_orderpriority, '{ROLLUP_ALL}') AS o_orderpriority,
+       coalesce(o_orderstatus, '{ROLLUP_ALL}') AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(roundbankers(o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority, o_orderstatus"""
 
 
 def winnow_fingerprints(sf_dir: str) -> pa.Table:
@@ -5051,6 +5147,8 @@ def make_queries() -> dict:
         "pack_sequences": pack_sequences,  # exact oracle (r4): distributed prefix sum
         "perplexity_score": perplexity_score,  # exact oracle (r4): bigram-LM filter
         "pricing_summary": pricing_summary,  # exact oracle (r4): wide aggregate
+        "events_running_total": events_running_total,  # exact oracle (r4)
+        "orders_rollup": orders_rollup,  # exact oracle (r4): multi-level agg
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -6295,6 +6393,8 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["pack_sequences"] = pack_oracle_sql()
     o["perplexity_score"] = perplexity_oracle_sql()
     o["pricing_summary"] = pricing_oracle_sql()
+    o["events_running_total"] = running_total_oracle_sql()
+    o["orders_rollup"] = rollup_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

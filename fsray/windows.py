@@ -319,3 +319,66 @@ def asof_join_orders(sf_dir: str) -> pa.Table:
                                         zero_copy_batch=True)
     out = ds.to_pandas().sort_values("event_id")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def running_total(sf_dir: str) -> pa.Table:
+    """Per-user CUMULATIVE window aggregate (``SUM ... OVER (PARTITION BY
+    user ORDER BY ts ROWS UNBOUNDED PRECEDING)``) — the running-total
+    family the Dataset API lacks, distinct from the tumbling/hopping/
+    session windows: every event row gets its user's running value sum
+    and running event ordinal at that point.
+
+    Ray shape: the sessionize bucket discipline — rows pre-hashed by
+    user into group buckets, ONE vectorized segmented-cumsum kernel per
+    bucket (global cumsum minus each segment's opening offset; no
+    per-user Python).  Value rides integer micro-units (``np.rint`` ==
+    ``roundbankers``) so the cumsum is exact and the oracle can replay
+    it; the total order is pinned to (ts, event_id) so timestamp ties
+    cannot flip prefix sums on either side."""
+    from fsray.dedup import add_group_bucket
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"].combine_chunks().cast(pa.int64()),
+            "t": b["ts"].combine_chunks().cast(pa.int64()),
+            "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+            "micros": pa.array(np.rint(
+                b["value"].to_numpy() * 1e6).astype(np.int64)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "running_micros": pa.array([], type=pa.int64()),
+                "running_n": pa.array([], type=pa.int64())})
+        user = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        m = g["micros"].to_numpy()
+        order = np.lexsort((eid, t, user))
+        u_s, e_s, m_s = user[order], eid[order], m[order]
+        n = len(u_s)
+        first = np.ones(n, dtype=bool)
+        first[1:] = u_s[1:] != u_s[:-1]
+        firstpos = np.flatnonzero(first)
+        counts = np.diff(np.concatenate((firstpos, [n])))
+        cs = np.cumsum(m_s)
+        seg_open = np.repeat(cs[firstpos] - m_s[firstpos], counts)
+        pos = np.arange(n, dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(e_s, type=pa.int64()),
+            "user_id": pa.array(u_s, type=pa.int64()),
+            "running_micros": pa.array(cs - seg_open, type=pa.int64()),
+            "running_n": pa.array(pos - np.repeat(firstpos, counts) + 1,
+                                  type=pa.int64()),
+        })
+
+    out = (_events_ds(sf_dir)
+           .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+           .map_batches(lambda b: add_group_bucket(b, ["user_id"]),
+                        batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+           .to_pandas().sort_values("event_id"))
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -871,3 +871,56 @@ def test_pricing_summary_independent_arithmetic(ray_session):
             (cents[m] * (100 - disc[m]) * (100 + tax[m])).sum())
         assert row.avg_qty == float(row.sum_qty) / row.n_rows
     assert lane["n_rows"].sum() == len(t)
+
+
+def test_running_total_tie_order_and_segments(ray_session, tmp_path):
+    """The cumulative window pins its total order to (ts, event_id): two
+    same-user events at the SAME timestamp must accumulate in event_id
+    order on both sides; users are independent segments (the opening
+    offset of one user never leaks into another)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import events_running_total, running_total_oracle_sql
+    ts = np.array([100, 100, 100, 50, 200], dtype="datetime64[s]").astype("datetime64[us]")
+    tbl = pa.table({
+        "event_id": pa.array([5, 2, 9, 1, 3], type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([7, 7, 7, 8, 8], type=pa.int64()),
+        "event_type": pa.array(["a"] * 5, type=pa.string()),
+        "value": pa.array([1.5, 2.25, 4.0, 10.0, 0.5], type=pa.float64()),
+        "props": pa.array([""] * 5, type=pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    lane = events_running_total(str(tmp_path)).to_pandas().set_index("event_id")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    orc = con.sql(running_total_oracle_sql()).df().set_index("event_id")
+    for c in ("user_id", "running_micros", "running_n"):
+        assert list(lane[c]) == list(orc[c]), c
+    # tie order: user 7's events at ts=100 accumulate as id 2 -> 5 -> 9
+    assert lane.loc[2, "running_micros"] == 2_250_000
+    assert lane.loc[5, "running_micros"] == 3_750_000
+    assert lane.loc[9, "running_micros"] == 7_750_000
+    # segment isolation: user 8 restarts from its own first event
+    assert lane.loc[1, "running_micros"] == 10_000_000
+    assert lane.loc[3, "running_micros"] == 10_500_000
+    assert list(lane["running_n"].loc[[1, 3]]) == [1, 2]
+
+
+def test_orders_rollup_level_consistency(ray_session):
+    """Rollup invariants at SF_DIR: each priority subtotal equals the sum
+    of its detail rows, the grand total equals the sum of subtotals, and
+    no corpus key collides with the sentinel."""
+    from fsray.pipelines import ROLLUP_ALL, orders_rollup
+    t = orders_rollup(SF_DIR).to_pandas()
+    detail = t[(t.o_orderpriority != ROLLUP_ALL) & (t.o_orderstatus != ROLLUP_ALL)]
+    lvl1 = t[(t.o_orderpriority != ROLLUP_ALL) & (t.o_orderstatus == ROLLUP_ALL)]
+    lvl0 = t[(t.o_orderpriority == ROLLUP_ALL)]
+    assert len(lvl0) == 1 and lvl0.iloc[0].o_orderstatus == ROLLUP_ALL
+    for _, r in lvl1.iterrows():
+        d = detail[detail.o_orderpriority == r.o_orderpriority]
+        assert r.n_orders == d.n_orders.sum()
+        assert r.sum_cents == d.sum_cents.sum()
+    assert lvl0.iloc[0].n_orders == detail.n_orders.sum()
+    assert lvl0.iloc[0].sum_cents == detail.sum_cents.sum()
