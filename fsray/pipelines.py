@@ -1122,14 +1122,15 @@ def perplexity_score(sf_dir: str) -> pa.Table:
     associative, so batch/shuffle order cannot perturb the result; the
     per-doc f64 score is derived by two PINNED single divisions.
 
-    Ray shape: model = two combiner-pattern rollups (bigram counts +
-    the vocab rollup for V — both vocab-bounded shuffles); the
-    quantized model is broadcast ONCE via ``ray.put`` as sorted
-    key/value arrays; the scoring pass is shuffle-free ``map_batches``
-    (tokenize → bigram keys → one searchsorted gather → cumsum-
-    difference per-doc sums).  100-TB knob (documented): fit on a
-    sample and/or prune count-1 bigrams before broadcast — here the fit
-    is exact over the corpus so the oracle can replay it."""
+    Ray shape: model = ONE fused combiner-pattern fit pass (bigram
+    counts and the distinct-term vocab ride one vocab-bounded shuffle
+    under disjoint key-space tags); the quantized model is broadcast
+    ONCE via ``ray.put`` as sorted key/value arrays; the scoring pass
+    is shuffle-free ``map_batches`` (tokenize → vocab-index packs →
+    one searchsorted gather → cumsum-difference per-doc sums).
+    100-TB knob (documented): fit on a sample and/or prune count-1
+    bigrams before broadcast — here the fit is exact over the corpus
+    so the oracle can replay it."""
     import math
 
     import ray
@@ -1138,21 +1139,35 @@ def perplexity_score(sf_dir: str) -> pa.Table:
     from fsray.textops import term_stats_partial
     from fsray.tokenizer import tokenize_column
 
-    bg = (_docs_ds(sf_dir)
-          .map_batches(_bigram_partial, batch_format="pyarrow",
-                       zero_copy_batch=True)
-          .repartition(_stats_blocks())
-          .groupby("bigram").aggregate(Sum("n")).to_pandas())
-    vocab_df = (_docs_ds(sf_dir)
-                .map_batches(term_stats_partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-                .repartition(_stats_blocks())
-                .groupby("term").aggregate(Sum("df")).to_pandas())
-    terms = np.sort(vocab_df["term"].to_numpy().astype(str))
+    # ONE fit pass: each batch emits its bigram-count partials plus its
+    # distinct-term rows under a key-space tag ("b " / "u " prefixes —
+    # the tokenizer admits no spaces, so the planes cannot collide);
+    # one vocab-bounded groupby serves both the model and V
+    def fused_partial(b: pa.Table) -> pa.Table:
+        bp = _bigram_partial(b)
+        tp = term_stats_partial(b)
+        keys = np.concatenate([
+            np.char.add("b ", bp["bigram"].to_numpy().astype(str)),
+            np.char.add("u ", tp["term"].to_numpy().astype(str))])
+        ns = np.concatenate([bp["n"].to_numpy(),
+                             np.zeros(tp.num_rows, dtype=np.int64)])
+        return pa.table({"key": pa.array(keys, type=pa.string()),
+                         "n": pa.array(ns, type=pa.int64())})
+
+    fit = (_docs_ds(sf_dir)
+           .map_batches(fused_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .repartition(_stats_blocks())
+           .groupby("key").aggregate(Sum("n")).to_pandas())
+    karr = fit["key"].to_numpy().astype(str)
+    is_b = np.char.startswith(karr, "b ")
+    bg = {"bigram": np.array([k[2:] for k in karr[is_b]]),
+          "sum(n)": fit["sum(n)"].to_numpy().astype(np.int64)[is_b]}
+    terms = np.sort(np.array([k[2:] for k in karr[~is_b]], dtype=str))
     V = len(terms)
 
-    bigr = bg["bigram"].to_numpy().astype(str)
-    cuv = bg["sum(n)"].to_numpy().astype(np.int64)
+    bigr = bg["bigram"].astype(str)
+    cuv = bg["sum(n)"]
     # c_left(u): tokens contain no spaces (the tokenizer splits on
     # non-alphanumerics), so the bigram key splits unambiguously
     left = np.array([s.split(" ", 1)[0] for s in bigr])
