@@ -24,6 +24,15 @@ scribe.rs → keeper.rs, re-expressed Ray-Data-first):
    posting set *plus* its neighbors; per-(term, partition) pre-aggregation
    in stage A bounds each group to ``O(partitions)`` rows per term — the
    designed answer to fn/impl/use skew (north_rule; SURVEY §7.5.4).
+   The ``shard`` half of the key IS the explicit skew salt: shard =
+   docid range, so a skew-heavy term's postings split across ALL
+   shards and no reducer ever holds more than one shard's slice of
+   'fn' — with merge=concat the salted slices never need a global
+   re-merge (each shard serves its own slice at query time, and the
+   top-k union is the associative cross-shard merge).  Pinned by
+   ``tests/test_skew_and_recovery.py`` (50%-hot-term corpus: ≤1 row
+   per term per partition into the exchange; exact df and ranking
+   under skew).
    The reducer concatenates each term's partial runs in partition order
    (already docid-sorted ⇒ merge=concat, no re-sort of postings) and
    encodes blocks via :mod:`fsray.codec`.  Output: one Parquet term table
