@@ -5065,6 +5065,355 @@ def embed_queue_drain(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# round-4 fifth pass: semi-structured extraction, count-min sketch, DSIR
+
+def events_json_extract(sf_dir: str) -> pa.Table:
+    """Semi-structured property extraction + grouped rollup over the
+    events stream — the JSON-flattening ingestion step (fsfs's typed
+    metadata extraction, structured_pipeline.rs semantics re-expressed
+    over a JSON column): pull the integer ``k`` out of each event's
+    ``props`` JSON and aggregate per event_type.
+
+    Ray shape: a VECTORIZED extraction inside ``map_batches`` — one
+    compiled-regex pass over the whole column for the flat-integer fast
+    path (``"k": <int>``), with a per-row ``json.loads`` fallback ONLY
+    for rows the fast path misses (nested/escaped forms; zero rows on
+    well-formed flat props) — followed by an in-batch combiner folding
+    each batch to ≤ |event_types| rows, so the shuffle moves
+    O(batches × types) rows at any corpus size.  Integer sums are
+    associative; the f64 mean derives by ONE pinned division."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        props = pd.Series(b["props"].combine_chunks().cast(pa.string())
+                          .fill_null("").to_pandas())
+        et = np.asarray(b["event_type"].combine_chunks().to_pandas())
+        k = props.str.extract(r'"k"\s*:\s*(-?\d+)\s*[,}]', expand=False)
+        missed = k.isna() & props.str.contains('"k"', regex=False)
+        if missed.any():
+            k = k.copy()
+            k.loc[missed] = [json.loads(x).get("k") for x in props[missed]]
+        has_k = k.notna().to_numpy()
+        kv = pd.to_numeric(k[has_k]).to_numpy().astype(np.int64)
+        df = pd.DataFrame({"event_type": et[has_k], "k": kv})
+        g = df.groupby("event_type", sort=False)["k"]
+        agg = pd.DataFrame({"n": g.size(), "sum_k": g.sum(),
+                            "min_k": g.min(), "max_k": g.max()}).reset_index()
+        return pa.table({
+            "event_type": pa.array(agg["event_type"], type=pa.string()),
+            "n": pa.array(agg["n"].to_numpy(), type=pa.int64()),
+            "sum_k": pa.array(agg["sum_k"].to_numpy(), type=pa.int64()),
+            "min_k": pa.array(agg["min_k"].to_numpy(), type=pa.int64()),
+            "max_k": pa.array(agg["max_k"].to_numpy(), type=pa.int64()),
+        })
+
+    got = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "props"])
+           .map_batches(lambda b: b.replace_schema_metadata(None),
+                        batch_format="pyarrow", zero_copy_batch=True)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n"), Sum("sum_k"), Min("min_k"), Max("max_k"))
+           .to_pandas().sort_values("event_type"))
+    n = got["sum(n)"].to_numpy().astype(np.int64)
+    sk = got["sum(sum_k)"].to_numpy().astype(np.int64)
+    return pa.table({
+        "event_type": pa.array(got["event_type"], type=pa.string()),
+        "n_events": pa.array(n, type=pa.int64()),
+        "sum_k": pa.array(sk, type=pa.int64()),
+        "min_k": pa.array(got["min(min_k)"].to_numpy().astype(np.int64),
+                          type=pa.int64()),
+        "max_k": pa.array(got["max(max_k)"].to_numpy().astype(np.int64),
+                          type=pa.int64()),
+        "avg_k": pa.array(sk.astype(np.float64) / n.astype(np.float64),
+                          type=pa.float64()),
+    })
+
+
+def json_extract_oracle_sql() -> str:
+    """Exact oracle for ``events_json_extract``: DuckDB's json extension
+    replays the extraction; integer aggregates and the identical single
+    f64 division."""
+    return """
+WITH ex AS (SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST(max(k) AS BIGINT) AS max_k
+      FROM ex WHERE k IS NOT NULL GROUP BY event_type)
+SELECT event_type, n_events, sum_k, min_k, max_k,
+       CAST(sum_k AS DOUBLE) / CAST(n_events AS DOUBLE) AS avg_k
+FROM g ORDER BY event_type"""
+
+
+#: count-min sketch geometry: d hash rows × w counter slots
+CMS_D = 4
+CMS_W = 1024
+
+
+def sketch_countmin(sf_dir: str) -> pa.Table:
+    """Count-min sketch over corpus token OCCURRENCES (Cormode &
+    Muthukrishnan 2005) — the second MERGEABLE-SKETCH class next to
+    ``sketch_hll``: the bounded-memory term-frequency estimator a 100-TB
+    pipeline uses for heavy-hitter detection where an exact term census
+    would shuffle the vocabulary.  Point estimate for a term =
+    ``min_j regs[j][col_j(term)]`` (always ≥ truth, error ≤ e·N/w with
+    prob 1−e^−d; both bounds law-pinned in tests).
+
+    Ray shape: each batch factorizes its tokens ONCE, computes the d row
+    hashes as PREFIX-salted FNV-1a folds (salt byte 48+j folded FIRST,
+    i.e. ``init = (offset ⊕ salt) · prime`` — suffix salting would make
+    every row a function of ``h mod w`` because an odd multiply is a
+    bijection mod 2^k; caught by the dominance/error-bound law test),
+    and emits ≤ d·w nonzero counter partials; the combine is
+    ``groupby(cell).sum`` — constant rows per batch at any corpus size,
+    and register tables from disjoint corpora merge by addition (the
+    mergeable-sketch contract).  Output = the full d×w register table
+    (pure integers, bit-deterministic)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from fsray.textops import FNV64_OFFSET, FNV64_PRIME, _fnv1a64_tokens
+    from fsray.tokenizer import tokenize_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b["text"].combine_chunks()
+                               .cast(pa.string()).fill_null(""))
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"cell": pa.array([], type=pa.int64()),
+                             "counter": pa.array([], type=pa.int64())})
+        codes, uniq = pd.factorize(flat)
+        cnt = np.bincount(codes).astype(np.int64)
+        uarr = pa.array(uniq, type=pa.string())
+        regs = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for j in range(CMS_D):
+                init = (FNV64_OFFSET ^ np.uint64(48 + j)) * FNV64_PRIME
+                hj = _fnv1a64_tokens(uarr, init=init)
+                col = (hj % np.uint64(CMS_W)).astype(np.int64)
+                np.add.at(regs, j * CMS_W + col, cnt)
+        nz = np.flatnonzero(regs)
+        return pa.table({"cell": pa.array(nz, type=pa.int64()),
+                         "counter": pa.array(regs[nz], type=pa.int64())})
+
+    got = (_docs_ds(sf_dir)
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("cell").aggregate(Sum("counter"))
+           .to_pandas())
+    regs = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    regs[got["cell"].to_numpy()] = got["sum(counter)"].to_numpy()
+    cells = np.arange(CMS_D * CMS_W, dtype=np.int64)
+    return pa.table({
+        "depth": pa.array(cells // CMS_W, type=pa.int64()),
+        "slot": pa.array(cells % CMS_W, type=pa.int64()),
+        "counter": pa.array(regs, type=pa.int64()),
+    })
+
+
+def countmin_oracle_sql() -> str:
+    """Exact oracle for ``sketch_countmin``: per-token occurrence counts,
+    then a PREFIX-salted recursive FNV-1a fold per row — the recursion is
+    seeded with ``(offset ⊕ (48+j)) · prime`` (the salt folded as byte 0,
+    exactly the lane's ``init``) and then folds the token bytes with the
+    shared step — and a grid left-join so all d×w cells appear."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT unnest(regexp_split_to_array(lower(coalesce(text, '')), '{SPLIT_SQL}')) AS tok
+         FROM documents),
+tokc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks
+         WHERE tok <> '' AND length(tok) <= {MAX_TOKEN_BYTES} GROUP BY tok),
+toku AS (SELECT tok FROM tokc),
+salts AS (SELECT unnest(range(0, {CMS_D})) AS j),
+fnvs(tok, j, k, h) AS (
+  SELECT t.tok, s.j, 0,
+         ((CAST('14695981039346656037' AS HUGEINT)
+           - (CAST('14695981039346656037' AS HUGEINT) % 256)
+           + CAST(xor(CAST(CAST('14695981039346656037' AS HUGEINT) % 256 AS BIGINT),
+                      48 + s.j) AS HUGEINT))
+          * CAST(1099511628211 AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+  FROM toku t CROSS JOIN salts s
+  UNION ALL
+  SELECT f.tok, f.j, f.k + 1,
+         ((f.h - (f.h % 256)
+           + CAST(xor(CAST(f.h % 256 AS BIGINT),
+                      CAST(ascii(substr(f.tok, CAST(f.k + 1 AS INT), 1))
+                           AS BIGINT)) AS HUGEINT))
+          * CAST(1099511628211 AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+  FROM fnvs f WHERE f.k < length(f.tok)
+),
+hs AS (SELECT tok, j, h AS hj FROM fnvs WHERE k = length(tok)),
+cells AS (SELECT hs.j AS depth, CAST(hs.hj % {CMS_W} AS BIGINT) AS slot, t.c
+          FROM hs JOIN tokc t USING (tok)),
+regs AS (SELECT depth, slot, CAST(sum(c) AS BIGINT) AS counter
+         FROM cells GROUP BY depth, slot),
+grid AS (SELECT CAST(d.d AS BIGINT) AS depth, CAST(w.w AS BIGINT) AS slot
+         FROM (SELECT unnest(range(0, {CMS_D})) AS d) d
+         CROSS JOIN (SELECT unnest(range(0, {CMS_W})) AS w) w)
+SELECT g.depth, g.slot, COALESCE(r.counter, 0) AS counter
+FROM grid g LEFT JOIN regs r USING (depth, slot)
+ORDER BY g.depth, g.slot"""
+
+
+#: DSIR hashed-feature space size and the shared ln quantization scale
+DSIR_B = 256
+DSIR_QSCALE = 4294967296  # 2^32
+
+
+def dsir_weights(sf_dir: str) -> pa.Table:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") — the data-SELECTION
+    operator that follows dedup/quality in a pretraining pipeline: score
+    every document by how target-like its hashed-unigram distribution is,
+    ``w(doc) = Σ_tok [ln p_target(bucket(tok)) − ln p_raw(bucket(tok))]``,
+    with add-one smoothing over the ``DSIR_B`` hashed feature buckets.
+    Target here = the ``lang='en'`` slice; raw = the whole corpus (the
+    paper's target/raw split re-expressed over the testdata's columns).
+
+    The f64 SUM-ORDER hazard is removed exactly as in
+    ``perplexity_score``: each bucket's log-ratio is quantized ONCE on
+    the driver to ``rint(ln(ratio)·2^32)`` int64 (libm ``math.log`` ==
+    DuckDB ``ln``; ``np.rint`` == ``roundbankers``), so per-doc sums are
+    associative integers; the f64 weight derives by ONE pinned division.
+
+    Ray shape: fit = ONE combiner pass (each batch emits ≤ DSIR_B rows of
+    (bucket, target-count, raw-count) partials — the shuffle is feature-
+    space-bounded, never corpus-bounded) → tiny groupby → driver builds
+    the 256-entry quantized table → broadcast via ``ray.put``; scoring =
+    a shuffle-free ``map_batches`` pass (factorize → one FNV hash per
+    UNIQUE token → gather → per-doc cumsum sums).  At 100 TB the fit
+    runs on a sample (the paper's own regime) — here it is exact over
+    the corpus so the oracle can replay it."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fsray.textops import _fnv1a64_tokens
+    from fsray.tokenizer import tokenize_column
+
+    def _doc_buckets(b: pa.Table):
+        import pandas as pd
+        toks = tokenize_column(b["text"].combine_chunks()
+                               .cast(pa.string()).fill_null(""))
+        counts = np.diff(np.asarray(toks.offsets))
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return counts, np.zeros(0, dtype=np.int64)
+        codes, uniq = pd.factorize(flat)
+        hb = (_fnv1a64_tokens(pa.array(uniq, type=pa.string()))
+              % np.uint64(DSIR_B)).astype(np.int64)
+        return counts, hb[codes]
+
+    def fit_partial(b: pa.Table) -> pa.Table:
+        counts, occ_bucket = _doc_buckets(b)
+        lang = np.asarray(b["lang"].combine_chunks().to_pandas())
+        tgt_occ = np.repeat(lang == "en", counts)
+        n_raw = np.bincount(occ_bucket, minlength=DSIR_B).astype(np.int64)
+        n_tgt = np.bincount(occ_bucket[tgt_occ],
+                            minlength=DSIR_B).astype(np.int64)
+        nz = np.flatnonzero(n_raw)
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "n_tgt": pa.array(n_tgt[nz], type=pa.int64()),
+                         "n_raw": pa.array(n_raw[nz], type=pa.int64())})
+
+    fit = (_docs_ds(sf_dir)
+           .map_batches(fit_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("bucket").aggregate(Sum("n_tgt"), Sum("n_raw"))
+           .to_pandas())
+    ct = np.zeros(DSIR_B, dtype=np.int64)
+    cr = np.zeros(DSIR_B, dtype=np.int64)
+    ct[fit["bucket"].to_numpy()] = fit["sum(n_tgt)"].to_numpy()
+    cr[fit["bucket"].to_numpy()] = fit["sum(n_raw)"].to_numpy()
+    nt, nr = int(ct.sum()), int(cr.sum())
+    # pinned f64 op order, replayed verbatim by the oracle expression
+    ratio = ((ct + 1.0) * float(nr + DSIR_B)) / ((cr + 1.0) * float(nt + DSIR_B))
+    uniq_r, inv = np.unique(ratio, return_inverse=True)
+    lnu = np.array([math.log(float(r)) for r in uniq_r], dtype=np.float64)
+    q = np.rint(lnu[inv] * float(DSIR_QSCALE)).astype(np.int64)
+    q_ref = ray.put(q)
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        counts, occ_bucket = _doc_buckets(b)
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        qocc = qv[occ_bucket]
+        csum = np.concatenate([[0], np.cumsum(qocc)])
+        ends = np.cumsum(counts)
+        wq = csum[ends] - csum[ends - counts]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(counts, type=pa.int64()),
+            "weight_q": pa.array(wq, type=pa.int64()),
+            "dsir_weight": pa.array(wq.astype(np.float64)
+                                    / float(DSIR_QSCALE), type=pa.float64()),
+        })
+
+    out = (_docs_ds(sf_dir)
+           .map_batches(score_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id"))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(), type=pa.int64()),
+        "weight_q": pa.array(out["weight_q"].to_numpy(), type=pa.int64()),
+        "dsir_weight": pa.array(out["dsir_weight"].to_numpy(),
+                                type=pa.float64()),
+    })
+
+
+def dsir_oracle_sql() -> str:
+    """Exact oracle for ``dsir_weights``: the shared FNV fold buckets
+    the DISTINCT vocabulary, target/raw occurrence counts per bucket,
+    the identical pinned f64 ratio expression quantized by
+    ``roundbankers(ln(·)·2^32)``, integer per-doc sums, one division."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    return f"""
+WITH RECURSIVE
+toks0 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(coalesce(text, '')), '{SPLIT_SQL}')) AS tok
+          FROM documents),
+toks2 AS (SELECT doc_id, tok FROM toks0
+          WHERE tok <> '' AND length(tok) <= {MAX_TOKEN_BYTES}),
+toku AS (SELECT DISTINCT tok FROM toks2),
+{_FNV_SQL},
+hfin AS (SELECT tok, CAST(h % {DSIR_B} AS BIGINT) AS bucket
+         FROM fnv WHERE k = length(tok)),
+occ AS (SELECT t.doc_id, f.bucket FROM toks2 t JOIN hfin f USING (tok)),
+tgt AS (SELECT o.bucket, CAST(count(*) AS BIGINT) AS c
+        FROM occ o JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' GROUP BY o.bucket),
+raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY bucket),
+tot AS (SELECT (SELECT COALESCE(sum(c), 0) FROM tgt) AS nt,
+               (SELECT COALESCE(sum(c), 0) FROM raw) AS nr),
+buckets AS (SELECT unnest(range(0, {DSIR_B})) AS bucket),
+q AS (SELECT b.bucket,
+        CAST(roundbankers(
+          ln(((COALESCE(t.c, 0) + 1.0) * (tot.nr + {float(DSIR_B)}))
+             / ((COALESCE(r.c, 0) + 1.0) * (tot.nt + {float(DSIR_B)})))
+          * {float(DSIR_QSCALE)}, 0) AS BIGINT) AS q
+      FROM buckets b LEFT JOIN tgt t USING (bucket)
+      LEFT JOIN raw r USING (bucket) CROSS JOIN tot),
+perdoc AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(q.q) AS BIGINT) AS weight_q
+           FROM occ o JOIN q USING (bucket) GROUP BY o.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.weight_q, 0) AS BIGINT) AS weight_q,
+       CASE WHEN p.weight_q IS NULL THEN 0.0
+            ELSE CAST(p.weight_q AS DOUBLE) / {float(DSIR_QSCALE)}
+       END AS dsir_weight
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 def make_queries() -> dict:
@@ -5164,6 +5513,9 @@ def make_queries() -> dict:
         "pricing_summary": pricing_summary,  # exact oracle (r4): wide aggregate
         "events_running_total": events_running_total,  # exact oracle (r4)
         "orders_rollup": orders_rollup,  # exact oracle (r4): multi-level agg
+        "events_json_extract": events_json_extract,  # exact oracle (r4): json flatten
+        "sketch_countmin": sketch_countmin,  # exact oracle (r4): mergeable sketch
+        "dsir_weights": dsir_weights,  # exact oracle (r4): DSIR data selection
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -6410,6 +6762,9 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["pricing_summary"] = pricing_oracle_sql()
     o["events_running_total"] = running_total_oracle_sql()
     o["orders_rollup"] = rollup_oracle_sql()
+    o["events_json_extract"] = json_extract_oracle_sql()
+    o["sketch_countmin"] = countmin_oracle_sql()
+    o["dsir_weights"] = dsir_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

@@ -50,12 +50,20 @@ FNV64_OFFSET = np.uint64(14695981039346656037)
 FNV64_PRIME = np.uint64(1099511628211)
 
 
-def _fnv1a64_tokens(tokens: pa.Array) -> np.ndarray:
+def _fnv1a64_tokens(tokens: pa.Array,
+                    init: np.uint64 = FNV64_OFFSET) -> np.ndarray:
     """FNV-1a 64 over each token's UTF-8 bytes — a PUBLIC, pinned hash an
     independent oracle can replay (unlike polars' internal xxhash), used
     by the fingerprint lane.  Vectorized column-at-a-time: one masked
     ``(h ^ byte) * prime`` pass per byte POSITION (max-token-length
-    iterations of whole-column numpy ops, not a per-token loop)."""
+    iterations of whole-column numpy ops, not a per-token loop).
+
+    ``init`` seeds the fold (default = the standard offset basis): a
+    PREFIX-salted hash family — ``init = (offset ^ salt) * prime``, i.e.
+    the salt folded as byte 0 — yields genuinely independent rows for
+    sketches (count-min).  Suffix salting would NOT: ``h mod w`` fully
+    determines ``((h ^ salt) * prime) mod w`` for power-of-two ``w``
+    because an odd multiply is a bijection mod 2^k."""
     if len(tokens) == 0:
         return np.zeros(0, dtype=np.uint64)
     arr = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
@@ -66,7 +74,7 @@ def _fnv1a64_tokens(tokens: pa.Array) -> np.ndarray:
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     starts, ends = buf_off[:-1], buf_off[1:]
     lens = ends - starts
-    h = np.full(len(arr), FNV64_OFFSET, dtype=np.uint64)
+    h = np.full(len(arr), init, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for k in range(int(lens.max()) if len(lens) else 0):
             m = lens > k

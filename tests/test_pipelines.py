@@ -924,3 +924,142 @@ def test_orders_rollup_level_consistency(ray_session):
         assert r.sum_cents == d.sum_cents.sum()
     assert lvl0.iloc[0].n_orders == detail.n_orders.sum()
     assert lvl0.iloc[0].sum_cents == detail.sum_cents.sum()
+
+
+def test_countmin_laws(ray_session, tmp_path):
+    """Count-min sketch contract on SF_DIR plus a crafted split corpus:
+    (a) the point estimate min_j regs[j][col_j(tok)] DOMINATES the true
+    occurrence count for every distinct token and lands inside the
+    e*N/w error bound; (b) MERGEABILITY — register tables built from two
+    disjoint corpus halves sum elementwise to the full-corpus table (the
+    property that makes the sketch shuffle-free at 100 TB)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import CMS_D, CMS_W, sketch_countmin
+    from fsray.textops import FNV64_OFFSET, FNV64_PRIME, _fnv1a64_tokens
+    from fsray.tokenizer import tokenize_column
+
+    regs = (sketch_countmin(SF_DIR).to_pandas()["counter"]
+            .to_numpy().reshape(CMS_D, CMS_W))
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["text"])
+    toks = tokenize_column(t["text"].combine_chunks().cast(pa.string()))
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    uniq, truth = np.unique(flat, return_counts=True)
+    n_total = int(truth.sum())
+    assert regs.sum() == CMS_D * n_total  # every occurrence lands d times
+    uarr = pa.array(uniq, type=pa.string())
+    bound = math.e * n_total / CMS_W
+    with np.errstate(over="ignore"):
+        cols = np.stack([
+            _fnv1a64_tokens(
+                uarr, init=(FNV64_OFFSET ^ np.uint64(48 + j)) * FNV64_PRIME)
+            % np.uint64(CMS_W) for j in range(CMS_D)])
+    est = np.min(regs[np.arange(CMS_D)[:, None],
+                      cols.astype(np.int64)], axis=0)
+    assert (est >= truth).all()                    # never underestimates
+    assert (est - truth <= bound).all(), (est - truth).max()
+
+    # mergeability over a crafted corpus split
+    texts = ["alpha beta alpha", "gamma beta", "delta", "alpha gamma"]
+    half_regs = []
+    for name, rows in (("h1", [0, 1]), ("h2", [2, 3])):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(rows, type=pa.int64()),
+            "text": pa.array([texts[i] for i in rows], type=pa.string())}),
+            str(d / "documents.parquet"))
+        half_regs.append(sketch_countmin(str(d)).to_pandas()["counter"]
+                         .to_numpy())
+    full = tmp_path / "full"
+    full.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())}),
+        str(full / "documents.parquet"))
+    got_full = sketch_countmin(str(full)).to_pandas()["counter"].to_numpy()
+    assert (half_regs[0] + half_regs[1] == got_full).all()
+
+
+def test_events_json_extract_fallback_and_filter(ray_session, tmp_path):
+    """The JSON lane's semantics off the flat-integer fast path: spaced /
+    reordered / nested-adjacent forms must parse via the json.loads
+    fallback, events whose props carry NO k are excluded, and the
+    aggregates match a hand computation."""
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import events_json_extract
+    props = ['{"k": 5}',            # fast path
+             '{ "k" : 7 }',         # spaced — still fast-path regex
+             '{"other": 1, "k": -3}',  # k after another key
+             '{"j": 2}',            # no k: excluded
+             '{"k": 11, "j": 0}']   # k before another key
+    et = ["click", "click", "view", "view", "view"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), type=pa.int64()),
+        "event_type": pa.array(et, type=pa.string()),
+        "props": pa.array(props, type=pa.string())}),
+        str(tmp_path / "events.parquet"))
+    got = events_json_extract(str(tmp_path)).to_pandas().set_index("event_type")
+    assert got.loc["click", "n_events"] == 2
+    assert got.loc["click", "sum_k"] == 12
+    assert got.loc["click", "min_k"] == 5 and got.loc["click", "max_k"] == 7
+    assert got.loc["click", "avg_k"] == 6.0
+    assert got.loc["view", "n_events"] == 2          # the k-less row dropped
+    assert got.loc["view", "sum_k"] == 8
+    assert got.loc["view", "min_k"] == -3 and got.loc["view", "max_k"] == 11
+    assert got.loc["view", "avg_k"] == 8.0 / 2.0
+
+
+def test_dsir_weights_hand_computed(ray_session, tmp_path):
+    """DSIR importance weights on a crafted corpus, replayed with an
+    independent dict-based computation (own counts + libm log): target
+    docs (lang='en') repeating target-slice tokens must outscore a doc
+    made of tokens the target slice never uses, and an empty doc scores
+    exactly (0, 0, 0.0)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from fsray.pipelines import DSIR_B, DSIR_QSCALE, dsir_weights
+    from fsray.textops import _fnv1a64_tokens
+    texts = ["alpha beta alpha", "alpha beta", "zeta eta theta", ""]
+    langs = ["en", "en", "de", "de"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    lane = dsir_weights(str(tmp_path)).to_pandas().set_index("doc_id")
+
+    toks_per_doc = [t.split() if t else [] for t in texts]
+    vocab = sorted({tok for ts in toks_per_doc for tok in ts})
+    # NB: the modulus must be np.uint64 — `uint64 % python_int` promotes
+    # to float64 and corrupts the low bits (the bug this test first hit)
+    b_of = {tok: int(_fnv1a64_tokens(pa.array([tok]))[0] % np.uint64(DSIR_B))
+            for tok in vocab}
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for ts, lang in zip(toks_per_doc, langs):
+        for tok in ts:
+            cr[b_of[tok]] = cr.get(b_of[tok], 0) + 1
+            if lang == "en":
+                ct[b_of[tok]] = ct.get(b_of[tok], 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+
+    def q(bucket):
+        ratio = ((ct.get(bucket, 0) + 1.0) * float(nr + DSIR_B)) \
+            / ((cr.get(bucket, 0) + 1.0) * float(nt + DSIR_B))
+        return int(np.rint(math.log(ratio) * float(DSIR_QSCALE)))
+
+    for doc_id, ts in enumerate(toks_per_doc):
+        expect = sum(q(b_of[tok]) for tok in ts)
+        assert int(lane.loc[doc_id, "weight_q"]) == expect, doc_id
+        assert int(lane.loc[doc_id, "n_tokens"]) == len(ts)
+        assert lane.loc[doc_id, "dsir_weight"] == float(expect) / DSIR_QSCALE
+    assert lane.loc[3, "weight_q"] == 0 and lane.loc[3, "dsir_weight"] == 0.0
+    # separation: the pure-target doc outscores the target-disjoint doc
+    assert lane.loc[0, "dsir_weight"] > lane.loc[2, "dsir_weight"]
