@@ -228,6 +228,12 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_pricing_summary", P.pricing_summary),
         ("x_events_running_total", P.events_running_total),
         ("x_orders_rollup", P.orders_rollup),
+        # round-4 fifth-pass lanes
+        ("x_events_json_extract", P.events_json_extract),
+        ("x_sketch_countmin", P.sketch_countmin),
+        ("x_dsir_weights", P.dsir_weights),
+        ("x_knn_label_eval", P.knn_label_eval),
+        ("x_bpe_train", P.bpe_train),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

@@ -1,0 +1,185 @@
+"""Distributed BPE vocabulary TRAINING (Sennrich et al. 2016; the
+GPT-2 training recipe) — the tokenizer-training operator a pretraining
+pipeline runs before ``bpe_token_counts`` can encode anything.  The
+repo already ships real BPE ENCODING from pinned tokenizer.json
+artifacts (`fsray/hftok.py`); this module LEARNS the merge table from
+a corpus.
+
+The standard scalability trick makes this Ray-friendly: BPE trains on
+the WORD HISTOGRAM, not the token stream.  One distributed combiner
+pass folds 100 TB of text into a (word, count) table bounded by the
+vocabulary; every subsequent merge round touches only that histogram.
+
+Ray shape (the ``cluster_embeddings`` iterative-algorithm exception):
+
+- pass 1: per-batch word-count combiners → vocab-bounded ``groupby``
+  (the shuffle moves distinct words, never occurrences);
+- the histogram is split into S shards, each decoded ONCE into a flat
+  int32 symbol array + word offsets + word weights and placed in the
+  object store;
+- each merge round runs one raw Ray task per shard emitting packed
+  (pair → weighted count) partials (sorted-reduceat, no Python loop
+  over words), the driver folds S partial arrays, picks
+  ``argmax(count, tie → lexicographically smallest (left, right))``,
+  and broadcasts the 3-int merge; shards rewrite in place (greedy
+  leftmost, run-parity overlap resolution) and return their next
+  partials.  Per-round traffic is pair-partial-sized, bounded by each
+  shard's DISTINCT adjacent pairs.
+
+Determinism: ties by (left string, right string); training stops early
+when the best pair count < MIN_PAIR_COUNT (pinned).  Not
+SQL-expressible: each round's input is the previous round's greedy
+in-word rewrite — the same iterative-mechanism class as the HNSW walk,
+so the lane is registered rows-only with an independent pure-Python
+reference replay pinned in tests (`tests/test_bpetrain.py`).
+
+Reference anchors: crates/frankensearch-embed tokenizer loading
+consumes exactly this artifact shape (merges list); hftok.py:1 is the
+encode-side twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+#: training stops when the best pair's weighted count drops below this
+MIN_PAIR_COUNT = 2
+
+_PACK = np.int64(1) << np.int64(32)
+
+
+def word_histogram_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """In-batch (word, n) combiner over admitted tokens — the partial
+    the vocab-bounded groupby merges."""
+    import pandas as pd
+
+    from fsray.tokenizer import tokenize_column
+    toks = tokenize_column(batch[text_column].combine_chunks()
+                           .cast(pa.string()).fill_null(""))
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    codes, uniq = pd.factorize(flat)
+    cnt = np.bincount(codes).astype(np.int64)
+    return pa.table({"word": pa.array(uniq, type=pa.string()),
+                     "n": pa.array(cnt, type=pa.int64())})
+
+
+def encode_shard(words: np.ndarray, counts: np.ndarray,
+                 sym_of: dict[str, int]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a histogram shard once: (flat int32 symbol codes, word
+    offsets len nw+1, per-word weights).  ``sym_of`` maps the initial
+    single-character alphabet to ids."""
+    seqs = [[sym_of[c] for c in w] for w in words]
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.fromiter((c for s in seqs for c in s), dtype=np.int32,
+                       count=int(lens.sum()))
+    return flat, offs, counts.astype(np.int64)
+
+
+def pair_count_partial(sym: np.ndarray, offs: np.ndarray,
+                       weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted within-word adjacent-pair counts as (packed int64 pair,
+    weight sum) arrays — sorted-unique + reduceat, no word loop."""
+    nw = len(offs) - 1
+    lens = np.diff(offs)
+    if len(sym) < 2 or nw == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    word_of = np.repeat(np.arange(nw), lens)
+    valid = word_of[:-1] == word_of[1:]
+    if not valid.any():
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    packed = (sym[:-1][valid].astype(np.int64) * _PACK
+              + sym[1:][valid].astype(np.int64))
+    w = np.repeat(weights, np.maximum(lens - 1, 0))
+    order = np.argsort(packed, kind="stable")
+    ps, ws = packed[order], w[order]
+    starts = np.concatenate([[True], ps[1:] != ps[:-1]])
+    idx = np.flatnonzero(starts)
+    sums = np.add.reduceat(ws, idx)
+    return ps[idx], sums
+
+
+def apply_merge(sym: np.ndarray, offs: np.ndarray, a: int, b: int,
+                c: int) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy leftmost in-word replacement of adjacent (a, b) with c.
+
+    Overlap rule (only reachable when a == b, e.g. 'aaa'): within each
+    run of consecutive candidate positions keep the even-indexed ones —
+    exactly the sequential greedy scan's choices, vectorized.  When
+    a != b adjacent candidates are impossible (sym[p+1] would have to
+    be both a and b)."""
+    nw = len(offs) - 1
+    lens = np.diff(offs)
+    if len(sym) < 2:
+        return sym, offs
+    word_of = np.repeat(np.arange(nw), lens)
+    cand = np.flatnonzero((sym[:-1] == a) & (sym[1:] == b))
+    cand = cand[word_of[cand] == word_of[cand + 1]]
+    if len(cand) == 0:
+        return sym, offs
+    if a == b:
+        runstart = np.concatenate([[True], np.diff(cand) > 1])
+        run_first = np.maximum.accumulate(
+            np.where(runstart, np.arange(len(cand)), 0))
+        cand = cand[(np.arange(len(cand)) - run_first) % 2 == 0]
+    out = sym.copy()
+    out[cand] = c
+    keep = np.ones(len(sym), dtype=bool)
+    keep[cand + 1] = False
+    removed = np.bincount(word_of[cand], minlength=nw).astype(np.int64)
+    new_offs = offs - np.concatenate([[0], np.cumsum(removed)])
+    return out[keep], new_offs
+
+
+def train_reference(words: list[str], counts: list[int],
+                    n_merges: int) -> list[tuple[str, str, str, int]]:
+    """Independent pure-Python BPE trainer (dicts + per-word lists, no
+    shared kernels) — the law-test twin of the distributed lane."""
+    seqs = {w: list(w) for w in words}
+    cnt = dict(zip(words, counts))
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, s in seqs.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + cnt[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < MIN_PAIR_COUNT:
+            break
+        merged = a + b
+        merges.append((a, b, merged, n))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+class BpeShardState:
+    """Per-shard trainer state — wrapped with ``ray.remote`` by the lane
+    (stateful stage = actor: decode once in ``__init__``, per-round work
+    in methods)."""
+
+    def __init__(self, words: np.ndarray, counts: np.ndarray,
+                 sym_of: dict[str, int]):
+        self.sym, self.offs, self.w = encode_shard(words, counts, sym_of)
+
+    def pair_counts(self) -> tuple[np.ndarray, np.ndarray]:
+        return pair_count_partial(self.sym, self.offs, self.w)
+
+    def apply(self, a: int, b: int, c: int) -> None:
+        self.sym, self.offs = apply_merge(self.sym, self.offs, a, b, c)

@@ -5413,6 +5413,223 @@ FROM documents d LEFT JOIN perdoc p USING (doc_id)
 ORDER BY d.doc_id"""
 
 
+#: kNN label-eval probe stride and vote size
+KNN_EVAL_MOD = 400
+KNN_EVAL_K = 5
+
+
+def knn_label_eval(sf_dir: str) -> pa.Table:
+    """Distributed k-NN label prediction over the embedding column — the
+    EVAL-class operator (label-quality / embedding-quality audit) a
+    training-data pipeline runs after clustering: for every probe vector
+    (``vec_id % KNN_EVAL_MOD == 0``), predict its label by majority vote
+    of its ``KNN_EVAL_K`` exact-cosine nearest neighbors (self excluded;
+    vote ties break to the SMALLEST label — pinned) and report
+    prediction vs truth.
+
+    Ray shape: the probe matrix is broadcast ONCE (``ray.put``); each
+    corpus batch emits its local top-k partial (one f64 matmul per
+    batch — the ``ann_bruteforce`` kernel); the driver merge is
+    associative over ≤ k·batches rows; neighbor labels come from a
+    ROW-FILTERED parquet read (≤ k·|probes| ids — never the matrix);
+    the majority vote folds a |probes|·k table.  Probe selection reads
+    the vec_id column only (a single pruned int column; at 100 TB the
+    probe list would come from a side table instead).  EXACT oracle:
+    exhaustive f64 cosine + the same (count desc, label asc) vote in
+    SQL — rank-exactness rides the same no-near-tie corpus property the
+    ann lanes pin in tests."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from fsray.ann import merge_topk_partials, topk_partial
+    from fsray.dedup import normalize_rows
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb):
+        raise FileNotFoundError(emb)
+    all_ids = pq.read_table(emb, columns=["vec_id"])["vec_id"].to_numpy()
+    qids = np.sort(all_ids[all_ids % KNN_EVAL_MOD == 0]).astype(np.int64)
+    qt = pq.read_table(emb, columns=["vec_id", "embedding", "label"],
+                       filters=[("vec_id", "in", [int(q) for q in qids])])
+    order = np.argsort(qt["vec_id"].to_numpy())
+    qmat = (qt["embedding"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+            .reshape(len(order), -1))[order]
+    true_label = qt["label"].to_numpy().astype(np.int64)[order]
+    qnorm = normalize_rows(qmat)
+    ref = ray.put((qids, qnorm))
+
+    def block(batch: pa.Table) -> pa.Table:
+        q_ids, q_norm = ray.get(ref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        flat = (batch["embedding"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False))
+        mat = flat.astype(np.float64).reshape(len(bids), -1)
+        qi, ni, si = topk_partial(bids, mat, q_norm, KNN_EVAL_K,
+                                  exclude_self=q_ids)
+        return pa.table({"qi": pa.array(qi, type=pa.int64()),
+                         "nid": pa.array(ni, type=pa.int64()),
+                         "cos": pa.array(si, type=pa.float64())})
+
+    parts = (rd.read_parquet(emb, columns=["vec_id", "embedding"])
+             .map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    merged = merge_topk_partials(
+        [(parts["qi"].to_numpy(), parts["nid"].to_numpy(),
+          parts["cos"].to_numpy())], len(qids), KNN_EVAL_K).to_pandas()
+    # neighbor labels: row-filtered read of the <= k * |probes| hit ids
+    nid = merged["neighbor_id"].to_numpy().astype(np.int64)
+    lt = pq.read_table(emb, columns=["vec_id", "label"],
+                       filters=[("vec_id", "in",
+                                 sorted({int(i) for i in nid}))])
+    lids = lt["vec_id"].to_numpy().astype(np.int64)
+    lorder = np.argsort(lids)
+    nlabel = lt["label"].to_numpy().astype(np.int64)[
+        lorder[np.searchsorted(lids[lorder], nid)]]
+    # majority vote per probe: (count desc, label asc), pinned
+    qi = merged["query_id"].to_numpy().astype(np.int64)
+    pred = np.zeros(len(qids), dtype=np.int64)
+    votes = np.zeros(len(qids), dtype=np.int64)
+    for q in range(len(qids)):
+        labs, cnts = np.unique(nlabel[qi == q], return_counts=True)
+        win = np.lexsort((labs, -cnts))[0]
+        pred[q], votes[q] = labs[win], cnts[win]
+    return pa.table({
+        "vec_id": pa.array(qids, type=pa.int64()),
+        "true_label": pa.array(true_label, type=pa.int64()),
+        "pred_label": pa.array(pred, type=pa.int64()),
+        "n_votes": pa.array(votes, type=pa.int64()),
+        "correct": pa.array((pred == true_label).astype(np.int64),
+                            type=pa.int64()),
+    })
+
+
+def knn_eval_oracle_sql() -> str:
+    """Exact oracle for ``knn_label_eval``: exhaustive f64 cosine top-k
+    per probe (the shared normalized-embedding CTE), neighbor labels
+    joined, and the identical (count desc, label asc) majority vote."""
+    return f"""
+WITH
+{_NFULL_SQL},
+q AS (SELECT vec_id AS query_id, label AS true_label FROM embeddings
+      WHERE vec_id % {KNN_EVAL_MOD} = 0),
+sims AS (SELECT q.query_id, nv.vec_id AS nid,
+                sum(nq.xn * nv.xn) AS cos
+         FROM q
+         JOIN nfull nq ON nq.vec_id = q.query_id
+         JOIN nfull nv ON nv.i = nq.i AND nv.vec_id <> q.query_id
+         GROUP BY q.query_id, nv.vec_id),
+top AS (SELECT query_id, nid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, nid ASC) AS rn
+        FROM sims),
+votes AS (SELECT t.query_id, e.label, CAST(count(*) AS BIGINT) AS c
+          FROM top t JOIN embeddings e ON e.vec_id = t.nid
+          WHERE t.rn <= {KNN_EVAL_K} GROUP BY t.query_id, e.label),
+pred AS (SELECT query_id, label, c,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, label ASC) AS pr
+         FROM votes)
+SELECT q.query_id AS vec_id,
+       CAST(q.true_label AS BIGINT) AS true_label,
+       CAST(p.label AS BIGINT) AS pred_label,
+       p.c AS n_votes,
+       CAST(CASE WHEN p.label = q.true_label THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM q JOIN pred p ON p.query_id = q.query_id AND p.pr = 1
+ORDER BY vec_id"""
+
+
+#: BPE training rounds and shard count for the driver lane
+BPE_TRAIN_MERGES = 16
+BPE_TRAIN_SHARDS = 4
+
+
+def bpe_train(sf_dir: str) -> pa.Table:
+    """Distributed BPE vocabulary training over the documents table —
+    the tokenizer-TRAINING operator (Sennrich et al. 2016 / the GPT-2
+    recipe) that produces the merge table ``bpe_token_counts``-style
+    encoders consume.  Output: one row per learned merge
+    (rank, left, right, merged, pair_count), deterministic (count desc,
+    lexicographically smallest (left, right) tie — pinned).
+
+    Ray shape (see ``fsray/bpetrain.py``): BPE trains on the WORD
+    HISTOGRAM, so pass 1 is a vocab-bounded combiner + groupby (the
+    100-TB corpus folds to distinct words before any iteration); the
+    merge loop is the ITERATIVE-algorithm exception — shard ACTORS
+    decode the histogram once (`__init__`), every round ships only
+    pair-count partials up and one 3-int merge down.  Not
+    SQL-expressible (each round rewrites the previous round's greedy
+    in-word output) → rows-only lane; the independent pure-Python
+    trainer replay is pinned in `tests/test_bpetrain.py`."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fsray.bpetrain import MIN_PAIR_COUNT, BpeShardState, word_histogram_batch
+
+    def _out(rows):
+        return pa.table({
+            "rank": pa.array([r[0] for r in rows], type=pa.int64()),
+            "left": pa.array([r[1] for r in rows], type=pa.string()),
+            "right": pa.array([r[2] for r in rows], type=pa.string()),
+            "merged": pa.array([r[3] for r in rows], type=pa.string()),
+            "pair_count": pa.array([r[4] for r in rows], type=pa.int64()),
+        })
+
+    hist = (_docs_ds(sf_dir)
+            .map_batches(word_histogram_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(_stats_blocks())
+            .groupby("word").aggregate(Sum("n")).to_pandas())
+    if len(hist) == 0:
+        return _out([])
+    words = hist["word"].to_numpy().astype(str)
+    counts = hist["sum(n)"].to_numpy().astype(np.int64)
+    order = np.argsort(words)
+    words, counts = words[order], counts[order]
+    symtab = sorted({c for w in words for c in w})
+    sym_of = {c: i for i, c in enumerate(symtab)}
+
+    Actor = ray.remote(num_cpus=1)(BpeShardState)
+    bounds = np.linspace(0, len(words), BPE_TRAIN_SHARDS + 1).astype(int)
+    actors = [Actor.remote(words[lo:hi], counts[lo:hi], sym_of)
+              for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+    pack = np.int64(1) << np.int64(32)
+    rows = []
+    try:
+        for rank in range(BPE_TRAIN_MERGES):
+            parts = ray.get([a.pair_counts.remote() for a in actors])
+            keys = np.concatenate([p[0] for p in parts])
+            vals = np.concatenate([p[1] for p in parts])
+            if len(keys) == 0:
+                break
+            o = np.argsort(keys, kind="stable")
+            ks, vs = keys[o], vals[o]
+            starts = np.concatenate([[True], ks[1:] != ks[:-1]])
+            idx = np.flatnonzero(starts)
+            totals = np.add.reduceat(vs, idx)
+            uk = ks[idx]
+            best_n = int(totals.max())
+            if best_n < MIN_PAIR_COUNT:
+                break
+            tied = uk[totals == best_n]
+            cands = sorted((symtab[int(p // pack)], symtab[int(p % pack)])
+                           for p in tied)
+            left, right = cands[0]
+            a_id, b_id = sym_of[left], sym_of[right]
+            merged = left + right
+            c_id = len(symtab)
+            symtab.append(merged)
+            sym_of[merged] = c_id
+            rows.append((rank, left, right, merged, best_n))
+            ray.get([a.apply.remote(a_id, b_id, c_id) for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return _out(rows)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5516,10 +5733,12 @@ def make_queries() -> dict:
         "events_json_extract": events_json_extract,  # exact oracle (r4): json flatten
         "sketch_countmin": sketch_countmin,  # exact oracle (r4): mergeable sketch
         "dsir_weights": dsir_weights,  # exact oracle (r4): DSIR data selection
+        "knn_label_eval": knn_label_eval,  # exact oracle (r4): eval-class op
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
         "dedup_near_keep_lsh": dedup_near_keep_lsh,  # exact oracle (r4)
+        "bpe_train": bpe_train,  # rows-only: iterative greedy rewrite (r4)
         "durability_fsck": durability_fsck,
         "ann_lsh": ann_lsh,    # exact oracle (r4): probe-faithful replay
         "ann_ivf": ann_ivf,    # exact oracle (r4): nprobe==n_lists here
@@ -6765,6 +6984,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["events_json_extract"] = json_extract_oracle_sql()
     o["sketch_countmin"] = countmin_oracle_sql()
     o["dsir_weights"] = dsir_oracle_sql()
+    o["knn_label_eval"] = knn_eval_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

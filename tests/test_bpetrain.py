@@ -1,0 +1,105 @@
+"""BPE vocabulary training laws: kernel semantics (greedy leftmost
+merge, overlap runs, word-boundary isolation, weighted pair counts)
+and the distributed-lane ≡ independent-pure-Python-trainer replay."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fsray.bpetrain import (apply_merge, encode_shard, pair_count_partial,
+                            train_reference)
+
+
+def _mk(words, counts):
+    sym_of = {c: i for i, c in enumerate(sorted({c for w in words for c in w}))}
+    sym, offs, w = encode_shard(np.asarray(words), np.asarray(counts), sym_of)
+    return sym, offs, w, sym_of
+
+
+def test_pair_counts_weighted_and_word_bounded():
+    sym, offs, w, sym_of = _mk(["ab", "ba"], [3, 5])
+    keys, vals = pair_count_partial(sym, offs, w)
+    pack = np.int64(1) << np.int64(32)
+    got = {(int(k // pack), int(k % pack)): int(v)
+           for k, v in zip(keys, vals)}
+    a, b = sym_of["a"], sym_of["b"]
+    # no cross-word pair (b of "ab" never pairs with b of "ba"'s start)
+    assert got == {(a, b): 3, (b, a): 5}
+
+
+def test_apply_merge_overlap_run_parity():
+    """'aaaa' with merge (a,a): greedy leftmost keeps positions 0 and 2
+    -> (aa)(aa); 'aaa' -> (aa)a."""
+    sym, offs, w, sym_of = _mk(["aaaa", "aaa"], [1, 1])
+    a = sym_of["a"]
+    out, offs2 = apply_merge(sym, offs, a, a, 99)
+    assert out.tolist() == [99, 99, 99, a]
+    assert np.diff(offs2).tolist() == [2, 2]
+
+
+def test_apply_merge_word_boundary_isolated():
+    """The last symbol of word i never merges with the first of word
+    i+1, even when they form the pair."""
+    sym, offs, w, sym_of = _mk(["xa", "bx"], [1, 1])
+    out, offs2 = apply_merge(sym, offs, sym_of["a"], sym_of["b"], 99)
+    assert out.tolist() == sym.tolist()          # nothing merged
+    assert offs2.tolist() == offs.tolist()
+
+
+def test_reference_trainer_sennrich_shape():
+    """The classic Sennrich corpus: 'est' must be learned as a unit via
+    (e,s) then (es,t) — counts 9 from newest(6)+widest(3)."""
+    words = ["low", "lower", "newest", "widest"]
+    counts = [5, 2, 6, 3]
+    merges = train_reference(words, counts, 4)
+    assert merges[0] == ("e", "s", "es", 9)
+    assert merges[1] == ("es", "t", "est", 9)
+
+
+def test_distributed_lane_matches_reference(ray_session, tmp_path):
+    """The sharded-actor lane reproduces the independent trainer on a
+    corpus with repeated words across docs, overlap runs ('aaa'), a
+    tie (forced lexicographic pick), and an early stop (all remaining
+    pairs unique)."""
+    from fsray.pipelines import BPE_TRAIN_MERGES, bpe_train
+    docs = ["low low lower newest", "newest widest low aaa",
+            "newest newest widest", ""]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    lane = bpe_train(str(tmp_path)).to_pandas()
+
+    # the word histogram the lane trains on
+    from collections import Counter
+    hist = Counter(w for d in docs for w in d.split())
+    ref = train_reference(list(hist.keys()), list(hist.values()),
+                          BPE_TRAIN_MERGES)
+    assert len(lane) == len(ref)
+    for i, (a, b, m, n) in enumerate(ref):
+        row = lane.iloc[i]
+        assert (row["rank"], row["left"], row["right"],
+                row["merged"], row["pair_count"]) == (i, a, b, m, n)
+    # merged strings concatenate their parents
+    assert (lane["merged"] == lane["left"] + lane["right"]).all()
+    # counts are non-increasing is NOT a BPE law (merges can create new
+    # hot pairs), but every count respects the stop threshold
+    assert (lane["pair_count"] >= 2).all()
+
+
+def test_lane_empty_corpus(ray_session, tmp_path):
+    from fsray.pipelines import bpe_train
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array([""], type=pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    out = bpe_train(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.column_names == ["rank", "left", "right", "merged",
+                                "pair_count"]
