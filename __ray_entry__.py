@@ -10,13 +10,13 @@ here (or in the fsray library) calls ``ray.init()`` / ``ray.shutdown()``.
   the training-data operator families: dedup, similarity search, text
   analysis, multimodal plumbing).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  entry (87 of 92).  The BM25 + rerank oracles reproduce the engine's
+  entry (92 of 98).  The BM25 + rerank oracles reproduce the engine's
   pinned float64 scoring contracts bit-exactly (fieldnorm table inlined,
   f32-rounded avgdl, pinned op order, libm sigmoid parity); hash-based
   ops (simhash, fingerprints, hash-embed, LSH) replay through the pinned
-  PUBLIC FNV-1a / literal-plane constructions.  The 5 omitted lanes are
-  non-SQL by mechanism (erasure decode, transformer inference, graph
-  traversal, orchestration) → rows-only checks.
+  PUBLIC FNV-1a / literal-plane constructions.  The 6 omitted lanes are
+  non-SQL by mechanism (erasure decode, iterative BPE training,
+  transformer inference, orchestration) → rows-only checks.
 """
 
 from __future__ import annotations

@@ -234,6 +234,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_dsir_weights", P.dsir_weights),
         ("x_knn_label_eval", P.knn_label_eval),
         ("x_bpe_train", P.bpe_train),
+        ("x_rebalance_langs", P.rebalance_langs),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

@@ -898,6 +898,95 @@ WHERE ((doc_id * CAST({SAMPLE_HASH_MULT} AS HUGEINT)) % 4294967296) % 1000
 ORDER BY doc_id"""
 
 
+# Target language mixture (permille of the corpus) for the closed-loop
+# rebalancer; languages outside the map get the default share.
+REBALANCE_TARGET_PERMILLE = {"en": 200, "zh": 250, "es": 200, "de": 175,
+                             "fr": 175}
+REBALANCE_DEFAULT_PERMILLE = 100
+
+
+def rebalance_langs(sf_dir: str) -> pa.Table:
+    """Closed-loop language rebalancing — downsample over-represented
+    languages toward a TARGET mixture (the CC-pipeline language-
+    rebalancing shape; cf. ``sample_stratified``, whose rates are fixed
+    constants rather than derived from the corpus).
+
+    Two passes, both 100-TB-clean:
+
+    1. per-language doc counts: per-batch ``value_counts`` partials →
+       a |langs|-bounded ``groupby(lang).sum`` (the shuffle carries at
+       most #langs rows per batch, never one row per doc); the driver
+       derives integer keep-rates
+       ``rate = min(1000, target_permille · N_total // n_lang)``
+       (pure int arithmetic — exactly replayable in SQL) and ships the
+       KB-sized dict in the filter closure, broadcast once per task;
+    2. the same multiplicative-hash permille filter as
+       ``sample_stratified``: shuffle-free, RNG-free, split-invariant
+       vectorized ``map_batches``.
+
+    A language at or under its target share derives rate ≥ 1000 (keep
+    all); an over-represented one is thinned to ~target · N_total docs.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        vc = b["lang"].combine_chunks().value_counts()
+        return pa.table({"lang": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    counts = (ds.map_batches(lang_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .repartition(_stats_blocks())
+              .groupby("lang").aggregate(Sum("n")).to_pandas())
+    total = int(counts["sum(n)"].sum())
+    rates = {str(lg): min(1000,
+                          (REBALANCE_TARGET_PERMILLE.get(
+                              str(lg), REBALANCE_DEFAULT_PERMILLE) * total)
+                          // int(n))
+             for lg, n in zip(counts["lang"], counts["sum(n)"])}
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.uint64)
+        rate = np.array([rates[lg] for lg in b["lang"].to_pylist()],
+                        dtype=np.uint64)
+        h = (ids * np.uint64(SAMPLE_HASH_MULT)) % np.uint64(2**32)
+        return b.filter(pa.array((h % np.uint64(1000)) < rate))
+
+    out = (ds.map_batches(keep_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .to_pandas().sort_values("doc_id"))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+        "lang": pa.array(out["lang"], type=pa.string()),
+    })
+
+
+def rebalance_oracle_sql() -> str:
+    """Exact oracle for ``rebalance_langs``: the same integer rate
+    derivation (BIGINT products never overflow — target ≤ 1000 ×
+    corpus count) and the HUGEINT-product hash filter of
+    ``sample_oracle_sql``."""
+    cases = " ".join(f"WHEN '{lg}' THEN {t}"
+                     for lg, t in REBALANCE_TARGET_PERMILLE.items())
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS total FROM counts),
+rates AS (SELECT lang,
+                 LEAST(1000, ((CASE lang {cases}
+                               ELSE {REBALANCE_DEFAULT_PERMILLE} END)
+                              * total) // n) AS rate
+          FROM counts, tot)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ((d.doc_id * CAST({SAMPLE_HASH_MULT} AS HUGEINT)) % 4294967296) % 1000
+      < r.rate
+ORDER BY d.doc_id"""
+
+
 NGRAM_TOP_K = 50
 
 
@@ -5734,6 +5823,7 @@ def make_queries() -> dict:
         "sketch_countmin": sketch_countmin,  # exact oracle (r4): mergeable sketch
         "dsir_weights": dsir_weights,  # exact oracle (r4): DSIR data selection
         "knn_label_eval": knn_label_eval,  # exact oracle (r4): eval-class op
+        "rebalance_langs": rebalance_langs,  # exact oracle (r4): closed-loop mix
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -6985,6 +7075,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["sketch_countmin"] = countmin_oracle_sql()
     o["dsir_weights"] = dsir_oracle_sql()
     o["knn_label_eval"] = knn_eval_oracle_sql()
+    o["rebalance_langs"] = rebalance_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

@@ -94,6 +94,28 @@ def test_ann_lsh_recall_vs_bruteforce():
     assert np.mean(recalls) >= 0.6, recalls
 
 
+def test_rebalance_thins_only_over_represented_langs():
+    """Semantics pin for the closed-loop rebalancer: a language at or
+    under its target share derives rate ≥ 1000 and keeps every doc; an
+    over-represented one is thinned toward target · N_total."""
+    from fsray.pipelines import (REBALANCE_DEFAULT_PERMILLE,
+                                 REBALANCE_TARGET_PERMILLE, rebalance_langs)
+    con = _duck(SF_DIR)
+    corpus = dict(con.execute(
+        "SELECT lang, count(*) FROM documents GROUP BY lang").fetchall())
+    total = sum(corpus.values())
+    kept = _to_table(rebalance_langs(SF_DIR)).to_pandas()
+    kept_per = kept["lang"].value_counts().to_dict()
+    thinned = 0
+    for lg, n in corpus.items():
+        target = REBALANCE_TARGET_PERMILLE.get(lg, REBALANCE_DEFAULT_PERMILLE)
+        if n * 1000 <= target * total:  # at/under target share: keep all
+            assert kept_per.get(lg, 0) == n, (lg, kept_per.get(lg), n)
+        elif kept_per.get(lg, 0) < n:
+            thinned += 1
+    assert thinned >= 1, (corpus, kept_per)  # the corpus has a heavy head
+
+
 def test_minhash_equals_exact_jaccard():
     from fsray.pipelines import dedup_minhash_lsh, dedup_ngram_jaccard
     exact = _canon(_to_table(dedup_ngram_jaccard(SF_DIR)))
