@@ -10,7 +10,7 @@ here (or in the fsray library) calls ``ray.init()`` / ``ray.shutdown()``.
   the training-data operator families: dedup, similarity search, text
   analysis, multimodal plumbing).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  entry (92 of 98).  The BM25 + rerank oracles reproduce the engine's
+  entry (93 of 99).  The BM25 + rerank oracles reproduce the engine's
   pinned float64 scoring contracts bit-exactly (fieldnorm table inlined,
   f32-rounded avgdl, pinned op order, libm sigmoid parity); hash-based
   ops (simhash, fingerprints, hash-embed, LSH) replay through the pinned

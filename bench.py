@@ -235,6 +235,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_knn_label_eval", P.knn_label_eval),
         ("x_bpe_train", P.bpe_train),
         ("x_rebalance_langs", P.rebalance_langs),
+        ("x_split_train_holdout", P.split_train_holdout),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

@@ -987,6 +987,57 @@ WHERE ((d.doc_id * CAST({SAMPLE_HASH_MULT} AS HUGEINT)) % 4294967296) % 1000
 ORDER BY d.doc_id"""
 
 
+SPLIT_TRAIN_PERMILLE = 900   # [0, 900) train
+SPLIT_VAL_PERMILLE = 950     # [900, 950) val, [950, 1000) test
+
+
+def split_train_holdout(sf_dir: str) -> pa.Table:
+    """Leakage-safe train/val/test split assignment — the eval-hygiene
+    operator every pretraining pipeline needs: the split key is the
+    CONTENT fingerprint (``fingerprint_batch``'s order-sensitive
+    rolling hash over admitted tokens), not ``doc_id``, so token-
+    identical duplicates land in the same split BY CONSTRUCTION —
+    no dedup-group computation, no shuffle, no join.  A pure
+    vectorized ``map_batches`` pass (RNG-free, split-invariant,
+    rerunnable): bucket = fp mod 1000, thresholds 900/950 → 90/5/5.
+    At 100 TB this is one streaming scan; near-duplicate-safe
+    splitting (cluster-keyed) composes `keep_decisions` group reps
+    with the same thresholds and is the documented extension."""
+    from fsray.textops import fingerprint_batch
+
+    def assign(b: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(b)
+        bucket = (fp["fingerprint"].to_numpy().astype(np.uint64)
+                  % np.uint64(1000)).astype(np.int64)
+        split = np.where(bucket < SPLIT_TRAIN_PERMILLE, "train",
+                         np.where(bucket < SPLIT_VAL_PERMILLE, "val",
+                                  "test"))
+        return pa.table({"doc_id": fp["doc_id"],
+                         "bucket": pa.array(bucket, type=pa.int64()),
+                         "split": pa.array(split, type=pa.string())})
+
+    ds = _docs_ds(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = ds.to_pandas().sort_values("doc_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def split_oracle_sql() -> str:
+    """Exact oracle for ``split_train_holdout``: the shared fp0 CTE,
+    then the same non-negative mod-1000 bucket + threshold CASE (fp is
+    HUGEINT in [0, 2^64) here, matching the engine's uint64 mod)."""
+    return f"""{_fingerprint_fp0_cte()}
+SELECT d.doc_id,
+       CAST(COALESCE(f.fp, 0) % 1000 AS BIGINT) AS bucket,
+       CASE WHEN COALESCE(f.fp, 0) % 1000 < {SPLIT_TRAIN_PERMILLE}
+                 THEN 'train'
+            WHEN COALESCE(f.fp, 0) % 1000 < {SPLIT_VAL_PERMILLE}
+                 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN fp0 f USING (doc_id)
+ORDER BY d.doc_id"""
+
+
 NGRAM_TOP_K = 50
 
 
@@ -5824,6 +5875,7 @@ def make_queries() -> dict:
         "dsir_weights": dsir_weights,  # exact oracle (r4): DSIR data selection
         "knn_label_eval": knn_label_eval,  # exact oracle (r4): eval-class op
         "rebalance_langs": rebalance_langs,  # exact oracle (r4): closed-loop mix
+        "split_train_holdout": split_train_holdout,  # exact oracle (r4): leakage-safe split
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -6096,14 +6148,16 @@ FROM fragt g LEFT JOIN pieces p USING (doc_id)
 ORDER BY g.rk"""
 
 
-def fingerprint_oracle_sql() -> str:
-    """Exact oracle for ``doc_fingerprints``: the polynomial rolling hash
-    ``Σ fnv1a64(tok_i)·31^i (mod 2^64)`` replayed in SQL.  FNV-1a is a
-    pinned PUBLIC hash, so the fold runs as a recursive CTE over byte
-    positions (``(h ⊕ byte)·prime mod 2^64``; the corpus is pure ASCII so
-    ``ascii(char) == byte``); mod-2^64 products are computed in HUGEINT
-    with a 32-bit split (h·p < 2^128 overflows HUGEINT; (h_hi·(p·2^32
-    mod 2^64) + h_lo·p) < 2^97 does not)."""
+def _fingerprint_fp0_cte() -> str:
+    """Shared CTE prefix computing each doc's polynomial rolling-hash
+    fingerprint ``Σ fnv1a64(tok_i)·31^i (mod 2^64)`` as non-negative
+    HUGEINT ``fp0(doc_id, fp)`` — used by ``fingerprint_oracle_sql``
+    and ``split_oracle_sql``.  FNV-1a is a pinned PUBLIC hash, so the
+    fold runs as a recursive CTE over byte positions (``(h ⊕ byte)·
+    prime mod 2^64``; the corpus is pure ASCII so ``ascii(char) ==
+    byte``); mod-2^64 products are computed in HUGEINT with a 32-bit
+    split (h·p < 2^128 overflows HUGEINT; (h_hi·(p·2^32 mod 2^64) +
+    h_lo·p) < 2^97 does not)."""
     M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
     return f"""
 WITH RECURSIVE
@@ -6137,7 +6191,15 @@ fp0 AS (SELECT h.doc_id,
           CAST(sum((
             (h.h // 4294967296) * ((pw.p * 4294967296) % {M})
             + (h.h % 4294967296) * pw.p) % {M}) % {M} AS HUGEINT) AS fp
-        FROM hfin h JOIN pw ON pw.i = h.i GROUP BY h.doc_id)
+        FROM hfin h JOIN pw ON pw.i = h.i GROUP BY h.doc_id)"""
+
+
+def fingerprint_oracle_sql() -> str:
+    """Exact oracle for ``doc_fingerprints``: the shared fp0 CTE
+    (see ``_fingerprint_fp0_cte``), reinterpreted to the engine's
+    signed-int64 column."""
+    M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
+    return f"""{_fingerprint_fp0_cte()}
 SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(f.fp, 0) >= CAST('9223372036854775808' AS HUGEINT)
                  THEN COALESCE(f.fp, 0) - {M}
@@ -7076,6 +7138,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["dsir_weights"] = dsir_oracle_sql()
     o["knn_label_eval"] = knn_eval_oracle_sql()
     o["rebalance_langs"] = rebalance_oracle_sql()
+    o["split_train_holdout"] = split_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

@@ -116,6 +116,24 @@ def test_rebalance_thins_only_over_represented_langs():
     assert thinned >= 1, (corpus, kept_per)  # the corpus has a heavy head
 
 
+def test_split_is_leakage_safe_and_complete():
+    """Same-text documents must land in the same split (the split key is
+    the content fingerprint, not doc_id), every doc gets exactly one
+    split, and the permille thresholds produce a ~90/5/5 partition."""
+    from fsray.pipelines import split_train_holdout
+    got = _to_table(split_train_holdout(SF_DIR)).to_pandas()
+    con = _duck(SF_DIR)
+    docs = con.execute("SELECT doc_id, lower(text) AS t FROM documents").df()
+    merged = docs.merge(got, on="doc_id", validate="one_to_one")
+    leaks = merged.groupby("t")["split"].nunique()
+    assert (leaks <= 1).all(), merged[merged["t"].isin(
+        leaks[leaks > 1].index)][["doc_id", "split"]]
+    assert set(got["split"].unique()) <= {"train", "val", "test"}
+    assert len(got) == len(docs)
+    train_frac = (got["split"] == "train").mean()
+    assert 0.8 < train_frac < 0.97, train_frac
+
+
 def test_minhash_equals_exact_jaccard():
     from fsray.pipelines import dedup_minhash_lsh, dedup_ngram_jaccard
     exact = _canon(_to_table(dedup_ngram_jaccard(SF_DIR)))
