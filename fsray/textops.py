@@ -336,6 +336,26 @@ def window_doc_rows(batch: pa.Table, length: int,
     })
 
 
+def window_occurrence_rows(batch: pa.Table, length: int,
+                           text_column: str = "text",
+                           id_column: str = "doc_id") -> pa.Table:
+    """(win, doc_id, pos) per window OCCURRENCE — pass-2 input of the
+    SEMI-JOIN substring-census path (``dedup_substring``'s fallback when
+    the duplicated-window set exceeds the broadcast budget): occurrence
+    rows shuffle to the same hash-top-bits buckets as the dup set and
+    match inside the bucket, so no worker ever holds the full dup set."""
+    toks = tokenize_column(batch[text_column].combine_chunks()
+                           .cast(pa.string()).fill_null(""))
+    ids = batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
+    c, cdoc, cpos, _, _ = _kgram_occurrences(toks, length)
+    return pa.table({
+        "win": pa.array(c.astype(np.int64), type=pa.int64()),
+        "doc_id": pa.array(ids[cdoc] if len(c) else np.zeros(0, np.int64),
+                           type=pa.int64()),
+        "pos": pa.array(cpos, type=pa.int64()),
+    })
+
+
 def _covered_positions(hit_doc: np.ndarray, hit_pos: np.ndarray, length: int,
                        counts: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """Per-doc count of token positions inside ANY hit interval

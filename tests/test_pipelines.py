@@ -1103,3 +1103,65 @@ def test_dsir_weights_hand_computed(ray_session, tmp_path):
     assert lane.loc[3, "weight_q"] == 0 and lane.loc[3, "dsir_weight"] == 0.0
     # separation: the pure-target doc outscores the target-disjoint doc
     assert lane.loc[0, "dsir_weight"] > lane.loc[2, "dsir_weight"]
+
+
+def test_substring_semijoin_path_identical():
+    """Both pass-2 paths of dedup_substring — broadcast (default) and the
+    partition-wise semi-join (forced via budget 0, the over-budget web-
+    corpus regime) — must produce the identical census table."""
+    from fsray.pipelines import dedup_substring
+    bcast = _canon(_to_table(dedup_substring(SF_DIR)))
+    semij = _canon(_to_table(dedup_substring(SF_DIR,
+                                             broadcast_budget_bytes=0)))
+    pd.testing.assert_frame_equal(bcast, semij)
+
+
+def test_tfidf_min_df_floor():
+    """The vocab-floor knob: min_df=2 prunes hapax terms from keyword
+    candidacy on BOTH sides (engine broadcast prune ≡ SQL df floor), and
+    the floored run really differs from the default (the corpus has
+    hapax terms in some doc's top-k, else the law is vacuous)."""
+    from fsray.pipelines import tfidf_oracle_sql, tfidf_top_terms
+    base = _canon(_to_table(tfidf_top_terms(SF_DIR)))
+    # pick a floor that really prunes some current top-k terms so the
+    # difference assertion below is non-vacuous at any corpus
+    floor = int(np.median(base["df"].to_numpy())) + 1
+    assert (base["df"].to_numpy() < floor).any()
+    got = _canon(_to_table(tfidf_top_terms(SF_DIR, min_df=floor)))
+    con = _duck(SF_DIR)
+    want = _canon(pa.Table.from_pandas(
+        con.execute(tfidf_oracle_sql(min_df=floor)).df(),
+        preserve_index=False))
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for col in got.columns:
+        g, w = got[col].to_numpy(), want[col].to_numpy()
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            assert np.array_equal(g.astype(np.float64), w.astype(np.float64))
+        else:
+            assert list(g) == list(w), col
+    assert not base.equals(got), "the floored run must change results here"
+
+
+def test_rebalance_null_lang(tmp_path):
+    """ADVICE r4: a NULL lang must not KeyError the engine, and engine
+    and oracle must agree on null-lang rows (null-safe join + the
+    default target share for the NULL group)."""
+    from fsray.pipelines import rebalance_langs, rebalance_oracle_sql
+    import pyarrow.parquet as pq
+    n = 400
+    langs = ["en", "zh", None, "xx"] * (n // 4)
+    tbl = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                    "lang": pa.array(langs, type=pa.string()),
+                    "text": pa.array(["w"] * n, type=pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = _canon(_to_table(rebalance_langs(str(tmp_path))))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = _canon(pa.Table.from_pandas(
+        con.execute(rebalance_oracle_sql()).df(), preserve_index=False))
+    assert len(got) == len(want) > 0
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    # null-lang docs survive the filter (default rate, not a drop/crash)
+    assert got["lang"].isna().any()
