@@ -1,0 +1,335 @@
+"""Composed corpus-curation pipeline — the training-data analogue of the
+reference's single resumable orchestration entry point
+(crates/frankensearch-fsfs/src/orchestration.rs:18-50: fsfs ships ONE
+`fsfs index` flow, not a bag of stages; this module is that shape for
+corpus curation).
+
+Stage chain (each stage sees the previous stage's survivors):
+
+1. repetition gate  — drop docs flagged by the Gopher/MassiveText
+   within-doc repetition rules (``repetition_batch``);
+2. length gate      — keep docs inside their language's
+   [q250, q900] n_chars band, quantiles derived from stage-1 survivors
+   (the closed-loop composition, not the full corpus);
+3. exact dedup      — keep the minimum doc_id per content-hash group
+   among stage-2 survivors;
+4. decontaminate    — remove the held-out eval split itself
+   (doc_id % EVAL_HOLDOUT_MOD == 0) and every surviving training doc
+   sharing any 3-token shingle with it;
+5. rebalance        — closed-loop language thinning toward the target
+   mixture, rates derived from stage-4 survivors;
+6. split            — leakage-safe train/val/test assignment keyed on
+   the content fingerprint (duplicates same-split by construction);
+7. export           — RESUMABLE partitioned Parquet (atomic done
+   markers per doc_id range, the ``export_deduped_corpus``
+   discipline), each partition re-deriving its split column locally
+   from text, plus a curation manifest with per-stage counts.
+
+100-TB shape: ONE full text scan computes every per-doc signal
+(repetition flags, content hash, fingerprint, eval-shingle overlap) in
+a single ``map_batches`` pass over a narrow signal table; every global
+reduction that follows runs over that narrow table with the combiner
+patterns the standalone lanes pin (value-count histogram for bands,
+dup-group-sized keep map for exact dedup, |langs|-sized rate dict for
+rebalance).  The small sides broadcast via ``ray.put``; the only
+corpus-sized driver arrays are the kept/drop id lists the partitioned
+export consumes (the decontaminate/export precedent — the documented
+swap at 10^10 docs is partition-local decision recompute, which the
+split column already demonstrates).
+
+Every stage is SQL-replayable, so the composition is too:
+``fsray.pipelines.curate_oracle_sql`` chains the per-stage CTEs into
+one exact oracle over the final kept set.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _signal_dataset(sf_dir: str, banned_ref):
+    """One streaming text scan → per-doc signal rows: (doc_id, lang,
+    n_chars, drop_rep, content_sha256, fp, contaminated)."""
+    import ray
+
+    from fsray.dedup import exact_key_batch, shingle_batch
+    from fsray.pipelines import (REP_3G_PERMILLE, REP_TOP2_PERMILLE,
+                                 _docs_ds)
+    from fsray.textops import fingerprint_batch, repetition_batch
+
+    def signal_batch(b: pa.Table) -> pa.Table:
+        rep = repetition_batch(b, REP_TOP2_PERMILLE, REP_3G_PERMILLE)
+        sha = exact_key_batch(b)
+        fp = fingerprint_batch(b)
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        contaminated = np.zeros(len(ids), dtype=bool)
+        sh = shingle_batch(b)
+        if sh.num_rows:
+            hit = np.isin(sh["shingle"].to_numpy(), ray.get(banned_ref))
+            if hit.any():
+                # batch row order is not necessarily id-sorted: map the
+                # shingle rows' doc ids to batch positions via argsort
+                order = np.argsort(ids)
+                pos = order[np.searchsorted(
+                    ids[order], sh["doc_id"].to_numpy()[hit])]
+                contaminated[pos] = True
+        drop_rep = pc.or_(rep["top2_flag"], rep["rep3_flag"])
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "lang": b["lang"].combine_chunks().cast(pa.string()),
+            "n_chars": b["n_chars"].combine_chunks().cast(pa.int64()),
+            "drop_rep": drop_rep,
+            "content_sha256": sha["content_sha256"],
+            "fp": fp["fingerprint"],
+            "contaminated": pa.array(contaminated, type=pa.bool_()),
+        })
+
+    return _docs_ds(sf_dir).map_batches(signal_batch, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+
+def _length_bands(s1) -> dict:
+    """Per-language [lo, hi] n_chars band from the stage-1 survivors'
+    value-count histogram (the ``length_quantiles`` combiner: the
+    shuffle carries distinct (lang, value) pairs, never rows); discrete
+    quantile pinned as the value at 1-based index ceil(q·n/1000)."""
+    from ray.data.aggregate import Sum
+
+    from fsray.pipelines import LENGTH_FILTER_BAND, _stats_blocks
+
+    def vc_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = (pd.DataFrame({"lang": b["lang"].to_pylist(),
+                           "v": b["n_chars"].to_numpy()})
+             .groupby(["lang", "v"], sort=False).size().reset_index(name="n"))
+        return pa.table({"lang": pa.array(g["lang"], type=pa.string()),
+                         "v": pa.array(g["v"].to_numpy(), type=pa.int64()),
+                         "n": pa.array(g["n"].to_numpy(), type=pa.int64())})
+
+    hist = (s1.map_batches(vc_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(_stats_blocks())
+            .groupby(["lang", "v"]).aggregate(Sum("n")).to_pandas())
+    lo_q, hi_q = LENGTH_FILTER_BAND
+    band = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy()
+        c = np.cumsum(g["sum(n)"].to_numpy().astype(np.int64))
+        n = int(c[-1])
+        lo = v[np.searchsorted(c, (lo_q * n + 999) // 1000)]
+        hi = v[np.searchsorted(c, (hi_q * n + 999) // 1000)]
+        band[lang] = (int(lo), int(hi))
+    return band
+
+
+def curate_corpus_run(sf_dir: str, out_dir: str, n_parts: int = 8) -> dict:
+    """Run the full curation composition into ``out_dir``; returns the
+    manifest dict (also written atomically as curation_manifest.json)."""
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    import pyarrow.parquet as pq
+    from fsray.manifest import atomic_write_json
+    from fsray.pipelines import (EVAL_HOLDOUT_MOD, REBALANCE_DEFAULT_PERMILLE,
+                                 REBALANCE_TARGET_PERMILLE, SAMPLE_HASH_MULT,
+                                 SPLIT_TRAIN_PERMILLE, SPLIT_VAL_PERMILLE,
+                                 _docs_ds, _parquet_int_bounds, _stats_blocks)
+    from fsray.dedup import shingle_batch
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    # -- small side: the eval split's distinct shingles (eval-set-sized) --
+    eval_sh = (_docs_ds(sf_dir)
+               .map_batches(lambda b: b.filter(pa.array(
+                   b["doc_id"].to_numpy() % EVAL_HOLDOUT_MOD == 0)),
+                   batch_format="pyarrow", zero_copy_batch=True)
+               .map_batches(shingle_batch, batch_format="pyarrow")
+               .select_columns(["shingle"]).to_pandas())
+    banned_ref = ray.put(np.unique(eval_sh["shingle"].to_numpy()))
+
+    # -- one full text scan → narrow signal table (materialized: every
+    #    later stage runs over it, never over text again) --
+    sig = _signal_dataset(sf_dir, banned_ref).materialize()
+    n_input = sig.count()
+
+    # stage 1: repetition gate
+    s1 = sig.map_batches(
+        lambda b: b.filter(pc.invert(b["drop_rep"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n_s1 = s1.count()
+
+    # stage 2: per-language length band from stage-1 survivors
+    band = _length_bands(s1)
+    band_ref = ray.put(band)
+
+    def band_filter(b: pa.Table) -> pa.Table:
+        bd = ray.get(band_ref)
+        d = b["lang"].combine_chunks().dictionary_encode()
+        dl = d.dictionary.to_pylist()
+        lo_d = np.array([bd[lg][0] for lg in dl], dtype=np.int64)
+        hi_d = np.array([bd[lg][1] for lg in dl], dtype=np.int64)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        nc = b["n_chars"].to_numpy()
+        return b.filter(pa.array((nc >= lo_d[idx]) & (nc <= hi_d[idx])))
+
+    s2 = s1.map_batches(band_filter, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    n_s2 = s2.count()
+
+    # stage 3: exact dedup keep-min among stage-2 survivors (dup-GROUP-
+    # sized keep map, the export_deduped discipline)
+    dup_groups = (s2.groupby("content_sha256")
+                    .aggregate(Min("doc_id"), Count())
+                    .map_batches(lambda b: b.filter(
+                        pc.greater(b["count()"], 1)),
+                        batch_format="pyarrow")
+                    .to_pandas())
+    # an all-unique corpus yields an empty (column-less) frame
+    keep_map = ({} if len(dup_groups) == 0 else
+                dict(zip(dup_groups["content_sha256"],
+                         dup_groups["min(doc_id)"].astype("int64"))))
+    keep_ref = ray.put(keep_map)
+
+    def drop_non_keeper(b: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        ids = b["doc_id"].to_numpy()
+        shas = b["content_sha256"].to_pylist()
+        mask = np.fromiter((keep.get(s, i) == i for s, i in zip(shas, ids)),
+                           dtype=bool, count=len(ids))
+        return b.filter(pa.array(mask))
+
+    s3 = s2.map_batches(drop_non_keeper, batch_format="pyarrow")
+    n_s3 = s3.count()
+
+    # stage 4: decontaminate — drop the eval split itself + every
+    # surviving doc with eval-shingle overlap (flag precomputed in sig)
+    def decontam_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        keep = (ids % EVAL_HOLDOUT_MOD != 0) \
+            & ~b["contaminated"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(keep))
+
+    s4 = s3.map_batches(decontam_filter, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    n_s4 = s4.count()
+
+    # stage 5: closed-loop rebalance, rates from stage-4 survivors
+    def lang_partial(b: pa.Table) -> pa.Table:
+        vc = b["lang"].combine_chunks().value_counts()
+        return pa.table({"lang": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    counts = (s4.map_batches(lang_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .repartition(_stats_blocks())
+              .groupby("lang").aggregate(Sum("n")).to_pandas())
+    total = int(counts["sum(n)"].sum())
+    rates: dict = {}
+    for lg, n in zip(counts["lang"], counts["sum(n)"]):
+        key = None if lg is None or (isinstance(lg, float) and np.isnan(lg)) \
+            else str(lg)
+        tgt = (REBALANCE_DEFAULT_PERMILLE if key is None
+               else REBALANCE_TARGET_PERMILLE.get(key,
+                                                  REBALANCE_DEFAULT_PERMILLE))
+        rates[key] = min(1000, (tgt * total) // int(n))
+
+    def rebalance_filter(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = b["doc_id"].to_numpy().astype(np.uint64)
+        codes, uniq = pd.factorize(
+            b["lang"].combine_chunks().to_pandas(), use_na_sentinel=True)
+        rate_u = np.array([rates[str(lg)] for lg in uniq], dtype=np.uint64)
+        null_rate = np.uint64(rates.get(None, 1000))
+        rate = np.where(codes >= 0,
+                        rate_u[np.maximum(codes, 0)] if len(rate_u)
+                        else np.uint64(0),
+                        null_rate).astype(np.uint64)
+        h = (ids * np.uint64(SAMPLE_HASH_MULT)) % np.uint64(2**32)
+        return b.filter(pa.array((h % np.uint64(1000)) < rate))
+
+    s5 = s4.map_batches(rebalance_filter, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    # stage 6: leakage-safe split from the content fingerprint
+    def split_col(b: pa.Table) -> pa.Table:
+        bucket = (b["fp"].to_numpy().astype(np.uint64)
+                  % np.uint64(1000)).astype(np.int64)
+        split = np.where(bucket < SPLIT_TRAIN_PERMILLE, "train",
+                         np.where(bucket < SPLIT_VAL_PERMILLE, "val", "test"))
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "split": pa.array(split, type=pa.string())})
+
+    kept = (s5.map_batches(split_col, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    n_kept = len(kept)
+    split_counts = kept["split"].value_counts().to_dict()
+
+    # stage 7: resumable partitioned export — drop set broadcast, split
+    # re-derived per partition locally from text (no decision broadcast)
+    all_ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
+    drops = np.sort(np.setdiff1d(all_ids,
+                                 kept["doc_id"].to_numpy().astype(np.int64)))
+    drops_ref = ray.put(drops)
+    id_lo, id_hi = _parquet_int_bounds(src, "doc_id")
+    edges = np.linspace(id_lo, id_hi + 1, n_parts + 1).astype(np.int64)
+
+    @ray.remote
+    def write_part(part: int, lo: int, hi: int) -> tuple[int, int]:
+        import pyarrow.parquet as pqm
+        from fsray.textops import fingerprint_batch
+        t = pqm.read_table(src, filters=[("doc_id", ">=", int(lo)),
+                                         ("doc_id", "<", int(hi))])
+        keep = ~np.isin(t["doc_id"].to_numpy(), ray.get(drops_ref))
+        t = t.filter(pa.array(keep))
+        fp = fingerprint_batch(t)["fingerprint"].to_numpy().astype(np.uint64)
+        bucket = (fp % np.uint64(1000)).astype(np.int64)
+        split = np.where(bucket < SPLIT_TRAIN_PERMILLE, "train",
+                         np.where(bucket < SPLIT_VAL_PERMILLE, "val", "test"))
+        t = t.append_column("split", pa.array(split, type=pa.string()))
+        path = os.path.join(out_dir, f"part-{part:05d}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pqm.write_table(t, tmp)
+        os.replace(tmp, path)
+        atomic_write_json(path + ".done.json",
+                          {"rows": t.num_rows, "lo": int(lo), "hi": int(hi)})
+        return part, t.num_rows
+
+    import json as _json
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and name.split(".")[0][5:].isdigit() \
+                and int(name.split(".")[0][5:]) >= n_parts:
+            os.remove(os.path.join(out_dir, name))
+    futs, skipped = [], 0
+    for part, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+        marker = os.path.join(out_dir, f"part-{part:05d}.parquet.done.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                m = _json.load(f)
+            if m.get("lo") == int(lo) and m.get("hi") == int(hi):
+                skipped += 1
+                continue
+            os.remove(marker)
+        futs.append(write_part.remote(part, lo, hi))
+    written = ray.get(futs)
+
+    manifest = {
+        "n_input": int(n_input),
+        "n_after_repetition": int(n_s1),
+        "n_after_length": int(n_s2),
+        "n_after_exact_dedup": int(n_s3),
+        "n_after_decontaminate": int(n_s4),
+        "n_kept": int(n_kept),
+        "split_counts": {k: int(v) for k, v in split_counts.items()},
+        "written": len(written),
+        "skipped": skipped,
+        "n_parts": n_parts,
+    }
+    atomic_write_json(os.path.join(out_dir, "curation_manifest.json"),
+                      manifest)
+    return manifest

@@ -3351,6 +3351,129 @@ def export_deduped(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def curate_corpus(sf_dir: str) -> pa.Table:
+    """Composed curation pipeline lane (the r4-verdict #2 ask — the
+    ``fsfs index`` single-orchestration analogue for training data,
+    crates/frankensearch-fsfs/src/orchestration.rs:18-50): repetition
+    gate → per-lang length band → exact dedup → decontaminate (eval
+    split removed + overlap drops) → closed-loop rebalance →
+    fingerprint-keyed split → RESUMABLE partitioned export, one
+    streaming composition with per-stage counts in the manifest
+    (``fsray/curate.py``).  The lane runs the export into a fresh temp
+    dir, reads the partitions back, and returns the kept
+    (doc_id, lang, split) set — so the driver-verified surface IS the
+    export path.  EXACT oracle: ``curate_oracle_sql`` chains every
+    stage's pinned CTE."""
+    import pyarrow.parquet as pqt
+
+    from fsray.curate import curate_corpus_run
+
+    out = tempfile.mkdtemp(prefix="fsray_curate_")
+    try:
+        curate_corpus_run(sf_dir, out, n_parts=8)
+        parts = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+        t = pa.concat_tables(
+            [pqt.read_table(os.path.join(out, f),
+                            columns=["doc_id", "lang", "split"])
+             for f in parts])
+        df = t.to_pandas().sort_values("doc_id")
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), type=pa.int64()),
+            "lang": pa.array(df["lang"], type=pa.string()),
+            "split": pa.array(df["split"], type=pa.string()),
+        })
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def curate_oracle_sql() -> str:
+    """Exact oracle for ``curate_corpus``: the per-stage CTEs of the
+    repetition / length-quantile / exact-dedup / decontaminate /
+    rebalance / split oracles chained so each stage reads the previous
+    stage's survivors — exactly the engine's composition semantics.
+    Fingerprints come from the shared recursive fp0 CTE (split oracle's
+    HUGEINT FNV fold); text-group dedup stands in for sha256 equality
+    (collision-free on real text, the export_deduped precedent)."""
+    from fsray.contract import MAX_TOKEN_BYTES
+    lo_q, hi_q = LENGTH_FILTER_BAND
+    cases = " ".join(f"WHEN '{lg}' THEN {t}"
+                     for lg, t in REBALANCE_TARGET_PERMILLE.items())
+    return f"""{_fingerprint_fp0_cte()},
+carr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '{SPLIT_SQL}'),
+                x -> x <> '' AND length(x) <= {MAX_TOKEN_BYTES}) AS arr
+  FROM documents),
+bgc AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
+        FROM carr, unnest(range(1, len(arr))) AS t(i) WHERE len(arr) >= 2),
+top2c AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_n
+          FROM (SELECT doc_id, g, count(*) AS c FROM bgc GROUP BY doc_id, g)
+          GROUP BY doc_id),
+tg0c AS (SELECT doc_id, i AS s,
+                arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+         FROM carr, unnest(range(1, len(arr) - 1)) AS t(i)
+         WHERE len(arr) >= 3),
+repc AS (SELECT a.doc_id, a.s FROM tg0c a
+         JOIN (SELECT doc_id, g FROM tg0c GROUP BY doc_id, g
+               HAVING count(*) >= 2) dd
+           ON a.doc_id = dd.doc_id AND a.g = dd.g),
+covc AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS rep3_tokens
+         FROM repc, unnest(range(s, s + 3)) AS u(p) GROUP BY doc_id),
+ntc AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM carr),
+s1 AS (SELECT d.doc_id, d.lang, d.n_chars, d.text
+       FROM documents d
+       JOIN ntc USING (doc_id)
+       LEFT JOIN top2c USING (doc_id)
+       LEFT JOIN covc USING (doc_id)
+       WHERE NOT (ntc.n_tokens > 0 AND
+                  (COALESCE(top2c.top2_n, 0) * 2000
+                     >= ntc.n_tokens * {REP_TOP2_PERMILLE}
+                   OR COALESCE(covc.rep3_tokens, 0) * 1000
+                     >= ntc.n_tokens * {REP_3G_PERMILLE}))),
+rq AS (SELECT lang, n_chars,
+              row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+              count(*) OVER (PARTITION BY lang) AS n
+       FROM s1),
+bandq AS (SELECT lang,
+            max(CASE WHEN rn = ({lo_q} * n + 999) // 1000
+                     THEN n_chars END) AS lo,
+            max(CASE WHEN rn = ({hi_q} * n + 999) // 1000
+                     THEN n_chars END) AS hi
+          FROM rq GROUP BY lang),
+s2 AS (SELECT s1.* FROM s1 JOIN bandq USING (lang)
+       WHERE s1.n_chars BETWEEN bandq.lo AND bandq.hi),
+s3 AS (SELECT s2.* FROM s2
+       WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY text)),
+shc AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(arr) - 1),
+                 i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+        FROM carr WHERE len(arr) >= 3),
+bannedc AS (SELECT DISTINCT shingle FROM shc
+            WHERE doc_id % {EVAL_HOLDOUT_MOD} = 0),
+contamc AS (SELECT DISTINCT s.doc_id FROM shc s JOIN bannedc USING (shingle)),
+s4 AS (SELECT s3.* FROM s3
+       WHERE doc_id % {EVAL_HOLDOUT_MOD} <> 0
+         AND doc_id NOT IN (SELECT doc_id FROM contamc)),
+cnts AS (SELECT lang, count(*) AS n FROM s4 GROUP BY lang),
+tots AS (SELECT sum(n) AS total FROM cnts),
+ratesc AS (SELECT lang,
+                  LEAST(1000, ((CASE lang {cases}
+                                ELSE {REBALANCE_DEFAULT_PERMILLE} END)
+                               * total) // n) AS rate
+           FROM cnts, tots),
+s5 AS (SELECT s4.doc_id, s4.lang FROM s4
+       JOIN ratesc r ON s4.lang IS NOT DISTINCT FROM r.lang
+       WHERE ((s4.doc_id * CAST({SAMPLE_HASH_MULT} AS HUGEINT))
+              % 4294967296) % 1000 < r.rate)
+SELECT s5.doc_id, s5.lang,
+       CASE WHEN COALESCE(f.fp, 0) % 1000 < {SPLIT_TRAIN_PERMILLE}
+                 THEN 'train'
+            WHEN COALESCE(f.fp, 0) % 1000 < {SPLIT_VAL_PERMILLE}
+                 THEN 'val'
+            ELSE 'test' END AS split
+FROM s5 LEFT JOIN fp0 f USING (doc_id)
+ORDER BY s5.doc_id"""
+
+
 def durability_fsck(sf_dir: str) -> pa.Table:
     """FEC durability sweep end-to-end (reference
     ``file_protector.rs:1258`` protect_directory + ``:1066``
@@ -6079,6 +6202,7 @@ def make_queries() -> dict:
         "knn_label_eval": knn_label_eval,  # exact oracle (r4): eval-class op
         "rebalance_langs": rebalance_langs,  # exact oracle (r4): closed-loop mix
         "split_train_holdout": split_train_holdout,  # exact oracle (r4): leakage-safe split
+        "curate_corpus": curate_corpus,  # exact oracle (r5): composed curation
         "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
         "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
@@ -7342,6 +7466,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["knn_label_eval"] = knn_eval_oracle_sql()
     o["rebalance_langs"] = rebalance_oracle_sql()
     o["split_train_holdout"] = split_oracle_sql()
+    o["curate_corpus"] = curate_oracle_sql()
     o["hash_embed_ann"] = hash_embed_oracle_sql()
     o["dedup_embedding_lsh"] = embedding_lsh_oracle_sql()
     o["dedup_near_keep_lsh"] = near_keep_lsh_oracle_sql()

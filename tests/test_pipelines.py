@@ -1165,3 +1165,29 @@ def test_rebalance_null_lang(tmp_path):
     assert list(got["doc_id"]) == list(want["doc_id"])
     # null-lang docs survive the filter (default rate, not a drop/crash)
     assert got["lang"].isna().any()
+
+
+def test_curate_corpus_resumable_and_manifest(tmp_path):
+    """The composed curation pipeline's export contract: per-stage
+    counts are monotone non-increasing, split counts sum to the kept
+    set, and a second run into the same dir skips every finished
+    partition (resume) while producing the identical kept set."""
+    from fsray.curate import curate_corpus_run
+    out = str(tmp_path / "curated")
+    m1 = curate_corpus_run(SF_DIR, out, n_parts=4)
+    seq = [m1["n_input"], m1["n_after_repetition"], m1["n_after_length"],
+           m1["n_after_exact_dedup"], m1["n_after_decontaminate"],
+           m1["n_kept"]]
+    assert seq == sorted(seq, reverse=True)
+    assert m1["n_input"] > m1["n_kept"] > 0
+    assert sum(m1["split_counts"].values()) == m1["n_kept"]
+    assert m1["written"] == 4 and m1["skipped"] == 0
+    import pyarrow.parquet as pq
+    files1 = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    rows1 = sum(pq.read_metadata(os.path.join(out, f)).num_rows
+                for f in files1)
+    assert rows1 == m1["n_kept"]
+    m2 = curate_corpus_run(SF_DIR, out, n_parts=4)
+    assert m2["written"] == 0 and m2["skipped"] == 4
+    assert m2["n_kept"] == m1["n_kept"]
+    assert m2["split_counts"] == m1["split_counts"]
