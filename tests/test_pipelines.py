@@ -1191,3 +1191,21 @@ def test_curate_corpus_resumable_and_manifest(tmp_path):
     assert m2["written"] == 0 and m2["skipped"] == 4
     assert m2["n_kept"] == m1["n_kept"]
     assert m2["split_counts"] == m1["split_counts"]
+
+
+def test_pack_shards_resume_identical(tmp_path):
+    """Packed-shard materialization laws: multiple shard files exist,
+    full sequences carry exactly PACK_SEQ_LEN tokens, and a second run
+    into the same dir (resume: all done markers present) re-reads the
+    same bytes — identical digest table."""
+    from fsray.pipelines import PACK_SEQ_LEN, pack_shards_run
+    out = str(tmp_path / "shards")
+    d1 = pack_shards_run(SF_DIR, out).to_pandas()
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) > 1
+    assert (d1["n_tokens"].to_numpy()[:-1] == PACK_SEQ_LEN).all()
+    assert 0 < d1["n_tokens"].to_numpy()[-1] <= PACK_SEQ_LEN
+    markers = [f for f in os.listdir(out) if f.endswith(".done.json")]
+    assert len(markers) == len(files)
+    d2 = pack_shards_run(SF_DIR, out).to_pandas()
+    pd.testing.assert_frame_equal(d1, d2)
