@@ -66,8 +66,20 @@ class AnnShardWorker:
     are pruned at the storage layer)."""
 
     def __init__(self, path: str, row_lo: int, row_hi: int, kind: str,
-                 seed: int = 42):
+                 seed: int = 42, cache_dir: str | None = None):
         import pyarrow.parquet as pq
+        self.kind = kind
+        if cache_dir is not None:
+            # persistence open path (fsray/annstore.py — the FSVI
+            # analogue): a valid fingerprint-matched shard file skips
+            # construction entirely; staleness (embeddings mtime/size
+            # change) falls through to build-and-save
+            from fsray.annstore import load_shard, shard_fingerprint
+            self._fp = shard_fingerprint(path, row_lo, row_hi, kind, seed)
+            cached = load_shard(kind, cache_dir, self._fp)
+            if cached is not None:
+                self.index = cached
+                return
         # read ONLY the row groups overlapping [row_lo, row_hi) — each
         # shard actor touches its own byte range of the file, never the
         # whole table (the read-side pruning the class contract promises)
@@ -80,7 +92,6 @@ class AnnShardWorker:
                     first_start = offs
                 rgs.append(i)
             offs += nr
-        self.kind = kind
         if not rgs:
             self.index = None  # range overlaps no rows: empty shard
             return
@@ -101,6 +112,9 @@ class AnnShardWorker:
             self.index = LshIndex(ids, vecs, n_bits=n_bits, seed=seed)
         else:
             raise ValueError(f"unknown ANN kind {kind!r}")
+        if cache_dir is not None:
+            from fsray.annstore import save_shard
+            save_shard(self.index, kind, cache_dir, self._fp)
 
     def query(self, qvec: np.ndarray, k: int,
               exclude_id: int | None = None) -> tuple[np.ndarray, np.ndarray]:
@@ -121,18 +135,22 @@ class ShardedAnnIndex:
     shard/merge discipline as the lexical tier)."""
 
     def __init__(self, path: str, kind: str, num_shards: int = 4,
-                 num_cpus_per_actor: float = 0.25, seed: int = 42):
+                 num_cpus_per_actor: float = 0.25, seed: int = 42,
+                 cache_dir: str | None = None):
         # fractional default: shard actors are bursty (idle between
         # queries); reserving a full CPU each would starve co-resident
         # Ray Data stages on small clusters (measured deadlock at
-        # num_cpus=4 with 4 × 1-cpu actors)
+        # num_cpus=4 with 4 × 1-cpu actors).  cache_dir enables the
+        # on-disk shard persistence (open-from-disk instead of rebuild;
+        # fsray/annstore.py).
         import pyarrow.parquet as pq
         import ray
         n = pq.read_metadata(path).num_rows
         num_shards = max(1, min(num_shards, n))
         bounds = np.linspace(0, n, num_shards + 1).astype(np.int64)
         actor_cls = ray.remote(num_cpus=num_cpus_per_actor)(AnnShardWorker)
-        self.actors = [actor_cls.remote(path, int(lo), int(hi), kind, seed)
+        self.actors = [actor_cls.remote(path, int(lo), int(hi), kind, seed,
+                                        cache_dir)
                        for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
         self._ray = ray
 

@@ -1,0 +1,139 @@
+"""On-disk ANN shard persistence — the FSVI analogue for the vector tier.
+
+The reference defines an on-disk vector-index container format with WAL
+durability (crates/frankensearch-index/src: fsvi container, wal.rs,
+quantization containers; cold-open gate QG-9: ≤ 50 ms at 1M docs).  The
+lexical tier here already has the pattern — termtable/idmap parquet with
+a manifest epoch (fsray/manifest.py) — and this module gives the vector
+tier its sibling: every ``AnnShardWorker`` serializes its built state
+(graph / inverted lists / LSH planes+codes) next to a fingerprint of the
+embeddings source, so a serving restart OPENS instead of rebuilding
+(HNSW construction is O(n · ef · log n) — the cost a 100-TB cluster
+cannot pay per restart).
+
+Format: one ``.npz`` per (shard-range, kind, seed) under the cache dir,
+written atomically (tmp + rename — the manifest publish discipline),
+plus a sidecar meta JSON carrying the source fingerprint.  Staleness is
+mtime+size keyed exactly like ``LocalIndex._refresh_if_stale``: a
+changed embeddings file invalidates every shard (open falls back to
+build-and-save).  The vector payload is stored alongside the structure
+(FSVI stores vectors too); the quantized containers (``fsray/quant.py``)
+are the documented shrink path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+
+
+def shard_fingerprint(path: str, row_lo: int, row_hi: int, kind: str,
+                      seed: int) -> str:
+    """Staleness key: source file identity (size + mtime_ns) + shard
+    geometry + index parameters.  Any change → cache miss → rebuild."""
+    st = os.stat(path)
+    raw = (f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}:"
+           f"{row_lo}:{row_hi}:{kind}:{seed}")
+    return hashlib.sha256(raw.encode()).hexdigest()[:24]
+
+
+def _shard_paths(cache_dir: str, fp: str) -> tuple[str, str]:
+    return (os.path.join(cache_dir, f"annshard-{fp}.npz"),
+            os.path.join(cache_dir, f"annshard-{fp}.meta.json"))
+
+
+def save_shard(index, kind: str, cache_dir: str, fp: str) -> None:
+    """Serialize a built shard index atomically (tmp + rename)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    npz_path, meta_path = _shard_paths(cache_dir, fp)
+    arrays: dict[str, np.ndarray] = {"ids": index.ids, "norm": index.norm}
+    meta: dict = {"kind": kind, "fingerprint": fp}
+    if kind == "lsh":
+        arrays["planes"] = index.planes
+        arrays["codes"] = index.codes
+        meta["n_bits"] = int(index.n_bits)
+    elif kind == "ivf":
+        arrays["centroids"] = index.centroids
+        arrays["assign_sorted"] = index.assign_sorted
+        arrays["member_order"] = index.member_order
+        arrays["list_bounds"] = index.list_bounds
+        meta["n_lists"] = int(index.n_lists)
+    elif kind == "hnsw":
+        arrays["levels"] = index.levels
+        meta["m"] = int(index.m)
+        meta["entry"] = int(index.entry)
+        meta["max_level"] = int(index.max_level)
+        for lvl, per_node in enumerate(index.neighbors):
+            cnt = np.array([len(x) for x in per_node], dtype=np.int64)
+            flat = (np.concatenate([np.asarray(x, dtype=np.int64)
+                                    for x in per_node if len(x)])
+                    if cnt.sum() else np.zeros(0, np.int64))
+            arrays[f"nbr{lvl}_cnt"] = cnt
+            arrays[f"nbr{lvl}_flat"] = flat
+    else:
+        raise ValueError(f"unknown ANN kind {kind!r}")
+    tmp = npz_path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, npz_path)
+    tmp = meta_path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)  # meta last: its presence publishes the shard
+
+
+def load_shard(kind: str, cache_dir: str, fp: str):
+    """Open a persisted shard; returns the index object or None on any
+    miss/staleness/kind mismatch (caller falls back to build-and-save)."""
+    from fsray.ann import HnswIndex, IvfIndex, LshIndex
+
+    npz_path, meta_path = _shard_paths(cache_dir, fp)
+    if not (os.path.exists(npz_path) and os.path.exists(meta_path)):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("fingerprint") != fp or meta.get("kind") != kind:
+        return None
+    z = np.load(npz_path)
+    ids, norm = z["ids"], z["norm"]
+    if kind == "lsh":
+        idx = LshIndex.__new__(LshIndex)
+        idx.n_bits = int(meta["n_bits"])
+        idx.planes = z["planes"]
+        idx.norm = norm
+        idx.ids = ids
+        idx.codes = z["codes"]
+        order = np.argsort(idx.codes, kind="stable")
+        idx.sorted_codes = idx.codes[order]
+        idx.order = order
+        return idx
+    if kind == "ivf":
+        idx = IvfIndex.__new__(IvfIndex)
+        idx.ids = ids
+        idx.norm = norm
+        idx.n_lists = int(meta["n_lists"])
+        idx.centroids = z["centroids"]
+        idx.assign_sorted = z["assign_sorted"]
+        idx.member_order = z["member_order"]
+        idx.list_bounds = z["list_bounds"]
+        return idx
+    if kind == "hnsw":
+        idx = HnswIndex.__new__(HnswIndex)
+        idx.ids = ids
+        idx.norm = norm
+        idx.m = int(meta["m"])
+        idx.entry = int(meta["entry"])
+        idx.max_level = int(meta["max_level"])
+        idx.levels = z["levels"]
+        neighbors = []
+        for lvl in range(idx.max_level + 1):
+            cnt = z[f"nbr{lvl}_cnt"]
+            flat = z[f"nbr{lvl}_flat"]
+            splits = np.split(flat, np.cumsum(cnt)[:-1])
+            neighbors.append([list(map(int, s)) for s in splits])
+        idx.neighbors = neighbors
+        return idx
+    return None

@@ -4250,6 +4250,33 @@ def ann_hnsw(sf_dir: str) -> pa.Table:
     return _ann_sharded(sf_dir, "hnsw")
 
 
+def ann_persist_search(sf_dir: str) -> pa.Table:
+    """ANN index persistence lane (the r4-verdict #4 ask — the FSVI
+    analogue): a sharded HNSW index whose shard actors OPEN their graph
+    from the on-disk shard store (``fsray/annstore.py``) instead of
+    rebuilding; first call on a fresh corpus builds-and-saves, every
+    later open (including across processes) deserializes.  The cache
+    keys on the embeddings file's size+mtime fingerprint — the
+    ``_refresh_if_stale`` staleness discipline — so a regenerated
+    corpus invalidates every shard.  Results are law-pinned identical
+    to the rebuild path (``test_ann_persistence_open_equals_rebuild``),
+    so the exact exhaustive oracle of ``ann_hnsw`` applies verbatim."""
+    from fsray.ann import ShardedAnnIndex
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    cache = os.path.join("/tmp", "fsray_ann_cache",
+                         hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
+    index = ShardedAnnIndex(emb, "hnsw", num_shards=4, cache_dir=cache)
+    qvecs = _query_vectors(sf_dir)
+    results = index.query_many([qvecs[int(q)] for q in ANN_QUERY_IDS], ANN_K,
+                               [int(q) for q in ANN_QUERY_IDS])
+    rows_q, rows_n = [], []
+    for q, (nids, _) in zip(ANN_QUERY_IDS, results):
+        rows_q.extend([int(q)] * len(nids))
+        rows_n.extend(nids.tolist())
+    return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
+                     "neighbor_id": pa.array(rows_n, type=pa.int64())})
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
     """LSH-bucketed ANN (the scale path), sharded construction.
     Exact PROBE-FAITHFUL oracle (r4): ``ann_lsh_oracle_sql`` replays the
@@ -6432,6 +6459,7 @@ def make_queries() -> dict:
         "ann_lsh": ann_lsh,    # exact oracle (r4): probe-faithful replay
         "ann_ivf": ann_ivf,    # exact oracle (r4): nprobe==n_lists here
         "ann_hnsw": ann_hnsw,  # exact oracle (r4): recall 1.0 law-pinned
+        "ann_persist_search": ann_persist_search,  # exact oracle (r5): open-from-disk
         "rerank_model_search": rerank_model_search,
         "quality_embed_ann": quality_embed_ann,
         "rerank_search": rerank_search,  # exact oracle (r4): rerank_oracle_sql
@@ -7696,6 +7724,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["ann_lsh"] = ann_lsh_oracle_sql()
     o["ann_ivf"] = ann_exact
     o["ann_hnsw"] = ann_exact
+    o["ann_persist_search"] = ann_exact
 
     # job-queue drain: every job completes; the deterministic transient
     # failure class carries exactly one retry; priority is doc_id % 3

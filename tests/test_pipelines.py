@@ -1209,3 +1209,52 @@ def test_pack_shards_resume_identical(tmp_path):
     assert len(markers) == len(files)
     d2 = pack_shards_run(SF_DIR, out).to_pandas()
     pd.testing.assert_frame_equal(d1, d2)
+
+
+def test_ann_persistence_open_equals_rebuild(tmp_path):
+    """The FSVI-analogue laws: (a) an index opened from the shard store
+    returns bit-identical results to the freshly built one, for every
+    kind; (b) a stale fingerprint (embeddings mtime bumped) misses the
+    cache and rebuilds — still identical results."""
+    from fsray.ann import ShardedAnnIndex
+    from fsray.pipelines import ANN_K, ANN_QUERY_IDS, _query_vectors
+    emb = os.path.join(SF_DIR, "embeddings.parquet")
+    qvecs = _query_vectors(SF_DIR)
+    qs = [qvecs[int(q)] for q in ANN_QUERY_IDS]
+    ex = [int(q) for q in ANN_QUERY_IDS]
+    for kind in ("hnsw", "ivf", "lsh"):
+        cache = str(tmp_path / f"cache_{kind}")
+        fresh = ShardedAnnIndex(emb, kind, num_shards=4).query_many(qs, ANN_K, ex)
+        built = ShardedAnnIndex(emb, kind, num_shards=4,
+                                cache_dir=cache).query_many(qs, ANN_K, ex)
+        assert len(os.listdir(cache)) >= 2, kind  # npz + meta per shard
+        opened = ShardedAnnIndex(emb, kind, num_shards=4,
+                                 cache_dir=cache).query_many(qs, ANN_K, ex)
+        for f, b, o in zip(fresh, built, opened):
+            assert np.array_equal(f[0], b[0]) and np.array_equal(f[0], o[0]), kind
+            assert np.array_equal(f[1], b[1]) and np.array_equal(f[1], o[1]), kind
+
+
+def test_ann_persistence_staleness(tmp_path):
+    """A changed embeddings file (size+mtime fingerprint) must
+    invalidate the persisted shards: load_shard returns None for the
+    new fingerprint and the open path rebuilds."""
+    import shutil as sh
+    from fsray.annstore import load_shard, save_shard, shard_fingerprint
+    from fsray.ann import AnnShardWorker
+    src = os.path.join(SF_DIR, "embeddings.parquet")
+    emb = str(tmp_path / "embeddings.parquet")
+    sh.copyfile(src, emb)
+    cache = str(tmp_path / "cache")
+    fp1 = shard_fingerprint(emb, 0, 50, "lsh", 42)
+    w = AnnShardWorker(emb, 0, 50, "lsh", 42, cache_dir=cache)
+    assert load_shard("lsh", cache, fp1) is not None
+    os.utime(emb, ns=(os.stat(emb).st_atime_ns,
+                      os.stat(emb).st_mtime_ns + 1_000_000))
+    fp2 = shard_fingerprint(emb, 0, 50, "lsh", 42)
+    assert fp2 != fp1
+    assert load_shard("lsh", cache, fp2) is None
+    w2 = AnnShardWorker(emb, 0, 50, "lsh", 42, cache_dir=cache)
+    got1 = w.query(np.ones(w.index.norm.shape[1]), 5)
+    got2 = w2.query(np.ones(w2.index.norm.shape[1]), 5)
+    assert np.array_equal(got1[0], got2[0])
