@@ -1,0 +1,69 @@
+"""Pinned golden BPE merge tables for the driver-comparable fixture
+lane ``bpe_merges`` (the argus-e410 golden-fixture pattern applied to
+tokenizer TRAINING): ``bpe_train`` is rows-only by mechanism (iterative
+greedy rewrite — not SQL-expressible), but its merge TABLE is a
+deterministic function of the corpus, so the table itself is pinned
+here per test corpus and served to the driver as a VALUES oracle.
+
+Keys are ``f"{count}:{sum_n_chars}"`` corpus signatures (doc count
+alone collides: sf0.001 and sf0.01 both hold 500 docs).  Regenerate
+with ``bpe_train`` after any corpus regeneration — a signature miss
+makes the oracle return zero rows, which the compare reports loudly.
+"""
+
+BPE_GOLDEN_MERGES = {
+    "500:153156": [
+        (0, 'e', 'r', 'er', 4650),
+        (1, 'o', 'r', 'or', 2880),
+        (2, 'i', 'n', 'in', 2858),
+        (3, 'o', 'w', 'ow', 2763),
+        (4, 's', 't', 'st', 2721),
+        (5, 'l', 'u', 'lu', 1928),
+        (6, 'a', 'r', 'ar', 1873),
+        (7, 'p', 'ar', 'par', 1873),
+        (8, 'm', 'er', 'mer', 1824),
+        (9, 'a', 't', 'at', 1806),
+        (10, 'a', 'n', 'an', 984),
+        (11, 'c', 'an', 'can', 984),
+        (12, 's', 'can', 'scan', 984),
+        (13, 'c', 'o', 'co', 978),
+        (14, 'co', 'lu', 'colu', 978),
+        (15, 'colu', 'm', 'colum', 978),
+    ],
+    "500:149174": [
+        (0, 'e', 'r', 'er', 4568),
+        (1, 'i', 'n', 'in', 2760),
+        (2, 'o', 'w', 'ow', 2747),
+        (3, 'o', 'r', 'or', 2696),
+        (4, 's', 't', 'st', 2676),
+        (5, 'm', 'er', 'mer', 1852),
+        (6, 'a', 't', 'at', 1845),
+        (7, 'l', 'u', 'lu', 1831),
+        (8, 'a', 'r', 'ar', 1758),
+        (9, 'p', 'ar', 'par', 1758),
+        (10, 'j', 'o', 'jo', 964),
+        (11, 'jo', 'in', 'join', 964),
+        (12, 'a', 's', 'as', 947),
+        (13, 'as', 'h', 'ash', 947),
+        (14, 'h', 'ash', 'hash', 947),
+        (15, 'r', 'ow', 'row', 943),
+    ],
+    "5000:1485576": [
+        (0, 'e', 'r', 'er', 45089),
+        (1, 'i', 'n', 'in', 27190),
+        (2, 'o', 'r', 'or', 27095),
+        (3, 's', 't', 'st', 27060),
+        (4, 'o', 'w', 'ow', 27044),
+        (5, 't', 'a', 'ta', 18248),
+        (6, 'l', 'u', 'lu', 18239),
+        (7, 'm', 'er', 'mer', 18174),
+        (8, 'a', 'r', 'ar', 18111),
+        (9, 'p', 'ar', 'par', 18111),
+        (10, 'u', 'p', 'up', 9295),
+        (11, 'par', 'k', 'park', 9182),
+        (12, 's', 'park', 'spark', 9182),
+        (13, 'd', 'ow', 'dow', 9159),
+        (14, 'in', 'dow', 'indow', 9159),
+        (15, 'w', 'indow', 'window', 9159),
+    ],
+}

@@ -6342,6 +6342,40 @@ def bpe_train(sf_dir: str) -> pa.Table:
     return _out(rows)
 
 
+def bpe_merges(sf_dir: str) -> pa.Table:
+    """Driver-comparable golden-fixture lane over ``bpe_train`` (the
+    r4-verdict #9 ask): the distributed trainer's merge table compared
+    against the COMMITTED golden for this corpus (``fsray/bpe_goldens.py``
+    — keyed on the (count, sum n_chars) corpus signature, served to the
+    driver as a VALUES oracle).  Turns the rows-only training lane into
+    hash-exact driver evidence, the argus-e410 golden pattern applied to
+    training."""
+    return bpe_train(sf_dir)
+
+
+def bpe_merges_oracle_sql() -> str:
+    """VALUES oracle for ``bpe_merges``: the pinned golden merge table
+    selected by the corpus signature computed IN SQL."""
+    from fsray.bpe_goldens import BPE_GOLDEN_MERGES
+    rows = []
+    for sig, merges in BPE_GOLDEN_MERGES.items():
+        for r, left, right, merged, n in merges:
+            ls = left.replace("'", "''")
+            rs = right.replace("'", "''")
+            ms = merged.replace("'", "''")
+            rows.append(f"('{sig}', {r}, '{ls}', '{rs}', '{ms}', {n})")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH sig AS (SELECT CAST(count(*) AS VARCHAR) || ':' ||
+                    CAST(sum(n_chars) AS VARCHAR) AS s FROM documents),
+g(corpus, rank, l, r, merged, pair_count) AS (VALUES
+  {values})
+SELECT CAST(g.rank AS BIGINT) AS rank, g.l AS "left", g.r AS "right",
+       g.merged, CAST(g.pair_count AS BIGINT) AS pair_count
+FROM g JOIN sig ON g.corpus = sig.s
+ORDER BY rank"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6455,6 +6489,7 @@ def make_queries() -> dict:
         "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
         "dedup_near_keep_lsh": dedup_near_keep_lsh,  # exact oracle (r4)
         "bpe_train": bpe_train,  # rows-only: iterative greedy rewrite (r4)
+        "bpe_merges": bpe_merges,  # golden fixture (r5): pinned merge table
         "durability_fsck": durability_fsck,
         "ann_lsh": ann_lsh,    # exact oracle (r4): probe-faithful replay
         "ann_ivf": ann_ivf,    # exact oracle (r4): nprobe==n_lists here
@@ -7705,6 +7740,7 @@ FROM allrows ORDER BY s DESC, vec_id ASC LIMIT {MRL_K}"""
     o["grouped_topk_parts"] = grouped_topk_oracle_sql()
     o["pack_sequences"] = pack_oracle_sql()
     o["pack_shards"] = pack_shards_oracle_sql()
+    o["bpe_merges"] = bpe_merges_oracle_sql()
     o["perplexity_score"] = perplexity_oracle_sql()
     o["pricing_summary"] = pricing_oracle_sql()
     o["events_running_total"] = running_total_oracle_sql()
