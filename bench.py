@@ -236,6 +236,11 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         ("x_bpe_train", P.bpe_train),
         ("x_rebalance_langs", P.rebalance_langs),
         ("x_split_train_holdout", P.split_train_holdout),
+        # round-5 lanes
+        ("x_curate_corpus", P.curate_corpus),
+        ("x_pack_shards", P.pack_shards),
+        ("x_ann_persist_search", P.ann_persist_search),
+        ("x_bpe_merges", P.bpe_merges),
     ]:
         med, first = _median_wall(lambda f=fn: f(sf_dir))
         timings[name] = round(med, 4)

