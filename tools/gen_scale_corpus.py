@@ -1,0 +1,89 @@
+"""Deterministic 10M-row scale corpus generator (the r4-verdict #8 cell).
+
+One order of magnitude past the 1M stress cells: 10M documents written
+CHUNKED through a single ParquetWriter (the generator itself never holds
+the corpus in memory — the same streaming discipline the engine is being
+graded on).  Vocabulary is 1,000 words with a Zipf-ish rank profile (a
+realistic df skew for the perplexity / DSIR / tfidf fit paths, unlike the
+deliberately-degenerate 32-word dense corpus), docs are 25-40 tokens,
+~2% planted exact duplicates (the dedup keep-path needs real dup groups),
+language mix matches the testdata shape.
+
+Usage: python tools/gen_scale_corpus.py [--out /tmp/fsray_10m] [--seed 13]
+       [--docs 10000000] [--chunk 500000]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = ("en", "de", "fr", "es", "zh")
+LANG_P = (0.44, 0.14, 0.13, 0.14, 0.15)
+
+
+def _vocab(rng: np.random.Generator, n: int = 1000) -> np.ndarray:
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    words = set()
+    while len(words) < n:
+        ln = int(rng.integers(3, 9))
+        words.add("".join(rng.choice(letters, size=ln)))
+    return np.array(sorted(words))
+
+
+def gen(out: str, seed: int, n_docs: int, chunk: int) -> None:
+    import pandas as pd
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+    vocab = _vocab(rng)
+    # Zipf-ish pmf over ranks (s=1.1), normalized
+    p = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
+    p /= p.sum()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    writer = pq.ParquetWriter(os.path.join(out, "documents.parquet"), schema)
+    prev_texts: list[str] = []   # dup pool from the previous chunk
+    for lo in range(0, n_docs, chunk):
+        n = min(chunk, n_docs - lo)
+        lens = rng.integers(25, 40, size=n)
+        total = int(lens.sum())
+        toks = vocab[rng.choice(len(vocab), size=total, p=p)]
+        doc_of = np.repeat(np.arange(n), lens)
+        texts = (pd.Series(toks).groupby(doc_of).agg(" ".join)
+                 .to_numpy().astype(object))
+        # ~2% planted exact duplicates of earlier docs (same chunk or the
+        # previous chunk's pool — cross-chunk dup groups exercise the
+        # distributed groupby, not an in-batch shortcut)
+        dup = np.flatnonzero(rng.random(n) < 0.02)
+        for i in dup:
+            pool = prev_texts if (len(prev_texts) and rng.random() < 0.5) \
+                else texts[:max(i, 1)]
+            texts[i] = pool[int(rng.integers(0, len(pool)))]
+        langs = rng.choice(LANGS, size=n, p=LANG_P)
+        writer.write_table(pa.table({
+            "doc_id": pa.array(np.arange(lo, lo + n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs.tolist(), type=pa.string()),
+            "source": pa.array([f"src{i % 20}" for i in range(lo, lo + n)],
+                               type=pa.string()),
+            "n_chars": pa.array(np.array([len(t) for t in texts],
+                                         dtype=np.int64)),
+        }))
+        prev_texts = list(texts[rng.integers(0, n, size=min(n, 1000))])
+        print(f"  chunk {lo}..{lo + n} written", flush=True)
+    writer.close()
+    print(f"wrote {out}/documents.parquet: {n_docs} docs, seed {seed}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/fsray_10m")
+    ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--docs", type=int, default=10_000_000)
+    ap.add_argument("--chunk", type=int, default=500_000)
+    args = ap.parse_args()
+    gen(args.out, args.seed, args.docs, args.chunk)

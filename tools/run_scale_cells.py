@@ -1,0 +1,94 @@
+"""10M-row scale cells for the three headline families (r4-verdict #8):
+index build, exact + MinHash dedup, perplexity / DSIR scoring.
+
+Single-sample walls (one pass each — at this size the run IS the
+steady state), printed as one JSON line for BASELINE.md.
+
+Usage: python tools/run_scale_cells.py [--sf /tmp/fsray_10m]
+       [--cpus 32] [--only build,exact,minhash,ppl,dsir]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/tmp/fsray_10m")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--only", default="build,exact,minhash,ppl,dsir")
+    args = ap.parse_args()
+    only = set(args.only.split(","))
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
+    import logging
+
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(
+        os.path.join(args.sf, "documents.parquet")).num_rows
+    out = {"sf": args.sf, "n_docs": int(n_docs), "num_cpus": args.cpus,
+           "cells": {}}
+
+    def cell(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        extra = fn()
+        wall = time.perf_counter() - t0
+        out["cells"][name] = {"wall_sec": round(wall, 2), **(extra or {})}
+        print(f"  {name}: {wall:.1f} s {extra or ''}", flush=True)
+
+    if "build" in only:
+        from fsray.build import DOCUMENTS, BuildConfig, build_index
+
+        def run_build():
+            idx_dir = "/tmp/fsray_10m_idx"
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            m = build_index([os.path.join(args.sf, "documents.parquet")],
+                            idx_dir, DOCUMENTS,
+                            BuildConfig(partition_rows=65536, num_shards=32,
+                                        num_buckets=64))
+            return {"doc_count": int(m["doc_count"])}
+        cell("index_build", run_build)
+        w = out["cells"]["index_build"]
+        w["docs_per_sec"] = int(n_docs / w["wall_sec"])
+
+    if "exact" in only:
+        from fsray.pipelines import dedup_exact
+        cell("dedup_exact",
+             lambda: {"groups": dedup_exact(args.sf).num_rows})
+
+    if "minhash" in only:
+        from fsray.pipelines import dedup_minhash_lsh
+        cell("dedup_minhash_lsh",
+             lambda: {"pairs": dedup_minhash_lsh(args.sf).num_rows})
+
+    if "ppl" in only:
+        from fsray.pipelines import perplexity_score
+        cell("perplexity_score",
+             lambda: {"rows": perplexity_score(args.sf).num_rows})
+
+    if "dsir" in only:
+        from fsray.pipelines import dsir_weights
+        cell("dsir_weights",
+             lambda: {"rows": dsir_weights(args.sf).num_rows})
+
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
