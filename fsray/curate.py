@@ -220,8 +220,13 @@ def curate_corpus_run(sf_dir: str, out_dir: str, n_parts: int = 8) -> dict:
     n_s4 = s4.count()
 
     # stage 5: closed-loop rebalance, rates from stage-4 survivors
+    # (null langs sentinel-encoded before the groupby — Ray's sort-based
+    # aggregate cannot order None against str keys)
+    from fsray.pipelines import _LANG_NULL_SENTINEL
+
     def lang_partial(b: pa.Table) -> pa.Table:
-        vc = b["lang"].combine_chunks().value_counts()
+        vc = (b["lang"].combine_chunks().fill_null(_LANG_NULL_SENTINEL)
+              .value_counts())
         return pa.table({"lang": vc.field("values"),
                          "n": vc.field("counts").cast(pa.int64())})
 
@@ -232,8 +237,7 @@ def curate_corpus_run(sf_dir: str, out_dir: str, n_parts: int = 8) -> dict:
     total = int(counts["sum(n)"].sum())
     rates: dict = {}
     for lg, n in zip(counts["lang"], counts["sum(n)"]):
-        key = None if lg is None or (isinstance(lg, float) and np.isnan(lg)) \
-            else str(lg)
+        key = None if lg == _LANG_NULL_SENTINEL else str(lg)
         tgt = (REBALANCE_DEFAULT_PERMILLE if key is None
                else REBALANCE_TARGET_PERMILLE.get(key,
                                                   REBALANCE_DEFAULT_PERMILLE))

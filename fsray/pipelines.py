@@ -903,6 +903,9 @@ ORDER BY doc_id"""
 REBALANCE_TARGET_PERMILLE = {"en": 200, "zh": 250, "es": 200, "de": 175,
                              "fr": 175}
 REBALANCE_DEFAULT_PERMILLE = 100
+#: in-flight stand-in for a NULL lang key (never a real language code) —
+#: Ray's sort-based groupby cannot order None against str keys
+_LANG_NULL_SENTINEL = "\x00null"
 
 
 def rebalance_langs(sf_dir: str) -> pa.Table:
@@ -934,7 +937,11 @@ def rebalance_langs(sf_dir: str) -> pa.Table:
                          columns=["doc_id", "lang"])
 
     def lang_partial(b: pa.Table) -> pa.Table:
-        vc = b["lang"].combine_chunks().value_counts()
+        # sentinel-encode nulls BEFORE the groupby: Ray's sort-based
+        # aggregate compares keys across blocks, and None vs str raises
+        # (block-boundary-dependent — the flake the null-lang law caught)
+        vc = (b["lang"].combine_chunks().fill_null(_LANG_NULL_SENTINEL)
+              .value_counts())
         return pa.table({"lang": vc.field("values"),
                          "n": vc.field("counts").cast(pa.int64())})
 
@@ -943,14 +950,13 @@ def rebalance_langs(sf_dir: str) -> pa.Table:
               .repartition(_stats_blocks())
               .groupby("lang").aggregate(Sum("n")).to_pandas())
     total = int(counts["sum(n)"].sum())
-    # keys carry the SAME representation pass 2 sees (None stays None, a
-    # pandas-NA lang normalizes to None): a null-lang corpus derives its
-    # rate from the null group's own count at the DEFAULT target share,
-    # exactly like the oracle's CASE ... ELSE default on a NULL lang
+    # rate keys carry the representation pass 2 sees (sentinel → None):
+    # a null-lang corpus derives its rate from the null group's own
+    # count at the DEFAULT target share, exactly like the oracle's
+    # CASE ... ELSE default on a NULL lang
     rates = {}
     for lg, n in zip(counts["lang"], counts["sum(n)"]):
-        key = None if lg is None or (isinstance(lg, float) and np.isnan(lg)) \
-            else str(lg)
+        key = None if lg == _LANG_NULL_SENTINEL else str(lg)
         tgt = (REBALANCE_DEFAULT_PERMILLE if key is None
                else REBALANCE_TARGET_PERMILLE.get(key,
                                                   REBALANCE_DEFAULT_PERMILLE))
