@@ -426,10 +426,30 @@ def minhash_batch(batch: pa.Table, text_column: str = "text",
                      "band_key": pa.array(out_key, type=pa.int64())})
 
 
-def candidate_pairs_from_buckets(tbl: pa.Table) -> pa.Table:
+#: hot-bucket df cap for MinHash-LSH candidate emission (the DIV-R13 /
+#: DIV-R16 lever applied to the banding join): a (band, band_key) bucket
+#: shared by df docs emits O(df²) candidate pairs, and at n = 10M docs
+#: the nonzero BASELINE Jaccard of any real corpus makes 2-row band
+#: collisions scale n²·J² — the 10M cell emitted >10^10 false-positive
+#: pairs and OOM-killed before the cap existed.  Buckets hotter than the
+#: cap are skipped wholesale: false-positive buckets are precisely the
+#: huge ones (a globally-common min-shingle), true near-dup pairs live
+#: in small buckets, and exact-duplicate MEGA-groups are dedup_exact's
+#: job.  256 is far above every band-bucket df in the test corpora, so
+#: the capped lane still matches the exact-Jaccard oracle bit-for-bit;
+#: at web scale the cap is the documented recall lever for near-dup
+#: clusters larger than it.
+MINHASH_MAX_BUCKET_DF = 256
+
+
+def candidate_pairs_from_buckets(tbl: pa.Table,
+                                 max_df: int | None = MINHASH_MAX_BUCKET_DF
+                                 ) -> pa.Table:
     """Distinct (a<b) pairs sharing any LSH bucket — vectorized triu emit
     per bucket group, packed-key unique.  Returns an (a, b) table (sorted),
-    usable directly as a ``groupby((band, band_key)).map_groups`` body."""
+    usable directly as a ``groupby((band, band_key)).map_groups`` body.
+    Buckets with df > ``max_df`` are skipped (see MINHASH_MAX_BUCKET_DF);
+    ``max_df=None`` runs capless."""
     empty = pa.table({"a": pa.array([], type=pa.int64()),
                       "b": pa.array([], type=pa.int64())})
     band = tbl["band"].to_numpy()
@@ -444,7 +464,7 @@ def candidate_pairs_from_buckets(tbl: pa.Table) -> pa.Table:
     for g in range(len(bounds) - 1):
         lo, hi = bounds[g], bounds[g + 1]
         df = hi - lo
-        if df < 2:
+        if df < 2 or (max_df is not None and df > max_df):
             continue
         codes = c_s[lo:hi]  # sorted ascending, distinct within one bucket
         iu, ju = np.triu_indices(df, k=1)

@@ -798,8 +798,13 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
     driver-side shingle sets or Python pair loops."""
     from fsray.dedup import (add_group_bucket, candidate_pairs_from_buckets,
                              minhash_batch)
+    # batch_size cap: the vectorized 64-perm mix materializes an
+    # (n_shingles × 64) u64 intermediate ≈ 512 B/shingle — unbounded
+    # blocks (500k-row row groups at the 10M cell) put ~8 GB on one
+    # worker heap and OOM-killed the run; 8k docs ≈ 130 MB peak/task
     b_ds = (_docs_ds(sf_dir)
-            .map_batches(minhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(minhash_batch, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=8192)
             .map_batches(lambda b: add_group_bucket(b, ["band", "band_key"]),
                          batch_format="pyarrow"))
     # bucketed LSH-bucket groupby: candidate_pairs_from_buckets vectorizes

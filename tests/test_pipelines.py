@@ -1258,3 +1258,22 @@ def test_ann_persistence_staleness(tmp_path):
     got1 = w.query(np.ones(w.index.norm.shape[1]), 5)
     got2 = w2.query(np.ones(w2.index.norm.shape[1]), 5)
     assert np.array_equal(got1[0], got2[0])
+
+
+def test_minhash_bucket_cap_skips_hot_groups():
+    """The MinHash banding df cap (MINHASH_MAX_BUCKET_DF): a bucket
+    hotter than the cap emits no pairs (the n²·J² false-positive lever
+    at 10M docs); under-cap buckets are untouched — capped ≡ capless on
+    every test corpus (the oracle greens are that evidence)."""
+    from fsray.dedup import candidate_pairs_from_buckets
+    n = 300
+    hot = pa.table({"band": pa.array([0] * n + [1, 1], type=pa.int64()),
+                    "band_key": pa.array([7] * n + [9, 9], type=pa.int64()),
+                    "doc_id": pa.array(list(range(n)) + [1005, 1006],
+                                       type=pa.int64())})
+    capped = candidate_pairs_from_buckets(hot, max_df=256)
+    # the 300-doc bucket is skipped; the 2-doc bucket still emits
+    assert capped.num_rows == 1
+    assert capped["a"][0].as_py() == 1005 and capped["b"][0].as_py() == 1006
+    capless = candidate_pairs_from_buckets(hot, max_df=None)
+    assert capless.num_rows == n * (n - 1) // 2 + 1

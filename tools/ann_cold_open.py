@@ -1,0 +1,100 @@
+"""ANN persistence cold-open cell (reference gate QG-9: cold open ≤ 50 ms
+at 1M docs — the aspirational bar for the FSVI-analogue shard store).
+
+Generates a deterministic vector corpus (seed 77, 8 row groups),
+measures per kind: build+save wall (first open on an empty cache) vs
+open-from-disk wall (second process-equivalent open, same cache), both
+timed to FIRST QUERY RESULT (actor construction is async — a query
+blocks until every shard is ready).  HNSW runs at a smaller corpus
+(its pure-Python construction is the very cost persistence amortizes).
+
+Usage: python tools/ann_cold_open.py [--vecs 1000000] [--dim 64]
+       [--hnsw-vecs 100000] [--cpus 16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def gen_vectors(path: str, n: int, dim: int, seed: int = 77) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(seed)
+    writer = None
+    chunk = max(1, n // 8)
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        v = rng.standard_normal((m, dim)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(lo, lo + m, dtype=np.int64)),
+            "embedding": pa.array(v.tolist(), type=pa.list_(pa.float32())),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(path, t.schema)
+        writer.write_table(t)
+    writer.close()
+
+
+def timed_open(path: str, kind: str, cache: str, qvec: np.ndarray,
+               shards: int = 8) -> float:
+    from fsray.ann import ShardedAnnIndex
+    t0 = time.perf_counter()
+    idx = ShardedAnnIndex(path, kind, num_shards=shards, cache_dir=cache)
+    idx.query(qvec, 10)          # blocks until every shard actor is ready
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vecs", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--hnsw-vecs", type=int, default=100_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--out", default="/tmp/fsray_coldopen")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
+
+    os.makedirs(args.out, exist_ok=True)
+    big = os.path.join(args.out, f"vec_{args.vecs}.parquet")
+    small = os.path.join(args.out, f"vec_{args.hnsw_vecs}.parquet")
+    if not os.path.exists(big):
+        gen_vectors(big, args.vecs, args.dim)
+    if not os.path.exists(small):
+        gen_vectors(small, args.hnsw_vecs, args.dim, seed=78)
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal(args.dim)
+
+    res = {"num_cpus": args.cpus, "dim": args.dim, "cells": {}}
+    for kind, path, n in (("lsh", big, args.vecs), ("ivf", big, args.vecs),
+                          ("hnsw", small, args.hnsw_vecs)):
+        cache = os.path.join(args.out, f"cache_{kind}")
+        shutil.rmtree(cache, ignore_errors=True)
+        build = timed_open(path, kind, cache, q)
+        opn = timed_open(path, kind, cache, q)
+        res["cells"][kind] = {"n_vecs": n,
+                              "build_save_sec": round(build, 3),
+                              "open_sec": round(opn, 3),
+                              "speedup": round(build / opn, 1)}
+        print(f"  {kind}@{n}: build+save {build:.2f}s, open {opn:.3f}s",
+              flush=True)
+    print(json.dumps(res))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
