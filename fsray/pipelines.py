@@ -763,8 +763,14 @@ def _verify_pairs_exact(sf_dir: str, cand_a: np.ndarray, cand_b: np.ndarray,
         return b.filter(pa.array(keep))
 
     def cand_pair_counts(g: pa.Table) -> pa.Table:
+        # the JACCARD_MAX_DF hot-shingle cap applies to the verify pass
+        # too: at 10M docs a corpus-hot shingle restricted to the (large)
+        # candidate-doc set still had df ≈ 500k — np.triu over that is a
+        # 237 GiB allocation.  Cap far above every test-corpus df, so the
+        # lane stays oracle-exact at driver scale (DIV-R13 lever).
         return filter_pairs_to_candidates(
-            jaccard_pair_counts(g), ray.get(cand_pairs_ref))
+            jaccard_pair_counts(g, max_shingle_df=JACCARD_MAX_DF),
+            ray.get(cand_pairs_ref))
 
     verified = (_docs_ds(sf_dir)
                 .map_batches(shingle_batch, batch_format="pyarrow",
