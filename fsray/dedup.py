@@ -383,13 +383,23 @@ def simhash_bucket_pairs(g: pa.Table, max_hamming: int = 3,
 
 
 def minhash_batch(batch: pa.Table, text_column: str = "text",
-                  id_column: str = "doc_id") -> pa.Table:
-    """Per-doc 64-perm MinHash signature + 16 band keys (4 rows/band).
+                  id_column: str = "doc_id",
+                  rows_per_band: int = NUM_PERMS // NUM_BANDS) -> pa.Table:
+    """Per-doc 64-perm MinHash signature + band keys.
 
     Output rows: (doc_id, band, band_key) — feed ``groupby((band,
     band_key))`` for LSH candidate generation (shingle→minhash→band→bucket
     groupby, the classic web-dedup shape).
-    """
+
+    ``rows_per_band`` is the BANDING GEOMETRY knob (Lee et al. 2022 /
+    MassiveText tune it by corpus size): candidate volume scales
+    ``n² · Σ J_pair^r``, so the default r=2 (32 bands — candidate
+    P ≥ 0.9999 at j = 0.5, which is what makes the lane match the exact
+    oracle) is right up to ~1M docs, while a 10M+ corpus with a
+    boilerplate tail needs r=4 (16 bands, P(j=0.5) ≈ 0.64 — the
+    documented recall trade) to keep the hot-shingle cliques from
+    emitting 10⁸+ false-positive candidates.  Exact duplicates (j = 1)
+    are caught at every geometry."""
     toks = tokenize_column(batch[text_column].combine_chunks().cast(pa.string()).fill_null(""))
     sv, cnts = shingle_hashes(toks)
     n = len(cnts)
@@ -408,18 +418,18 @@ def minhash_batch(batch: pa.Table, text_column: str = "text",
         nz = cnts > 0
         red = np.minimum.reduceat(m, starts[:-1][nz], axis=0)
         sig[nz] = red
-    rows_per_band = NUM_PERMS // NUM_BANDS
-    band_keys = np.empty((n, NUM_BANDS), dtype=np.int64)
+    n_bands = NUM_PERMS // rows_per_band
+    band_keys = np.empty((n, n_bands), dtype=np.int64)
     with np.errstate(over="ignore"):
-        for b in range(NUM_BANDS):
+        for b in range(n_bands):
             chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
             acc = np.zeros(n, dtype=np.uint64)
             for r in range(rows_per_band):
                 acc = acc * np.uint64(1099511628211) + chunk[:, r]
             band_keys[:, b] = acc.astype(np.int64)
     empty = cnts == 0  # docs with no shingles never bucket
-    out_doc = np.repeat(ids[~empty], NUM_BANDS)
-    out_band = np.tile(np.arange(NUM_BANDS, dtype=np.int64), int((~empty).sum()))
+    out_doc = np.repeat(ids[~empty], n_bands)
+    out_band = np.tile(np.arange(n_bands, dtype=np.int64), int((~empty).sum()))
     out_key = band_keys[~empty].reshape(-1)
     return pa.table({id_column: pa.array(out_doc, type=pa.int64()),
                      "band": pa.array(out_band, type=pa.int64()),

@@ -792,16 +792,18 @@ def _verify_pairs_exact(sf_dir: str, cand_a: np.ndarray, cand_b: np.ndarray,
                                          type=pa.float64())})
 
 
-def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
+def dedup_minhash_lsh(sf_dir: str, rows_per_band: int = 2) -> pa.Table:
     """MinHash→band→bucket groupby → candidates → exact-Jaccard verify.
 
-    Verification makes the output exact on the candidate set; with 32×2
-    banding the candidate set misses a τ=0.5 pair with P < 1e-4, so this
-    matches the exact-Jaccard oracle.  Both stages run inside Ray: the
-    banding groupby yields the (output-sized) candidate pair list, and
-    ``_verify_pairs_exact`` re-derives shingles for candidate docs only
-    and reduces exact pair counts with the shared bucketed kernels — no
-    driver-side shingle sets or Python pair loops."""
+    Verification makes the output exact on the candidate set; with the
+    default 32×2 banding the candidate set misses a τ=0.5 pair with
+    P < 1e-4, so this matches the exact-Jaccard oracle.  Both stages run
+    inside Ray: the banding groupby yields the (output-sized) candidate
+    pair list, and ``_verify_pairs_exact`` re-derives shingles for
+    candidate docs only and reduces exact pair counts with the shared
+    bucketed kernels — no driver-side shingle sets or Python pair loops.
+    ``rows_per_band`` is the web-scale banding-geometry knob (see
+    ``minhash_batch``): the 10M cell runs r=4."""
     from fsray.dedup import (add_group_bucket, candidate_pairs_from_buckets,
                              minhash_batch)
     # batch_size cap: the vectorized 64-perm mix materializes an
@@ -809,8 +811,10 @@ def dedup_minhash_lsh(sf_dir: str) -> pa.Table:
     # blocks (500k-row row groups at the 10M cell) put ~8 GB on one
     # worker heap and OOM-killed the run; 8k docs ≈ 130 MB peak/task
     b_ds = (_docs_ds(sf_dir)
-            .map_batches(minhash_batch, batch_format="pyarrow",
-                         zero_copy_batch=True, batch_size=8192)
+            .map_batches(lambda b: minhash_batch(
+                b, rows_per_band=rows_per_band),
+                batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=8192)
             .map_batches(lambda b: add_group_bucket(b, ["band", "band_key"]),
                          batch_format="pyarrow"))
     # bucketed LSH-bucket groupby: candidate_pairs_from_buckets vectorizes

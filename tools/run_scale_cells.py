@@ -73,8 +73,11 @@ def main() -> None:
 
     if "minhash" in only:
         from fsray.pipelines import dedup_minhash_lsh
-        cell("dedup_minhash_lsh",
-             lambda: {"pairs": dedup_minhash_lsh(args.sf).num_rows})
+        # r=4 banding: the web-scale geometry (see minhash_batch) — r=2
+        # emits n²-scaled hot-clique candidates at 10M docs
+        cell("dedup_minhash_lsh_r4",
+             lambda: {"pairs": dedup_minhash_lsh(
+                 args.sf, rows_per_band=4).num_rows})
 
     if "ppl" in only:
         from fsray.pipelines import perplexity_score
