@@ -116,6 +116,8 @@ def _length_bands(s1) -> dict:
             .groupby(["lang", "v"]).aggregate(Sum("n")).to_pandas())
     lo_q, hi_q = LENGTH_FILTER_BAND
     band = {}
+    if len(hist) == 0:   # zero stage-1 survivors: no bands, empty stage 2
+        return band
     for lang, g in hist.groupby("lang"):
         g = g.sort_values("v")
         v = g["v"].to_numpy()
@@ -234,6 +236,10 @@ def curate_corpus_run(sf_dir: str, out_dir: str, n_parts: int = 8) -> dict:
                              zero_copy_batch=True)
               .repartition(_stats_blocks())
               .groupby("lang").aggregate(Sum("n")).to_pandas())
+    if len(counts) == 0:
+        # every doc gated out upstream (a pathologically repetitive
+        # corpus flags 100% at stage 1) — the empty frame has no columns
+        counts = counts.reindex(columns=["lang", "sum(n)"])
     total = int(counts["sum(n)"].sum())
     rates: dict = {}
     for lg, n in zip(counts["lang"], counts["sum(n)"]):
@@ -271,6 +277,8 @@ def curate_corpus_run(sf_dir: str, out_dir: str, n_parts: int = 8) -> dict:
 
     kept = (s5.map_batches(split_col, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas())
+    if len(kept) == 0:
+        kept = kept.reindex(columns=["doc_id", "lang", "split"])
     n_kept = len(kept)
     split_counts = kept["split"].value_counts().to_dict()
 

@@ -1277,3 +1277,28 @@ def test_minhash_bucket_cap_skips_hot_groups():
     assert capped["a"][0].as_py() == 1005 and capped["b"][0].as_py() == 1006
     capless = candidate_pairs_from_buckets(hot, max_df=None)
     assert capless.num_rows == n * (n - 1) // 2 + 1
+
+
+def test_curate_corpus_empty_survivor_path(tmp_path):
+    """A pathologically repetitive corpus (the 10× dense-vocab cell
+    flagged 100% of docs at the repetition gate) must flow through the
+    whole composition to an EMPTY export, not crash on the empty-frame
+    edges (Ray groupby of zero rows loses its columns)."""
+    import pyarrow.parquet as pq
+    from fsray.curate import curate_corpus_run
+    texts = [" ".join(["spam"] * 50) for _ in range(40)]
+    tbl = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                    "lang": pa.array(["en"] * 40, type=pa.string()),
+                    "source": pa.array(["s"] * 40, type=pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts],
+                                        type=pa.int64())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "curated")
+    m = curate_corpus_run(str(tmp_path), out, n_parts=2)
+    assert m["n_after_repetition"] == 0 and m["n_kept"] == 0
+    assert m["split_counts"] == {}
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 2
+    assert sum(pq.read_metadata(os.path.join(out, f)).num_rows
+               for f in files) == 0
