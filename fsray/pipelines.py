@@ -1300,7 +1300,8 @@ FROM pre ORDER BY doc_id"""
 PACK_SEQS_PER_SHARD = 8
 
 
-def pack_shards_run(sf_dir: str, out_dir: str) -> pa.Table:
+def pack_shards_run(sf_dir: str, out_dir: str,
+                    seqs_per_shard: int | None = None) -> pa.Table:
     """Materialize the packed training shards (the r4-verdict #3 ask:
     ``pack_sequences`` computes offsets only — this writes the actual
     uint32 token sequences, one Parquet file per contiguous seq range,
@@ -1333,7 +1334,7 @@ def pack_shards_run(sf_dir: str, out_dir: str) -> pa.Table:
 
     os.makedirs(out_dir, exist_ok=True)
     L = PACK_SEQ_LEN
-    SPS = PACK_SEQS_PER_SHARD
+    SPS = PACK_SEQS_PER_SHARD if seqs_per_shard is None else seqs_per_shard
     offsets_ref = ray.put(_pack_bucket_offsets(sf_dir))
 
     def tag(b: pa.Table) -> pa.Table:
@@ -1983,6 +1984,8 @@ SUBSTR_BUCKET_BITS = 6
 #: dup set exchange on the SAME hash-top-bits bucket key and match inside
 #: the bucket, so no worker ever holds more than ~1/2^bits of the dup set
 SUBSTR_BROADCAST_BUDGET_BYTES = 64 << 20
+#: diagnostic: which pass-2 path the last dedup_substring call took
+_SUBSTR_LAST_PATH: dict = {}
 #: doc_id-range width of the coverage regroup buckets in the semi-join path
 SUBSTR_DOC_BUCKET = 4096
 
@@ -2192,7 +2195,14 @@ def dedup_substring(sf_dir: str,
               .materialize())
     budget = (SUBSTR_BROADCAST_BUDGET_BYTES if broadcast_budget_bytes is None
               else broadcast_budget_bytes)
-    if dup_ds.count() * 8 <= budget:
+    n_dup = dup_ds.count()
+    # diagnostic breadcrumb (tests/bench cells read it): which pass-2
+    # path ran, and how big the dup set that drove the decision was
+    global _SUBSTR_LAST_PATH
+    _SUBSTR_LAST_PATH = {"n_dup_windows": int(n_dup),
+                         "path": ("broadcast" if n_dup * 8 <= budget
+                                  else "semijoin")}
+    if n_dup * 8 <= budget:
         dup = dup_ds.to_pandas()
         dup_ref = ray.put(np.sort(dup["win"].to_numpy().astype(np.int64)))
         out = (_docs_ds(sf_dir)
