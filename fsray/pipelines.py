@@ -845,7 +845,11 @@ def dedup_simhash(sf_dir: str, max_df: int | None = "default") -> pa.Table:
                              simhash_bucket_pairs, simhash_chunk_batch)
     df_cap = SIMHASH_MAX_DF if max_df == "default" else max_df
     pairs = (_docs_ds(sf_dir)
-             .map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+             # batch cap: the signed bit-vote matrix is (n_tokens × 64)
+             # i64 = 512 B/token — the minhash big-block hazard class;
+             # unbounded 500k-row blocks would put ~8 GB on one heap
+             .map_batches(simhash_batch, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=8192)
              .map_batches(simhash_chunk_batch, batch_format="pyarrow")
              .map_batches(lambda b: add_group_bucket(b, ["chunk", "chunk_val"]),
                           batch_format="pyarrow")
@@ -4883,6 +4887,8 @@ def _hash_embed_topk(sf_dir: str, query: str, k: int,
                              columns=["doc_id", "text"])
              .map_batches(HashEmbedScorer, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=2,
+                          batch_size=16384,  # dim×f64 ≈ 2 KB/row: bound
+                          # the per-call embed matrix on big blocks
                           fn_constructor_kwargs={
                               "query": query,
                               "dimension": HASH_EMBED_DIM,
@@ -5000,6 +5006,7 @@ def model2vec_embed(sf_dir: str) -> pa.Table:
                                columns=["doc_id", "text"])
                .map_batches(Model2VecEmbedStats, batch_format="pyarrow",
                             zero_copy_batch=True, concurrency=2,
+                            batch_size=16384,
                             fn_constructor_kwargs={"model_dir": model_dir})
                .to_pandas())
     finally:
@@ -5084,6 +5091,8 @@ def quality_embed_ann(sf_dir: str) -> pa.Table:
                  # while warming two actors immediately on big hosts
                  .map_batches(QualityEmbedStage, batch_format="pyarrow",
                               zero_copy_batch=True, concurrency=(2, 4),
+                              batch_size=1024,  # transformer stage: small
+                              # batches keep actor heap + latency bounded
                               fn_constructor_kwargs={
                                   "model_dir": model_dir, "query": query,
                                   "k": QUALITY_EMBED_K})
