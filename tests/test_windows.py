@@ -81,3 +81,23 @@ def test_tumbling_window_null_values_sum_as_zero(tmp_path):
     assert len(out) == 1
     assert int(out["sum_value_micros"].iloc[0]) == 3_750_000
     assert int(out["n_events"].iloc[0]) == 3
+
+
+def test_running_total_export_matches_lane(tmp_path):
+    """The export-shaped sibling (write_parquet sink, nothing on the
+    driver) must produce exactly the lane's rows — one shared kernel
+    pair, read back and compared."""
+    import os
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from fsray.windows import running_total, running_total_export
+    sf = "/root/testdata/sf0.001"
+    lane = running_total(sf).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    out = str(tmp_path / "rt")
+    m = running_total_export(sf, out)
+    assert m["rows"] == len(lane) and m["files"] >= 1
+    back = pd.concat([pq.read_table(os.path.join(out, f)).to_pandas()
+                      for f in os.listdir(out) if f.endswith(".parquet")])
+    back = back.sort_values("event_id").reset_index(drop=True)[lane.columns]
+    pd.testing.assert_frame_equal(lane, back)
