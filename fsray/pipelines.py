@@ -2333,7 +2333,7 @@ ORDER BY nt.doc_id"""
 QUANTILE_PERMILLES = (250, 500, 750, 900)
 
 
-def length_quantiles(sf_dir: str) -> pa.Table:
+def length_quantiles(sf_dir: str, bin_width: int = 1) -> pa.Table:
     """Per-language EXACT n_chars quantiles WITHOUT a distributed sort —
     the length-distribution audit every corpus-curation pass starts with.
 
@@ -2342,12 +2342,17 @@ def length_quantiles(sf_dir: str) -> pa.Table:
     groupby whose input is bounded by DISTINCT (lang, value) pairs, never
     by rows; the driver reduces quantile picks from the cumsum
     (|langs|×|grid| ints, the centroid-reduce discipline).  n_chars is
-    bounded, so the exact histogram IS the 100-TB path; for
-    unbounded-cardinality value columns the documented swap is fixed-width
-    binning (or a mergeable quantile sketch) behind the same combiner.
-    Discrete quantile definition pinned: the value at 1-based ascending
-    index ``ceil(q·n/1000)`` — replayed verbatim by the SQL window
-    oracle."""
+    bounded, so the exact histogram IS the 100-TB path.
+
+    ``bin_width`` is the unbounded-cardinality swap (the r5
+    implementation of the documented knob): values fold to
+    ``(v // w) · w`` INSIDE the combiner, so the shuffle is bounded by
+    |langs| × (value_range / w) for ANY value distribution; the reported
+    quantile is then its bin's floor — within ``w`` of exact by
+    construction (law-pinned), and ``w = 1`` (the default) is the exact
+    histogram.  Discrete quantile definition pinned: the value at
+    1-based ascending index ``ceil(q·n/1000)`` — replayed verbatim by
+    the SQL window oracle."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -2356,8 +2361,10 @@ def length_quantiles(sf_dir: str) -> pa.Table:
 
     def hist_partial(b: pa.Table) -> pa.Table:
         import pandas as pd
-        df = pd.DataFrame({"lang": b["lang"].to_pylist(),
-                           "n_chars": b["n_chars"].to_numpy()})
+        v = b["n_chars"].to_numpy()
+        if bin_width > 1:
+            v = (v // bin_width) * bin_width
+        df = pd.DataFrame({"lang": b["lang"].to_pylist(), "n_chars": v})
         vc = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="n")
         return pa.table({"lang": pa.array(vc["lang"], type=pa.string()),
                          "n_chars": pa.array(vc["n_chars"].to_numpy(), type=pa.int64()),
@@ -2837,40 +2844,93 @@ GROUP BY n.n_name
 ORDER BY n.n_name"""
 
 
-def antijoin_customers_no_orders(sf_dir: str) -> pa.Table:
+#: broadcast budget for the anti-join probe key set (bytes of the int64
+#: array): under budget the distinct probe keys broadcast once (the plan
+#: every engine picks when the key set fits memory); over budget — a
+#: probe side with ~10¹⁰ distinct keys at 100 TB — both sides exchange
+#: on a key-hash bucket and the anti filter runs per bucket (the
+#: substring semi-join discipline).  Both paths law-pinned identical.
+ANTIJOIN_BROADCAST_BUDGET_BYTES = 256 << 20
+
+
+def antijoin_customers_no_orders(sf_dir: str,
+                                 broadcast_budget_bytes: int | None = None
+                                 ) -> pa.Table:
     """Relational ANTI-JOIN: customers with no orders (the
     orphan/retention audit).  Ray shape: the probe side's DISTINCT keys
     (o_custkey, customer-bounded by definition) are reduced via a
-    per-batch-unique ``map_batches`` partial + one vocab-style groupby,
-    broadcast once, and the anti filter is a vectorized ``np.isin``
-    inside ``map_batches`` — the broadcast-anti-join plan every engine
-    picks when the distinct key set fits memory; the documented swap at
-    larger key sets is the bucket exchange (`join_revenue_by_nation`'s
-    shape) with a per-bucket anti filter."""
+    per-batch-unique ``map_batches`` partial + one vocab-style groupby;
+    budget-gated pass 2 — broadcast + vectorized searchsorted filter
+    under ``ANTIJOIN_BROADCAST_BUDGET_BYTES``, else the partition-wise
+    bucket exchange (`join_revenue_by_nation`'s shape) with a
+    per-bucket anti filter, so no worker ever holds the full key set."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    keys = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                            columns=["o_custkey"])
-            .map_batches(lambda b: pa.table({
-                "k": pa.array(np.unique(b["o_custkey"].to_numpy()))}),
-                batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("k").aggregate(Count())
-            .to_pandas())
-    have = ray.put(np.sort(keys["k"].to_numpy().astype(np.int64)))
+    from fsray.dedup import add_group_bucket
 
-    def anti(b: pa.Table) -> pa.Table:
-        ck = b["c_custkey"].to_numpy()
-        hv = ray.get(have)
-        pos = np.searchsorted(hv, ck)
-        hit = (pos < len(hv)) & (hv[np.minimum(pos, max(len(hv) - 1, 0))] == ck)
-        return b.filter(pa.array(~hit))
-
-    out = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+    keys_ds = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey"])
+               .map_batches(lambda b: pa.table({
+                   "k": pa.array(np.unique(b["o_custkey"].to_numpy()))}),
+                   batch_format="pyarrow", zero_copy_batch=True)
+               .groupby("k").aggregate(Count())
+               .materialize())
+    budget = (ANTIJOIN_BROADCAST_BUDGET_BYTES if broadcast_budget_bytes
+              is None else broadcast_budget_bytes)
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey", "c_mktsegment"])
-           .map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
-           .to_pandas())
+    if keys_ds.count() * 8 <= budget:
+        keys = keys_ds.to_pandas()
+        have = ray.put(np.sort(keys["k"].to_numpy().astype(np.int64)))
+
+        def anti(b: pa.Table) -> pa.Table:
+            ck = b["c_custkey"].to_numpy()
+            hv = ray.get(have)
+            pos = np.searchsorted(hv, ck)
+            hit = (pos < len(hv)) & (hv[np.minimum(pos, max(len(hv) - 1, 0))] == ck)
+            return b.filter(pa.array(~hit))
+
+        out = cust.map_batches(anti, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    else:
+        # bucket exchange: probe keys (c_custkey = -1 sentinel) and
+        # customer rows co-bucket on the key hash; anti runs in-bucket
+        def probe_rows(b: pa.Table) -> pa.Table:
+            k = b["k"].to_numpy().astype(np.int64)
+            return add_group_bucket(pa.table({
+                "k": pa.array(k, type=pa.int64()),
+                "c_custkey": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                "c_mktsegment": pa.array([""] * len(k), type=pa.string()),
+            }), ["k"])
+
+        def build_rows(b: pa.Table) -> pa.Table:
+            k = b["c_custkey"].to_numpy().astype(np.int64)
+            return add_group_bucket(pa.table({
+                "k": pa.array(k, type=pa.int64()),
+                "c_custkey": b["c_custkey"].combine_chunks().cast(pa.int64()),
+                "c_mktsegment": b["c_mktsegment"].combine_chunks()
+                                 .cast(pa.string()),
+            }), ["k"])
+
+        def bucket_anti(g: pa.Table) -> pa.Table:
+            is_probe = g["c_custkey"].to_numpy() < 0
+            pk = np.sort(g["k"].to_numpy()[is_probe])
+            rows = g.filter(pa.array(~is_probe))
+            if len(pk) == 0:  # bucket with no probe keys: all rows survive
+                return rows.select(["c_custkey", "c_mktsegment"])
+            ck = rows["k"].to_numpy()
+            pos = np.searchsorted(pk, ck)
+            hit = (pos < len(pk)) & (pk[np.minimum(pos, len(pk) - 1)] == ck)
+            return rows.filter(pa.array(~hit)) \
+                       .select(["c_custkey", "c_mktsegment"])
+
+        out = (keys_ds.map_batches(probe_rows, batch_format="pyarrow")
+               .union(cust.map_batches(build_rows, batch_format="pyarrow"))
+               .groupby("bucket")
+               .map_groups(bucket_anti, batch_format="pyarrow")
+               .to_pandas())
     if len(out) == 0:
         # an all-matched corpus yields an empty Dataset whose pandas view
         # loses the schema — pin the contract columns explicitly

@@ -1338,3 +1338,48 @@ def test_annstore_partial_publish_is_a_miss(tmp_path):
     assert os.path.exists(npz_path) and os.path.exists(meta_path)
     os.remove(meta_path)
     assert load_shard("ivf", cache, fp) is None
+
+
+def test_antijoin_bucket_path_identical(tmp_path):
+    """Both anti-join pass-2 paths — broadcast (default) and the forced
+    bucket exchange (budget 0, the huge-probe-side regime) — must agree
+    exactly, on the test corpus AND on a synthetic one with guaranteed
+    orphans (sf0.001 anti-joins to empty)."""
+    import pyarrow.parquet as pq
+    from fsray.pipelines import antijoin_customers_no_orders
+    a = _canon(_to_table(antijoin_customers_no_orders(SF_DIR)))
+    b = _canon(_to_table(antijoin_customers_no_orders(
+        SF_DIR, broadcast_budget_bytes=0)))
+    pd.testing.assert_frame_equal(a, b)
+    n = 200
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n), type=pa.int64()),
+        "c_mktsegment": pa.array([f"SEG{i % 3}" for i in range(n)],
+                                 type=pa.string())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([i for i in range(n) if i % 3 != 0] * 2,
+                              type=pa.int64())}),
+        str(tmp_path / "orders.parquet"))
+    g1 = _canon(_to_table(antijoin_customers_no_orders(str(tmp_path))))
+    g2 = _canon(_to_table(antijoin_customers_no_orders(
+        str(tmp_path), broadcast_budget_bytes=0)))
+    pd.testing.assert_frame_equal(g1, g2)
+    assert list(g1["c_custkey"]) == [i for i in range(n) if i % 3 == 0]
+
+
+def test_length_quantiles_bin_width_law():
+    """The binned-histogram knob: w=1 ≡ the exact default bit-for-bit,
+    and any w reports each quantile's bin floor — within w of exact and
+    never above it."""
+    from fsray.pipelines import length_quantiles
+    exact = length_quantiles(SF_DIR).to_pandas()
+    same = length_quantiles(SF_DIR, bin_width=1).to_pandas()
+    pd.testing.assert_frame_equal(exact, same)
+    w = 16
+    binned = length_quantiles(SF_DIR, bin_width=w).to_pandas()
+    m = exact.merge(binned, on=["lang", "q_permille"],
+                    suffixes=("_x", "_b"))
+    assert len(m) == len(exact)
+    d = m["value_x"].to_numpy() - m["value_b"].to_numpy()
+    assert (d >= 0).all() and (d < w).all(), m
