@@ -3300,7 +3300,48 @@ WHERE rn = 1 ORDER BY vec_id""")
 EVAL_HOLDOUT_MOD = 50
 
 
-def decontaminate(sf_dir: str) -> pa.Table:
+#: broadcast budget for the exact eval-shingle set (bytes of the int64
+#: array).  Over budget the flag stage switches to a BLOOM FILTER built
+#: STREAMING on the driver (``iter_batches`` — the driver never holds
+#: the hash array, only the bitmap) and broadcast at a fixed
+#: ``DECONTAM_BLOOM_BITS_PER_KEY`` bits/key: membership is one-sided, so
+#: the swap can only OVER-flag (the curation-safe direction).  Per-DOC
+#: false-positive odds compound over the doc's shingles — at ~60
+#: shingles/doc, 20 bits/key (p ≈ 7e-5/shingle) keeps doc-level
+#: over-flagging ≈ 0.4%, measured 0-2 docs per 500 — law-pinned superset.
+DECONTAM_BROADCAST_BUDGET_BYTES = 256 << 20
+DECONTAM_BLOOM_BITS_PER_KEY = 20
+DECONTAM_BLOOM_HASHES = 10
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int,
+                     k: int = DECONTAM_BLOOM_HASHES) -> np.ndarray:
+    """(len(h), k) bit positions by double hashing (Kirsch–Mitzenmacher):
+    pos_i = (h1 + i·h2) mod m with h2 odd — vectorized, derived from the
+    64-bit shingle hash itself (already FNV-mixed)."""
+    hu = h.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = hu % np.uint64(m_bits)
+        h2 = ((hu >> np.uint64(33)) * np.uint64(0x9E3779B97F4A7C15)
+              | np.uint64(1)) % np.uint64(m_bits)
+        i = np.arange(k, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits))
+
+
+def _bloom_set(bits: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(bits, (flat >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (flat & np.uint64(63)))
+
+
+def _bloom_test(bits: np.ndarray, h: np.ndarray, m_bits: int) -> np.ndarray:
+    pos = _bloom_positions(h, m_bits)
+    word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+    return ((word >> (pos & np.uint64(63))) & np.uint64(1)).all(axis=1)
+
+
+def decontaminate(sf_dir: str,
+                  broadcast_budget_bytes: int | None = None) -> pa.Table:
     """Benchmark decontamination — the training-data hygiene step every
     LLM pipeline runs before the dedup'd export: flag every training
     document that shares ANY 3-token shingle with a held-out evaluation
@@ -3309,19 +3350,23 @@ def decontaminate(sf_dir: str) -> pa.Table:
     before training.
 
     Ray shape (the 100-TB contract): the SMALL side — the eval split's
-    distinct shingle hashes — is computed distributed, uniqued on the
-    driver (eval-set-sized, not corpus-sized) and broadcast ONCE via
-    ``ray.put``; the flag stage is an embarrassingly parallel vectorized
-    ``np.isin`` inside ``map_batches`` — NO shuffle anywhere, which is
-    the whole point vs a shingle-join formulation.  A doc's shingles
-    never split across batches (``shingle_batch`` emits per input doc),
-    so per-doc overlap counts complete in-batch.  If the eval shingle
-    set outgrows worker heaps, the documented swap is a Bloom filter
-    behind the same broadcast.
+    distinct shingle hashes — is computed distributed and the flag stage
+    is an embarrassingly parallel vectorized membership test inside
+    ``map_batches`` — NO shuffle anywhere, which is the whole point vs a
+    shingle-join formulation.  A doc's shingles never split across
+    batches (``shingle_batch`` emits per input doc), so per-doc overlap
+    counts complete in-batch.  Budget-gated broadcast (the r5
+    implementation of the documented Bloom swap): under
+    ``DECONTAM_BROADCAST_BUDGET_BYTES`` the exact sorted hash array
+    broadcasts (exact counts); over it, a Bloom bitmap at 14 bits/key is
+    built STREAMING on the driver and broadcast instead — bits/key-bounded
+    regardless of eval-set size, one-sided (can only over-flag, the
+    curation-safe direction), law-pinned superset
+    (``test_decontaminate_bloom_path_superset``).
 
-    EXACT oracle: string-shingle replay over the same split arithmetic
-    (hash-collision-free on this corpus exactly as the green Jaccard
-    lanes assume)."""
+    EXACT oracle (broadcast path): string-shingle replay over the same
+    split arithmetic (hash-collision-free on this corpus exactly as the
+    green Jaccard lanes assume)."""
     import ray
 
     from fsray.dedup import shingle_batch
@@ -3331,18 +3376,37 @@ def decontaminate(sf_dir: str) -> pa.Table:
         m = ids % EVAL_HOLDOUT_MOD == 0
         return b.filter(pa.array(m if keep_eval else ~m))
 
-    eval_sh = (_docs_ds(sf_dir)
+    eval_ds = (_docs_ds(sf_dir)
                .map_batches(lambda b: split_filter(b, True),
                             batch_format="pyarrow", zero_copy_batch=True)
                .map_batches(shingle_batch, batch_format="pyarrow")
                .select_columns(["shingle"])
-               .to_pandas())
-    banned_ref = ray.put(np.unique(eval_sh["shingle"].to_numpy()))
+               .materialize())
+    budget = (DECONTAM_BROADCAST_BUDGET_BYTES if broadcast_budget_bytes
+              is None else broadcast_budget_bytes)
+    n_rows = eval_ds.count()   # ≥ distinct count: a conservative gate
+    if n_rows * 8 <= budget:
+        banned_ref = ray.put(np.unique(
+            eval_ds.to_pandas()["shingle"].to_numpy()))
+        bloom_ref, m_bits = None, 0
+    else:
+        # streaming Bloom build: the driver folds batch after batch into
+        # the bitmap and never materializes the hash array
+        m_bits = max(64, n_rows * DECONTAM_BLOOM_BITS_PER_KEY)
+        bits = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+        for batch in eval_ds.iter_batches(batch_format="pyarrow"):
+            _bloom_set(bits, _bloom_positions(
+                batch["shingle"].to_numpy(), m_bits))
+        banned_ref = None
+        bloom_ref = ray.put(bits)
 
     def flag_batch(b: pa.Table) -> pa.Table:
         sh = b["shingle"].to_numpy()
         doc = b["doc_id"].to_numpy()
-        hit = np.isin(sh, ray.get(banned_ref))
+        if banned_ref is not None:
+            hit = np.isin(sh, ray.get(banned_ref))
+        else:
+            hit = _bloom_test(ray.get(bloom_ref), sh, m_bits)
         docs_u, inv = np.unique(doc, return_inverse=True)
         n_overlap = np.zeros(len(docs_u), dtype=np.int64)
         np.add.at(n_overlap, inv, hit.astype(np.int64))

@@ -1383,3 +1383,23 @@ def test_length_quantiles_bin_width_law():
     assert len(m) == len(exact)
     d = m["value_x"].to_numpy() - m["value_b"].to_numpy()
     assert (d >= 0).all() and (d < w).all(), m
+
+
+def test_decontaminate_bloom_path_superset():
+    """The Bloom swap (budget 0 forces it): one-sided membership — the
+    Bloom path's contaminated set must CONTAIN the exact path's, its
+    per-doc overlap counts dominate the exact counts, and at 20 bits/key
+    the doc-level over-flagging stays ~0.4% (FP compounds over a doc's
+    ~60 shingles)."""
+    from fsray.pipelines import decontaminate
+    exact = decontaminate(SF_DIR).to_pandas().set_index("doc_id")
+    bloom = decontaminate(SF_DIR, broadcast_budget_bytes=0) \
+        .to_pandas().set_index("doc_id")
+    assert list(exact.index) == list(bloom.index)
+    assert (bloom["n_overlap"].to_numpy()
+            >= exact["n_overlap"].to_numpy()).all()
+    ec = exact["contaminated"].to_numpy()
+    bc = bloom["contaminated"].to_numpy()
+    assert (bc | ~ec).all()  # bloom ⊇ exact
+    extra = int(bc.sum() - ec.sum())
+    assert extra <= max(2, len(exact) // 50), extra
